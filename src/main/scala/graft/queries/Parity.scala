@@ -1,0 +1,484 @@
+package graft.queries
+
+import graft.core.Clock
+import graft.ops._
+import graft.scd.{Scd1, Scd2, Scd3, ScdColumns}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Parity query suite — one driver-checkable query per operator row of
+  * SURVEY.md §2, expressed over the TPC-H-ish testdata tables (TESTDATA.md)
+  * with a DuckDB oracle for each (SURVEY.md §7.6).
+  *
+  * Cross-engine determinism rules used throughout (so the driver's
+  * hash-compare is exact, not approximate):
+  *  - sums over floating columns go through `DECIMAL` (order-independent,
+  *    exact) and are cast to double only at the end;
+  *  - per-row double arithmetic (+,-,*,/) is IEEE-deterministic and safe;
+  *  - whole-number derivations are cast to explicit integer widths;
+  *  - hashes feed fixed-scale decimal *strings*, never raw double casts.
+  */
+object Parity {
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
+    * Spark only reads via the nanos-as-long legacy conf; convert back to a
+    * microsecond timestamp with exact integer arithmetic (a double division
+    * would lose precision above 2^53 ns). DuckDB's `CAST(ts_ns AS
+    * TIMESTAMP)` truncates identically. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Scratch dir for sink-operator queries (inside repo target/, gitignored). */
+  def tmp(name: String, sfDir: String): String = {
+    val tag = Integer.toHexString(sfDir.hashCode)
+    val p = s"/root/repo/target/qtmp/$name-$tag"
+    new java.io.File(p).getParentFile.mkdirs()
+    p
+  }
+
+  private def dec(c: Column, scale: Int = 2): Column = c.cast(s"decimal(18,$scale)")
+  private def sumd(c: Column, scale: Int = 2): Column =
+    sum(dec(c, scale)).cast("double")
+
+  // ---------------------------------------------------------------- S1
+  /** S1 — JSON scan with explicit schema (`ds2b_company_house.py:58-62`):
+    * round-trip `region` through JSON, read back with a predefined
+    * StructType (no inference scan). */
+  def s1JsonScan(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = tmp("s1", sfDir)
+    table(spark, sfDir, "region").write.mode("overwrite").json(dir)
+    val schema = StructType(Seq(
+      StructField("r_regionkey", IntegerType), StructField("r_name", StringType)))
+    spark.read.schema(schema).json(dir)
+  }
+
+  // ---------------------------------------------------------------- S2
+  /** S2 — CSV scan: explicit schema, header, PERMISSIVE
+    * (`ds2b_yfinance.py:54-60`). */
+  def s2CsvScan(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = tmp("s2", sfDir)
+    table(spark, sfDir, "nation").write.mode("overwrite")
+      .option("header", "true").csv(dir)
+    val schema = StructType(Seq(
+      StructField("n_nationkey", IntegerType), StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType)))
+    Ingest.csv(spark, schema, dir)
+  }
+
+  // ---------------------------------------------------------------- S3
+  /** S3 — hidden file-metadata column + identity-from-path regexp
+    * (`ds2b_company_house.py:63-67`). */
+  def s3FileIdentity(spark: SparkSession, sfDir: String): DataFrame =
+    Ingest.withPathIdentity(
+        Ingest.withFilePath(table(spark, sfDir, "lineitem")),
+        as = "src_table", pattern = "/([a-z]+)\\.parquet$")
+      .groupBy("src_table").agg(count(lit(1)).as("n"))
+
+  // ---------------------------------------------------------- S5 + S7
+  /** S5/S7 — overwrite sink with `partitionBy`
+    * (`b2s_company_house.py:130-136`): write partitioned, read back. */
+  def s5PartitionedSink(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = tmp("s5", sfDir)
+    table(spark, sfDir, "orders").write.mode("overwrite")
+      .partitionBy("o_orderstatus").parquet(dir)
+    spark.read.parquet(dir)
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+  }
+
+  // --------------------------------------------------------------- S10
+  /** S10 — ZORDER-substitute clustering (`s2g.py:98-101`): range
+    * repartition + sort-within-partitions by key before write, then prove
+    * content integrity with exact aggregates. */
+  def s10Clustering(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = tmp("s10", sfDir)
+    Gold.clusterBy(table(spark, sfDir, "lineitem"), Seq("l_orderkey"))
+      .write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir).agg(
+      count(lit(1)).as("n"),
+      sumd(col("l_quantity")).as("sum_qty"),
+      min(col("l_orderkey")).as("min_key"),
+      max(col("l_orderkey")).as("max_key"))
+  }
+
+  // ----------------------------------------------------- P1 + P7 + P8
+  /** P1/P7/P8 — derived columns, comparison predicates, `when` with and
+    * without `otherwise` (`b2s_company_house.py:111-119`, `s2g.py:135-140`). */
+  def p1DerivedFlags(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "orders").select(
+      col("o_orderkey"),
+      year(col("o_orderdate").cast(DateType)).as("order_year"),
+      (col("o_orderpriority") === "1-URGENT").as("is_urgent"),
+      when(col("o_totalprice") < 50000, "low")
+        .when(col("o_totalprice") < 150000, "mid")
+        .otherwise("high").as("price_band"),
+      // `when` without otherwise → null else-branch (ebitda_margin idiom)
+      when(col("o_totalprice") > 100000, col("o_totalprice") / 100000).as("price_ratio"))
+
+  // ---------------------------------------------------------------- P2
+  /** P2 — struct-star projection (`ds2b_company_house.py:81`). */
+  def p2StructStar(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "customer")
+      .select(col("c_custkey"), struct(col("c_name"), col("c_acctbal")).as("s"))
+      .select(col("c_custkey"), col("s.*"))
+
+  // ---------------------------------------------------------------- P4
+  /** P4 — rename-all/sanitize (`ds2b_yfinance.ipynb` clean_column_names). */
+  def p4CleanNames(spark: SparkSession, sfDir: String): DataFrame =
+    Ingest.cleanColumnNames(
+      table(spark, sfDir, "customer").select(
+        col("c_custkey").as("Cust Key!"),
+        col("c_acctbal").as("Acct-Bal (USD)")))
+
+  // ----------------------------------------------------------- P5 + P6
+  /** P5/P6 — structural + business DQ gates with try_cast
+    * (`b2s_yfinance.py:80-98`), over data with injected violations. */
+  def p5QualityGates(spark: SparkSession, sfDir: String): DataFrame = {
+    val dirty = table(spark, sfDir, "lineitem").select(
+      when(col("l_orderkey") % 89 === 0, lit(null)).otherwise(col("l_orderkey")).as("k"),
+      col("l_linenumber"),
+      when(col("l_orderkey") % 97 === 0, -col("l_quantity")).otherwise(col("l_quantity")).as("q"))
+    Quality.nonNegativeNumerics(Quality.requireKeys(dirty, Seq("k")))
+  }
+
+  // ---------------------------------------------------------------- P9
+  /** P9 — dedupe: distinct on a projected subset (`b2s_company_house.py:70`
+    * class of op, made deterministic). */
+  def p9Distinct(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "orders").select("o_orderstatus", "o_orderpriority").distinct()
+
+  /** P9/W — deterministic keyed dedupe: latest row per business key via
+    * `row_number` (the "latest snapshot" idiom, SURVEY.md §2.5). */
+  def p9LatestPerKey(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    table(spark, sfDir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate").cast(DateType))
+  }
+
+  // --------------------------------------------------------------- P10
+  /** P10 — explode/unnest (`ds2b_company_house.py:75-82`). */
+  def p10Explode(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "part")
+      .select(col("p_partkey"), explode(split(col("p_name"), " ")).as("word"))
+
+  // ---------------------------------------------------------------- J1
+  /** J1 — left-join enrichment chain (`b2s_company_house.py:107-110`):
+    * entity ← aggregated summary ← dimension, USING-style keys. */
+  def j1LeftJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val customer = table(spark, sfDir, "customer")
+    val nation = table(spark, sfDir, "nation")
+    val osum = table(spark, sfDir, "orders")
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(
+        count(lit(1)).as("order_count"),
+        sumd(col("o_totalprice")).as("total_spent"),
+        max(col("o_orderdate").cast(DateType)).as("last_order_date"))
+    customer
+      .join(osum, Seq("c_custkey"), "left")
+      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"), "left")
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        col("order_count"), col("total_spent"), col("last_order_date"))
+  }
+
+  // ---------------------------------------------------------------- J2
+  /** J2 — left-anti join with composite condition (key + flag)
+    * (`b2s_yfinance.py:164-175`): customers with no open orders. */
+  def j2AntiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val customer = table(spark, sfDir, "customer")
+    val openOrders = table(spark, sfDir, "orders")
+    val cond = customer("c_custkey") === openOrders("o_custkey") &&
+      openOrders("o_orderstatus") === "O"
+    customer.join(openOrders, cond, "left_anti").select("c_custkey", "c_name")
+  }
+
+  // ---------------------------------------------------------------- J3
+  /** J3/S8 — MERGE upsert without Delta via [[Scd1]] (`scd.py:41-66`):
+    * matched rows take source values (including nulls), new keys insert. */
+  def j3MergeUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val customer = table(spark, sfDir, "customer")
+    val src = customer.filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey"), (col("c_acctbal") + 100).as("c_acctbal"))
+      .unionByName(customer.filter(col("c_custkey") % 5 === 0)
+        .select((col("c_custkey") + 1000000).as("c_custkey"),
+          lit(1.0).cast("double").as("c_acctbal")))
+    new Scd1(Seq("c_custkey"), Seq("c_acctbal"))
+      .merge(customer.select("c_custkey", "c_acctbal", "c_name", "c_mktsegment"), src)
+  }
+
+  // ----------------------------------------------------------- A1 - A3
+  /** A1/A2/A3 — grouped count, distinct count, max (+ exact decimal sums)
+    * (`b2s_company_house.py:78-100`). */
+  def a1Aggregates(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        max(col("l_shipdate").cast(DateType)).as("last_ship"),
+        sumd(col("l_quantity")).as("sum_qty"),
+        sumd(col("l_extendedprice")).as("sum_price"))
+      .withColumn("avg_qty", col("sum_qty") / col("n"))
+
+  // ---------------------------------------------------------------- W1
+  /** W1 — `lag` growth over a partitioned, date-ordered window
+    * (`s2g.py:126-133`), with a unique tiebreaker for determinism. */
+  def w1LagGrowth(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    table(spark, sfDir, "orders").select(
+      col("o_custkey"), col("o_orderkey"),
+      ((col("o_totalprice") - lag(col("o_totalprice"), 1).over(w)) /
+        lag(col("o_totalprice"), 1).over(w)).as("growth"))
+  }
+
+  /** W2 — running total over an explicit RANGE frame (exact decimal).
+    * RANGE (not ROWS) so order-by peers share one value — testdata has
+    * duplicate (l_orderkey, l_linenumber) pairs, and a ROWS frame over an
+    * ambiguous sort is nondeterministic. */
+  def w2RunningTotal(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    table(spark, sfDir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      sum(dec(col("l_quantity"))).over(w).cast("double").as("running_qty"))
+  }
+
+  // ------------------------------------------------------ scalar suite
+  /** §2.7 — scalar-function inventory: regexp_extract, trim, initcap,
+    * sha2(concat_ws), try_cast, string ops. */
+  def scalarSuite(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "customer").select(
+      col("c_custkey"),
+      regexp_extract(col("c_name"), "([0-9]+)$", 1).as("name_code"),
+      initcap(trim(lower(col("c_mktsegment")))).as("segment_title"),
+      sha2(concat_ws("||", col("c_custkey").cast("string"), col("c_mktsegment")), 256)
+        .as("row_hash"),
+      expr("try_cast(c_name as double)").as("bad_cast"),
+      expr("try_cast(c_acctbal as double)").as("good_cast"))
+
+  // --------------------------------------------------------- SCD2 (S8)
+  /** S8/J2/J3 — the full SCD2 two-batch state machine (pure Spark,
+    * `b2s_yfinance.py:103-186`) with pinned clocks; tracked values hash
+    * through fixed-scale decimal strings for engine parity. */
+  def scd2TwoBatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = table(spark, sfDir, "orders")
+    def price(c: Column): Column = c.cast("decimal(18,2)")
+    val b1 = orders.filter(year(col("o_orderdate").cast(DateType)) < 1997)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        price(col("o_totalprice")).cast("string").as("price"))
+    val b2 = orders.filter(year(col("o_orderdate").cast(DateType)) >= 1996)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        (price(col("o_totalprice")) +
+          when(col("o_orderkey") % 7 === 0, 1).otherwise(0))
+          .cast("decimal(18,2)").cast("string").as("price"))
+    val keys = Seq("o_orderkey")
+    val tracked = Seq("o_orderstatus", "price")
+    val init = new Scd2(keys, tracked, clock = Clock.fixed("2026-01-15")).initialize(b1)
+    new Scd2(keys, tracked, clock = Clock.fixed("2026-02-15")).merge(init, b2)
+  }
+
+  // --------------------------------------------------------------- SCD3
+  /** SCD3 — current/previous limited history (`scd.py:114-143`). */
+  def scd3Merge(spark: SparkSession, sfDir: String): DataFrame = {
+    val customer = table(spark, sfDir, "customer")
+    val target = customer.select(
+      col("c_custkey"), col("c_mktsegment"),
+      lit(null).cast(StringType).as("prev_mktsegment"), col("c_name"))
+    val src = customer.filter(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey"), lit("MOVED").as("c_mktsegment"))
+      .unionByName(customer.filter(col("c_custkey") % 5 === 0)
+        .select((col("c_custkey") + 1000000).as("c_custkey"), lit("NEW").as("c_mktsegment")))
+    new Scd3(Seq("c_custkey"), "c_mktsegment", "prev_mktsegment").merge(target, src)
+  }
+
+  // ------------------------------------------------------ JSON functions
+  /** JSON extraction + exact grouped sums over the events stream table. */
+  def jsonExtract(spark: SparkSession, sfDir: String): DataFrame =
+    events(spark, sfDir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+
+  // ---------------------------------------------------------- queries map
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s1_json_scan" -> s1JsonScan _,
+    "s2_csv_scan" -> s2CsvScan _,
+    "s3_file_identity" -> s3FileIdentity _,
+    "s5_partitioned_sink" -> s5PartitionedSink _,
+    "s10_clustering" -> s10Clustering _,
+    "p1_derived_flags" -> p1DerivedFlags _,
+    "p2_struct_star" -> p2StructStar _,
+    "p4_clean_names" -> p4CleanNames _,
+    "p5_quality_gates" -> p5QualityGates _,
+    "p9_distinct" -> p9Distinct _,
+    "p9_latest_per_key" -> p9LatestPerKey _,
+    "p10_explode" -> p10Explode _,
+    "j1_left_join" -> j1LeftJoin _,
+    "j2_anti_join" -> j2AntiJoin _,
+    "j3_merge_upsert" -> j3MergeUpsert _,
+    "a1_aggregates" -> a1Aggregates _,
+    "w1_lag_growth" -> w1LagGrowth _,
+    "w2_running_total" -> w2RunningTotal _,
+    "scalar_suite" -> scalarSuite _,
+    "scd2_two_batch" -> scd2TwoBatch _,
+    "scd3_merge" -> scd3Merge _,
+    "json_extract" -> jsonExtract _)
+
+  // ----------------------------------------------------------- oracle SQL
+  val oracleSql: Map[String, String] = Map(
+    "s1_json_scan" ->
+      "SELECT r_regionkey, r_name FROM region",
+    "s2_csv_scan" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    "s3_file_identity" ->
+      "SELECT 'lineitem' AS src_table, count(*) AS n FROM lineitem",
+    "s5_partitioned_sink" ->
+      "SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY o_orderstatus",
+    "s10_clustering" ->
+      """SELECT count(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key FROM lineitem""",
+    "p1_derived_flags" ->
+      """SELECT o_orderkey,
+         CAST(year(CAST(o_orderdate AS DATE)) AS INTEGER) AS order_year,
+         o_orderpriority = '1-URGENT' AS is_urgent,
+         CASE WHEN o_totalprice < 50000 THEN 'low'
+              WHEN o_totalprice < 150000 THEN 'mid' ELSE 'high' END AS price_band,
+         CASE WHEN o_totalprice > 100000 THEN o_totalprice / 100000 END AS price_ratio
+         FROM orders""",
+    "p2_struct_star" ->
+      "SELECT c_custkey, c_name, c_acctbal FROM customer",
+    "p4_clean_names" ->
+      "SELECT c_custkey AS cust_key, c_acctbal AS acct_bal_usd FROM customer",
+    "p5_quality_gates" ->
+      """WITH dirty AS (
+           SELECT CASE WHEN l_orderkey % 89 = 0 THEN NULL ELSE l_orderkey END AS k,
+                  l_linenumber,
+                  CASE WHEN l_orderkey % 97 = 0 THEN -l_quantity ELSE l_quantity END AS q
+           FROM lineitem)
+         SELECT k, l_linenumber, q FROM dirty
+         WHERE k IS NOT NULL
+           AND (k IS NULL OR TRY_CAST(k AS DOUBLE) >= 0)
+           AND (l_linenumber IS NULL OR TRY_CAST(l_linenumber AS DOUBLE) >= 0)
+           AND (q IS NULL OR TRY_CAST(q AS DOUBLE) >= 0)""",
+    "p9_distinct" ->
+      "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+    "p9_latest_per_key" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate
+         FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+                 row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+               FROM orders) WHERE rn = 1""",
+    "p10_explode" ->
+      "SELECT p_partkey, unnest(string_split(p_name, ' ')) AS word FROM part",
+    "j1_left_join" ->
+      """SELECT c.c_custkey, c.c_name, n.n_name,
+           o.order_count, o.total_spent, o.last_order_date
+         FROM customer c
+         LEFT JOIN (SELECT o_custkey AS c_custkey, count(*) AS order_count,
+                      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent,
+                      MAX(CAST(o_orderdate AS DATE)) AS last_order_date
+                    FROM orders GROUP BY o_custkey) o USING (c_custkey)
+         LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey""",
+    "j2_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+           WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')""",
+    "j3_merge_upsert" ->
+      """WITH src AS (
+           SELECT c_custkey, c_acctbal + 100 AS c_acctbal
+           FROM customer WHERE c_custkey % 3 = 0
+           UNION ALL
+           SELECT c_custkey + 1000000, CAST(1.0 AS DOUBLE)
+           FROM customer WHERE c_custkey % 5 = 0)
+         SELECT c.c_custkey,
+           CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal ELSE c.c_acctbal END AS c_acctbal,
+           c.c_name, c.c_mktsegment
+         FROM customer c LEFT JOIN src s ON c.c_custkey = s.c_custkey
+         UNION ALL
+         SELECT s.c_custkey, s.c_acctbal, NULL, NULL FROM src s
+         WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = s.c_custkey)""",
+    "a1_aggregates" ->
+      """SELECT l_returnflag, l_linestatus, n, n_orders, last_ship, sum_qty, sum_price,
+           sum_qty / n AS avg_qty
+         FROM (SELECT l_returnflag, l_linestatus, count(*) AS n,
+                 count(DISTINCT l_orderkey) AS n_orders,
+                 MAX(CAST(l_shipdate AS DATE)) AS last_ship,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+               FROM lineitem GROUP BY l_returnflag, l_linestatus)""",
+    "w1_lag_growth" ->
+      """SELECT o_custkey, o_orderkey,
+           (o_totalprice - LAG(o_totalprice) OVER w) / LAG(o_totalprice) OVER w AS growth
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
+    "w2_running_total" ->
+      """SELECT l_orderkey, l_linenumber,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER
+             (PARTITION BY l_orderkey ORDER BY l_linenumber
+              RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+         FROM lineitem""",
+    "scalar_suite" ->
+      """SELECT c_custkey,
+           regexp_extract(c_name, '([0-9]+)$', 1) AS name_code,
+           upper(substr(trim(lower(c_mktsegment)), 1, 1)) ||
+             substr(trim(lower(c_mktsegment)), 2) AS segment_title,
+           sha256(concat_ws('||', CAST(c_custkey AS VARCHAR), c_mktsegment)) AS row_hash,
+           TRY_CAST(c_name AS DOUBLE) AS bad_cast,
+           TRY_CAST(c_acctbal AS DOUBLE) AS good_cast
+         FROM customer""",
+    "scd2_two_batch" ->
+      """WITH b1 AS (
+           SELECT o_orderkey, o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS price
+           FROM orders WHERE year(CAST(o_orderdate AS DATE)) < 1997),
+         b2 AS (
+           SELECT o_orderkey, o_orderstatus,
+             CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) +
+               (CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END) AS DECIMAL(18,2)) AS VARCHAR) AS price
+           FROM orders WHERE year(CAST(o_orderdate AS DATE)) >= 1996),
+         h1 AS (SELECT *, sha256(concat_ws('||', o_orderstatus, price)) AS row_hash FROM b1),
+         h2 AS (SELECT *, sha256(concat_ws('||', o_orderstatus, price)) AS row_hash FROM b2)
+         SELECT h1.o_orderkey, h1.o_orderstatus, h1.price, h1.row_hash,
+           DATE '2026-01-15' AS effective_from,
+           CASE WHEN h2.o_orderkey IS NOT NULL AND h2.row_hash <> h1.row_hash
+                THEN DATE '2026-02-15' END AS effective_to,
+           NOT (h2.o_orderkey IS NOT NULL AND h2.row_hash <> h1.row_hash) AS is_current
+         FROM h1 LEFT JOIN h2 ON h1.o_orderkey = h2.o_orderkey
+         UNION ALL
+         SELECT h2.o_orderkey, h2.o_orderstatus, h2.price, h2.row_hash,
+           DATE '2026-02-15', NULL, TRUE
+         FROM h2 LEFT JOIN h1 ON h1.o_orderkey = h2.o_orderkey
+         WHERE h1.o_orderkey IS NULL OR h1.row_hash <> h2.row_hash""",
+    "scd3_merge" ->
+      """WITH src0 AS (
+           SELECT c_custkey, 'MOVED' AS seg FROM customer WHERE c_custkey % 2 = 0
+           UNION ALL
+           SELECT c_custkey + 1000000, 'NEW' FROM customer WHERE c_custkey % 5 = 0)
+         SELECT c.c_custkey,
+           CASE WHEN s.c_custkey IS NOT NULL AND c.c_mktsegment <> s.seg
+                THEN s.seg ELSE c.c_mktsegment END AS c_mktsegment,
+           CASE WHEN s.c_custkey IS NOT NULL AND c.c_mktsegment <> s.seg
+                THEN c.c_mktsegment END AS prev_mktsegment,
+           c.c_name
+         FROM customer c LEFT JOIN src0 s ON c.c_custkey = s.c_custkey
+         UNION ALL
+         SELECT s.c_custkey, s.seg, NULL, NULL FROM src0 s
+         WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = s.c_custkey)""",
+    "json_extract" ->
+      """SELECT event_type, count(*) AS n,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+         FROM events GROUP BY event_type""")
+}

@@ -1,0 +1,189 @@
+package graft.scd
+
+import graft.core.Clock
+import graft.ops.Hashing
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Pure-Spark slowly-changing-dimension engine.
+  *
+  * The reference implements SCD1/2/3 with Delta `MERGE`
+  * (`utils/scd/scd.py:52-59,74-109,124-143` and the inline SCD2 at
+  * `medallion/silver/b2s_yfinance.py:103-186`). This runtime has no Delta
+  * jars, so each type is re-expressed as a deterministic functional
+  * merge: `(target, source) => newTarget` built from joins + conditional
+  * projections + `unionByName` (SURVEY.md §7.4). Persistence (versioned
+  * Parquet overwrite) lives in [[graft.core.TableCatalog]]; these
+  * functions are storage-agnostic and fully testable in-memory.
+  *
+  * Scale notes: every join shuffles on the business key only; the source
+  * batch is typically ≪ target, so AQE broadcast-joins it. At 100 TB the
+  * rewrite cost is bounded by partition-scoped merges — partition the
+  * target by a stable key-derived column and rewrite only partitions
+  * containing touched keys (`Scd2.merge` preserves partition pruning
+  * because untouched rows pass through unchanged).
+  */
+case class ScdColumns(
+    hash: String = "row_hash",
+    from: String = "effective_from",
+    to: String = "effective_to",
+    current: String = "is_current")
+
+object Scd {
+
+  /** S9 equivalent — `ALTER TABLE ADD COLUMN` for SCD bookkeeping
+    * (`b2s_yfinance.py:46-61`): null-pad any missing columns. Legacy rows
+    * get `is_current = null` and are thereafter frozen history, matching
+    * the reference's merge-condition semantics (`t.is_current = true`
+    * never matches null). */
+  def ensureScdColumns(df: DataFrame, cols: ScdColumns = ScdColumns()): DataFrame = {
+    val want: Seq[(String, DataType)] = Seq(
+      cols.hash -> StringType, cols.from -> DateType,
+      cols.to -> DateType, cols.current -> BooleanType)
+    want.foldLeft(df) { case (d, (c, t)) =>
+      if (d.columns.contains(c)) d else d.withColumn(c, lit(null).cast(t))
+    }
+  }
+
+  private def keyCond(left: DataFrame, right: DataFrame, keys: Seq[String]): Column =
+    keys.map(k => left(k) === right(k)).reduce(_ && _)
+}
+
+/** SCD Type 2 — hash-based row versioning (`b2s_yfinance.py:103-186`,
+  * `scd.py:74-109`). Maintains the invariant: at most one
+  * `is_current = true` row per business key; expired rows carry
+  * `[effective_from, effective_to)`.
+  */
+class Scd2(
+    keys: Seq[String],
+    tracked: Seq[String],
+    cols: ScdColumns = ScdColumns(),
+    clock: Clock = Clock.Wall,
+    strictHash: Boolean = false) extends Serializable {
+
+  private def today: Column = lit(java.sql.Date.valueOf(clock.today))
+
+  def withHash(src: DataFrame): DataFrame =
+    if (src.columns.contains(cols.hash)) src
+    else Hashing.withRowHash(src, tracked, cols.hash, strictHash)
+
+  /** First run — create the initial version set
+    * (`b2s_yfinance.py:119-131`). */
+  def initialize(source: DataFrame): DataFrame =
+    withHash(source)
+      .withColumn(cols.from, today)
+      .withColumn(cols.to, lit(null).cast(DateType))
+      .withColumn(cols.current, lit(true))
+
+  /** Incremental merge — the reference's two Delta jobs (expire-changed
+    * MERGE then anti-join append, `b2s_yfinance.py:142-186`) collapsed
+    * into one deterministic dataflow:
+    *
+    *  - history rows (`is_current` ≠ true) pass through untouched;
+    *  - current rows with a matching source key and a *different* hash are
+    *    expired (`effective_to = today`, `is_current = false`);
+    *  - current rows with no source match, or an identical hash, persist;
+    *  - source rows without a surviving current match (changed or
+    *    brand-new keys) insert as fresh current versions.
+    *
+    * Source rows with an unchanged hash are anti-joined away (no
+    * duplicate versions), exactly like the reference's second job
+    * re-reading the target *after* the expiry job. */
+  def merge(target0: DataFrame, source: DataFrame): DataFrame = {
+    val target = Scd.ensureScdColumns(target0, cols)
+    val src = withHash(source)
+
+    val current = target.filter(col(cols.current) === true)
+    val history = target.filter(col(cols.current).isNull || col(cols.current) =!= true)
+
+    // Only the key + hash of the source matter for the expiry decision.
+    val srcKeys = src.select((keys :+ cols.hash).map(col): _*)
+      .dropDuplicates(keys)
+      .withColumnRenamed(cols.hash, "__src_hash")
+
+    val joined = current.join(srcKeys, keys, "left")
+
+    val expired = joined
+      .filter(col("__src_hash").isNotNull && col(cols.hash) =!= col("__src_hash"))
+      .drop("__src_hash")
+      .withColumn(cols.to, today)
+      .withColumn(cols.current, lit(false))
+
+    val kept = joined
+      .filter(col("__src_hash").isNull || col(cols.hash) === col("__src_hash"))
+      .drop("__src_hash")
+
+    val inserts = src
+      .join(kept.select(keys.map(col): _*), keys, "left_anti")
+      .withColumn(cols.from, today)
+      .withColumn(cols.to, lit(null).cast(DateType))
+      .withColumn(cols.current, lit(true))
+
+    history
+      .unionByName(expired)
+      .unionByName(kept)
+      .unionByName(inserts, allowMissingColumns = true)
+  }
+
+  /** initialize-or-merge entry point (`b2s_yfinance.py:116-186`). */
+  def apply(target: Option[DataFrame], source: DataFrame): DataFrame =
+    target match {
+      case None    => initialize(source)
+      case Some(t) => merge(t, source)
+    }
+}
+
+/** SCD Type 1 — overwrite in place, no history (`scd.py:41-66`):
+  * matched rows take the source's tracked values, unmatched target rows
+  * persist, unmatched source rows insert. */
+class Scd1(keys: Seq[String], tracked: Seq[String]) extends Serializable {
+
+  def merge(target: DataFrame, source: DataFrame): DataFrame = {
+    val passthrough = target.columns.filterNot(c => keys.contains(c) || tracked.contains(c))
+    val t = target.alias("t")
+    // Explicit matched marker: a matched row takes the source's tracked
+    // values even when the source value is null (Delta whenMatchedUpdate
+    // semantics) — coalesce would silently keep the old value instead.
+    val s = source.dropDuplicates(keys).withColumn("__matched", lit(true)).alias("s")
+    val cond = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
+    val matchedOrKept = t.join(s, cond, "left").select(
+      keys.map(k => col(s"t.$k").as(k)) ++
+      tracked.map(c =>
+        when(col("__matched"), col(s"s.$c")).otherwise(col(s"t.$c")).as(c)) ++
+      passthrough.map(c => col(s"t.$c").as(c)): _*)
+    val inserts = s.join(t, cond, "left_anti")
+      .select(keys.map(k => col(k)) ++ tracked.map(col(_)): _*)
+    matchedOrKept.unionByName(inserts, allowMissingColumns = true)
+  }
+}
+
+/** SCD Type 3 — limited history: current + previous column
+  * (`scd.py:114-143`): on change, previous ← old current, current ← new;
+  * new keys insert with null previous. */
+class Scd3(keys: Seq[String], currentCol: String, previousCol: String) extends Serializable {
+
+  def merge(target: DataFrame, source: DataFrame): DataFrame = {
+    val t = target.alias("t")
+    val s = source.dropDuplicates(keys).select((keys :+ currentCol).map(col): _*)
+      .withColumnRenamed(currentCol, "__s_cur").alias("s")
+    val cond = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
+    val others = target.columns
+      .filterNot(c => keys.contains(c) || c == currentCol || c == previousCol)
+    // MERGE updates only when values *differ* (`t.cur <> s.cur`), which in
+    // SQL three-valued logic never fires on nulls — matching the
+    // reference's condition exactly.
+    val changed = col(s"t.$currentCol") =!= col("__s_cur")
+    val updated = t.join(s, cond, "left").select(
+      keys.map(k => col(s"t.$k").as(k)) ++ Seq(
+        when(changed, col("__s_cur")).otherwise(col(s"t.$currentCol")).as(currentCol),
+        when(changed, col(s"t.$currentCol")).otherwise(col(s"t.$previousCol")).as(previousCol)) ++
+      others.map(c => col(s"t.$c").as(c)): _*)
+    val inserts = source.dropDuplicates(keys)
+      .select((keys :+ currentCol).map(col): _*).alias("s")
+      .join(t, keys.map(k => col(s"s.$k") === col(s"t.$k")).reduce(_ && _), "left_anti")
+      .withColumn(previousCol, lit(null).cast(target.schema(previousCol).dataType))
+    updated.unionByName(inserts, allowMissingColumns = true)
+  }
+}

@@ -1,0 +1,90 @@
+#!/usr/bin/env python3
+"""Local pre-check that mimics the driver's correctness gate:
+runs each oracle SQL in DuckDB over the testdata tables and compares it
+with the parquet output of `graft.Verify` (column-name-sorted, row-sorted,
+exact values). Usage: python3 tools/check.py [sfDir] [outDir]
+"""
+import sys, os, json, glob, math
+import duckdb
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/target/verify_out"
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+con = duckdb.connect()
+for t in TABLES:
+    p = f"{SF}/{t}.parquet"
+    if os.path.exists(p):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+
+def canon(df):
+    cols = sorted(df.columns)
+    df = df[cols]
+    rows = df.values.tolist()
+    def key(r):
+        return tuple((x is None or (isinstance(x, float) and math.isnan(x)), str(x)) for x in r)
+    return cols, sorted(rows, key=key)
+
+def norm(x):
+    if isinstance(x, float) and math.isnan(x):
+        return None
+    return x
+
+ok, bad = 0, 0
+for name, sql in sorted(oracle.items()):
+    spark_dir = f"{OUT}/{name}"
+    if not os.path.isdir(spark_dir):
+        print(f"  MISSING spark output: {name}")
+        bad += 1
+        continue
+    try:
+        sdf = con.execute(
+            f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')").fetchdf()
+        odf = con.execute(sql).fetchdf()
+    except Exception as e:
+        print(f"  ERROR {name}: {e}")
+        bad += 1
+        continue
+    scols, srows = canon(sdf)
+    ocols, orows = canon(odf)
+    if scols != ocols:
+        print(f"  FAIL {name}: columns spark={scols} oracle={ocols}")
+        bad += 1
+        continue
+    if len(srows) != len(orows):
+        print(f"  FAIL {name}: rowcount spark={len(srows)} oracle={len(orows)}")
+        bad += 1
+        continue
+    mism = None
+    for i, (a, b) in enumerate(zip(srows, orows)):
+        a2, b2 = [norm(x) for x in a], [norm(x) for x in b]
+        if a2 != b2:
+            mism = (i, a2, b2)
+            break
+    if mism:
+        print(f"  FAIL {name}: row {mism[0]} spark={mism[1]} oracle={mism[2]}")
+        bad += 1
+    else:
+        # dtype advisory (driver may or may not be strict)
+        sd, od = dict(sdf.dtypes.astype(str)), dict(odf.dtypes.astype(str))
+        dmism = {c: (sd[c], od[c]) for c in sd if sd[c] != od.get(c)}
+        note = f"  [dtype diff: {dmism}]" if dmism else ""
+        print(f"  ok   {name} ({len(srows)} rows){note}")
+        ok += 1
+
+# queries without oracle → rows-only check
+for d in sorted(glob.glob(f"{OUT}/*/")):
+    name = os.path.basename(d.rstrip("/"))
+    if name not in oracle:
+        try:
+            n = con.execute(f"SELECT count(*) FROM read_parquet('{d}/*.parquet')").fetchone()[0]
+            print(f"  rows-only {name}: {n} rows")
+        except Exception as e:
+            print(f"  rows-only {name}: ERROR {e}")
+
+print(f"\n{ok} ok, {bad} fail")
+sys.exit(1 if bad else 0)
