@@ -1,0 +1,119 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data curation — the
+  * north-star surface beyond the reference pipeline (its only dedup is
+  * `dropDuplicates`, `b2s_company_house.py:70`).
+  *
+  * Scale design (100 TB): exact dedup is one hash-shuffle on a 64-hex
+  * digest (map-side partial aggregation applies); near-dup avoids the
+  * O(N²) pair space with candidate generation — MinHash/LSH band-bucket
+  * join or SimHash band join — so the shuffle is keyed by bucket, and
+  * only same-bucket pairs are ever materialized. The exact-Jaccard verify
+  * runs on candidates only. All hashing is expression-level (codegen, no
+  * UDFs); nothing collects to the driver.
+  */
+object Dedup {
+
+  /** doc_id + distinct word-trigram shingle set + its size. */
+  def shingled(docs: DataFrame, n: Int = 3): DataFrame =
+    docs.select(col("doc_id"),
+      TextKit.wordShingles(col("text"), n).as("shingles"))
+      .withColumn("nsh", size(col("shingles")))
+
+  /** Exact dedup groups: sha256(text) → keeper (min doc_id) + copy count.
+    * Emits only groups with > 1 copy. */
+  def exactGroups(docs: DataFrame): DataFrame =
+    docs.groupBy(sha2(col("text"), 256).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+
+  /** Exact pairwise n-gram Jaccard over docs sharing >= 1 shingle.
+    * Candidate generation by shingle-equality join (shuffle keyed on the
+    * shingle, never the cross product); intersection = matched distinct
+    * shingles, union = nsh_a + nsh_b - inter. */
+  def jaccardPairs(docs: DataFrame, threshold: Double, n: Int = 3): DataFrame = {
+    val sh = shingled(docs, n)
+    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val counts = sh.select(col("doc_id"), col("nsh"))
+    val inter = ex.as("x").join(ex.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(counts.select(col("doc_id").as("a"), col("nsh").as("na")), Seq("a"))
+      .join(counts.select(col("doc_id").as("b"), col("nsh").as("nb")), Seq("b"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "inter", "na", "nb", "jaccard")
+  }
+
+  /** MinHash signatures: doc_id, sig array<long> of k permuted minima. */
+  def minHashSignatures(docs: DataFrame, k: Int = 64, n: Int = 3): DataFrame =
+    shingled(docs, n).select(col("doc_id"), col("nsh"),
+      TextKit.minHashSignature(col("shingles"), k).as("sig"))
+
+  /** LSH band buckets: one row per (doc, band) with a polynomial bucket
+    * key over the band's rows — docs agreeing on any band are candidates. */
+  def lshBuckets(sigs: DataFrame, bands: Int, rows: Int): DataFrame =
+    sigs.select(col("doc_id"), posexplode(
+      transform(sequence(lit(0), lit(bands - 1)), b =>
+        (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1))
+          .reduce((acc, s) => acc * 31 + s))).as(Seq("band", "bucket")))
+
+  /** MinHash+LSH near-dup pairs, exact-Jaccard-verified.
+    * 16 bands × 4 rows over a k=64 signature: catch probability
+    * 1-(1-j^4)^16 ≈ 0.9997 at j=0.8 — then candidates are verified with
+    * exact Jaccard (array_intersect on the two shingle sets), so
+    * precision is exact and only recall is probabilistic. */
+  def minHashNearDups(docs: DataFrame, threshold: Double = 0.8,
+                      k: Int = 64, bands: Int = 16): DataFrame = {
+    val rows = k / bands
+    val sh = shingled(docs).select(col("doc_id"), col("shingles"), col("nsh"))
+    val sigs = sh.select(col("doc_id"),
+      TextKit.minHashSignature(col("shingles"), k).as("sig"))
+    val buckets = lshBuckets(sigs, bands, rows)
+    val cand = buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("a"), col("shingles").as("sha"), col("nsh").as("na")), Seq("a"))
+      .join(sh.select(col("doc_id").as("b"), col("shingles").as("shb"), col("nsh").as("nb")), Seq("b"))
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "inter", "na", "nb", "jaccard")
+  }
+
+  /** Per-doc SimHash value (24-bit). */
+  def simHashed(docs: DataFrame, bits: Int = 24): DataFrame =
+    docs.select(col("doc_id"), TextKit.simHash(col("text"), bits).as("simhash"))
+
+  /** SimHash near-dup pairs with Hamming distance <= maxHamming, found via
+    * band join: 24 bits in 4 bands of 6 — by pigeonhole any pair within
+    * Hamming 3 agrees on at least one full band, so recall is EXACT (not
+    * probabilistic) while the join stays bucket-keyed. */
+  def simHashPairs(docs: DataFrame, maxHamming: Int = 3, bits: Int = 24): DataFrame = {
+    val nBands = maxHamming + 1
+    val width = bits / nBands
+    val sim = simHashed(docs, bits)
+    val banded = sim.select(col("doc_id"), col("simhash"), posexplode(
+      array((0 until nBands).map(b =>
+        shiftright(col("simhash"), b * width) % (1L << width)): _*)).as(Seq("band", "bval")))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.simhash").as("sa"), col("y.simhash").as("sb"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(sa ^ sb)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("a", "b", "hamming")
+  }
+}

@@ -1,0 +1,83 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Similarity search over an embedding column (`array<float>`) — the
+  * north-star ANN surface. Higher-order functions only (`zip_with` +
+  * serial `aggregate` fold), no UDFs, so the dot product is a codegen'd
+  * expression and — crucially for the oracle — a deterministic
+  * left-to-right IEEE double fold that DuckDB's `list_reduce` reproduces
+  * bit-for-bit.
+  *
+  * Scale design (100 TB): brute force is O(Q·N·d) with a full shuffle of
+  * the corpus per query batch — correct baseline, not the scale path.
+  * [[ivfTopK]] is the scale path: a coarse quantizer assigns every vector
+  * to its nearest centroid (one broadcast join against the tiny centroid
+  * set), queries probe only `nProbe` clusters, and the candidate join is
+  * keyed by cluster id — the corpus shuffle drops to nProbe/nList of N.
+  * Centroids here are a deterministic sample (first nList vec_ids); at
+  * real scale they come from k-means and the same plan shape holds.
+  */
+object Similarity {
+
+  /** Serial-fold dot product of two float arrays in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Embedding near-dup pairs within a coarse bucket (here: `label`, the
+    * IVF-cell stand-in): cosine >= threshold, a < b. Bucketing keeps the
+    * pair space per-bucket instead of N². */
+  def nearDupPairs(emb: DataFrame, threshold: Double): DataFrame =
+    emb.as("x").join(emb.as("y"),
+        col("x.label") === col("y.label") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        cosine(col("x.embedding"), col("y.embedding")).as("cos"))
+      .filter(col("cos") >= threshold)
+
+  /** Brute-force cosine top-k: every query vector against the full
+    * corpus (minus itself); rank by (cos desc, vec_id) for determinism. */
+  def bruteForceTopK(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val scored = queries.as("q").join(emb.as("v"), col("q.vec_id") =!= col("v.vec_id"))
+      .select(col("q.vec_id").as("q_id"), col("v.vec_id").as("n_id"),
+        cosine(col("q.embedding"), col("v.embedding")).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("q_id", "n_id", "rank", "cos")
+  }
+
+  /** IVF top-k: assign all vectors to their nearest of `nList` centroids
+    * (broadcast join), then each query searches only its `nProbe` closest
+    * cells. Approximate: a true neighbor assigned to an unprobed cell is
+    * missed — that is the accuracy/cost dial. */
+  def ivfTopK(emb: DataFrame, queries: DataFrame,
+              nList: Int = 10, nProbe: Int = 2, k: Int = 5): DataFrame = {
+    val centroids = broadcast(emb.filter(col("vec_id") < nList)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb")))
+    def nearestCells(vecs: DataFrame, idCol: String, keep: Int): DataFrame = {
+      val w = Window.partitionBy(col(idCol)).orderBy(col("c_cos").desc, col("c_id"))
+      vecs.crossJoin(centroids)
+        .withColumn("c_cos", cosine(col("embedding"), col("c_emb")))
+        .withColumn("c_rank", row_number().over(w))
+        .filter(col("c_rank") <= keep)
+        .drop("c_emb", "c_cos", "c_rank")
+    }
+    val assigned = nearestCells(emb, "vec_id", 1)
+      .select(col("c_id").as("cell"), col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    val probes = nearestCells(queries, "vec_id", nProbe)
+      .select(col("c_id").as("cell"), col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    probes.join(assigned, Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), cosine(col("q_emb"), col("n_emb")).as("cos"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("q_id", "n_id", "rank", "cos")
+  }
+}

@@ -1,0 +1,125 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Portable text primitives for the training-data extension operators
+  * (dedup, fingerprinting, text analysis — the north-star surface beyond
+  * the reference pipeline, SURVEY.md §7.6).
+  *
+  * Every builder here has a line-for-line DuckDB mirror in [[DuckSql]] so
+  * the driver's oracle hash-compare is *exact*: hashing is integer
+  * polynomial arithmetic mod a prime (no engine-specific hash functions),
+  * and any floating-point reduction is a serial left fold — bit-identical
+  * IEEE ops in both engines.
+  *
+  * All ops are pure Column expressions (whole-stage-codegen-friendly
+  * higher-order functions, no UDFs), so Catalyst can push, prune and
+  * pipeline them; at 100 TB they run embarrassingly parallel per row with
+  * zero shuffle.
+  */
+object TextKit {
+
+  /** Prime modulus for polynomial rolling hashes; small enough that
+    * (2k+1)*h + b stays far below 2^63 (no ANSI overflow). */
+  val P = 1000000007L
+
+  def words(text: Column): Column = split(text, " ")
+
+  /** 1-based char codes of an ASCII string as array<long>. */
+  def charCodes(s: Column): Column =
+    transform(sequence(lit(1), length(s)), i => ascii(s.substr(i, lit(1))).cast(LongType))
+
+  /** Polynomial rolling hash over chars: fold h = (h*31 + code) mod P. */
+  def polyHash(s: Column): Column =
+    aggregate(charCodes(s), lit(0L), (a, c) => (a * 31 + c) % P)
+
+  /** Distinct word n-gram shingles ("w1 w2 w3"); empty array below n words. */
+  def wordShingles(text: Column, n: Int = 3): Column = {
+    val w = words(text)
+    when(size(w) >= n,
+      array_distinct(transform(sequence(lit(1), size(w) - (n - 1)), i =>
+        concat_ws(" ", (0 until n).map(j => element_at(w, i + j)): _*))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Hash of every word occurrence (keeps duplicates — term frequency). */
+  def wordHashes(text: Column): Column = transform(words(text), w => polyHash(w))
+
+  /** 2^i for a column exponent (exact in double up to 2^52). */
+  def pow2(i: Column): Column = pow(lit(2.0), i).cast(LongType)
+
+  /** SimHash over word hashes: per bit, majority vote of ±1 across all
+    * word occurrences; ties (vote == 0) set the bit. */
+  def simHash(text: Column, bits: Int = 24): Column = {
+    val wh = wordHashes(text)
+    aggregate(
+      transform(sequence(lit(0), lit(bits - 1)), i => {
+        val p2 = pow2(i)
+        val vote = aggregate(wh, lit(0L),
+          (acc, h) => acc + (floor(h / p2).cast(LongType) % 2) * 2 - 1)
+        when(vote >= 0, pow2(i)).otherwise(lit(0L))
+      }),
+      lit(0L), (a, b) => a + b)
+  }
+
+  /** MinHash signature: k permutations hk(h) = ((2k+1)h + (k+1)c) mod P
+    * minimized over the shingle hash set. Empty set → P sentinel. */
+  def minHashSignature(shingles: Column, k: Int = 64): Column = {
+    val hs = transform(shingles, s => polyHash(s))
+    transform(sequence(lit(0), lit(k - 1)), kk =>
+      coalesce(
+        array_min(transform(hs, h => ((kk * 2 + 1) * h + (kk + 1) * lit(2654435761L)) % P)),
+        lit(P)))
+  }
+
+  /** Character-5-gram rolling-hash fingerprint set; min is the doc
+    * fingerprint (winnowing-style). No mod needed: max value 126*(31^4+…)
+    * ≈ 1.2e8. */
+  def gramHashes(text: Column, n: Int = 5): Column = {
+    val c = charCodes(text)
+    when(length(text) >= n,
+      transform(sequence(lit(1), length(text) - (n - 1)), i =>
+        (0 until n).map(j => element_at(c, i + j))
+          .reduce((acc, x) => acc * 31 + x)))
+      .otherwise(array().cast("array<long>"))
+  }
+}
+
+/** DuckDB SQL mirrors of [[TextKit]] — used to assemble oracle SQL.
+  * Each function returns a SQL expression string over a column/expr name. */
+object DuckSql {
+  val P = "1000000007"
+
+  def words(text: String): String = s"string_split($text, ' ')"
+
+  def charCodes(s: String): String =
+    s"list_transform(generate_series(1, length($s)), i -> CAST(ascii(substr($s, i, 1)) AS BIGINT))"
+
+  def polyHash(s: String): String =
+    s"list_reduce(list_prepend(0::BIGINT, ${charCodes(s)}), (a, c) -> (a*31 + c) % $P)"
+
+  /** Mirror of wordShingles over a bound words-array expression (use a
+    * CTE to bind `string_split(text, ' ')` to a column first). */
+  def wordShingles(w: String, n: Int = 3): String = {
+    val parts = (0 until n).map(j => s"$w[i+$j]").mkString(" || ' ' || ")
+    s"""CASE WHEN len($w) >= $n
+        THEN list_distinct(list_transform(generate_series(1, len($w) - ${n - 1}), i -> $parts))
+        ELSE [] END"""
+  }
+
+  def wordHashes(text: String): String =
+    s"list_transform(${words(text)}, w -> ${polyHash("w")})"
+
+  def simHash(text: String, bits: Int = 24): String = {
+    val wh = wordHashes(text)
+    s"""list_reduce(list_prepend(0::BIGINT,
+          list_transform(generate_series(0, ${bits - 1}), i ->
+            CASE WHEN list_reduce(list_prepend(0::BIGINT,
+                   list_transform($wh, h -> ((h // CAST(POW(2.0, i) AS BIGINT)) % 2) * 2 - 1)),
+                 (a, b) -> a + b) >= 0
+            THEN CAST(POW(2.0, i) AS BIGINT) ELSE 0 END)),
+        (a, b) -> a + b)"""
+  }
+}

@@ -1,0 +1,329 @@
+package graft.queries
+
+import graft.ext.{Dedup, DuckSql, Multimodal, Similarity, TextKit}
+import graft.streaming.EventStreams
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** North-star extension queries: training-data-pipeline operators
+  * (dedup, similarity search, text analysis, multimodal, streaming
+  * rollups) over the `documents` / `embeddings` / `events` tables, each
+  * with an exact DuckDB oracle (SURVEY.md §7.6).
+  *
+  * Determinism contract shared with the oracles: integer polynomial
+  * hashing mod 1e9+7 (see [[graft.ext.TextKit]]/[[graft.ext.DuckSql]]),
+  * serial left-fold double arithmetic for embeddings, and int/int → double
+  * division only. */
+object Extensions {
+  import Parity.table
+
+  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "documents")
+  private def emb(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "embeddings")
+
+  // ------------------------------------------------------- text analysis
+  /** Token counting: whitespace tokens, distinct tokens, exact avg len. */
+  def tokenStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = TextKit.words(col("text"))
+    docs(spark, sfDir).select(
+      col("doc_id"),
+      size(w).cast(LongType).as("n_tokens"),
+      length(col("text")).cast(LongType).as("n_chars_obs"),
+      size(array_distinct(w)).cast(LongType).as("n_distinct"),
+      aggregate(transform(w, x => length(x).cast(LongType)), lit(0L), _ + _)
+        .as("sum_token_len"))
+      .withColumn("avg_token_len",
+        col("sum_token_len").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+  }
+
+  /** Quality scoring: stopword ratio + length heuristics → band. */
+  def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = TextKit.words(col("text"))
+    docs(spark, sfDir).select(
+      col("doc_id"), col("n_chars"),
+      size(w).cast(LongType).as("n_tokens"),
+      size(filter(w, x => x.isin("the", "a"))).cast(LongType).as("stop_hits"))
+      .withColumn("stop_ratio",
+        col("stop_hits").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+      .withColumn("quality_band",
+        when(col("stop_ratio") >= lit(0.15), "boilerplate")
+          .when(col("n_chars") >= 300, "long")
+          .otherwise("ok"))
+  }
+
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "en" -> Seq("the", "a", "of", "and", "in"),
+    "es" -> Seq("el", "los", "las", "es", "y"),
+    "fr" -> Seq("le", "les", "des", "est", "et"))
+
+  /** Language ID: stopword-marker scoring, argmax with deterministic
+    * lexicographic tiebreak, 'und' when nothing matches; reported as a
+    * (true lang, predicted) contingency rollup. */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = TextKit.words(col("text"))
+    val scored = docs(spark, sfDir).select(Seq(col("doc_id"), col("lang")) ++
+      langMarkers.map { case (l, ms) =>
+        size(filter(w, x => x.isin(ms: _*))).cast(LongType).as(s"s_$l") }: _*)
+    val m = greatest(langMarkers.map { case (l, _) => col(s"s_$l") }: _*)
+    val pred = langMarkers.foldLeft(when(m === 0, "und")) {
+      case (acc, (l, _)) => acc.when(col(s"s_$l") === m, l) }
+    scored.withColumn("predicted", pred)
+      .groupBy("lang", "predicted")
+      .agg(count(lit(1)).as("n"), sum(col("s_en")).as("sum_s_en"))
+  }
+
+  /** Document fingerprinting: full-text rolling hash + winnowing-style
+    * min of char-5-gram hashes. */
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = TextKit.gramHashes(col("text"), 5)
+    docs(spark, sfDir).select(
+      col("doc_id"),
+      TextKit.polyHash(col("text")).as("text_hash"),
+      array_min(g).as("fp_min"),
+      size(array_distinct(g)).cast(LongType).as("n_grams_distinct"))
+  }
+
+  /** Per-doc 24-bit SimHash value. */
+  def simhashDocs(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.simHashed(docs(spark, sfDir))
+
+  // --------------------------------------------------------------- dedup
+  /** Docs ∪ planted exact copies (doc_id+100000 for doc_id % 7 == 0) —
+    * the corpus itself has no byte-identical dups. */
+  private def docsWithDups(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    d.unionByName(d.filter(col("doc_id") % 7 === 0)
+      .withColumn("doc_id", col("doc_id") + 100000))
+  }
+
+  /** Exact dedup: sha256(text) groups with copies. */
+  def exactDedup(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.exactGroups(docsWithDups(spark, sfDir))
+
+  /** Exact n-gram Jaccard near-dup pairs (ground truth for MinHash). */
+  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.jaccardPairs(docs(spark, sfDir), 0.5)
+
+  /** MinHash+LSH candidates, exact-verified at j >= 0.8. */
+  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.minHashNearDups(docs(spark, sfDir), 0.8)
+
+  /** SimHash near-dup pairs, Hamming <= 3 via exact band join. */
+  def simhashPairs(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.simHashPairs(docs(spark, sfDir), 3)
+
+  /** Embedding-cosine near-dup pairs within label buckets. */
+  def embedNearDup(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.nearDupPairs(emb(spark, sfDir), 0.4)
+
+  // ---------------------------------------------------------- similarity
+  /** Brute-force cosine top-5 for query vectors vec_id < 20. */
+  def annTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 20), 5)
+  }
+
+  /** IVF top-5 (10 deterministic centroids, 2 probes). */
+  def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    Similarity.ivfTopK(e, e.filter(col("vec_id") < 20), nList = 10, nProbe = 2, k = 5)
+  }
+
+  // ----------------------------------------------------------- multimodal
+  /** Binary media plumbing: wrap → typed mapPartitions decode stub. */
+  def mediaMeta(spark: SparkSession, sfDir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    Multimodal.decodeStub(Multimodal.toMedia(docs(spark, sfDir))).toDF()
+  }
+
+  // ------------------------------------------------------------ streaming
+  /** Batch twin of the streaming hourly rollup (same code path). */
+  def eventWindow(spark: SparkSession, sfDir: String): DataFrame =
+    EventStreams.hourlyRollup(Parity.events(spark, sfDir))
+
+  // ---------------------------------------------------------- queries map
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_token_stats" -> tokenStats _,
+    "x_quality_score" -> qualityScore _,
+    "x_lang_id" -> langId _,
+    "x_fingerprint" -> fingerprint _,
+    "x_simhash_docs" -> simhashDocs _,
+    "d_exact_dedup" -> exactDedup _,
+    "d_ngram_jaccard" -> ngramJaccard _,
+    "d_minhash_lsh" -> minhashLsh _,
+    "d_simhash_pairs" -> simhashPairs _,
+    "d_embed_neardup" -> embedNearDup _,
+    "x_ann_topk" -> annTopK _,
+    "x_ann_ivf" -> annIvf _,
+    "m_media_meta" -> mediaMeta _,
+    "x_event_window" -> eventWindow _)
+
+  // ----------------------------------------------------------- oracle SQL
+  // Shared SQL fragments (DuckDB dialect), mirroring TextKit/DuckSql.
+  private val W = "string_split(text, ' ')"
+  private def listSum(l: String) =
+    s"list_reduce(list_prepend(0::BIGINT, $l), (a, b) -> a + b)"
+  private def dotD(a: String, b: String) =
+    s"""list_reduce(list_prepend(0.0::DOUBLE,
+          list_transform(generate_series(1, len($a)), i ->
+            CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
+        (acc, v) -> acc + v)"""
+  /** CTE computing per-doc distinct trigram shingles + counts. */
+  private val shingleCte =
+    s"""sh AS (
+          SELECT doc_id, ${DuckSql.wordShingles("w", 3)} AS shingles
+          FROM (SELECT doc_id, $W AS w FROM documents)),
+        shc AS (SELECT doc_id, shingles, len(shingles) AS nsh FROM sh),
+        ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh)"""
+  private def jaccardSql(threshold: String) =
+    s"""WITH $shingleCte,
+        pairs AS (
+          SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+          FROM ex x JOIN ex y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+          GROUP BY 1, 2)
+        SELECT a, b, inter, ca.nsh AS na, cb.nsh AS nb,
+          CAST(inter AS DOUBLE) / CAST(ca.nsh + cb.nsh - inter AS DOUBLE) AS jaccard
+        FROM pairs
+        JOIN shc ca ON pairs.a = ca.doc_id
+        JOIN shc cb ON pairs.b = cb.doc_id
+        WHERE CAST(inter AS DOUBLE) / CAST(ca.nsh + cb.nsh - inter AS DOUBLE) >= $threshold"""
+  /** CTE with embeddings + serial-fold norms. */
+  private val normCte =
+    s"""ne AS (SELECT vec_id, label, embedding,
+          sqrt(${dotD("embedding", "embedding")}) AS nrm
+        FROM embeddings)"""
+
+  val oracleSql: Map[String, String] = Map(
+    "x_token_stats" ->
+      s"""SELECT doc_id,
+            len($W)::BIGINT AS n_tokens,
+            length(text)::BIGINT AS n_chars_obs,
+            len(list_distinct($W))::BIGINT AS n_distinct,
+            ${listSum(s"list_transform($W, x -> CAST(length(x) AS BIGINT))")} AS sum_token_len,
+            CAST(${listSum(s"list_transform($W, x -> CAST(length(x) AS BIGINT))")} AS DOUBLE)
+              / CAST(len($W) AS DOUBLE) AS avg_token_len
+          FROM documents""",
+    "x_quality_score" ->
+      s"""SELECT doc_id, n_chars,
+            len($W)::BIGINT AS n_tokens,
+            len(list_filter($W, x -> x IN ('the', 'a')))::BIGINT AS stop_hits,
+            CAST(len(list_filter($W, x -> x IN ('the', 'a'))) AS DOUBLE)
+              / CAST(len($W) AS DOUBLE) AS stop_ratio,
+            CASE WHEN CAST(len(list_filter($W, x -> x IN ('the', 'a'))) AS DOUBLE)
+                   / CAST(len($W) AS DOUBLE) >= 0.15 THEN 'boilerplate'
+                 WHEN n_chars >= 300 THEN 'long'
+                 ELSE 'ok' END AS quality_band
+          FROM documents""",
+    "x_lang_id" -> {
+      val score = langMarkers.map { case (l, ms) =>
+        val set = ms.map(m => s"'$m'").mkString(", ")
+        s"len(list_filter(w, x -> x IN ($set)))::BIGINT AS s_$l"
+      }.mkString(",\n            ")
+      val m = "greatest(s_de, s_en, s_es, s_fr)"
+      val pred = langMarkers.map { case (l, _) => s"WHEN s_$l = $m THEN '$l'" }
+        .mkString(" ")
+      s"""WITH scored AS (
+            SELECT doc_id, lang,
+            $score
+            FROM (SELECT doc_id, lang, $W AS w FROM documents))
+          SELECT lang,
+            CASE WHEN $m = 0 THEN 'und' $pred END AS predicted,
+            count(*) AS n, SUM(s_en) AS sum_s_en
+          FROM scored GROUP BY 1, 2"""
+    },
+    "x_fingerprint" -> {
+      val gram = (1 to 4).foldLeft("c[i]") { (acc, j) => s"($acc*31 + c[i+$j])" }
+      s"""SELECT doc_id,
+            ${DuckSql.polyHash("text")} AS text_hash,
+            list_min(g) AS fp_min,
+            len(list_distinct(g))::BIGINT AS n_grams_distinct
+          FROM (
+            SELECT doc_id, text,
+              CASE WHEN length(text) >= 5
+              THEN list_transform(generate_series(1, length(text) - 4), i -> $gram)
+              ELSE [] END AS g
+            FROM (SELECT doc_id, text, ${DuckSql.charCodes("text")} AS c FROM documents))"""
+    },
+    "x_simhash_docs" ->
+      s"""SELECT doc_id, ${DuckSql.simHash("text")} AS simhash FROM documents""",
+    "d_exact_dedup" ->
+      """WITH all_docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0)
+         SELECT sha256(text) AS text_hash, MIN(doc_id) AS keep_id,
+           count(*) AS n_copies
+         FROM all_docs GROUP BY 1 HAVING count(*) > 1""",
+    "d_ngram_jaccard" -> jaccardSql("0.5"),
+    "d_minhash_lsh" -> jaccardSql("0.8"),
+    "d_simhash_pairs" ->
+      s"""WITH sim AS (
+            SELECT doc_id, ${DuckSql.simHash("text")} AS sh FROM documents)
+          SELECT x.doc_id AS a, y.doc_id AS b,
+            bit_count(xor(x.sh, y.sh)) AS hamming
+          FROM sim x JOIN sim y ON x.doc_id < y.doc_id
+          WHERE bit_count(xor(x.sh, y.sh)) <= 3""",
+    "d_embed_neardup" ->
+      s"""WITH $normCte
+          SELECT x.vec_id AS a, y.vec_id AS b,
+            ${dotD("x.embedding", "y.embedding")} / (x.nrm * y.nrm) AS cos
+          FROM ne x JOIN ne y ON x.label = y.label AND x.vec_id < y.vec_id
+          WHERE ${dotD("x.embedding", "y.embedding")} / (x.nrm * y.nrm) >= 0.4""",
+    "x_ann_topk" ->
+      s"""WITH $normCte,
+          scored AS (
+            SELECT q.vec_id AS q_id, v.vec_id AS n_id,
+              ${dotD("q.embedding", "v.embedding")} / (q.nrm * v.nrm) AS cos
+            FROM ne q JOIN ne v ON q.vec_id != v.vec_id
+            WHERE q.vec_id < 20)
+          SELECT q_id, n_id, rank, cos FROM (
+            SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+            FROM scored)
+          WHERE rank <= 5""",
+    "x_ann_ivf" ->
+      s"""WITH $normCte,
+          cent AS (SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm
+                   FROM ne WHERE vec_id < 10),
+          cellranks AS (
+            SELECT v.vec_id, v.embedding, v.nrm, c.c_id,
+              row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                ${dotD("v.embedding", "c.c_emb")} / (v.nrm * c.c_nrm) DESC, c.c_id) AS r
+            FROM ne v CROSS JOIN cent c),
+          assigned AS (SELECT c_id AS cell, vec_id AS n_id, embedding AS n_emb, nrm AS n_nrm
+                       FROM cellranks WHERE r = 1),
+          probes AS (SELECT c_id AS cell, vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
+                     FROM cellranks WHERE r <= 2 AND vec_id < 20),
+          cand AS (
+            SELECT p.q_id, a.n_id,
+              ${dotD("p.q_emb", "a.n_emb")} / (p.q_nrm * a.n_nrm) AS cos
+            FROM probes p JOIN assigned a ON p.cell = a.cell
+            WHERE p.q_id != a.n_id)
+          SELECT q_id, n_id, rank, cos FROM (
+            SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+            FROM cand)
+          WHERE rank <= 5""",
+    "m_media_meta" -> {
+      val samp = s"""list_transform(generate_series(0, (length(text) + 63) // 64 - 1),
+                       i -> CAST(ascii(substr(text, i*64 + 1, 1)) AS BIGINT))"""
+      s"""SELECT doc_id,
+            CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                 ELSE 'video' END AS media_type,
+            length(text)::BIGINT AS n_bytes,
+            ((length(text) + 63) // 64)::BIGINT AS frame_count,
+            ${listSum(samp)} AS sample_sum,
+            list_reduce(list_prepend(0::BIGINT, $samp),
+              (a, b) -> (a*31 + b) % ${DuckSql.P}) AS sample_hash
+          FROM documents"""
+    },
+    "x_event_window" ->
+      """SELECT event_type,
+           CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+           count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+         FROM events GROUP BY 1, 2""")
+}
