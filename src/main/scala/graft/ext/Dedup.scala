@@ -35,26 +35,36 @@ object Dedup {
     * shingle, never the cross product); intersection = matched distinct
     * shingles, union = nsh_a + nsh_b - inter. */
   def jaccardPairs(docs: DataFrame, threshold: Double, n: Int = 3): DataFrame = {
-    val sh = shingled(docs, n)
-    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
-    val counts = sh.select(col("doc_id"), col("nsh"))
-    val inter = ex.as("x").join(ex.as("y"),
+    // Barrier so the shingle computation runs once; the two join sides
+    // reference the identical exchange (ReuseExchange dedups it).
+    val sh = shingled(docs, n).repartition(col("doc_id"))
+    val ex = sh.select(col("doc_id"), col("nsh"), explode(col("shingles")).as("shingle"))
+    // nsh rides along as a grouping key (functionally dependent on the
+    // doc id) — no post-aggregation joins needed.
+    ex.as("x").join(ex.as("y"),
         col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.nsh").as("na"), col("y.nsh").as("nb"))
       .agg(count(lit(1)).as("inter"))
-    inter
-      .join(counts.select(col("doc_id").as("a"), col("nsh").as("na")), Seq("a"))
-      .join(counts.select(col("doc_id").as("b"), col("nsh").as("nb")), Seq("b"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "inter", "na", "nb", "jaccard")
   }
 
-  /** MinHash signatures: doc_id, sig array<long> of k permuted minima. */
+  /** MinHash signatures: doc_id, sig array<long> of k permuted minima.
+    * Staged projections (shingles → hs → sig) keep each intermediate
+    * array a bound attribute so no hash chain is re-evaluated per
+    * permutation (CollapseProject keeps multi-referenced non-cheap
+    * expressions un-inlined). */
   def minHashSignatures(docs: DataFrame, k: Int = 64, n: Int = 3): DataFrame =
-    shingled(docs, n).select(col("doc_id"), col("nsh"),
-      TextKit.minHashSignature(col("shingles"), k).as("sig"))
+    shingled(docs, n)
+      .withColumn("hs", transform(col("shingles"), s => TextKit.polyHash(s)))
+      // Exchange barrier: CollapseProject would otherwise inline the hash
+      // chain into each of the k permutation lambdas.
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), col("nsh"),
+        TextKit.minHashFromHashes(col("hs"), k).as("sig"))
 
   /** LSH band buckets: one row per (doc, band) with a polynomial bucket
     * key over the band's rows — docs agreeing on any band are candidates. */
@@ -72,18 +82,25 @@ object Dedup {
   def minHashNearDups(docs: DataFrame, threshold: Double = 0.8,
                       k: Int = 64, bands: Int = 16): DataFrame = {
     val rows = k / bands
-    val sh = shingled(docs).select(col("doc_id"), col("shingles"), col("nsh"))
-    val sigs = sh.select(col("doc_id"),
-      TextKit.minHashSignature(col("shingles"), k).as("sig"))
-    val buckets = lshBuckets(sigs, bands, rows)
+    // One materialized base carrying shingles + signature: expensive
+    // projections sit between two exchanges, so every consumer (both
+    // bucket-join sides and both verify joins) reuses the same computed
+    // stage instead of re-deriving the hash chain (ReuseExchange).
+    val base = shingled(docs)
+      .withColumn("hs", transform(col("shingles"), s => TextKit.polyHash(s)))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), col("shingles"), col("nsh"),
+        TextKit.minHashFromHashes(col("hs"), k).as("sig"))
+      .repartition(col("doc_id"))
+    val buckets = lshBuckets(base.select(col("doc_id"), col("sig")), bands, rows)
     val cand = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
     cand
-      .join(sh.select(col("doc_id").as("a"), col("shingles").as("sha"), col("nsh").as("na")), Seq("a"))
-      .join(sh.select(col("doc_id").as("b"), col("shingles").as("shb"), col("nsh").as("nb")), Seq("b"))
+      .join(base.select(col("doc_id").as("a"), col("shingles").as("sha"), col("nsh").as("na")), Seq("a"))
+      .join(base.select(col("doc_id").as("b"), col("shingles").as("shb"), col("nsh").as("nb")), Seq("b"))
       .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
@@ -91,18 +108,32 @@ object Dedup {
       .select("a", "b", "inter", "na", "nb", "jaccard")
   }
 
-  /** Per-doc SimHash value (24-bit). */
+  /** Per-doc SimHash value (24-bit); word hashes materialize once per
+    * row before the 24 per-bit votes read them. */
   def simHashed(docs: DataFrame, bits: Int = 24): DataFrame =
-    docs.select(col("doc_id"), TextKit.simHash(col("text"), bits).as("simhash"))
+    docs.select(col("doc_id"), TextKit.wordHashes(col("text")).as("wh"))
+      .repartition(col("doc_id")) // barrier: wh evaluates once, not per bit
+      .select(col("doc_id"), TextKit.simHashFromHashes(col("wh"), bits).as("simhash"))
+
+  /** Per-doc SimHash over distinct word-bigram shingles — far more
+    * doc-discriminative than unigrams on a small shared vocabulary, which
+    * keeps the LSH band buckets small (unigram simhashes of same-topic
+    * docs collapse into a handful of buckets and the candidate join
+    * degenerates toward N²). */
+  def simHashedBigrams(docs: DataFrame, bits: Int = 28): DataFrame =
+    docs.select(col("doc_id"),
+        transform(TextKit.wordShingles(col("text"), 2), s => TextKit.polyHash(s)).as("wh"))
+      .repartition(col("doc_id")) // barrier: wh evaluates once, not per bit
+      .select(col("doc_id"), TextKit.simHashFromHashes(col("wh"), bits).as("simhash"))
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming, found via
-    * band join: 24 bits in 4 bands of 6 — by pigeonhole any pair within
+    * band join: 28 bits in 4 bands of 7 — by pigeonhole any pair within
     * Hamming 3 agrees on at least one full band, so recall is EXACT (not
     * probabilistic) while the join stays bucket-keyed. */
-  def simHashPairs(docs: DataFrame, maxHamming: Int = 3, bits: Int = 24): DataFrame = {
+  def simHashPairs(docs: DataFrame, maxHamming: Int = 3, bits: Int = 28): DataFrame = {
     val nBands = maxHamming + 1
     val width = bits / nBands
-    val sim = simHashed(docs, bits)
+    val sim = simHashedBigrams(docs, bits)
     val banded = sim.select(col("doc_id"), col("simhash"), posexplode(
       array((0 until nBands).map(b =>
         shiftright(col("simhash"), b * width) % (1L << width)): _*)).as(Seq("band", "bval")))

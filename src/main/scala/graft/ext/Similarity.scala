@@ -12,12 +12,16 @@ import org.apache.spark.sql.types.DoubleType
   * left-to-right IEEE double fold that DuckDB's `list_reduce` reproduces
   * bit-for-bit.
   *
-  * Scale design (100 TB): brute force is O(Q·N·d) with a full shuffle of
+  * Norms are materialized once per vector (an O(N·d) projection) before
+  * any pairing, so the O(pairs) stage folds each pair's dot product only —
+  * never a recomputed norm.
+  *
+  * Scale design (100 TB): brute force is O(Q·N·d) with a full scan of
   * the corpus per query batch — correct baseline, not the scale path.
   * [[ivfTopK]] is the scale path: a coarse quantizer assigns every vector
   * to its nearest centroid (one broadcast join against the tiny centroid
   * set), queries probe only `nProbe` clusters, and the candidate join is
-  * keyed by cluster id — the corpus shuffle drops to nProbe/nList of N.
+  * keyed by cluster id — the corpus scan drops to ~nProbe/nList of N.
   * Centroids here are a deterministic sample (first nList vec_ids); at
   * real scale they come from k-means and the same plan shape holds.
   */
@@ -30,24 +34,36 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Convenience single-expression cosine (norms recomputed inline); the
+    * DataFrame ops below use materialized norms instead. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** vec frame + materialized L2 norm. */
+  def withNorm(emb: DataFrame): DataFrame =
+    emb.withColumn("nrm", norm(col("embedding")))
 
   /** Embedding near-dup pairs within a coarse bucket (here: `label`, the
     * IVF-cell stand-in): cosine >= threshold, a < b. Bucketing keeps the
     * pair space per-bucket instead of N². */
-  def nearDupPairs(emb: DataFrame, threshold: Double): DataFrame =
-    emb.as("x").join(emb.as("y"),
+  def nearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
+    val e = withNorm(emb).repartition(col("vec_id"))
+    e.as("x").join(e.as("y"),
         col("x.label") === col("y.label") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
-        cosine(col("x.embedding"), col("y.embedding")).as("cos"))
+        (dot(col("x.embedding"), col("y.embedding")) /
+          (col("x.nrm") * col("y.nrm"))).as("cos"))
       .filter(col("cos") >= threshold)
+  }
 
   /** Brute-force cosine top-k: every query vector against the full
     * corpus (minus itself); rank by (cos desc, vec_id) for determinism. */
   def bruteForceTopK(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val scored = queries.as("q").join(emb.as("v"), col("q.vec_id") =!= col("v.vec_id"))
+    val v = withNorm(emb)
+    val q = withNorm(queries)
+    val scored = q.as("q").join(v.as("v"), col("q.vec_id") =!= col("v.vec_id"))
       .select(col("q.vec_id").as("q_id"), col("v.vec_id").as("n_id"),
-        cosine(col("q.embedding"), col("v.embedding")).as("cos"))
+        (dot(col("q.embedding"), col("v.embedding")) /
+          (col("q.nrm") * col("v.nrm"))).as("cos"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select("q_id", "n_id", "rank", "cos")
@@ -59,24 +75,28 @@ object Similarity {
     * missed — that is the accuracy/cost dial. */
   def ivfTopK(emb: DataFrame, queries: DataFrame,
               nList: Int = 10, nProbe: Int = 2, k: Int = 5): DataFrame = {
-    val centroids = broadcast(emb.filter(col("vec_id") < nList)
-      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb")))
-    def nearestCells(vecs: DataFrame, idCol: String, keep: Int): DataFrame = {
-      val w = Window.partitionBy(col(idCol)).orderBy(col("c_cos").desc, col("c_id"))
-      vecs.crossJoin(centroids)
-        .withColumn("c_cos", cosine(col("embedding"), col("c_emb")))
+    val centroids = broadcast(withNorm(emb.filter(col("vec_id") < nList))
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm")))
+    def nearestCells(vecs: DataFrame, keep: Int): DataFrame = {
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("c_id"))
+      withNorm(vecs).crossJoin(centroids)
+        .withColumn("c_cos",
+          dot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")))
         .withColumn("c_rank", row_number().over(w))
         .filter(col("c_rank") <= keep)
-        .drop("c_emb", "c_cos", "c_rank")
+        .drop("c_emb", "c_cos", "c_rank", "c_nrm")
     }
-    val assigned = nearestCells(emb, "vec_id", 1)
-      .select(col("c_id").as("cell"), col("vec_id").as("n_id"), col("embedding").as("n_emb"))
-    val probes = nearestCells(queries, "vec_id", nProbe)
-      .select(col("c_id").as("cell"), col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val assigned = nearestCells(emb, 1)
+      .select(col("c_id").as("cell"), col("vec_id").as("n_id"),
+        col("embedding").as("n_emb"), col("nrm").as("n_nrm"))
+    val probes = nearestCells(queries, nProbe)
+      .select(col("c_id").as("cell"), col("vec_id").as("q_id"),
+        col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
     probes.join(assigned, Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("n_id"), cosine(col("q_emb"), col("n_emb")).as("cos"))
+      .select(col("q_id"), col("n_id"),
+        (dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm"))).as("cos"))
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select("q_id", "n_id", "rank", "cos")
   }

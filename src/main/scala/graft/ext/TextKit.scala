@@ -50,10 +50,12 @@ object TextKit {
   /** 2^i for a column exponent (exact in double up to 2^52). */
   def pow2(i: Column): Column = pow(lit(2.0), i).cast(LongType)
 
-  /** SimHash over word hashes: per bit, majority vote of ±1 across all
-    * word occurrences; ties (vote == 0) set the bit. */
-  def simHash(text: Column, bits: Int = 24): Column = {
-    val wh = wordHashes(text)
+  /** SimHash from a *materialized* word-hash array column: per bit,
+    * majority vote of ±1 across all word occurrences; ties set the bit.
+    * Take wh as a bound attribute (not an inline expression) — this
+    * expression references it 24 times, and an inline word-hash chain
+    * would be re-evaluated per bit. */
+  def simHashFromHashes(wh: Column, bits: Int = 24): Column =
     aggregate(
       transform(sequence(lit(0), lit(bits - 1)), i => {
         val p2 = pow2(i)
@@ -62,17 +64,16 @@ object TextKit {
         when(vote >= 0, pow2(i)).otherwise(lit(0L))
       }),
       lit(0L), (a, b) => a + b)
-  }
 
-  /** MinHash signature: k permutations hk(h) = ((2k+1)h + (k+1)c) mod P
-    * minimized over the shingle hash set. Empty set → P sentinel. */
-  def minHashSignature(shingles: Column, k: Int = 64): Column = {
-    val hs = transform(shingles, s => polyHash(s))
+  /** MinHash signature from a *materialized* shingle-hash array column:
+    * k permutations hk(h) = ((2k+1)h + (k+1)c) mod P minimized over the
+    * set. Empty set → P sentinel. Take hs as a bound attribute — this
+    * expression references it k times. */
+  def minHashFromHashes(hs: Column, k: Int = 64): Column =
     transform(sequence(lit(0), lit(k - 1)), kk =>
       coalesce(
         array_min(transform(hs, h => ((kk * 2 + 1) * h + (kk + 1) * lit(2654435761L)) % P)),
         lit(P)))
-  }
 
   /** Character-5-gram rolling-hash fingerprint set; min is the doc
     * fingerprint (winnowing-style). No mod needed: max value 126*(31^4+…)
@@ -112,8 +113,14 @@ object DuckSql {
   def wordHashes(text: String): String =
     s"list_transform(${words(text)}, w -> ${polyHash("w")})"
 
-  def simHash(text: String, bits: Int = 24): String = {
-    val wh = wordHashes(text)
+  /** Hashes of distinct word bigrams over a bound words-array column. */
+  def bigramHashes(w: String): String =
+    s"list_transform(${wordShingles(w, 2)}, s -> ${polyHash("s")})"
+
+  def simHash(text: String, bits: Int = 24): String =
+    simHashFromWh(wordHashes(text), bits)
+
+  def simHashFromWh(wh: String, bits: Int): String = {
     s"""list_reduce(list_prepend(0::BIGINT,
           list_transform(generate_series(0, ${bits - 1}), i ->
             CASE WHEN list_reduce(list_prepend(0::BIGINT,

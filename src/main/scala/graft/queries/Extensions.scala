@@ -112,9 +112,10 @@ object Extensions {
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.minHashNearDups(docs(spark, sfDir), 0.8)
 
-  /** SimHash near-dup pairs, Hamming <= 3 via exact band join. */
+  /** SimHash near-dup pairs (bigram features), Hamming <= 3 via exact
+    * band join. */
   def simhashPairs(spark: SparkSession, sfDir: String): DataFrame =
-    Dedup.simHashPairs(docs(spark, sfDir), 3)
+    Dedup.simHashPairs(docs(spark, sfDir), 3, bits = 28)
 
   /** Embedding-cosine near-dup pairs within label buckets. */
   def embedNearDup(spark: SparkSession, sfDir: String): DataFrame =
@@ -262,7 +263,8 @@ object Extensions {
     "d_minhash_lsh" -> jaccardSql("0.8"),
     "d_simhash_pairs" ->
       s"""WITH sim AS (
-            SELECT doc_id, ${DuckSql.simHash("text")} AS sh FROM documents)
+            SELECT doc_id, ${DuckSql.simHashFromWh(DuckSql.bigramHashes("w"), 28)} AS sh
+            FROM (SELECT doc_id, ${DuckSql.words("text")} AS w FROM documents))
           SELECT x.doc_id AS a, y.doc_id AS b,
             bit_count(xor(x.sh, y.sh)) AS hamming
           FROM sim x JOIN sim y ON x.doc_id < y.doc_id

@@ -1,0 +1,49 @@
+package graft
+
+import graft.ext.Multimodal
+import graft.ops.{Hashing, Ingest, Quality}
+
+import org.apache.spark.sql.functions._
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("quality gates: null keys dropped, negative numerics dropped, nulls pass P6") {
+    val df = Seq(
+      (Some(1L), Some(5.0)),
+      (None, Some(1.0)),          // P5 kill
+      (Some(2L), Some(-3.0)),     // P6 kill
+      (Some(3L), None)            // P6 allows null
+    ).toDF("k", "x")
+    val out = Quality.nonNegativeNumerics(Quality.requireKeys(df, Seq("k")))
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 3L))
+  }
+
+  test("row hash: concat_ws skips nulls (parity) unless strict") {
+    val df = Seq(("x", null.asInstanceOf[String]), (null.asInstanceOf[String], "x"))
+      .toDF("c1", "c2")
+    val lax = df.select(Hashing.rowHashCol(Seq("c1", "c2")).as("h"))
+      .collect().map(_.getString(0))
+    assert(lax(0) == lax(1)) // documented reference collision
+    val strict = df.select(Hashing.rowHashCol(Seq("c1", "c2"), strict = true).as("h"))
+      .collect().map(_.getString(0))
+    assert(strict(0) != strict(1)) // sentinel restores injectivity
+  }
+
+  test("cleanColumnNames lowercases and strips junk") {
+    val df = Seq((1, 2)).toDF("Cust Key!", "Acct-Bal (USD)")
+    assert(Ingest.cleanColumnNames(df).columns.toSeq == Seq("cust_key", "acct_bal_usd"))
+  }
+
+  test("media decode stub: frame sampling arithmetic") {
+    implicit val s = spark
+    val text = "ab" * 70 // 140 bytes → 3 frames, samples at 0, 64, 128
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val meta = Multimodal.decodeStub(Multimodal.toMedia(docs)).collect().head
+    assert(meta.n_bytes == 140 && meta.frame_count == 3)
+    val samples = Seq(text(0), text(64), text(128)).map(_.toLong)
+    assert(meta.sample_sum == samples.sum)
+    assert(meta.sample_hash == samples.foldLeft(0L)((a, b) => (a * 31 + b) % graft.ext.TextKit.P))
+  }
+}

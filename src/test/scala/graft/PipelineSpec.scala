@@ -1,0 +1,182 @@
+package graft
+
+import graft.config.Configs._
+import graft.core.{Clock, TableCatalog}
+import graft.pipeline.Pipeline
+
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Path}
+
+/** End-to-end golden test (SURVEY.md §5.4): miniature raw zone → bronze →
+  * silver → gold with pinned clocks, including the documented edge cases
+  * (FIXTURES.md) and an incremental second run driving the SCD2 history.
+  */
+class PipelineSpec extends SparkSpec {
+
+  private def write(p: Path, s: String): Unit = {
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, s)
+  }
+
+  private def overviewJson(name: String, number: String, status: String,
+      created: String): String =
+    s"""{
+       |  "company_name": "$name",
+       |  "company_number": "$number",
+       |  "company_status": "$status",
+       |  "date_of_creation": "$created",
+       |  "jurisdiction": "england-wales",
+       |  "type": "ltd",
+       |  "etag": "e-$number",
+       |  "has_charges": false,
+       |  "has_insolvency_history": false
+       |}""".stripMargin
+
+  test("full medallion pipeline: raw -> bronze -> silver -> gold, then incremental SCD2") {
+    val root = Files.createTempDirectory("graft-e2e")
+    val raw = root.resolve("raw")
+    val ch = raw.resolve("companies_house")
+
+    // -- Companies House raw zone (date/company partitioned dirs) --
+    // company A twice (two ingestion dates → dedupe), padded name + lowercase status
+    write(ch.resolve("ingestion_date=2026-01-01/00000001/overview.json"),
+      overviewJson("  Alpha Ltd  ", "00000001", "active", "2000-06-15"))
+    write(ch.resolve("ingestion_date=2026-01-02/00000001/overview.json"),
+      overviewJson("  Alpha Ltd  ", "00000001", "active", "2000-06-15"))
+    // company B: UPPER status
+    write(ch.resolve("ingestion_date=2026-01-01/00000002/overview.json"),
+      overviewJson("Beta Plc", "00000002", "ACTIVE", "2010-01-01"))
+    // company C: future creation date → negative age, filtered at silver
+    write(ch.resolve("ingestion_date=2026-01-01/00000003/overview.json"),
+      overviewJson("Gamma Ltd", "00000003", "dissolved", "2100-01-01"))
+
+    write(ch.resolve("ingestion_date=2026-01-01/00000001/officers.json"),
+      """{"items": [
+        |  {"name": "Jo", "officer_role": "director", "appointed_on": "2001-01-01", "nationality": "British"},
+        |  {"name": "Sam", "officer_role": "director", "appointed_on": "2002-01-01", "nationality": "British"},
+        |  {"name": "Kim", "officer_role": "secretary", "appointed_on": "2003-01-01", "nationality": "Irish"}
+        |]}""".stripMargin)
+    // B has an empty items array → explode drops → null officer_count at silver
+    write(ch.resolve("ingestion_date=2026-01-01/00000002/officers.json"),
+      """{"items": []}""")
+    write(ch.resolve("ingestion_date=2026-01-01/00000001/filing-history.json"),
+      """{"items": [
+        |  {"date": "2025-10-01", "type": "AA", "description": "accounts", "category": "accounts"},
+        |  {"date": "2025-11-05", "type": "CS01", "description": "confirmation", "category": "confirmation-statement"}
+        |]}""".stripMargin)
+
+    // -- YFinance raw zone (CSV) --
+    val yf = raw.resolve("yfinance")
+    write(yf.resolve("company_details/part0.csv"),
+      """company_name,company_number,ticker,symbol,short_name,long_name,industry,sector,country,exchange,market_cap,website,ingestion_date
+        |Alpha Ltd,00000001,ALP,ALP.L,Alpha,Alpha Ltd,Software,Tech,UK,LSE,1000000,https://a.example,2026-01-01
+        |Beta Plc,00000002,BET,BET.L,Beta,Beta Plc,Banking,Fin,UK,LSE,2000000,https://b.example,2026-01-01
+        |""".stripMargin)
+    write(yf.resolve("fundamentals_data/part0.csv"),
+      """company_name,company_number,ticker,quarter_end_date,total_revenue,gross_profit,operating_income,net_income,ebitda,total_assets,total_liabilities,cash,long_term_debt,operating_cash_flow,capital_expenditure,free_cash_flow,ingestion_date
+        |Alpha Ltd,00000001,ALP,2025-09-30,100.0,40.0,20.0,15.0,25.0,500.0,200.0,50.0,80.0,30.0,10.0,20.0,2026-01-01
+        |Alpha Ltd,00000001,ALP,2025-12-31,150.0,60.0,30.0,25.0,45.0,520.0,210.0,60.0,75.0,40.0,12.0,28.0,2026-01-01
+        |Beta Plc,00000002,BET,2025-12-31,0.0,0.0,0.0,0.0,5.0,900.0,700.0,100.0,300.0,20.0,5.0,15.0,2026-01-01
+        |""".stripMargin)
+    // trading: one negative close (P6 gate) and one null key (P5 gate)
+    write(yf.resolve("trading_data/part0.csv"),
+      """company_number,ticker,date,open,high,low,close,adj_close,volume,ingestion_date
+        |00000001,ALP,2026-01-05,10.0,11.0,9.5,10.5,10.5,1000,2026-01-06
+        |00000001,ALP,2026-01-06,10.5,12.0,10.0,11.0,11.0,1500,2026-01-07
+        |00000002,BET,2026-01-05,20.0,21.0,19.0,-20.5,20.5,900,2026-01-06
+        |,BET,2026-01-06,20.5,21.5,20.0,21.0,21.0,800,2026-01-07
+        |""".stripMargin)
+
+    val cat = new TableCatalog(root.resolve("warehouse").toString)
+    val bronzeCh = BronzeConf("companies", "bronze", ch.toString, "json", Seq(
+      BronzeTableConf("overview", "overview.json"),
+      BronzeTableConf("officers", "officers.json", explode = true, Some("items")),
+      BronzeTableConf("filing_history", "filing-history.json", explode = true, Some("items"))))
+    val bronzeYf = BronzeConf("companies", "bronze", yf.toString, "csv", Seq(
+      BronzeTableConf("company_details", "company_details/*.csv"),
+      BronzeTableConf("fundamentals_data", "fundamentals_data/*.csv"),
+      BronzeTableConf("trading_data", "trading_data/*.csv")))
+    val silverYf = SilverConf("companies", "bronze", "silver", Seq(
+      ScdTableConf("company_details", Seq("company_number"),
+        Seq("market_cap", "industry", "sector")),
+      ScdTableConf("fundamentals_data", Seq("company_number", "quarter_end_date"),
+        Seq("total_revenue", "ebitda", "net_income")),
+      ScdTableConf("trading_data", Seq("company_number", "date"),
+        Seq("open", "high", "low", "close", "adj_close", "volume"))))
+    val goldConf = GoldConf("companies", "silver", "gold",
+      promoteTables = Seq("company_master"),
+      dimensions = Seq("company_details"),
+      facts = Seq(
+        FactConf("fact_trading", "trading_data", "date", Seq("date")),
+        FactConf("fact_fundamentals", "fundamentals_data", "quarter_end_date", Nil)))
+
+    Pipeline.run(spark, bronzeCh, bronzeYf, silverYf, goldConf, cat,
+      clock = Clock.fixed("2026-01-10"))
+
+    // -- bronze assertions --
+    val officersB = cat.read(spark, "companies.bronze.officers")
+    assert(officersB.count() == 3) // empty items array contributed nothing
+    assert(officersB.columns.contains("officer_role"))
+
+    // -- silver company_master --
+    val master = cat.read(spark, "companies.silver.company_master")
+    val rows = master.collect().map(r => r.getAs[String]("company_number") -> r).toMap
+    assert(rows.keySet == Set("00000001", "00000002")) // future-dated gamma filtered
+    assert(rows("00000001").getAs[String]("company_name") == "Alpha Ltd") // trimmed
+    assert(rows("00000001").getAs[String]("company_status") == "Active")  // initcap
+    assert(rows("00000002").getAs[String]("company_status") == "Active")
+    assert(rows("00000001").getAs[Long]("officer_count") == 3)
+    assert(rows("00000001").getAs[Long]("unique_roles") == 2)
+    assert(rows("00000001").getAs[java.sql.Date]("last_filing_date").toString == "2025-11-05")
+    assert(rows("00000002").isNullAt(rows("00000002").fieldIndex("officer_count")))
+
+    // -- silver trading SCD2: quality gates dropped 2 of 4 rows --
+    val trading1 = cat.read(spark, "companies.silver.trading_data")
+    assert(trading1.count() == 2)
+    assert(trading1.filter(col("is_current") === true).count() == 2)
+
+    // -- gold facts --
+    val fundamentals = cat.read(spark, "companies.gold.fact_fundamentals")
+    val alpha = fundamentals.filter(col("company_number") === "00000001")
+      .sort("quarter_end_date").collect()
+    assert(alpha.head.isNullAt(alpha.head.fieldIndex("revenue_qoq_growth")))
+    assert(alpha.last.getAs[Double]("revenue_qoq_growth") == 0.5) // (150-100)/100
+    assert(alpha.head.getAs[Double]("ebitda_margin") == 0.25)
+    val beta = fundamentals.filter(col("company_number") === "00000002").collect().head
+    assert(beta.isNullAt(beta.fieldIndex("ebitda_margin"))) // when-without-otherwise
+    assert(cat.read(spark, "companies.gold.fact_trading").count() == 2)
+    assert(cat.read(spark, "companies.gold.dim_company_details")
+      .filter(col("is_current") === true).count() == 2)
+
+    // -- incremental second run: one changed close + one new trading day --
+    write(yf.resolve("trading_data/part0.csv"),
+      """company_number,ticker,date,open,high,low,close,adj_close,volume,ingestion_date
+        |00000001,ALP,2026-01-05,10.0,11.0,9.5,10.5,10.5,1000,2026-01-06
+        |00000001,ALP,2026-01-06,10.5,12.0,10.0,11.5,11.5,1500,2026-02-01
+        |00000001,ALP,2026-02-02,11.5,12.5,11.0,12.0,12.0,2000,2026-02-03
+        |""".stripMargin)
+    Pipeline.run(spark, bronzeCh, bronzeYf, silverYf, goldConf, cat,
+      clock = Clock.fixed("2026-02-05"))
+
+    val trading2 = cat.read(spark, "companies.silver.trading_data")
+    // 2 initial + 1 expired-version replacement + 1 new day = 4 rows
+    assert(trading2.count() == 4)
+    val cur = trading2.filter(col("is_current") === true)
+    assert(cur.count() == 3)
+    val changed = trading2.filter(col("date") === lit("2026-01-06").cast("date"))
+      .sort("effective_from").collect()
+    assert(changed.length == 2)
+    assert(!changed.head.getAs[Boolean]("is_current")
+      && changed.head.getAs[java.sql.Date]("effective_to").toString == "2026-02-05")
+    assert(changed.last.getAs[Boolean]("is_current")
+      && changed.last.getAs[Double]("close") == 11.5)
+    // unchanged row kept its original effective_from
+    val kept = trading2.filter(col("date") === lit("2026-01-05").cast("date")).collect()
+    assert(kept.length == 1
+      && kept.head.getAs[java.sql.Date]("effective_from").toString == "2026-01-10")
+
+    // gold rebuilt from current rows only
+    assert(cat.read(spark, "companies.gold.fact_trading").count() == 3)
+  }
+}

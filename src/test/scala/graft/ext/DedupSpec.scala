@@ -1,0 +1,73 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog again and again today"
+  private val nearDup = base.replace("today", "tomorrow") // 1-word edit
+  private val unrelated = "completely different words appear within this other sentence entirely now ok"
+
+  private def docsDF = Seq(
+    (0L, base), (1L, nearDup), (2L, unrelated), (3L, base)
+  ).toDF("doc_id", "text")
+
+  test("exactGroups finds byte-identical copies only") {
+    val g = Dedup.exactGroups(docsDF).collect()
+    assert(g.length == 1)
+    assert(g.head.getAs[Long]("keep_id") == 0L && g.head.getAs[Long]("n_copies") == 2L)
+  }
+
+  test("jaccardPairs scores near-dups high and unrelated docs not at all") {
+    val pairs = Dedup.jaccardPairs(docsDF, 0.5)
+      .select("a", "b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs.contains((0L, 3L)) && pairs((0L, 3L)) == 1.0) // identical
+    assert(pairs.contains((0L, 1L)) && pairs((0L, 1L)) > 0.5)  // near-dup
+    assert(!pairs.keySet.exists { case (a, b) => a == 2L || b == 2L }) // unrelated
+  }
+
+  test("minHashNearDups finds the same pairs as exact jaccard here") {
+    val exact = Dedup.jaccardPairs(docsDF, 0.7).select("a", "b").collect().toSet
+    val lsh = Dedup.minHashNearDups(docsDF, 0.7).select("a", "b").collect().toSet
+    assert(lsh == exact)
+  }
+
+  test("minhash signature of identical docs is identical, near-dups mostly agree") {
+    val sigs = Dedup.minHashSignatures(docsDF).select("doc_id", "sig")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(0L) == sigs(3L))
+    val agree = sigs(0L).zip(sigs(1L)).count { case (x, y) => x == y }
+    assert(agree > 32, s"near-dup minhash agreement too low: $agree/64")
+    val agreeUnrelated = sigs(0L).zip(sigs(2L)).count { case (x, y) => x == y }
+    assert(agreeUnrelated < 16, s"unrelated minhash agreement too high: $agreeUnrelated/64")
+  }
+
+  test("simhash: identical docs at hamming 0, near-dups close, unrelated far") {
+    val sh = Dedup.simHashedBigrams(docsDF).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(sh(0L), sh(3L)) == 0)
+    assert(ham(sh(0L), sh(1L)) <= 8)
+    assert(ham(sh(0L), sh(2L)) > 5)
+  }
+
+  test("simHashPairs band join equals brute force (pigeonhole exactness)") {
+    val viaBands = Dedup.simHashPairs(docsDF, 3).select("a", "b").collect().toSet
+    val sh = Dedup.simHashedBigrams(docsDF)
+    val brute = sh.as("x").join(sh.as("y"), col("x.doc_id") < col("y.doc_id"))
+      .filter(expr("bit_count(x.simhash ^ y.simhash)") <= 3)
+      .select(col("x.doc_id"), col("y.doc_id")).collect()
+      .map(r => org.apache.spark.sql.Row(r.getLong(0), r.getLong(1))).toSet
+    assert(viaBands.map(r => (r.getLong(0), r.getLong(1))) ==
+      brute.map(r => (r.getLong(0), r.getLong(1))))
+  }
+
+  test("shingles of a short doc are empty, not an error") {
+    val short = Seq((9L, "one two")).toDF("doc_id", "text")
+    assert(Dedup.shingled(short).select("nsh").head().getInt(0) == 0)
+    assert(Dedup.jaccardPairs(short, 0.1).count() == 0)
+  }
+}

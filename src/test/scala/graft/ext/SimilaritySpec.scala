@@ -1,0 +1,53 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def embDF = Seq(
+    (0L, Array(1f, 0f, 0f, 0f), 0),
+    (1L, Array(0.9f, 0.1f, 0f, 0f), 0),
+    (2L, Array(0f, 1f, 0f, 0f), 1),
+    (3L, Array(0f, 0.9f, 0.1f, 0f), 1),
+    (4L, Array(-1f, 0f, 0f, 0f), 0),
+    (5L, Array(1f, 0f, 0f, 0f), 0)
+  ).toDF("vec_id", "embedding", "label")
+
+  test("cosine: identical=1, orthogonal=0, opposite=-1") {
+    val out = embDF.as("x").join(embDF.as("y"), col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id"), col("y.vec_id"),
+        Similarity.cosine(col("x.embedding"), col("y.embedding")).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out((0L, 5L)) == 1.0)
+    assert(out((0L, 2L)) == 0.0)
+    assert(out((0L, 4L)) == -1.0)
+  }
+
+  test("nearDupPairs respects label buckets and threshold") {
+    val pairs = Similarity.nearDupPairs(embDF, 0.9)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 5L)) && pairs.contains((1L, 5L)))
+    assert(!pairs.contains((2L, 3L)) || Set((2L, 3L)).subsetOf(pairs)) // same bucket, cos≈0.99
+    assert(!pairs.exists { case (a, b) => (a, b) == (0L, 2L) }) // cross-bucket never paired
+  }
+
+  test("bruteForceTopK ranks by cosine desc with id tiebreak") {
+    val top = Similarity.bruteForceTopK(embDF, embDF.filter(col("vec_id") === 0), 3)
+      .sort("rank").select("n_id").collect().map(_.getLong(0)).toSeq
+    assert(top == Seq(5L, 1L, 2L) || top == Seq(5L, 1L, 3L),
+      s"unexpected ranking $top") // rank1 = exact dup id5, rank2 = near nbr id1
+  }
+
+  test("ivf with full probe coverage matches brute force top-1") {
+    // nList=6 centroids = every vector → probing 2 cells still finds the
+    // nearest neighbor for each query here.
+    val q = embDF.filter(col("vec_id") < 2)
+    val brute = Similarity.bruteForceTopK(embDF, q, 1)
+      .select("q_id", "n_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ivf = Similarity.ivfTopK(embDF, q, nList = 6, nProbe = 6, k = 1)
+      .select("q_id", "n_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ivf == brute)
+  }
+}

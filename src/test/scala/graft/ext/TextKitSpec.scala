@@ -1,0 +1,54 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextKitSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(text: String) = Seq(Tuple1(text)).toDF("text")
+
+  test("polyHash matches a hand-rolled reference fold") {
+    def ref(s: String): Long =
+      s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % TextKit.P)
+    for (s <- Seq("hi", "the quick brown fox", "", "a")) {
+      val got = one(s).select(TextKit.polyHash(col("text"))).head().getLong(0)
+      assert(got == ref(s), s"polyHash('$s')")
+    }
+  }
+
+  test("wordShingles produces distinct n-grams; short text yields empty") {
+    val sh = one("a b c d").select(TextKit.wordShingles(col("text"), 3))
+      .head().getSeq[String](0)
+    assert(sh == Seq("a b c", "b c d"))
+    assert(one("a b").select(TextKit.wordShingles(col("text"), 3))
+      .head().getSeq[String](0).isEmpty)
+    // duplicates collapse
+    val dup = one("x y x y x y x y").select(TextKit.wordShingles(col("text"), 3))
+      .head().getSeq[String](0)
+    assert(dup.toSet == Set("x y x", "y x y"))
+  }
+
+  test("gramHashes windows are position hashes of 5 chars") {
+    def ref(s: String): Seq[Long] =
+      s.sliding(5).map(_.foldLeft(0L)((a, c) => a * 31 + c.toLong)).toSeq
+    val got = one("abcdefg").select(TextKit.gramHashes(col("text"), 5))
+      .head().getSeq[Long](0)
+    assert(got == ref("abcdefg"))
+  }
+
+  test("simhash of same multiset equals; word order does not matter") {
+    val df = Seq((1L, "alpha beta gamma delta"), (2L, "delta gamma beta alpha"))
+      .toDF("doc_id", "text")
+    val out = Dedup.simHashed(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(out(1L) == out(2L))
+  }
+
+  test("minhash signature bounds: values in [0, P]") {
+    val sigs = Dedup.minHashSignatures(Seq((1L, "w1 w2 w3 w4 w5")).toDF("doc_id", "text"))
+      .select("sig").head().getSeq[Long](0)
+    assert(sigs.length == 64)
+    assert(sigs.forall(v => v >= 0 && v <= TextKit.P))
+  }
+}
