@@ -37,7 +37,7 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, threshold: Double, n: Int = 3): DataFrame = {
     // Barrier so the shingle computation runs once; the two join sides
     // reference the identical exchange (ReuseExchange dedups it).
-    val sh = shingled(docs, n).repartition(col("doc_id"))
+    val sh = shingled(docs, n).transform(Par.spread(_, col("doc_id")))
     val ex = sh.select(col("doc_id"), col("nsh"), explode(col("shingles")).as("shingle"))
     // nsh rides along as a grouping key (functionally dependent on the
     // doc id) — no post-aggregation joins needed.
@@ -62,7 +62,7 @@ object Dedup {
       .withColumn("hs", transform(col("shingles"), s => TextKit.polyHash(s)))
       // Exchange barrier: CollapseProject would otherwise inline the hash
       // chain into each of the k permutation lambdas.
-      .repartition(col("doc_id"))
+      .transform(Par.spread(_, col("doc_id")))
       .select(col("doc_id"), col("nsh"),
         TextKit.minHashFromHashes(col("hs"), k).as("sig"))
 
@@ -71,8 +71,11 @@ object Dedup {
   def lshBuckets(sigs: DataFrame, bands: Int, rows: Int): DataFrame =
     sigs.select(col("doc_id"), posexplode(
       transform(sequence(lit(0), lit(bands - 1)), b =>
-        (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1))
-          .reduce((acc, s) => acc * 31 + s))).as(Seq("band", "bucket")))
+        // coalesce: keep the bucket key provably non-nullable, else the
+        // join infers isnotnull(<sig expr>) and pushes the whole
+        // signature derivation into the scan-stage filter.
+        coalesce((0 until rows).map(r => element_at(col("sig"), b * rows + r + 1))
+          .reduce((acc, s) => acc * 31 + s), lit(-1L)))).as(Seq("band", "bucket")))
 
   /** MinHash+LSH near-dup pairs, exact-Jaccard-verified.
     * 16 bands × 4 rows over a k=64 signature: catch probability
@@ -88,10 +91,10 @@ object Dedup {
     // stage instead of re-deriving the hash chain (ReuseExchange).
     val base = shingled(docs)
       .withColumn("hs", transform(col("shingles"), s => TextKit.polyHash(s)))
-      .repartition(col("doc_id"))
+      .transform(Par.spread(_, col("doc_id")))
       .select(col("doc_id"), col("shingles"), col("nsh"),
         TextKit.minHashFromHashes(col("hs"), k).as("sig"))
-      .repartition(col("doc_id"))
+      .transform(Par.spread(_, col("doc_id")))
     val buckets = lshBuckets(base.select(col("doc_id"), col("sig")), bands, rows)
     val cand = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
@@ -112,8 +115,9 @@ object Dedup {
     * row before the 24 per-bit votes read them. */
   def simHashed(docs: DataFrame, bits: Int = 24): DataFrame =
     docs.select(col("doc_id"), TextKit.wordHashes(col("text")).as("wh"))
-      .repartition(col("doc_id")) // barrier: wh evaluates once, not per bit
+      .transform(Par.spread(_, col("doc_id"))) // barrier: wh evaluates once, not per bit
       .select(col("doc_id"), TextKit.simHashFromHashes(col("wh"), bits).as("simhash"))
+      .transform(Par.spread(_, col("doc_id"))) // materialize: consumers reuse, not recompute
 
   /** Per-doc SimHash over distinct word-bigram shingles — far more
     * doc-discriminative than unigrams on a small shared vocabulary, which
@@ -123,8 +127,9 @@ object Dedup {
   def simHashedBigrams(docs: DataFrame, bits: Int = 28): DataFrame =
     docs.select(col("doc_id"),
         transform(TextKit.wordShingles(col("text"), 2), s => TextKit.polyHash(s)).as("wh"))
-      .repartition(col("doc_id")) // barrier: wh evaluates once, not per bit
+      .transform(Par.spread(_, col("doc_id"))) // barrier: wh evaluates once, not per bit
       .select(col("doc_id"), TextKit.simHashFromHashes(col("wh"), bits).as("simhash"))
+      .transform(Par.spread(_, col("doc_id"))) // materialize: consumers reuse, not recompute
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming, found via
     * band join: 28 bits in 4 bands of 7 — by pigeonhole any pair within

@@ -46,7 +46,7 @@ object Similarity {
     * IVF-cell stand-in): cosine >= threshold, a < b. Bucketing keeps the
     * pair space per-bucket instead of N². */
   def nearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
-    val e = withNorm(emb).repartition(col("vec_id"))
+    val e = withNorm(emb).transform(Par.spread(_, col("vec_id")))
     e.as("x").join(e.as("y"),
         col("x.label") === col("y.label") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),

@@ -25,6 +25,15 @@ object TextKit {
     * (2k+1)*h + b stays far below 2^63 (no ANSI overflow). */
   val P = 1000000007L
 
+  /** Expression-level let-binding: evaluate `bound` ONCE per row and feed
+    * it to `body` as a lambda variable. Without this, embedding the same
+    * Column object n times in a lambda body re-evaluates the whole
+    * subexpression n times per element — O(n·cost) blowups that no
+    * Catalyst rule will undo (the duplication is in the tree we build).
+    * DuckDB mirrors bind with a CTE column instead. */
+  def let(bound: Column)(body: Column => Column): Column =
+    element_at(transform(array(bound), body), 1)
+
   def words(text: Column): Column = split(text, " ")
 
   /** 1-based char codes of an ASCII string as array<long>. */
@@ -35,14 +44,17 @@ object TextKit {
   def polyHash(s: Column): Column =
     aggregate(charCodes(s), lit(0L), (a, c) => (a * 31 + c) % P)
 
-  /** Distinct word n-gram shingles ("w1 w2 w3"); empty array below n words. */
-  def wordShingles(text: Column, n: Int = 3): Column = {
-    val w = words(text)
-    when(size(w) >= n,
-      array_distinct(transform(sequence(lit(1), size(w) - (n - 1)), i =>
-        concat_ws(" ", (0 until n).map(j => element_at(w, i + j)): _*))))
-      .otherwise(array().cast("array<string>"))
-  }
+  /** Distinct word n-gram shingles ("w1 w2 w3"); empty array below n
+    * words. coalesce → non-nullable (see [[simHashFromHashes]] note). */
+  def wordShingles(text: Column, n: Int = 3): Column =
+    coalesce(
+      let(words(text)) { w =>
+        when(size(w) >= n,
+          array_distinct(transform(sequence(lit(1), size(w) - (n - 1)), i =>
+            concat_ws(" ", (0 until n).map(j => element_at(w, i + j)): _*))))
+          .otherwise(array().cast("array<string>"))
+      },
+      array().cast("array<string>"))
 
   /** Hash of every word occurrence (keeps duplicates — term frequency). */
   def wordHashes(text: Column): Column = transform(words(text), w => polyHash(w))
@@ -56,14 +68,20 @@ object TextKit {
     * expression references it 24 times, and an inline word-hash chain
     * would be re-evaluated per bit. */
   def simHashFromHashes(wh: Column, bits: Int = 24): Column =
-    aggregate(
-      transform(sequence(lit(0), lit(bits - 1)), i => {
-        val p2 = pow2(i)
-        val vote = aggregate(wh, lit(0L),
-          (acc, h) => acc + (floor(h / p2).cast(LongType) % 2) * 2 - 1)
-        when(vote >= 0, pow2(i)).otherwise(lit(0L))
-      }),
-      lit(0L), (a, b) => a + b)
+    // Outer coalesce makes the result provably non-nullable. Without it,
+    // joining on values derived from this expression makes the optimizer
+    // infer an `isnotnull(<whole expression>)` constraint and push it to
+    // the scan — re-deriving the full simhash per row in the scan stage.
+    coalesce(
+      aggregate(
+        transform(sequence(lit(0), lit(bits - 1)), i => {
+          val p2 = pow2(i)
+          val vote = aggregate(wh, lit(0L),
+            (acc, h) => acc + (floor(h / p2).cast(LongType) % 2) * 2 - 1)
+          when(vote >= 0, pow2(i)).otherwise(lit(0L))
+        }),
+        lit(0L), (a, b) => a + b),
+      lit(0L))
 
   /** MinHash signature from a *materialized* shingle-hash array column:
     * k permutations hk(h) = ((2k+1)h + (k+1)c) mod P minimized over the
@@ -77,15 +95,16 @@ object TextKit {
 
   /** Character-5-gram rolling-hash fingerprint set; min is the doc
     * fingerprint (winnowing-style). No mod needed: max value 126*(31^4+…)
-    * ≈ 1.2e8. */
-  def gramHashes(text: Column, n: Int = 5): Column = {
-    val c = charCodes(text)
-    when(length(text) >= n,
-      transform(sequence(lit(1), length(text) - (n - 1)), i =>
-        (0 until n).map(j => element_at(c, i + j))
-          .reduce((acc, x) => acc * 31 + x)))
-      .otherwise(array().cast("array<long>"))
-  }
+    * ≈ 1.2e8. Char codes are let-bound — inlining them would re-derive
+    * the O(L²) substring chain per window. */
+  def gramHashes(text: Column, n: Int = 5): Column =
+    let(charCodes(text)) { c =>
+      when(size(c) >= n,
+        transform(sequence(lit(1), size(c) - (n - 1)), i =>
+          (0 until n).map(j => element_at(c, i + j))
+            .reduce((acc, x) => acc * 31 + x)))
+        .otherwise(array().cast("array<long>"))
+    }
 }
 
 /** DuckDB SQL mirrors of [[TextKit]] — used to assemble oracle SQL.

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Dedup, DuckSql, Multimodal, Similarity, TextKit}
+import graft.ext.{Dedup, DuckSql, Multimodal, Par, Similarity, TextKit}
 import graft.streaming.EventStreams
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -19,10 +19,15 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
 object Extensions {
   import Parity.table
 
+  /** The documents/embeddings tables arrive as one small parquet file =
+    * ONE scan partition; an immediate key-spread repartition parallelizes
+    * the expression-heavy per-row stages (hashing, folds) across all
+    * cores. At real scale the scan arrives pre-split and this spread is a
+    * no-op to remove. */
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
-    table(spark, sfDir, "documents")
+    Par.spread(table(spark, sfDir, "documents"), col("doc_id"))
   private def emb(spark: SparkSession, sfDir: String): DataFrame =
-    table(spark, sfDir, "embeddings")
+    Par.spread(table(spark, sfDir, "embeddings"), col("vec_id"))
 
   // ------------------------------------------------------- text analysis
   /** Token counting: whitespace tokens, distinct tokens, exact avg len. */

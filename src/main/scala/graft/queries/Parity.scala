@@ -109,6 +109,37 @@ object Parity {
       max(col("l_orderkey")).as("max_key"))
   }
 
+  // --------------------------------------------------------------- S11
+  /** S11 — SQL literal-rows table (`aws/ticker.dbquery.ipynb` DDL+INSERT
+    * VALUES; no metastore here so the VALUES relation stands in). */
+  def s11SqlValues(spark: SparkSession, sfDir: String): DataFrame = {
+    val tickers = spark.sql(
+      """SELECT * FROM VALUES
+           ('AZN',  'AstraZeneca',     0),
+           ('HSBA', 'HSBC Holdings',   1),
+           ('ULVR', 'Unilever',        2),
+           ('BP',   'BP',              3)
+         AS t(ticker, company_name, r_key)""")
+    tickers.join(broadcast(table(spark, sfDir, "region")),
+        tickers("r_key") === col("r_regionkey"), "left")
+      .select(col("ticker"), col("company_name"), col("r_name"))
+  }
+
+  // --------------------------------------------------------------- S12
+  /** S12 — driver-side rows → DataFrame with explicit schema
+    * (`aws/y_finance_raw_ingestion.ipynb` cells 3,5,7). */
+  def s12CreateDataframe(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val rows = Seq(
+      ("00000001", "ALP", 4, 100.5),
+      ("00000002", "BET", 4, 220.25),
+      ("00000003", "GAM", 2, 3.75))
+    val quarters = rows.toDF("company_number", "ticker", "quarter", "revenue_m")
+    quarters.join(broadcast(table(spark, sfDir, "nation")
+        .groupBy(col("n_regionkey").as("quarter")).agg(count(lit(1)).as("nations"))),
+      Seq("quarter"), "left")
+  }
+
   // ----------------------------------------------------- P1 + P7 + P8
   /** P1/P7/P8 — derived columns, comparison predicates, `when` with and
     * without `otherwise` (`b2s_company_house.py:111-119`, `s2g.py:135-140`). */
@@ -318,6 +349,8 @@ object Parity {
     "s3_file_identity" -> s3FileIdentity _,
     "s5_partitioned_sink" -> s5PartitionedSink _,
     "s10_clustering" -> s10Clustering _,
+    "s11_sql_values" -> s11SqlValues _,
+    "s12_create_dataframe" -> s12CreateDataframe _,
     "p1_derived_flags" -> p1DerivedFlags _,
     "p2_struct_star" -> p2StructStar _,
     "p4_clean_names" -> p4CleanNames _,
@@ -350,6 +383,22 @@ object Parity {
       """SELECT count(*) AS n,
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
          MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key FROM lineitem""",
+    "s11_sql_values" ->
+      """SELECT t.ticker, t.company_name, r.r_name
+         FROM (VALUES
+           ('AZN',  'AstraZeneca',     0),
+           ('HSBA', 'HSBC Holdings',   1),
+           ('ULVR', 'Unilever',        2),
+           ('BP',   'BP',              3)) AS t(ticker, company_name, r_key)
+         LEFT JOIN region r ON t.r_key = r.r_regionkey""",
+    "s12_create_dataframe" ->
+      """SELECT t.quarter, t.company_number, t.ticker, t.revenue_m, n.nations
+         FROM (VALUES
+           ('00000001', 'ALP', 4, 100.5),
+           ('00000002', 'BET', 4, 220.25),
+           ('00000003', 'GAM', 2, 3.75)) AS t(company_number, ticker, quarter, revenue_m)
+         LEFT JOIN (SELECT n_regionkey AS quarter, count(*) AS nations
+                    FROM nation GROUP BY 1) n USING (quarter)""",
     "p1_derived_flags" ->
       """SELECT o_orderkey,
          CAST(year(CAST(o_orderdate AS DATE)) AS INTEGER) AS order_year,
