@@ -151,6 +151,11 @@ object Extensions {
   def eventWindow(spark: SparkSession, sfDir: String): DataFrame =
     EventStreams.hourlyRollup(Parity.events(spark, sfDir))
 
+  /** Gap-based sessionization (30 min), batch form; the streaming twin
+    * (flatMapGroupsWithState) is exercised in StreamingSpec. */
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame =
+    EventStreams.sessionize(Parity.events(spark, sfDir), gapSeconds = 1800)
+
   // ---------------------------------------------------------- queries map
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_token_stats" -> tokenStats _,
@@ -166,7 +171,8 @@ object Extensions {
     "x_ann_topk" -> annTopK _,
     "x_ann_ivf" -> annIvf _,
     "m_media_meta" -> mediaMeta _,
-    "x_event_window" -> eventWindow _)
+    "x_event_window" -> eventWindow _,
+    "x_sessionize" -> sessionize _)
 
   // ----------------------------------------------------------- oracle SQL
   // Shared SQL fragments (DuckDB dialect), mirroring TextKit/DuckSql.
@@ -332,5 +338,21 @@ object Extensions {
            count(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
            SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
-         FROM events GROUP BY 1, 2""")
+         FROM events GROUP BY 1, 2""",
+    "x_sessionize" ->
+      """WITH e AS (
+           -- FLOOR before the cast: DuckDB ROUNDS double->BIGINT, Spark's
+           -- unix_timestamp truncates
+           SELECT user_id, event_id, ts, CAST(FLOOR(epoch(ts)) AS BIGINT) AS tse FROM events),
+         m AS (
+           SELECT *, CASE WHEN tse - LAG(tse) OVER w > 1800
+                            OR LAG(tse) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (
+           SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS session_seq FROM m)
+         SELECT user_id, session_seq, count(*) AS n_events,
+           MIN(tse) AS start_epoch, MAX(tse) AS end_epoch,
+           MAX(tse) - MIN(tse) AS duration_s
+         FROM s GROUP BY 1, 2""")
 }

@@ -1,7 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming surface over the `events` table — a faithful
@@ -46,6 +48,85 @@ object EventStreams {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     normalize(spark.readStream.schema(rawSchema)
       .option("maxFilesPerTrigger", "1").parquet(dir))
+  }
+
+  /** Gap-based sessionization, batch form: a session breaks after
+    * `gapSeconds` of inactivity per user. Two windows — a lag to flag
+    * session starts, a running sum to number sessions — then one
+    * aggregation per (user, session). All integer epoch arithmetic, so
+    * the DuckDB oracle matches exactly.
+    *
+    * Scale: both windows and the final group share the `user_id` hash
+    * partitioning, so the whole flow is ONE shuffle; sessions never
+    * cross partitions. */
+  def sessionize(events: DataFrame, gapSeconds: Long = 1800): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("tse", unix_timestamp(col("ts")))
+      .withColumn("is_new",
+        when(col("tse") - lag(col("tse"), 1).over(byUser) > gapSeconds ||
+          lag(col("tse"), 1).over(byUser).isNull, 1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("is_new")).over(run))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("tse")).as("start_epoch"),
+        max(col("tse")).as("end_epoch"))
+      .withColumn("duration_s", col("end_epoch") - col("start_epoch"))
+  }
+
+  /** Open-session state carried between micro-batches per user. */
+  case class SessionState(sessionSeq: Long, startEpoch: Long, lastEpoch: Long, nEvents: Long)
+
+  /** One closed (or timeout-flushed) session. */
+  case class SessionOut(user_id: Long, session_seq: Long, n_events: Long,
+                        start_epoch: Long, end_epoch: Long)
+
+  /** Gap-based sessionization, streaming form: custom per-key state via
+    * `flatMapGroupsWithState` (the Spark-idiomatic stateful operator the
+    * batch `sessionize` windows can't express incrementally). Sessions
+    * close when a later event for the same user exceeds the gap, or when
+    * the event-time watermark passes `gapSeconds` after the last seen
+    * event (timeout flush) — state stays bounded by active users.
+    *
+    * Events must carry a watermark on `ts` before this is applied. */
+  def sessionizeStream(events: DataFrame, gapSeconds: Long = 1800)
+      (implicit spark: SparkSession): Dataset[SessionOut] = {
+    import spark.implicits._
+    events
+      .select(col("user_id").cast(LongType), unix_timestamp(col("ts")).as("tse"), col("ts"))
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
+         state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed: flush the open session and drop state
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(user, s.sessionSeq, s.nEvents, s.startEpoch, s.lastEpoch))
+          } else {
+            val sorted = rows.map(_._2).toSeq.sorted
+            var closed = List.empty[SessionOut]
+            var st = state.getOption.getOrElse(SessionState(0L, -1L, -1L, 0L))
+            sorted.foreach { t =>
+              if (st.startEpoch < 0) st = SessionState(1L, t, t, 1L)
+              else if (t - st.lastEpoch > gapSeconds) {
+                closed ::= SessionOut(user, st.sessionSeq, st.nEvents, st.startEpoch, st.lastEpoch)
+                st = SessionState(st.sessionSeq + 1, t, t, 1L)
+              } else st = st.copy(lastEpoch = t, nEvents = st.nEvents + 1)
+            }
+            if (st.startEpoch >= 0) {
+              state.update(st)
+              // flush when no event arrives within the gap (event time)
+              state.setTimeoutTimestamp((st.lastEpoch + gapSeconds) * 1000L)
+            }
+            closed.reverseIterator
+          }
+      }
   }
 
   /** Watermarked streaming hourly rollup: tumbling event-time window with

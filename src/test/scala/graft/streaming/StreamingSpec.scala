@@ -48,6 +48,73 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sessionization (flatMapGroupsWithState) matches batch sessions") {
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+
+    // user 1: two sessions (45-min gap); user 2: one session
+    val rows = Seq(
+      (1L, "2024-01-01 00:00:00"), (1L, "2024-01-01 00:10:00"),
+      (1L, "2024-01-01 00:55:00"), // > 30 min after 00:10 → new session
+      (2L, "2024-01-01 00:05:00"))
+      .map { case (u, ts) => (u, Timestamp.valueOf(ts)) }
+
+    val mem = MemoryStream[(Long, Timestamp)]
+    mem.addData(rows: _*)
+    val events = mem.toDF().toDF("user_id", "ts").withWatermark("ts", "10 minutes")
+
+    val q = EventStreams.sessionizeStream(events, gapSeconds = 1800)
+      .writeStream.format("memory").queryName("sessions_test")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // user 1 session 1 closed by the in-batch gap; user 2's lone session
+      // flushed by event-time timeout once the watermark (max ts - 10 min
+      // = 00:45) passed its gap deadline (00:05 + 30 min)
+      val early = spark.table("sessions_test").as[EventStreams.SessionOut].collect()
+      assert(early.map(o => (o.user_id, o.session_seq, o.n_events)).toSet ==
+        Set((1L, 1L, 2L), (2L, 1L, 1L)))
+
+      // push the watermark far past every open session → timeout flush
+      mem.addData((9L, Timestamp.valueOf("2024-01-01 06:00:00")))
+      q.processAllAvailable()
+      mem.addData((9L, Timestamp.valueOf("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+
+      val out = spark.table("sessions_test").as[EventStreams.SessionOut].collect()
+        .map(o => (o.user_id, o.session_seq, o.n_events)).toSet
+      assert(out.contains((1L, 2L, 1L)) && out.contains((2L, 1L, 1L)),
+        s"timeout flush missing: $out")
+
+      // agrees with the batch twin on (user, n_sessions, events/session)
+      val batch = EventStreams.sessionize(
+        rows.toDF("user_id", "ts").withColumn("event_id", monotonically_increasing_id()),
+        1800)
+        .select("user_id", "session_seq", "n_events")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(batch.subsetOf(out), s"batch=$batch streaming=$out")
+    } finally q.stop()
+  }
+
+  test("file-source streaming: readEventStream over a landing directory") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft-events")
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("part-00000.parquet"))
+    val stream = EventStreams.streamingHourlyRollup(
+      EventStreams.readEventStream(spark, dir.toString))
+    val q = stream.writeStream.format("memory").queryName("file_rollup_test")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // append mode: only watermark-closed windows emitted; just prove the
+      // file-source plumbing runs and emits closed hourly windows
+      val n = spark.table("file_rollup_test").count()
+      assert(n > 0, "no closed windows emitted from file source")
+    } finally q.stop()
+  }
+
   test("batch hourlyRollup groups by hour and sums exactly") {
     import spark.implicits._
     val events = Seq(
