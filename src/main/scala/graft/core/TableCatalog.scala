@@ -62,6 +62,40 @@ final class TableCatalog(val root: String) extends Serializable {
     overwrite(merged, name)
   }
 
+  /** Partition-scoped versioned overwrite: `df` carries ONLY the rewritten
+    * partitions of `partCol`; every other partition of the current version
+    * is carried into the new version via hardlinks — O(#files) metadata
+    * ops, zero data copy (the filesystem analogue of reusing data-file
+    * entries in a Delta/Iceberg manifest). This is what keeps an SCD merge
+    * at 100 TB proportional to the *touched* keys, not the table size. */
+  def overwritePartitions(df: DataFrame, name: String, partCol: String,
+      touched: Seq[Any]): Unit = {
+    require(exists(name), s"overwritePartitions: $name does not exist")
+    val dir = tableDir(name)
+    val prev = Paths.get(currentPath(name))
+    val nextV = "v%06d".format(nextVersion(dir))
+    val next = dir.resolve(nextV)
+    df.write.mode("overwrite").partitionBy(partCol).parquet(next.toString)
+    val touchedDirs = touched.map(v => s"$partCol=$v").toSet
+    // hardlink untouched partition dirs (and root-level files like _SUCCESS
+    // are left to the new write) from the previous version
+    Option(prev.toFile.list()).getOrElse(Array.empty[String])
+      .filter(n => n.startsWith(s"$partCol=") && !touchedDirs.contains(n))
+      .foreach { p =>
+        Files.walk(prev.resolve(p)).filter(Files.isRegularFile(_)).forEach { f =>
+          val rel = prev.relativize(f)
+          val to = next.resolve(rel)
+          Files.createDirectories(to.getParent)
+          Files.createLink(to, f)
+        }
+      }
+    val tmp = dir.resolve("_CURRENT.tmp")
+    Files.writeString(tmp, nextV)
+    Files.move(tmp, currentPointer(name), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    pruneOldVersions(dir, keep = 2)
+  }
+
   private def nextVersion(dir: Path): Int = {
     val existing = Option(dir.toFile.list()).getOrElse(Array.empty[String])
       .filter(_.startsWith("v"))

@@ -36,6 +36,36 @@ class OpsSpec extends SparkSpec {
     assert(Ingest.cleanColumnNames(df).columns.toSeq == Seq("cust_key", "acct_bal_usd"))
   }
 
+  test("salted aggregate equals plain aggregate on skewed keys") {
+    import graft.ops.Skew
+    import graft.ops.Skew.AggSpec
+    // 90% of rows share one hot key
+    val df = (1 to 1000).map(i =>
+      (if (i <= 900) "hot" else s"k${i % 17}", i.toLong, i * 1.5)).toDF("k", "n", "x")
+    val specs = Seq(AggSpec("n", "sum", "sum_n"), AggSpec("*", "count", "cnt"),
+      AggSpec("x", "min", "min_x"), AggSpec("x", "max", "max_x"))
+    val salted = Skew.saltedAggregate(df, Seq("k"), specs, buckets = 8)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    val plain = df.groupBy("k").agg(sum("n").as("sum_n"), count(lit(1)).as("cnt"),
+      min("x").as("min_x"), max("x").as("max_x"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    assert(salted == plain)
+  }
+
+  test("salted join equals plain join") {
+    import graft.ops.Skew
+    val large = (1 to 500).map(i => (s"k${i % 5}", i)).toDF("k", "v")
+    val medium = Seq(("k0", "a"), ("k1", "b"), ("k2", "c"), ("k9", "z")).toDF("k", "tag")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(canon(Skew.saltedJoin(large, medium, Seq("k"), buckets = 4)) ==
+      canon(large.join(medium, Seq("k"))))
+    assert(canon(Skew.saltedJoin(large, medium, Seq("k"), "left", 4)) ==
+      canon(large.join(medium, Seq("k"), "left")))
+  }
+
   test("media decode stub: frame sampling arithmetic") {
     implicit val s = spark
     val text = "ab" * 70 // 140 bytes → 3 frames, samples at 0, 64, 128
