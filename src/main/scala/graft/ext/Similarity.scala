@@ -69,6 +69,49 @@ object Similarity {
       .select("q_id", "n_id", "rank", "cos")
   }
 
+  /** Deterministic pseudo-random hyperplane component for plane j,
+    * dimension i: an integer hash mapped into [-0.5, 0.5). Pure integer
+    * arithmetic + one IEEE division, so the DuckDB oracle reproduces it
+    * exactly — no stored model needed. */
+  def hyperplaneComponent(j: Column, i: Column): Column =
+    ((j * 64 + i) * lit(2654435761L) % lit(1000000007L)).cast(DoubleType) /
+      lit(1000000007.0) - lit(0.5)
+
+  /** Random-hyperplane LSH bucket: `nPlanes` sign bits of hyperplane dot
+    * products → an integer bucket. Cosine-similar vectors agree on most
+    * signs, so they collide with high probability. */
+  def lshBucket(emb: Column, nPlanes: Int = 8): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(nPlanes - 1)), j => {
+        val d = aggregate(
+          transform(sequence(lit(1), size(emb)), i =>
+            element_at(emb, i).cast(DoubleType) * hyperplaneComponent(j, i)),
+          lit(0.0), (acc, v) => acc + v)
+        when(d >= 0, pow(lit(2.0), j).cast("long")).otherwise(lit(0L))
+      }),
+      lit(0L), (a, b) => a + b)
+
+  /** LSH-bucketed ANN top-k: queries search only their own sign-bucket —
+    * the single-table LSH baseline (multi-table/multi-probe are the
+    * standard recall dials at scale; the plan shape stays a bucket-keyed
+    * join either way). */
+  def lshTopK(emb: DataFrame, queries: DataFrame, nPlanes: Int = 8,
+      k: Int = 5): DataFrame = {
+    def bucketed(df: DataFrame): DataFrame =
+      withNorm(df).withColumn("bucket", coalesce(lshBucket(col("embedding"), nPlanes), lit(-1L)))
+        .transform(Par.spread(_, col("vec_id")))
+    val v = bucketed(emb)
+    val q = bucketed(queries)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    q.as("q").join(v.as("v"),
+        col("q.bucket") === col("v.bucket") && col("q.vec_id") =!= col("v.vec_id"))
+      .select(col("q.vec_id").as("q_id"), col("v.vec_id").as("n_id"),
+        (dot(col("q.embedding"), col("v.embedding")) /
+          (col("q.nrm") * col("v.nrm"))).as("cos"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("q_id", "n_id", "rank", "cos")
+  }
+
   /** IVF top-k: assign all vectors to their nearest of `nList` centroids
     * (broadcast join), then each query searches only its `nProbe` closest
     * cells. Approximate: a true neighbor assigned to an unprobed cell is

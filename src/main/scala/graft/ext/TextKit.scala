@@ -56,6 +56,18 @@ object TextKit {
       },
       array().cast("array<string>"))
 
+  /** Word n-grams with duplicates kept (frequency analysis wants every
+    * occurrence, unlike the distinct [[wordShingles]] sets). */
+  def wordNgrams(text: Column, n: Int): Column =
+    coalesce(
+      let(words(text)) { w =>
+        when(size(w) >= n,
+          transform(sequence(lit(1), size(w) - (n - 1)), i =>
+            concat_ws(" ", (0 until n).map(j => element_at(w, i + j)): _*)))
+          .otherwise(array().cast("array<string>"))
+      },
+      array().cast("array<string>"))
+
   /** Hash of every word occurrence (keeps duplicates — term frequency). */
   def wordHashes(text: Column): Column = transform(words(text), w => polyHash(w))
 

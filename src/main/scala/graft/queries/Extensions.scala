@@ -139,6 +139,43 @@ object Extensions {
     Similarity.ivfTopK(e, e.filter(col("vec_id") < 20), nList = 10, nProbe = 2, k = 5)
   }
 
+  /** Corpus-wide bigram frequency table, top 100 by (count desc, bigram). */
+  def ngramFreq(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("n").desc, col("bigram"))
+    docs(spark, sfDir)
+      .select(explode(TextKit.wordNgrams(col("text"), 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 100)
+  }
+
+  /** Random-hyperplane LSH ANN top-5 for query vectors vec_id < 20. */
+  def annLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    Similarity.lshTopK(e, e.filter(col("vec_id") < 20), nPlanes = 8, k = 5)
+  }
+
+  /** Composed curation pipeline — the flagship training-data flow:
+    * quality gate → language gate → near-dup removal (drop the higher
+    * doc_id of each trigram-Jaccard >= 0.8 pair) → surviving-corpus
+    * rollup per language. */
+  def curationPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val w = TextKit.words(col("text"))
+    val gated = d
+      .withColumn("n_tokens", size(w).cast(LongType))
+      .withColumn("stop_hits", size(filter(w, x => x.isin("the", "a"))).cast(LongType))
+      .filter(col("n_chars") >= 60 &&
+        col("stop_hits").cast(DoubleType) / col("n_tokens").cast(DoubleType) < 0.4)
+    val dropIds = Dedup.jaccardPairs(gated, 0.8).select(col("b").as("doc_id")).distinct()
+    gated.join(dropIds, Seq("doc_id"), "left_anti")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(col("n_tokens")).as("sum_tokens"))
+  }
+
   // ----------------------------------------------------------- multimodal
   /** Binary media plumbing: wrap → typed mapPartitions decode stub. */
   def mediaMeta(spark: SparkSession, sfDir: String): DataFrame = {
@@ -172,7 +209,10 @@ object Extensions {
     "x_ann_ivf" -> annIvf _,
     "m_media_meta" -> mediaMeta _,
     "x_event_window" -> eventWindow _,
-    "x_sessionize" -> sessionize _)
+    "x_sessionize" -> sessionize _,
+    "x_ngram_freq" -> ngramFreq _,
+    "x_ann_lsh" -> annLsh _,
+    "x_curation_pipeline" -> curationPipeline _)
 
   // ----------------------------------------------------------- oracle SQL
   // Shared SQL fragments (DuckDB dialect), mirroring TextKit/DuckSql.
@@ -354,5 +394,68 @@ object Extensions {
          SELECT user_id, session_seq, count(*) AS n_events,
            MIN(tse) AS start_epoch, MAX(tse) AS end_epoch,
            MAX(tse) - MIN(tse) AS duration_s
-         FROM s GROUP BY 1, 2""")
+         FROM s GROUP BY 1, 2""",
+    "x_ngram_freq" ->
+      s"""WITH grams AS (
+            SELECT unnest(CASE WHEN len(w) >= 2
+              THEN list_transform(generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1])
+              ELSE [] END) AS bigram
+            FROM (SELECT $W AS w FROM documents)),
+          freq AS (SELECT bigram, count(*) AS n FROM grams GROUP BY 1)
+          SELECT bigram, n, rnk FROM (
+            SELECT *, row_number() OVER (ORDER BY n DESC, bigram) AS rnk FROM freq)
+          WHERE rnk <= 100""",
+    "x_ann_lsh" -> {
+      def comp(j: String, i: String) =
+        s"(CAST((($j*64 + $i) * 2654435761) % 1000000007 AS DOUBLE) / 1000000007.0 - 0.5)"
+      val planeDot =
+        s"""list_reduce(list_prepend(0.0::DOUBLE,
+              list_transform(generate_series(1, len(embedding)), i ->
+                CAST(embedding[i] AS DOUBLE) * ${comp("j", "i")})),
+            (acc, v) -> acc + v)"""
+      val bucket =
+        s"""list_reduce(list_prepend(0::BIGINT,
+              list_transform(generate_series(0, 7), j ->
+                CASE WHEN $planeDot >= 0 THEN CAST(POW(2.0, j) AS BIGINT) ELSE 0 END)),
+            (a, b) -> a + b)"""
+      s"""WITH ne AS (SELECT vec_id, embedding,
+            sqrt(${dotD("embedding", "embedding")}) AS nrm,
+            $bucket AS bucket
+          FROM embeddings),
+          scored AS (
+            SELECT q.vec_id AS q_id, v.vec_id AS n_id,
+              ${dotD("q.embedding", "v.embedding")} / (q.nrm * v.nrm) AS cos
+            FROM ne q JOIN ne v ON q.bucket = v.bucket AND q.vec_id != v.vec_id
+            WHERE q.vec_id < 20)
+          SELECT q_id, n_id, rank, cos FROM (
+            SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+            FROM scored)
+          WHERE rank <= 5"""
+    },
+    "x_curation_pipeline" ->
+      s"""WITH gated AS (
+            SELECT doc_id, lang, n_chars, text,
+              len(w)::BIGINT AS n_tokens,
+              len(list_filter(w, x -> x IN ('the', 'a')))::BIGINT AS stop_hits
+            FROM (SELECT doc_id, lang, n_chars, text, $W AS w FROM documents)
+            WHERE n_chars >= 60),
+          q AS (SELECT * FROM gated
+                WHERE CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) < 0.4),
+          sh AS (SELECT doc_id, ${DuckSql.wordShingles("w", 3)} AS shingles
+                 FROM (SELECT doc_id, $W AS w FROM q)),
+          shc AS (SELECT doc_id, shingles, len(shingles) AS nsh FROM sh),
+          ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+          pairs AS (
+            SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+            FROM ex x JOIN ex y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+            GROUP BY 1, 2),
+          drops AS (
+            SELECT DISTINCT b AS doc_id FROM pairs
+            JOIN shc ca ON pairs.a = ca.doc_id
+            JOIN shc cb ON pairs.b = cb.doc_id
+            WHERE CAST(inter AS DOUBLE) / CAST(ca.nsh + cb.nsh - inter AS DOUBLE) >= 0.8)
+          SELECT lang, count(*) AS n_docs, SUM(n_chars) AS sum_chars,
+            SUM(n_tokens) AS sum_tokens
+          FROM q WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+          GROUP BY lang""")
 }

@@ -285,6 +285,44 @@ object Parity {
       sum(dec(col("l_quantity"))).over(w).cast("double").as("running_qty"))
   }
 
+  /** W3 — ranking-function suite: rank, dense_rank, ntile, frame-pinned
+    * last_value (beyond reference parity; the "latest snapshot" README
+    * idiom generalized, SURVEY.md §2.5). */
+  def w3Ranks(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    table(spark, sfDir, "orders").select(
+      col("o_custkey"), col("o_orderkey"),
+      rank().over(w).as("rnk"),
+      dense_rank().over(w).as("drnk"),
+      ntile(4).over(w).as("quartile"),
+      last(col("o_orderkey")).over(wFull).as("latest_order"))
+  }
+
+  /** Set operations: union distinct, intersect, except (absent from the
+    * reference; introduced by our MERGE rewrite internally — SURVEY §2.6). */
+  def setOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = table(spark, sfDir, "orders")
+    val urgent = orders.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+    val high = orders.filter(col("o_orderpriority") === "2-HIGH").select("o_custkey")
+    val finished = orders.filter(col("o_orderstatus") === "F").select("o_custkey")
+    urgent.union(high).distinct()
+      .intersect(orders.select("o_custkey"))
+      .except(finished)
+  }
+
+  /** A4 — rollup with subtotal flags (grouping sets class of op; exact
+    * decimal sums). */
+  def a4Rollup(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        sumd(col("o_totalprice")).as("sum_price"),
+        grouping(col("o_orderstatus")).as("g_status"),
+        grouping(col("o_orderpriority")).as("g_priority"))
+
   // ------------------------------------------------------ scalar suite
   /** §2.7 — scalar-function inventory: regexp_extract, trim, initcap,
     * sha2(concat_ws), try_cast, string ops. */
@@ -364,6 +402,9 @@ object Parity {
     "a1_aggregates" -> a1Aggregates _,
     "w1_lag_growth" -> w1LagGrowth _,
     "w2_running_total" -> w2RunningTotal _,
+    "w3_ranks" -> w3Ranks _,
+    "set_ops" -> setOps _,
+    "a4_rollup" -> a4Rollup _,
     "scalar_suite" -> scalarSuite _,
     "scd2_two_batch" -> scd2TwoBatch _,
     "scd3_merge" -> scd3Merge _,
@@ -479,6 +520,31 @@ object Parity {
              (PARTITION BY l_orderkey ORDER BY l_linenumber
               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
          FROM lineitem""",
+    "w3_ranks" ->
+      """SELECT o_custkey, o_orderkey,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           ntile(4) OVER w AS quartile,
+           last_value(o_orderkey) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS latest_order
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
+    "set_ops" ->
+      """SELECT * FROM (
+           (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+            UNION
+            SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH')
+           INTERSECT
+           SELECT o_custkey FROM orders)
+         EXCEPT
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""",
+    "a4_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           GROUPING(o_orderstatus) AS g_status,
+           GROUPING(o_orderpriority) AS g_priority
+         FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
     "scalar_suite" ->
       """SELECT c_custkey,
            regexp_extract(c_name, '([0-9]+)$', 1) AS name_code,
