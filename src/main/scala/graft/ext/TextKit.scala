@@ -40,8 +40,15 @@ object TextKit {
   def charCodes(s: Column): Column =
     transform(sequence(lit(1), length(s)), i => ascii(s.substr(i, lit(1))).cast(LongType))
 
-  /** Polynomial rolling hash over chars: fold h = (h*31 + code) mod P. */
-  def polyHash(s: Column): Column =
+  /** Polynomial rolling hash: fold h = (h*31 + code) mod P — the native
+    * codegen Expression ([[graft.functions.PolyHash]], over UTF-8 bytes;
+    * identical to the char-code fold for the ASCII corpus and the DuckDB
+    * mirror). */
+  def polyHash(s: Column): Column = graft.functions.PolyHash(s)
+
+  /** Interpreted higher-order twin of [[polyHash]] (per-char `aggregate`
+    * fold) — kept as the cross-check reference for the native Expression. */
+  def polyHashHof(s: Column): Column =
     aggregate(charCodes(s), lit(0L), (a, c) => (a * 31 + c) % P)
 
   /** Distinct word n-gram shingles ("w1 w2 w3"); empty array below n
