@@ -21,8 +21,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Untimed warmup: JIT/codegen/session init should not bill the first query.
+    // Untimed warmup: JIT/codegen/session/parquet-reader init should not
+    // bill the first query.
     spark.range(100000).selectExpr("sum(id * 2)").write.format("noop").mode("overwrite").save()
+    spark.read.parquet(s"$sfDir/region.parquet").write.format("noop").mode("overwrite").save()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.mode("overwrite").format("noop").save()

@@ -66,6 +66,21 @@ class OpsSpec extends SparkSpec {
       canon(large.join(medium, Seq("k"), "left")))
   }
 
+  test("approx aggregates track exact within tolerance (100TB substitutes)") {
+    // At scale, exact countDistinct is a full shuffle of distinct values;
+    // HLL and quantile sketches are the opt-in substitutes per SURVEY
+    // §2.4. Pin their accuracy contract here so swapping them in is a
+    // measured decision, not a hope.
+    val df = spark.range(100000).select(
+      (col("id") % 9973).as("k"), (col("id") % 1000).cast("double").as("x"))
+    val exact = df.select(countDistinct(col("k"))).head().getLong(0)
+    val approx = df.select(approx_count_distinct(col("k"), 0.02)).head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx_count_distinct off: $approx vs $exact")
+    val p50 = df.stat.approxQuantile("x", Array(0.5), 0.01).head
+    assert(math.abs(p50 - 500.0) < 25, s"p50 approx off: $p50")
+  }
+
   test("media decode stub: frame sampling arithmetic") {
     implicit val s = spark
     val text = "ab" * 70 // 140 bytes → 3 frames, samples at 0, 64, 128
