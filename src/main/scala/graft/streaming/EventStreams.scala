@@ -77,6 +77,13 @@ object EventStreams {
       .withColumn("duration_s", col("end_epoch") - col("start_epoch"))
   }
 
+  /** Streaming exact dedup: drop re-deliveries of the same event id,
+    * with state bounded by the watermark horizon
+    * (`dropDuplicatesWithinWatermark` expires ids older than the
+    * watermark — the streaming twin of `ext.Dedup.exactGroups`). */
+  def dedupedStream(events: DataFrame, idCols: Seq[String] = Seq("event_id")): DataFrame =
+    events.dropDuplicatesWithinWatermark(idCols)
+
   /** Open-session state carried between micro-batches per user. */
   case class SessionState(sessionSeq: Long, startEpoch: Long, lastEpoch: Long, nEvents: Long)
 

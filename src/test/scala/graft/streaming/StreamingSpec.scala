@@ -115,6 +115,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops re-delivered event ids within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val events = mem.toDF().toDF("event_id", "ts").withWatermark("ts", "1 hour")
+    val q = EventStreams.dedupedStream(events)
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, Timestamp.valueOf("2024-01-01 00:00:00")),
+        (1L, Timestamp.valueOf("2024-01-01 00:00:05")), // re-delivery
+        (2L, Timestamp.valueOf("2024-01-01 00:01:00")))
+      q.processAllAvailable()
+      mem.addData((1L, Timestamp.valueOf("2024-01-01 00:10:00"))) // re-delivery, later batch
+      q.processAllAvailable()
+      val ids = spark.table("dedup_test").select("event_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids.sorted == Seq(1L, 2L), s"expected each id once, got $ids")
+    } finally q.stop()
+  }
+
   test("batch hourlyRollup groups by hour and sums exactly") {
     import spark.implicits._
     val events = Seq(
