@@ -150,6 +150,18 @@ object Extensions {
       .filter(col("rnk") <= 100)
   }
 
+  /** Exact interpolated percentiles of doc length per language — both
+    * engines use linear interpolation over the sorted values (Spark
+    * `percentile`, DuckDB `quantile_cont`), computed from integer inputs
+    * so the IEEE arithmetic matches bit-for-bit. */
+  def percentiles(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir).groupBy("lang").agg(
+      count(lit(1)).as("n"),
+      expr("percentile(n_chars, 0.5)").as("p50_chars"),
+      expr("percentile(n_chars, 0.9)").as("p90_chars"),
+      min(col("n_chars")).as("min_chars"),
+      max(col("n_chars")).as("max_chars"))
+
   /** Random-hyperplane LSH ANN top-5 for query vectors vec_id < 20. */
   def annLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val e = emb(spark, sfDir)
@@ -211,6 +223,7 @@ object Extensions {
     "x_event_window" -> eventWindow _,
     "x_sessionize" -> sessionize _,
     "x_ngram_freq" -> ngramFreq _,
+    "x_percentiles" -> percentiles _,
     "x_ann_lsh" -> annLsh _,
     "x_curation_pipeline" -> curationPipeline _)
 
@@ -395,6 +408,12 @@ object Extensions {
            MIN(tse) AS start_epoch, MAX(tse) AS end_epoch,
            MAX(tse) - MIN(tse) AS duration_s
          FROM s GROUP BY 1, 2""",
+    "x_percentiles" ->
+      """SELECT lang, count(*) AS n,
+           quantile_cont(n_chars, 0.5) AS p50_chars,
+           quantile_cont(n_chars, 0.9) AS p90_chars,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+         FROM documents GROUP BY lang""",
     "x_ngram_freq" ->
       s"""WITH grams AS (
             SELECT unnest(CASE WHEN len(w) >= 2
