@@ -78,12 +78,15 @@ object Dedup {
           .reduce((acc, s) => acc * 31 + s), lit(-1L)))).as(Seq("band", "bucket")))
 
   /** MinHash+LSH near-dup pairs, exact-Jaccard-verified.
-    * 16 bands × 4 rows over a k=64 signature: catch probability
-    * 1-(1-j^4)^16 ≈ 0.9997 at j=0.8 — then candidates are verified with
-    * exact Jaccard (array_intersect on the two shingle sets), so
-    * precision is exact and only recall is probabilistic. */
+    * 32 bands × 2 rows over a k=64 signature: catch probability
+    * 1-(1-j^2)^32 ≈ 1 - 6e-15 at j=0.8 — a pigeonhole-sized recall margin
+    * rather than a merely-likely one, so regenerated corpora / new scale
+    * factors can't silently miss a qualifying pair. The wider bands admit
+    * more low-similarity candidates, but every candidate is verified with
+    * exact Jaccard (array_intersect on the two shingle sets), so precision
+    * stays exact; the extra verify joins are bucket-keyed and cheap. */
   def minHashNearDups(docs: DataFrame, threshold: Double = 0.8,
-                      k: Int = 64, bands: Int = 16): DataFrame = {
+                      k: Int = 64, bands: Int = 32): DataFrame = {
     val rows = k / bands
     // One materialized base carrying shingles + signature: expensive
     // projections sit between two exchanges, so every consumer (both

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.NumericType
 
 /** Data-quality gates (SURVEY.md §2.2 P5-P6).
   *
@@ -18,14 +19,13 @@ object Quality {
     keys.foldLeft(df)((d, k) => d.filter(col(k).isNotNull))
 
   /** P6 — business rule: every numeric column is null or non-negative,
-    * via `try_cast` so uncastable junk fails the gate rather than erroring.
-    * Numeric columns are discovered from the schema exactly as the
-    * reference does from `field.dataType.simpleString()`
-    * (`b2s_yfinance.py:86-98`). */
+    * via `try_cast` so uncastable junk fails the gate rather than erroring
+    * (`b2s_yfinance.py:86-98`). Detection is on the field's `DataType`
+    * itself, not a `simpleString` substring match — `array<int>` /
+    * `struct<x:int>` columns must not be swept into a scalar cast. */
   def nonNegativeNumerics(df: DataFrame): DataFrame = {
-    val numericTypes = Seq("int", "bigint", "double", "float", "decimal")
     val numericCols = df.schema.fields
-      .filter(f => numericTypes.exists(f.dataType.simpleString.contains))
+      .filter(_.dataType.isInstanceOf[NumericType])
       .map(_.name)
     numericCols.foldLeft(df) { (d, c) =>
       d.filter(col(c).isNull || expr(s"try_cast(`$c` as double)") >= 0)

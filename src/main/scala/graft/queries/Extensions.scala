@@ -139,15 +139,22 @@ object Extensions {
     Similarity.ivfTopK(e, e.filter(col("vec_id") < 20), nList = 10, nProbe = 2, k = 5)
   }
 
-  /** Corpus-wide bigram frequency table, top 100 by (count desc, bigram). */
+  /** Corpus-wide bigram frequency table, top 100 by (count desc, bigram).
+    * Top-k runs as sort+limit (`TakeOrderedAndProject`: per-partition
+    * heaps, driver merges k rows), NOT a global window — an unpartitioned
+    * window drags the entire frequency table onto one partition, which is
+    * exactly the plan that dies at corpus scale. The rank column is then
+    * assigned on the 100 surviving rows, where a single partition is the
+    * correct shape. */
   def ngramFreq(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("n").desc, col("bigram"))
-    docs(spark, sfDir)
+    val top = docs(spark, sfDir)
       .select(explode(TextKit.wordNgrams(col("text"), 2)).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("n"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 100)
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(100)
+    top.withColumn("rnk",
+      row_number().over(Window.orderBy(col("n").desc, col("bigram"))))
   }
 
   /** Exact interpolated percentiles of doc length per language — both
@@ -297,7 +304,7 @@ object Extensions {
             FROM (SELECT doc_id, lang, $W AS w FROM documents))
           SELECT lang,
             CASE WHEN $m = 0 THEN 'und' $pred END AS predicted,
-            count(*) AS n, SUM(s_en) AS sum_s_en
+            count(*) AS n, CAST(SUM(s_en) AS BIGINT) AS sum_s_en
           FROM scored GROUP BY 1, 2"""
     },
     "x_fingerprint" -> {
@@ -390,7 +397,7 @@ object Extensions {
            CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
            count(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
          FROM events GROUP BY 1, 2""",
     "x_sessionize" ->
       """WITH e AS (
@@ -404,7 +411,8 @@ object Extensions {
          s AS (
            SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
              ROWS UNBOUNDED PRECEDING) AS session_seq FROM m)
-         SELECT user_id, session_seq, count(*) AS n_events,
+         SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           count(*) AS n_events,
            MIN(tse) AS start_epoch, MAX(tse) AS end_epoch,
            MAX(tse) - MIN(tse) AS duration_s
          FROM s GROUP BY 1, 2""",
@@ -473,8 +481,9 @@ object Extensions {
             JOIN shc ca ON pairs.a = ca.doc_id
             JOIN shc cb ON pairs.b = cb.doc_id
             WHERE CAST(inter AS DOUBLE) / CAST(ca.nsh + cb.nsh - inter AS DOUBLE) >= 0.8)
-          SELECT lang, count(*) AS n_docs, SUM(n_chars) AS sum_chars,
-            SUM(n_tokens) AS sum_tokens
+          SELECT lang, count(*) AS n_docs,
+            CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+            CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
           FROM q WHERE doc_id NOT IN (SELECT doc_id FROM drops)
           GROUP BY lang""")
 }

@@ -593,7 +593,9 @@ object Parity {
          SELECT s.c_custkey, s.seg, NULL, NULL FROM src0 s
          WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = s.c_custkey)""",
     "json_extract" ->
+      // CAST around SUM: DuckDB's SUM(BIGINT) yields HUGEINT, which the
+      // driver's pandas bridge renders as float ("3.0" vs Spark's "3").
       """SELECT event_type, count(*) AS n,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
          FROM events GROUP BY event_type""")
 }

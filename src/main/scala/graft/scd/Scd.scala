@@ -61,7 +61,8 @@ class Scd2(
     tracked: Seq[String],
     cols: ScdColumns = ScdColumns(),
     clock: Clock = Clock.Wall,
-    strictHash: Boolean = false) extends Serializable {
+    strictHash: Boolean = false,
+    sourceOrder: Seq[String] = Seq.empty) extends Serializable {
 
   private def today: Column = lit(java.sql.Date.valueOf(clock.today))
 
@@ -69,10 +70,26 @@ class Scd2(
     if (src.columns.contains(cols.hash)) src
     else Hashing.withRowHash(src, tracked, cols.hash, strictHash)
 
+  /** Reduce the source batch to exactly one row per business key — a
+    * raw-zone re-delivery may carry a key twice, and inserting both would
+    * break the one-current-row invariant. Winner selection is a
+    * deterministic argmax: greatest `sourceOrder` columns first (e.g. an
+    * ingestion timestamp = keep latest), then the row hash and remaining
+    * columns as total tiebreak. Runs as a single partial-aggregating
+    * `max(struct(...))` shuffle on the keys — no window, no second pass. */
+  private def dedupeSource(src: DataFrame): DataFrame = {
+    val rest = src.columns.filterNot(keys.contains).toSeq
+    val payload = sourceOrder ++ rest.filterNot(sourceOrder.contains)
+    src.groupBy(keys.map(col): _*)
+      .agg(max(struct(payload.map(col): _*)).as("__winner"))
+      .select(keys.map(col) ++ payload.map(c => col(s"__winner.$c").as(c)): _*)
+  }
+
   /** First run — create the initial version set
-    * (`b2s_yfinance.py:119-131`). */
+    * (`b2s_yfinance.py:119-131`); deduped so the one-current-row-per-key
+    * invariant holds from the very first batch. */
   def initialize(source: DataFrame): DataFrame =
-    withHash(source)
+    dedupeSource(withHash(source))
       .withColumn(cols.from, today)
       .withColumn(cols.to, lit(null).cast(DateType))
       .withColumn(cols.current, lit(true))
@@ -93,14 +110,14 @@ class Scd2(
     * re-reading the target *after* the expiry job. */
   def merge(target0: DataFrame, source: DataFrame): DataFrame = {
     val target = Scd.ensureScdColumns(target0, cols)
-    val src = withHash(source)
+    val src = dedupeSource(withHash(source))
 
     val current = target.filter(col(cols.current) === true)
     val history = target.filter(col(cols.current).isNull || col(cols.current) =!= true)
 
-    // Only the key + hash of the source matter for the expiry decision.
+    // Only the key + hash of the source matter for the expiry decision;
+    // src is already one-row-per-key so this projection is dup-free.
     val srcKeys = src.select((keys :+ cols.hash).map(col): _*)
-      .dropDuplicates(keys)
       .withColumnRenamed(cols.hash, "__src_hash")
 
     val joined = current.join(srcKeys, keys, "left")

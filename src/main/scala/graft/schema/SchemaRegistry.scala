@@ -1,101 +1,67 @@
 package graft.schema
 
-import org.apache.spark.sql.types._
+import org.apache.spark.sql.types.StructType
 
 /** Explicit-schema registry.
   *
   * The reference enforces hand-written StructTypes at read time rather
   * than inferring (`utils/schema.py:41-45,51-110`, applied at
   * `medallion/bronze/ds2b_company_house.py:60` and
-  * `medallion/bronze/ds2b_yfinance.py:57`). Same data shapes here,
-  * expressed with the Scala StructType API. Keys match the reference's
-  * `SCHEMA_MAP` / `YFINANCE_SCHEMA_MAP` table names so metadata configs
-  * stay interchangeable.
+  * `medallion/bronze/ds2b_yfinance.py:57`). Same data shapes here, but
+  * declared as Spark DDL strings — the most compact schema notation the
+  * engine parses natively — rather than nested StructField trees. Keys
+  * match the reference's `SCHEMA_MAP` / `YFINANCE_SCHEMA_MAP` table names
+  * so metadata configs stay interchangeable.
+  *
+  * Date-like Companies House fields (`date_of_creation`, filing `date`)
+  * land as strings on purpose and are cast downstream with `to_date`,
+  * exactly as the reference does (`b2s_company_house.py:68,94`).
   */
 object SchemaRegistry {
 
-  // -- Companies House bronze (nested JSON) — utils/schema.py:7-35 --
+  private def ddl(s: String): StructType = StructType.fromDDL(s)
 
-  val overview: StructType = StructType(Seq(
-    StructField("company_name", StringType),
-    StructField("company_number", StringType),
-    StructField("company_status", StringType),
-    StructField("date_of_creation", StringType), // ISO date-as-string; cast downstream
-    StructField("jurisdiction", StringType),
-    StructField("type", StringType),
-    StructField("etag", StringType),
-    StructField("has_charges", BooleanType),
-    StructField("has_insolvency_history", BooleanType)))
+  // Companies House bronze: nested JSON payloads.
+  val overview: StructType = ddl(
+    """company_name string, company_number string, company_status string,
+       date_of_creation string, jurisdiction string, type string,
+       etag string, has_charges boolean, has_insolvency_history boolean""")
 
-  val officers: StructType = StructType(Seq(
-    StructField("items", ArrayType(StructType(Seq(
-      StructField("name", StringType),
-      StructField("officer_role", StringType),
-      StructField("appointed_on", StringType),
-      StructField("nationality", StringType)))))))
+  val officers: StructType = ddl(
+    """items array<struct<name: string, officer_role: string,
+                          appointed_on: string, nationality: string>>""")
 
-  val filingHistory: StructType = StructType(Seq(
-    StructField("items", ArrayType(StructType(Seq(
-      StructField("date", StringType),
-      StructField("type", StringType),
-      StructField("description", StringType),
-      StructField("category", StringType)))))))
+  val filingHistory: StructType = ddl(
+    """items array<struct<date: string, type: string,
+                          description: string, category: string>>""")
 
-  // -- Yahoo Finance bronze (flat CSV) — utils/schema.py:51-110 --
+  // Yahoo Finance bronze: flat CSV extracts.
+  val companyDetails: StructType = ddl(
+    """company_name string, company_number string, ticker string,
+       symbol string, short_name string, long_name string, industry string,
+       sector string, country string, exchange string, market_cap bigint,
+       website string, ingestion_date date""")
 
-  val companyDetails: StructType = StructType(Seq(
-    StructField("company_name", StringType),
-    StructField("company_number", StringType),
-    StructField("ticker", StringType),
-    StructField("symbol", StringType),
-    StructField("short_name", StringType),
-    StructField("long_name", StringType),
-    StructField("industry", StringType),
-    StructField("sector", StringType),
-    StructField("country", StringType),
-    StructField("exchange", StringType),
-    StructField("market_cap", LongType),
-    StructField("website", StringType),
-    StructField("ingestion_date", DateType)))
+  val fundamentals: StructType = ddl(
+    """company_name string, company_number string, ticker string,
+       quarter_end_date date, total_revenue double, gross_profit double,
+       operating_income double, net_income double, ebitda double,
+       total_assets double, total_liabilities double, cash double,
+       long_term_debt double, operating_cash_flow double,
+       capital_expenditure double, free_cash_flow double,
+       ingestion_date date""")
 
-  val fundamentals: StructType = StructType(Seq(
-    StructField("company_name", StringType),
-    StructField("company_number", StringType),
-    StructField("ticker", StringType),
-    StructField("quarter_end_date", DateType),
-    StructField("total_revenue", DoubleType),
-    StructField("gross_profit", DoubleType),
-    StructField("operating_income", DoubleType),
-    StructField("net_income", DoubleType),
-    StructField("ebitda", DoubleType),
-    StructField("total_assets", DoubleType),
-    StructField("total_liabilities", DoubleType),
-    StructField("cash", DoubleType),
-    StructField("long_term_debt", DoubleType),
-    StructField("operating_cash_flow", DoubleType),
-    StructField("capital_expenditure", DoubleType),
-    StructField("free_cash_flow", DoubleType),
-    StructField("ingestion_date", DateType)))
+  val trading: StructType = ddl(
+    """company_number string, ticker string, date date, open double,
+       high double, low double, close double, adj_close double,
+       volume bigint, ingestion_date date""")
 
-  val trading: StructType = StructType(Seq(
-    StructField("company_number", StringType),
-    StructField("ticker", StringType),
-    StructField("date", DateType),
-    StructField("open", DoubleType),
-    StructField("high", DoubleType),
-    StructField("low", DoubleType),
-    StructField("close", DoubleType),
-    StructField("adj_close", DoubleType),
-    StructField("volume", LongType),
-    StructField("ingestion_date", DateType)))
-
-  /** Companies House map — mirrors `utils/schema.py:41-45`. */
+  /** Table-name → schema maps, keyed like the reference's two registries. */
   val companiesHouse: Map[String, StructType] = Map(
     "overview" -> overview,
     "officers" -> officers,
     "filing_history" -> filingHistory)
 
-  /** Yahoo Finance map — mirrors `utils/schema.py:51-110`. */
   val yfinance: Map[String, StructType] = Map(
     "company_details" -> companyDetails,
     "fundamentals_data" -> fundamentals,

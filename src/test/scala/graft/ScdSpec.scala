@@ -48,6 +48,25 @@ class ScdSpec extends SparkSpec {
     assert(c.length == 1 && c.head.getAs[Boolean]("is_current"))
   }
 
+  test("scd2 dedupes a source batch carrying the same key twice") {
+    // Raw-zone re-delivery: key 'a' arrives twice in one batch. The merge
+    // must keep at most one current row per key, picking the winner
+    // deterministically (greatest sourceOrder column = latest delivery).
+    val init = scd2("2026-01-01").initialize(tbl("a" -> "1"))
+    val src = Seq(("a", "2", 1L), ("a", "3", 2L), ("a", "2", 0L))
+      .toDF("k", "v", "seq")
+    val scd = new Scd2(keys, tracked, clock = Clock.fixed("2026-02-01"),
+      sourceOrder = Seq("seq"))
+    val out = scd.merge(init.withColumn("seq", lit(0L)), src)
+    val cur = out.filter(col("is_current") === true).collect()
+    assert(cur.length == 1 && cur.head.getAs[String]("v") == "3")
+    assert(out.count() == 2) // expired original + one new version
+
+    // initialize() holds the invariant from the very first batch too.
+    val first = scd.initialize(src)
+    assert(first.count() == 1 && first.head.getAs[String]("v") == "3")
+  }
+
   test("scd2 merge is a no-op for identical source (idempotent replay)") {
     val init = scd2("2026-01-01").initialize(tbl("a" -> "1", "b" -> "2"))
     val out = scd2("2026-02-01").merge(init, tbl("a" -> "1", "b" -> "2"))

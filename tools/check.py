@@ -68,13 +68,25 @@ for name, sql in sorted(oracle.items()):
     if mism:
         print(f"  FAIL {name}: row {mism[0]} spark={mism[1]} oracle={mism[2]}")
         bad += 1
-    else:
-        # dtype advisory (driver may or may not be strict)
-        sd, od = dict(sdf.dtypes.astype(str)), dict(odf.dtypes.astype(str))
-        dmism = {c: (sd[c], od[c]) for c in sd if sd[c] != od.get(c)}
-        note = f"  [dtype diff: {dmism}]" if dmism else ""
-        print(f"  ok   {name} ({len(srows)} rows){note}")
-        ok += 1
+        continue
+    # The driver hashes *stringified* values, so an int on one side and a
+    # float on the other ("3" vs "3.0") mismatches even when == in Python.
+    # DuckDB's SUM(BIGINT) -> HUGEINT -> pandas float64 is the classic way
+    # to trip this; treat any int/float family crossing as a failure.
+    sd, od = dict(sdf.dtypes.astype(str)), dict(odf.dtypes.astype(str))
+    def fam(dt):
+        return "int" if dt.startswith(("int", "uint")) else \
+               "float" if dt.startswith("float") else dt
+    cross = {c: (sd[c], od[c]) for c in sd
+             if c in od and {fam(sd[c]), fam(od[c])} == {"int", "float"}}
+    if cross:
+        print(f"  FAIL {name}: int/float dtype crossing {cross}")
+        bad += 1
+        continue
+    dmism = {c: (sd[c], od[c]) for c in sd if sd[c] != od.get(c)}
+    note = f"  [dtype diff: {dmism}]" if dmism else ""
+    print(f"  ok   {name} ({len(srows)} rows){note}")
+    ok += 1
 
 # queries without oracle → rows-only check
 for d in sorted(glob.glob(f"{OUT}/*/")):
