@@ -1,0 +1,46 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Point-in-interval range joins: attach to each point row the interval
+  * row(s) with `lo <= value < hi`. Spark has no native range-join
+  * strategy, and the naive `a.join(b, a(v) >= b(lo) && a(v) < b(hi))`
+  * plans as a nested-loop — O(points × intervals) compares.
+  *
+  * Two scale paths:
+  *  - [[broadcastJoin]]: when the interval side is a small dimension
+  *    (band tables, rate cards), broadcast it and let every executor do a
+  *    local per-row scan — no shuffle at all; at a few thousand intervals
+  *    this beats any clever structure.
+  *  - [[binnedJoin]]: when both sides are large, discretize: each
+  *    interval replicates into the fixed-width bins it covers
+  *    (`sequence`+`explode`), each point keys into its single bin, and an
+  *    ordinary shuffled equi-join on the bin plus an exact residual filter
+  *    finishes the job. Shuffle volume is |points| + Σ interval-widths/bin
+  *    — linear, skew-safe, AQE-coalescible; pick binWidth near the median
+  *    interval width so replication stays O(1) per interval.
+  */
+object RangeJoin {
+
+  def broadcastJoin(points: DataFrame, value: String,
+                    intervals: DataFrame, lo: String, hi: String): DataFrame =
+    points.join(broadcast(intervals),
+      points(value) >= intervals(lo) && points(value) < intervals(hi))
+
+  def binnedJoin(points: DataFrame, value: String,
+                 intervals: DataFrame, lo: String, hi: String,
+                 binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val ip = intervals.withColumn("__bin",
+      explode(sequence(
+        floor(col(lo) / binWidth).cast("long"),
+        // hi is exclusive: an interval ending exactly on a bin edge does
+        // not reach into the next bin.
+        floor((col(hi) - lit(1e-9)) / binWidth).cast("long"))))
+    val pp = points.withColumn("__bin", floor(col(value) / binWidth).cast("long"))
+    pp.join(ip, Seq("__bin"))
+      .filter(col(value) >= col(lo) && col(value) < col(hi))
+      .drop("__bin")
+  }
+}

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Dedup, DuckSql, Multimodal, Par, Similarity, TextKit}
+import graft.ext.{AsOf, Dedup, DuckSql, Multimodal, Par, RangeJoin, Similarity, TextKit}
 import graft.streaming.EventStreams
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -202,6 +202,98 @@ object Extensions {
     Multimodal.decodeStub(Multimodal.toMedia(docs(spark, sfDir))).toDF()
   }
 
+  // --------------------------------------------------- time-series joins
+  /** As-of join: each purchase picks up the user's most recent click at
+    * or before the purchase time ([[graft.ext.AsOf]] — one key shuffle,
+    * no range explosion). The click side is pre-reduced to one row per
+    * (user, ts) so ties are deterministic in both engines. */
+  def asofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Parity.events(spark, sfDir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "event_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy("user_id", "ts").agg(
+        max(col("event_id")).as("click_id"),
+        max_by(col("value"), col("event_id")).as("click_value"))
+      .withColumn("click_ts", col("ts"))
+    AsOf.joinBackward(purchases, clicks, Seq("user_id"),
+        leftTs = "ts", rightTs = "ts",
+        payload = Seq("click_id", "click_value", "click_ts"), tiebreak = "click_id")
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("tse"),
+        col("click_id"),
+        unix_timestamp(col("click_ts")).as("click_tse"),
+        col("click_value"),
+        (unix_timestamp(col("ts")) - unix_timestamp(col("click_ts"))).as("gap_s"))
+  }
+
+  /** Range join: orders priced into value bands via the binned path
+    * ([[graft.ext.RangeJoin.binnedJoin]]) — bin width deliberately
+    * misaligned with the band width so intervals replicate across bins. */
+  def rangeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val bands = (0 until 10)
+      .map(i => (f"band_$i%02d", i * 50000.0, (i + 1) * 50000.0))
+      .toDF("band", "lo", "hi")
+    RangeJoin.binnedJoin(
+        Parity.table(spark, sfDir, "orders"), "o_totalprice",
+        bands, "lo", "hi", binWidth = 20000L)
+      .groupBy("band")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+  }
+
+  // ------------------------------------------------------------- reshape
+  /** Pivot: order counts + exact sums per priority × status. Pivot values
+    * are DECLARED, not discovered — `pivot(col)` without values runs a
+    * driver-side distinct scan first, which is the anti-pattern at scale. */
+  def pivotStatus(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Parity.table(spark, sfDir, "orders")
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum"))
+    p.select(col("o_orderpriority") +:
+      Seq("F", "O", "P").flatMap(s => Seq(
+        coalesce(col(s"${s}_n"), lit(0L)).as(s"${s}_n"), col(s"${s}_sum"))): _*)
+  }
+
+  // ------------------------------------------------------------ sampling
+  /** Deterministic stratified sampling: per-language keep rates decided by
+    * a content hash (`polyHash(doc_id:lang) % 100 < rate`) — reproducible
+    * across runs/engines/cluster sizes, no RNG state, embarrassingly
+    * parallel. The per-stratum report proves the rates. */
+  def stratifiedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val rate = when(col("lang") === "en", 10)
+      .when(col("lang") === "de", 30).otherwise(50)
+    docs(spark, sfDir)
+      .filter(TextKit.polyHash(concat(col("doc_id").cast("string"), lit(":"), col("lang"))) % 100 < rate)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
+        sum(col("n_chars")).as("sum_chars"))
+  }
+
+  /** TF-IDF (rational form): score = tf · N / df — log-free so the
+    * arithmetic is one IEEE multiply + divide and bit-identical across
+    * engines; ranking is unchanged because ln is monotone. Emits each
+    * doc's top term. N joins in via a broadcast 1-row aggregate, never a
+    * driver-side collect. */
+  def tfidfTop(spark: SparkSession, sfDir: String): DataFrame = {
+    val terms = docs(spark, sfDir)
+      .select(col("doc_id"), explode(TextKit.words(col("text"))).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs(spark, sfDir).agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, Seq("term")).crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf").cast(DoubleType) * col("n_docs").cast(DoubleType) / col("df").cast(DoubleType))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("doc_id", "term", "tf", "df", "n_docs", "score")
+  }
+
   // ------------------------------------------------------------ streaming
   /** Batch twin of the streaming hourly rollup (same code path). */
   def eventWindow(spark: SparkSession, sfDir: String): DataFrame =
@@ -232,7 +324,12 @@ object Extensions {
     "x_ngram_freq" -> ngramFreq _,
     "x_percentiles" -> percentiles _,
     "x_ann_lsh" -> annLsh _,
-    "x_curation_pipeline" -> curationPipeline _)
+    "x_curation_pipeline" -> curationPipeline _,
+    "x_asof_join" -> asofJoin _,
+    "x_range_join" -> rangeJoin _,
+    "x_pivot" -> pivotStatus _,
+    "x_stratified_sample" -> stratifiedSample _,
+    "x_tfidf" -> tfidfTop _)
 
   // ----------------------------------------------------------- oracle SQL
   // Shared SQL fragments (DuckDB dialect), mirroring TextKit/DuckSql.
@@ -485,5 +582,60 @@ object Extensions {
             CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
             CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
           FROM q WHERE doc_id NOT IN (SELECT doc_id FROM drops)
-          GROUP BY lang""")
+          GROUP BY lang""",
+    "x_asof_join" ->
+      """WITH p AS (SELECT user_id, event_id, ts FROM events
+                    WHERE event_type = 'purchase'),
+           c AS (SELECT user_id, ts, MAX(event_id) AS click_id,
+                   arg_max(value, event_id) AS click_value
+                 FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+         SELECT p.user_id, p.event_id,
+           CAST(FLOOR(epoch(p.ts)) AS BIGINT) AS tse,
+           c.click_id,
+           CAST(FLOOR(epoch(c.ts)) AS BIGINT) AS click_tse,
+           c.click_value,
+           CAST(FLOOR(epoch(p.ts)) AS BIGINT)
+             - CAST(FLOOR(epoch(c.ts)) AS BIGINT) AS gap_s
+         FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""",
+    "x_range_join" ->
+      """WITH bands AS (
+           SELECT 'band_' || lpad(CAST(i AS VARCHAR), 2, '0') AS band,
+             CAST(i * 50000 AS DOUBLE) AS lo, CAST((i+1) * 50000 AS DOUBLE) AS hi
+           FROM generate_series(0, 9) t(i))
+         SELECT band, count(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM orders JOIN bands
+           ON o_totalprice >= lo AND o_totalprice < hi
+         GROUP BY band""",
+    "x_pivot" -> {
+      def cell(s: String) =
+        s"""coalesce(count(*) FILTER (o_orderstatus = '$s'), 0) AS "${s}_n",
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+              FILTER (o_orderstatus = '$s') AS DOUBLE) AS "${s}_sum\""""
+      s"""SELECT o_orderpriority, ${Seq("F", "O", "P").map(cell).mkString(", ")}
+          FROM orders GROUP BY o_orderpriority"""
+    },
+    "x_stratified_sample" -> {
+      val h = DuckSql.polyHash("CAST(doc_id AS VARCHAR) || ':' || lang")
+      s"""SELECT lang, count(*) AS n_kept,
+            MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+            CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+          FROM documents
+          WHERE $h % 100 < CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 30
+                           ELSE 50 END
+          GROUP BY lang"""
+    },
+    "x_tfidf" ->
+      s"""WITH t AS (SELECT doc_id, unnest($W) AS term FROM documents),
+          tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+          df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+          n AS (SELECT count(*) AS n_docs FROM documents),
+          s AS (SELECT tf.doc_id, tf.term, tf.tf, df.df, n.n_docs,
+                  CAST(tf.tf AS DOUBLE) * CAST(n.n_docs AS DOUBLE)
+                    / CAST(df.df AS DOUBLE) AS score
+                FROM tf JOIN df USING (term) CROSS JOIN n)
+          SELECT doc_id, term, tf, df, n_docs, score FROM (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+              ORDER BY score DESC, term) AS rn FROM s)
+          WHERE rn = 1""")
 }

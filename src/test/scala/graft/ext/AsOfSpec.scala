@@ -1,0 +1,53 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join semantics: inclusive match, per-key isolation,
+  * null payload before the first right row, deterministic tie winners. */
+class AsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(left: Seq[(Int, Long)], right: Seq[(Int, Long, String, Long)]) =
+    AsOf.joinBackward(
+        left.toDF("k", "ts"),
+        right.toDF("k", "ts", "v", "ord"),
+        keys = Seq("k"), leftTs = "ts", rightTs = "ts",
+        payload = Seq("v"), tiebreak = "ord")
+      .select("k", "ts", "v").as[(Int, Long, Option[String])]
+      .collect().toSet
+
+  test("picks the most recent right row at or before each left ts") {
+    val out = run(
+      left = Seq((1, 5L), (1, 10L), (1, 99L)),
+      right = Seq((1, 3L, "a", 0L), (1, 10L, "b", 0L), (1, 12L, "c", 0L)))
+    assert(out == Set((1, 5L, Some("a")), (1, 10L, Some("b")), (1, 99L, Some("c"))))
+  }
+
+  test("left rows before any right row get a null payload") {
+    val out = run(left = Seq((1, 1L)), right = Seq((1, 5L, "late", 0L)))
+    assert(out == Set((1, 1L, None)))
+  }
+
+  test("keys do not leak into each other") {
+    val out = run(
+      left = Seq((1, 10L), (2, 10L)),
+      right = Seq((1, 4L, "one", 0L), (2, 6L, "two", 0L)))
+    assert(out == Set((1, 10L, Some("one")), (2, 10L, Some("two"))))
+  }
+
+  test("ties on (key, ts) resolve to the greatest tiebreak value") {
+    val out = run(
+      left = Seq((1, 7L)),
+      right = Seq((1, 7L, "lo", 1L), (1, 7L, "hi", 2L)))
+    assert(out == Set((1, 7L, Some("hi"))))
+  }
+
+  test("rejects payload names colliding with left columns") {
+    val l = Seq((1, 2L)).toDF("k", "ts").withColumn("v", lit("x"))
+    val r = Seq((1, 1L, "y", 0L)).toDF("k", "ts", "v", "ord")
+    intercept[IllegalArgumentException] {
+      AsOf.joinBackward(l, r, Seq("k"), "ts", "ts", Seq("v"), "ord")
+    }
+  }
+}
