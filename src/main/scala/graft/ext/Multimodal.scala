@@ -12,6 +12,10 @@ case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte])
 case class MediaMeta(doc_id: Long, media_type: String, n_bytes: Long,
                      frame_count: Long, sample_sum: Long, sample_hash: Long)
 
+/** One sampled frame (decode-stage output, one-to-many per media row). */
+case class FrameSample(doc_id: Long, media_type: String,
+                       frame_idx: Long, frame_byte: Long)
+
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, decoded partition-locally via a typed
   * `Dataset.mapPartitions` (the Scala analogue of `mapInPandas` batches).
@@ -57,6 +61,36 @@ object Multimodal {
         MediaMeta(m.doc_id, m.media_type, n.toLong,
           frame_count = (n.toLong + FrameStride - 1) / FrameStride,
           sample_sum = sum, sample_hash = h)
+      }
+    }
+  }
+
+  /** Media-type → frame sampling step: images keep only frame 0, video
+    * keyframes every 4th frame, audio windows every 8th. */
+  def frameStep(mediaType: String): Int = mediaType match {
+    case "image" => Int.MaxValue
+    case "video" => 4
+    case _       => 8
+  }
+
+  /** Frame sampling with per-type dispatch — the one-to-many decode shape
+    * (one media row → N frame rows) that real image/video pipelines need
+    * before per-frame feature extraction. Same typed `mapPartitions`
+    * plumbing as [[decodeStub]]: the payload bytes never shuffle, the
+    * emitted frames are scalar rows that downstream relational ops
+    * consume. The "frame" is a [[FrameStride]]-byte stride and the
+    * "decoded feature" its first byte — a stand-in for the codec this
+    * container can't host — but batch iteration, dispatch, and fan-out
+    * are the real, load-bearing parts. */
+  def sampleFrames(media: Dataset[MediaRow])(implicit spark: SparkSession): Dataset[FrameSample] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { m =>
+        val frames = (m.payload.length + FrameStride - 1) / FrameStride
+        (0 until frames by frameStep(m.media_type)).iterator.map { idx =>
+          FrameSample(m.doc_id, m.media_type, idx.toLong,
+            (m.payload(idx * FrameStride) & 0xff).toLong)
+        }
       }
     }
   }

@@ -202,6 +202,13 @@ object Extensions {
     Multimodal.decodeStub(Multimodal.toMedia(docs(spark, sfDir))).toDF()
   }
 
+  /** Frame sampling with per-media-type dispatch (one media row → N frame
+    * rows) — the decode fan-out stage of an image/video pipeline. */
+  def frameSample(spark: SparkSession, sfDir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    Multimodal.sampleFrames(Multimodal.toMedia(docs(spark, sfDir))).toDF()
+  }
+
   // --------------------------------------------------- time-series joins
   /** As-of join: each purchase picks up the user's most recent click at
     * or before the purchase time ([[graft.ext.AsOf]] — one key shuffle,
@@ -319,6 +326,7 @@ object Extensions {
     "x_ann_topk" -> annTopK _,
     "x_ann_ivf" -> annIvf _,
     "m_media_meta" -> mediaMeta _,
+    "m_frame_sample" -> frameSample _,
     "x_event_window" -> eventWindow _,
     "x_sessionize" -> sessionize _,
     "x_ngram_freq" -> ngramFreq _,
@@ -489,6 +497,19 @@ object Extensions {
               (a, b) -> (a*31 + b) % ${DuckSql.P}) AS sample_hash
           FROM documents"""
     },
+    "m_frame_sample" ->
+      """WITH m AS (
+           SELECT doc_id,
+             CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                  ELSE 'video' END AS media_type,
+             text, (length(text) + 63) // 64 AS fc
+           FROM documents)
+         SELECT doc_id, media_type,
+           CAST(i AS BIGINT) AS frame_idx,
+           CAST(ascii(substr(text, i*64 + 1, 1)) AS BIGINT) AS frame_byte
+         FROM m, unnest(generate_series(0, fc - 1,
+           CASE media_type WHEN 'image' THEN 2147483647
+                           WHEN 'video' THEN 4 ELSE 8 END)) t(i)""",
     "x_event_window" ->
       """SELECT event_type,
            CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,

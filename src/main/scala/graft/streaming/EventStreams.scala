@@ -136,6 +136,31 @@ object EventStreams {
       }
   }
 
+  /** Incremental SCD2 over a stream: every micro-batch merges into the
+    * versioned dimension table via `foreachBatch` — the streaming form of
+    * the reference's silver merge job (`b2s_yfinance.py:142-186`, which
+    * runs per scheduled batch; here the scheduler is the stream trigger).
+    * Each merge is the same deterministic batch dataflow as
+    * [[graft.scd.Scd2.merge]], and [[graft.core.TableCatalog]]'s
+    * versioned-pointer overwrite gives the read-modify-write step the
+    * single-writer atomicity Delta's MERGE provided in the reference.
+    * Returns a started query; callers own its lifecycle. */
+  def scd2Sink(
+      source: DataFrame,
+      scd: graft.scd.Scd2,
+      catalog: graft.core.TableCatalog,
+      table: String): org.apache.spark.sql.streaming.StreamingQuery =
+    source.writeStream
+      .outputMode(OutputMode.Update)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val merged =
+          if (catalog.exists(table)) scd.merge(catalog.read(spark, table), batch.toDF())
+          else scd.initialize(batch.toDF())
+        catalog.overwrite(merged, table)
+      }
+      .start()
+
   /** Watermarked streaming hourly rollup: tumbling event-time window with
     * 2h lateness bound — state is bounded, late rows beyond the watermark
     * drop instead of growing state forever. */

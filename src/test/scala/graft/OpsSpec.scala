@@ -91,4 +91,19 @@ class OpsSpec extends SparkSpec {
     assert(meta.sample_sum == samples.sum)
     assert(meta.sample_hash == samples.foldLeft(0L)((a, b) => (a * 31 + b) % graft.ext.TextKit.P))
   }
+
+  test("frame sampling dispatches per media type") {
+    implicit val s = spark
+    // doc_id % 3 decides the type: 0→image, 1→audio, 2→video.
+    // 18 frames each (64*18 = 1152 bytes; text of 1100 chars → 18 frames)
+    val text = "x" * 1100
+    val docs = Seq((0L, text), (1L, text), (2L, text)).toDF("doc_id", "text")
+    val frames = Multimodal.sampleFrames(Multimodal.toMedia(docs)).collect()
+      .groupBy(_.media_type).view.mapValues(_.map(_.frame_idx).sorted.toSeq).toMap
+    assert(frames("image") == Seq(0L))                       // first frame only
+    assert(frames("video") == Seq(0L, 4L, 8L, 12L, 16L))     // every 4th
+    assert(frames("audio") == Seq(0L, 8L, 16L))              // every 8th
+    assert(Multimodal.sampleFrames(Multimodal.toMedia(
+      Seq((2L, "")).toDF("doc_id", "text"))).isEmpty)        // empty payload
+  }
 }

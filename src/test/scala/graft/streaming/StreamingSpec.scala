@@ -137,6 +137,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("scd2Sink maintains dimension history across micro-batches") {
+    import graft.core.{Clock, TableCatalog}
+    import graft.scd.Scd2
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val catalog = new TableCatalog(
+      java.nio.file.Files.createTempDirectory("graft-scd2-stream").toString)
+    val scd = new Scd2(Seq("k"), Seq("v"), clock = Clock.fixed("2026-03-01"))
+
+    val mem = MemoryStream[(String, String)]
+    val q = EventStreams.scd2Sink(mem.toDF().toDF("k", "v"), scd, catalog, "dim")
+    try {
+      mem.addData(("a", "1"), ("b", "2"))
+      q.processAllAvailable()
+      assert(catalog.read(spark, "dim").count() == 2)
+
+      // batch 2: a changes, c arrives, b silent → expire a, insert a', c
+      mem.addData(("a", "9"), ("c", "3"))
+      q.processAllAvailable()
+      val dim = catalog.read(spark, "dim")
+      assert(dim.count() == 4)
+      val current = dim.filter(col("is_current") === true)
+        .select("k", "v").as[(String, String)].collect().toMap
+      assert(current == Map("a" -> "9", "b" -> "2", "c" -> "3"))
+      assert(dim.filter(col("is_current") === false).count() == 1)
+
+      // replay of batch 2 is a no-op (idempotent re-delivery)
+      mem.addData(("a", "9"), ("c", "3"))
+      q.processAllAvailable()
+      assert(catalog.read(spark, "dim").count() == 4)
+    } finally q.stop()
+  }
+
   test("batch hourlyRollup groups by hour and sums exactly") {
     import spark.implicits._
     val events = Seq(
