@@ -78,15 +78,16 @@ object Dedup {
           .reduce((acc, s) => acc * 31 + s), lit(-1L)))).as(Seq("band", "bucket")))
 
   /** MinHash+LSH near-dup pairs, exact-Jaccard-verified.
-    * 32 bands × 2 rows over a k=64 signature: catch probability
-    * 1-(1-j^2)^32 ≈ 1 - 6e-15 at j=0.8 — a pigeonhole-sized recall margin
-    * rather than a merely-likely one, so regenerated corpora / new scale
-    * factors can't silently miss a qualifying pair. The wider bands admit
-    * more low-similarity candidates, but every candidate is verified with
-    * exact Jaccard (array_intersect on the two shingle sets), so precision
-    * stays exact; the extra verify joins are bucket-keyed and cheap. */
+    * 22 bands × 3 rows over a k=66 signature: catch probability
+    * 1-(1-j^3)^22 ≈ 1 - 1.4e-7 at j=0.8 — ~2000× more recall margin than
+    * the 16×4 default, so regenerated corpora / new scale factors don't
+    * silently miss a qualifying pair, while 3-row bands keep candidate
+    * precision high (2-row bands admit ~4× the low-similarity candidates
+    * and measurably blow up the verify join). Precision is exact either
+    * way: every candidate is verified with exact Jaccard
+    * (array_intersect on the two shingle sets). */
   def minHashNearDups(docs: DataFrame, threshold: Double = 0.8,
-                      k: Int = 64, bands: Int = 32): DataFrame = {
+                      k: Int = 66, bands: Int = 22): DataFrame = {
     val rows = k / bands
     // One materialized base carrying shingles + signature: expensive
     // projections sit between two exchanges, so every consumer (both

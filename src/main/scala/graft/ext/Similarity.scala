@@ -27,8 +27,16 @@ import org.apache.spark.sql.types.DoubleType
   */
 object Similarity {
 
-  /** Serial-fold dot product of two float arrays in double. */
-  def dot(a: Column, b: Column): Column =
+  /** Serial-fold dot product of two float arrays in double — the native
+    * codegen expression ([[graft.functions.DotProduct]]); identical fold
+    * order and null semantics to the HOF form [[dotHof]], so oracle
+    * hash-equality is preserved while the ANN inner loop stays inside
+    * whole-stage codegen with no per-pair intermediate array. */
+  def dot(a: Column, b: Column): Column = graft.functions.DotProduct(a, b)
+
+  /** Higher-order-function twin of [[dot]] (kept as the executable
+    * specification the codegen expression is tested against). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
       lit(0.0), (acc, v) => acc + v)
 

@@ -11,12 +11,16 @@ import org.apache.spark.sql.SparkSessionExtensions
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(PolyHash.registration)
+    ext.injectFunction(DotProduct.registration)
   }
 }
 
 object GraftExtensions {
   /** Post-hoc registration on an already-built session. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      PolyHash.registration._1, PolyHash.registration._2, PolyHash.registration._3)
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    Seq(PolyHash.registration, DotProduct.registration).foreach { r =>
+      reg.registerFunction(r._1, r._2, r._3)
+    }
+  }
 }
