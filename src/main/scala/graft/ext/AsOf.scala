@@ -1,8 +1,13 @@
 package graft.ext
 
+import graft.plans.{AsOfJoin, AsOfJoinStrategy}
+
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.Attribute
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
 
 /** Backward as-of join: each left row picks up the payload of the most
   * recent right row with the same key and `right.ts <= left.ts`
@@ -71,5 +76,43 @@ object AsOf {
       .select(keyCols ++ Seq(col("__ts").as(leftTs)) ++
         leftCols.map(c => col(s"__l.$c").as(c)) ++
         payload.map(c => col(s"__asof.$c").as(c)): _*)
+  }
+
+  /** Whole-operator form of [[joinBackward]] via the native
+    * [[graft.plans.AsOfJoinExec]] merge sweep (same semantics, same
+    * oracle; one hash-clustered shuffle per SIDE in its own row shape
+    * instead of one union-shaped shuffle, and O(1) join state per
+    * partition). Output: every left column, then the payload columns. */
+  def joinBackwardNative(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      payload: Seq[String],
+      tiebreak: String): DataFrame = {
+    val clash = payload.toSet.intersect(left.columns.toSet)
+    require(clash.isEmpty, s"payload collides with left columns: $clash")
+
+    val spark = left.sparkSession
+    Bridge.installStrategy(spark, AsOfJoinStrategy)
+    // Prune the right side explicitly: generic optimizer rules don't see
+    // through a custom node, so column pruning must happen at build time.
+    // Both sides re-alias every column to itself: when left and right
+    // derive from the SAME relation, DeduplicateRelations re-instances
+    // one subtree's exprIds, and it does not rewrite expressions held by
+    // a node type it doesn't know. Fresh boundary Aliases keep their
+    // exprIds through that rewrite, so the node's key/ts/payload
+    // references stay valid no matter which side gets re-instanced.
+    val rCols = (keys ++ Seq(rightTs, tiebreak) ++ payload).distinct
+    val rPlan = Bridge.analyzed(right.select(rCols.map(c => col(c).as(c)): _*))
+    val lPlan = Bridge.analyzed(left.select(left.columns.toSeq.map(c => col(c).as(c)): _*))
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"column $n not found in ${p.output.map(_.name)}"))
+    Bridge.ofRows(spark, AsOfJoin(lPlan, rPlan,
+      keys.map(attr(lPlan, _)), keys.map(attr(rPlan, _)),
+      attr(lPlan, leftTs), attr(rPlan, rightTs),
+      payload.map(attr(rPlan, _)), attr(rPlan, tiebreak)))
   }
 }

@@ -1,14 +1,35 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic
 import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.execution.SparkStrategy
 
-/** Bridge into `private[sql]` helpers so graft's native Expressions can be
-  * exposed through the public Column API. Standard extension-library
-  * pattern: the object lives under `org.apache.spark.sql` purely for
-  * access; no Spark internals are modified. */
+/** Bridge into `private[sql]` helpers so graft's native Expressions and
+  * LogicalPlans can be exposed through the public Column/DataFrame API.
+  * Standard extension-library pattern: the object lives under
+  * `org.apache.spark.sql` purely for access; no Spark internals are
+  * modified. */
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Analyzed logical plan of a DataFrame (for wrapping in custom nodes). */
+  def analyzed(df: DataFrame): LogicalPlan =
+    df.asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]].queryExecution.analyzed
+
+  /** DataFrame over a custom LogicalPlan. */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Idempotently install an extra planner strategy on a live session
+    * (the route for sessions built without `spark.sql.extensions`). */
+  def installStrategy(spark: SparkSession, s: SparkStrategy): Unit = {
+    val exp = spark.asInstanceOf[classic.SparkSession].experimental
+    if (!exp.extraStrategies.contains(s)) {
+      exp.extraStrategies = exp.extraStrategies :+ s
+    }
+  }
 }

@@ -214,7 +214,20 @@ object Extensions {
     * or before the purchase time ([[graft.ext.AsOf]] — one key shuffle,
     * no range explosion). The click side is pre-reduced to one row per
     * (user, ts) so ties are deterministic in both engines. */
-  def asofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+  def asofJoin(spark: SparkSession, sfDir: String): DataFrame =
+    asofShaped(spark, sfDir, AsOf.joinBackward)
+
+  /** Same query through the native merge-sweep operator
+    * ([[graft.plans.AsOfJoinExec]]) — proves the custom
+    * LogicalPlan/Strategy/SparkPlan path against the identical DuckDB
+    * ASOF oracle. */
+  def asofNative(spark: SparkSession, sfDir: String): DataFrame =
+    asofShaped(spark, sfDir, AsOf.joinBackwardNative)
+
+  private def asofShaped(
+      spark: SparkSession, sfDir: String,
+      join: (DataFrame, DataFrame, Seq[String], String, String, Seq[String], String) => DataFrame)
+      : DataFrame = {
     val ev = Parity.events(spark, sfDir)
     val purchases = ev.filter(col("event_type") === "purchase")
       .select("user_id", "event_id", "ts")
@@ -223,9 +236,9 @@ object Extensions {
         max(col("event_id")).as("click_id"),
         max_by(col("value"), col("event_id")).as("click_value"))
       .withColumn("click_ts", col("ts"))
-    AsOf.joinBackward(purchases, clicks, Seq("user_id"),
-        leftTs = "ts", rightTs = "ts",
-        payload = Seq("click_id", "click_value", "click_ts"), tiebreak = "click_id")
+    join(purchases, clicks, Seq("user_id"),
+        "ts", "ts",
+        Seq("click_id", "click_value", "click_ts"), "click_id")
       .select(col("user_id"), col("event_id"),
         unix_timestamp(col("ts")).as("tse"),
         col("click_id"),
@@ -334,6 +347,7 @@ object Extensions {
     "x_ann_lsh" -> annLsh _,
     "x_curation_pipeline" -> curationPipeline _,
     "x_asof_join" -> asofJoin _,
+    "x_asof_native" -> asofNative _,
     "x_range_join" -> rangeJoin _,
     "x_pivot" -> pivotStatus _,
     "x_stratified_sample" -> stratifiedSample _,
@@ -342,6 +356,23 @@ object Extensions {
   // ----------------------------------------------------------- oracle SQL
   // Shared SQL fragments (DuckDB dialect), mirroring TextKit/DuckSql.
   private val W = "string_split(text, ' ')"
+
+  /** Shared by x_asof_join (composed) and x_asof_native (custom exec):
+    * one oracle, two execution strategies. */
+  private val asofOracle =
+    """WITH p AS (SELECT user_id, event_id, ts FROM events
+                  WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts, MAX(event_id) AS click_id,
+                 arg_max(value, event_id) AS click_value
+               FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+       SELECT p.user_id, p.event_id,
+         CAST(FLOOR(epoch(p.ts)) AS BIGINT) AS tse,
+         c.click_id,
+         CAST(FLOOR(epoch(c.ts)) AS BIGINT) AS click_tse,
+         c.click_value,
+         CAST(FLOOR(epoch(p.ts)) AS BIGINT)
+           - CAST(FLOOR(epoch(c.ts)) AS BIGINT) AS gap_s
+       FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts"""
   private def listSum(l: String) =
     s"list_reduce(list_prepend(0::BIGINT, $l), (a, b) -> a + b)"
   private def dotD(a: String, b: String) =
@@ -604,20 +635,8 @@ object Extensions {
             CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
           FROM q WHERE doc_id NOT IN (SELECT doc_id FROM drops)
           GROUP BY lang""",
-    "x_asof_join" ->
-      """WITH p AS (SELECT user_id, event_id, ts FROM events
-                    WHERE event_type = 'purchase'),
-           c AS (SELECT user_id, ts, MAX(event_id) AS click_id,
-                   arg_max(value, event_id) AS click_value
-                 FROM events WHERE event_type = 'click' GROUP BY 1, 2)
-         SELECT p.user_id, p.event_id,
-           CAST(FLOOR(epoch(p.ts)) AS BIGINT) AS tse,
-           c.click_id,
-           CAST(FLOOR(epoch(c.ts)) AS BIGINT) AS click_tse,
-           c.click_value,
-           CAST(FLOOR(epoch(p.ts)) AS BIGINT)
-             - CAST(FLOOR(epoch(c.ts)) AS BIGINT) AS gap_s
-         FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""",
+    "x_asof_join" -> asofOracle,
+    "x_asof_native" -> asofOracle,
     "x_range_join" ->
       """WITH bands AS (
            SELECT 'band_' || lpad(CAST(i AS VARCHAR), 2, '0') AS band,

@@ -50,4 +50,61 @@ class AsOfSpec extends SparkSpec {
       AsOf.joinBackward(l, r, Seq("k"), "ts", "ts", Seq("v"), "ord")
     }
   }
+
+  // ------------------------------------------------------- native exec
+
+  private def runNative(left: Seq[(Int, Long)], right: Seq[(Int, Long, String, Long)]) =
+    AsOf.joinBackwardNative(
+        left.toDF("k", "ts"),
+        right.toDF("k", "ts", "v", "ord"),
+        keys = Seq("k"), leftTs = "ts", rightTs = "ts",
+        payload = Seq("v"), tiebreak = "ord")
+      .select("k", "ts", "v").as[(Int, Long, Option[String])]
+      .collect().toSet
+
+  test("native exec matches the composed form on randomized inputs") {
+    val rnd = new scala.util.Random(42)
+    val left = Seq.fill(400)((rnd.nextInt(12), rnd.nextInt(1000).toLong))
+    val right = Seq.fill(300)(
+      (rnd.nextInt(12), rnd.nextInt(1000).toLong,
+        rnd.alphanumeric.take(3).mkString, rnd.nextInt(5).toLong))
+    // Reduce right to one row per (k, ts): the composed form's last() and
+    // the sweep's tiebreak agree on the winner, but left duplicates make
+    // set comparison blind to multiplicity — use multiset via sorted seq.
+    val a = runNative(left, right)
+    val b = run(left, right)
+    assert(a == b)
+    val aSeq = AsOf.joinBackwardNative(left.toDF("k", "ts"), right.toDF("k", "ts", "v", "ord"),
+        Seq("k"), "ts", "ts", Seq("v"), "ord")
+      .select("k", "ts", "v").as[(Int, Long, Option[String])].collect().toSeq.sorted
+    val bSeq = AsOf.joinBackward(left.toDF("k", "ts"), right.toDF("k", "ts", "v", "ord"),
+        Seq("k"), "ts", "ts", Seq("v"), "ord")
+      .select("k", "ts", "v").as[(Int, Long, Option[String])].collect().toSeq.sorted
+    assert(aSeq == bSeq)
+  }
+
+  test("native exec: empty right side yields all-null payload") {
+    val out = AsOf.joinBackwardNative(
+        Seq((1, 5L), (2, 6L)).toDF("k", "ts"),
+        Seq.empty[(Int, Long, String, Long)].toDF("k", "ts", "v", "ord"),
+        Seq("k"), "ts", "ts", Seq("v"), "ord")
+      .select("k", "ts", "v").as[(Int, Long, Option[String])].collect().toSet
+    assert(out == Set((1, 5L, None), (2, 6L, None)))
+  }
+
+  test("native plan: one exchange per side, partitioning reused downstream") {
+    val l = Seq((1, 5L), (2, 6L)).toDF("k", "ts")
+    val r = Seq((1, 1L, "y", 0L)).toDF("k", "ts", "v", "ord")
+    val joined = AsOf.joinBackwardNative(l, r, Seq("k"), "ts", "ts", Seq("v"), "ord")
+    val agg = joined.groupBy("k").agg(count(lit(1)).as("n"))
+    agg.collect()
+    // AQE's toString prints the final plan first, then the initial plan —
+    // count exchanges in the final section only.
+    val plan = agg.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("AsOfJoin"), plan)
+    // 2 shuffles total (one per join input); the groupBy above the join
+    // must NOT add a third — outputPartitioning passes through.
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 2, s"expected 2 exchanges, got $exchanges\n$plan")
+  }
 }
