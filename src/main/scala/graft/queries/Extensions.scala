@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.ext.{AsOf, Dedup, DuckSql, Multimodal, Par, RangeJoin, Similarity, TextKit}
+import graft.ops.Bucketing
 import graft.streaming.EventStreams
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -195,6 +196,31 @@ object Extensions {
         sum(col("n_tokens")).as("sum_tokens"))
   }
 
+  // ------------------------------------------------------------ bucketing
+  /** Co-located join over bucketed tables ([[graft.ops.Bucketing]]):
+    * both sides pre-hashed into the same bucket layout on the join key,
+    * so the join itself runs with zero exchanges (the write pays the
+    * one-time shuffle; BucketingSpec asserts the plan shape). */
+  def bucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val tag = Integer.toHexString(sfDir.hashCode)
+    val ot = s"graft_bko_$tag"
+    val lt = s"graft_bkl_$tag"
+    Bucketing.writeBucketed(
+      Parity.table(spark, sfDir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice"),
+      ot, Parity.tmp("bko", sfDir), Seq("o_orderkey"), 8)
+    Bucketing.writeBucketed(
+      Parity.table(spark, sfDir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity")),
+      lt, Parity.tmp("bkl", sfDir), Seq("l_orderkey"), 8)
+    Bucketing.readTable(spark, lt)
+      .join(Bucketing.readTable(spark, ot),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+  }
+
   // ----------------------------------------------------------- multimodal
   /** Binary media plumbing: wrap → typed mapPartitions decode stub. */
   def mediaMeta(spark: SparkSession, sfDir: String): DataFrame = {
@@ -348,6 +374,7 @@ object Extensions {
     "x_curation_pipeline" -> curationPipeline _,
     "x_asof_join" -> asofJoin _,
     "x_asof_native" -> asofNative _,
+    "x_bucketed_join" -> bucketedJoin _,
     "x_range_join" -> rangeJoin _,
     "x_pivot" -> pivotStatus _,
     "x_stratified_sample" -> stratifiedSample _,
@@ -637,6 +664,11 @@ object Extensions {
           GROUP BY lang""",
     "x_asof_join" -> asofOracle,
     "x_asof_native" -> asofOracle,
+    "x_bucketed_join" ->
+      """SELECT o_orderstatus, count(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderstatus""",
     "x_range_join" ->
       """WITH bands AS (
            SELECT 'band_' || lpad(CAST(i AS VARCHAR), 2, '0') AS band,
