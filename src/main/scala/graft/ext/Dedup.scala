@@ -52,6 +52,47 @@ object Dedup {
       .select("a", "b", "inter", "na", "nb", "jaccard")
   }
 
+  /** Duplicate clusters from a pairwise near-dup relation: connected
+    * components by iterative min-label propagation, so "a≈b, b≈c" lands
+    * a, b and c in ONE cluster even when (a, c) itself was never a
+    * candidate pair. Returns (node, label) where label = the smallest
+    * doc id in the component — the canonical keeper under min-id policy.
+    *
+    * Scale design: each iteration is one keyed shuffle (edges ⋈ labels →
+    * per-node min) over the PAIR graph, which near-dup detection has
+    * already reduced to a tiny fraction of the corpus; iterations are
+    * bounded by component diameter (near-dup clusters are shallow —
+    * star-ish around popular templates), and each round truncates
+    * lineage with an eager localCheckpoint so plan size stays O(1) in
+    * the iteration count. Converged min-labels are deterministic
+    * regardless of execution order; the fixpoint is detected with a
+    * limit-1 existence probe, not a full count.
+    */
+  def duplicateClusters(pairs: DataFrame, a: String = "a", b: String = "b",
+                        maxIters: Int = 30): DataFrame = {
+    val edges = pairs.select(col(a).as("src"), col(b).as("dst"))
+      .union(pairs.select(col(b).as("src"), col(a).as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val nbrMin = edges.join(labels, col("src") === col("node"))
+        .groupBy(col("dst")).agg(min(col("label")).as("nmin"))
+      val next = labels.join(nbrMin, col("node") === col("dst"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint()
+      converged = next.as("n").join(labels.as("o"), col("n.node") === col("o.node"))
+        .filter(col("n.label") =!= col("o.label")).limit(1).isEmpty
+      labels = next
+      i += 1
+    }
+    require(converged, s"duplicateClusters did not converge in $maxIters iterations")
+    labels
+  }
+
   /** MinHash signatures: doc_id, sig array<long> of k permuted minima.
     * Staged projections (shingles → hs → sig) keep each intermediate
     * array a bound attribute so no hash chain is re-evaluated per

@@ -196,6 +196,15 @@ object Extensions {
         sum(col("n_tokens")).as("sum_tokens"))
   }
 
+  // ------------------------------------------------------- dup clusters
+  /** Near-dup pairs → connected components → canonical keeper per
+    * cluster ([[Dedup.duplicateClusters]]): the transitive-closure step
+    * pairwise dedup needs before it can actually drop documents. */
+  def dupClusters(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.duplicateClusters(Dedup.jaccardPairs(docs(spark, sfDir), 0.8))
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"),
+        (col("node") === col("label")).as("is_canonical"))
+
   // ------------------------------------------------------------ bucketing
   /** Co-located join over bucketed tables ([[graft.ops.Bucketing]]):
     * both sides pre-hashed into the same bucket layout on the join key,
@@ -375,6 +384,7 @@ object Extensions {
     "x_asof_join" -> asofJoin _,
     "x_asof_native" -> asofNative _,
     "x_bucketed_join" -> bucketedJoin _,
+    "d_dup_clusters" -> dupClusters _,
     "x_range_join" -> rangeJoin _,
     "x_pivot" -> pivotStatus _,
     "x_stratified_sample" -> stratifiedSample _,
@@ -669,6 +679,28 @@ object Extensions {
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderstatus""",
+    "d_dup_clusters" ->
+      // Connected components via recursive reachability closure: every
+      // label a node can reach propagates; min per node = component id.
+      s"""WITH RECURSIVE $shingleCte,
+          pairs AS (
+            SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+            FROM ex x JOIN ex y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+            GROUP BY 1, 2),
+          p8 AS (
+            SELECT a, b FROM pairs
+            JOIN shc ca ON pairs.a = ca.doc_id
+            JOIN shc cb ON pairs.b = cb.doc_id
+            WHERE CAST(inter AS DOUBLE) / CAST(ca.nsh + cb.nsh - inter AS DOUBLE) >= 0.8),
+          edges AS (SELECT a AS src, b AS dst FROM p8
+                    UNION SELECT b, a FROM p8),
+          reach(node, r) AS (
+            SELECT DISTINCT src, src FROM edges
+            UNION
+            SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node)
+          SELECT node AS doc_id, MIN(r) AS cluster_id,
+            node = MIN(r) AS is_canonical
+          FROM reach GROUP BY node""",
     "x_range_join" ->
       """WITH bands AS (
            SELECT 'band_' || lpad(CAST(i AS VARCHAR), 2, '0') AS band,

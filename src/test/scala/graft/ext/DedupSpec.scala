@@ -70,4 +70,13 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.shingled(short).select("nsh").head().getInt(0) == 0)
     assert(Dedup.jaccardPairs(short, 0.1).count() == 0)
   }
+
+  test("duplicateClusters: transitive closure over pairs, min-id canonical") {
+    // 1-2, 2-3, 3-4 chain (diameter > 1 forces >1 propagation round);
+    // 7-8 isolated pair; pair order/direction must not matter.
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (8L, 7L)).toDF("a", "b")
+    val out = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
 }
