@@ -80,13 +80,16 @@ object Dedup {
     while (!converged && i < maxIters) {
       val nbrMin = edges.join(labels, col("src") === col("node"))
         .groupBy(col("dst")).agg(min(col("label")).as("nmin"))
+      // The changed flag rides along in the propagation pass itself, so
+      // convergence detection is a scan of the checkpointed result — no
+      // extra join per round.
       val next = labels.join(nbrMin, col("node") === col("dst"), "left")
         .select(col("node"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+          (coalesce(col("nmin"), col("label")) < col("label")).as("__changed"))
         .localCheckpoint()
-      converged = next.as("n").join(labels.as("o"), col("n.node") === col("o.node"))
-        .filter(col("n.label") =!= col("o.label")).limit(1).isEmpty
-      labels = next
+      converged = next.filter(col("__changed")).limit(1).isEmpty
+      labels = next.drop("__changed")
       i += 1
     }
     require(converged, s"duplicateClusters did not converge in $maxIters iterations")

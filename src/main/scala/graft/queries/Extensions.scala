@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.ext.{AsOf, Dedup, DuckSql, Multimodal, Par, RangeJoin, Similarity, TextKit}
-import graft.ops.Bucketing
+import graft.ops.{Bucketing, Skew}
 import graft.streaming.EventStreams
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -196,6 +196,25 @@ object Extensions {
         sum(col("n_tokens")).as("sum_tokens"))
   }
 
+  // ------------------------------------------------------- skew salting
+  /** Two-phase salted aggregation ([[graft.ops.Skew.saltedAggregate]]):
+    * hot grouping keys split across salt buckets before combining.
+    * Decimal sums keep both phases exact, so the result hash-matches the
+    * single-phase oracle. */
+  def saltedAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Parity.table(spark, sfDir, "lineitem").select(
+      col("l_returnflag"),
+      col("l_quantity").cast("decimal(18,2)").as("qty"),
+      col("l_extendedprice").cast("decimal(18,2)").as("price"))
+    Skew.saltedAggregate(li, Seq("l_returnflag"), Seq(
+        Skew.AggSpec("qty", "sum", "sum_qty"),
+        Skew.AggSpec("*", "count", "n"),
+        Skew.AggSpec("price", "max", "max_price")))
+      .select(col("l_returnflag"),
+        col("sum_qty").cast("double").as("sum_qty"), col("n"),
+        col("max_price").cast("double").as("max_price"))
+  }
+
   // ------------------------------------------------------- dup clusters
   /** Near-dup pairs → connected components → canonical keeper per
     * cluster ([[Dedup.duplicateClusters]]): the transitive-closure step
@@ -385,6 +404,7 @@ object Extensions {
     "x_asof_native" -> asofNative _,
     "x_bucketed_join" -> bucketedJoin _,
     "d_dup_clusters" -> dupClusters _,
+    "x_salted_agg" -> saltedAgg _,
     "x_range_join" -> rangeJoin _,
     "x_pivot" -> pivotStatus _,
     "x_stratified_sample" -> stratifiedSample _,
@@ -679,6 +699,12 @@ object Extensions {
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderstatus""",
+    "x_salted_agg" ->
+      """SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           count(*) AS n,
+           CAST(MAX(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price
+         FROM lineitem GROUP BY l_returnflag""",
     "d_dup_clusters" ->
       // Connected components via recursive reachability closure: every
       // label a node can reach propagates; min per node = component id.

@@ -161,6 +161,32 @@ object EventStreams {
       }
       .start()
 
+  /** Watermarked stream-stream interval join: each purchase picks up the
+    * same user's clicks from the preceding `lookbackSeconds` (click
+    * attribution). Both sides watermark, and the join condition bounds
+    * click time BOTH ways relative to purchase time, so each side's
+    * buffered state expires as the other side's watermark advances —
+    * without the range bound a stream-stream join must hold every row
+    * forever. Works unchanged on batch frames (watermarks no-op). */
+  def clickAttribution(
+      purchases: DataFrame,
+      clicks: DataFrame,
+      lookbackSeconds: Long = 3600): DataFrame = {
+    val p = purchases
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", "2 hours")
+    val c = clicks
+      .select(col("user_id").as("click_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "2 hours")
+    p.join(c,
+        col("click_user") === col("user_id") &&
+          col("click_ts") <= col("purchase_ts") &&
+          col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $lookbackSeconds SECONDS"))
+      .select("user_id", "purchase_id", "purchase_ts", "click_id", "click_ts")
+  }
+
   /** Watermarked streaming hourly rollup: tumbling event-time window with
     * 2h lateness bound — state is bounded, late rows beyond the watermark
     * drop instead of growing state forever. */

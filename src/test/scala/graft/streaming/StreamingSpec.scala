@@ -171,6 +171,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes clicks within the lookback") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val pMem = MemoryStream[(Long, Timestamp, Long)]
+    val cMem = MemoryStream[(Long, Timestamp, Long)]
+    val purchases = pMem.toDF().toDF("user_id", "ts", "event_id")
+    val clicks = cMem.toDF().toDF("user_id", "ts", "event_id")
+
+    val q = EventStreams.clickAttribution(purchases, clicks, lookbackSeconds = 3600)
+      .writeStream.format("memory").queryName("attrib_test")
+      .outputMode("append").start()
+    try {
+      cMem.addData(
+        (1L, Timestamp.valueOf("2024-01-01 09:30:00"), 101L), // in window
+        (1L, Timestamp.valueOf("2024-01-01 08:00:00"), 102L), // too old
+        (2L, Timestamp.valueOf("2024-01-01 09:45:00"), 103L), // other user
+        (1L, Timestamp.valueOf("2024-01-01 10:30:00"), 104L)) // after purchase
+      pMem.addData((1L, Timestamp.valueOf("2024-01-01 10:00:00"), 900L))
+      q.processAllAvailable()
+
+      val got = spark.table("attrib_test")
+        .select("user_id", "purchase_id", "click_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == Set((1L, 900L, 101L)), s"got $got")
+
+      // batch twin over identical rows agrees
+      val batch = EventStreams.clickAttribution(
+          Seq((1L, Timestamp.valueOf("2024-01-01 10:00:00"), 900L))
+            .toDF("user_id", "ts", "event_id"),
+          Seq((1L, Timestamp.valueOf("2024-01-01 09:30:00"), 101L),
+            (1L, Timestamp.valueOf("2024-01-01 08:00:00"), 102L),
+            (2L, Timestamp.valueOf("2024-01-01 09:45:00"), 103L),
+            (1L, Timestamp.valueOf("2024-01-01 10:30:00"), 104L))
+            .toDF("user_id", "ts", "event_id"), 3600)
+        .select("user_id", "purchase_id", "click_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(batch == got, s"batch=$batch streaming=$got")
+    } finally q.stop()
+  }
+
   test("batch hourlyRollup groups by hour and sums exactly") {
     import spark.implicits._
     val events = Seq(
