@@ -78,6 +78,42 @@ object AsOf {
         payload.map(c => col(s"__asof.$c").as(c)): _*)
   }
 
+  /** Broadcast form of [[joinBackward]] for a SMALL right side (a
+    * quote/rate/dim-like table): the right side collapses to one row per
+    * key holding its (ts, tiebreak, payload) structs sorted ascending,
+    * that tiny table broadcasts, and each left row takes the last struct
+    * at or before its timestamp — the big side is never shuffled at all
+    * (the other two forms cost one key shuffle of the left). Linear scan
+    * per left row over the key's right rows; right-per-key is small by
+    * precondition, so prefer this only when the packed right side fits
+    * the broadcast threshold. */
+  def joinBackwardBroadcast(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      payload: Seq[String],
+      tiebreak: String): DataFrame = {
+    val clash = payload.toSet.intersect(left.columns.toSet)
+    require(clash.isEmpty, s"payload collides with left columns: $clash")
+
+    // sort_array orders structs field-by-field: (ts, tiebreak, ...) —
+    // identical winner-among-ties rule as the other two forms.
+    val packed = right.groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(struct(
+        col(rightTs).as("__ts"), col(tiebreak).as("__tb"),
+        struct(payload.map(col): _*).as("__p")))).as("__arr"))
+
+    val hits = filter(col("__arr"), x => x("__ts") <= col(leftTs))
+    left.join(broadcast(packed), keys, "left")
+      // ANSI mode: element_at on an empty array throws — gate on size.
+      .withColumn("__best",
+        when(size(hits) > 0, element_at(hits, -1)("__p")))
+      .select(left.columns.map(col) ++
+        payload.map(c => col(s"__best.$c").as(c)): _*)
+  }
+
   /** Whole-operator form of [[joinBackward]] via the native
     * [[graft.plans.AsOfJoinExec]] merge sweep (same semantics, same
     * oracle; one hash-clustered shuffle per SIDE in its own row shape

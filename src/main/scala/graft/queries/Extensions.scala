@@ -278,6 +278,10 @@ object Extensions {
   def asofNative(spark: SparkSession, sfDir: String): DataFrame =
     asofShaped(spark, sfDir, AsOf.joinBackwardNative)
 
+  /** Same query through the broadcast (zero-left-shuffle) form. */
+  def asofBroadcast(spark: SparkSession, sfDir: String): DataFrame =
+    asofShaped(spark, sfDir, AsOf.joinBackwardBroadcast)
+
   private def asofShaped(
       spark: SparkSession, sfDir: String,
       join: (DataFrame, DataFrame, Seq[String], String, String, Seq[String], String) => DataFrame)
@@ -402,6 +406,7 @@ object Extensions {
     "x_curation_pipeline" -> curationPipeline _,
     "x_asof_join" -> asofJoin _,
     "x_asof_native" -> asofNative _,
+    "x_asof_broadcast" -> asofBroadcast _,
     "x_bucketed_join" -> bucketedJoin _,
     "d_dup_clusters" -> dupClusters _,
     "x_salted_agg" -> saltedAgg _,
@@ -694,6 +699,7 @@ object Extensions {
           GROUP BY lang""",
     "x_asof_join" -> asofOracle,
     "x_asof_native" -> asofOracle,
+    "x_asof_broadcast" -> asofOracle,
     "x_bucketed_join" ->
       """SELECT o_orderstatus, count(*) AS n,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty

@@ -83,6 +83,29 @@ class AsOfSpec extends SparkSpec {
     assert(aSeq == bSeq)
   }
 
+  test("broadcast form matches the composed form on randomized inputs") {
+    val rnd = new scala.util.Random(11)
+    val left = Seq.fill(300)((rnd.nextInt(10), rnd.nextInt(500).toLong))
+    val right = Seq.fill(200)(
+      (rnd.nextInt(10), rnd.nextInt(500).toLong,
+        rnd.alphanumeric.take(3).mkString, rnd.nextInt(5).toLong))
+    def shaped(f: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+        Seq[String], String, String, Seq[String], String) => org.apache.spark.sql.DataFrame) =
+      f(left.toDF("k", "ts"), right.toDF("k", "ts", "v", "ord"),
+          Seq("k"), "ts", "ts", Seq("v"), "ord")
+        .select("k", "ts", "v").as[(Int, Long, Option[String])].collect().toSeq.sorted
+    assert(shaped(AsOf.joinBackwardBroadcast) == shaped(AsOf.joinBackward))
+  }
+
+  test("broadcast form: no-match and empty-right rows keep null payload") {
+    val out = AsOf.joinBackwardBroadcast(
+        Seq((1, 1L), (2, 9L)).toDF("k", "ts"),
+        Seq((1, 5L, "late", 0L)).toDF("k", "ts", "v", "ord"),
+        Seq("k"), "ts", "ts", Seq("v"), "ord")
+      .select("k", "ts", "v").as[(Int, Long, Option[String])].collect().toSet
+    assert(out == Set((1, 1L, None), (2, 9L, None)))
+  }
+
   test("native exec: empty right side yields all-null payload") {
     val out = AsOf.joinBackwardNative(
         Seq((1, 5L), (2, 6L)).toDF("k", "ts"),
