@@ -73,8 +73,10 @@ object Dedup {
     val edges = pairs.select(col(a).as("src"), col(b).as("dst"))
       .union(pairs.select(col(b).as("src"), col(a).as("dst")))
       .distinct().localCheckpoint()
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node")).localCheckpoint()
+    // Seed with min(self, neighbors) — the first propagation round for
+    // free out of the same edge aggregation that defines the node set.
+    var labels = edges.groupBy(col("dst").as("node"))
+      .agg(least(col("dst"), min(col("src"))).as("label")).localCheckpoint()
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {

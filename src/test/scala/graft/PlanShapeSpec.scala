@@ -1,0 +1,64 @@
+package graft
+
+import graft.queries.Parity
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Plan-shape regressions: the properties that keep 100 TB scans cheap
+  * must hold structurally, not by luck — filters reach the parquet
+  * reader, projection prunes the read schema, broadcast hints stick,
+  * and hot paths stay inside whole-stage codegen. */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def scanLines(df: DataFrame): Seq[String] =
+    df.queryExecution.executedPlan.toString
+      .split('\n').toSeq.filter(_.contains("FileScan parquet"))
+
+  test("filter + projection push into the parquet scan") {
+    val q = Parity.table(spark, sf, "lineitem")
+      .filter(col("l_quantity") > 30)
+      .select("l_orderkey", "l_quantity")
+    val scan = scanLines(q).head
+    assert(scan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30"), scan)
+    val schema = scan.split("ReadSchema: ").last
+    assert(schema.contains("l_orderkey") && schema.contains("l_quantity"), schema)
+    assert(!schema.contains("l_comment") && !schema.contains("l_extendedprice"),
+      s"unpruned read schema: $schema")
+  }
+
+  test("aggregation reads only the referenced columns") {
+    val scan = scanLines(Parity.a1Aggregates(spark, sf)).head
+    val schema = scan.split("ReadSchema: ").last
+    assert(!schema.contains("l_comment") && !schema.contains("l_partkey"),
+      s"a1 should not read unused wide columns: $schema")
+  }
+
+  test("j1 dimension join broadcasts the small side") {
+    val plan = Parity.j1LeftJoin(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("scalar suite runs in a single whole-stage codegen stage over the scan") {
+    val plan = Parity.scalarSuite(spark, sf).queryExecution.executedPlan.toString
+    // '*(1)' prefixes mark whole-stage-codegen'd operators in toString.
+    assert(plan.contains("*(1) Project"), plan)
+    assert(!plan.contains("Exchange"), s"scalar suite must be exchange-free:\n$plan")
+  }
+
+  test("partition-pruned read scans only the selected partition") {
+    val dir = Parity.tmp("planshape-part", sf)
+    Parity.table(spark, sf, "orders")
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(dir)
+    val q = spark.read.parquet(dir).filter(col("o_orderstatus") === "F")
+      .select("o_orderkey")
+    val scan = scanLines(q).head
+    assert(scan.contains("PartitionFilters: [isnotnull(o_orderstatus"), scan)
+    // count the fraction actually read: only the F partition's rows
+    val all = Parity.table(spark, sf, "orders").count()
+    val f = q.count()
+    assert(f > 0 && f < all)
+  }
+}
