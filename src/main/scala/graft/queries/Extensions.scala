@@ -45,6 +45,35 @@ object Extensions {
         col("sum_token_len").cast(DoubleType) / col("n_tokens").cast(DoubleType))
   }
 
+  /** BPE-ish regex token counting — the sub-word-style segmentation a
+    * training pipeline budgets with, next to [[tokenStats]]'s whitespace
+    * tokens: letter runs, digit runs and punctuation runs, each
+    * optionally space-prefixed (GPT-2-style pre-tokenizer; the
+    * contraction rule is elided so the pattern stays identical across
+    * Java regex and DuckDB's RE2). */
+  def bpeTokens(spark: SparkSession, sfDir: String): DataFrame = {
+    val pat = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"
+    docs(spark, sfDir)
+      .select(col("doc_id"),
+        expr(s"regexp_extract_all(text, '$pat', 0)").as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast(LongType).as("n_bpe"),
+        size(array_distinct(col("toks"))).cast(LongType).as("n_bpe_distinct"))
+  }
+
+  /** Repetition signal: share of the most frequent bigram in all bigram
+    * occurrences per doc (Gopher-style repetitiveness gate; high ratio =
+    * template/boilerplate). Both aggregations shuffle on doc_id. */
+  def repetition(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(col("doc_id"), explode(TextKit.wordNgrams(col("text"), 2)).as("bigram"))
+      .groupBy("doc_id", "bigram").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id").agg(
+        sum(col("n")).as("n_bigrams"),
+        max(col("n")).as("top_n"))
+      .withColumn("top_ratio",
+        col("top_n").cast(DoubleType) / col("n_bigrams").cast(DoubleType))
+
   /** Quality scoring: stopword ratio + length heuristics → band. */
   def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
     val w = TextKit.words(col("text"))
@@ -410,6 +439,8 @@ object Extensions {
     "x_bucketed_join" -> bucketedJoin _,
     "d_dup_clusters" -> dupClusters _,
     "x_salted_agg" -> saltedAgg _,
+    "x_bpe_tokens" -> bpeTokens _,
+    "x_repetition" -> repetition _,
     "x_range_join" -> rangeJoin _,
     "x_pivot" -> pivotStatus _,
     "x_stratified_sample" -> stratifiedSample _,
@@ -705,6 +736,22 @@ object Extensions {
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderstatus""",
+    "x_bpe_tokens" ->
+      """SELECT doc_id,
+           CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS BIGINT) AS n_bpe,
+           CAST(len(list_distinct(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+'))) AS BIGINT) AS n_bpe_distinct
+         FROM documents""",
+    "x_repetition" ->
+      s"""WITH grams AS (
+            SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+              THEN list_transform(generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1])
+              ELSE [] END) AS bigram
+            FROM (SELECT doc_id, $W AS w FROM documents)),
+          freq AS (SELECT doc_id, bigram, count(*) AS n FROM grams GROUP BY 1, 2)
+          SELECT doc_id, n_bigrams, top_n,
+            CAST(top_n AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS top_ratio
+          FROM (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+                  MAX(n) AS top_n FROM freq GROUP BY doc_id)""",
     "x_salted_agg" ->
       """SELECT l_returnflag,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
