@@ -225,6 +225,28 @@ object Extensions {
         sum(col("n_tokens")).as("sum_tokens"))
   }
 
+  /** Curation with transitively-correct dedup: same gates as
+    * [[curationPipeline]], but the drop set comes from
+    * [[Dedup.duplicateClusters]] — every non-canonical member of a
+    * duplicate CLUSTER drops, where the pairwise rule keeps a doc that
+    * is only transitively similar to the cluster minimum. */
+  def curationCc(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = TextKit.words(col("text"))
+    val gated = docs(spark, sfDir)
+      .withColumn("n_tokens", size(w).cast(LongType))
+      .withColumn("stop_hits", size(filter(w, x => x.isin("the", "a"))).cast(LongType))
+      .filter(col("n_chars") >= 60 &&
+        col("stop_hits").cast(DoubleType) / col("n_tokens").cast(DoubleType) < 0.4)
+    val clusters = Dedup.duplicateClusters(Dedup.jaccardPairs(gated, 0.8))
+    val drops = clusters.filter(col("node") =!= col("label"))
+      .select(col("node").as("doc_id"))
+    gated.join(drops, Seq("doc_id"), "left_anti")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(col("n_tokens")).as("sum_tokens"))
+  }
+
   // ------------------------------------------------------- skew salting
   /** Two-phase salted aggregation ([[graft.ops.Skew.saltedAggregate]]):
     * hot grouping keys split across salt buckets before combining.
@@ -433,6 +455,7 @@ object Extensions {
     "x_percentiles" -> percentiles _,
     "x_ann_lsh" -> annLsh _,
     "x_curation_pipeline" -> curationPipeline _,
+    "x_curation_cc" -> curationCc _,
     "x_asof_join" -> asofJoin _,
     "x_asof_native" -> asofNative _,
     "x_asof_broadcast" -> asofBroadcast _,
@@ -723,6 +746,41 @@ object Extensions {
             JOIN shc ca ON pairs.a = ca.doc_id
             JOIN shc cb ON pairs.b = cb.doc_id
             WHERE CAST(inter AS DOUBLE) / CAST(ca.nsh + cb.nsh - inter AS DOUBLE) >= 0.8)
+          SELECT lang, count(*) AS n_docs,
+            CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+            CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+          FROM q WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+          GROUP BY lang""",
+    "x_curation_cc" ->
+      s"""WITH RECURSIVE gated AS (
+            SELECT doc_id, lang, n_chars, text,
+              len(w)::BIGINT AS n_tokens,
+              len(list_filter(w, x -> x IN ('the', 'a')))::BIGINT AS stop_hits
+            FROM (SELECT doc_id, lang, n_chars, text, $W AS w FROM documents)
+            WHERE n_chars >= 60),
+          q AS (SELECT * FROM gated
+                WHERE CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) < 0.4),
+          sh AS (SELECT doc_id, ${DuckSql.wordShingles("w", 3)} AS shingles
+                 FROM (SELECT doc_id, $W AS w FROM q)),
+          shc AS (SELECT doc_id, shingles, len(shingles) AS nsh FROM sh),
+          ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+          pairs AS (
+            SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+            FROM ex x JOIN ex y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+            GROUP BY 1, 2),
+          p8 AS (
+            SELECT a, b FROM pairs
+            JOIN shc ca ON pairs.a = ca.doc_id
+            JOIN shc cb ON pairs.b = cb.doc_id
+            WHERE CAST(inter AS DOUBLE) / CAST(ca.nsh + cb.nsh - inter AS DOUBLE) >= 0.8),
+          edges AS (SELECT a AS src, b AS dst FROM p8
+                    UNION SELECT b, a FROM p8),
+          reach(node, r) AS (
+            SELECT DISTINCT src, src FROM edges
+            UNION
+            SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node),
+          cc AS (SELECT node, MIN(r) AS label FROM reach GROUP BY node),
+          drops AS (SELECT node AS doc_id FROM cc WHERE node <> label)
           SELECT lang, count(*) AS n_docs,
             CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
             CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
