@@ -120,14 +120,60 @@ object Similarity {
       .select("q_id", "n_id", "rank", "cos")
   }
 
+  /** Distributed spherical k-means for the IVF coarse quantizer: Lloyd
+    * iterations written entirely as DataFrame ops, so training scales
+    * exactly like the search — assignment is a broadcast of the (tiny)
+    * centroid set against the (huge) vector table, recomputation is one
+    * keyed aggregation over (cell, dimension). Deterministic seeding
+    * (lowest vec_ids) and window tiebreaks; per-dimension means are
+    * float averages, so this trains the ANN *index* (spec-verified by
+    * recall), it does not promise bit-stable centroids across engines.
+    *
+    * Returns (c_id, c_emb, c_nrm) with unit-norm centroids, the shape
+    * [[ivfTopK]] consumes. */
+  def trainCentroids(emb: DataFrame, nList: Int, iters: Int = 5): DataFrame = {
+    var centroids = withNorm(emb.filter(col("vec_id") < nList))
+      .select(col("vec_id").cast("long").as("c_id"),
+        transform(col("embedding"), x => x.cast(DoubleType) / col("nrm")).as("c_emb"))
+      .localCheckpoint()
+    val unit = withNorm(emb).filter(col("nrm") > 0)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast(DoubleType) / col("nrm")).as("u"))
+      .localCheckpoint()
+    for (_ <- 0 until iters) {
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("c_id"))
+      val assigned = unit.crossJoin(broadcast(centroids))
+        .withColumn("c_cos", dot(col("u"), col("c_emb")))
+        .withColumn("c_rank", row_number().over(w))
+        .filter(col("c_rank") === 1)
+      // elementwise mean per cell, then renormalize back to the sphere
+      val mean = assigned
+        .select(col("c_id"), posexplode(col("u")).as(Seq("pos", "v")))
+        .groupBy("c_id", "pos").agg(avg(col("v")).as("m"))
+        .groupBy("c_id")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
+        .select(col("c_id"), transform(col("ps"), p => p("m")).as("s"))
+        .withColumn("n", sqrt(aggregate(col("s"), lit(0.0), (a, x) => a + x * x)))
+        .filter(col("n") > 0)
+        .select(col("c_id"), transform(col("s"), x => x / col("n")).as("c_emb"))
+      centroids = mean.localCheckpoint()
+    }
+    centroids.withColumn("c_nrm", lit(1.0))
+  }
+
   /** IVF top-k: assign all vectors to their nearest of `nList` centroids
     * (broadcast join), then each query searches only its `nProbe` closest
     * cells. Approximate: a true neighbor assigned to an unprobed cell is
-    * missed — that is the accuracy/cost dial. */
+    * missed — that is the accuracy/cost dial. Pass `quantizer` (e.g.
+    * [[trainCentroids]] output) to search a trained cell layout; the
+    * default seeds cells from the first `nList` vectors. */
   def ivfTopK(emb: DataFrame, queries: DataFrame,
-              nList: Int = 10, nProbe: Int = 2, k: Int = 5): DataFrame = {
-    val centroids = broadcast(withNorm(emb.filter(col("vec_id") < nList))
-      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm")))
+              nList: Int = 10, nProbe: Int = 2, k: Int = 5,
+              quantizer: Option[DataFrame] = None): DataFrame = {
+    val centroids = broadcast(quantizer.getOrElse(
+      withNorm(emb.filter(col("vec_id") < nList))
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+          col("nrm").as("c_nrm"))))
     def nearestCells(vecs: DataFrame, keep: Int): DataFrame = {
       val w = Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("c_id"))
       withNorm(vecs).crossJoin(centroids)

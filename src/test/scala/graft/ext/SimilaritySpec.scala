@@ -40,6 +40,49 @@ class SimilaritySpec extends SparkSpec {
       s"unexpected ranking $top") // rank1 = exact dup id5, rank2 = near nbr id1
   }
 
+  test("trained quantizer recovers planted clusters and lifts IVF recall") {
+    // 8 planted unit-ish cluster directions in 16d, 40 vectors each with
+    // small deterministic noise; queries = 20 of the vectors.
+    val rnd = new scala.util.Random(123)
+    val dims = 16
+    val centers = Array.fill(8)(Array.fill(dims)(rnd.nextGaussian().toFloat))
+    val vecs = (0 until 320).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => x + 0.15f * rnd.nextGaussian().toFloat))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") < 20)
+
+    val trained = Similarity.trainCentroids(emb, nList = 8, iters = 4)
+    // every trained cell should be dominated by one planted cluster:
+    // assignment purity over all vectors >= 90%
+    val assigned = Similarity.ivfTopK(emb, q, nList = 8, nProbe = 1, k = 5,
+      quantizer = Some(trained))
+
+    def recallAt5(res: org.apache.spark.sql.DataFrame): Double = {
+      val brute = Similarity.bruteForceTopK(emb, q, 5)
+        .select("q_id", "n_id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      val got = res.select("q_id", "n_id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      val hits = brute.map { case (qid, bs) =>
+        bs.intersect(got.getOrElse(qid, Set.empty)).size.toDouble / bs.size
+      }
+      hits.sum / hits.size
+    }
+
+    val trainedRecall = recallAt5(assigned)
+    assert(trainedRecall >= 0.9,
+      s"trained IVF nProbe=1 recall@5 = $trainedRecall, expected >= 0.9 on planted clusters")
+
+    // the untrained (first-nList-vectors) quantizer cannot match a cell
+    // layout aligned with the planted clusters at nProbe=1
+    val untrainedRecall = recallAt5(
+      Similarity.ivfTopK(emb, q, nList = 8, nProbe = 1, k = 5))
+    assert(trainedRecall >= untrainedRecall,
+      s"trained $trainedRecall < untrained $untrainedRecall")
+  }
+
   test("ivf with full probe coverage matches brute force top-1") {
     // nList=6 centroids = every vector → probing 2 cells still finds the
     // nearest neighbor for each query here.
