@@ -275,6 +275,18 @@ object Extensions {
       .select(col("node").as("doc_id"), col("label").as("cluster_id"),
         (col("node") === col("label")).as("is_canonical"))
 
+  // ---------------------------------------------------------- orc source
+  /** ORC round-trip: the other columnar format Spark bundles (the
+    * reference is Delta/Parquet-only; a complete engine reads both). */
+  def orcScan(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = Parity.tmp("orc", sfDir)
+    Parity.table(spark, sfDir, "supplier").write.mode("overwrite").orc(dir)
+    spark.read.orc(dir)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n"),
+        sum(col("s_acctbal").cast("decimal(18,2)")).cast("double").as("sum_bal"))
+  }
+
   // ------------------------------------------------------------ bucketing
   /** Co-located join over bucketed tables ([[graft.ops.Bucketing]]):
     * both sides pre-hashed into the same bucket layout on the join key,
@@ -460,6 +472,7 @@ object Extensions {
     "x_asof_native" -> asofNative _,
     "x_asof_broadcast" -> asofBroadcast _,
     "x_bucketed_join" -> bucketedJoin _,
+    "x_orc_scan" -> orcScan _,
     "d_dup_clusters" -> dupClusters _,
     "x_salted_agg" -> saltedAgg _,
     "x_bpe_tokens" -> bpeTokens _,
@@ -794,6 +807,10 @@ object Extensions {
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderstatus""",
+    "x_orc_scan" ->
+      """SELECT s_nationkey, count(*) AS n,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+         FROM supplier GROUP BY s_nationkey""",
     "x_bpe_tokens" ->
       """SELECT doc_id,
            CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS BIGINT) AS n_bpe,
