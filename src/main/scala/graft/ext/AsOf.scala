@@ -42,7 +42,36 @@ object AsOf {
       leftTs: String,
       rightTs: String,
       payload: Seq[String],
-      tiebreak: String): DataFrame = {
+      tiebreak: String): DataFrame =
+    joinDirectional(left, right, keys, leftTs, rightTs, payload, tiebreak,
+      forward = false)
+
+  /** Forward as-of join: each left row picks up the payload of the FIRST
+    * right row with the same key and `right.ts >= left.ts` (inclusive) —
+    * next-quote / follow-up-event attribution. Among right ties on
+    * (key, ts) the SMALLEST tiebreak wins (first-seen convention, the
+    * mirror of [[joinBackward]]'s greatest-wins). Same one-shuffle
+    * union+window shape. */
+  def joinForward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      payload: Seq[String],
+      tiebreak: String): DataFrame =
+    joinDirectional(left, right, keys, leftTs, rightTs, payload, tiebreak,
+      forward = true)
+
+  private def joinDirectional(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      payload: Seq[String],
+      tiebreak: String,
+      forward: Boolean): DataFrame = {
     val clash = payload.toSet.intersect(left.columns.toSet)
     require(clash.isEmpty, s"payload collides with left columns: $clash")
 
@@ -51,28 +80,38 @@ object AsOf {
     val lSchema = left.select(leftCols.map(col): _*).schema
     val rSchema = right.select(payload.map(col): _*).schema
 
+    // Side ordering puts the right row on the INCLUSIVE side of the left
+    // row at equal ts: backward scans [start, current] so right sorts
+    // first (side 0 < 1); forward scans [current, end] so right sorts
+    // last (side 1 > 0). The winner among right (key, ts) ties is the one
+    // nearest the left row in scan order: greatest tiebreak for last(),
+    // smallest for first().
+    val (lSide, rSide) = if (forward) (0, 1) else (1, 0)
     val l = left.select(keyCols ++ Seq(
-      col(leftTs).as("__ts"), lit(1).as("__side"),
+      col(leftTs).as("__ts"), lit(lSide).as("__side"),
       lit(null).cast("long").as("__ord"),
       struct(leftCols.map(col): _*).as("__l"),
       lit(null).cast(rSchema).as("__r")): _*)
 
     val r = right.select(keyCols ++ Seq(
-      col(rightTs).as("__ts"), lit(0).as("__side"),
+      col(rightTs).as("__ts"), lit(rSide).as("__side"),
       col(tiebreak).cast("long").as("__ord"),
       lit(null).cast(lSchema).as("__l"),
       struct(payload.map(col): _*).as("__r")): _*)
 
-    // Right rows sort before left rows at equal ts (side 0 < 1), so an
-    // exactly-coincident right row is visible to the left row; among
-    // right ties the greatest tiebreak sorts last and wins last().
-    val w = Window.partitionBy(keys.map(col): _*)
+    val base = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts"), col("__side"), col("__ord"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val (w, pick) =
+      if (forward)
+        (base.rowsBetween(Window.currentRow, Window.unboundedFollowing),
+          first(col("__r"), ignoreNulls = true))
+      else
+        (base.rowsBetween(Window.unboundedPreceding, Window.currentRow),
+          last(col("__r"), ignoreNulls = true))
 
     r.unionByName(l)
-      .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
+      .withColumn("__asof", pick.over(w))
+      .filter(col("__side") === lSide)
       .select(keyCols ++ Seq(col("__ts").as(leftTs)) ++
         leftCols.map(c => col(s"__l.$c").as(c)) ++
         payload.map(c => col(s"__asof.$c").as(c)): _*)

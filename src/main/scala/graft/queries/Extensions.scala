@@ -345,6 +345,13 @@ object Extensions {
   def asofBroadcast(spark: SparkSession, sfDir: String): DataFrame =
     asofShaped(spark, sfDir, AsOf.joinBackwardBroadcast)
 
+  /** Forward direction: each purchase picks up the user's FIRST click at
+    * or after the purchase (follow-up attribution); DuckDB expresses it
+    * as `ASOF LEFT JOIN ... ON p.ts <= c.ts`. Tie-free by the same
+    * (user, ts) pre-reduction, so first-seen == max_by conventions agree. */
+  def asofForward(spark: SparkSession, sfDir: String): DataFrame =
+    asofShaped(spark, sfDir, AsOf.joinForward)
+
   private def asofShaped(
       spark: SparkSession, sfDir: String,
       join: (DataFrame, DataFrame, Seq[String], String, String, Seq[String], String) => DataFrame)
@@ -471,6 +478,7 @@ object Extensions {
     "x_asof_join" -> asofJoin _,
     "x_asof_native" -> asofNative _,
     "x_asof_broadcast" -> asofBroadcast _,
+    "x_asof_forward" -> asofForward _,
     "x_bucketed_join" -> bucketedJoin _,
     "x_orc_scan" -> orcScan _,
     "d_dup_clusters" -> dupClusters _,
@@ -802,6 +810,7 @@ object Extensions {
     "x_asof_join" -> asofOracle,
     "x_asof_native" -> asofOracle,
     "x_asof_broadcast" -> asofOracle,
+    "x_asof_forward" -> asofOracle.replace("p.ts >= c.ts", "p.ts <= c.ts"),
     "x_bucketed_join" ->
       """SELECT o_orderstatus, count(*) AS n,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty

@@ -51,6 +51,24 @@ class AsOfSpec extends SparkSpec {
     }
   }
 
+  test("forward join picks the first right row at or after each left ts") {
+    val out = AsOf.joinForward(
+        Seq((1, 5L), (1, 12L), (1, 99L)).toDF("k", "ts"),
+        Seq((1, 5L, "a", 0L), (1, 10L, "b", 0L), (1, 12L, "c", 0L)).toDF("k", "ts", "v", "ord"),
+        Seq("k"), "ts", "ts", Seq("v"), "ord")
+      .select("k", "ts", "v").as[(Int, Long, Option[String])].collect().toSet
+    assert(out == Set((1, 5L, Some("a")), (1, 12L, Some("c")), (1, 99L, None)))
+  }
+
+  test("forward ties on (key, ts) resolve to the smallest tiebreak value") {
+    val out = AsOf.joinForward(
+        Seq((1, 7L)).toDF("k", "ts"),
+        Seq((1, 7L, "lo", 1L), (1, 7L, "hi", 2L)).toDF("k", "ts", "v", "ord"),
+        Seq("k"), "ts", "ts", Seq("v"), "ord")
+      .select("k", "ts", "v").as[(Int, Long, Option[String])].collect().toSet
+    assert(out == Set((1, 7L, Some("lo"))))
+  }
+
   // ------------------------------------------------------- native exec
 
   private def runNative(left: Seq[(Int, Long)], right: Seq[(Int, Long, String, Long)]) =
