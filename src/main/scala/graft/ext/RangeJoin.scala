@@ -43,4 +43,28 @@ object RangeJoin {
       .filter(col(value) >= col(lo) && col(value) < col(hi))
       .drop("__bin")
   }
+
+  /** Interval-overlap join for two LARGE interval sets (half-open
+    * intervals; overlap iff `aLo < bHi && bLo < aHi`): both sides
+    * replicate into the fixed-width bins they span and equi-join on the
+    * bin. A pair overlapping across several shared bins would emit once
+    * per bin, so each emission is gated to the pair's OWNING bin — the
+    * bin of `greatest(aLo, bLo)`, the first bin where both are present —
+    * which dedups without a `distinct` shuffle. Shuffle volume stays
+    * linear in Σ widths/bin per side. */
+  def overlapJoin(a: DataFrame, aLo: String, aHi: String,
+                  b: DataFrame, bLo: String, bHi: String,
+                  binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    def binned(df: DataFrame, lo: String, hi: String): DataFrame =
+      df.withColumn("__bin",
+        explode(sequence(
+          floor(col(lo) / binWidth).cast("long"),
+          floor((col(hi) - lit(1e-9)) / binWidth).cast("long"))))
+    binned(a, aLo, aHi).join(binned(b, bLo, bHi), Seq("__bin"))
+      .filter(col(aLo) < col(bHi) && col(bLo) < col(aHi))
+      .filter(col("__bin") ===
+        floor(greatest(col(aLo), col(bLo)) / binWidth).cast("long"))
+      .drop("__bin")
+  }
 }

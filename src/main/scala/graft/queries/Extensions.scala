@@ -391,6 +391,22 @@ object Extensions {
         sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
   }
 
+  /** Interval-overlap join ([[RangeJoin.overlapJoin]]): two large
+    * interval sets from orders price ranges, binned join with
+    * owning-bin dedupe, checked by pair count + keyed checksum. */
+  def overlapIntervals(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Parity.table(spark, sfDir, "orders")
+    val a = o.filter(col("o_orderkey") % 97 === 0).select(
+      col("o_orderkey").cast("long").as("ak"),
+      col("o_totalprice").as("alo"), (col("o_totalprice") + 20000).as("ahi"))
+    val b = o.filter(col("o_orderkey") % 89 === 0).select(
+      col("o_orderkey").cast("long").as("bk"),
+      col("o_totalprice").as("blo"), (col("o_totalprice") + 30000).as("bhi"))
+    RangeJoin.overlapJoin(a, "alo", "ahi", b, "blo", "bhi", binWidth = 25000L)
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("ak") * 1000003L + col("bk")).as("key_sum"))
+  }
+
   // ------------------------------------------------------------- reshape
   /** Pivot: order counts + exact sums per priority × status. Pivot values
     * are DECLARED, not discovered — `pivot(col)` without values runs a
@@ -486,6 +502,7 @@ object Extensions {
     "x_bpe_tokens" -> bpeTokens _,
     "x_repetition" -> repetition _,
     "x_range_join" -> rangeJoin _,
+    "x_overlap_join" -> overlapIntervals _,
     "x_pivot" -> pivotStatus _,
     "x_stratified_sample" -> stratifiedSample _,
     "x_tfidf" -> tfidfTop _)
@@ -874,6 +891,16 @@ object Extensions {
          FROM orders JOIN bands
            ON o_totalprice >= lo AND o_totalprice < hi
          GROUP BY band""",
+    "x_overlap_join" ->
+      """WITH a AS (SELECT CAST(o_orderkey AS BIGINT) AS ak,
+                o_totalprice AS alo, o_totalprice + 20000 AS ahi
+              FROM orders WHERE o_orderkey % 97 = 0),
+           b AS (SELECT CAST(o_orderkey AS BIGINT) AS bk,
+                o_totalprice AS blo, o_totalprice + 30000 AS bhi
+              FROM orders WHERE o_orderkey % 89 = 0)
+         SELECT count(*) AS n_pairs,
+           CAST(SUM(ak * 1000003 + bk) AS BIGINT) AS key_sum
+         FROM a JOIN b ON alo < bhi AND blo < ahi""",
     "x_pivot" -> {
       def cell(s: String) =
         s"""coalesce(count(*) FILTER (o_orderstatus = '$s'), 0) AS "${s}_n",

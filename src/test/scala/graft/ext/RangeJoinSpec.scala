@@ -1,6 +1,7 @@
 package graft.ext
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 /** Binned range join must agree exactly with the naive inequality join,
   * including interval edges and bin-misaligned widths. */
@@ -28,5 +29,23 @@ class RangeJoinSpec extends SparkSpec {
     // [10,20) with width 10 must cover bins 1 only — a point at 20 is out.
     val out = pairs(RangeJoin.binnedJoin(points, "v", intervals, "lo", "hi", 10L))
     assert(!out.contains((20.0, "a")) && out.contains((19.0, "a")))
+  }
+
+  test("overlap join matches the naive inequality join, once per pair") {
+    val rnd = new scala.util.Random(5)
+    def mk(n: Int, tag: String) = (0 until n).map { i =>
+      val lo = rnd.nextInt(200).toDouble
+      (s"$tag$i", lo, lo + 1 + rnd.nextInt(40))
+    }
+    val a = mk(80, "a").toDF("an", "alo", "ahi")
+    val b = mk(60, "b").toDF("bn", "blo", "bhi")
+    val naive = a.join(b, col("alo") < col("bhi") && col("blo") < col("ahi"))
+      .select("an", "bn").as[(String, String)].collect().toSeq
+    for (w <- Seq(1L, 8L, 33L, 500L)) {
+      val got = RangeJoin.overlapJoin(a, "alo", "ahi", b, "blo", "bhi", w)
+        .select("an", "bn").as[(String, String)].collect().toSeq
+      // multiset equality: owning-bin gating must emit each pair EXACTLY once
+      assert(got.sorted == naive.sorted, s"binWidth=$w disagrees")
+    }
   }
 }
