@@ -37,6 +37,20 @@ final class TableCatalog(val root: String) extends Serializable {
   def read(spark: SparkSession, name: String): DataFrame =
     spark.read.parquet(currentPath(name))
 
+  /** Retained version tags, oldest first (pruning keeps the newest 2 —
+    * the Delta-time-travel analogue bounded by the retention policy). */
+  def versions(name: String): Seq[String] =
+    Option(tableDir(name).toFile.list()).getOrElse(Array.empty[String])
+      .filter(_.startsWith("v")).sorted.toSeq
+
+  /** Time travel: read a specific retained version (as-of-write state —
+    * the rollback/debug/audit read path every versioned store needs). */
+  def readVersion(spark: SparkSession, name: String, version: String): DataFrame = {
+    require(versions(name).contains(version),
+      s"version $version of $name not retained (have: ${versions(name)})")
+    spark.read.parquet(tableDir(name).resolve(version).toString)
+  }
+
   /** Write `df` as the next version of `name` and atomically repoint. */
   def overwrite(df: DataFrame, name: String, partitionBy: Seq[String] = Nil): Unit = {
     val dir = tableDir(name)

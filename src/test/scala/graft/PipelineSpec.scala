@@ -179,4 +179,20 @@ class PipelineSpec extends SparkSpec {
     // gold rebuilt from current rows only
     assert(cat.read(spark, "companies.gold.fact_trading").count() == 3)
   }
+
+  test("catalog time travel reads retained versions, pruning bounds them") {
+    import spark.implicits._
+    val cat = new TableCatalog(
+      java.nio.file.Files.createTempDirectory("graft-tt").toString)
+    cat.overwrite(Seq((1, "x")).toDF("k", "v"), "c.s.t")
+    cat.overwrite(Seq((1, "y"), (2, "z")).toDF("k", "v"), "c.s.t")
+    assert(cat.versions("c.s.t") == Seq("v000001", "v000002"))
+    assert(cat.readVersion(spark, "c.s.t", "v000001").count() == 1)
+    assert(cat.read(spark, "c.s.t").count() == 2)
+    cat.overwrite(Seq((3, "w")).toDF("k", "v"), "c.s.t") // prunes v000001
+    assert(cat.versions("c.s.t") == Seq("v000002", "v000003"))
+    intercept[IllegalArgumentException] {
+      cat.readVersion(spark, "c.s.t", "v000001")
+    }
+  }
 }
