@@ -110,6 +110,22 @@ final class TableCatalog(val root: String) extends Serializable {
     pruneOldVersions(dir, keep = 2)
   }
 
+  /** Small-file compaction — the file-count half of the reference's
+    * `OPTIMIZE` (`s2g.py:98-101`; [[graft.ops.Gold.clusterBy]] is the
+    * ZORDER half): rewrite the current version into ~`targetFileBytes`
+    * files via a size-derived coalesce. Metadata-side fix for the
+    * many-small-files problem streaming appends create; a no-op rewrite
+    * when the table is already compact (still versioned — rollback
+    * keeps working). */
+  def compact(spark: SparkSession, name: String,
+      targetFileBytes: Long = 128L << 20): Unit = {
+    val cur = Paths.get(currentPath(name))
+    val bytes = Files.walk(cur).filter(Files.isRegularFile(_))
+      .mapToLong(Files.size(_)).sum()
+    val parts = math.max(1, (bytes / targetFileBytes).toInt)
+    overwrite(read(spark, name).coalesce(parts), name)
+  }
+
   private def nextVersion(dir: Path): Int = {
     val existing = Option(dir.toFile.list()).getOrElse(Array.empty[String])
       .filter(_.startsWith("v"))

@@ -180,6 +180,20 @@ class PipelineSpec extends SparkSpec {
     assert(cat.read(spark, "companies.gold.fact_trading").count() == 3)
   }
 
+  test("compaction rewrites many small files into few, content intact") {
+    import spark.implicits._
+    val cat = new TableCatalog(
+      java.nio.file.Files.createTempDirectory("graft-compact").toString)
+    // 16 shuffle partitions → many tiny files
+    cat.overwrite((1 to 1000).toDF("n").repartition(16), "c.s.many")
+    def files(p: String) = new java.io.File(p).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(files(cat.currentPath("c.s.many")) >= 16)
+    cat.compact(spark, "c.s.many")
+    assert(files(cat.currentPath("c.s.many")) == 1)
+    assert(cat.read(spark, "c.s.many").as[Int].collect().sorted.toSeq == (1 to 1000))
+  }
+
   test("catalog time travel reads retained versions, pruning bounds them") {
     import spark.implicits._
     val cat = new TableCatalog(
