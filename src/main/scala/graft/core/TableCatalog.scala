@@ -110,6 +110,45 @@ final class TableCatalog(val root: String) extends Serializable {
     pruneOldVersions(dir, keep = 2)
   }
 
+  /** Row-level change feed between two retained versions — the change-
+    * data-capture read Delta exposes as CDF, rebuilt on the versioned
+    * Parquet layout. `keys` must uniquely identify a row in each version
+    * (the same contract as the SCD merge keys, SURVEY.md §7.4). Emits the
+    * table's columns plus `_change_type` ∈ {insert, delete,
+    * update_preimage, update_postimage}.
+    *
+    * Scale shape: each side is packed to (keys, row-struct, row-hash)
+    * then full-outer joined on `keys` — one shuffle per side, co-
+    * partitioned, no driver collection; unchanged rows are dropped
+    * before the pre/post images are exploded, so output is proportional
+    * to the churn, not the table. */
+  def changes(spark: SparkSession, name: String, fromVersion: String,
+      toVersion: String, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val before = readVersion(spark, name, fromVersion)
+    val after  = readVersion(spark, name, toVersion)
+    require(before.columns.sameElements(after.columns),
+      s"changes: schema drift between $fromVersion (${before.columns.mkString(",")}) " +
+        s"and $toVersion (${after.columns.mkString(",")}) not supported")
+    val nonKey = before.columns.filterNot(keys.contains).toSeq
+    def pack(df: DataFrame, img: String, h: String): DataFrame =
+      df.select(keys.map(col) ++ Seq(
+        struct(df.columns.map(col).toIndexedSeq: _*).as(img),
+        graft.ops.Hashing.rowHashCol(nonKey, strict = true).as(h)): _*)
+    val joined = pack(before, "_o", "_oh")
+      .join(pack(after, "_n", "_nh"), keys, "full_outer")
+      .where(col("_o").isNull || col("_n").isNull || col("_oh") =!= col("_nh"))
+    val images =
+      when(col("_o").isNull,
+        array(struct(col("_n").as("row"), lit("insert").as("_change_type"))))
+      .when(col("_n").isNull,
+        array(struct(col("_o").as("row"), lit("delete").as("_change_type"))))
+      .otherwise(array(
+        struct(col("_o").as("row"), lit("update_preimage").as("_change_type")),
+        struct(col("_n").as("row"), lit("update_postimage").as("_change_type"))))
+    joined.select(explode(images).as("c")).select(col("c.row.*"), col("c._change_type"))
+  }
+
   /** Small-file compaction — the file-count half of the reference's
     * `OPTIMIZE` (`s2g.py:98-101`; [[graft.ops.Gold.clusterBy]] is the
     * ZORDER half): rewrite the current version into ~`targetFileBytes`

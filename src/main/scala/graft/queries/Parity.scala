@@ -323,6 +323,30 @@ object Parity {
         grouping(col("o_orderstatus")).as("g_status"),
         grouping(col("o_orderpriority")).as("g_priority"))
 
+  /** Cube — the remaining member of the grouping-sets family (rollup is
+    * a4): all 4 grouping combinations in one pass; Catalyst expands to a
+    * single Expand + hash-aggregate, so scale cost is one shuffle. */
+  def a5Cube(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "orders")
+      .withColumn("o_year", year(col("o_orderdate").cast("date")))
+      .cube(col("o_orderstatus"), col("o_year"))
+      .agg(
+        count(lit(1)).as("n"),
+        sumd(col("o_totalprice")).as("sum_price"),
+        grouping(col("o_orderstatus")).as("g_status"),
+        grouping(col("o_year")).as("g_year"))
+
+  /** Explicit GROUPING SETS — arbitrary set list, not derivable from
+    * rollup/cube shorthand (Spark 4 `Dataset.groupingSets`). */
+  def a6GroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = table(spark, sfDir, "orders")
+      .withColumn("o_year", year(col("o_orderdate").cast("date")))
+    o.groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_year")), Seq(col("o_year")), Seq.empty),
+        col("o_orderstatus"), col("o_year"))
+      .agg(count(lit(1)).as("n"), sumd(col("o_totalprice")).as("sum_price"))
+  }
+
   // ------------------------------------------------------ scalar suite
   /** §2.7 — scalar-function inventory: regexp_extract, trim, initcap,
     * sha2(concat_ws), try_cast, string ops. */
@@ -405,6 +429,8 @@ object Parity {
     "w3_ranks" -> w3Ranks _,
     "set_ops" -> setOps _,
     "a4_rollup" -> a4Rollup _,
+    "a5_cube" -> a5Cube _,
+    "a6_grouping_sets" -> a6GroupingSets _,
     "scalar_suite" -> scalarSuite _,
     "scd2_two_batch" -> scd2TwoBatch _,
     "scd3_merge" -> scd3Merge _,
@@ -545,6 +571,20 @@ object Parity {
            GROUPING(o_orderstatus) AS g_status,
            GROUPING(o_orderpriority) AS g_priority
          FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
+    "a5_cube" ->
+      """SELECT o_orderstatus, o_year, count(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           GROUPING(o_orderstatus) AS g_status,
+           GROUPING(o_year) AS g_year
+         FROM (SELECT o_orderstatus, year(CAST(o_orderdate AS DATE)) AS o_year,
+                 o_totalprice FROM orders)
+         GROUP BY CUBE (o_orderstatus, o_year)""",
+    "a6_grouping_sets" ->
+      """SELECT o_orderstatus, o_year, count(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM (SELECT o_orderstatus, year(CAST(o_orderdate AS DATE)) AS o_year,
+                 o_totalprice FROM orders)
+         GROUP BY GROUPING SETS ((o_orderstatus, o_year), (o_year), ())""",
     "scalar_suite" ->
       """SELECT c_custkey,
            regexp_extract(c_name, '([0-9]+)$', 1) AS name_code,

@@ -194,6 +194,27 @@ class PipelineSpec extends SparkSpec {
     assert(cat.read(spark, "c.s.many").as[Int].collect().sorted.toSeq == (1 to 1000))
   }
 
+  test("catalog change feed classifies insert/delete/update between versions") {
+    import spark.implicits._
+    val cat = new TableCatalog(
+      java.nio.file.Files.createTempDirectory("graft-cdc").toString)
+    cat.overwrite(Seq((1, "a", 10), (2, "b", 20), (3, "c", 30)).toDF("k", "v", "n"), "c.s.cdc")
+    cat.overwrite(Seq((1, "a", 10), (2, "B", 20), (4, "d", 40)).toDF("k", "v", "n"), "c.s.cdc")
+    val out = cat.changes(spark, "c.s.cdc", "v000001", "v000002", Seq("k"))
+      .as[(Int, String, Int, String)].collect().sortBy(r => (r._1, r._4)).toSeq
+    assert(out == Seq(
+      (2, "B", 20, "update_postimage"),
+      (2, "b", 20, "update_preimage"),
+      (3, "c", 30, "delete"),
+      (4, "d", 40, "insert")))
+    // null-vs-empty non-key values must not collide (strict row hash)
+    val cat2 = new TableCatalog(
+      java.nio.file.Files.createTempDirectory("graft-cdc2").toString)
+    cat2.overwrite(Seq((1, Option.empty[String])).toDF("k", "v"), "c.s.n")
+    cat2.overwrite(Seq((1, Option(""))).toDF("k", "v"), "c.s.n")
+    assert(cat2.changes(spark, "c.s.n", "v000001", "v000002", Seq("k")).count() == 2)
+  }
+
   test("catalog time travel reads retained versions, pruning bounds them") {
     import spark.implicits._
     val cat = new TableCatalog(
