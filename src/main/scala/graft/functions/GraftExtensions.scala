@@ -12,6 +12,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(PolyHash.registration)
     ext.injectFunction(DotProduct.registration)
+    ext.injectFunction(InterleaveBits.registration)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
@@ -20,7 +21,8 @@ object GraftExtensions {
   /** Post-hoc registration on an already-built session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    Seq(PolyHash.registration, DotProduct.registration).foreach { r =>
+    Seq(PolyHash.registration, DotProduct.registration,
+        InterleaveBits.registration).foreach { r =>
       reg.registerFunction(r._1, r._2, r._3)
     }
   }

@@ -47,4 +47,43 @@ object Gold {
     }
     rep.sortWithinPartitions(cs: _*)
   }
+
+  /** S10's ZORDER half in its true multi-dimensional form: bucket two
+    * numeric columns into `2^bits` uniform cells over their [min, max],
+    * Morton-interleave the cell ids ([[graft.functions.InterleaveBits]],
+    * native codegen), then range-partition + sort on the Z-value —
+    * exactly Delta's `OPTIMIZE ... ZORDER BY (a, b)` recipe
+    * (`medallion/gold/s2g.py:98-101`). [[clusterBy]] skips perfectly on
+    * its leading column only; this keeps Parquet footer min/max tight on
+    * BOTH columns, so either predicate prunes files at 100 TB.
+    *
+    * The min/max pass is one tiny aggregate (bounded driver metadata —
+    * the same class of collect as `approxQuantile`). Nulls go to cell 0
+    * (nulls-first). Uniform cells are skew-sensitive in the extreme;
+    * heavy-tailed layouts should pre-transform (e.g. log) the column.
+    */
+  def zorderBy(df: DataFrame, c1: String, c2: String, bits: Int = 16,
+      partitions: Option[Int] = None): DataFrame = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    val mm = df.agg(
+      min(col(c1).cast("double")), max(col(c1).cast("double")),
+      min(col(c2).cast("double")), max(col(c2).cast("double"))).head()
+    if (mm.isNullAt(0) || mm.isNullAt(2)) return clusterBy(df, Seq(c1, c2), partitions)
+    val n = 1 << bits
+    def cell(c: String, lo: Double, hi: Double): Column =
+      if (hi > lo)
+        coalesce(least(lit(n - 1), greatest(lit(0),
+          floor((col(c).cast("double") - lit(lo)) / lit(hi - lo) * lit(n)).cast("int")))
+          .cast("int"), lit(0))
+      else lit(0)
+    val z = graft.functions.InterleaveBits(
+      cell(c1, mm.getDouble(0), mm.getDouble(1)),
+      cell(c2, mm.getDouble(2), mm.getDouble(3)))
+    val withZ = df.withColumn("_graft_z", z)
+    val rep = partitions match {
+      case Some(p) => withZ.repartitionByRange(p, col("_graft_z"))
+      case None    => withZ.repartitionByRange(col("_graft_z"))
+    }
+    rep.sortWithinPartitions(col("_graft_z")).drop("_graft_z")
+  }
 }
