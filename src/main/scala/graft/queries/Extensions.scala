@@ -6,7 +6,7 @@ import graft.streaming.EventStreams
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
 
 /** North-star extension queries: training-data-pipeline operators
   * (dedup, similarity search, text analysis, multimodal, streaming
@@ -73,6 +73,33 @@ object Extensions {
         max(col("n")).as("top_n"))
       .withColumn("top_ratio",
         col("top_n").cast(DoubleType) / col("n_bigrams").cast(DoubleType))
+
+  /** PII scrubbing: count + redact emails and phone numbers — the
+    * pre-training privacy pass every large text corpus gets. Patterns
+    * stay inside the RE2 ∩ Java-regex common subset (no backreferences,
+    * no lookaround) so Spark and the DuckDB oracle match byte-for-byte;
+    * a deterministic fraction of rows gets synthetic PII appended so the
+    * redaction path is exercised on every run. Pure per-row codegen'd
+    * string work — no shuffle, scales linearly. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe = "\\+?[0-9][0-9 ()-]{7,}[0-9]"
+  def piiScrub(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .withColumn("text2", concat(
+        col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id").cast(StringType),
+            lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" call +1 555 01"),
+            lpad((col("doc_id") % 100).cast(StringType), 2, "0"),
+            lit(" 2368"))).otherwise(lit(""))))
+      .select(
+        col("doc_id"),
+        regexp_count(col("text2"), lit(emailRe)).cast(LongType).as("n_emails"),
+        regexp_count(col("text2"), lit(phoneRe)).cast(LongType).as("n_phones"),
+        regexp_replace(regexp_replace(col("text2"), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>").as("clean"))
 
   /** Quality scoring: stopword ratio + length heuristics → band. */
   def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
@@ -503,6 +530,7 @@ object Extensions {
     "x_repetition" -> repetition _,
     "x_range_join" -> rangeJoin _,
     "x_overlap_join" -> overlapIntervals _,
+    "x_pii_scrub" -> piiScrub _,
     "x_pivot" -> pivotStatus _,
     "x_stratified_sample" -> stratifiedSample _,
     "x_tfidf" -> tfidfTop _)
@@ -853,6 +881,26 @@ object Extensions {
             CAST(top_n AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS top_ratio
           FROM (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
                   MAX(n) AS top_n FROM freq GROUP BY doc_id)""",
+    "x_pii_scrub" -> {
+      val e = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val p = "\\+?[0-9][0-9 ()-]{7,}[0-9]"
+      s"""WITH d AS (
+            SELECT doc_id,
+              text ||
+              (CASE WHEN doc_id % 3 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END) ||
+              (CASE WHEN doc_id % 5 = 0
+                 THEN ' call +1 555 01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || ' 2368'
+                 ELSE '' END) AS text2
+            FROM documents)
+          SELECT doc_id,
+            CAST(len(regexp_extract_all(text2, '$e')) AS BIGINT) AS n_emails,
+            CAST(len(regexp_extract_all(text2, '$p')) AS BIGINT) AS n_phones,
+            regexp_replace(regexp_replace(text2, '$e', '<EMAIL>', 'g'),
+              '$p', '<PHONE>', 'g') AS clean
+          FROM d"""
+    },
     "x_salted_agg" ->
       """SELECT l_returnflag,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
