@@ -77,6 +77,31 @@ object Similarity {
       .select("q_id", "n_id", "rank", "cos")
   }
 
+  /** Brute-force cosine top-k via the typed [[graft.functions.TopKAggregator]]
+    * instead of a window sort: same scored pairs, but selection runs as a
+    * partial aggregate (≤ k rows per group survive each map task before
+    * the shuffle) — the bounded-shuffle form for when the candidate set
+    * per query is huge. Bit-identical output to [[bruteForceTopK]]. */
+  def bruteForceTopKAgg(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val v = withNorm(emb)
+    val q = withNorm(queries)
+    val scored = q.as("q").join(v.as("v"), col("q.vec_id") =!= col("v.vec_id"))
+      .select(col("q.vec_id").cast("long").as("q_id"),
+        col("v.vec_id").cast("long").as("n_id"),
+        (dot(col("q.embedding"), col("v.embedding")) /
+          (col("q.nrm") * col("v.nrm"))).as("cos"))
+      .as[(Long, Long, Double)]
+    scored.groupByKey(_._1)
+      .mapValues(t => graft.functions.ScoredId(t._2, t._3))
+      .agg(new graft.functions.TopKAggregator(k).toColumn.name("topk"))
+      .toDF("q_id", "topk")
+      .select(col("q_id"), posexplode(col("topk")).as(Seq("pos", "s")))
+      .select(col("q_id"), col("s.id").as("n_id"),
+        (col("pos") + 1).cast("int").as("rank"), col("s.score").as("cos"))
+  }
+
   /** Deterministic pseudo-random hyperplane component for plane j,
     * dimension i: an integer hash mapped into [-0.5, 0.5). Pure integer
     * arithmetic + one IEEE division, so the DuckDB oracle reproduces it

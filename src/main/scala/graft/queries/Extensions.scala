@@ -190,6 +190,13 @@ object Extensions {
     Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 20), 5)
   }
 
+  /** Same top-5, selected by the typed bounded-heap Aggregator (partial
+    * aggregation; bounded shuffle) instead of a window sort. */
+  def annTopKAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    Similarity.bruteForceTopKAgg(e, e.filter(col("vec_id") < 20), 5)
+  }
+
   /** IVF top-5 (10 deterministic centroids, 2 probes). */
   def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
     val e = emb(spark, sfDir)
@@ -508,6 +515,7 @@ object Extensions {
     "d_simhash_pairs" -> simhashPairs _,
     "d_embed_neardup" -> embedNearDup _,
     "x_ann_topk" -> annTopK _,
+    "x_ann_topk_agg" -> annTopKAgg _,
     "x_ann_ivf" -> annIvf _,
     "m_media_meta" -> mediaMeta _,
     "m_frame_sample" -> frameSample _,
@@ -665,6 +673,17 @@ object Extensions {
           FROM ne x JOIN ne y ON x.label = y.label AND x.vec_id < y.vec_id
           WHERE ${dotD("x.embedding", "y.embedding")} / (x.nrm * y.nrm) >= 0.4""",
     "x_ann_topk" ->
+      s"""WITH $normCte,
+          scored AS (
+            SELECT q.vec_id AS q_id, v.vec_id AS n_id,
+              ${dotD("q.embedding", "v.embedding")} / (q.nrm * v.nrm) AS cos
+            FROM ne q JOIN ne v ON q.vec_id != v.vec_id
+            WHERE q.vec_id < 20)
+          SELECT q_id, n_id, rank, cos FROM (
+            SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+            FROM scored)
+          WHERE rank <= 5""",
+    "x_ann_topk_agg" ->
       s"""WITH $normCte,
           scored AS (
             SELECT q.vec_id AS q_id, v.vec_id AS n_id,

@@ -1,0 +1,37 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.ext.Similarity
+
+import org.apache.spark.sql.functions._
+
+class TopKSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("aggregator semantics: bounded, ordered, tie-broken by id") {
+    val agg = new TopKAggregator(3)
+    val in = Seq(ScoredId(1, 0.5), ScoredId(2, 0.9), ScoredId(3, 0.5),
+      ScoredId(4, 0.1), ScoredId(5, 0.9))
+    val buf = in.foldLeft(agg.zero)(agg.reduce)
+    assert(buf.length == 3)
+    assert(agg.finish(buf) == Seq(ScoredId(2, 0.9), ScoredId(5, 0.9), ScoredId(1, 0.5)))
+    // merge order must not matter
+    val (l, r) = in.splitAt(2)
+    val merged = agg.finish(agg.merge(
+      l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce)))
+    assert(merged == agg.finish(buf))
+  }
+
+  test("bit-identical to the window-sort top-k on random embeddings") {
+    val rnd = new scala.util.Random(11)
+    val emb = Seq.tabulate(60)(i => (i.toLong, Seq.fill(16)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") < 8)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Int, Double)].collect()
+        .map(t => (t._1, t._2, t._3, java.lang.Double.doubleToLongBits(t._4)))
+        .sortBy(t => (t._1, t._3)).toSeq
+    assert(key(Similarity.bruteForceTopKAgg(emb, q, 5)) ==
+      key(Similarity.bruteForceTopK(emb, q, 5)))
+  }
+}
