@@ -187,6 +187,18 @@ object EventStreams {
       .select("user_id", "purchase_id", "purchase_ts", "click_id", "click_ts")
   }
 
+  /** Stream-static enrichment join: every micro-batch joins the event
+    * stream
+    * against a dimension snapshot. A stream-static join holds NO
+    * streaming state (the static side is simply joined per micro-batch),
+    * and the broadcast hint keeps the streaming side shuffle-free: at
+    * 1000 executors the events never move. Left join so unmatched events
+    * survive with null enrichment (they'd silently drop on an inner
+    * join). */
+  def enrichedStream(events: DataFrame, dim: DataFrame,
+      keys: Seq[String] = Seq("user_id")): DataFrame =
+    events.join(broadcast(dim), keys, "left")
+
   /** Watermarked streaming hourly rollup: tumbling event-time window with
     * 2h lateness bound — state is bounded, late rows beyond the watermark
     * drop instead of growing state forever. */

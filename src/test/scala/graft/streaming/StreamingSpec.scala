@@ -171,6 +171,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static broadcast enrichment keeps unmatched events (left join)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val mem = MemoryStream[(Long, Long)]
+    val events = mem.toDF().toDF("event_id", "user_id")
+    val q = EventStreams.enrichedStream(events, dim)
+      .writeStream.format("memory").queryName("enrich_test")
+      .outputMode("append").start()
+    try {
+      mem.addData((10L, 1L), (11L, 3L))
+      q.processAllAvailable()
+      mem.addData((12L, 2L))
+      q.processAllAvailable()
+      val out = spark.table("enrich_test").select("event_id", "user_id", "tier")
+        .as[(Long, Long, Option[String])].collect().sortBy(_._2).toSeq
+      assert(out == Seq((10L, 1L, Some("gold")), (12L, 2L, Some("basic")),
+        (11L, 3L, None)))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join attributes clicks within the lookback") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
