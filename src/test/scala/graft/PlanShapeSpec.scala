@@ -48,6 +48,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"scalar suite must be exchange-free:\n$plan")
   }
 
+  test("dynamic partition pruning: dim filter prunes the fact scan at runtime") {
+    val dir = Parity.tmp("planshape-dpp", sf)
+    Parity.table(spark, sf, "orders")
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(dir)
+    import spark.implicits._
+    // DPP wants a *selective* predicate on the dim side (a Filter that
+    // survives optimization — local relations get constant-folded, so
+    // the dim must be file-backed); the broadcast exchange is then
+    // reused as the runtime partition filter for free.
+    val dimDir = Parity.tmp("planshape-dpp-dim", sf)
+    Seq(("F", "finished"), ("O", "open"), ("P", "pending"))
+      .toDF("status", "label").write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).filter(col("label") === "finished")
+    val q = spark.read.parquet(dir)
+      .join(broadcast(dim), col("o_orderstatus") === col("status"))
+      .select("o_orderkey", "label")
+    // The fact side has no static predicate on the partition column; the
+    // planner must insert a runtime (dynamicpruning) partition filter fed
+    // by the dim — without DPP a 100 TB fact would be scanned in full.
+    val scan = scanLines(q).head
+    assert(scan.contains("dynamicpruning"), s"no runtime partition filter:\n$scan")
+    assert(q.count() == Parity.table(spark, sf, "orders")
+      .filter(col("o_orderstatus") === "F").count())
+  }
+
   test("partition-pruned read scans only the selected partition") {
     val dir = Parity.tmp("planshape-part", sf)
     Parity.table(spark, sf, "orders")
