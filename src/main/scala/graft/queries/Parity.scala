@@ -285,6 +285,22 @@ object Parity {
       sum(dec(col("l_quantity"))).over(w).cast("double").as("running_qty"))
   }
 
+  /** W4 — bounded VALUE-based frame: 7-day rolling spend per customer,
+    * `RANGE BETWEEN 6 PRECEDING AND CURRENT ROW` over a day offset.
+    * Exercises the frame class w2's unbounded form doesn't: peers (same
+    * day) share one frame by value, and the bound moves with the data,
+    * not the row position. Decimal sum keeps it hash-exact. */
+  def w4RollingRange(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("d_day"))
+      .rangeBetween(-6, Window.currentRow)
+    table(spark, sfDir, "orders")
+      .withColumn("d_day",
+        datediff(col("o_orderdate").cast("date"), lit("1992-01-01").cast("date")))
+      .select(col("o_custkey"), col("o_orderkey"), col("d_day"),
+        sum(dec(col("o_totalprice"))).over(w).cast("double").as("spend_7d"),
+        count(lit(1)).over(w).as("n_7d"))
+  }
+
   /** W3 — ranking-function suite: rank, dense_rank, ntile, frame-pinned
     * last_value (beyond reference parity; the "latest snapshot" README
     * idiom generalized, SURVEY.md §2.5). */
@@ -427,6 +443,7 @@ object Parity {
     "w1_lag_growth" -> w1LagGrowth _,
     "w2_running_total" -> w2RunningTotal _,
     "w3_ranks" -> w3Ranks _,
+    "w4_rolling_range" -> w4RollingRange _,
     "set_ops" -> setOps _,
     "a4_rollup" -> a4Rollup _,
     "a5_cube" -> a5Cube _,
@@ -546,6 +563,15 @@ object Parity {
              (PARTITION BY l_orderkey ORDER BY l_linenumber
               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
          FROM lineitem""",
+    "w4_rolling_range" ->
+      """SELECT o_custkey, o_orderkey, d_day,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS spend_7d,
+           COUNT(*) OVER w AS n_7d
+         FROM (SELECT o_custkey, o_orderkey,
+                 datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS d_day,
+                 o_totalprice FROM orders)
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY d_day
+           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""",
     "w3_ranks" ->
       """SELECT o_custkey, o_orderkey,
            rank() OVER w AS rnk,
