@@ -100,7 +100,11 @@ object Parity {
     * content integrity with exact aggregates. */
   def s10Clustering(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = tmp("s10", sfDir)
-    Gold.clusterBy(table(spark, sfDir, "lineitem"), Seq("l_orderkey"))
+    // Spread first: range-partitioner sampling and the cluster sort
+    // otherwise both hang off a one-partition scan.
+    Gold.clusterBy(
+        graft.ext.Par.spread(table(spark, sfDir, "lineitem"), col("l_orderkey")),
+        Seq("l_orderkey"))
       .write.mode("overwrite").parquet(dir)
     spark.read.parquet(dir).agg(
       count(lit(1)).as("n"),
@@ -251,7 +255,10 @@ object Parity {
   /** A1/A2/A3 — grouped count, distinct count, max (+ exact decimal sums)
     * (`b2s_company_house.py:78-100`). */
   def a1Aggregates(spark: SparkSession, sfDir: String): DataFrame =
-    table(spark, sfDir, "lineitem")
+    // The single-row-group testdata file scans on ONE core; spread before
+    // the agg so the partial countDistinct/sum phase uses them all (same
+    // rationale as Extensions.docs — a no-op at real multi-file scale).
+    graft.ext.Par.spread(table(spark, sfDir, "lineitem"), col("l_orderkey"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         count(lit(1)).as("n"),
