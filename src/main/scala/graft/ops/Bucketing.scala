@@ -48,7 +48,13 @@ object Bucketing {
       Files.walk(Paths.get(path)).sorted(Comparator.reverseOrder[java.nio.file.Path]())
         .forEach(f => Files.delete(f))
     }
-    df.write
+    // Pre-partition on the bucket key with the bucket count: repartition
+    // and bucketBy share the same murmur3-pmod placement, so each write
+    // task holds exactly one bucket's rows — the bucket sort and file
+    // write run `buckets`-way parallel while keeping ONE sorted file per
+    // bucket (the layout whose ordering bucketed scans can reuse).
+    df.repartition(buckets, bucketCols.map(org.apache.spark.sql.functions.col): _*)
+      .write
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .option("path", path)
