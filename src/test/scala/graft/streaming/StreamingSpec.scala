@@ -171,6 +171,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming rollup restarts from checkpoint without duplicating windows") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val src = Files.createTempDirectory("graft-ckpt-src")
+    val out = Files.createTempDirectory("graft-ckpt-out")
+    val ckpt = Files.createTempDirectory("graft-ckpt-meta")
+    def writeBatch(name: String, rows: Seq[(String, Timestamp, Double)]): Unit = {
+      // the file source lists direct children — land the part file as one
+      val stage = Files.createTempDirectory(s"graft-ckpt-$name")
+      rows.toDF("event_type", "ts", "value")
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = stage.toFile.listFiles().filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, src.resolve(s"$name.parquet"))
+    }
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema("event_type STRING, ts TIMESTAMP, value DOUBLE")
+        .parquet(src.toString)
+        .withWatermark("ts", "2 hours")
+        .groupBy(col("event_type"), window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("event_type"), col("window.start").as("h"), col("n"))
+      val q = stream.writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    writeBatch("b1", Seq(
+      ("click", Timestamp.valueOf("2024-01-01 00:10:00"), 1.0),
+      ("click", Timestamp.valueOf("2024-01-01 00:50:00"), 2.0)))
+    runOnce() // watermark hasn't passed hour 0 yet → nothing emitted
+    // restart from the same checkpoint; a later file closes hour 0
+    writeBatch("b2", Seq(("click", Timestamp.valueOf("2024-01-01 06:00:00"), 3.0)))
+    runOnce()
+    val rows = spark.read.parquet(out.toString)
+      .as[(String, Timestamp, Long)].collect().toSeq
+    assert(rows == Seq(("click", Timestamp.valueOf("2024-01-01 00:00:00"), 2L)),
+      s"hour-0 window must appear exactly once after restart, got $rows")
+  }
+
   test("stream-static broadcast enrichment keeps unmatched events (left join)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
