@@ -43,25 +43,45 @@ object Multimodal {
       .as[MediaRow]
   }
 
+  /** The stub feature math shared by both decode forms. */
+  private def features(m: MediaRow): MediaMeta = {
+    val n = m.payload.length
+    var sum = 0L; var h = 0L; var i = 0
+    while (i < n) { // sample one byte per frame stride
+      val b = (m.payload(i) & 0xff).toLong
+      sum += b
+      h = (h * 31 + b) % TextKit.P
+      i += FrameStride
+    }
+    MediaMeta(m.doc_id, m.media_type, n.toLong,
+      frame_count = (n.toLong + FrameStride - 1) / FrameStride,
+      sample_sum = sum, sample_hash = h)
+  }
+
   /** STUB decode: real impl would dispatch per media_type to a codec
     * (JPEG decode / PCM frames / video keyframes) inside the same
     * mapPartitions loop. Deterministic fake keeps the dataflow testable. */
   def decodeStub(media: Dataset[MediaRow])(implicit spark: SparkSession): Dataset[MediaMeta] = {
     import spark.implicits._
+    media.mapPartitions(rows => rows.map(features))
+  }
+
+  /** Batched decode — the `mapInPandas` batch shape made explicit in
+    * Scala: ONE (stubbed) codec context per partition, rows pulled
+    * through it in `batchSize` chunks. Real decoders amortize
+    * context/model initialization this way (a JPEG decoder or ONNX
+    * session is far more expensive than one row's decode); the optional
+    * accumulator makes the per-partition-not-per-row init observable in
+    * tests. Output is identical to [[decodeStub]] — only the iteration
+    * shape differs. */
+  def decodeBatched(media: Dataset[MediaRow], batchSize: Int = 128,
+      initCounter: Option[org.apache.spark.util.LongAccumulator] = None)
+      (implicit spark: SparkSession): Dataset[MediaMeta] = {
+    import spark.implicits._
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
     media.mapPartitions { rows =>
-      rows.map { m =>
-        val n = m.payload.length
-        var sum = 0L; var h = 0L; var i = 0
-        while (i < n) { // sample one byte per frame stride
-          val b = (m.payload(i) & 0xff).toLong
-          sum += b
-          h = (h * 31 + b) % TextKit.P
-          i += FrameStride
-        }
-        MediaMeta(m.doc_id, m.media_type, n.toLong,
-          frame_count = (n.toLong + FrameStride - 1) / FrameStride,
-          sample_sum = sum, sample_hash = h)
-      }
+      initCounter.foreach(_.add(1)) // stub codec-context init, once per partition
+      rows.grouped(batchSize).flatMap(batch => batch.map(features))
     }
   }
 

@@ -92,6 +92,20 @@ class OpsSpec extends SparkSpec {
     assert(meta.sample_hash == samples.foldLeft(0L)((a, b) => (a * 31 + b) % graft.ext.TextKit.P))
   }
 
+  test("batched decode matches per-row decode; codec init is per-partition") {
+    implicit val s = spark
+    import spark.implicits._
+    val docs = Seq.tabulate(40)(i => (i.toLong, s"payload-$i-" + "z" * (i * 3)))
+      .toDF("doc_id", "text").repartition(4)
+    val media = Multimodal.toMedia(docs)
+    val inits = spark.sparkContext.longAccumulator("codec-inits")
+    val batched = Multimodal.decodeBatched(media, batchSize = 7, Some(inits))
+      .collect().sortBy(_.doc_id).toSeq
+    val perRow = Multimodal.decodeStub(media).collect().sortBy(_.doc_id).toSeq
+    assert(batched == perRow)
+    assert(inits.value == 4, s"expected one codec init per partition, got ${inits.value}")
+  }
+
   test("frame sampling dispatches per media type") {
     implicit val s = spark
     // doc_id % 3 decides the type: 0→image, 1→audio, 2→video.
