@@ -22,6 +22,28 @@ class TopKSpec extends SparkSpec {
     assert(merged == agg.finish(buf))
   }
 
+  test("property: any split/merge order equals the sort reference") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // Small score domain forces ties; ids unique per sample.
+    val rowsGen = Gen.listOf(Gen.zip(Gen.choose(0L, 50L), Gen.choose(0, 4)))
+      .map(_.zipWithIndex.map { case ((_, s), i) => ScoredId(i.toLong, s / 4.0) })
+    val agg = new TopKAggregator(4)
+    def reference(rows: Seq[ScoredId]): Seq[ScoredId] =
+      rows.sortBy(r => (-r.score, r.id)).take(4)
+    (0 until 200).foreach { i =>
+      val rows = rowsGen.apply(Gen.Parameters.default, Seed(7L + i)).get
+      val cut = if (rows.isEmpty) 0 else (i * 13) % (rows.length + 1)
+      val (l, r) = rows.splitAt(cut)
+      val viaMerge = agg.finish(agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce)))
+      val viaMergeFlip = agg.finish(agg.merge(
+        r.foldLeft(agg.zero)(agg.reduce), l.foldLeft(agg.zero)(agg.reduce)))
+      assert(viaMerge == reference(rows), s"sample $i: $rows")
+      assert(viaMergeFlip == reference(rows), s"sample $i flipped: $rows")
+    }
+  }
+
   test("bit-identical to the window-sort top-k on random embeddings") {
     val rnd = new scala.util.Random(11)
     val emb = Seq.tabulate(60)(i => (i.toLong, Seq.fill(16)(rnd.nextFloat() * 2 - 1)))
