@@ -113,6 +113,27 @@ object Parity {
       max(col("l_orderkey")).as("max_key"))
   }
 
+  /** S10, multi-dimensional form: Z-order the fact by two keys
+    * ([[Gold.zorderBy]] — Morton-interleaved cells, range-partitioned),
+    * then aggregate the round-trip. Layout ops can't change relational
+    * results, so the oracle is the plain aggregate; the *clustering*
+    * property (tight per-file bounding boxes on BOTH dims) is pinned by
+    * InterleaveBitsSpec. */
+  def s10Zorder(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = tmp("s10z", sfDir)
+    Gold.zorderBy(
+        graft.ext.Par.spread(table(spark, sfDir, "lineitem"), col("l_orderkey")),
+        "l_orderkey", "l_partkey", bits = 12)
+      .write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir).agg(
+      count(lit(1)).as("n"),
+      sumd(col("l_quantity")).as("sum_qty"),
+      min(col("l_orderkey")).as("min_okey"),
+      max(col("l_orderkey")).as("max_okey"),
+      min(col("l_partkey")).as("min_pkey"),
+      max(col("l_partkey")).as("max_pkey"))
+  }
+
   // --------------------------------------------------------------- S11
   /** S11 — SQL literal-rows table (`aws/ticker.dbquery.ipynb` DDL+INSERT
     * VALUES; no metastore here so the VALUES relation stands in). */
@@ -452,6 +473,7 @@ object Parity {
     "w3_ranks" -> w3Ranks _,
     "w4_rolling_range" -> w4RollingRange _,
     "set_ops" -> setOps _,
+    "s10_zorder" -> s10Zorder _,
     "a4_rollup" -> a4Rollup _,
     "a5_cube" -> a5Cube _,
     "a6_grouping_sets" -> a6GroupingSets _,
@@ -474,6 +496,11 @@ object Parity {
       """SELECT count(*) AS n,
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
          MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key FROM lineitem""",
+    "s10_zorder" ->
+      """SELECT count(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         MIN(l_orderkey) AS min_okey, MAX(l_orderkey) AS max_okey,
+         MIN(l_partkey) AS min_pkey, MAX(l_partkey) AS max_pkey FROM lineitem""",
     "s11_sql_values" ->
       """SELECT t.ticker, t.company_name, r.r_name
          FROM (VALUES
