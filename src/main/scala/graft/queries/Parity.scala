@@ -391,6 +391,18 @@ object Parity {
       .agg(count(lit(1)).as("n"), sumd(col("o_totalprice")).as("sum_price"))
   }
 
+  /** Global ORDER BY … LIMIT — §2.6's top-k class done right: Catalyst
+    * plans `TakeOrderedAndProject`, a per-partition bounded top-k merged
+    * on the driver — no global sort, no full shuffle, O(k) memory per
+    * partition (the plan shape is asserted in PlanShapeSpec). Unique
+    * tiebreak key keeps the result deterministic. */
+  def topSpenders(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        dec(col("o_totalprice")).cast("double").as("price"))
+      .orderBy(col("price").desc, col("o_orderkey"))
+      .limit(25)
+
   // ------------------------------------------------------ scalar suite
   /** §2.7 — scalar-function inventory: regexp_extract, trim, initcap,
     * sha2(concat_ws), try_cast, string ops. */
@@ -477,6 +489,7 @@ object Parity {
     "a4_rollup" -> a4Rollup _,
     "a5_cube" -> a5Cube _,
     "a6_grouping_sets" -> a6GroupingSets _,
+    "q_top_spenders" -> topSpenders _,
     "scalar_suite" -> scalarSuite _,
     "scd2_two_batch" -> scd2TwoBatch _,
     "scd3_merge" -> scd3Merge _,
@@ -645,6 +658,10 @@ object Parity {
          FROM (SELECT o_orderstatus, year(CAST(o_orderdate AS DATE)) AS o_year,
                  o_totalprice FROM orders)
          GROUP BY GROUPING SETS ((o_orderstatus, o_year), (o_year), ())""",
+    "q_top_spenders" ->
+      """SELECT o_orderkey, o_custkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+         FROM orders ORDER BY price DESC, o_orderkey LIMIT 25""",
     "scalar_suite" ->
       """SELECT c_custkey,
            regexp_extract(c_name, '([0-9]+)$', 1) AS name_code,

@@ -48,6 +48,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"scalar suite must be exchange-free:\n$plan")
   }
 
+  test("global top-N plans TakeOrderedAndProject, not a full sort") {
+    val plan = Parity.topSpenders(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Exchange"), s"top-N must not shuffle:\n$plan")
+  }
+
   test("dynamic partition pruning: dim filter prunes the fact scan at runtime") {
     val dir = Parity.tmp("planshape-dpp", sf)
     Parity.table(spark, sf, "orders")
