@@ -258,6 +258,31 @@ object Parity {
     customer.join(openOrders, cond, "left_anti").select("c_custkey", "c_name")
   }
 
+  /** Left semi join — the "has a qualifying child" idiom (EXISTS/IN):
+    * probe side streams, no right columns materialize, duplicates on the
+    * build side can't fan out rows. */
+  def j4SemiJoin(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "orders")
+      .join(table(spark, sfDir, "lineitem")
+          .filter(col("l_quantity") >= 49)
+          .select(col("l_orderkey").as("o_orderkey")),
+        Seq("o_orderkey"), "left_semi")
+      .select("o_orderkey", "o_orderstatus")
+
+  /** Full outer join — both unmatched sides survive with nulls (the
+    * reconciliation shape: every customer and every order accounted
+    * for, matched or not). */
+  def j5FullOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = table(spark, sfDir, "customer")
+      .filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val o = table(spark, sfDir, "orders")
+      .filter(col("o_custkey") % 11 === 0)
+      .select(col("o_orderkey"), col("o_custkey"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select("c_custkey", "c_mktsegment", "o_orderkey", "o_custkey")
+  }
+
   // ---------------------------------------------------------------- J3
   /** J3/S8 — MERGE upsert without Delta via [[Scd1]] (`scd.py:41-66`):
     * matched rows take source values (including nulls), new keys insert. */
@@ -479,6 +504,8 @@ object Parity {
     "j1_left_join" -> j1LeftJoin _,
     "j2_anti_join" -> j2AntiJoin _,
     "j3_merge_upsert" -> j3MergeUpsert _,
+    "j4_semi_join" -> j4SemiJoin _,
+    "j5_full_outer" -> j5FullOuter _,
     "a1_aggregates" -> a1Aggregates _,
     "w1_lag_growth" -> w1LagGrowth _,
     "w2_running_total" -> w2RunningTotal _,
@@ -576,6 +603,16 @@ object Parity {
       """SELECT c_custkey, c_name FROM customer c
          WHERE NOT EXISTS (SELECT 1 FROM orders o
            WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')""",
+    "j4_semi_join" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+         WHERE o_orderkey IN
+           (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 49)""",
+    "j5_full_outer" ->
+      """SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_custkey
+         FROM (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 7 = 0) c
+         FULL OUTER JOIN
+           (SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey % 11 = 0) o
+         ON c.c_custkey = o.o_custkey""",
     "j3_merge_upsert" ->
       """WITH src AS (
            SELECT c_custkey, c_acctbal + 100 AS c_acctbal
