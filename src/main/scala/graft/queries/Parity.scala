@@ -258,6 +258,21 @@ object Parity {
     customer.join(openOrders, cond, "left_anti").select("c_custkey", "c_name")
   }
 
+  /** P10's outer variant — `explode_outer` keeps parents with NO
+    * children as a null row (a plain explode silently drops them: the
+    * classic lost-rows bug in flattening pipelines). Aggregated array is
+    * sorted so both engines agree on element order. */
+  def p11ExplodeOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = table(spark, sfDir, "customer")
+      .filter(col("c_custkey") % 13 === 0).select("c_custkey")
+    val o = table(spark, sfDir, "orders")
+      .filter(col("o_custkey") % 13 === 0 && col("o_orderstatus") === "F")
+      .groupBy(col("o_custkey"))
+      .agg(array_sort(collect_list(col("o_orderkey"))).as("ks"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), explode_outer(col("ks")).as("o_key"))
+  }
+
   /** Left semi join — the "has a qualifying child" idiom (EXISTS/IN):
     * probe side streams, no right columns materialize, duplicates on the
     * build side can't fan out rows. */
@@ -506,6 +521,7 @@ object Parity {
     "j3_merge_upsert" -> j3MergeUpsert _,
     "j4_semi_join" -> j4SemiJoin _,
     "j5_full_outer" -> j5FullOuter _,
+    "p11_explode_outer" -> p11ExplodeOuter _,
     "a1_aggregates" -> a1Aggregates _,
     "w1_lag_growth" -> w1LagGrowth _,
     "w2_running_total" -> w2RunningTotal _,
@@ -603,6 +619,15 @@ object Parity {
       """SELECT c_custkey, c_name FROM customer c
          WHERE NOT EXISTS (SELECT 1 FROM orders o
            WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')""",
+    "p11_explode_outer" ->
+      """WITH o AS (
+           SELECT o_custkey, list_sort(list(o_orderkey)) AS ks
+           FROM orders WHERE o_custkey % 13 = 0 AND o_orderstatus = 'F'
+           GROUP BY o_custkey)
+         SELECT c.c_custkey,
+           unnest(CASE WHEN o.ks IS NULL THEN [CAST(NULL AS BIGINT)] ELSE o.ks END) AS o_key
+         FROM (SELECT c_custkey FROM customer WHERE c_custkey % 13 = 0) c
+         LEFT JOIN o ON c.c_custkey = o.o_custkey""",
     "j4_semi_join" ->
       """SELECT o_orderkey, o_orderstatus FROM orders
          WHERE o_orderkey IN
