@@ -300,6 +300,23 @@ object Extensions {
         col("max_price").cast("double").as("max_price"))
   }
 
+  /** Salted replicate join on a pathologically hot key (3-value
+    * l_returnflag): the large side salts, the medium side replicates
+    * ×buckets, so each hot key spreads over `buckets` reducers instead
+    * of one. Result is join-identical to the unsalted form — the oracle
+    * is the plain join. (A 3-row dim would broadcast in practice; the
+    * query pins the mechanism for the medium-too-big-to-broadcast case.) */
+  def saltedJoinQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = Parity.table(spark, sfDir, "lineitem").select(
+      col("l_returnflag"), col("l_quantity").cast("decimal(18,2)").as("qty"))
+    val dim = Seq(("A", "accepted"), ("N", "none"), ("R", "returned"))
+      .toDF("l_returnflag", "flag_label")
+    Skew.saltedJoin(li, dim, Seq("l_returnflag"))
+      .groupBy("flag_label")
+      .agg(count(lit(1)).as("n"), sum(col("qty")).cast("double").as("sum_qty"))
+  }
+
   // ------------------------------------------------------- dup clusters
   /** Near-dup pairs → connected components → canonical keeper per
     * cluster ([[Dedup.duplicateClusters]]): the transitive-closure step
@@ -534,6 +551,7 @@ object Extensions {
     "x_orc_scan" -> orcScan _,
     "d_dup_clusters" -> dupClusters _,
     "x_salted_agg" -> saltedAgg _,
+    "x_salted_join" -> saltedJoinQ _,
     "x_bpe_tokens" -> bpeTokens _,
     "x_repetition" -> repetition _,
     "x_range_join" -> rangeJoin _,
@@ -920,6 +938,14 @@ object Extensions {
               '$p', '<PHONE>', 'g') AS clean
           FROM d"""
     },
+    "x_salted_join" ->
+      """SELECT d.flag_label, count(*) AS n,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem l
+         JOIN (VALUES ('A', 'accepted'), ('N', 'none'), ('R', 'returned'))
+           AS d(l_returnflag, flag_label)
+           ON l.l_returnflag = d.l_returnflag
+         GROUP BY d.flag_label""",
     "x_salted_agg" ->
       """SELECT l_returnflag,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
