@@ -72,8 +72,11 @@ object Gold {
     val n = 1 << bits
     def cell(c: String, lo: Double, hi: Double): Column =
       if (hi > lo)
+        // nanvl: a stray NaN must land in a cell (ANSI cast would throw),
+        // and coalesce sends nulls to cell 0 (nulls-first).
         coalesce(least(lit(n - 1), greatest(lit(0),
-          floor((col(c).cast("double") - lit(lo)) / lit(hi - lo) * lit(n)).cast("int")))
+          floor(nanvl((col(c).cast("double") - lit(lo)) / lit(hi - lo), lit(0.0)) * lit(n))
+            .cast("int")))
           .cast("int"), lit(0))
       else lit(0)
     val z = graft.functions.InterleaveBits(

@@ -53,4 +53,11 @@ class InterleaveBitsSpec extends SparkSpec {
     // content preserved
     assert(Gold.zorderBy(grid, "x", "y", bits = 6).count() == n.toLong * n)
   }
+
+  test("zorderBy survives NaN and null cells under ANSI mode") {
+    val df = Seq((1.0, 2.0), (Double.NaN, 3.0), (4.0, Double.NaN), (5.0, 6.0))
+      .toDF("x", "y")
+      .withColumn("y", when(col("x") === 5.0, lit(null).cast("double")).otherwise(col("y")))
+    assert(Gold.zorderBy(df, "x", "y", bits = 4, partitions = Some(2)).count() == 4)
+  }
 }
