@@ -26,8 +26,14 @@ case class ScoredId(id: Long, score: Double)
 class TopKAggregator(k: Int) extends Aggregator[ScoredId, Seq[ScoredId], Seq[ScoredId]] {
   require(k > 0, s"k must be positive, got $k")
 
-  private def better(a: ScoredId, b: ScoredId): Boolean =
-    a.score > b.score || (a.score == b.score && a.id < b.id)
+  // Spark's SQL double ordering: NaN sorts greatest, -0.0 equals 0.0 —
+  // `>` alone would disagree on both and break bit-identity with the
+  // window-sort formulation.
+  private def sqlNorm(s: Double): Double = if (s == 0.0) 0.0 else s
+  private def better(a: ScoredId, b: ScoredId): Boolean = {
+    val c = java.lang.Double.compare(sqlNorm(a.score), sqlNorm(b.score))
+    c > 0 || (c == 0 && a.id < b.id)
+  }
   private def trim(s: Seq[ScoredId]): Seq[ScoredId] =
     if (s.length <= k) s else s.sortWith(better).take(k)
 

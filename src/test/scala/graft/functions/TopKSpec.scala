@@ -22,6 +22,18 @@ class TopKSpec extends SparkSpec {
     assert(merged == agg.finish(buf))
   }
 
+  test("NaN sorts greatest and -0.0 equals 0.0, matching Spark ordering") {
+    val agg = new TopKAggregator(3)
+    val in = Seq(ScoredId(1, 0.5), ScoredId(2, Double.NaN), ScoredId(3, -0.0),
+      ScoredId(4, 0.0), ScoredId(5, 1.0))
+    val top = agg.finish(in.foldLeft(agg.zero)(agg.reduce))
+    assert(top.map(_.id) == Seq(2L, 5L, 1L)) // NaN first, then 1.0, 0.5
+    // -0.0 vs 0.0 tie breaks by id, not by sign bit
+    val zeros = agg.finish(Seq(ScoredId(9, 0.0), ScoredId(3, -0.0), ScoredId(4, 0.0))
+      .foldLeft(agg.zero)(agg.reduce))
+    assert(zeros.map(_.id) == Seq(3L, 4L, 9L))
+  }
+
   test("property: any split/merge order equals the sort reference") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
