@@ -215,6 +215,25 @@ class PipelineSpec extends SparkSpec {
     assert(cat2.changes(spark, "c.s.n", "v000001", "v000002", Seq("k")).count() == 2)
   }
 
+  test("catalog change feed rejects schema drift; handles wipe and no-op") {
+    import spark.implicits._
+    val cat = new TableCatalog(
+      java.nio.file.Files.createTempDirectory("graft-cdc3").toString)
+    cat.overwrite(Seq((1, "a")).toDF("k", "v"), "c.s.e")
+    cat.overwrite(Seq((1, "a")).toDF("k", "v"), "c.s.e")
+    // identical versions → empty feed
+    assert(cat.changes(spark, "c.s.e", "v000001", "v000002", Seq("k")).isEmpty)
+    // full wipe → all deletes
+    cat.overwrite(spark.emptyDataset[(Int, String)].toDF("k", "v"), "c.s.e")
+    val wiped = cat.changes(spark, "c.s.e", "v000002", "v000003", Seq("k"))
+    assert(wiped.select("_change_type").as[String].collect().toSeq == Seq("delete"))
+    // schema drift between versions is refused, not silently mangled
+    cat.overwrite(Seq((1, "a", 0)).toDF("k", "v", "extra"), "c.s.e")
+    intercept[IllegalArgumentException] {
+      cat.changes(spark, "c.s.e", "v000003", "v000004", Seq("k"))
+    }
+  }
+
   test("catalog time travel reads retained versions, pruning bounds them") {
     import spark.implicits._
     val cat = new TableCatalog(
