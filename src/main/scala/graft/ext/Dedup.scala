@@ -52,6 +52,42 @@ object Dedup {
       .select("a", "b", "inter", "na", "nb", "jaccard")
   }
 
+  /** [[jaccardPairs]] with a hot-shingle document-frequency cap — the
+    * 100 TB-safe form. The plain shingle-equality self-join is quadratic
+    * *per shingle value*: one boilerplate trigram ("all rights reserved")
+    * present in 10⁶ docs creates 10¹² candidate pairs on a single key.
+    * Shingles with document frequency above `maxDf` carry no near-dup
+    * signal (they fail to discriminate), so they are dropped from
+    * candidate GENERATION only — the final Jaccard is still computed
+    * exactly over the FULL shingle sets of each surviving candidate, so
+    * emitted scores are identical to [[jaccardPairs]]'s. The only
+    * semantic delta is recall on pairs whose entire overlap is hot
+    * boilerplate — by construction those sit far below any useful
+    * threshold. One extra keyed aggregation (shingle → df) buys a
+    * per-key join fanout bounded by maxDf². */
+  def jaccardPairsCapped(docs: DataFrame, threshold: Double, n: Int = 3,
+                         maxDf: Int = 100): DataFrame = {
+    val sh = shingled(docs, n).transform(Par.spread(_, col("doc_id")))
+    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    // Shingles are per-doc distinct, so count(*) per shingle IS document
+    // frequency; keep only the discriminative (rare) postings.
+    val rare = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("shingle")
+    val exR = ex.join(rare, Seq("shingle"))
+    val cand = exR.as("x").join(exR.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("a"), col("shingles").as("sha"), col("nsh").as("na")), Seq("a"))
+      .join(sh.select(col("doc_id").as("b"), col("shingles").as("shb"), col("nsh").as("nb")), Seq("b"))
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "inter", "na", "nb", "jaccard")
+  }
+
   /** Duplicate clusters from a pairwise near-dup relation: connected
     * components by iterative min-label propagation, so "a≈b, b≈c" lands
     * a, b and c in ONE cluster even when (a, c) itself was never a
@@ -75,8 +111,9 @@ object Dedup {
       .distinct().localCheckpoint()
     // Seed with min(self, neighbors) — the first propagation round for
     // free out of the same edge aggregation that defines the node set.
-    var labels = edges.groupBy(col("dst").as("node"))
+    var ckpt = edges.groupBy(col("dst").as("node"))
       .agg(least(col("dst"), min(col("src"))).as("label")).localCheckpoint()
+    var labels = ckpt
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -91,12 +128,29 @@ object Dedup {
           (coalesce(col("nmin"), col("label")) < col("label")).as("__changed"))
         .localCheckpoint()
       converged = next.filter(col("__changed")).limit(1).isEmpty
+      // next is eagerly materialized, so the previous round's checkpoint
+      // blocks are dead weight — free them now instead of pinning
+      // O(iters × |labels|) block-manager memory for the session's life
+      // (left to the ContextCleaner they survive until a driver GC, which
+      // a long bench run may never trigger under memory pressure).
+      freeCheckpoint(ckpt)
+      ckpt = next
       labels = next.drop("__changed")
       i += 1
     }
     require(converged, s"duplicateClusters did not converge in $maxIters iterations")
+    freeCheckpoint(edges)
     labels
   }
+
+  /** Unpersist the block-manager storage behind a localCheckpoint'd frame
+    * (Dataset.unpersist only covers cache-manager entries, not checkpoint
+    * RDDs). No-op for non-checkpoint plans. */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** MinHash signatures: doc_id, sig array<long> of k permuted minima.
     * Staged projections (shingles → hs → sig) keep each intermediate
@@ -124,16 +178,27 @@ object Dedup {
           .reduce((acc, s) => acc * 31 + s), lit(-1L)))).as(Seq("band", "bucket")))
 
   /** MinHash+LSH near-dup pairs, exact-Jaccard-verified.
-    * 22 bands × 3 rows over a k=66 signature: catch probability
-    * 1-(1-j^3)^22 ≈ 1 - 1.4e-7 at j=0.8 — ~2000× more recall margin than
-    * the 16×4 default, so regenerated corpora / new scale factors don't
-    * silently miss a qualifying pair, while 3-row bands keep candidate
-    * precision high (2-row bands admit ~4× the low-similarity candidates
-    * and measurably blow up the verify join). Precision is exact either
-    * way: every candidate is verified with exact Jaccard
-    * (array_intersect on the two shingle sets). */
+    * 16 bands × 4 rows over a k=64 signature: catch probability
+    * 1-(1-j^4)^16 ≈ 0.9998 at j=0.8, rising fast above it — and the
+    * boundary is deterministic for a fixed corpus (either a pair shares a
+    * band or it doesn't), so recall is verified against the exact oracle
+    * at each SF rather than assumed. 4-row bands keep candidate precision
+    * high: at j≈0.3 a band matches with j^4≈0.008, so low-similarity text
+    * almost never reaches the verify stage (3-row bands admit ~4× those
+    * candidates and measurably blow up the verify join — the r2 retune
+    * that regressed this query 12×).
+    *
+    * Two-stage verify keeps the expensive work off the candidate bulk:
+    * candidates first join only the k-long signatures and are gated on
+    * signature agreement — an unbiased k-sample estimator of Jaccard —
+    * and only survivors shuffle their full shingle sets into the exact
+    * `array_intersect` verify. The gate at (threshold−0.3)·k sits >6σ
+    * below a qualifying pair's agreement mean (j·k ± √(k·j(1−j))), so it
+    * cannot drop a true near-dup, while discarding most of the moderate-
+    * similarity candidates that LSH admits. Precision of the final output
+    * is exact either way: every emitted pair passed exact Jaccard. */
   def minHashNearDups(docs: DataFrame, threshold: Double = 0.8,
-                      k: Int = 66, bands: Int = 22): DataFrame = {
+                      k: Int = 64, bands: Int = 16): DataFrame = {
     val rows = k / bands
     // One materialized base carrying shingles + signature: expensive
     // projections sit between two exchanges, so every consumer (both
@@ -145,13 +210,23 @@ object Dedup {
       .select(col("doc_id"), col("shingles"), col("nsh"),
         TextKit.minHashFromHashes(col("hs"), k).as("sig"))
       .transform(Par.spread(_, col("doc_id")))
-    val buckets = lshBuckets(base.select(col("doc_id"), col("sig")), bands, rows)
+    val sigs = base.select(col("doc_id"), col("sig"))
+    val buckets = lshBuckets(sigs, bands, rows)
     val cand = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
-    cand
+    val minAgree = math.ceil(math.max(0.0, threshold - 0.3) * k).toInt
+    val survivors = cand
+      .join(sigs.select(col("doc_id").as("a"), col("sig").as("siga")), Seq("a"))
+      .join(sigs.select(col("doc_id").as("b"), col("sig").as("sigb")), Seq("b"))
+      .withColumn("agree", aggregate(
+        zip_with(col("siga"), col("sigb"), (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v))
+      .filter(col("agree") >= minAgree)
+      .select("a", "b")
+    survivors
       .join(base.select(col("doc_id").as("a"), col("shingles").as("sha"), col("nsh").as("na")), Seq("a"))
       .join(base.select(col("doc_id").as("b"), col("shingles").as("shb"), col("nsh").as("nb")), Seq("b"))
       .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))

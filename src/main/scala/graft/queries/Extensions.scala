@@ -170,6 +170,11 @@ object Extensions {
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.jaccardPairs(docs(spark, sfDir), 0.5)
 
+  /** Exact Jaccard with the hot-shingle df cap — the corpus-scale form
+    * (candidate generation skips shingles present in > 100 docs). */
+  def jaccardCapped(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.jaccardPairsCapped(docs(spark, sfDir), 0.5, maxDf = 100)
+
   /** MinHash+LSH candidates, exact-verified at j >= 0.8. */
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.minHashNearDups(docs(spark, sfDir), 0.8)
@@ -528,6 +533,7 @@ object Extensions {
     "x_simhash_docs" -> simhashDocs _,
     "d_exact_dedup" -> exactDedup _,
     "d_ngram_jaccard" -> ngramJaccard _,
+    "d_jaccard_capped" -> jaccardCapped _,
     "d_minhash_lsh" -> minhashLsh _,
     "d_simhash_pairs" -> simhashPairs _,
     "d_embed_neardup" -> embedNearDup _,
@@ -675,6 +681,24 @@ object Extensions {
            count(*) AS n_copies
          FROM all_docs GROUP BY 1 HAVING count(*) > 1""",
     "d_ngram_jaccard" -> jaccardSql("0.5"),
+    "d_jaccard_capped" ->
+      s"""WITH $shingleCte,
+          dfreq AS (SELECT shingle, count(*) AS df FROM ex GROUP BY 1),
+          exr AS (SELECT ex.doc_id, ex.shingle FROM ex
+                  JOIN dfreq USING (shingle) WHERE dfreq.df <= 100),
+          cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                   FROM exr x JOIN exr y
+                   ON x.shingle = y.shingle AND x.doc_id < y.doc_id)
+          SELECT a, b,
+            len(list_intersect(ca.shingles, cb.shingles)) AS inter,
+            ca.nsh AS na, cb.nsh AS nb,
+            CAST(len(list_intersect(ca.shingles, cb.shingles)) AS DOUBLE)
+              / CAST(ca.nsh + cb.nsh - len(list_intersect(ca.shingles, cb.shingles)) AS DOUBLE) AS jaccard
+          FROM cand
+          JOIN shc ca ON cand.a = ca.doc_id
+          JOIN shc cb ON cand.b = cb.doc_id
+          WHERE CAST(len(list_intersect(ca.shingles, cb.shingles)) AS DOUBLE)
+              / CAST(ca.nsh + cb.nsh - len(list_intersect(ca.shingles, cb.shingles)) AS DOUBLE) >= 0.5""",
     "d_minhash_lsh" -> jaccardSql("0.8"),
     "d_simhash_pairs" ->
       s"""WITH sim AS (

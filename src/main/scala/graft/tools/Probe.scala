@@ -1,6 +1,6 @@
 package graft.tools
 
-import graft.ext.{Dedup, Par}
+import graft.ext.{Dedup, Par, TextKit}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -22,40 +22,35 @@ object Probe {
       df.write.mode("overwrite").format("noop").save()
       println(f"[probe] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
     }
+    def count(name: String)(df: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val n = df.count()
+      println(f"[probe] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+    }
     time("warmup")(spark.range(10000).toDF())
-    time("simHashedBigrams-1")(Dedup.simHashedBigrams(docs))
-    time("simHashedBigrams-2")(Dedup.simHashedBigrams(docs))
-    val sim = Dedup.simHashedBigrams(docs)
-    val banded = sim.select(col("doc_id"), col("simhash"), posexplode(
-      array((0 until 4).map(b =>
-        shiftright(col("simhash"), b * 7) % (1L << 7)): _*)).as(Seq("band", "bval")))
-    time("banded")(banded)
-    val cand = banded.as("x").join(banded.as("y"),
-      col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-        col("x.simhash").as("sa"), col("y.simhash").as("sb"))
-    time("join-no-distinct")(cand)
-    time("join+distinct")(cand.distinct())
-    time("simHashPairs-full")(Dedup.simHashPairs(docs, 3))
-    time("simHashPairs-full-2")(Dedup.simHashPairs(docs, 3))
-    // cached-sim variant
-    val simC = Dedup.simHashedBigrams(docs).cache()
-    simC.count()
-    val bandedC = simC.select(col("doc_id"), col("simhash"), posexplode(
-      array((0 until 4).map(b =>
-        shiftright(col("simhash"), b * 7) % (1L << 7)): _*)).as(Seq("band", "bval")))
-    val candC = bandedC.as("x").join(bandedC.as("y"),
-      col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-        col("x.simhash").as("sa"), col("y.simhash").as("sb"))
-      .distinct()
-      .withColumn("hamming", expr("bit_count(sa ^ sb)"))
-      .filter(col("hamming") <= 3)
-      .select("a", "b", "hamming")
-    time("pairs-via-cache")(candC)
-    time("pairs-via-cache-2")(candC)
+
+    // Decompose minHashNearDups with current parameters.
+    def stages(k: Int, bands: Int): Unit = {
+      val rows = k / bands
+      println(s"== k=$k bands=$bands rows=$rows ==")
+      val base = Dedup.shingled(docs)
+        .withColumn("hs", transform(col("shingles"), s => TextKit.polyHash(s)))
+        .transform(Par.spread(_, col("doc_id")))
+        .select(col("doc_id"), col("shingles"), col("nsh"),
+          TextKit.minHashFromHashes(col("hs"), k).as("sig"))
+        .transform(Par.spread(_, col("doc_id")))
+      time("base-signatures")(base)
+      val buckets = Dedup.lshBuckets(base.select(col("doc_id"), col("sig")), bands, rows)
+      count("candidates")(
+        buckets.as("x").join(buckets.as("y"),
+            col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+          .distinct())
+      time("full")(Dedup.minHashNearDups(docs, 0.8, k, bands))
+    }
+    stages(66, 22)
+    stages(64, 16)
     spark.stop()
   }
 }

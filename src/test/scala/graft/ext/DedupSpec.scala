@@ -71,6 +71,30 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.jaccardPairs(short, 0.1).count() == 0)
   }
 
+  test("jaccardPairsCapped: hot shingle bounds candidates, scores stay exact") {
+    // Every doc shares one boilerplate sentence (a hot shingle block); only
+    // docs 0/1 genuinely overlap beyond it. Uncapped candidate generation
+    // pairs ALL docs through the boilerplate; the df cap must drop those
+    // while emitted pairs keep the FULL-set exact Jaccard (boilerplate
+    // shingles still count toward inter once a pair survives).
+    val boiler = "all rights reserved by the original copyright holder"
+    val skewed = (0L to 9L).map { i =>
+      val body = if (i <= 1) "identical payload text shared here" else s"unique body nr$i only"
+      (i, s"$boiler $body")
+    }.toDF("doc_id", "text")
+    val capped = Dedup.jaccardPairsCapped(skewed, 0.3, maxDf = 5)
+    val rows = capped.collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) -> r.getAs[Double]("jaccard")).toMap
+    assert(rows.keySet == Set((0L, 1L)), s"expected only the true near-dup pair, got ${rows.keySet}")
+    // Score equals the uncapped exact score for the same pair.
+    val exact = Dedup.jaccardPairs(skewed, 0.3)
+      .filter(col("a") === 0 && col("b") === 1).select("jaccard").head().getDouble(0)
+    assert(rows((0L, 1L)) == exact)
+    // And the candidate space itself is bounded: the hot shingles alone
+    // would have produced all 45 pairs.
+    val uncappedPairs = Dedup.jaccardPairs(skewed, 0.0).count()
+    assert(uncappedPairs == 45L, s"skew premise broken: $uncappedPairs")
+  }
+
   test("duplicateClusters: transitive closure over pairs, min-id canonical") {
     // 1-2, 2-3, 3-4 chain (diameter > 1 forces >1 propagation round);
     // 7-8 isolated pair; pair order/direction must not matter.
