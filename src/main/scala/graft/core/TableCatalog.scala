@@ -59,6 +59,11 @@ final class TableCatalog(val root: String) extends Serializable {
     val w = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(dir.resolve(nextV).toString)
+    repoint(dir, name, nextV)
+  }
+
+  /** Atomically swap `_CURRENT` to `nextV` and prune old versions. */
+  private def repoint(dir: Path, name: String, nextV: String): Unit = {
     val tmp = dir.resolve("_CURRENT.tmp")
     Files.writeString(tmp, nextV)
     Files.move(tmp, currentPointer(name), StandardCopyOption.ATOMIC_MOVE,
@@ -66,14 +71,44 @@ final class TableCatalog(val root: String) extends Serializable {
     pruneOldVersions(dir, keep = 2)
   }
 
-  /** Append = read current ∪ new → write next version (no in-place append
-    * on an immutable Parquet version dir). */
+  /** Append: write ONLY the new batch's files into the next version and
+    * carry every previous data file across by hardlink — O(batch) data
+    * written per append, not O(table) (an append-heavy 100 TB silver
+    * layer cannot pay a full rewrite per batch). Falls back to the
+    * null-padded union rewrite when the batch's schema drifts from the
+    * table's (ALTER TABLE ADD COLUMN analogue) or the current version is
+    * partitioned — in both cases a flat hardlink union would leave the
+    * directory unreadable as one consistent Parquet table. Versioning and
+    * rollback semantics are unchanged: pruning old versions only unlinks,
+    * so carried files survive through the newer version's links. */
   def append(df: DataFrame, name: String): Unit = {
     val spark = df.sparkSession
-    val merged =
-      if (exists(name)) read(spark, name).unionByName(df, allowMissingColumns = true)
-      else df
-    overwrite(merged, name)
+    if (!exists(name)) { overwrite(df, name); return }
+    val cur = read(spark, name)
+    def shape(s: org.apache.spark.sql.types.StructType) =
+      s.fields.map(f => (f.name, f.dataType)).toSeq
+    val prev = Paths.get(currentPath(name))
+    val prevPartitioned = Option(prev.toFile.listFiles())
+      .getOrElse(Array.empty).exists(_.isDirectory)
+    if (shape(cur.schema) != shape(df.schema) || prevPartitioned) {
+      overwrite(cur.unionByName(df, allowMissingColumns = true), name)
+    } else {
+      val dir = tableDir(name)
+      val nextV = "v%06d".format(nextVersion(dir))
+      val next = dir.resolve(nextV)
+      df.write.mode("overwrite").parquet(next.toString)
+      // Part-file names embed the write job's UUID, so links from the
+      // previous version cannot collide with the fresh batch's files.
+      val walk = Files.walk(prev)
+      // skip job markers (_SUCCESS) and hidden checksums (._SUCCESS.crc) —
+      // the fresh write produced its own
+      try walk.filter(Files.isRegularFile(_)).forEach { f =>
+        val fn = f.getFileName.toString
+        if (!fn.startsWith("_") && !fn.startsWith("."))
+          Files.createLink(next.resolve(prev.relativize(f)), f)
+      } finally walk.close()
+      repoint(dir, name, nextV)
+    }
   }
 
   /** Partition-scoped versioned overwrite: `df` carries ONLY the rewritten
@@ -96,18 +131,15 @@ final class TableCatalog(val root: String) extends Serializable {
     Option(prev.toFile.list()).getOrElse(Array.empty[String])
       .filter(n => n.startsWith(s"$partCol=") && !touchedDirs.contains(n))
       .foreach { p =>
-        Files.walk(prev.resolve(p)).filter(Files.isRegularFile(_)).forEach { f =>
+        val walk = Files.walk(prev.resolve(p))
+        try walk.filter(Files.isRegularFile(_)).forEach { f =>
           val rel = prev.relativize(f)
           val to = next.resolve(rel)
           Files.createDirectories(to.getParent)
           Files.createLink(to, f)
-        }
+        } finally walk.close()
       }
-    val tmp = dir.resolve("_CURRENT.tmp")
-    Files.writeString(tmp, nextV)
-    Files.move(tmp, currentPointer(name), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-    pruneOldVersions(dir, keep = 2)
+    repoint(dir, name, nextV)
   }
 
   /** Row-level change feed between two retained versions — the change-
@@ -159,8 +191,12 @@ final class TableCatalog(val root: String) extends Serializable {
   def compact(spark: SparkSession, name: String,
       targetFileBytes: Long = 128L << 20): Unit = {
     val cur = Paths.get(currentPath(name))
-    val bytes = Files.walk(cur).filter(Files.isRegularFile(_))
-      .mapToLong(Files.size(_)).sum()
+    // try/finally: Files.walk holds directory handles until closed — a
+    // long-lived driver compacting many tables would leak descriptors.
+    val walk = Files.walk(cur)
+    val bytes =
+      try walk.filter(Files.isRegularFile(_)).mapToLong(Files.size(_)).sum()
+      finally walk.close()
     val parts = math.max(1, (bytes / targetFileBytes).toInt)
     overwrite(read(spark, name).coalesce(parts), name)
   }
@@ -176,8 +212,9 @@ final class TableCatalog(val root: String) extends Serializable {
     val versions = Option(dir.toFile.list()).getOrElse(Array.empty[String])
       .filter(_.startsWith("v")).sorted
     versions.dropRight(keep).foreach { v =>
-      val p = dir.resolve(v)
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+      val walk = Files.walk(dir.resolve(v))
+      try walk.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+      finally walk.close()
     }
   }
 }

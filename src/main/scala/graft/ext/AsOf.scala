@@ -63,6 +63,11 @@ object AsOf {
     joinDirectional(left, right, keys, leftTs, rightTs, payload, tiebreak,
       forward = true)
 
+  /** Null-timestamp contract (all four forms agree, matching the DuckDB
+    * `ASOF JOIN` oracle whose `>=` comparison never matches null): right
+    * rows with a null timestamp are IGNORED — a quote with no time is not
+    * "known since forever" — and left rows with a null timestamp keep a
+    * null payload. */
   private def joinDirectional(
       left: DataFrame,
       right: DataFrame,
@@ -79,6 +84,10 @@ object AsOf {
     val keyCols: Seq[Column] = keys.map(col)
     val lSchema = left.select(leftCols.map(col): _*).schema
     val rSchema = right.select(payload.map(col): _*).schema
+    // The tiebreak orders in its NATIVE type — a cast (to long, say) would
+    // null out strings (nondeterministic ties) or truncate fractions,
+    // silently diverging from the native/broadcast forms.
+    val tbType = right.schema(right.schema.fieldIndex(tiebreak)).dataType
 
     // Side ordering puts the right row on the INCLUSIVE side of the left
     // row at equal ts: backward scans [start, current] so right sorts
@@ -89,15 +98,16 @@ object AsOf {
     val (lSide, rSide) = if (forward) (0, 1) else (1, 0)
     val l = left.select(keyCols ++ Seq(
       col(leftTs).as("__ts"), lit(lSide).as("__side"),
-      lit(null).cast("long").as("__ord"),
+      lit(null).cast(tbType).as("__ord"),
       struct(leftCols.map(col): _*).as("__l"),
       lit(null).cast(rSchema).as("__r")): _*)
 
-    val r = right.select(keyCols ++ Seq(
-      col(rightTs).as("__ts"), lit(rSide).as("__side"),
-      col(tiebreak).cast("long").as("__ord"),
-      lit(null).cast(lSchema).as("__l"),
-      struct(payload.map(col): _*).as("__r")): _*)
+    val r = right.filter(col(rightTs).isNotNull)
+      .select(keyCols ++ Seq(
+        col(rightTs).as("__ts"), lit(rSide).as("__side"),
+        col(tiebreak).as("__ord"),
+        lit(null).cast(lSchema).as("__l"),
+        struct(payload.map(col): _*).as("__r")): _*)
 
     val base = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts"), col("__side"), col("__ord"))
@@ -110,7 +120,9 @@ object AsOf {
           last(col("__r"), ignoreNulls = true))
 
     r.unionByName(l)
-      .withColumn("__asof", pick.over(w))
+      // Null left ts sorts before every real right ts, which would hand a
+      // forward-scanning first() a spurious match — gate the pick instead.
+      .withColumn("__asof", when(col("__ts").isNotNull, pick.over(w)))
       .filter(col("__side") === lSide)
       .select(keyCols ++ Seq(col("__ts").as(leftTs)) ++
         leftCols.map(c => col(s"__l.$c").as(c)) ++
@@ -138,7 +150,11 @@ object AsOf {
     require(clash.isEmpty, s"payload collides with left columns: $clash")
 
     // sort_array orders structs field-by-field: (ts, tiebreak, ...) —
-    // identical winner-among-ties rule as the other two forms.
+    // identical winner-among-ties rule as the other forms. Null right
+    // timestamps need no explicit filter here: `x("__ts") <= leftTs` is
+    // null for them, and array `filter` drops non-true elements — the
+    // shared null-ts contract (see joinDirectional) for free. A null left
+    // ts likewise empties `hits` → null payload.
     val packed = right.groupBy(keys.map(col): _*)
       .agg(sort_array(collect_list(struct(
         col(rightTs).as("__ts"), col(tiebreak).as("__tb"),
@@ -180,7 +196,13 @@ object AsOf {
     // exprIds through that rewrite, so the node's key/ts/payload
     // references stay valid no matter which side gets re-instanced.
     val rCols = (keys ++ Seq(rightTs, tiebreak) ++ payload).distinct
-    val rPlan = Bridge.analyzed(right.select(rCols.map(c => col(c).as(c)): _*))
+    // Shared null-ts contract (see joinDirectional): without this filter
+    // the exec's natural ascending ordering sorts a null right ts first
+    // and its `<=` compare matches every left row ("known since forever").
+    // Null LEFT ts needs no guard — those rows sort before any surviving
+    // right row of their key, so the sweep holds no payload yet.
+    val rPlan = Bridge.analyzed(right.filter(col(rightTs).isNotNull)
+      .select(rCols.map(c => col(c).as(c)): _*))
     val lPlan = Bridge.analyzed(left.select(left.columns.toSeq.map(c => col(c).as(c)): _*))
     def attr(p: LogicalPlan, n: String): Attribute =
       p.output.find(_.name == n).getOrElse(

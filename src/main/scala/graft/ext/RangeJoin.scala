@@ -35,14 +35,27 @@ object RangeJoin {
     val ip = intervals.withColumn("__bin",
       explode(sequence(
         floor(col(lo) / binWidth).cast("long"),
-        // hi is exclusive: an interval ending exactly on a bin edge does
-        // not reach into the next bin.
-        floor((col(hi) - lit(1e-9)) / binWidth).cast("long"))))
+        endBin(col(lo), col(hi), binWidth))))
     val pp = points.withColumn("__bin", floor(col(value) / binWidth).cast("long"))
     pp.join(ip, Seq("__bin"))
       .filter(col(value) >= col(lo) && col(value) < col(hi))
       .drop("__bin")
   }
+
+  /** Last bin a half-open interval [lo, hi) reaches, computed exactly:
+    * `floor(hi/w)` except when `hi` sits exactly on a bin edge, where the
+    * exclusive bound means the interval does not enter that bin. No float
+    * epsilon — a subtraction like `hi - 1e-9` can land BELOW the bin of
+    * `greatest(aLo, bLo)` for sub-epsilon overlaps, silently dropping a
+    * genuinely overlapping pair from the owning-bin gate. Clamped to the
+    * start bin so degenerate `hi <= lo` intervals replicate into exactly
+    * one bin (ascending `sequence`) and die in the residual filter. */
+  private def endBin(lo: org.apache.spark.sql.Column,
+                     hi: org.apache.spark.sql.Column, binWidth: Long) =
+    greatest(
+      floor(lo / binWidth).cast("long"),
+      floor(hi / binWidth).cast("long") -
+        when(hi % binWidth === 0, 1L).otherwise(0L))
 
   /** Interval-overlap join for two LARGE interval sets (half-open
     * intervals; overlap iff `aLo < bHi && bLo < aHi`): both sides
@@ -60,7 +73,7 @@ object RangeJoin {
       df.withColumn("__bin",
         explode(sequence(
           floor(col(lo) / binWidth).cast("long"),
-          floor((col(hi) - lit(1e-9)) / binWidth).cast("long"))))
+          endBin(col(lo), col(hi), binWidth))))
     binned(a, aLo, aHi).join(binned(b, bLo, bHi), Seq("__bin"))
       .filter(col(aLo) < col(bHi) && col(bLo) < col(aHi))
       .filter(col("__bin") ===

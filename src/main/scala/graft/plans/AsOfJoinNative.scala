@@ -37,8 +37,11 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * payload of the right row with the same key and the greatest
   * `rightTs <= leftTs`; among right ties on (key, ts) the greatest
   * `tiebreak` wins; unmatched left rows keep null payload. Null keys
-  * group together (SQL window semantics, not join-null semantics); null
-  * right timestamps sort first and act as "known since forever".
+  * group together (SQL window semantics, not join-null semantics). The
+  * exec itself sorts a null right ts first ("known since forever"), so
+  * [[graft.ext.AsOf.joinBackwardNative]] filters null-ts right rows at
+  * build time to hold the shared null-ts contract (null right ts ignored,
+  * null left ts → null payload) across all four as-of forms.
   */
 case class AsOfJoin(
     left: LogicalPlan,

@@ -194,6 +194,42 @@ class PipelineSpec extends SparkSpec {
     assert(cat.read(spark, "c.s.many").as[Int].collect().sorted.toSeq == (1 to 1000))
   }
 
+  test("append writes only the batch; prior files carried by hardlink") {
+    import spark.implicits._
+    import java.nio.file.{Files, Path, Paths}
+    def fileKeys(dir: Path): Map[String, Object] = {
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(dir)
+      try walk.iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+        .map(p => dir.relativize(p).toString -> Files.getAttribute(p, "unix:fileKey"))
+        .toMap
+      finally walk.close()
+    }
+    val cat = new TableCatalog(Files.createTempDirectory("graft-append").toString)
+    cat.overwrite((1 to 100).toDF("n"), "c.s.app")
+    val v1 = Paths.get(cat.currentPath("c.s.app"))
+    val v1Files = fileKeys(v1)
+    assert(v1Files.nonEmpty)
+    cat.append((101 to 120).toDF("n"), "c.s.app")
+    val v2 = Paths.get(cat.currentPath("c.s.app"))
+    assert(v2 != v1)
+    assert(cat.read(spark, "c.s.app").as[Int].collect().sorted.toSeq == (1 to 120))
+    // every v1 data file appears in v2 as the SAME inode — appended, not rewritten
+    val v2Files = fileKeys(v2)
+    v1Files.foreach { case (rel, key) =>
+      assert(v2Files.contains(rel), s"prior file $rel missing from appended version")
+      assert(v2Files(rel) == key, s"prior file $rel was rewritten, not hardlinked")
+    }
+    assert(v2Files.size > v1Files.size, "appended batch added no new files")
+    // schema drift falls back to the null-padded union rewrite
+    cat.append(Seq((999, "x")).toDF("n", "extra"), "c.s.app")
+    val drifted = cat.read(spark, "c.s.app")
+    assert(drifted.columns.toSet == Set("n", "extra"))
+    assert(drifted.count() == 121)
+    assert(drifted.filter(col("extra").isNull).count() == 120)
+  }
+
   test("catalog change feed classifies insert/delete/update between versions") {
     import spark.implicits._
     val cat = new TableCatalog(

@@ -133,6 +133,37 @@ class AsOfSpec extends SparkSpec {
     assert(out == Set((1, 5L, None), (2, 6L, None)))
   }
 
+  test("all four forms share the null-ts contract") {
+    // Right row with null ts is ignored (not "known since forever");
+    // left row with null ts keeps a null payload.
+    val l = Seq((1, Some(5L)), (1, None)).toDF("k", "ts")
+    val r = Seq((1, None, "ghost", 0L), (1, Some(3L), "real", 0L))
+      .toDF("k", "ts", "v", "ord")
+    val expected = Set((1, Some(5L), Some("real")), (1, None, None))
+    def got(f: => org.apache.spark.sql.DataFrame) =
+      f.select("k", "ts", "v").as[(Int, Option[Long], Option[String])].collect().toSet
+    assert(got(AsOf.joinBackward(l, r, Seq("k"), "ts", "ts", Seq("v"), "ord")) == expected, "composed")
+    assert(got(AsOf.joinBackwardBroadcast(l, r, Seq("k"), "ts", "ts", Seq("v"), "ord")) == expected, "broadcast")
+    assert(got(AsOf.joinBackwardNative(l, r, Seq("k"), "ts", "ts", Seq("v"), "ord")) == expected, "native")
+    // Forward: the null-ts left row must not grab the first right row.
+    val fwd = got(AsOf.joinForward(l, r, Seq("k"), "ts", "ts", Seq("v"), "ord"))
+    assert(fwd == Set((1, Some(5L), None), (1, None, None)), s"forward: $fwd")
+  }
+
+  test("string tiebreak orders natively, matching the native exec") {
+    // "10" < "9" lexicographically — a cast-to-long ordering would pick
+    // the numerically larger one and a failed cast would null the order.
+    val l = Seq((1, 7L)).toDF("k", "ts")
+    val r = Seq((1, 7L, "a", "10"), (1, 7L, "b", "9")).toDF("k", "ts", "v", "ord")
+    def got(f: => org.apache.spark.sql.DataFrame) =
+      f.select("v").as[String].collect().toSeq
+    val composed = got(AsOf.joinBackward(l, r, Seq("k"), "ts", "ts", Seq("v"), "ord"))
+    val native = got(AsOf.joinBackwardNative(l, r, Seq("k"), "ts", "ts", Seq("v"), "ord"))
+    val bcast = got(AsOf.joinBackwardBroadcast(l, r, Seq("k"), "ts", "ts", Seq("v"), "ord"))
+    assert(composed == Seq("b") && native == Seq("b") && bcast == Seq("b"),
+      s"composed=$composed native=$native broadcast=$bcast")
+  }
+
   test("native plan: one exchange per side, partitioning reused downstream") {
     val l = Seq((1, 5L), (2, 6L)).toDF("k", "ts")
     val r = Seq((1, 1L, "y", 0L)).toDF("k", "ts", "v", "ord")

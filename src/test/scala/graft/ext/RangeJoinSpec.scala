@@ -31,6 +31,34 @@ class RangeJoinSpec extends SparkSpec {
     assert(!out.contains((20.0, "a")) && out.contains((19.0, "a")))
   }
 
+  test("sub-epsilon overlap straddling a bin edge is not dropped") {
+    // Overlap width 5e-11 < the old 1e-9 epsilon, with the owning bin
+    // (bin 1) above the epsilon-truncated end bin of `a` — the exact
+    // end-bin computation must still co-locate the pair.
+    val a = Seq(("a0", 0.0, 10.0000000001)).toDF("an", "alo", "ahi")
+    val b = Seq(("b0", 10.00000000005, 20.0)).toDF("bn", "blo", "bhi")
+    val got = RangeJoin.overlapJoin(a, "alo", "ahi", b, "blo", "bhi", 10L)
+      .select("an", "bn").as[(String, String)].collect().toSet
+    assert(got == Set(("a0", "b0")))
+  }
+
+  test("degenerate hi <= lo intervals match like the naive predicate, without bin explosion") {
+    val weird = Seq(("e", 30.0, 30.0), ("f", 50.0, 10.0)).toDF("name", "lo", "hi")
+    // no point satisfies lo <= v < hi on an empty interval
+    assert(pairs(RangeJoin.binnedJoin(points, "v", weird, "lo", "hi", 10L)).isEmpty)
+    // the overlap CONTRACT is the raw predicate aLo < bHi && bLo < aHi —
+    // which a naive join satisfies even for empty intervals inside a
+    // proper one — and the clamped end bin must reproduce it exactly
+    // (the old descending `sequence` replicated f into bins 1..5 and
+    // still missed the owning bin for e)
+    val b = Seq(("b0", 0.0, 100.0)).toDF("bn", "blo", "bhi")
+    val naive = weird.join(b, col("lo") < col("bhi") && col("blo") < col("hi"))
+      .select("name", "bn").as[(String, String)].collect().toSet
+    val got = RangeJoin.overlapJoin(weird, "lo", "hi", b, "blo", "bhi", 10L)
+      .select("name", "bn").as[(String, String)].collect().toSet
+    assert(got == naive && naive == Set(("e", "b0"), ("f", "b0")))
+  }
+
   test("overlap join matches the naive inequality join, once per pair") {
     val rnd = new scala.util.Random(5)
     def mk(n: Int, tag: String) = (0 until n).map { i =>
