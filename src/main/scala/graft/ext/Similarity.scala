@@ -149,19 +149,31 @@ object Similarity {
     * iterations written entirely as DataFrame ops, so training scales
     * exactly like the search — assignment is a broadcast of the (tiny)
     * centroid set against the (huge) vector table, recomputation is one
-    * keyed aggregation over (cell, dimension). Deterministic seeding
-    * (lowest vec_ids) and window tiebreaks; per-dimension means are
-    * float averages, so this trains the ANN *index* (spec-verified by
-    * recall), it does not promise bit-stable centroids across engines.
+    * keyed aggregation over (cell, dimension). Seeding is deterministic —
+    * the `nList` lowest vec_ids among NONZERO-norm vectors (a zero-norm
+    * seed would yield a NaN centroid, and NaN cosine sorts first under
+    * desc ordering, collapsing every assignment into the degenerate cell
+    * on the first iteration).
+    *
+    * `exact = false` (default, the scale path): per-dimension means are
+    * `avg()` — shuffle-order-dependent float sums, fine for training an
+    * ANN *index* (spec-verified by recall), no bit-stable-centroid
+    * promise. `exact = true`: each (cell, dimension) mean is a serial
+    * left-fold in vec_id order (collect → sort → fold), bit-reproducible
+    * by any engine that replays the same fold — this is what puts the
+    * trained quantizer under the DuckDB hash gate. Costs a collect_list
+    * per (cell, dim) group; prefer the default beyond oracle scale.
     *
     * Returns (c_id, c_emb, c_nrm) with unit-norm centroids, the shape
     * [[ivfTopK]] consumes. */
-  def trainCentroids(emb: DataFrame, nList: Int, iters: Int = 5): DataFrame = {
-    var centroids = withNorm(emb.filter(col("vec_id") < nList))
+  def trainCentroids(emb: DataFrame, nList: Int, iters: Int = 5,
+                     exact: Boolean = false): DataFrame = {
+    val nonzero = withNorm(emb).filter(col("nrm") > 0)
+    var centroids = nonzero.orderBy(col("vec_id")).limit(nList)
       .select(col("vec_id").cast("long").as("c_id"),
         transform(col("embedding"), x => x.cast(DoubleType) / col("nrm")).as("c_emb"))
       .localCheckpoint()
-    val unit = withNorm(emb).filter(col("nrm") > 0)
+    val unit = nonzero
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast(DoubleType) / col("nrm")).as("u"))
       .localCheckpoint()
@@ -172,9 +184,16 @@ object Similarity {
         .withColumn("c_rank", row_number().over(w))
         .filter(col("c_rank") === 1)
       // elementwise mean per cell, then renormalize back to the sphere
-      val mean = assigned
-        .select(col("c_id"), posexplode(col("u")).as(Seq("pos", "v")))
-        .groupBy("c_id", "pos").agg(avg(col("v")).as("m"))
+      val perDim = assigned
+        .select(col("c_id"), col("vec_id"), posexplode(col("u")).as(Seq("pos", "v")))
+        .groupBy("c_id", "pos")
+      val mean =
+        (if (exact)
+          perDim.agg((aggregate(
+              transform(array_sort(collect_list(struct(col("vec_id"), col("v")))),
+                p => p("v")),
+              lit(0.0), (a, x) => a + x) / count(lit(1))).as("m"))
+        else perDim.agg(avg(col("v")).as("m")))
         .groupBy("c_id")
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
         .select(col("c_id"), transform(col("ps"), p => p("m")).as("s"))
@@ -184,6 +203,23 @@ object Similarity {
       centroids = mean.localCheckpoint()
     }
     centroids.withColumn("c_nrm", lit(1.0))
+  }
+
+  /** Quantizer assignment table over TRAINED centroids: every vector's
+    * nearest cell after `iters` exact-fold Lloyd iterations — the
+    * driver-gated form of the trained IVF path ([[ivfTopK]] consumes the
+    * same quantizer via its `quantizer` param). */
+  def trainedAssignments(emb: DataFrame, nList: Int, iters: Int): DataFrame = {
+    val centroids = broadcast(trainCentroids(emb, nList, iters, exact = true))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("c_id"))
+    withNorm(emb).filter(col("nrm") > 0)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast(DoubleType) / col("nrm")).as("u"))
+      .crossJoin(centroids)
+      .withColumn("c_cos", dot(col("u"), col("c_emb")))
+      .withColumn("c_rank", row_number().over(w))
+      .filter(col("c_rank") === 1)
+      .select(col("vec_id"), col("c_id").as("cell"), col("c_cos").as("cos"))
   }
 
   /** IVF top-k: assign all vectors to their nearest of `nList` centroids

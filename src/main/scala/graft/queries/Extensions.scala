@@ -208,6 +208,13 @@ object Extensions {
     Similarity.ivfTopK(e, e.filter(col("vec_id") < 20), nList = 10, nProbe = 2, k = 5)
   }
 
+  /** TRAINED IVF quantizer under the hard gate: 3 exact-fold Lloyd
+    * iterations over 8 seed cells, emitting the full assignment table
+    * (vec → cell). The DuckDB oracle replays the identical iterations
+    * (same fold order, same tiebreaks) as unrolled CTE layers. */
+  def annIvfTrained(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.trainedAssignments(emb(spark, sfDir), nList = 8, iters = 3)
+
   /** Corpus-wide bigram frequency table, top 100 by (count desc, bigram).
     * Top-k runs as sort+limit (`TakeOrderedAndProject`: per-partition
     * heaps, driver merges k rows), NOT a global window — an unpartitioned
@@ -540,6 +547,7 @@ object Extensions {
     "x_ann_topk" -> annTopK _,
     "x_ann_topk_agg" -> annTopKAgg _,
     "x_ann_ivf" -> annIvf _,
+    "x_ann_ivf_trained" -> annIvfTrained _,
     "m_media_meta" -> mediaMeta _,
     "m_frame_sample" -> frameSample _,
     "x_event_window" -> eventWindow _,
@@ -618,6 +626,54 @@ object Extensions {
     s"""ne AS (SELECT vec_id, label, embedding,
           sqrt(${dotD("embedding", "embedding")}) AS nrm
         FROM embeddings)"""
+
+  /** Unrolled exact-fold Lloyd iterations mirroring
+    * [[graft.ext.Similarity.trainedAssignments]]: every float reduction
+    * is a serial left-fold in a deterministic order (vec_id for
+    * per-dimension means, pos for norms), so each CTE layer reproduces
+    * the Spark iteration bit-for-bit. `dim` is the (constant) embedding
+    * width; `unnest` is 1-indexed on both engines' list accessors, and
+    * the 0- vs 1-based `pos` origin only has to be internally consistent
+    * per engine (it is an ordering key, never a value). */
+  private def ivfTrainedSql(nList: Int, iters: Int, dim: Int): String = {
+    def asg(i: Int, cent: String) =
+      s"""asg$i AS (
+            SELECT vec_id, u, c_id FROM (
+              SELECT un.vec_id, un.u, c.c_id,
+                row_number() OVER (PARTITION BY un.vec_id
+                  ORDER BY ${dotD("un.u", "c.c_emb")} DESC, c.c_id) AS rn
+              FROM un CROSS JOIN $cent c) t
+            WHERE rn = 1)"""
+    def step(i: Int) =
+      s"""${asg(i, s"cent${i - 1}")},
+          dim$i AS (
+            SELECT c_id, pos,
+              list_reduce(list_prepend(0.0::DOUBLE, list(v ORDER BY vec_id)),
+                (a, b) -> a + b) / count(*) AS m
+            FROM (SELECT c_id, vec_id, i AS pos, u[i] AS v
+                  FROM asg$i CROSS JOIN (SELECT unnest(generate_series(1, $dim)) AS i) d) t
+            GROUP BY c_id, pos),
+          cent$i AS (
+            SELECT c_id, list_transform(ms, x -> x / n) AS c_emb FROM (
+              SELECT c_id, ms,
+                sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                  list_transform(ms, x -> x * x)), (a, b) -> a + b)) AS n
+              FROM (SELECT c_id, list(m ORDER BY pos) AS ms
+                    FROM dim$i GROUP BY c_id) a) b
+            WHERE n > 0)"""
+    s"""WITH $normCte,
+        un AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS u
+          FROM ne WHERE nrm > 0),
+        cent0 AS (
+          SELECT CAST(vec_id AS BIGINT) AS c_id, u AS c_emb
+          FROM un ORDER BY vec_id LIMIT $nList),
+        ${(1 to iters).map(step).mkString(",\n")},
+        ${asg(iters + 1, s"cent$iters")}
+        SELECT f.vec_id, f.c_id AS cell,
+          ${dotD("f.u", "c.c_emb")} AS cos
+        FROM asg${iters + 1} f JOIN cent$iters c ON f.c_id = c.c_id"""
+  }
 
   val oracleSql: Map[String, String] = Map(
     "x_token_stats" ->
@@ -758,6 +814,7 @@ object Extensions {
             SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
             FROM cand)
           WHERE rank <= 5""",
+    "x_ann_ivf_trained" -> ivfTrainedSql(8, 3, 64),
     "m_media_meta" -> {
       val samp = s"""list_transform(generate_series(0, (length(text) + 63) // 64 - 1),
                        i -> CAST(ascii(substr(text, i*64 + 1, 1)) AS BIGINT))"""

@@ -491,6 +491,30 @@ object Parity {
     new Scd3(Seq("c_custkey"), "c_mktsegment", "prev_mktsegment").merge(target, src)
   }
 
+  // -------------------------------------------------- CDC / change feed
+  /** Change feed (CDF analogue) under the hard oracle gate: two real
+    * catalog versions of a customer slice — updates (every 3rd key moves
+    * segment), deletes (every 11th key dropped), inserts (every 13th key
+    * cloned above the key range) — diffed by
+    * [[graft.core.TableCatalog.changes]] through the actual versioned-
+    * parquet read path. The DuckDB oracle replays the same two batches
+    * and classifies rows with a full-outer CTE state machine. */
+  def cChangeFeed(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = table(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_name"))
+    val v2 = c.filter(col("c_custkey") % 11 =!= 0)
+      .withColumn("c_mktsegment",
+        when(col("c_custkey") % 3 === 0, lit("MOVED")).otherwise(col("c_mktsegment")))
+      .unionByName(c.filter(col("c_custkey") % 13 === 0)
+        .select((col("c_custkey") + 1000000).as("c_custkey"),
+          lit("NEW").as("c_mktsegment"), col("c_name")))
+    val cat = new graft.core.TableCatalog(
+      java.nio.file.Files.createTempDirectory("graft-cdf").toString)
+    cat.overwrite(c, "tmp.cdc.customer")
+    cat.overwrite(v2, "tmp.cdc.customer")
+    cat.changes(spark, "tmp.cdc.customer", "v000001", "v000002", Seq("c_custkey"))
+  }
+
   // ------------------------------------------------------ JSON functions
   /** JSON extraction + exact grouped sums over the events stream table. */
   def jsonExtract(spark: SparkSession, sfDir: String): DataFrame =
@@ -536,6 +560,7 @@ object Parity {
     "scalar_suite" -> scalarSuite _,
     "scd2_two_batch" -> scd2TwoBatch _,
     "scd3_merge" -> scd3Merge _,
+    "c_change_feed" -> cChangeFeed _,
     "json_extract" -> jsonExtract _)
 
   // ----------------------------------------------------------- oracle SQL
@@ -771,6 +796,31 @@ object Parity {
          UNION ALL
          SELECT s.c_custkey, s.seg, NULL, NULL FROM src0 s
          WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = s.c_custkey)""",
+    "c_change_feed" ->
+      """WITH v1 AS (SELECT c_custkey, c_mktsegment, c_name FROM customer),
+         v2 AS (
+           SELECT c_custkey,
+             CASE WHEN c_custkey % 3 = 0 THEN 'MOVED' ELSE c_mktsegment END AS c_mktsegment,
+             c_name
+           FROM customer WHERE c_custkey % 11 <> 0
+           UNION ALL
+           SELECT c_custkey + 1000000, 'NEW', c_name FROM customer WHERE c_custkey % 13 = 0),
+         diff AS (
+           SELECT v1.c_custkey AS k1, v1.c_mktsegment AS s1, v1.c_name AS n1,
+                  v2.c_custkey AS k2, v2.c_mktsegment AS s2, v2.c_name AS n2
+           FROM v1 FULL OUTER JOIN v2 ON v1.c_custkey = v2.c_custkey)
+         SELECT k2 AS c_custkey, s2 AS c_mktsegment, n2 AS c_name,
+           'insert' AS _change_type FROM diff WHERE k1 IS NULL
+         UNION ALL
+         SELECT k1, s1, n1, 'delete' FROM diff WHERE k2 IS NULL
+         UNION ALL
+         SELECT k1, s1, n1, 'update_preimage' FROM diff
+         WHERE k1 IS NOT NULL AND k2 IS NOT NULL
+           AND (s1 IS DISTINCT FROM s2 OR n1 IS DISTINCT FROM n2)
+         UNION ALL
+         SELECT k2, s2, n2, 'update_postimage' FROM diff
+         WHERE k1 IS NOT NULL AND k2 IS NOT NULL
+           AND (s1 IS DISTINCT FROM s2 OR n1 IS DISTINCT FROM n2)""",
     "json_extract" ->
       // CAST around SUM: DuckDB's SUM(BIGINT) yields HUGEINT, which the
       // driver's pandas bridge renders as float ("3.0" vs Spark's "3").

@@ -83,6 +83,31 @@ class SimilaritySpec extends SparkSpec {
       s"trained $trainedRecall < untrained $untrainedRecall")
   }
 
+  test("zero-norm vector in the seed range does not collapse the quantizer") {
+    // vec_id 0 is all-zero: seeding from raw first-nList ids would make a
+    // NaN centroid whose NaN cosine sorts first under desc — every vector
+    // would land in the degenerate cell. Seeding skips it instead.
+    val dims = 8
+    val vecs = (0L until 40L).map { i =>
+      if (i == 0L) (i, Array.fill(dims)(0f))
+      else (i, Array.tabulate(dims)(d => if (d == (i % 4).toInt) 1f else 0.01f * d))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val assigned = Similarity.trainedAssignments(emb, nList = 4, iters = 2)
+      .select("vec_id", "cell").collect()
+    assert(assigned.length == 39, "zero-norm vector itself is excluded")
+    val cells = assigned.map(_.getLong(1)).distinct
+    assert(cells.length > 1, s"quantizer collapsed to one cell: ${cells.toSeq}")
+    assert(assigned.forall(r => !r.isNullAt(1)))
+    // exact-fold training matches the default-avg training's cell layout
+    // on this small input (same algorithm, different summation order)
+    val exact = Similarity.trainCentroids(emb, nList = 4, iters = 2, exact = true)
+      .select("c_id").as[Long].collect().sorted.toSeq
+    val approx = Similarity.trainCentroids(emb, nList = 4, iters = 2)
+      .select("c_id").as[Long].collect().sorted.toSeq
+    assert(exact == approx)
+  }
+
   test("ivf with full probe coverage matches brute force top-1") {
     // nList=6 centroids = every vector → probing 2 cells still finds the
     // nearest neighbor for each query here.
