@@ -178,6 +178,47 @@ class PipelineSpec extends SparkSpec {
 
     // gold rebuilt from current rows only
     assert(cat.read(spark, "companies.gold.fact_trading").count() == 3)
+
+    // -- committed-golden comparison (SURVEY.md §5.4): every silver/gold
+    // table's canonical dump must match the goldens byte-for-byte, so a
+    // refactor that silently shifts any value fails here even when the
+    // property assertions above still hold. Regenerate deliberately with
+    // GRAFT_REGEN_GOLDENS=1 after an INTENDED semantic change.
+    val goldenDir = java.nio.file.Paths.get("src/test/resources/goldens")
+    def canonical(df: org.apache.spark.sql.DataFrame): String = {
+      val cols = df.columns.sorted.toSeq
+      // two columns are volatile BY CONTRACT, masked to a stable form:
+      // file_path embeds the test temp dir (keep the raw-zone-relative
+      // suffix); last_updated_ts is the reference's current_timestamp()
+      // audit column
+      def mask(c: String, v: String): String = c match {
+        case "file_path" => v.replaceFirst(".*/raw/", "raw/")
+        case "last_updated_ts" => "<volatile-ts>"
+        case _ => v
+      }
+      val rows = df.select(cols.map(col): _*).collect().map { r =>
+        cols.indices.map(i =>
+          if (r.isNullAt(i)) "<null>" else mask(cols(i), r.get(i).toString))
+          .mkString("\u0001")
+      }.sorted
+      (cols.mkString("\u0001") +: rows.toSeq).mkString("\n") + "\n"
+    }
+    Seq("companies.silver.company_master", "companies.silver.trading_data",
+        "companies.gold.fact_fundamentals", "companies.gold.fact_trading",
+        "companies.gold.dim_company_details").foreach { t =>
+      val got = canonical(cat.read(spark, t))
+      val f = goldenDir.resolve(s"$t.txt")
+      if (sys.env.contains("GRAFT_REGEN_GOLDENS")) write(f, got)
+      else {
+        assert(Files.exists(f), s"golden $f missing — regenerate with GRAFT_REGEN_GOLDENS=1")
+        val want = Files.readString(f)
+        if (got != want) {
+          val gl = got.split("\n", -1); val wl = want.split("\n", -1)
+          val i = gl.zipAll(wl, "<eof>", "<eof>").indexWhere { case (a, b) => a != b }
+          fail(s"golden drift for $t at line ${i + 1}:\n  got:  ${gl.lift(i)}\n  want: ${wl.lift(i)}")
+        }
+      }
+    }
   }
 
   test("compaction rewrites many small files into few, content intact") {
