@@ -45,7 +45,14 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           if (!failed.contains(name)) failed += name
         }
-        name -> (System.nanoTime() - t0) / 1e9
+        val t = (System.nanoTime() - t0) / 1e9
+        // Outside the timed region: drop any blocks a query left persisted
+        // (e.g. a final localCheckpoint) so no query pays GC/memory rent
+        // for its predecessors. Queries are self-contained — nothing
+        // persists RDD state across entries (file-backed memos excepted).
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        name -> t
       }
     // Per-query min of up to two passes: single-run timings on a shared
     // host carry multi-second jitter, and min-of-2 removes one-off hits

@@ -57,14 +57,15 @@ object Dedup {
     * *per shingle value*: one boilerplate trigram ("all rights reserved")
     * present in 10⁶ docs creates 10¹² candidate pairs on a single key.
     * Shingles with document frequency above `maxDf` carry no near-dup
-    * signal (they fail to discriminate), so they are dropped from
-    * candidate GENERATION only — the final Jaccard is still computed
-    * exactly over the FULL shingle sets of each surviving candidate, so
-    * emitted scores are identical to [[jaccardPairs]]'s. The only
-    * semantic delta is recall on pairs whose entire overlap is hot
-    * boilerplate — by construction those sit far below any useful
-    * threshold. One extra keyed aggregation (shingle → df) buys a
-    * per-key join fanout bounded by maxDf². */
+    * signal (they fail to discriminate), so they are dropped BEFORE the
+    * join and the Jaccard is computed over the rare-shingle feature
+    * space (inter and nsh both count rare shingles only) — the standard
+    * df-capped similarity used by production dedup, where boilerplate
+    * neither creates candidates nor inflates scores. Plan shape is
+    * identical to [[jaccardPairs]] (postings self-join keyed on the
+    * shingle, count-aggregated per pair — no array re-join, no distinct)
+    * plus one keyed df aggregation; per-key join fanout is bounded by
+    * maxDf². */
   def jaccardPairsCapped(docs: DataFrame, threshold: Double, n: Int = 3,
                          maxDf: Int = 100): DataFrame = {
     val sh = shingled(docs, n).transform(Par.spread(_, col("doc_id")))
@@ -74,14 +75,15 @@ object Dedup {
     val rare = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("shingle")
     val exR = ex.join(rare, Seq("shingle"))
-    val cand = exR.as("x").join(exR.as("y"),
+    // per-doc rare-shingle count rides the join as a grouping key, same
+    // trick as the uncapped form
+    val nR = exR.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    val exN = exR.join(nR, Seq("doc_id"))
+    exN.as("x").join(exN.as("y"),
         col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .distinct()
-    cand
-      .join(sh.select(col("doc_id").as("a"), col("shingles").as("sha"), col("nsh").as("na")), Seq("a"))
-      .join(sh.select(col("doc_id").as("b"), col("shingles").as("shb"), col("nsh").as("nb")), Seq("b"))
-      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.nsh").as("na"), col("y.nsh").as("nb"))
+      .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)

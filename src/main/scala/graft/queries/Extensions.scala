@@ -343,7 +343,9 @@ object Extensions {
     * reference is Delta/Parquet-only; a complete engine reads both). */
   def orcScan(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = Parity.tmp("orc", sfDir)
-    Parity.table(spark, sfDir, "supplier").write.mode("overwrite").orc(dir)
+    Parity.setupOnce("orc", sfDir) {
+      Parity.table(spark, sfDir, "supplier").write.mode("overwrite").orc(dir)
+    }
     spark.read.orc(dir)
       .groupBy("s_nationkey")
       .agg(count(lit(1)).as("n"),
@@ -359,14 +361,16 @@ object Extensions {
     val tag = Integer.toHexString(sfDir.hashCode)
     val ot = s"graft_bko_$tag"
     val lt = s"graft_bkl_$tag"
-    Bucketing.writeBucketed(
-      Parity.table(spark, sfDir, "orders")
-        .select("o_orderkey", "o_orderstatus", "o_totalprice"),
-      ot, Parity.tmp("bko", sfDir), Seq("o_orderkey"), 8)
-    Bucketing.writeBucketed(
-      Parity.table(spark, sfDir, "lineitem")
-        .select(col("l_orderkey"), col("l_quantity")),
-      lt, Parity.tmp("bkl", sfDir), Seq("l_orderkey"), 8)
+    Parity.setupOnce("bucketed", sfDir) {
+      Bucketing.writeBucketed(
+        Parity.table(spark, sfDir, "orders")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice"),
+        ot, Parity.tmp("bko", sfDir), Seq("o_orderkey"), 8)
+      Bucketing.writeBucketed(
+        Parity.table(spark, sfDir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity")),
+        lt, Parity.tmp("bkl", sfDir), Seq("l_orderkey"), 8)
+    }
     Bucketing.readTable(spark, lt)
       .join(Bucketing.readTable(spark, ot),
         col("l_orderkey") === col("o_orderkey"))
@@ -742,19 +746,17 @@ object Extensions {
           dfreq AS (SELECT shingle, count(*) AS df FROM ex GROUP BY 1),
           exr AS (SELECT ex.doc_id, ex.shingle FROM ex
                   JOIN dfreq USING (shingle) WHERE dfreq.df <= 100),
-          cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-                   FROM exr x JOIN exr y
-                   ON x.shingle = y.shingle AND x.doc_id < y.doc_id)
-          SELECT a, b,
-            len(list_intersect(ca.shingles, cb.shingles)) AS inter,
-            ca.nsh AS na, cb.nsh AS nb,
-            CAST(len(list_intersect(ca.shingles, cb.shingles)) AS DOUBLE)
-              / CAST(ca.nsh + cb.nsh - len(list_intersect(ca.shingles, cb.shingles)) AS DOUBLE) AS jaccard
-          FROM cand
-          JOIN shc ca ON cand.a = ca.doc_id
-          JOIN shc cb ON cand.b = cb.doc_id
-          WHERE CAST(len(list_intersect(ca.shingles, cb.shingles)) AS DOUBLE)
-              / CAST(ca.nsh + cb.nsh - len(list_intersect(ca.shingles, cb.shingles)) AS DOUBLE) >= 0.5""",
+          nr AS (SELECT doc_id, count(*) AS nsh FROM exr GROUP BY 1),
+          pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+                    FROM exr x JOIN exr y
+                    ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+                    GROUP BY 1, 2)
+          SELECT a, b, inter, na.nsh AS na, nb.nsh AS nb,
+            CAST(inter AS DOUBLE) / CAST(na.nsh + nb.nsh - inter AS DOUBLE) AS jaccard
+          FROM pairs
+          JOIN nr na ON pairs.a = na.doc_id
+          JOIN nr nb ON pairs.b = nb.doc_id
+          WHERE CAST(inter AS DOUBLE) / CAST(na.nsh + nb.nsh - inter AS DOUBLE) >= 0.5""",
     "d_minhash_lsh" -> jaccardSql("0.8"),
     "d_simhash_pairs" ->
       s"""WITH sim AS (

@@ -71,26 +71,26 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.jaccardPairs(short, 0.1).count() == 0)
   }
 
-  test("jaccardPairsCapped: hot shingle bounds candidates, scores stay exact") {
+  test("jaccardPairsCapped: hot shingles create no candidates and carry no score") {
     // Every doc shares one boilerplate sentence (a hot shingle block); only
     // docs 0/1 genuinely overlap beyond it. Uncapped candidate generation
-    // pairs ALL docs through the boilerplate; the df cap must drop those
-    // while emitted pairs keep the FULL-set exact Jaccard (boilerplate
-    // shingles still count toward inter once a pair survives).
+    // pairs ALL docs through the boilerplate; the df cap drops hot shingles
+    // BEFORE the join, so boilerplate-only pairs never materialize and the
+    // Jaccard is over the discriminative (rare) feature space.
     val boiler = "all rights reserved by the original copyright holder"
     val skewed = (0L to 9L).map { i =>
       val body = if (i <= 1) "identical payload text shared here" else s"unique body nr$i only"
       (i, s"$boiler $body")
     }.toDF("doc_id", "text")
     val capped = Dedup.jaccardPairsCapped(skewed, 0.3, maxDf = 5)
-    val rows = capped.collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) -> r.getAs[Double]("jaccard")).toMap
+    val rows = capped.collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) ->
+        (r.getAs[Long]("inter"), r.getAs[Long]("na"), r.getAs[Double]("jaccard"))).toMap
     assert(rows.keySet == Set((0L, 1L)), s"expected only the true near-dup pair, got ${rows.keySet}")
-    // Score equals the uncapped exact score for the same pair.
-    val exact = Dedup.jaccardPairs(skewed, 0.3)
-      .filter(col("a") === 0 && col("b") === 1).select("jaccard").head().getDouble(0)
-    assert(rows((0L, 1L)) == exact)
-    // And the candidate space itself is bounded: the hot shingles alone
-    // would have produced all 45 pairs.
+    // docs 0/1 are byte-identical: 5 rare shingles each (2 boundary + 3
+    // body), all shared → rare-space jaccard 1.0, boilerplate uncounted
+    assert(rows((0L, 1L)) == ((5L, 5L, 1.0)))
+    // The skew premise: uncapped, the hot shingles alone pair all 10 docs.
     val uncappedPairs = Dedup.jaccardPairs(skewed, 0.0).count()
     assert(uncappedPairs == 45L, s"skew premise broken: $uncappedPairs")
   }
