@@ -254,7 +254,9 @@ object Extensions {
   /** Composed curation pipeline — the flagship training-data flow:
     * quality gate → language gate → near-dup removal (drop the higher
     * doc_id of each trigram-Jaccard >= 0.8 pair) → surviving-corpus
-    * rollup per language. */
+    * rollup per language. Pair generation uses the df-capped form: at
+    * corpus scale a boilerplate shingle shared by 10⁶ docs would turn
+    * the uncapped postings self-join quadratic on one key. */
   def curationPipeline(spark: SparkSession, sfDir: String): DataFrame = {
     val d = docs(spark, sfDir)
     val w = TextKit.words(col("text"))
@@ -263,7 +265,8 @@ object Extensions {
       .withColumn("stop_hits", size(filter(w, x => x.isin("the", "a"))).cast(LongType))
       .filter(col("n_chars") >= 60 &&
         col("stop_hits").cast(DoubleType) / col("n_tokens").cast(DoubleType) < 0.4)
-    val dropIds = Dedup.jaccardPairs(gated, 0.8).select(col("b").as("doc_id")).distinct()
+    val dropIds = Dedup.jaccardPairsCapped(gated, 0.8, maxDf = 100)
+      .select(col("b").as("doc_id")).distinct()
     gated.join(dropIds, Seq("doc_id"), "left_anti")
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
@@ -283,7 +286,8 @@ object Extensions {
       .withColumn("stop_hits", size(filter(w, x => x.isin("the", "a"))).cast(LongType))
       .filter(col("n_chars") >= 60 &&
         col("stop_hits").cast(DoubleType) / col("n_tokens").cast(DoubleType) < 0.4)
-    val clusters = Dedup.duplicateClusters(Dedup.jaccardPairs(gated, 0.8))
+    val clusters = Dedup.duplicateClusters(
+      Dedup.jaccardPairsCapped(gated, 0.8, maxDf = 100))
     val drops = clusters.filter(col("node") =!= col("label"))
       .select(col("node").as("doc_id"))
     gated.join(drops, Seq("doc_id"), "left_anti")
@@ -332,9 +336,11 @@ object Extensions {
   // ------------------------------------------------------- dup clusters
   /** Near-dup pairs → connected components → canonical keeper per
     * cluster ([[Dedup.duplicateClusters]]): the transitive-closure step
-    * pairwise dedup needs before it can actually drop documents. */
+    * pairwise dedup needs before it can actually drop documents. Pairs
+    * come from the df-capped generator — the 100 TB-safe path. */
   def dupClusters(spark: SparkSession, sfDir: String): DataFrame =
-    Dedup.duplicateClusters(Dedup.jaccardPairs(docs(spark, sfDir), 0.8))
+    Dedup.duplicateClusters(
+      Dedup.jaccardPairsCapped(docs(spark, sfDir), 0.8, maxDf = 100))
       .select(col("node").as("doc_id"), col("label").as("cluster_id"),
         (col("node") === col("label")).as("is_canonical"))
 
@@ -613,6 +619,14 @@ object Extensions {
           FROM (SELECT doc_id, $W AS w FROM documents)),
         shc AS (SELECT doc_id, shingles, len(shingles) AS nsh FROM sh),
         ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh)"""
+  /** CTE fragment applying the hot-shingle df cap to an existing `ex`
+    * postings CTE: rare postings (`exr`, df <= 100) + per-doc rare
+    * counts (`nr`) — mirrors [[graft.ext.Dedup.jaccardPairsCapped]]. */
+  private val cappedCte =
+    s"""dfreq AS (SELECT shingle, count(*) AS df FROM ex GROUP BY 1),
+        exr AS (SELECT ex.doc_id, ex.shingle FROM ex
+                JOIN dfreq USING (shingle) WHERE dfreq.df <= 100),
+        nr AS (SELECT doc_id, count(*) AS nsh FROM exr GROUP BY 1)"""
   private def jaccardSql(threshold: String) =
     s"""WITH $shingleCte,
         pairs AS (
@@ -743,10 +757,7 @@ object Extensions {
     "d_ngram_jaccard" -> jaccardSql("0.5"),
     "d_jaccard_capped" ->
       s"""WITH $shingleCte,
-          dfreq AS (SELECT shingle, count(*) AS df FROM ex GROUP BY 1),
-          exr AS (SELECT ex.doc_id, ex.shingle FROM ex
-                  JOIN dfreq USING (shingle) WHERE dfreq.df <= 100),
-          nr AS (SELECT doc_id, count(*) AS nsh FROM exr GROUP BY 1),
+          $cappedCte,
           pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
                     FROM exr x JOIN exr y
                     ON x.shingle = y.shingle AND x.doc_id < y.doc_id
@@ -921,17 +932,17 @@ object Extensions {
                 WHERE CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) < 0.4),
           sh AS (SELECT doc_id, ${DuckSql.wordShingles("w", 3)} AS shingles
                  FROM (SELECT doc_id, $W AS w FROM q)),
-          shc AS (SELECT doc_id, shingles, len(shingles) AS nsh FROM sh),
           ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+          $cappedCte,
           pairs AS (
             SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
-            FROM ex x JOIN ex y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+            FROM exr x JOIN exr y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
             GROUP BY 1, 2),
           drops AS (
             SELECT DISTINCT b AS doc_id FROM pairs
-            JOIN shc ca ON pairs.a = ca.doc_id
-            JOIN shc cb ON pairs.b = cb.doc_id
-            WHERE CAST(inter AS DOUBLE) / CAST(ca.nsh + cb.nsh - inter AS DOUBLE) >= 0.8)
+            JOIN nr na ON pairs.a = na.doc_id
+            JOIN nr nb ON pairs.b = nb.doc_id
+            WHERE CAST(inter AS DOUBLE) / CAST(na.nsh + nb.nsh - inter AS DOUBLE) >= 0.8)
           SELECT lang, count(*) AS n_docs,
             CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
             CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
@@ -948,17 +959,17 @@ object Extensions {
                 WHERE CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) < 0.4),
           sh AS (SELECT doc_id, ${DuckSql.wordShingles("w", 3)} AS shingles
                  FROM (SELECT doc_id, $W AS w FROM q)),
-          shc AS (SELECT doc_id, shingles, len(shingles) AS nsh FROM sh),
           ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+          $cappedCte,
           pairs AS (
             SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
-            FROM ex x JOIN ex y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+            FROM exr x JOIN exr y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
             GROUP BY 1, 2),
           p8 AS (
             SELECT a, b FROM pairs
-            JOIN shc ca ON pairs.a = ca.doc_id
-            JOIN shc cb ON pairs.b = cb.doc_id
-            WHERE CAST(inter AS DOUBLE) / CAST(ca.nsh + cb.nsh - inter AS DOUBLE) >= 0.8),
+            JOIN nr na ON pairs.a = na.doc_id
+            JOIN nr nb ON pairs.b = nb.doc_id
+            WHERE CAST(inter AS DOUBLE) / CAST(na.nsh + nb.nsh - inter AS DOUBLE) >= 0.8),
           edges AS (SELECT a AS src, b AS dst FROM p8
                     UNION SELECT b, a FROM p8),
           reach(node, r) AS (
@@ -1039,15 +1050,16 @@ object Extensions {
       // Connected components via recursive reachability closure: every
       // label a node can reach propagates; min per node = component id.
       s"""WITH RECURSIVE $shingleCte,
+          $cappedCte,
           pairs AS (
             SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
-            FROM ex x JOIN ex y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+            FROM exr x JOIN exr y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
             GROUP BY 1, 2),
           p8 AS (
             SELECT a, b FROM pairs
-            JOIN shc ca ON pairs.a = ca.doc_id
-            JOIN shc cb ON pairs.b = cb.doc_id
-            WHERE CAST(inter AS DOUBLE) / CAST(ca.nsh + cb.nsh - inter AS DOUBLE) >= 0.8),
+            JOIN nr na ON pairs.a = na.doc_id
+            JOIN nr nb ON pairs.b = nb.doc_id
+            WHERE CAST(inter AS DOUBLE) / CAST(na.nsh + nb.nsh - inter AS DOUBLE) >= 0.8),
           edges AS (SELECT a AS src, b AS dst FROM p8
                     UNION SELECT b, a FROM p8),
           reach(node, r) AS (
