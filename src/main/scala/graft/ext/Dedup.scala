@@ -169,15 +169,17 @@ object Dedup {
         TextKit.minHashFromHashes(col("hs"), k).as("sig"))
 
   /** LSH band buckets: one row per (doc, band) with a polynomial bucket
-    * key over the band's rows — docs agreeing on any band are candidates. */
-  def lshBuckets(sigs: DataFrame, bands: Int, rows: Int): DataFrame =
-    sigs.select(col("doc_id"), posexplode(
+    * key over the band's rows — docs agreeing on any band are candidates.
+    * `keep` lists extra signature-side columns to carry through. */
+  def lshBuckets(sigs: DataFrame, bands: Int, rows: Int,
+                 keep: Seq[String] = Nil): DataFrame =
+    sigs.select((col("doc_id") +: keep.map(col)) :+ posexplode(
       transform(sequence(lit(0), lit(bands - 1)), b =>
         // coalesce: keep the bucket key provably non-nullable, else the
         // join infers isnotnull(<sig expr>) and pushes the whole
         // signature derivation into the scan-stage filter.
         coalesce((0 until rows).map(r => element_at(col("sig"), b * rows + r + 1))
-          .reduce((acc, s) => acc * 31 + s), lit(-1L)))).as(Seq("band", "bucket")))
+          .reduce((acc, s) => acc * 31 + s), lit(-1L)))).as(Seq("band", "bucket")): _*)
 
   /** MinHash+LSH near-dup pairs, exact-Jaccard-verified.
     * 16 bands × 4 rows over a k=64 signature: catch probability
@@ -236,6 +238,65 @@ object Dedup {
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "inter", "na", "nb", "jaccard")
+  }
+
+  /** Incremental near-dup detection: a NEW batch of documents against an
+    * already-ingested corpus, without ever re-pairing the corpus with
+    * itself — the shape a 100 TB ingest actually runs. Pair space is
+    * (corpus × batch) ∪ (batch × batch, a < b); corpus-internal pairs
+    * never form, so per-ingest work is O(batch-driven candidates), not
+    * O(corpus²). At scale the corpus side of `base` is a persisted
+    * signature index (doc_id, shingles, nsh, sig) appended per ingest —
+    * here it derives inline from the corpus text so the whole operator
+    * stays one dataflow. Candidate generation, the signature-agreement
+    * pre-filter, and the exact-Jaccard verify are identical to
+    * [[minHashNearDups]]; only the bucket join restricts one side to the
+    * batch. Doc ids must be globally unique across corpus ∪ batch.
+    *
+    * Returns (a, src_a, b, inter, na, nb, jaccard) — b always a batch
+    * doc, src_a ∈ {corpus, batch}. */
+  def minHashNearDupsIncremental(corpus: DataFrame, batch: DataFrame,
+      threshold: Double = 0.8, k: Int = 64, bands: Int = 16): DataFrame = {
+    val rows = k / bands
+    val tagged = corpus.select(col("doc_id"), col("text"), lit("corpus").as("src"))
+      .unionByName(batch.select(col("doc_id"), col("text"), lit("batch").as("src")))
+    val base = tagged
+      .select(col("doc_id"), col("src"),
+        TextKit.wordShingles(col("text"), 3).as("shingles"))
+      .withColumn("nsh", size(col("shingles")))
+      .withColumn("hs", transform(col("shingles"), s => TextKit.polyHash(s)))
+      .transform(Par.spread(_, col("doc_id")))
+      .select(col("doc_id"), col("src"), col("shingles"), col("nsh"),
+        TextKit.minHashFromHashes(col("hs"), k).as("sig"))
+      .transform(Par.spread(_, col("doc_id")))
+    val sigs = base.select(col("doc_id"), col("src"), col("sig"))
+    val buckets = lshBuckets(sigs, bands, rows, keep = Seq("src"))
+    val cand = buckets.as("x").join(
+        buckets.filter(col("src") === "batch").as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          (col("x.src") === "corpus" || col("x.doc_id") < col("y.doc_id")))
+      .select(col("x.doc_id").as("a"), col("x.src").as("src_a"),
+        col("y.doc_id").as("b"))
+      .distinct()
+    val minAgree = math.ceil(math.max(0.0, threshold - 0.3) * k).toInt
+    val survivors = cand
+      .join(sigs.select(col("doc_id").as("a"), col("sig").as("siga")), Seq("a"))
+      .join(sigs.select(col("doc_id").as("b"), col("sig").as("sigb")), Seq("b"))
+      .withColumn("agree", aggregate(
+        zip_with(col("siga"), col("sigb"), (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v))
+      .filter(col("agree") >= minAgree)
+      .select("a", "src_a", "b")
+    survivors
+      .join(base.select(col("doc_id").as("a"), col("shingles").as("sha"),
+        col("nsh").as("na")), Seq("a"))
+      .join(base.select(col("doc_id").as("b"), col("shingles").as("shb"),
+        col("nsh").as("nb")), Seq("b"))
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "src_a", "b", "inter", "na", "nb", "jaccard")
   }
 
   /** Per-doc SimHash value (24-bit); word hashes materialize once per

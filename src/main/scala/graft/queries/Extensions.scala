@@ -334,6 +334,22 @@ object Extensions {
   }
 
   // ------------------------------------------------------- dup clusters
+  /** Incremental dedup — a new crawl batch against the already-ingested
+    * corpus ([[Dedup.minHashNearDupsIncremental]]): every 5th doc is the
+    * incoming batch (plus exact copies of every 11th doc under shifted
+    * ids, the re-crawled pages), the rest is the standing corpus. Only
+    * corpus×batch and batch-internal pairs form — the corpus is never
+    * re-paired with itself, which is what makes per-ingest dedup
+    * affordable at 100 TB. */
+  def incrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val corpus = d.filter(col("doc_id") % 5 =!= 0)
+    val batch = d.filter(col("doc_id") % 5 === 0)
+      .unionByName(d.filter(col("doc_id") % 11 === 0)
+        .withColumn("doc_id", col("doc_id") + 200000))
+    Dedup.minHashNearDupsIncremental(corpus, batch, 0.8)
+  }
+
   /** Near-dup pairs → connected components → canonical keeper per
     * cluster ([[Dedup.duplicateClusters]]): the transitive-closure step
     * pairwise dedup needs before it can actually drop documents. Pairs
@@ -574,6 +590,7 @@ object Extensions {
     "x_bucketed_join" -> bucketedJoin _,
     "x_orc_scan" -> orcScan _,
     "d_dup_clusters" -> dupClusters _,
+    "d_incremental" -> incrementalDedup _,
     "x_salted_agg" -> saltedAgg _,
     "x_salted_join" -> saltedJoinQ _,
     "x_bpe_tokens" -> bpeTokens _,
@@ -1046,6 +1063,31 @@ object Extensions {
            count(*) AS n,
            CAST(MAX(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price
          FROM lineitem GROUP BY l_returnflag""",
+    "d_incremental" ->
+      // Exact all-pairs Jaccard restricted to the incremental pair space
+      // (b always in the batch; a in the corpus, or a smaller batch id).
+      s"""WITH alld AS (
+            SELECT doc_id, 'corpus' AS src, text FROM documents WHERE doc_id % 5 <> 0
+            UNION ALL
+            SELECT doc_id, 'batch', text FROM documents WHERE doc_id % 5 = 0
+            UNION ALL
+            SELECT doc_id + 200000, 'batch', text FROM documents WHERE doc_id % 11 = 0),
+          sh AS (SELECT doc_id, src, ${DuckSql.wordShingles("w", 3)} AS shingles
+                 FROM (SELECT doc_id, src, $W AS w FROM alld)),
+          shc AS (SELECT doc_id, len(shingles) AS nsh FROM sh),
+          ex AS (SELECT doc_id, src, unnest(shingles) AS shingle FROM sh),
+          pairs AS (
+            SELECT x.doc_id AS a, x.src AS src_a, y.doc_id AS b, count(*) AS inter
+            FROM ex x JOIN ex y ON x.shingle = y.shingle
+              AND y.src = 'batch'
+              AND (x.src = 'corpus' OR x.doc_id < y.doc_id)
+            GROUP BY 1, 2, 3)
+          SELECT a, src_a, b, inter, na.nsh AS na, nb.nsh AS nb,
+            CAST(inter AS DOUBLE) / CAST(na.nsh + nb.nsh - inter AS DOUBLE) AS jaccard
+          FROM pairs
+          JOIN shc na ON pairs.a = na.doc_id
+          JOIN shc nb ON pairs.b = nb.doc_id
+          WHERE CAST(inter AS DOUBLE) / CAST(na.nsh + nb.nsh - inter AS DOUBLE) >= 0.8""",
     "d_dup_clusters" ->
       // Connected components via recursive reachability closure: every
       // label a node can reach propagates; min per node = component id.

@@ -95,6 +95,32 @@ class DedupSpec extends SparkSpec {
     assert(uncappedPairs == 45L, s"skew premise broken: $uncappedPairs")
   }
 
+  test("minHashNearDupsIncremental: batch-driven pairs only, corpus never self-pairs") {
+    // corpus: 0 (base), 2 (unrelated); batch: 1 (near-dup of 0), 3 (copy of
+    // 0), 4 (copy of 2). Expected pairs all end in a batch doc; the
+    // corpus-internal relation (0, 2) must not appear even at threshold 0.
+    val corpus = Seq((0L, base), (2L, unrelated)).toDF("doc_id", "text")
+    val batch = Seq((1L, nearDup), (3L, base), (4L, unrelated)).toDF("doc_id", "text")
+    val got = Dedup.minHashNearDupsIncremental(corpus, batch, 0.7)
+      .select("a", "src_a", "b").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set((0L, "corpus", 1L), (0L, "corpus", 3L),
+      (1L, "batch", 3L), (2L, "corpus", 4L)), s"got $got")
+    // Cross-check against exact all-pairs Jaccard restricted to the same
+    // incremental pair space.
+    val all = corpus.withColumn("src", lit("corpus"))
+      .unionByName(batch.withColumn("src", lit("batch")))
+    val exact = Dedup.jaccardPairs(all.drop("src"), 0.7)
+    val srcOf = all.select("doc_id", "src").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = exact.select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => srcOf(b) == "batch" || srcOf(a) == "batch" }
+      .map { case (a, b) => if (srcOf(a) == "batch" && srcOf(b) == "corpus") (b, srcOf(b), a) else (a, srcOf(a), b) }
+      .toSet
+    assert(got == expected, s"incremental $got != exact-restricted $expected")
+  }
+
   test("duplicateClusters: transitive closure over pairs, min-id canonical") {
     // 1-2, 2-3, 3-4 chain (diameter > 1 forces >1 propagation round);
     // 7-8 isolated pair; pair order/direction must not matter.
