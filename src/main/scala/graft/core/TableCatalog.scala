@@ -100,12 +100,17 @@ final class TableCatalog(val root: String) extends Serializable {
       // Part-file names embed the write job's UUID, so links from the
       // previous version cannot collide with the fresh batch's files.
       val walk = Files.walk(prev)
-      // skip job markers (_SUCCESS) and hidden checksums (._SUCCESS.crc) —
-      // the fresh write produced its own
+      // skip job markers (_SUCCESS), hidden checksums (._SUCCESS.crc) and
+      // metadata sidecars (_stats/**) — the fresh write produced its own
+      // markers, and carried stats would be stale (they don't cover the
+      // new batch's files); re-run analyze() after appends that need them.
       try walk.filter(Files.isRegularFile(_)).forEach { f =>
-        val fn = f.getFileName.toString
-        if (!fn.startsWith("_") && !fn.startsWith("."))
-          Files.createLink(next.resolve(prev.relativize(f)), f)
+        val rel = prev.relativize(f)
+        val hidden = (0 until rel.getNameCount).exists { i =>
+          val n = rel.getName(i).toString
+          n.startsWith("_") || n.startsWith(".")
+        }
+        if (!hidden) Files.createLink(next.resolve(rel), f)
       } finally walk.close()
       repoint(dir, name, nextV)
     }
@@ -179,6 +184,78 @@ final class TableCatalog(val root: String) extends Serializable {
         struct(col("_o").as("row"), lit("update_preimage").as("_change_type")),
         struct(col("_n").as("row"), lit("update_postimage").as("_change_type"))))
     joined.select(explode(images).as("c")).select(col("c.row.*"), col("c._change_type"))
+  }
+
+  /** Collect per-file min/max statistics for `statsCols` over the CURRENT
+    * version and persist them as a `_stats` parquet sidecar inside the
+    * version directory — the data-skipping manifest Delta keeps in its
+    * transaction log, rebuilt on the versioned-Parquet layout. The
+    * underscore prefix hides the sidecar from Spark's file index, so
+    * plain reads of the version are unaffected, and the manifest lives
+    * and dies with its version (pruning deletes it, appends don't carry
+    * it — stale stats are never consulted).
+    *
+    * Scale shape: one column-pruned distributed scan (only the stats
+    * columns' chunks are read — columnar formats make this cheap),
+    * aggregated per input file; the manifest itself is O(#files) rows.
+    * Together with [[graft.ops.Gold.clusterBy]]/`zorderBy` this is the
+    * full OPTIMIZE story: clustering makes per-file ranges disjoint,
+    * stats make the read side actually skip them. Unpartitioned current
+    * versions only (clusterBy output is unpartitioned; partitioned
+    * tables already skip via partition pruning). */
+  def analyze(spark: SparkSession, name: String, statsCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    require(statsCols.nonEmpty, "analyze: statsCols must be non-empty")
+    val cur = currentPath(name)
+    val d = spark.read.parquet(cur)
+    val perFile = d
+      .select(input_file_name().as("_file") +: statsCols.map(col): _*)
+      .groupBy("_file")
+      .agg(min(col(statsCols.head)).as(s"min_${statsCols.head}"),
+        (statsCols.tail.map(c => min(col(c)).as(s"min_$c")) ++
+          statsCols.map(c => max(col(c)).as(s"max_$c"))): _*)
+      // store the file NAME only — version dirs are flat, and names stay
+      // valid when the table root moves
+      .withColumn("_file", element_at(split(col("_file"), "/"), -1))
+    perFile.coalesce(1).write.mode("overwrite")
+      .parquet(Paths.get(cur, "_stats").toString)
+  }
+
+  /** File paths of the current version whose [min, max] range for `c`
+    * intersects [lo, hi] per the `_stats` manifest — or every data file
+    * when no manifest covers `c`. Driver-side manifest read, O(#files). */
+  def prunedFiles(spark: SparkSession, name: String, c: String,
+      lo: Any, hi: Any): Seq[String] = {
+    import org.apache.spark.sql.functions._
+    val cur = Paths.get(currentPath(name))
+    val statsDir = cur.resolve("_stats")
+    def allFiles = Option(cur.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map(_.getPath).toSeq
+    if (!Files.isDirectory(statsDir)) return allFiles
+    val stats = spark.read.parquet(statsDir.toString)
+    if (!stats.columns.contains(s"min_$c")) return allFiles
+    // null min/max means the file has no non-null value of c — no row of
+    // it can satisfy a range predicate, so the null-propagating
+    // comparison correctly drops it.
+    stats.filter(col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi))
+      .select("_file").collect().map(r => cur.resolve(r.getString(0)).toString).toSeq
+  }
+
+  /** Range scan with file skipping: read only the files whose stats range
+    * intersects [lo, hi], then apply the exact predicate as a residual —
+    * correctness never depends on the manifest, only the I/O saved does.
+    * This is the read-side payoff of OPTIMIZE: on a table clustered on
+    * `c`, a selective range touches a handful of files instead of all of
+    * them. */
+  def scanRange(spark: SparkSession, name: String, c: String,
+      lo: Any, hi: Any): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val files = prunedFiles(spark, name, c, lo, hi)
+    val base =
+      if (files.nonEmpty) spark.read.parquet(files: _*)
+      else read(spark, name).limit(0) // keep the schema, scan nothing
+    base.filter(col(c) >= lit(lo) && col(c) <= lit(hi))
   }
 
   /** Small-file compaction — the file-count half of the reference's

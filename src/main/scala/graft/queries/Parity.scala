@@ -150,6 +150,31 @@ object Parity {
       max(col("l_partkey")).as("max_pkey"))
   }
 
+  /** S10 read-side payoff — file skipping over the clustered layout:
+    * cluster lineitem on l_shipdate into a catalog table, collect the
+    * per-file min/max manifest ([[graft.core.TableCatalog.analyze]]),
+    * then answer a one-quarter range scan through
+    * [[graft.core.TableCatalog.scanRange]], which reads only the files
+    * whose stats range intersects the predicate. The cluster+analyze
+    * write is one-time fixture setup; the timed query is the pruned
+    * scan. Layout and skipping cannot change relational results, so the
+    * oracle is the plain range aggregate; the pruning property itself
+    * is pinned by DataSkippingSpec. */
+  def s10Skipping(spark: SparkSession, sfDir: String): DataFrame = {
+    val cat = new graft.core.TableCatalog(tmp("s10skip", sfDir))
+    val t = "gold.lineitem_by_shipdate"
+    setupOnce("s10skip", sfDir) {
+      cat.overwrite(Gold.clusterBy(
+        graft.ext.Par.spread(table(spark, sfDir, "lineitem"), col("l_shipdate")),
+        Seq("l_shipdate")), t)
+      cat.analyze(spark, t, Seq("l_shipdate"))
+    }
+    cat.scanRange(spark, t, "l_shipdate",
+        "1996-01-01 00:00:00", "1996-03-31 00:00:00")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sumd(col("l_quantity")).as("sum_qty"))
+  }
+
   // --------------------------------------------------------------- S11
   /** S11 — SQL literal-rows table (`aws/ticker.dbquery.ipynb` DDL+INSERT
     * VALUES; no metastore here so the VALUES relation stands in). */
@@ -578,6 +603,7 @@ object Parity {
     "w4_rolling_range" -> w4RollingRange _,
     "set_ops" -> setOps _,
     "s10_zorder" -> s10Zorder _,
+    "s10_skipping" -> s10Skipping _,
     "a4_rollup" -> a4Rollup _,
     "a5_cube" -> a5Cube _,
     "a6_grouping_sets" -> a6GroupingSets _,
@@ -607,6 +633,13 @@ object Parity {
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
          MIN(l_orderkey) AS min_okey, MAX(l_orderkey) AS max_okey,
          MIN(l_partkey) AS min_pkey, MAX(l_partkey) AS max_pkey FROM lineitem""",
+    "s10_skipping" ->
+      """SELECT l_returnflag, count(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate <= TIMESTAMP '1996-03-31 00:00:00'
+         GROUP BY l_returnflag""",
     "s11_sql_values" ->
       """SELECT t.ticker, t.company_name, r.r_name
          FROM (VALUES
