@@ -201,19 +201,25 @@ object Dedup {
     * cannot drop a true near-dup, while discarding most of the moderate-
     * similarity candidates that LSH admits. Precision of the final output
     * is exact either way: every emitted pair passed exact Jaccard. */
-  def minHashNearDups(docs: DataFrame, threshold: Double = 0.8,
-                      k: Int = 64, bands: Int = 16): DataFrame = {
-    val rows = k / bands
-    // One materialized base carrying shingles + signature: expensive
-    // projections sit between two exchanges, so every consumer (both
-    // bucket-join sides and both verify joins) reuses the same computed
-    // stage instead of re-deriving the hash chain (ReuseExchange).
-    val base = shingled(docs)
+  /** MinHash signature index: (doc_id, shingles, nsh, sig) — the base
+    * every near-dup consumer joins against. For a standing corpus this
+    * is the artifact you persist once per ingest (via
+    * [[graft.core.TableCatalog]]) instead of recomputing per query.
+    * Expensive projections sit between two exchanges, so every consumer
+    * (bucket-join sides and verify joins) reuses the same computed stage
+    * instead of re-deriving the hash chain (ReuseExchange). */
+  def signatureIndex(docs: DataFrame, k: Int = 64, n: Int = 3): DataFrame =
+    shingled(docs, n)
       .withColumn("hs", transform(col("shingles"), s => TextKit.polyHash(s)))
       .transform(Par.spread(_, col("doc_id")))
       .select(col("doc_id"), col("shingles"), col("nsh"),
         TextKit.minHashFromHashes(col("hs"), k).as("sig"))
       .transform(Par.spread(_, col("doc_id")))
+
+  def minHashNearDups(docs: DataFrame, threshold: Double = 0.8,
+                      k: Int = 64, bands: Int = 16): DataFrame = {
+    val rows = k / bands
+    val base = signatureIndex(docs, k)
     val sigs = base.select(col("doc_id"), col("sig"))
     val buckets = lshBuckets(sigs, bands, rows)
     val cand = buckets.as("x").join(buckets.as("y"),

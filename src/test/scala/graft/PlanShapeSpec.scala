@@ -79,6 +79,39 @@ class PlanShapeSpec extends SparkSpec {
       .filter(col("o_orderstatus") === "F").count())
   }
 
+  test("runtime bloom filter from a selective dim prunes the fact-side scan") {
+    // Shuffle-join twin of the DPP test: when the fact is NOT partitioned
+    // on the join key, the only runtime pruning available is an injected
+    // bloom filter built from the selective (filtered) creation side and
+    // pushed into the fact scan as might_contain — at 100 TB this is the
+    // difference between shuffling the whole fact and shuffling the ~1%
+    // that can match. Thresholds are production-sized (10 MB creation /
+    // 10 GB application), so the test scales them down and restores.
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    try {
+      conf.set(keys(0), "10MB")
+      conf.set(keys(1), "1KB")
+      conf.set(keys(2), "-1") // force a shuffle join: broadcast joins use DPP instead
+      val dim = Parity.table(spark, sf, "orders")
+        .filter(col("o_orderstatus") === "F").select("o_orderkey")
+      val fact = Parity.table(spark, sf, "lineitem")
+      val q = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"no runtime bloom filter injected:\n$plan")
+      assert(q.count() > 0)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("partition-pruned read scans only the selected partition") {
     val dir = Parity.tmp("planshape-part", sf)
     Parity.table(spark, sf, "orders")

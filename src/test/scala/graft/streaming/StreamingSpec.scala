@@ -137,6 +137,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup gate matches arriving docs against the corpus index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val unrelated = "completely different words appear within this other sentence entirely now ok"
+    val corpus = graft.ext.Dedup.signatureIndex(
+      Seq((0L, base), (2L, unrelated)).toDF("doc_id", "text"))
+    val mem = MemoryStream[(Long, String)]
+    val q = DocStreams.nearDupMatches(
+        mem.toDF().toDF("doc_id", "text"), corpus, 0.7)
+      .writeStream.format("memory").queryName("neardup_gate")
+      .outputMode("append").start()
+    try {
+      mem.addData((10L, base.replace("today", "tomorrow")), // near-dup of 0
+        (11L, "some wholly novel document nobody has ever ingested before"))
+      q.processAllAvailable()
+      mem.addData((12L, unrelated)) // exact dup of 2, later batch
+      q.processAllAvailable()
+      val got = spark.table("neardup_gate")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(got.map(m => (m._1, m._2)).toSet == Set((10L, 0L), (12L, 2L)),
+        s"got ${got.toSeq}")
+      // a match row per pair, even though the pair shares many LSH bands
+      assert(got.length == 2, s"pair emitted more than once: ${got.toSeq}")
+      assert(got.find(_._1 == 12L).get._3 == 1.0) // exact dup
+    } finally q.stop()
+  }
+
   test("scd2Sink maintains dimension history across micro-batches") {
     import graft.core.{Clock, TableCatalog}
     import graft.scd.Scd2
