@@ -71,10 +71,14 @@ object Dedup {
     val sh = shingled(docs, n).transform(Par.spread(_, col("doc_id")))
     val ex = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
     // Shingles are per-doc distinct, so count(*) per shingle IS document
-    // frequency; keep only the discriminative (rare) postings.
-    val rare = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf).select("shingle")
-    val exR = ex.join(rare, Seq("shingle"))
+    // frequency. Filter postings by ANTI-joining the HOT set rather than
+    // inner-joining the rare majority: distinct hot shingles number at
+    // most postings/maxDf (each needs > maxDf postings to qualify), so
+    // the hot side is small enough for AQE to broadcast the anti-join,
+    // where the rare side never is.
+    val hot = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("shingle")
+    val exR = ex.join(hot, Seq("shingle"), "left_anti")
     // per-doc rare-shingle count rides the join as a grouping key, same
     // trick as the uncapped form
     val nR = exR.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
