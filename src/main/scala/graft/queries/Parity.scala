@@ -425,6 +425,24 @@ object Parity {
       last(col("o_orderkey")).over(wFull).as("latest_order"))
   }
 
+  /** W5 — distribution analytics: percent_rank / cume_dist (exact ratios
+    * of the same integers on both engines, so the doubles are
+    * bit-identical), first/nth/lead value navigation with an explicit
+    * full frame and a unique ordering tiebreak (w3 covers the ranking
+    * family; this is the distribution + navigation family). */
+  def w5Analytics(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    table(spark, sfDir, "customer").select(
+      col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+      percent_rank().over(w).as("pct_rank"),
+      cume_dist().over(w).as("cdist"),
+      first_value(col("c_custkey")).over(w).as("poorest_key"),
+      nth_value(col("c_custkey"), 3).over(full).as("third_key"),
+      lead(col("c_custkey"), 1).over(w).as("next_key"))
+  }
+
   /** Set operations: union distinct, intersect, except (absent from the
     * reference; introduced by our MERGE rewrite internally — SURVEY §2.6). */
   def setOps(spark: SparkSession, sfDir: String): DataFrame = {
@@ -601,6 +619,7 @@ object Parity {
     "w2_running_total" -> w2RunningTotal _,
     "w3_ranks" -> w3Ranks _,
     "w4_rolling_range" -> w4RollingRange _,
+    "w5_analytics" -> w5Analytics _,
     "set_ops" -> setOps _,
     "s10_zorder" -> s10Zorder _,
     "s10_skipping" -> s10Skipping _,
@@ -764,6 +783,17 @@ object Parity {
                  o_totalprice FROM orders)
          WINDOW w AS (PARTITION BY o_custkey ORDER BY d_day
            RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""",
+    "w5_analytics" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cdist,
+           first_value(c_custkey) OVER w AS poorest_key,
+           nth_value(c_custkey, 3) OVER
+             (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS third_key,
+           lead(c_custkey, 1) OVER w AS next_key
+         FROM customer
+         WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)""",
     "w3_ranks" ->
       """SELECT o_custkey, o_orderkey,
            rank() OVER w AS rnk,
