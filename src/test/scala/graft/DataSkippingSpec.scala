@@ -54,6 +54,36 @@ class DataSkippingSpec extends SparkSpec {
     assert(n == 1L)
   }
 
+  test("z-order lets BOTH dimensions prune; linear clustering only its own key") {
+    // Uniform 2-D grid: under 1-D clustering on x, file ranges are tight
+    // on x but each file spans ALL of y; under z-order both dims have
+    // tight per-file bounding boxes, so a selective predicate on either
+    // dimension skips most files. This is the measurable payoff the
+    // Morton layout exists for.
+    val grid = spark.range(0, 1 << 14).select(
+      (col("id") % 128).as("x"), (col("id") / 128).as("y"))
+    val nf = 16
+    val catL = freshCat("linear")
+    catL.overwrite(graft.ops.Gold.clusterBy(grid, Seq("x"), Some(nf)), "t.lin")
+    catL.analyze(spark, "t.lin", Seq("x", "y"))
+    val catZ = freshCat("zorder")
+    catZ.overwrite(graft.ops.Gold.zorderBy(grid, "x", "y", bits = 7,
+      partitions = Some(nf)), "t.z")
+    catZ.analyze(spark, "t.z", Seq("x", "y"))
+    // selective slice on y (the non-leading dimension): 8 of 128 values
+    val linY = catL.prunedFiles(spark, "t.lin", "y", 0L, 7L).size
+    val zY = catZ.prunedFiles(spark, "t.z", "y", 0L, 7L).size
+    assert(linY == nf, s"linear layout should NOT skip on y, pruned to $linY/$nf")
+    assert(zY <= nf / 2, s"z-order should skip most files on y, got $zY/$nf")
+    // and x stays prunable on both layouts
+    assert(catL.prunedFiles(spark, "t.lin", "x", 0L, 7L).size <= nf / 2)
+    assert(catZ.prunedFiles(spark, "t.z", "x", 0L, 7L).size <= nf / 2)
+    // skipping never changes answers
+    val a = catZ.scanRange(spark, "t.z", "y", 0L, 7L).agg(sum(col("x")), count(lit(1))).head()
+    val b = grid.filter(col("y").between(0, 7)).agg(sum(col("x")), count(lit(1))).head()
+    assert(a == b)
+  }
+
   test("empty pruning result keeps the schema and returns zero rows") {
     val cat = freshCat("empty")
     cat.overwrite(clustered, "t.empty")
