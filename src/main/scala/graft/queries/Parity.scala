@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.core.Clock
 import graft.ops._
-import graft.scd.{Scd1, Scd2, Scd3, ScdColumns}
+import graft.scd.{Scd1, Scd2, Scd3, Scd4, ScdColumns}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -536,6 +536,33 @@ object Parity {
     new Scd2(keys, tracked, clock = Clock.fixed("2026-02-15")).merge(init, b2)
   }
 
+  /** SCD4 — history-table variant over the same two batches as
+    * [[scd2TwoBatch]]: the merge returns (current, archived) and the
+    * query unions them under a `scd_table` tag, so the oracle checks
+    * both tables at once — current has exactly one row per key (original
+    * effective_from when unchanged, merge date when replaced or new),
+    * history holds exactly the superseded versions with their interval. */
+  def scd4TwoBatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = table(spark, sfDir, "orders")
+    def price(c: Column): Column = c.cast("decimal(18,2)")
+    val b1 = orders.filter(year(col("o_orderdate").cast(DateType)) < 1997)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        price(col("o_totalprice")).cast("string").as("price"))
+    val b2 = orders.filter(year(col("o_orderdate").cast(DateType)) >= 1996)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        (price(col("o_totalprice")) +
+          when(col("o_orderkey") % 7 === 0, 1).otherwise(0))
+          .cast("decimal(18,2)").cast("string").as("price"))
+    val keys = Seq("o_orderkey")
+    val tracked = Seq("o_orderstatus", "price")
+    val init = new Scd4(keys, tracked, clock = Clock.fixed("2026-01-15")).initialize(b1)
+    val (cur, archived) =
+      new Scd4(keys, tracked, clock = Clock.fixed("2026-02-15")).merge(init, b2)
+    cur.withColumn("effective_to", lit(null).cast(DateType))
+      .withColumn("scd_table", lit("current"))
+      .unionByName(archived.withColumn("scd_table", lit("history")))
+  }
+
   // --------------------------------------------------------------- SCD3
   /** SCD3 — current/previous limited history (`scd.py:114-143`). */
   def scd3Merge(spark: SparkSession, sfDir: String): DataFrame = {
@@ -629,6 +656,7 @@ object Parity {
     "q_top_spenders" -> topSpenders _,
     "scalar_suite" -> scalarSuite _,
     "scd2_two_batch" -> scd2TwoBatch _,
+    "scd4_two_batch" -> scd4TwoBatch _,
     "scd3_merge" -> scd3Merge _,
     "c_change_feed" -> cChangeFeed _,
     "json_extract" -> jsonExtract _)
@@ -869,6 +897,36 @@ object Parity {
            DATE '2026-02-15', NULL, TRUE
          FROM h2 LEFT JOIN h1 ON h1.o_orderkey = h2.o_orderkey
          WHERE h1.o_orderkey IS NULL OR h1.row_hash <> h2.row_hash""",
+    "scd4_two_batch" ->
+      """WITH b1 AS (
+           SELECT o_orderkey, o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS price
+           FROM orders WHERE year(CAST(o_orderdate AS DATE)) < 1997),
+         b2 AS (
+           SELECT o_orderkey, o_orderstatus,
+             CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) +
+               (CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END) AS DECIMAL(18,2)) AS VARCHAR) AS price
+           FROM orders WHERE year(CAST(o_orderdate AS DATE)) >= 1996),
+         h1 AS (SELECT *, sha256(concat_ws('||', o_orderstatus, price)) AS row_hash FROM b1),
+         h2 AS (SELECT *, sha256(concat_ws('||', o_orderstatus, price)) AS row_hash FROM b2)
+         -- current: b1 rows that survived (no b2 match or unchanged hash)
+         SELECT h1.o_orderkey, h1.o_orderstatus, h1.price, h1.row_hash,
+           DATE '2026-01-15' AS effective_from,
+           CAST(NULL AS DATE) AS effective_to, 'current' AS scd_table
+         FROM h1 LEFT JOIN h2 ON h1.o_orderkey = h2.o_orderkey
+         WHERE h2.o_orderkey IS NULL OR h1.row_hash = h2.row_hash
+         UNION ALL
+         -- current: b2 rows that entered (new key or changed hash)
+         SELECT h2.o_orderkey, h2.o_orderstatus, h2.price, h2.row_hash,
+           DATE '2026-02-15', CAST(NULL AS DATE), 'current'
+         FROM h2 LEFT JOIN h1 ON h1.o_orderkey = h2.o_orderkey
+         WHERE h1.o_orderkey IS NULL OR h1.row_hash <> h2.row_hash
+         UNION ALL
+         -- history: superseded b1 versions with their validity interval
+         SELECT h1.o_orderkey, h1.o_orderstatus, h1.price, h1.row_hash,
+           DATE '2026-01-15', DATE '2026-02-15', 'history'
+         FROM h1 JOIN h2 ON h1.o_orderkey = h2.o_orderkey
+         WHERE h1.row_hash <> h2.row_hash""",
     "scd3_merge" ->
       """WITH src0 AS (
            SELECT c_custkey, 'MOVED' AS seg FROM customer WHERE c_custkey % 2 = 0

@@ -49,6 +49,22 @@ object Scd {
 
   private def keyCond(left: DataFrame, right: DataFrame, keys: Seq[String]): Column =
     keys.map(k => left(k) === right(k)).reduce(_ && _)
+
+  /** Reduce a source batch to exactly one row per business key — a
+    * raw-zone re-delivery may carry a key twice, and inserting both would
+    * break the one-current-row invariant. Winner selection is a
+    * deterministic argmax: greatest `sourceOrder` columns first (e.g. an
+    * ingestion timestamp = keep latest), then the remaining columns as
+    * total tiebreak. Runs as a single partial-aggregating
+    * `max(struct(...))` shuffle on the keys — no window, no second pass. */
+  def dedupeByKeys(src: DataFrame, keys: Seq[String],
+      sourceOrder: Seq[String] = Seq.empty): DataFrame = {
+    val rest = src.columns.filterNot(keys.contains).toSeq
+    val payload = sourceOrder ++ rest.filterNot(sourceOrder.contains)
+    src.groupBy(keys.map(col): _*)
+      .agg(max(struct(payload.map(col): _*)).as("__winner"))
+      .select(keys.map(col) ++ payload.map(c => col(s"__winner.$c").as(c)): _*)
+  }
 }
 
 /** SCD Type 2 — hash-based row versioning (`b2s_yfinance.py:103-186`,
@@ -70,20 +86,10 @@ class Scd2(
     if (src.columns.contains(cols.hash)) src
     else Hashing.withRowHash(src, tracked, cols.hash, strictHash)
 
-  /** Reduce the source batch to exactly one row per business key — a
-    * raw-zone re-delivery may carry a key twice, and inserting both would
-    * break the one-current-row invariant. Winner selection is a
-    * deterministic argmax: greatest `sourceOrder` columns first (e.g. an
-    * ingestion timestamp = keep latest), then the row hash and remaining
-    * columns as total tiebreak. Runs as a single partial-aggregating
-    * `max(struct(...))` shuffle on the keys — no window, no second pass. */
-  private def dedupeSource(src: DataFrame): DataFrame = {
-    val rest = src.columns.filterNot(keys.contains).toSeq
-    val payload = sourceOrder ++ rest.filterNot(sourceOrder.contains)
-    src.groupBy(keys.map(col): _*)
-      .agg(max(struct(payload.map(col): _*)).as("__winner"))
-      .select(keys.map(col) ++ payload.map(c => col(s"__winner.$c").as(c)): _*)
-  }
+  /** One row per business key via [[Scd.dedupeByKeys]] (row hash rides in
+    * the payload, so the argmax tiebreak is total). */
+  private def dedupeSource(src: DataFrame): DataFrame =
+    Scd.dedupeByKeys(src, keys, sourceOrder)
 
   /** First run — create the initial version set
     * (`b2s_yfinance.py:119-131`); deduped so the one-current-row-per-key
@@ -150,6 +156,74 @@ class Scd2(
       case None    => initialize(source)
       case Some(t) => merge(t, source)
     }
+}
+
+/** SCD Type 4 — history table: the hot dimension holds exactly one row
+  * per key (overwritten in place, SCD1-style), and every superseded
+  * version is archived to a SEPARATE append-only history table stamped
+  * with its validity interval. Completes the reference's SCD1/2/3 family
+  * (`utils/scd/scd.py`) with the type it leaves out.
+  *
+  * Why this type exists at scale: SCD2 makes every dimension read pay
+  * for history (filter `is_current` over current ∪ expired rows), and
+  * every merge rewrite the full row set. Here the current table stays
+  * O(keys) — joins against it broadcast where an SCD2 table wouldn't —
+  * and the history side is append-only, which
+  * [[graft.core.TableCatalog.append]] performs in O(batch) via hardlink
+  * carry-over.
+  *
+  * Current-table schema: keys ++ tracked ++ row_hash ++ effective_from.
+  * Archived rows add effective_to (the merge date that superseded them).
+  */
+class Scd4(
+    keys: Seq[String],
+    tracked: Seq[String],
+    cols: ScdColumns = ScdColumns(),
+    clock: Clock = Clock.Wall,
+    strictHash: Boolean = false,
+    sourceOrder: Seq[String] = Seq.empty) extends Serializable {
+
+  private def today: Column = lit(java.sql.Date.valueOf(clock.today))
+
+  private def withHash(src: DataFrame): DataFrame =
+    if (src.columns.contains(cols.hash)) src
+    else Hashing.withRowHash(src, tracked, cols.hash, strictHash)
+
+  /** First run: deduped source becomes the current table; history starts
+    * empty. */
+  def initialize(source: DataFrame): DataFrame =
+    Scd.dedupeByKeys(withHash(source), keys, sourceOrder)
+      .withColumn(cols.from, today)
+
+  /** One merge step: returns (newCurrent, archived).
+    *
+    *  - current rows with a matching source key and a different hash are
+    *    replaced; the replaced version lands in `archived` with
+    *    `effective_to = today`;
+    *  - current rows with no source match, or an identical hash, persist
+    *    with their original `effective_from`;
+    *  - source rows for changed or brand-new keys enter current with
+    *    `effective_from = today`.
+    *
+    * One key-shuffled join decides replacement; the anti-join reuses the
+    * same key partitioning. Append `archived` to the history table —
+    * never rewrite it. */
+  def merge(current: DataFrame, source: DataFrame): (DataFrame, DataFrame) = {
+    val src = Scd.dedupeByKeys(withHash(source), keys, sourceOrder)
+    val srcKeys = src.select((keys :+ cols.hash).map(col): _*)
+      .withColumnRenamed(cols.hash, "__src_hash")
+    val joined = current.join(srcKeys, keys, "left")
+    val changed = col("__src_hash").isNotNull && col(cols.hash) =!= col("__src_hash")
+    val archived = joined.filter(changed).drop("__src_hash")
+      .withColumn(cols.to, today)
+    // changed is never null (row_hash is a non-null sha2, and isNotNull
+    // short-circuits the null src side), so the negation is exact
+    val kept = joined.filter(!changed).drop("__src_hash")
+    val entering = src
+      .join(kept.select(keys.map(col): _*), keys, "left_anti")
+      .withColumn(cols.from, today)
+    (kept.unionByName(entering), archived)
+  }
 }
 
 /** SCD Type 1 — overwrite in place, no history (`scd.py:41-66`):

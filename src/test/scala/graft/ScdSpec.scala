@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.Clock
-import graft.scd.{Scd1, Scd2, Scd3}
+import graft.scd.{Scd1, Scd2, Scd3, Scd4}
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -114,5 +114,27 @@ class ScdSpec extends SparkSpec {
     assert(out(0).getAs[String]("cur") == "new" && out(0).getAs[String]("prev") == "old")
     assert(out(1).getAs[String]("cur") == "same" && out(1).getAs[String]("prev") == null)
     assert(out(2).getAs[String]("cur") == "first" && out(2).getAs[String]("prev") == null)
+  }
+
+  test("scd4 keeps one current row per key and archives superseded versions") {
+    def scd4(date: String) = new Scd4(keys, tracked, clock = Clock.fixed(date))
+    val init = scd4("2026-01-01").initialize(tbl("a" -> "1", "b" -> "2"))
+    val (cur, arch) = scd4("2026-02-01").merge(init, tbl("a" -> "1", "b" -> "99", "c" -> "3"))
+    // current: exactly one row per key, unchanged rows keep their stamp
+    val c = cur.sort("k").collect()
+    assert(c.map(_.getAs[String]("k")).toSeq == Seq("a", "b", "c"))
+    assert(c(0).getAs[java.sql.Date]("effective_from").toString == "2026-01-01")
+    assert(c(1).getAs[String]("v") == "99" &&
+      c(1).getAs[java.sql.Date]("effective_from").toString == "2026-02-01")
+    assert(c(2).getAs[java.sql.Date]("effective_from").toString == "2026-02-01")
+    // history: only b's superseded version, with its validity interval
+    val h = arch.collect()
+    assert(h.length == 1 && h.head.getAs[String]("k") == "b" &&
+      h.head.getAs[String]("v") == "2" &&
+      h.head.getAs[java.sql.Date]("effective_to").toString == "2026-02-01")
+    // replaying the same source archives nothing and leaves current fixed
+    val (cur2, arch2) = scd4("2026-03-01").merge(cur, tbl("a" -> "1", "b" -> "99", "c" -> "3"))
+    assert(arch2.isEmpty)
+    assert(cur2.sort("k").collect().toSeq == cur.sort("k").collect().toSeq)
   }
 }
