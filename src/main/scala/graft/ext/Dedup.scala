@@ -67,7 +67,30 @@ object Dedup {
     * plus one keyed df aggregation; per-key join fanout is bounded by
     * maxDf². */
   def jaccardPairsCapped(docs: DataFrame, threshold: Double, n: Int = 3,
-                         maxDf: Int = 100): DataFrame = {
+                         maxDf: Int = 100): DataFrame =
+    cappedPairCounts(docs, n, maxDf)
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "inter", "na", "nb", "jaccard")
+
+  /** Containment similarity over the same df-capped rare-shingle space:
+    * inter / min(|A|, |B|) — the asymmetric measure that catches a doc
+    * EMBEDDED in a larger one (quote farms, boilerplate-wrapped copies,
+    * truncated re-crawls), where symmetric Jaccard stays low because the
+    * union is dominated by the larger doc. Same plan shape and scale
+    * properties as [[jaccardPairsCapped]]. */
+  def containmentPairs(docs: DataFrame, threshold: Double, n: Int = 3,
+                       maxDf: Int = 100): DataFrame =
+    cappedPairCounts(docs, n, maxDf)
+      .withColumn("containment",
+        col("inter").cast("double") / least(col("na"), col("nb")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select("a", "b", "inter", "na", "nb", "containment")
+
+  /** Shared candidate stage of the capped family: rare-postings self-join
+    * aggregated to (a, b, na, nb, inter). */
+  private def cappedPairCounts(docs: DataFrame, n: Int, maxDf: Int): DataFrame = {
     val sh = shingled(docs, n).transform(Par.spread(_, col("doc_id")))
     val ex = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
     // Shingles are per-doc distinct, so count(*) per shingle IS document
@@ -88,10 +111,6 @@ object Dedup {
       .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
         col("x.nsh").as("na"), col("y.nsh").as("nb"))
       .agg(count(lit(1)).as("inter"))
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select("a", "b", "inter", "na", "nb", "jaccard")
   }
 
   /** Duplicate clusters from a pairwise near-dup relation: connected
@@ -267,7 +286,6 @@ object Dedup {
     * doc, src_a ∈ {corpus, batch}. */
   def minHashNearDupsIncremental(corpus: DataFrame, batch: DataFrame,
       threshold: Double = 0.8, k: Int = 64, bands: Int = 16): DataFrame = {
-    val rows = k / bands
     val tagged = corpus.select(col("doc_id"), col("text"), lit("corpus").as("src"))
       .unionByName(batch.select(col("doc_id"), col("text"), lit("batch").as("src")))
     val base = tagged
@@ -279,6 +297,29 @@ object Dedup {
       .select(col("doc_id"), col("src"), col("shingles"), col("nsh"),
         TextKit.minHashFromHashes(col("hs"), k).as("sig"))
       .transform(Par.spread(_, col("doc_id")))
+    incrementalFromBase(base, threshold, k, bands)
+  }
+
+  /** [[minHashNearDupsIncremental]] against an ALREADY-BUILT corpus
+    * signature index ([[signatureIndex]] schema) — the production loop:
+    * the index is persisted once (e.g. a [[graft.core.TableCatalog]]
+    * table), each ingest runs this against the incoming batch, then
+    * APPENDS the batch's own signatures (`signatureIndex(batch)`) to the
+    * index table, so corpus text is never re-shingled. */
+  def minHashNearDupsIncrementalIndexed(corpusIndex: DataFrame, batch: DataFrame,
+      threshold: Double = 0.8, k: Int = 64, bands: Int = 16): DataFrame = {
+    val base = corpusIndex
+      .select(col("doc_id"), lit("corpus").as("src"), col("shingles"),
+        col("nsh"), col("sig"))
+      .unionByName(signatureIndex(batch, k)
+        .select(col("doc_id"), lit("batch").as("src"), col("shingles"),
+          col("nsh"), col("sig")))
+    incrementalFromBase(base, threshold, k, bands)
+  }
+
+  private def incrementalFromBase(base: DataFrame, threshold: Double,
+      k: Int, bands: Int): DataFrame = {
+    val rows = k / bands
     val sigs = base.select(col("doc_id"), col("src"), col("sig"))
     val buckets = lshBuckets(sigs, bands, rows, keep = Seq("src"))
     val cand = buckets.as("x").join(

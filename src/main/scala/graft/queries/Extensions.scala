@@ -175,6 +175,22 @@ object Extensions {
   def jaccardCapped(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.jaccardPairsCapped(docs(spark, sfDir), 0.5, maxDf = 100)
 
+  /** Containment near-dup: every 9th doc's word-boundary PREFIX joins the
+    * corpus under a shifted id (the truncated-re-crawl case) — its
+    * shingles are a strict subset of the original's, so containment is
+    * 1.0 while Jaccard sits near the length ratio. The asymmetric
+    * measure flags exactly these doc-inside-doc pairs. */
+  def containmentDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val w = split(col("text"), " ")
+    val prefixes = d.filter(col("doc_id") % 9 === 0)
+      .select((col("doc_id") + 300000).as("doc_id"),
+        array_join(slice(w, lit(1),
+          greatest(lit(1), floor(size(w) / lit(2)).cast("int"))), " ").as("text"))
+    Dedup.containmentPairs(
+      d.select("doc_id", "text").unionByName(prefixes), 0.9, maxDf = 100)
+  }
+
   /** MinHash+LSH candidates, exact-verified at j >= 0.8. */
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.minHashNearDups(docs(spark, sfDir), 0.8)
@@ -567,6 +583,7 @@ object Extensions {
     "d_exact_dedup" -> exactDedup _,
     "d_ngram_jaccard" -> ngramJaccard _,
     "d_jaccard_capped" -> jaccardCapped _,
+    "d_containment" -> containmentDup _,
     "d_minhash_lsh" -> minhashLsh _,
     "d_simhash_pairs" -> simhashPairs _,
     "d_embed_neardup" -> embedNearDup _,
@@ -785,6 +802,29 @@ object Extensions {
           JOIN nr na ON pairs.a = na.doc_id
           JOIN nr nb ON pairs.b = nb.doc_id
           WHERE CAST(inter AS DOUBLE) / CAST(na.nsh + nb.nsh - inter AS DOUBLE) >= 0.5""",
+    "d_containment" ->
+      s"""WITH wdocs AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 300000,
+              array_to_string(list_slice(w, 1,
+                greatest(1, CAST(floor(len(w) / 2.0) AS INT))), ' ')
+            FROM (SELECT doc_id, $W AS w FROM documents)
+            WHERE doc_id % 9 = 0),
+          sh AS (SELECT doc_id, ${DuckSql.wordShingles("w", 3)} AS shingles
+                 FROM (SELECT doc_id, string_split(text, ' ') AS w FROM wdocs)),
+          ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+          $cappedCte,
+          pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+                    FROM exr x JOIN exr y
+                    ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+                    GROUP BY 1, 2)
+          SELECT a, b, inter, na.nsh AS na, nb.nsh AS nb,
+            CAST(inter AS DOUBLE) / CAST(least(na.nsh, nb.nsh) AS DOUBLE) AS containment
+          FROM pairs
+          JOIN nr na ON pairs.a = na.doc_id
+          JOIN nr nb ON pairs.b = nb.doc_id
+          WHERE CAST(inter AS DOUBLE) / CAST(least(na.nsh, nb.nsh) AS DOUBLE) >= 0.9""",
     "d_minhash_lsh" -> jaccardSql("0.8"),
     "d_simhash_pairs" ->
       s"""WITH sim AS (

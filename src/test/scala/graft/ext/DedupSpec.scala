@@ -121,6 +121,30 @@ class DedupSpec extends SparkSpec {
     assert(got == expected, s"incremental $got != exact-restricted $expected")
   }
 
+  test("incremental dedup over a persisted, appended signature index") {
+    import graft.core.TableCatalog
+    val cat = new TableCatalog(
+      java.nio.file.Files.createTempDirectory("graft-sigidx").toString)
+    val corpus = Seq((0L, base), (2L, unrelated)).toDF("doc_id", "text")
+    cat.overwrite(Dedup.signatureIndex(corpus), "curation.sig_index")
+    // ingest 1: batch deduped against the persisted index == inline form
+    val batch1 = Seq((10L, nearDup), (11L, "novel text nobody wrote before")).toDF("doc_id", "text")
+    val viaIndex = Dedup.minHashNearDupsIncrementalIndexed(
+        cat.read(spark, "curation.sig_index"), batch1, 0.7)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inline = Dedup.minHashNearDupsIncremental(corpus, batch1, 0.7)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaIndex == inline && viaIndex == Set((0L, 10L)), s"$viaIndex vs $inline")
+    // the ingest loop: append the batch's signatures (O(batch) hardlink
+    // append), then a later batch near-dups against batch1's docs too
+    cat.append(Dedup.signatureIndex(batch1), "curation.sig_index")
+    val batch2 = Seq((20L, nearDup)).toDF("doc_id", "text") // exact dup of 10
+    val got = Dedup.minHashNearDupsIncrementalIndexed(
+        cat.read(spark, "curation.sig_index"), batch2, 0.7)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((0L, 20L), (10L, 20L)), s"got $got")
+  }
+
   test("duplicateClusters: transitive closure over pairs, min-id canonical") {
     // 1-2, 2-3, 3-4 chain (diameter > 1 forces >1 propagation round);
     // 7-8 isolated pair; pair order/direction must not matter.
