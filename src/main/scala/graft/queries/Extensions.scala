@@ -313,6 +313,34 @@ object Extensions {
         sum(col("n_tokens")).as("sum_tokens"))
   }
 
+  // -------------------------------------------------- time-series resample
+  /** Daily resample + forward fill — the time-series regularization a
+    * training pipeline runs before feeding models that want a fixed
+    * cadence: per entity, materialize the full calendar between its
+    * first and last observation (`sequence` + `explode`), left-join the
+    * observed daily aggregate, and carry the last observation forward
+    * across the gaps (`last(_, ignoreNulls)` over the date-ordered
+    * window). Restricted to 2% of customers to keep the output
+    * proportional to entities × span. Scale shape: one keyed daily agg,
+    * one keyed span agg, calendar explode is generated (not shuffled),
+    * and the fill window shares the entity partitioning. */
+  def resampleFfill(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Parity.table(spark, sfDir, "orders")
+      .filter(col("o_custkey") % 50 === 0)
+      .withColumn("d_day",
+        datediff(col("o_orderdate").cast("date"), lit("1992-01-01").cast("date")))
+      .groupBy("o_custkey", "d_day")
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("spend"))
+    val cal = daily.groupBy("o_custkey")
+      .agg(min(col("d_day")).as("lo"), max(col("d_day")).as("hi"))
+      .select(col("o_custkey"), explode(sequence(col("lo"), col("hi"))).as("d_day"))
+    val w = Window.partitionBy("o_custkey").orderBy("d_day")
+    cal.join(daily, Seq("o_custkey", "d_day"), "left")
+      .withColumn("is_observed", col("spend").isNotNull)
+      .withColumn("spend_ff", last(col("spend"), ignoreNulls = true).over(w))
+  }
+
   // ------------------------------------------------------- skew salting
   /** Two-phase salted aggregation ([[graft.ops.Skew.saltedAggregate]]):
     * hot grouping keys split across salt buckets before combining.
@@ -617,6 +645,7 @@ object Extensions {
     "x_pii_scrub" -> piiScrub _,
     "x_pivot" -> pivotStatus _,
     "x_stratified_sample" -> stratifiedSample _,
+    "x_resample" -> resampleFfill _,
     "x_tfidf" -> tfidfTop _)
 
   // ----------------------------------------------------------- oracle SQL
@@ -1089,6 +1118,23 @@ object Extensions {
               '$p', '<PHONE>', 'g') AS clean
           FROM d"""
     },
+    "x_resample" ->
+      """WITH daily AS (
+           SELECT o_custkey,
+             datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS d_day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+           FROM orders WHERE o_custkey % 50 = 0
+           GROUP BY 1, 2),
+         cal AS (
+           SELECT o_custkey, unnest(generate_series(lo, hi)) AS d_day
+           FROM (SELECT o_custkey, MIN(d_day) AS lo, MAX(d_day) AS hi
+                 FROM daily GROUP BY 1))
+         SELECT cal.o_custkey, cal.d_day, daily.spend,
+           daily.spend IS NOT NULL AS is_observed,
+           last_value(daily.spend IGNORE NULLS) OVER
+             (PARTITION BY cal.o_custkey ORDER BY cal.d_day) AS spend_ff
+         FROM cal LEFT JOIN daily
+           ON cal.o_custkey = daily.o_custkey AND cal.d_day = daily.d_day""",
     "x_salted_join" ->
       """SELECT d.flag_label, count(*) AS n,
            CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty

@@ -443,6 +443,19 @@ object Parity {
       lead(col("c_custkey"), 1).over(w).as("next_key"))
   }
 
+  /** P12 — unpivot/melt: the wide→long reshape (inverse of `x_pivot`),
+    * Spark's native `unpivot` against DuckDB's UNPIVOT. Four measure
+    * columns melt to (metric, val) rows. */
+  def p12Unpivot(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax")
+      .unpivot(
+        ids = Array(col("l_orderkey"), col("l_linenumber")),
+        values = Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        variableColumnName = "metric", valueColumnName = "val")
+
   /** Set operations: union distinct, intersect, except (absent from the
     * reference; introduced by our MERGE rewrite internally — SURVEY §2.6). */
   def setOps(spark: SparkSession, sfDir: String): DataFrame = {
@@ -635,6 +648,7 @@ object Parity {
     "p9_distinct" -> p9Distinct _,
     "p9_latest_per_key" -> p9LatestPerKey _,
     "p10_explode" -> p10Explode _,
+    "p12_unpivot" -> p12Unpivot _,
     "j1_left_join" -> j1LeftJoin _,
     "j2_anti_join" -> j2AntiJoin _,
     "j3_merge_upsert" -> j3MergeUpsert _,
@@ -736,6 +750,11 @@ object Parity {
                FROM orders) WHERE rn = 1""",
     "p10_explode" ->
       "SELECT p_partkey, unnest(string_split(p_name, ' ')) AS word FROM part",
+    "p12_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, metric, val
+         FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+                 l_discount, l_tax FROM lineitem)
+         UNPIVOT (val FOR metric IN (l_quantity, l_extendedprice, l_discount, l_tax))""",
     "j1_left_join" ->
       """SELECT c.c_custkey, c.c_name, n.n_name,
            o.order_count, o.total_spent, o.last_order_date
