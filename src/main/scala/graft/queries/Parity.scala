@@ -456,6 +456,57 @@ object Parity {
           col("l_discount"), col("l_tax")),
         variableColumnName = "metric", valueColumnName = "val")
 
+  /** TPC-H Q1 (pricing summary), adapted to the testdata date span — the
+    * canonical scan-heavy aggregate. Every money expression folds in
+    * exact decimals (products re-cast to the scale that holds them
+    * exactly, so neither engine's precision-overflow rules kick in);
+    * averages are one double division of two exact values. */
+  def tpchQ1(spark: SparkSession, sfDir: String): DataFrame = {
+    def one = lit(1).cast("decimal(18,2)")
+    val discPrice = (dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+      .cast("decimal(18,4)")
+    val charge = (discPrice * (one + dec(col("l_tax")))).cast("decimal(18,6)")
+    table(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") <= lit("2000-12-01 00:00:00"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(discPrice).cast("double").as("sum_disc_price"),
+        sum(charge).cast("double").as("sum_charge"),
+        (sum(dec(col("l_quantity"))).cast("double") /
+          count(lit(1)).cast("double")).as("avg_qty"),
+        (sum(dec(col("l_extendedprice"))).cast("double") /
+          count(lit(1)).cast("double")).as("avg_price"),
+        (sum(dec(col("l_discount"))).cast("double") /
+          count(lit(1)).cast("double")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** TPC-H Q3 (shipping priority), adapted: segment filter on the dim,
+    * date split on both fact sides, top-10 revenue with a unique
+    * tiebreak — the canonical join+agg+top-k composite. The final top-k
+    * runs as TakeOrderedAndProject over the aggregated rows. */
+  def tpchQ3(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = table(spark, sfDir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val ord = table(spark, sfDir, "orders")
+      .filter(col("o_orderdate").cast(DateType) < lit("1997-01-01").cast(DateType))
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate").cast(DateType).as("order_date"), col("o_orderpriority"))
+    val li = table(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") > lit("1997-01-01 00:00:00"))
+      .select(col("l_orderkey"),
+        (dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") -
+          dec(col("l_discount")))).cast("decimal(18,4)").as("disc_price"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "order_date", "o_orderpriority")
+      .agg(sum(col("disc_price")).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
   /** Set operations: union distinct, intersect, except (absent from the
     * reference; introduced by our MERGE rewrite internally — SURVEY §2.6). */
   def setOps(spark: SparkSession, sfDir: String): DataFrame = {
@@ -668,6 +719,8 @@ object Parity {
     "a5_cube" -> a5Cube _,
     "a6_grouping_sets" -> a6GroupingSets _,
     "q_top_spenders" -> topSpenders _,
+    "tpch_q1" -> tpchQ1 _,
+    "tpch_q3" -> tpchQ3 _,
     "scalar_suite" -> scalarSuite _,
     "scd2_two_batch" -> scd2TwoBatch _,
     "scd4_two_batch" -> scd4TwoBatch _,
@@ -884,6 +937,34 @@ object Parity {
       """SELECT o_orderkey, o_custkey,
            CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
          FROM orders ORDER BY price DESC, o_orderkey LIMIT 25""",
+    "tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) *
+             (1 + CAST(l_tax AS DECIMAL(18,2))) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_disc,
+           count(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+         GROUP BY l_returnflag, l_linestatus""",
+    "tpch_q3" ->
+      """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date, o_orderpriority,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+           AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+         GROUP BY 1, 2, 3
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
     "scalar_suite" ->
       """SELECT c_custkey,
            regexp_extract(c_name, '([0-9]+)$', 1) AS name_code,
