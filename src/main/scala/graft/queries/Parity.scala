@@ -554,6 +554,34 @@ object Parity {
       .agg(count(lit(1)).as("n"), sumd(col("o_totalprice")).as("sum_price"))
   }
 
+  /** A7 — several COUNT(DISTINCT …) over different columns in ONE
+    * aggregation: Catalyst plans this through Expand (one replicated
+    * row-stream per distinct column, then a two-phase distinct-aggregate)
+    * — a distinct physical class from plain hash aggregation, and the
+    * shape multi-metric dashboards actually emit. */
+  def a7MultiDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+
+  /** A8 — conditional aggregation: per-group metrics filtered by row
+    * predicates inside one pass (`sum(when …)` / `count(when …)` —
+    * SQL's FILTER clause), the idiom that avoids N separate filtered
+    * scans for N conditional metrics. */
+  def a8ConditionalAgg(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "orders")
+      .groupBy(year(col("o_orderdate").cast(DateType)).as("o_year"))
+      .agg(
+        count(when(col("o_orderstatus") === "F", 1)).as("n_finished"),
+        count(when(col("o_orderstatus") === "O", 1)).as("n_open"),
+        sum(when(col("o_orderpriority").startsWith("1"),
+          dec(col("o_totalprice")))).cast("double").as("urgent_price"),
+        count(lit(1)).as("n"))
+
   /** Global ORDER BY … LIMIT — §2.6's top-k class done right: Catalyst
     * plans `TakeOrderedAndProject`, a per-partition bounded top-k merged
     * on the driver — no global sort, no full shuffle, O(k) memory per
@@ -718,6 +746,8 @@ object Parity {
     "a4_rollup" -> a4Rollup _,
     "a5_cube" -> a5Cube _,
     "a6_grouping_sets" -> a6GroupingSets _,
+    "a7_multi_distinct" -> a7MultiDistinct _,
+    "a8_conditional_agg" -> a8ConditionalAgg _,
     "q_top_spenders" -> topSpenders _,
     "tpch_q1" -> tpchQ1 _,
     "tpch_q3" -> tpchQ3 _,
@@ -933,6 +963,21 @@ object Parity {
          FROM (SELECT o_orderstatus, year(CAST(o_orderdate AS DATE)) AS o_year,
                  o_totalprice FROM orders)
          GROUP BY GROUPING SETS ((o_orderstatus, o_year), (o_year), ())""",
+    "a7_multi_distinct" ->
+      """SELECT l_returnflag,
+           count(DISTINCT l_orderkey) AS n_orders,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps,
+           count(*) AS n_rows
+         FROM lineitem GROUP BY l_returnflag""",
+    "a8_conditional_agg" ->
+      """SELECT year(CAST(o_orderdate AS DATE)) AS o_year,
+           count(*) FILTER (o_orderstatus = 'F') AS n_finished,
+           count(*) FILTER (o_orderstatus = 'O') AS n_open,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+             FILTER (o_orderpriority LIKE '1%') AS DOUBLE) AS urgent_price,
+           count(*) AS n
+         FROM orders GROUP BY 1""",
     "q_top_spenders" ->
       """SELECT o_orderkey, o_custkey,
            CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
