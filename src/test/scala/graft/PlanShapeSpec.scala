@@ -54,6 +54,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"top-N must not shuffle:\n$plan")
   }
 
+  test("tpch_q3 broadcasts the dim and takes top-k without a global sort") {
+    val plan = Parity.tpchQ3(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("GlobalLimit"), s"top-k fell back to sort+limit:\n$plan")
+  }
+
+  test("multi-distinct aggregation plans through Expand, not N scans") {
+    val q = Parity.a7MultiDistinct(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), plan)
+    assert(scanLines(q).size == 1,
+      s"multi-distinct should read the fact once:\n$plan")
+  }
+
   test("dynamic partition pruning: dim filter prunes the fact scan at runtime") {
     val dir = Parity.tmp("planshape-dpp", sf)
     Parity.table(spark, sf, "orders")
