@@ -313,6 +313,49 @@ object Extensions {
         sum(col("n_tokens")).as("sum_tokens"))
   }
 
+  // ------------------------------------------------------ chunking/packing
+  /** Fixed-size token chunking with overlap — the context-window prep
+    * step every LLM training pipeline runs: each doc splits into windows
+    * of `size` tokens advancing by `size - overlap`, short tails kept.
+    * Pure generated expressions (sequence → explode → slice → join), no
+    * shuffle at all until a consumer aggregates. */
+  def chunkDocs(spark: SparkSession, sfDir: String,
+      size: Int = 64, overlap: Int = 16): DataFrame = {
+    val step = size - overlap
+    val d = docs(spark, sfDir).select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("n_tokens", org.apache.spark.sql.functions.size(col("w")))
+    d.select(col("doc_id"), col("w"), col("n_tokens"),
+        explode(sequence(lit(0),
+          greatest(lit(0), ceil((col("n_tokens") - lit(overlap)).cast("double") / step)
+            .cast("int") - lit(1)))).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        array_join(slice(col("w"), col("chunk_id") * step + 1, lit(size)), " ")
+          .as("chunk_text"),
+        least(lit(size), col("n_tokens") - col("chunk_id") * step).as("chunk_tokens"))
+  }
+
+  /** Contiguous sequence packing: per language shard, docs concatenate
+    * in doc_id order into a token stream sliced into `ctx`-token context
+    * windows; pack_id is the window holding the doc's FIRST token (docs
+    * may straddle windows — the standard concat-then-slice packing; the
+    * chunker above is the long-doc path). One running token sum per
+    * shard — the window is PARTITIONED (per-lang), so packing
+    * parallelizes across shards instead of serializing the corpus
+    * through a global window, which is also how production packing
+    * shards work assignment. Docs longer than ctx truncate to ctx. */
+  def packSequences(spark: SparkSession, sfDir: String, ctx: Int = 512): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        least(lit(ctx), org.apache.spark.sql.functions.size(split(col("text"), " ")))
+          .cast(LongType).as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("pack_id", floor((col("cum") - col("n_tokens")).cast("double") / ctx)
+        .cast(LongType))
+  }
+
   // -------------------------------------------------- time-series resample
   /** Daily resample + forward fill — the time-series regularization a
     * training pipeline runs before feeding models that want a fixed
@@ -646,6 +689,8 @@ object Extensions {
     "x_pivot" -> pivotStatus _,
     "x_stratified_sample" -> stratifiedSample _,
     "x_resample" -> resampleFfill _,
+    "x_chunk_docs" -> (chunkDocs(_, _)),
+    "x_pack_sequences" -> (packSequences(_, _)),
     "x_tfidf" -> tfidfTop _)
 
   // ----------------------------------------------------------- oracle SQL
@@ -1118,6 +1163,23 @@ object Extensions {
               '$p', '<PHONE>', 'g') AS clean
           FROM d"""
     },
+    "x_chunk_docs" ->
+      """SELECT doc_id, chunk_id,
+           array_to_string(list_slice(w, chunk_id * 48 + 1, chunk_id * 48 + 64), ' ') AS chunk_text,
+           least(64, n_tokens - chunk_id * 48) AS chunk_tokens
+         FROM (
+           SELECT doc_id, w, len(w) AS n_tokens,
+             unnest(generate_series(0,
+               greatest(0, CAST(ceil((len(w) - 16) / 48.0) AS INT) - 1))) AS chunk_id
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))""",
+    "x_pack_sequences" ->
+      """SELECT doc_id, lang, n_tokens,
+           CAST(SUM(n_tokens) OVER w AS BIGINT) AS cum,
+           CAST(floor((CAST(SUM(n_tokens) OVER w AS BIGINT) - n_tokens) / 512.0) AS BIGINT) AS pack_id
+         FROM (SELECT doc_id, lang,
+                 CAST(least(512, len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+               FROM documents)
+         WINDOW w AS (PARTITION BY lang ORDER BY doc_id)""",
     "x_resample" ->
       """WITH daily AS (
            SELECT o_custkey,
