@@ -313,6 +313,30 @@ object Extensions {
         sum(col("n_tokens")).as("sum_tokens"))
   }
 
+  /** Curation funnel observability: survivor counts after each gate
+    * (length → stopword-ratio → near-dup) in ONE pass over the corpus —
+    * the run report a curation job emits so ops can see where documents
+    * die. Flags ride as boolean columns; the only extra work over the
+    * pipeline itself is the conditional-count aggregate. */
+  def qualityFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val w = TextKit.words(col("text"))
+    val flagged = d
+      .withColumn("n_tokens", size(w).cast(LongType))
+      .withColumn("stop_hits", size(filter(w, x => x.isin("the", "a"))).cast(LongType))
+      .withColumn("pass_len", col("n_chars") >= 60)
+      .withColumn("pass_stop", col("n_chars") >= 60 &&
+        col("stop_hits").cast(DoubleType) / col("n_tokens").cast(DoubleType) < 0.4)
+    val drops = Dedup.jaccardPairsCapped(flagged.filter(col("pass_stop")), 0.8, maxDf = 100)
+      .select(col("b").as("doc_id")).distinct().withColumn("is_dup", lit(true))
+    flagged.join(drops, Seq("doc_id"), "left")
+      .agg(
+        count(lit(1)).as("n_total"),
+        count(when(col("pass_len"), 1)).as("n_after_len"),
+        count(when(col("pass_stop"), 1)).as("n_after_stop"),
+        count(when(col("pass_stop") && col("is_dup").isNull, 1)).as("n_after_dedup"))
+  }
+
   // ------------------------------------------------------ chunking/packing
   /** Fixed-size token chunking with overlap — the context-window prep
     * step every LLM training pipeline runs: each doc splits into windows
@@ -670,6 +694,7 @@ object Extensions {
     "x_percentiles" -> percentiles _,
     "x_ann_lsh" -> annLsh _,
     "x_curation_pipeline" -> curationPipeline _,
+    "x_quality_funnel" -> qualityFunnel _,
     "x_curation_cc" -> curationCc _,
     "x_asof_join" -> asofJoin _,
     "x_asof_native" -> asofNative _,
@@ -1079,6 +1104,36 @@ object Extensions {
             CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
           FROM q WHERE doc_id NOT IN (SELECT doc_id FROM drops)
           GROUP BY lang""",
+    "x_quality_funnel" ->
+      s"""WITH flagged AS (
+            SELECT doc_id, n_chars, len(w)::BIGINT AS n_tokens,
+              len(list_filter(w, x -> x IN ('the', 'a')))::BIGINT AS stop_hits
+            FROM (SELECT doc_id, n_chars, $W AS w FROM documents)),
+          f2 AS (
+            SELECT doc_id, n_chars >= 60 AS pass_len,
+              n_chars >= 60 AND
+                CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) < 0.4 AS pass_stop
+            FROM flagged),
+          sh AS (SELECT doc_id, ${DuckSql.wordShingles("w", 3)} AS shingles
+                 FROM (SELECT doc_id, $W AS w FROM documents
+                       WHERE doc_id IN (SELECT doc_id FROM f2 WHERE pass_stop))),
+          ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+          $cappedCte,
+          pairs AS (
+            SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+            FROM exr x JOIN exr y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+            GROUP BY 1, 2),
+          drops AS (
+            SELECT DISTINCT b AS doc_id FROM pairs
+            JOIN nr na ON pairs.a = na.doc_id
+            JOIN nr nb ON pairs.b = nb.doc_id
+            WHERE CAST(inter AS DOUBLE) / CAST(na.nsh + nb.nsh - inter AS DOUBLE) >= 0.8)
+          SELECT count(*) AS n_total,
+            count(*) FILTER (pass_len) AS n_after_len,
+            count(*) FILTER (pass_stop) AS n_after_stop,
+            count(*) FILTER (pass_stop AND doc_id NOT IN (SELECT doc_id FROM drops))
+              AS n_after_dedup
+          FROM f2""",
     "x_curation_cc" ->
       s"""WITH RECURSIVE gated AS (
             SELECT doc_id, lang, n_chars, text,

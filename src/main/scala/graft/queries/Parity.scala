@@ -339,6 +339,32 @@ object Parity {
       .select("c_custkey", "c_mktsegment", "o_orderkey", "o_custkey")
   }
 
+  /** J6 — explicit cross join (small × small): the one join class the
+    * rest of the suite only uses implicitly against broadcast
+    * singletons. Kept to dimension tables — a fact-side cartesian is
+    * exactly what the engine's other join strategies exist to avoid. */
+  def j6CrossJoin(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "region").select(col("r_regionkey"), col("r_name"))
+      .crossJoin(table(spark, sfDir, "nation")
+        .select(col("n_nationkey"), col("n_name")))
+
+  /** J7 — null-safe equality join (`<=>` / IS NOT DISTINCT FROM): null
+    * keys MATCH each other instead of vanishing, the semantics CDC and
+    * dedup joins need when business keys are nullable. Every 7th
+    * customer's nation key is nulled on both sides; a plain equi-join
+    * would drop those rows, the null-safe join pairs them. */
+  def j7NullSafe(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = table(spark, sfDir, "customer")
+      .select(col("c_custkey"),
+        when(col("c_custkey") % 7 =!= 0, col("c_nationkey")).as("nk"))
+    val n = table(spark, sfDir, "nation")
+      .select(col("n_nationkey").as("nk"), col("n_name"))
+      .unionByName(spark.range(1).select(lit(null).cast("int").as("nk"),
+        lit("UNKNOWN").as("n_name")))
+    c.join(n, c("nk") <=> n("nk"))
+      .select(col("c_custkey"), c("nk").as("c_nk"), col("n_name"))
+  }
+
   // ---------------------------------------------------------------- J3
   /** J3/S8 — MERGE upsert without Delta via [[Scd1]] (`scd.py:41-66`):
     * matched rows take source values (including nulls), new keys insert. */
@@ -733,6 +759,8 @@ object Parity {
     "j3_merge_upsert" -> j3MergeUpsert _,
     "j4_semi_join" -> j4SemiJoin _,
     "j5_full_outer" -> j5FullOuter _,
+    "j6_cross_join" -> j6CrossJoin _,
+    "j7_null_safe" -> j7NullSafe _,
     "p11_explode_outer" -> p11ExplodeOuter _,
     "a1_aggregates" -> a1Aggregates _,
     "w1_lag_growth" -> w1LagGrowth _,
@@ -870,6 +898,17 @@ object Parity {
          FULL OUTER JOIN
            (SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey % 11 = 0) o
          ON c.c_custkey = o.o_custkey""",
+    "j6_cross_join" ->
+      """SELECT r_regionkey, r_name, n_nationkey, n_name
+         FROM region CROSS JOIN nation""",
+    "j7_null_safe" ->
+      """WITH c AS (SELECT c_custkey,
+             CASE WHEN c_custkey % 7 <> 0 THEN c_nationkey END AS nk
+           FROM customer),
+         n AS (SELECT n_nationkey AS nk, n_name FROM nation
+               UNION ALL SELECT NULL, 'UNKNOWN')
+         SELECT c.c_custkey, c.nk AS c_nk, n.n_name
+         FROM c JOIN n ON c.nk IS NOT DISTINCT FROM n.nk""",
     "j3_merge_upsert" ->
       """WITH src AS (
            SELECT c_custkey, c_acctbal + 100 AS c_acctbal
