@@ -15,21 +15,31 @@ import org.apache.spark.sql.functions._
   * the join, so Catalyst plans partial (map-side) aggregation before the
   * shuffle; at 100 TB the summaries are orders of magnitude smaller than
   * the fact side and AQE auto-broadcasts them — no manual repartition
-  * needed. `latestPerKey` replaces nondeterministic `dropDuplicates(key)`
-  * with an order-pinned window when determinism matters.
+  * needed. Key dedupe is a deterministic argmax (greatest payload tuple),
+  * never `dropDuplicates(key)` — an arbitrary winner can flip between
+  * runs and poison byte-stable outputs downstream.
   */
 object Master {
 
   /** Clean & conform overview rows (`b2s_company_house.py:62-70`):
     * non-null key, trimmed name, typed creation date, Initcap status,
-    * dedupe by business key. */
-  def cleanOverview(overview: DataFrame): DataFrame =
-    overview
+    * dedupe by business key. The reference's `dropDuplicates(key)` keeps
+    * an ARBITRARY row per key — a re-ingested company could flip which
+    * file's metadata survives between runs. The argmax pins the winner
+    * deterministically (greatest payload tuple; for byte-identical
+    * re-ingestions that is the latest `file_path`, i.e. the newest
+    * ingestion date), as one partial-aggregating shuffle on the key. */
+  def cleanOverview(overview: DataFrame): DataFrame = {
+    val cleaned = overview
       .filter(col("company_number").isNotNull)
       .withColumn("company_name", trim(col("company_name")))
       .withColumn("date_of_creation", to_date(col("date_of_creation")))
       .withColumn("company_status", initcap(col("company_status")))
-      .dropDuplicates("company_number")
+    val payload = cleaned.columns.filterNot(_ == "company_number").toSeq
+    cleaned.groupBy(col("company_number"))
+      .agg(max(struct(payload.map(col): _*)).as("__winner"))
+      .select(col("company_number") +: payload.map(c => col(s"__winner.$c").as(c)): _*)
+  }
 
   /** A1 + A2 — officers per company (`b2s_company_house.py:78-85`). */
   def officerSummary(officers: DataFrame): DataFrame =

@@ -237,7 +237,10 @@ class Scd1(keys: Seq[String], tracked: Seq[String]) extends Serializable {
     // Explicit matched marker: a matched row takes the source's tracked
     // values even when the source value is null (Delta whenMatchedUpdate
     // semantics) — coalesce would silently keep the old value instead.
-    val s = source.dropDuplicates(keys).withColumn("__matched", lit(true)).alias("s")
+    // Deterministic argmax dedupe, not dropDuplicates: a re-delivered key
+    // must not flip which payload wins between runs.
+    val s = Scd.dedupeByKeys(source, keys)
+      .withColumn("__matched", lit(true)).alias("s")
     val cond = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
     val matchedOrKept = t.join(s, cond, "left").select(
       keys.map(k => col(s"t.$k").as(k)) ++
@@ -257,7 +260,9 @@ class Scd3(keys: Seq[String], currentCol: String, previousCol: String) extends S
 
   def merge(target: DataFrame, source: DataFrame): DataFrame = {
     val t = target.alias("t")
-    val s = source.dropDuplicates(keys).select((keys :+ currentCol).map(col): _*)
+    // deterministic argmax dedupe (see Scd1.merge)
+    val srcOne = Scd.dedupeByKeys(source, keys)
+    val s = srcOne.select((keys :+ currentCol).map(col): _*)
       .withColumnRenamed(currentCol, "__s_cur").alias("s")
     val cond = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
     val others = target.columns
@@ -271,7 +276,7 @@ class Scd3(keys: Seq[String], currentCol: String, previousCol: String) extends S
         when(changed, col("__s_cur")).otherwise(col(s"t.$currentCol")).as(currentCol),
         when(changed, col(s"t.$currentCol")).otherwise(col(s"t.$previousCol")).as(previousCol)) ++
       others.map(c => col(s"t.$c").as(c)): _*)
-    val inserts = source.dropDuplicates(keys)
+    val inserts = srcOne
       .select((keys :+ currentCol).map(col): _*).alias("s")
       .join(t, keys.map(k => col(s"s.$k") === col(s"t.$k")).reduce(_ && _), "left_anti")
       .withColumn(previousCol, lit(null).cast(target.schema(previousCol).dataType))
