@@ -339,6 +339,30 @@ object Parity {
       .select("c_custkey", "c_mktsegment", "o_orderkey", "o_custkey")
   }
 
+  /** J8 — dynamic-partition-pruned fact join under the hard gate: the
+    * fact writes partitioned by status (one-time setup), the dim side is
+    * a selective file-backed filter, and the join key is the partition
+    * column — Catalyst inserts a runtime partition filter fed by the
+    * broadcast dim, so only matching partitions are scanned (the plan
+    * property PlanShapeSpec pins; this query gates the RESULT through
+    * that read path). */
+  def j8DppJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = tmp("j8dpp", sfDir)
+    val dimDir = tmp("j8dpp-dim", sfDir)
+    setupOnce("j8dpp", sfDir) {
+      table(spark, sfDir, "orders").write.mode("overwrite")
+        .partitionBy("o_orderstatus").parquet(dir)
+      import spark.implicits._
+      Seq(("F", "finished"), ("O", "open"), ("P", "pending"))
+        .toDF("status", "label").write.mode("overwrite").parquet(dimDir)
+    }
+    val dim = spark.read.parquet(dimDir).filter(col("label") === "finished")
+    spark.read.parquet(dir)
+      .join(broadcast(dim), col("o_orderstatus") === col("status"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"), sumd(col("o_totalprice")).as("sum_price"))
+  }
+
   /** J6 — explicit cross join (small × small): the one join class the
     * rest of the suite only uses implicitly against broadcast
     * singletons. Kept to dimension tables — a fact-side cartesian is
@@ -761,6 +785,7 @@ object Parity {
     "j5_full_outer" -> j5FullOuter _,
     "j6_cross_join" -> j6CrossJoin _,
     "j7_null_safe" -> j7NullSafe _,
+    "j8_dpp_join" -> j8DppJoin _,
     "p11_explode_outer" -> p11ExplodeOuter _,
     "a1_aggregates" -> a1Aggregates _,
     "w1_lag_growth" -> w1LagGrowth _,
@@ -901,6 +926,10 @@ object Parity {
     "j6_cross_join" ->
       """SELECT r_regionkey, r_name, n_nationkey, n_name
          FROM region CROSS JOIN nation""",
+    "j8_dpp_join" ->
+      """SELECT 'finished' AS label, count(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM orders WHERE o_orderstatus = 'F'""",
     "j7_null_safe" ->
       """WITH c AS (SELECT c_custkey,
              CASE WHEN c_custkey % 7 <> 0 THEN c_nationkey END AS nk
