@@ -102,10 +102,12 @@ object Dedup {
     val hot = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select("shingle")
     val exR = ex.join(hot, Seq("shingle"), "left_anti")
-    // per-doc rare-shingle count rides the join as a grouping key, same
-    // trick as the uncapped form
-    val nR = exR.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
-    val exN = exR.join(nR, Seq("doc_id"))
+    // per-doc rare-shingle count via an unordered count window: one
+    // shuffle on doc_id and no aggregate-then-rejoin (measured faster
+    // than the nR-join form, and the key rides into the pair grouping
+    // same as the uncapped trick)
+    val exN = exR.withColumn("nsh",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
     exN.as("x").join(exN.as("y"),
         col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"),

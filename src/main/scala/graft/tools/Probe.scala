@@ -22,35 +22,35 @@ object Probe {
       df.write.mode("overwrite").format("noop").save()
       println(f"[probe] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
     }
-    def count(name: String)(df: => DataFrame): Unit = {
-      val t0 = System.nanoTime()
-      val n = df.count()
-      println(f"[probe] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
-    }
     time("warmup")(spark.range(10000).toDF())
 
-    // Decompose minHashNearDups with current parameters.
-    def stages(k: Int, bands: Int): Unit = {
-      val rows = k / bands
-      println(s"== k=$k bands=$bands rows=$rows ==")
-      val base = Dedup.shingled(docs)
-        .withColumn("hs", transform(col("shingles"), s => TextKit.polyHash(s)))
-        .transform(Par.spread(_, col("doc_id")))
-        .select(col("doc_id"), col("shingles"), col("nsh"),
-          TextKit.minHashFromHashes(col("hs"), k).as("sig"))
-        .transform(Par.spread(_, col("doc_id")))
-      time("base-signatures")(base)
-      val buckets = Dedup.lshBuckets(base.select(col("doc_id"), col("sig")), bands, rows)
-      count("candidates")(
-        buckets.as("x").join(buckets.as("y"),
-            col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-          .distinct())
-      time("full")(Dedup.minHashNearDups(docs, 0.8, k, bands))
+    // Current capped-pairs formulation: nR aggregate + join.
+    def viaJoin: DataFrame = Dedup.jaccardPairsCapped(docs, 0.5, maxDf = 100)
+
+    // Window-count variant: per-doc rare count via count() over doc_id.
+    def viaWindow: DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val sh = Dedup.shingled(docs, 3).transform(Par.spread(_, col("doc_id")))
+      val ex = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      val hot = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") > 100).select("shingle")
+      val exR = ex.join(hot, Seq("shingle"), "left_anti")
+      val exN = exR.withColumn("nsh",
+        count(lit(1)).over(Window.partitionBy("doc_id")))
+      exN.as("x").join(exN.as("y"),
+          col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          col("x.nsh").as("na"), col("y.nsh").as("nb"))
+        .agg(count(lit(1)).as("inter"))
+        .withColumn("jaccard",
+          col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
+        .filter(col("jaccard") >= 0.5)
     }
-    stages(66, 22)
-    stages(64, 16)
+
+    for (i <- 1 to 2) {
+      time(s"capped viaJoin #$i")(viaJoin)
+      time(s"capped viaWindow #$i")(viaWindow)
+    }
     spark.stop()
   }
 }
