@@ -337,6 +337,28 @@ object Extensions {
         count(when(col("pass_stop") && col("is_dup").isNull, 1)).as("n_after_dedup"))
   }
 
+  /** Grouped top-k through the typed bounded-heap aggregator on a plain
+    * relational workload (top-3 line items by price per return flag) —
+    * the same `TopKAggregator` the ANN path uses, shown general: every
+    * map task reduces its slice of a group to ≤ k rows before the
+    * exchange, vs a window sort shuffling every candidate. Selection
+    * only (no float arithmetic), so it hash-matches the window oracle. */
+  def groupTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val s = Parity.table(spark, sfDir, "lineitem")
+      .select(col("l_returnflag"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).cast("long").as("id"),
+        col("l_extendedprice").as("price"))
+      .as[(String, Long, Double)]
+    s.groupByKey(_._1)
+      .mapValues(t => graft.functions.ScoredId(t._2, t._3))
+      .agg(new graft.functions.TopKAggregator(3).toColumn.name("topk"))
+      .toDF("l_returnflag", "topk")
+      .select(col("l_returnflag"), posexplode(col("topk")).as(Seq("pos", "s")))
+      .select(col("l_returnflag"), col("s.id").as("id"),
+        (col("pos") + 1).cast("int").as("rank"), col("s.score").as("price"))
+  }
+
   // ------------------------------------------------------ chunking/packing
   /** Fixed-size token chunking with overlap — the context-window prep
     * step every LLM training pipeline runs: each doc splits into windows
@@ -714,6 +736,7 @@ object Extensions {
     "x_pivot" -> pivotStatus _,
     "x_stratified_sample" -> stratifiedSample _,
     "x_resample" -> resampleFfill _,
+    "x_group_topk" -> groupTopK _,
     "x_chunk_docs" -> (chunkDocs(_, _)),
     "x_pack_sequences" -> (packSequences(_, _)),
     "x_tfidf" -> tfidfTop _)
@@ -1218,6 +1241,15 @@ object Extensions {
               '$p', '<PHONE>', 'g') AS clean
           FROM d"""
     },
+    "x_group_topk" ->
+      """WITH s AS (
+           SELECT l_returnflag, l_orderkey * 10 + l_linenumber AS id,
+             CAST(l_extendedprice AS DOUBLE) AS price
+           FROM lineitem),
+         r AS (SELECT *, row_number() OVER
+                 (PARTITION BY l_returnflag ORDER BY price DESC, id) AS rank
+               FROM s)
+         SELECT l_returnflag, id, rank, price FROM r WHERE rank <= 3""",
     "x_chunk_docs" ->
       """SELECT doc_id, chunk_id,
            array_to_string(list_slice(w, chunk_id * 48 + 1, chunk_id * 48 + 64), ' ') AS chunk_text,
