@@ -55,6 +55,24 @@ class MalformedSpec extends SparkSpec {
     assert(rows.map(_.getInt(0)).sum == 4)
   }
 
+  test("mergeSchema unifies drifted parquet schemas; plain read keeps one") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-drift")
+    Seq((1, "a")).toDF("id", "v1").write.parquet(dir.resolve("b1").toString)
+    Seq((2, 9.5)).toDF("id", "v2").write.parquet(dir.resolve("b2").toString)
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(dir.resolve("b1").toString, dir.resolve("b2").toString)
+    assert(merged.columns.sorted.toSeq == Seq("id", "v1", "v2"))
+    val rows = merged.sort("id").collect()
+    assert(rows(0).getAs[String]("v1") == "a" && rows(0).isNullAt(rows(0).fieldIndex("v2")))
+    assert(rows(1).getAs[Double]("v2") == 9.5 && rows(1).isNullAt(rows(1).fieldIndex("v1")))
+    // without mergeSchema, one file's footer wins — drifted columns are
+    // silently absent, which is why the catalog's append path falls back
+    // to a null-padded rewrite on schema drift instead of hardlinking
+    val plain = spark.read.parquet(dir.resolve("b1").toString, dir.resolve("b2").toString)
+    assert(plain.columns.length == 2)
+  }
+
   test("FAILFAST raises on the broken row") {
     val df = spark.read
       .schema(StructType(schema.fields.dropRight(1)))
