@@ -115,6 +115,49 @@ object Dedup {
       .agg(count(lit(1)).as("inter"))
   }
 
+  /** Cross-document LINE-level dedup (CCNet-style): drop every
+    * "line" (non-overlapping `w`-word chunk, [[TextKit.wordChunks]]) whose
+    * document frequency exceeds `maxDf` — repeated lines are boilerplate
+    * (headers, navigation, license blocks) that carries no training
+    * signal, and removing them de-biases the corpus without dropping the
+    * documents themselves. Returns per-doc
+    * (doc_id, n_lines, n_kept, n_removed, clean_text) where clean_text
+    * re-joins the surviving lines in original order; a doc whose every
+    * line is boilerplate survives with clean_text = "".
+    *
+    * Scale design (100 TB): one distinct + keyed aggregation for the
+    * line df table, one equi-join postings ⋈ df keyed on the line, one
+    * keyed per-doc re-aggregation — no self-join, no pair space at all
+    * (unlike near-dup detection, line dedup is a per-line frequency
+    * gate). At corpus scale the join key would be a 64-bit line hash
+    * rather than the line text (collisions only over-remove an
+    * astronomically small line fraction); the text key is kept here for
+    * exact oracle parity. The re-assembly `collect_list` is per-doc
+    * (bounded by doc length), never corpus-wide. */
+  def lineLevelDedup(docs: DataFrame, w: Int = 8, maxDf: Int = 4): DataFrame = {
+    val lines = docs.select(col("doc_id"),
+      posexplode(TextKit.wordChunks(col("text"), w)).as(Seq("pos", "line")))
+    // Per-doc-distinct postings → count(*) per line IS document frequency.
+    val dfreq = lines.select("line", "doc_id").distinct()
+      .groupBy("line").agg(count(lit(1)).as("df"))
+    lines.join(dfreq, Seq("line"))
+      .withColumn("kept", col("df") <= maxDf)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        // when() yields null for dropped lines and collect_list skips
+        // nulls, so only kept lines reach the sort; struct order =
+        // (pos, line) ⇒ original document order.
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("kept"), struct(col("pos"), col("line"))))),
+            s => s.getField("line")),
+          " ").as("clean_text"))
+      .withColumn("n_removed", col("n_lines") - col("n_kept"))
+      .select("doc_id", "n_lines", "n_kept", "n_removed", "clean_text")
+  }
+
   /** Duplicate clusters from a pairwise near-dup relation: connected
     * components by iterative min-label propagation, so "a≈b, b≈c" lands
     * a, b and c in ONE cluster even when (a, c) itself was never a

@@ -78,6 +78,18 @@ object TextKit {
   /** Hash of every word occurrence (keeps duplicates — term frequency). */
   def wordHashes(text: Column): Column = transform(words(text), w => polyHash(w))
 
+  /** Non-overlapping word chunks of width `w` — the "pseudo-lines" that
+    * line-level dedup operates on for corpora whose documents carry no
+    * newlines (the synthetic corpus is one line per doc); the trailing
+    * chunk may be shorter than `w`. DuckDB mirror: `list_slice` +
+    * `array_to_string` over the same index arithmetic. */
+  def wordChunks(text: Column, w: Int): Column =
+    let(words(text)) { ws =>
+      transform(
+        sequence(lit(0), ceil(size(ws).cast(DoubleType) / w).cast("int") - 1),
+        i => array_join(slice(ws, i * w + 1, lit(w)), " "))
+    }
+
   /** 2^i for a column exponent (exact in double up to 2^52). */
   def pow2(i: Column): Column = pow(lit(2.0), i).cast(LongType)
 

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{AsOf, Dedup, DuckSql, Multimodal, Par, RangeJoin, Similarity, TextKit}
+import graft.ext.{AsOf, Dedup, DuckSql, Mixture, Multimodal, Par, RangeJoin, Similarity, TextKit}
 import graft.ops.{Bucketing, Skew}
 import graft.streaming.EventStreams
 
@@ -493,6 +493,36 @@ object Extensions {
       .select(col("node").as("doc_id"), col("label").as("cluster_id"),
         (col("node") === col("label")).as("is_canonical"))
 
+  /** Cross-document line-level dedup ([[Dedup.lineLevelDedup]]): drop
+    * 8-word pseudo-lines shared by more than 4 documents (boilerplate),
+    * keep the documents with their surviving text re-joined in order —
+    * the CCNet-style pass that removes repeated headers/footers without
+    * dropping whole docs. */
+  def lineDedup(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.lineLevelDedup(docs(spark, sfDir), w = 8, maxDf = 4)
+
+  /** Deterministic per-source token-budget mixture
+    * ([[Mixture.tokenBudgetMix]]): each source contributes docs in
+    * hash-priority order until 600 tokens — the reproducible "corpus
+    * recipe" draw a training run makes against the curated lake. */
+  def tokenBudgetMix(spark: SparkSession, sfDir: String): DataFrame =
+    Mixture.tokenBudgetMix(docs(spark, sfDir), budgetPerSource = 600L)
+
+  /** SemDeDup-style semantic keeper selection: embedding-cosine near-dup
+    * pairs (label-bucketed candidate space) → connected components →
+    * keep exactly the min-id member of each semantic cluster. Emits a
+    * decision row for EVERY vector (keep = not a non-canonical cluster
+    * member) — the drop list a curation pass applies. */
+  def semanticKeep(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    val clusters = Dedup.duplicateClusters(
+      Similarity.nearDupPairs(e, 0.4).select(col("a"), col("b")))
+    e.select(col("vec_id")).join(clusters, col("vec_id") === col("node"), "left")
+      .select(col("vec_id"),
+        coalesce(col("label"), col("vec_id")).as("cluster"),
+        (coalesce(col("label"), col("vec_id")) === col("vec_id")).as("keep"))
+  }
+
   // ---------------------------------------------------------- orc source
   /** ORC round-trip: the other columnar format Spark bundles (the
     * reference is Delta/Parquet-only; a complete engine reads both). */
@@ -726,6 +756,9 @@ object Extensions {
     "x_orc_scan" -> orcScan _,
     "d_dup_clusters" -> dupClusters _,
     "d_incremental" -> incrementalDedup _,
+    "d_line_dedup" -> lineDedup _,
+    "d_semantic_keep" -> semanticKeep _,
+    "x_token_budget_mix" -> tokenBudgetMix _,
     "x_salted_agg" -> saltedAgg _,
     "x_salted_join" -> saltedJoinQ _,
     "x_bpe_tokens" -> bpeTokens _,
@@ -1346,6 +1379,54 @@ object Extensions {
           SELECT node AS doc_id, MIN(r) AS cluster_id,
             node = MIN(r) AS is_canonical
           FROM reach GROUP BY node""",
+    "d_line_dedup" ->
+      """WITH wd AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+          lines AS (
+            SELECT doc_id, i AS pos,
+              array_to_string(list_slice(w, i*8 + 1, i*8 + 8), ' ') AS line
+            FROM wd, unnest(generate_series(0,
+              CAST(ceil(len(w) / 8.0) AS INT) - 1)) t(i)),
+          dfreq AS (SELECT line, count(DISTINCT doc_id) AS df
+                    FROM lines GROUP BY 1),
+          j AS (SELECT l.doc_id, l.pos, l.line, d.df <= 4 AS kept
+                FROM lines l JOIN dfreq d USING (line))
+          SELECT doc_id,
+            count(*) AS n_lines,
+            count(*) FILTER (kept) AS n_kept,
+            count(*) - count(*) FILTER (kept) AS n_removed,
+            coalesce(string_agg(line, ' ' ORDER BY pos) FILTER (kept), '')
+              AS clean_text
+          FROM j GROUP BY doc_id""",
+    "d_semantic_keep" ->
+      s"""WITH RECURSIVE $normCte,
+          p AS (
+            SELECT x.vec_id AS a, y.vec_id AS b
+            FROM ne x JOIN ne y ON x.label = y.label AND x.vec_id < y.vec_id
+            WHERE ${dotD("x.embedding", "y.embedding")} / (x.nrm * y.nrm) >= 0.4),
+          edges AS (SELECT a AS src, b AS dst FROM p
+                    UNION SELECT b, a FROM p),
+          reach(node, r) AS (
+            SELECT DISTINCT src, src FROM edges
+            UNION
+            SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node),
+          cc AS (SELECT node, MIN(r) AS label FROM reach GROUP BY node)
+          SELECT v.vec_id,
+            coalesce(cc.label, v.vec_id) AS cluster,
+            coalesce(cc.label, v.vec_id) = v.vec_id AS keep
+          FROM embeddings v LEFT JOIN cc ON v.vec_id = cc.node""",
+    "x_token_budget_mix" ->
+      s"""WITH t AS (
+            SELECT doc_id, source,
+              CAST(len($W) AS BIGINT) AS n_tokens,
+              (doc_id * 2654435761) % ${DuckSql.P} AS priority
+            FROM documents),
+          c AS (
+            SELECT *, CAST(SUM(n_tokens) OVER (
+              PARTITION BY source ORDER BY priority, doc_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+            FROM t)
+          SELECT doc_id, source, n_tokens, priority, cum_tokens
+          FROM c WHERE cum_tokens <= 600""",
     "x_range_join" ->
       """WITH bands AS (
            SELECT 'band_' || lpad(CAST(i AS VARCHAR), 2, '0') AS band,

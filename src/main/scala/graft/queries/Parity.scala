@@ -557,6 +557,39 @@ object Parity {
       .limit(10)
   }
 
+  /** TPC-H Q5 (local-supplier volume), adapted: the canonical 6-table
+    * join — region gates nation (broadcast), customer and supplier must
+    * share a nation, and revenue folds in exact decimals. Join order is
+    * fact-first: lineitem ⋈ orders shuffles on orderkey, then customer on
+    * custkey; nation⋈region and supplier are broadcast (dim-sized), so
+    * only the two fact joins exchange data — the plan you want when
+    * lineitem is 100 TB and every dim fits in an executor. The
+    * c_nationkey = s_nationkey condition rides on the supplier join. */
+  def tpchQ5(spark: SparkSession, sfDir: String): DataFrame = {
+    val asia = table(spark, sfDir, "region").filter(col("r_name") === "ASIA")
+    val nat = table(spark, sfDir, "nation")
+      .join(broadcast(asia), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val cust = table(spark, sfDir, "customer").select("c_custkey", "c_nationkey")
+    val ord = table(spark, sfDir, "orders")
+      .filter(col("o_orderdate").cast(DateType) >= lit("1996-01-01").cast(DateType) &&
+        col("o_orderdate").cast(DateType) < lit("1998-01-01").cast(DateType))
+      .select("o_orderkey", "o_custkey")
+    val sup = table(spark, sfDir, "supplier").select("s_suppkey", "s_nationkey")
+    val li = table(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") -
+          dec(col("l_discount")))).cast("decimal(18,4)").as("disc_price"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(col("disc_price")).cast("double").as("revenue"))
+  }
+
   /** Set operations: union distinct, intersect, except (absent from the
     * reference; introduced by our MERGE rewrite internally — SURVEY §2.6). */
   def setOps(spark: SparkSession, sfDir: String): DataFrame = {
@@ -804,6 +837,7 @@ object Parity {
     "q_top_spenders" -> topSpenders _,
     "tpch_q1" -> tpchQ1 _,
     "tpch_q3" -> tpchQ3 _,
+    "tpch_q5" -> tpchQ5 _,
     "scalar_suite" -> scalarSuite _,
     "scd2_two_batch" -> scd2TwoBatch _,
     "scd4_two_batch" -> scd4TwoBatch _,
@@ -1078,6 +1112,20 @@ object Parity {
            AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
          GROUP BY 1, 2, 3
          ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "tpch_q5" ->
+      """SELECT n_name,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+           AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+         GROUP BY n_name""",
     "scalar_suite" ->
       """SELECT c_custkey,
            regexp_extract(c_name, '([0-9]+)$', 1) AS name_code,

@@ -1,0 +1,116 @@
+package graft.ext
+
+import graft.SparkSpec
+
+import org.apache.spark.sql.functions._
+
+/** Line-level dedup, token-budget mixture, and semantic-keep invariants
+  * (the round-3 curation additions; driver queries `d_line_dedup`,
+  * `x_token_budget_mix`, `d_semantic_keep`). */
+class CurationOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Exactly 8 words, so it fills one chunk and stays identical across
+  // docs (chunking is positional — misaligned boilerplate would differ).
+  private val boiler = "all rights reserved by the site owner today"
+
+  test("lineLevelDedup drops cross-doc boilerplate lines, keeps unique text in order") {
+    // 6 docs = [boiler][unique payload][boiler] as three aligned 8-word
+    // chunks (boiler df=7 > maxDf=4); one doc is ALL boilerplate.
+    val docs = ((0 until 6).map { i =>
+      (i.toLong, s"$boiler x$i unique payload line number $i alpha beta $boiler")
+    } :+ (99L, boiler)).toDF("doc_id", "text")
+    val out = Dedup.lineLevelDedup(docs, w = 8, maxDf = 4)
+      .orderBy("doc_id").collect()
+
+    assert(out.length === 7, "every doc survives, even all-boilerplate ones")
+    val d0 = out.head
+    assert(d0.getAs[Long]("n_lines") === 3)    // 24 words -> 3 chunks of 8
+    assert(d0.getAs[Long]("n_kept") === 1)     // both boilerplate chunks dropped
+    assert(d0.getAs[Long]("n_removed") === 2)
+    assert(d0.getAs[String]("clean_text") === "x0 unique payload line number 0 alpha beta")
+    val all = out.last
+    assert(all.getAs[Long]("doc_id") === 99L)
+    assert(all.getAs[Long]("n_kept") === 0)
+    assert(all.getAs[String]("clean_text") === "")
+  }
+
+  test("lineLevelDedup line df counts documents, not occurrences") {
+    // One doc repeats a line 10 times; only 2 docs contain it, so with
+    // maxDf=2 it survives everywhere (occurrence count 11 must not trip
+    // the document-frequency gate).
+    val rep = Seq.fill(10)("spam spam spam spam spam spam spam spam").mkString(" ")
+    val docs = Seq(
+      (1L, rep),
+      (2L, "spam spam spam spam spam spam spam spam other words here make one more line")
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineLevelDedup(docs, w = 8, maxDf = 2)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_removed") === 0)
+    assert(out(1).getAs[Long]("n_removed") === 0)
+  }
+
+  test("tokenBudgetMix keeps a priority-prefix per source within budget") {
+    val docs = (0 until 40).map { i =>
+      (i.toLong, s"src${i % 2}", Seq.fill(10)("w").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val out = Mixture.tokenBudgetMix(docs, budgetPerSource = 55L)
+    val rows = out.collect()
+    // 10 tokens per doc, budget 55 -> exactly 5 docs per source.
+    assert(rows.length === 10)
+    rows.groupBy(_.getAs[String]("source")).foreach { case (_, rs) =>
+      assert(rs.length === 5)
+      assert(rs.map(_.getAs[Long]("cum_tokens")).max <= 55L)
+    }
+    // Deterministic: same input -> same selection.
+    val again = Mixture.tokenBudgetMix(docs, budgetPerSource = 55L).collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).sorted.sameElements(
+      again.map(_.getAs[Long]("doc_id")).sorted))
+    // The selection is the PREFIX of the priority order: every kept doc's
+    // priority is <= every dropped doc's priority within its source.
+    val all = docs.select(col("source"), col("doc_id"),
+        Mixture.priority(col("doc_id")).as("p")).collect()
+    val keptIds = rows.map(_.getAs[Long]("doc_id")).toSet
+    all.groupBy(_.getAs[String]("source")).foreach { case (_, ds) =>
+      val (kept, dropped) = ds.partition(r => keptIds(r.getAs[Long]("doc_id")))
+      assert(kept.map(_.getAs[Long]("p")).max <= dropped.map(_.getAs[Long]("p")).min)
+    }
+  }
+
+  test("thresholdMix (scan-only scale path) agrees with the exact window form at the cutoff") {
+    val docs = (0 until 60).map { i =>
+      (i.toLong, s"src${i % 3}", Seq.fill(7)("t").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val exact = Mixture.tokenBudgetMix(docs, budgetPerSource = 70L)
+    // Derive the per-source cutoff FROM the exact selection (max kept
+    // priority) — thresholdMix with that cutoff must reproduce it.
+    val cutoffs = exact.groupBy("source").agg(max(col("priority")).as("cutoff"))
+    val viaThreshold = Mixture.thresholdMix(docs, cutoffs)
+    assert(viaThreshold.count() === exact.count())
+    assert(viaThreshold.select("doc_id").except(exact.select("doc_id")).isEmpty)
+  }
+
+  test("semantic keeper selection keeps exactly one doc per near-dup cluster") {
+    // Two clusters of identical vectors (cosine 1.0 within, orthogonal
+    // across) plus a singleton; labels force all into one bucket.
+    val rows = Seq(
+      (1L, Array(1f, 0f, 0f), 0), (2L, Array(1f, 0f, 0f), 0),
+      (3L, Array(2f, 0f, 0f), 0), // same direction as 1,2 -> same cluster
+      (10L, Array(0f, 1f, 0f), 0), (11L, Array(0f, 1f, 0f), 0),
+      (20L, Array(0f, 0f, 1f), 0))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val pairs = Similarity.nearDupPairs(emb, 0.9).select(col("a"), col("b"))
+    val clusters = Dedup.duplicateClusters(pairs)
+    val keep = emb.select(col("vec_id"))
+      .join(clusters, col("vec_id") === col("node"), "left")
+      .select(col("vec_id"), coalesce(col("label"), col("vec_id")).as("cluster"),
+        (coalesce(col("label"), col("vec_id")) === col("vec_id")).as("keep"))
+      .collect()
+    val kept = keep.filter(_.getAs[Boolean]("keep")).map(_.getAs[Long]("vec_id")).sorted
+    assert(kept.sameElements(Array(1L, 10L, 20L)))
+    // Every cluster id is its own min member.
+    keep.foreach { r =>
+      assert(r.getAs[Long]("cluster") <= r.getAs[Long]("vec_id"))
+    }
+  }
+}
