@@ -2,8 +2,9 @@ package graft.streaming
 
 import graft.ext.{Dedup, TextKit}
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming document curation: the near-dup gate applied at ingest time,
   * so duplicates are caught as they arrive instead of by periodic batch
@@ -69,5 +70,57 @@ object DocStreams {
       .withWatermark("ingest_ts", horizon)
       .dropDuplicatesWithinWatermark(Seq("doc_id", "dup_of"))
       .select("doc_id", "dup_of", "jaccard")
+  }
+
+  /** A doc admitted by [[budgetAdmission]], with its selection
+    * bookkeeping (cum_tokens = the source's running admitted total AFTER
+    * this doc). */
+  case class AdmittedDoc(doc_id: Long, source: String, n_tokens: Long,
+      cum_tokens: Long)
+
+  /** Streaming token-budget admission: the online twin of
+    * [[graft.ext.Mixture.tokenBudgetMix]]. Documents arrive as a stream;
+    * each source admits docs until its cumulative admitted token count
+    * would exceed `budgetPerSource`, then drops the rest — quota
+    * enforcement at ingest time, so a runaway source can't flood the
+    * corpus between batch sweeps.
+    *
+    * Semantics differ from the batch mixture deliberately: the batch form
+    * selects the global hash-priority prefix (a reproducible recipe over
+    * a COMPLETE corpus); admission control is first-come-first-served
+    * across micro-batches (the future is unknown), with the same hash
+    * priority as the deterministic intra-batch order. A doc too large
+    * for the remaining quota is skipped but does NOT close the source —
+    * a later smaller doc may still fit (best-effort packing, not
+    * strict-prefix).
+    *
+    * State is ONE long per source (`flatMapGroupsWithState`): bounded by
+    * source cardinality, not corpus size — nothing about the docs
+    * themselves is retained. The shuffle is keyed by source; heavily
+    * skewed arrival (one hot source) bounds per-batch group size, which
+    * is the general stateful-streaming tradeoff, and the sort inside a
+    * group is per-batch-per-source, never corpus-wide. */
+  def budgetAdmission(docStream: DataFrame, budgetPerSource: Long): Dataset[AdmittedDoc] = {
+    val spark = docStream.sparkSession
+    import spark.implicits._
+    docStream
+      .select(col("doc_id").cast("long"), col("source"),
+        size(TextKit.words(col("text"))).cast("long").as("n_tokens"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (source: String, rows: Iterator[(Long, String, Long)], state: GroupState[Long]) =>
+          var used = state.getOption.getOrElse(0L)
+          val admitted = rows.toSeq
+            .sortBy { case (id, _, _) => ((id * 2654435761L) % TextKit.P, id) }
+            .flatMap { case (id, _, n) =>
+              if (used + n <= budgetPerSource) {
+                used += n
+                Some(AdmittedDoc(id, source, n, used))
+              } else None
+            }
+          state.update(used)
+          admitted.iterator
+      }
   }
 }

@@ -316,4 +316,31 @@ class StreamingSpec extends SparkSpec {
       && out(0).getAs[Long]("sum_k") == 5)
     assert(out(1).getAs[Long]("n") == 1 && out(1).getAs[Long]("sum_k") == 4)
   }
+
+  test("streaming budget admission enforces per-source token quota across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    def doc(n: Int) = Seq.fill(n)("w").mkString(" ") // n tokens
+    val mem = MemoryStream[(Long, String, String)]
+    val q = DocStreams.budgetAdmission(
+        mem.toDF().toDF("doc_id", "source", "text"), budgetPerSource = 25L)
+      .writeStream.format("memory").queryName("budget_gate")
+      .outputMode("append").start()
+    try {
+      // Batch 1: srcA gets 10+10 = 20 of 25; srcB gets 10.
+      mem.addData((1L, "srcA", doc(10)), (2L, "srcA", doc(10)), (3L, "srcB", doc(10)))
+      q.processAllAvailable()
+      // Batch 2: srcA has 5 left — the 10-token doc is over quota and
+      // drops, the later 5-token doc still fits (best-effort packing).
+      mem.addData((4L, "srcA", doc(10)), (5L, "srcA", doc(5)), (6L, "srcB", doc(10)))
+      q.processAllAvailable()
+      val got = spark.table("budget_gate").as[DocStreams.AdmittedDoc].collect()
+      val byId = got.map(d => d.doc_id -> d).toMap
+      assert(byId.keySet == Set(1L, 2L, 3L, 5L, 6L), s"got ${got.toSeq}")
+      assert(byId(5L).cum_tokens == 25L, "srcA state carried across batches")
+      assert(byId(6L).cum_tokens == 20L)
+      assert(got.filter(_.source == "srcA").map(_.n_tokens).sum <= 25L)
+    } finally q.stop()
+  }
 }
