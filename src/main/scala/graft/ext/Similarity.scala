@@ -205,6 +205,46 @@ object Similarity {
     centroids.withColumn("c_nrm", lit(1.0))
   }
 
+  /** Per-label centroid cohesion report: for each label bucket (the
+    * IVF-cell / cluster stand-in), the member count, the exact mean
+    * cosine of members to their label centroid, and the worst member —
+    * the cluster-quality observability a curation pass reads before
+    * trusting label-bucketed near-dup or SemDeDup decisions (a low
+    * mean_cos label is too diffuse for its bucket to gate candidates).
+    *
+    * Determinism: the centroid's per-dimension mean and the per-label
+    * mean cosine are serial left-folds in vec_id order (same trick as
+    * [[trainCentroids]] exact mode), so the DuckDB oracle reproduces
+    * every double bit-for-bit. Scale: two keyed aggregations (label×dim,
+    * then label) plus one broadcast join of the ≤|labels| centroid table
+    * back to members — no pair space, no window over the corpus. */
+  def labelCohesion(emb: DataFrame): DataFrame = {
+    val nz = withNorm(emb).filter(col("nrm") > 0)
+    val perDim = nz
+      .select(col("label"), col("vec_id"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg((aggregate(
+          transform(array_sort(collect_list(struct(col("vec_id"), col("v")))),
+            p => p("v")),
+          lit(0.0), (a, x) => a + x) / count(lit(1))).as("m"))
+    val cent = perDim.groupBy("label")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
+      .select(col("label"), transform(col("ps"), p => p("m")).as("c_emb"))
+      .withColumn("c_nrm", norm(col("c_emb")))
+    nz.join(broadcast(cent), Seq("label"))
+      .withColumn("cos",
+        dot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")))
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n"),
+        (aggregate(
+          transform(array_sort(collect_list(struct(col("vec_id"), col("cos")))),
+            p => p("cos")),
+          lit(0.0), (a, x) => a + x) / count(lit(1))).as("mean_cos"),
+        min(col("cos")).as("min_cos"))
+  }
+
   /** Quantizer assignment table over TRAINED centroids: every vector's
     * nearest cell after `iters` exact-fold Lloyd iterations — the
     * driver-gated form of the trained IVF path ([[ivfTopK]] consumes the

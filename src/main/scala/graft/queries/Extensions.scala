@@ -523,6 +523,11 @@ object Extensions {
         (coalesce(col("label"), col("vec_id")) === col("vec_id")).as("keep"))
   }
 
+  /** Per-label embedding-cluster cohesion ([[Similarity.labelCohesion]]):
+    * exact-fold centroid + mean/min member cosine per label bucket. */
+  def labelCohesion(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.labelCohesion(emb(spark, sfDir))
+
   // ---------------------------------------------------------- orc source
   /** ORC round-trip: the other columnar format Spark bundles (the
     * reference is Delta/Parquet-only; a complete engine reads both). */
@@ -759,6 +764,7 @@ object Extensions {
     "d_line_dedup" -> lineDedup _,
     "d_semantic_keep" -> semanticKeep _,
     "x_token_budget_mix" -> tokenBudgetMix _,
+    "x_label_cohesion" -> labelCohesion _,
     "x_salted_agg" -> saltedAgg _,
     "x_salted_join" -> saltedJoinQ _,
     "x_bpe_tokens" -> bpeTokens _,
@@ -1414,6 +1420,30 @@ object Extensions {
             coalesce(cc.label, v.vec_id) AS cluster,
             coalesce(cc.label, v.vec_id) = v.vec_id AS keep
           FROM embeddings v LEFT JOIN cc ON v.vec_id = cc.node""",
+    "x_label_cohesion" ->
+      s"""WITH $normCte,
+          nz AS (SELECT * FROM ne WHERE nrm > 0),
+          perdim AS (
+            SELECT label, i AS pos,
+              list_reduce(list_prepend(0.0::DOUBLE,
+                list(CAST(embedding[i] AS DOUBLE) ORDER BY vec_id)),
+                (a, b) -> a + b) / count(*) AS m
+            FROM nz CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) d
+            GROUP BY label, i),
+          cent AS (
+            SELECT label, c_emb,
+              sqrt(${dotD("c_emb", "c_emb")}) AS c_nrm
+            FROM (SELECT label, list(m ORDER BY pos) AS c_emb
+                  FROM perdim GROUP BY label) t),
+          scored AS (
+            SELECT v.label, v.vec_id,
+              ${dotD("v.embedding", "c.c_emb")} / (v.nrm * c.c_nrm) AS cos
+            FROM nz v JOIN cent c USING (label))
+          SELECT label, count(*) AS n,
+            list_reduce(list_prepend(0.0::DOUBLE, list(cos ORDER BY vec_id)),
+              (a, b) -> a + b) / count(*) AS mean_cos,
+            min(cos) AS min_cos
+          FROM scored GROUP BY label""",
     "x_token_budget_mix" ->
       s"""WITH t AS (
             SELECT doc_id, source,

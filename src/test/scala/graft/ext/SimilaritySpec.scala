@@ -118,4 +118,25 @@ class SimilaritySpec extends SparkSpec {
       .select("q_id", "n_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(ivf == brute)
   }
+
+  test("labelCohesion: tight label scores 1.0, diffuse label scores lower") {
+    import spark.implicits._
+    val emb = Seq(
+      // label 0: all the same direction (cosine to centroid = 1.0)
+      (1L, Array(1f, 0f, 0f), 0), (2L, Array(3f, 0f, 0f), 0),
+      // label 1: orthogonal members
+      (3L, Array(1f, 0f, 0f), 1), (4L, Array(0f, 1f, 0f), 1),
+      // zero-norm vector is excluded, not NaN-poisoning
+      (5L, Array(0f, 0f, 0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelCohesion(emb).orderBy("label").collect()
+    assert(out.length === 2)
+    assert(out(0).getAs[Long]("n") === 2)
+    assert(math.abs(out(0).getAs[Double]("mean_cos") - 1.0) < 1e-12)
+    val diffuse = out(1)
+    assert(diffuse.getAs[Long]("n") === 2) // zero vector dropped
+    // members at 45° to the (1,1,0)/√2 centroid: cos = 1/√2
+    assert(math.abs(diffuse.getAs[Double]("mean_cos") - 1.0 / math.sqrt(2)) < 1e-9)
+    assert(diffuse.getAs[Double]("min_cos") <= diffuse.getAs[Double]("mean_cos"))
+  }
 }
