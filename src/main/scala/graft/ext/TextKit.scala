@@ -116,9 +116,17 @@ object TextKit {
 
   /** MinHash signature from a *materialized* shingle-hash array column:
     * k permutations hk(h) = ((2k+1)h + (k+1)c) mod P minimized over the
-    * set. Empty set → P sentinel. Take hs as a bound attribute — this
-    * expression references it k times. */
+    * set. Empty set → P sentinel. Native single-pass codegen Expression
+    * ([[graft.functions.MinHashSig]]); value-identical to the k-pass HOF
+    * twin below (MinHashSigSpec). */
   def minHashFromHashes(hs: Column, k: Int = 64): Column =
+    graft.functions.MinHashSig(hs, k)
+
+  /** Interpreted higher-order twin of [[minHashFromHashes]] (one
+    * `transform`+`array_min` pass per permutation) — kept as the
+    * cross-check reference for the native Expression. Take hs as a bound
+    * attribute — this expression references it k times. */
+  def minHashFromHashesHof(hs: Column, k: Int = 64): Column =
     transform(sequence(lit(0), lit(k - 1)), kk =>
       coalesce(
         array_min(transform(hs, h => ((kk * 2 + 1) * h + (kk + 1) * lit(2654435761L)) % P)),

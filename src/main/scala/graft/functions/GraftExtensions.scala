@@ -13,6 +13,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(PolyHash.registration)
     ext.injectFunction(DotProduct.registration)
     ext.injectFunction(InterleaveBits.registration)
+    ext.injectFunction(MinHashSig.registration)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
@@ -22,7 +23,7 @@ object GraftExtensions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     Seq(PolyHash.registration, DotProduct.registration,
-        InterleaveBits.registration).foreach { r =>
+        InterleaveBits.registration, MinHashSig.registration).foreach { r =>
       reg.registerFunction(r._1, r._2, r._3)
     }
   }

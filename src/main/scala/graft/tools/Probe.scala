@@ -47,9 +47,46 @@ object Probe {
         .filter(col("jaccard") >= 0.5)
     }
 
+    // Pairs-first variant: aggregate pairs WITHOUT nsh riding the join,
+    // then broadcast the tiny per-doc rare-count table onto the pair
+    // results (map-side combine shrinks the doc_id shuffle to |docs|
+    // rows; the pair join carries 2 narrow cols instead of 4).
+    def viaBroadcastNr: DataFrame = {
+      val sh = Dedup.shingled(docs, 3).transform(Par.spread(_, col("doc_id")))
+      val ex = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      val hot = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") > 100).select("shingle")
+      val exR = ex.join(hot, Seq("shingle"), "left_anti")
+      val nr = exR.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+      val pairs = exR.as("x").join(exR.as("y"),
+          col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .agg(count(lit(1)).as("inter"))
+      pairs
+        .join(broadcast(nr.select(col("doc_id").as("a"), col("nsh").as("na"))), Seq("a"))
+        .join(broadcast(nr.select(col("doc_id").as("b"), col("nsh").as("nb"))), Seq("b"))
+        .withColumn("jaccard",
+          col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
+        .filter(col("jaccard") >= 0.5)
+    }
+
+    // MinHash signature stage: native single-pass Expression vs the
+    // k-pass HOF chain (same values, different constant factor).
+    def sigNative: DataFrame = Dedup.shingled(docs, 3)
+      .withColumn("hs", transform(col("shingles"), s => TextKit.polyHash(s)))
+      .transform(Par.spread(_, col("doc_id")))
+      .select(col("doc_id"), TextKit.minHashFromHashes(col("hs"), 64).as("sig"))
+    def sigHof: DataFrame = Dedup.shingled(docs, 3)
+      .withColumn("hs", transform(col("shingles"), s => TextKit.polyHash(s)))
+      .transform(Par.spread(_, col("doc_id")))
+      .select(col("doc_id"), TextKit.minHashFromHashesHof(col("hs"), 64).as("sig"))
+
     for (i <- 1 to 2) {
       time(s"capped viaJoin #$i")(viaJoin)
       time(s"capped viaWindow #$i")(viaWindow)
+      time(s"capped viaBroadcastNr #$i")(viaBroadcastNr)
+      time(s"minhash sig native #$i")(sigNative)
+      time(s"minhash sig HOF #$i")(sigHof)
     }
     spark.stop()
   }
