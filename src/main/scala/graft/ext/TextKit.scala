@@ -95,10 +95,22 @@ object TextKit {
 
   /** SimHash from a *materialized* word-hash array column: per bit,
     * majority vote of ±1 across all word occurrences; ties set the bit.
-    * Take wh as a bound attribute (not an inline expression) — this
-    * expression references it 24 times, and an inline word-hash chain
-    * would be re-evaluated per bit. */
+    * Native single-pass codegen Expression
+    * ([[graft.functions.SimHashSig]]); value-identical to the
+    * `bits`-pass HOF twin below (SimHashSigSpec). */
   def simHashFromHashes(wh: Column, bits: Int = 24): Column =
+    // coalesce: keep the result provably non-nullable even over a
+    // nullable wh attribute (same guard as the HOF form — a nullable
+    // derived join key makes the optimizer push isnotnull(<whole
+    // derivation>) into the scan stage).
+    coalesce(graft.functions.SimHashSig(wh, bits), lit(0L))
+
+  /** Interpreted higher-order twin of [[simHashFromHashes]] — kept as
+    * the cross-check reference for the native Expression. Take wh as a
+    * bound attribute (not an inline expression) — this expression
+    * references it `bits` times, and an inline word-hash chain would be
+    * re-evaluated per bit. */
+  def simHashFromHashesHof(wh: Column, bits: Int = 24): Column =
     // Outer coalesce makes the result provably non-nullable. Without it,
     // joining on values derived from this expression makes the optimizer
     // infer an `isnotnull(<whole expression>)` constraint and push it to

@@ -14,6 +14,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(DotProduct.registration)
     ext.injectFunction(InterleaveBits.registration)
     ext.injectFunction(MinHashSig.registration)
+    ext.injectFunction(SimHashSig.registration)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
@@ -23,7 +24,8 @@ object GraftExtensions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     Seq(PolyHash.registration, DotProduct.registration,
-        InterleaveBits.registration, MinHashSig.registration).foreach { r =>
+        InterleaveBits.registration, MinHashSig.registration,
+        SimHashSig.registration).foreach { r =>
       reg.registerFunction(r._1, r._2, r._3)
     }
   }
