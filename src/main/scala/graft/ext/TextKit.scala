@@ -146,9 +146,16 @@ object TextKit {
 
   /** Character-5-gram rolling-hash fingerprint set; min is the doc
     * fingerprint (winnowing-style). No mod needed: max value 126*(31^4+…)
-    * ≈ 1.2e8. Char codes are let-bound — inlining them would re-derive
-    * the O(L²) substring chain per window. */
+    * ≈ 1.2e8. Native one-pass rolling Expression
+    * ([[graft.functions.GramHashes]]); value-identical on ASCII to the
+    * HOF twin below (GramHashesSpec). */
   def gramHashes(text: Column, n: Int = 5): Column =
+    graft.functions.GramHashes(text, n)
+
+  /** Interpreted higher-order twin of [[gramHashes]] — the cross-check
+    * reference. Char codes are let-bound — inlining them would re-derive
+    * the O(L²) substring chain per window. */
+  def gramHashesHof(text: Column, n: Int = 5): Column =
     let(charCodes(text)) { c =>
       when(size(c) >= n,
         transform(sequence(lit(1), size(c) - (n - 1)), i =>

@@ -15,6 +15,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(InterleaveBits.registration)
     ext.injectFunction(MinHashSig.registration)
     ext.injectFunction(SimHashSig.registration)
+    ext.injectFunction(GramHashes.registration)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
@@ -25,7 +26,7 @@ object GraftExtensions {
     val reg = spark.sessionState.functionRegistry
     Seq(PolyHash.registration, DotProduct.registration,
         InterleaveBits.registration, MinHashSig.registration,
-        SimHashSig.registration).foreach { r =>
+        SimHashSig.registration, GramHashes.registration).foreach { r =>
       reg.registerFunction(r._1, r._2, r._3)
     }
   }
