@@ -88,6 +88,34 @@ object Dedup {
       .filter(col("containment") >= threshold)
       .select("a", "b", "inter", "na", "nb", "containment")
 
+  /** Edit-distance (Levenshtein) near-dup pairs under blocking — the
+    * character-level complement to the token-set measures: catches small
+    * in-place edits (typo fixes, version bumps, template fills) that
+    * shift many shingles at once but few characters.
+    *
+    * Blocking: docs pair only within the same (lang, length-bucket)
+    * block, and the distance runs over a fixed-length prefix. Per-block
+    * work is quadratic in BLOCK size, never corpus size — the standard
+    * entity-resolution trade (pairs straddling a bucket boundary are
+    * missed; production runs add a second shifted blocking pass or defer
+    * boundary pairs to the MinHash path, which is length-insensitive).
+    * `levenshtein` is a codegen'd native Spark function; prefix length
+    * bounds each comparison at O(prefixLen²) regardless of doc size.
+    * One shuffle keyed on the block; no driver-side work. */
+  def editDistancePairs(docs: DataFrame, maxDist: Int = 12,
+                        prefixLen: Int = 64, bucketWidth: Int = 40): DataFrame = {
+    val d = docs.select(col("doc_id"), col("lang"),
+      substring(col("text"), 1, prefixLen).as("prefix"),
+      expr(s"n_chars div $bucketWidth").as("blk"))
+    d.as("x").join(d.as("y"),
+        col("x.lang") === col("y.lang") && col("x.blk") === col("y.blk") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.lang").as("lang"),
+        levenshtein(col("x.prefix"), col("y.prefix")).cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+
   /** Shared candidate stage of the capped family: rare-postings self-join
     * aggregated to (a, b, na, nb, inter). */
   private def cappedPairCounts(docs: DataFrame, n: Int, maxDf: Int): DataFrame = {

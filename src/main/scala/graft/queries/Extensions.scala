@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{AsOf, Dedup, DuckSql, Mixture, Multimodal, Par, RangeJoin, Similarity, TextKit}
+import graft.ext.{Analytics, AsOf, Dedup, DuckSql, Mixture, Multimodal, Par, RangeJoin, Similarity, TextKit}
 import graft.ops.{Bucketing, Skew}
 import graft.streaming.EventStreams
 
@@ -725,6 +725,22 @@ object Extensions {
   def sessionize(spark: SparkSession, sfDir: String): DataFrame =
     EventStreams.sessionize(Parity.events(spark, sfDir), gapSeconds = 1800)
 
+  /** Weekly cohort retention (first-event cohort × active-week offset). */
+  def cohortRetention(spark: SparkSession, sfDir: String): DataFrame =
+    Analytics.cohortRetention(Parity.events(spark, sfDir))
+
+  /** Ordered signup → click → purchase funnel by signup cohort week. */
+  def eventFunnel(spark: SparkSession, sfDir: String): DataFrame =
+    Analytics.funnel(Parity.events(spark, sfDir))
+
+  /** Levenshtein near-dup pairs under (lang, length-bucket) blocking. */
+  def editDistance(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.editDistancePairs(docs(spark, sfDir))
+
+  /** Single-pass column profile (counts, nulls, distincts, min/max). */
+  def profileOrders(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Quality.profile(Parity.table(spark, sfDir, "orders"))
+
   // ---------------------------------------------------------- queries map
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_token_stats" -> tokenStats _,
@@ -778,6 +794,10 @@ object Extensions {
     "x_group_topk" -> groupTopK _,
     "x_chunk_docs" -> (chunkDocs(_, _)),
     "x_pack_sequences" -> (packSequences(_, _)),
+    "x_cohort_retention" -> cohortRetention _,
+    "x_event_funnel" -> eventFunnel _,
+    "d_edit_distance" -> editDistance _,
+    "x_profile" -> profileOrders _,
     "x_tfidf" -> tfidfTop _)
 
   // ----------------------------------------------------------- oracle SQL
@@ -1494,6 +1514,63 @@ object Extensions {
           WHERE $h % 100 < CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 30
                            ELSE 50 END
           GROUP BY lang"""
+    },
+    "x_cohort_retention" ->
+      """WITH w AS (SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS DATE) AS week FROM events),
+           f AS (SELECT user_id, MIN(week) AS cohort_week FROM w GROUP BY 1)
+         SELECT cohort_week,
+           CAST(date_diff('day', cohort_week, week) // 7 AS BIGINT) AS week_offset,
+           count(*) AS n_users
+         FROM w JOIN f USING (user_id) GROUP BY 1, 2""",
+    "x_event_funnel" ->
+      """WITH su AS (SELECT user_id,
+             MIN(ts) FILTER (event_type = 'signup') AS signup_ts
+           FROM events GROUP BY 1),
+           cl AS (SELECT e.user_id, MIN(e.ts) AS click_ts
+             FROM events e JOIN su USING (user_id)
+             WHERE e.event_type = 'click' AND su.signup_ts IS NOT NULL
+               AND e.ts >= su.signup_ts GROUP BY 1),
+           pu AS (SELECT e.user_id, MIN(e.ts) AS purchase_ts
+             FROM events e JOIN cl USING (user_id)
+             WHERE e.event_type = 'purchase' AND e.ts >= cl.click_ts
+             GROUP BY 1)
+         SELECT CAST(date_trunc('week', su.signup_ts) AS DATE) AS cohort_week,
+           count(*) AS n_signup, count(cl.click_ts) AS n_click,
+           count(pu.purchase_ts) AS n_purchase,
+           CAST(count(pu.purchase_ts) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS conv
+         FROM su LEFT JOIN cl USING (user_id) LEFT JOIN pu USING (user_id)
+         WHERE su.signup_ts IS NOT NULL GROUP BY 1""",
+    "d_edit_distance" ->
+      """WITH d AS (SELECT doc_id, lang, substr(text, 1, 64) AS prefix,
+             n_chars // 40 AS blk FROM documents)
+         SELECT a.doc_id AS a, b.doc_id AS b, a.lang AS lang,
+           CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS dist
+         FROM d a JOIN d b
+           ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+         WHERE levenshtein(a.prefix, b.prefix) <= 12""",
+    "x_profile" -> {
+      def num(c: String, e: String) =
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+              count(*) - count($c) AS n_nulls,
+              count(DISTINCT $c) AS n_distinct,
+              CAST(MIN($e) AS DOUBLE) AS min_num,
+              CAST(MAX($e) AS DOUBLE) AS max_num,
+              NULL::VARCHAR AS min_str, NULL::VARCHAR AS max_str
+            FROM orders"""
+      def str(c: String) =
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+              count(*) - count($c) AS n_nulls,
+              count(DISTINCT $c) AS n_distinct,
+              NULL::DOUBLE AS min_num, NULL::DOUBLE AS max_num,
+              MIN($c) AS min_str, MAX($c) AS max_str
+            FROM orders"""
+      Seq(
+        num("o_orderkey", "o_orderkey"), num("o_custkey", "o_custkey"),
+        str("o_orderstatus"), num("o_totalprice", "o_totalprice"),
+        num("o_orderdate", "FLOOR(epoch(o_orderdate))"),
+        str("o_orderpriority")).mkString(" UNION ALL ")
     },
     "x_tfidf" ->
       s"""WITH t AS (SELECT doc_id, unnest($W) AS term FROM documents),

@@ -1,0 +1,88 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // user 1: signs up week of 2024-01-01, active weeks 0 and 2, full funnel
+  // user 2: signs up week of 2024-01-08, clicks before signup (must not count)
+  // user 3: never signs up — excluded from the funnel entirely
+  private def eventsDF = Seq(
+    (1L, "signup", ts("2024-01-02 10:00:00")),
+    (1L, "click", ts("2024-01-02 11:00:00")),
+    (1L, "purchase", ts("2024-01-16 09:00:00")),
+    (2L, "click", ts("2024-01-08 08:00:00")),
+    (2L, "signup", ts("2024-01-09 12:00:00")),
+    (3L, "click", ts("2024-01-03 10:00:00"))
+  ).toDF("user_id", "event_type", "ts")
+
+  test("cohortRetention: offsets count distinct users against their first week") {
+    val r = Analytics.cohortRetention(eventsDF)
+      .collect()
+      .map(x => (x.getDate(0).toString, x.getLong(1)) -> x.getLong(2)).toMap
+    // user 1 + user 3 share cohort week 2024-01-01 (Monday)
+    assert(r(("2024-01-01", 0L)) == 2L)
+    // only user 1 returns two weeks later
+    assert(r(("2024-01-01", 2L)) == 1L)
+    // user 2's cohort is the following week
+    assert(r(("2024-01-08", 0L)) == 1L)
+    assert(r.keys.forall(_._2 >= 0L))
+  }
+
+  test("funnel: stages only count at-or-after the previous stage") {
+    val f = Analytics.funnel(eventsDF).collect()
+    val byWeek = f.map(r => r.getDate(0).toString ->
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // user 1: full ordered funnel
+    assert(byWeek("2024-01-01") == ((1L, 1L, 1L)))
+    // user 2: click precedes signup, so it must NOT count as converted
+    assert(byWeek("2024-01-08") == ((1L, 0L, 0L)))
+    // user 3 never signed up — no third cohort row
+    assert(f.length == 2)
+    // funnel counts are monotone non-increasing
+    f.foreach { r =>
+      assert(r.getLong(1) >= r.getLong(2) && r.getLong(2) >= r.getLong(3))
+    }
+  }
+
+  test("editDistancePairs: finds close pairs within a block, skips far ones") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog", "en"),
+      (1L, "the quick brown fox jumped over the lazy dog", "en"), // 2 edits
+      (2L, "a totally different string of words here now", "en"),
+      (3L, "the quick brown fox jumps over the lazy dog", "de") // other lang
+    ).toDF("doc_id", "text", "lang")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val pairs = Dedup.editDistancePairs(docs, maxDist = 5)
+      .select("a", "b", "dist")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.keySet == Set((0L, 1L))) // same lang + block, within budget
+    assert(pairs((0L, 1L)) <= 5L && pairs((0L, 1L)) > 0L)
+  }
+
+  test("profile: one row per column, family-typed min/max, exact nulls") {
+    val df = Seq(
+      (1L, Some("a"), Some(2.5)),
+      (2L, None, Some(7.5)),
+      (3L, Some("c"), None)
+    ).toDF("id", "s", "v")
+    val p = graft.ops.Quality.profile(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(p.size == 3)
+    val id = p("id")
+    assert(id.getLong(1) == 3L && id.getLong(2) == 0L && id.getLong(3) == 3L)
+    assert(id.getDouble(4) == 1.0 && id.getDouble(5) == 3.0)
+    assert(id.isNullAt(6) && id.isNullAt(7))
+    val s = p("s")
+    assert(s.getLong(2) == 1L && s.getLong(3) == 2L)
+    assert(s.isNullAt(4) && s.getString(6) == "a" && s.getString(7) == "c")
+    val v = p("v")
+    assert(v.getLong(2) == 1L && v.getDouble(4) == 2.5 && v.getDouble(5) == 7.5)
+  }
+}
