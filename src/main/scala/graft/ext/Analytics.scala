@@ -41,6 +41,57 @@ object Analytics {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Z-score outlier gate: rows whose `value` sits more than `zThresh`
+    * standard deviations from their group's mean, with the score
+    * attached. The per-group moments are EXACT integer sums (n, Σx, Σx²
+    * — `value` must be integral); mean/var/z are then per-row IEEE
+    * arithmetic in a fixed expression order, and sqrt is
+    * correctly-rounded by IEEE 754 in both engines (unlike exp/ln —
+    * which is why z-scores oracle cleanly and log-likelihoods wouldn't).
+    * One keyed aggregation + a broadcast join back: group cardinality is
+    * tiny next to the data, so the stats side always broadcasts. */
+  def zOutliers(df: DataFrame, value: String, group: String,
+                zThresh: Double = 2.0): DataFrame = {
+    val stats = df.groupBy(group).agg(
+      count(lit(1)).as("n"),
+      sum(col(value)).as("s1x"),
+      sum(col(value) * col(value)).as("s2x"))
+    df.join(broadcast(stats), Seq(group))
+      .withColumn("mean", col("s1x").cast(DoubleType) / col("n").cast(DoubleType))
+      .withColumn("z",
+        (col(value).cast(DoubleType) - col("mean")) /
+          sqrt(col("s2x").cast(DoubleType) / col("n").cast(DoubleType)
+            - col("mean") * col("mean")))
+      .filter(abs(col("z")) > lit(zThresh))
+      .drop("n", "s1x", "s2x", "mean")
+  }
+
+  /** Recency-weighted per-key value aggregate — the feature-engineering
+    * staple (recent behavior counts more). Weight = 1/(1 + whole days
+    * before the key's latest event): an exact-rational decay whose IEEE
+    * division is bit-stable across engines (exponential decay is not —
+    * libm exp differs in the last ulp). The weighted sum is a SERIAL
+    * left fold in (ts, id) order — deterministic under any partitioning,
+    * and exactly DuckDB's `list(... ORDER BY) → list_reduce`. The window
+    * max and the fold group share one key exchange; state per key is the
+    * event list (bounded by per-key activity — at 100 TB swap the
+    * collect for a two-pass cumulative window if single keys run hot). */
+  def harmonicDecaySum(events: DataFrame, ts: String = "ts",
+                       key: String = "user_id", id: String = "event_id",
+                       value: String = "value"): DataFrame = {
+    val byKey = Window.partitionBy(key)
+    events
+      .select(col(key), col(id), col(value), col(ts).cast(LongType).as("tse"))
+      .withColumn("max_tse", max(col("tse")).over(byKey))
+      .withColumn("w",
+        expr(s"$value / (1.0 + CAST((max_tse - tse) div 86400 AS DOUBLE))"))
+      .groupBy(key)
+      .agg(count(lit(1)).as("n_events"),
+        aggregate(
+          array_sort(collect_list(struct(col("tse"), col(id), col("w")))),
+          lit(0.0), (acc, x) => acc + x.getField("w")).as("decayed_sum"))
+  }
+
   /** Ordered three-stage conversion funnel (signup → click → purchase),
     * grouped by signup cohort week. A stage only counts if it happens at
     * or after the previous stage's first completion — the strict-order

@@ -85,6 +85,33 @@ object Multimodal {
     }
   }
 
+  /** Land a media corpus as one file per row — the on-disk layout an
+    * image/audio crawl delivers. Executor-side writes (foreachPartition),
+    * no driver collect: each task writes its partition's rows, exactly
+    * how a distributed landing job fans out over a cluster. */
+  def landBinaryDir(media: Dataset[MediaRow], dir: String): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    media.foreachPartition { rows: Iterator[MediaRow] =>
+      rows.foreach { m =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir, s"doc_${m.doc_id}.bin"), m.payload)
+      }
+    }
+  }
+
+  /** Ingest a directory of raw media files via Spark's `binaryFile`
+    * source — the multimodal ingestion entry point (one file = one row:
+    * path, length, opaque `content` bytes). Pushdown note: `binaryFile`
+    * supports a length/path filter pushdown (e.g. `length < N` prunes
+    * oversized media before the bytes are ever read); content stays
+    * partition-local from scan to decode. */
+  def readBinaryDir(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bin").load(dir)
+      .select(
+        element_at(split(col("path"), "/"), -1).as("file_name"),
+        col("length"), col("content"))
+
   /** Media-type → frame sampling step: images keep only frame 0, video
     * keyframes every 4th frame, audio windows every 8th. */
   def frameStep(mediaType: String): Int = mediaType match {

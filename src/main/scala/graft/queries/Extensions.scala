@@ -583,6 +583,24 @@ object Extensions {
     Multimodal.sampleFrames(Multimodal.toMedia(docs(spark, sfDir))).toDF()
   }
 
+  /** Raw-file multimodal ingestion: land one .bin per doc (executor-side
+    * writes), scan the directory back through the `binaryFile` source,
+    * and fingerprint each payload. Oracle closes the round trip against
+    * the source table's UTF-8 bytes — byte-identity, not just counts. */
+  def binaryScan(spark: SparkSession, sfDir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val dir = Parity.tmp("m_binary_scan", sfDir)
+    Parity.setupOnce("m_binary_scan", sfDir) {
+      Multimodal.landBinaryDir(Multimodal.toMedia(docs(spark, sfDir)), dir)
+    }
+    Multimodal.readBinaryDir(spark, dir)
+      .select(
+        regexp_extract(col("file_name"), "doc_(\\d+)\\.bin", 1)
+          .cast(LongType).as("doc_id"),
+        col("length").as("n_bytes"),
+        sha2(col("content"), 256).as("sha_hex"))
+  }
+
   // --------------------------------------------------- time-series joins
   /** As-of join: each purchase picks up the user's most recent click at
     * or before the purchase time ([[graft.ext.AsOf]] — one key shuffle,
@@ -729,6 +747,23 @@ object Extensions {
   def cohortRetention(spark: SparkSession, sfDir: String): DataFrame =
     Analytics.cohortRetention(Parity.events(spark, sfDir))
 
+  /** Z-score length-outlier gate per language ([[Analytics.zOutliers]]) —
+    * the statistical complement to the rule-based quality gates. */
+  def lengthOutliersOn(d: DataFrame): DataFrame =
+    Analytics.zOutliers(d, value = "n_chars", group = "lang")
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("z"))
+
+  def lengthOutliers(spark: SparkSession, sfDir: String): DataFrame =
+    lengthOutliersOn(docs(spark, sfDir))
+
+  /** Recency-weighted per-user value aggregate
+    * ([[Analytics.harmonicDecaySum]]). */
+  def decayFeaturesOn(e: DataFrame): DataFrame =
+    Analytics.harmonicDecaySum(e)
+
+  def decayFeatures(spark: SparkSession, sfDir: String): DataFrame =
+    decayFeaturesOn(Parity.events(spark, sfDir))
+
   /** Ordered signup → click → purchase funnel by signup cohort week. */
   def eventFunnel(spark: SparkSession, sfDir: String): DataFrame =
     Analytics.funnel(Parity.events(spark, sfDir))
@@ -798,6 +833,9 @@ object Extensions {
     "x_event_funnel" -> eventFunnel _,
     "d_edit_distance" -> editDistance _,
     "x_profile" -> profileOrders _,
+    "x_outliers" -> lengthOutliers _,
+    "x_decay_features" -> decayFeatures _,
+    "m_binary_scan" -> binaryScan _,
     "x_tfidf" -> tfidfTop _)
 
   // ----------------------------------------------------------- oracle SQL
@@ -1515,6 +1553,31 @@ object Extensions {
                            ELSE 50 END
           GROUP BY lang"""
     },
+    "x_outliers" ->
+      """WITH s AS (SELECT lang, count(*) AS n, SUM(n_chars) AS s1x,
+             SUM(n_chars * n_chars) AS s2x FROM documents GROUP BY 1),
+           j AS (SELECT d.doc_id, d.lang, d.n_chars,
+             CAST(s.s1x AS DOUBLE) / CAST(s.n AS DOUBLE) AS mean,
+             CAST(s.s2x AS DOUBLE) / CAST(s.n AS DOUBLE) AS m2
+           FROM documents d JOIN s USING (lang))
+         SELECT doc_id, lang, n_chars,
+           (CAST(n_chars AS DOUBLE) - mean) / sqrt(m2 - mean * mean) AS z
+         FROM j
+         WHERE abs((CAST(n_chars AS DOUBLE) - mean)
+                   / sqrt(m2 - mean * mean)) > 2.0""",
+    "x_decay_features" ->
+      """WITH e AS (SELECT user_id, event_id, value,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS tse FROM events),
+           m AS (SELECT user_id, MAX(tse) AS max_tse FROM e GROUP BY 1)
+         SELECT e.user_id, count(*) AS n_events,
+           list_reduce(list_prepend(0.0::DOUBLE,
+             list(e.value / (1.0 + CAST((m.max_tse - e.tse) // 86400 AS DOUBLE))
+               ORDER BY e.tse, e.event_id)),
+             (a, b) -> a + b) AS decayed_sum
+         FROM e JOIN m USING (user_id) GROUP BY e.user_id""",
+    "m_binary_scan" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS sha_hex FROM documents""",
     "x_cohort_retention" ->
       """WITH w AS (SELECT DISTINCT user_id,
              CAST(date_trunc('week', ts) AS DATE) AS week FROM events),

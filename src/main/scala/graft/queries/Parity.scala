@@ -99,6 +99,29 @@ object Parity {
         as = "src_table", pattern = "/([a-z]+)\\.parquet$")
       .groupBy("src_table").agg(count(lit(1)).as("n"))
 
+  // --------------------------------------------------------------- S15
+  /** S15 (extension) — text-line source/sink: the raw .txt/.tsv landing
+    * format text corpora arrive in. Round-trip documents metadata as TSV
+    * lines through the text sink, read back with the line source, and
+    * re-project typed columns; the oracle closes the loop against the
+    * source table. Line scans split by file/offset ranges exactly like
+    * CSV — at 100 TB the parse is per-row codegen'd string work with no
+    * shuffle. */
+  def s15TextLines(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = tmp("s15", sfDir)
+    setupOnce("s15", sfDir) {
+      table(spark, sfDir, "documents")
+        .select(concat_ws("\t",
+          col("doc_id"), col("lang"), col("n_chars")).as("value"))
+        .write.mode("overwrite").text(dir)
+    }
+    val parts = split(col("value"), "\t")
+    spark.read.text(dir).select(
+      element_at(parts, 1).cast(LongType).as("doc_id"),
+      element_at(parts, 2).as("lang"),
+      element_at(parts, 3).cast(LongType).as("n_chars"))
+  }
+
   // ---------------------------------------------------------- S5 + S7
   /** S5/S7 — overwrite sink with `partitionBy`
     * (`b2s_company_house.py:130-136`): write partitioned, read back. */
@@ -799,6 +822,7 @@ object Parity {
     "s1_json_scan" -> s1JsonScan _,
     "s2_csv_scan" -> s2CsvScan _,
     "s3_file_identity" -> s3FileIdentity _,
+    "s15_text_lines" -> s15TextLines _,
     "s5_partitioned_sink" -> s5PartitionedSink _,
     "s10_clustering" -> s10Clustering _,
     "s11_sql_values" -> s11SqlValues _,
@@ -853,6 +877,8 @@ object Parity {
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "s3_file_identity" ->
       "SELECT 'lineitem' AS src_table, count(*) AS n FROM lineitem",
+    "s15_text_lines" ->
+      "SELECT doc_id, lang, n_chars FROM documents",
     "s5_partitioned_sink" ->
       "SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY o_orderstatus",
     "s10_clustering" ->

@@ -120,4 +120,25 @@ class OpsSpec extends SparkSpec {
     assert(Multimodal.sampleFrames(Multimodal.toMedia(
       Seq((2L, "")).toDF("doc_id", "text"))).isEmpty)        // empty payload
   }
+
+  test("binaryFile round trip: landed files scan back byte-identical") {
+    implicit val s = spark
+    import spark.implicits._
+    val docs = Seq((1L, "alpha"), (2L, "beta-β"), (5L, "γ" * 100))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("binscan").toString
+    Multimodal.landBinaryDir(Multimodal.toMedia(docs), dir)
+    val back = Multimodal.readBinaryDir(spark, dir)
+      .select(col("file_name"), col("length"), col("content")).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), new String(r.getAs[Array[Byte]](2), "UTF-8"))).toMap
+    assert(back.keySet == Set("doc_1.bin", "doc_2.bin", "doc_5.bin"))
+    assert(back("doc_2.bin")._2 == "beta-β")
+    assert(back("doc_5.bin")._1 == 200L) // γ is 2 bytes in UTF-8
+    // length predicate pushes into the binaryFile scan (oversized media
+    // pruned before content is materialized)
+    val pruned = Multimodal.readBinaryDir(spark, dir)
+      .filter(col("length") < 20).collect()
+    assert(pruned.map(_.getString(0)).toSet == Set("doc_1.bin", "doc_2.bin"))
+  }
 }

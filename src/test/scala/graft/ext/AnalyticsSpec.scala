@@ -66,6 +66,35 @@ class AnalyticsSpec extends SparkSpec {
     assert(pairs((0L, 1L)) <= 5L && pairs((0L, 1L)) > 0L)
   }
 
+  test("lengthOutliers flags only >2-sigma lengths, z matches a hand calc") {
+    // nine docs at length 100, one at 1000: mean=190, var=72900, sd=270
+    // z(1000) = (1000-190)/270 = 3.0; z(100) = -1/3
+    val docs = (0L to 8L).map(i => (i, "en", 100L)) :+ ((9L, "en", 1000L))
+    val df = spark.createDataFrame(docs).toDF("doc_id", "lang", "n_chars")
+      .withColumn("text", lit("unused"))
+    val out = graft.queries.Extensions.lengthOutliersOn(df).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(0) == 9L && out.head.getDouble(3) == 3.0)
+  }
+
+  test("decay fold: recent events weigh full, old events shrink harmonically") {
+    val day = 86400L
+    val events = Seq(
+      // user 1: two events same day (w=1 each); the third sits 1d23.5h
+      // before the latest → 1 WHOLE day → w = 1/2
+      (1L, 1L, ts("2024-01-10 10:00:00"), 6.0),
+      (2L, 1L, ts("2024-01-10 11:00:00"), 3.0),
+      (3L, 1L, ts("2024-01-08 11:30:00"), 9.0),
+      // user 2: single event → weight exactly 1
+      (4L, 2L, ts("2024-01-01 00:00:00"), 5.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val r = graft.queries.Extensions.decayFeaturesOn(events).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    assert(r(2L) == ((1L, 5.0)))
+    // user 1: 9/(1+1) + 6/1 + 3/1 = 13.5
+    assert(r(1L) == ((3L, 13.5)))
+  }
+
   test("profile: one row per column, family-typed min/max, exact nulls") {
     val df = Seq(
       (1L, Some("a"), Some(2.5)),
