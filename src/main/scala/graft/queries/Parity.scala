@@ -754,11 +754,9 @@ object Parity {
     val keys = Seq("o_orderkey")
     val tracked = Seq("o_orderstatus", "price")
     val init = new Scd4(keys, tracked, clock = Clock.fixed("2026-01-15")).initialize(b1)
-    val (cur, archived) =
-      new Scd4(keys, tracked, clock = Clock.fixed("2026-02-15")).merge(init, b2)
-    cur.withColumn("effective_to", lit(null).cast(DateType))
-      .withColumn("scd_table", lit("current"))
-      .unionByName(archived.withColumn("scd_table", lit("history")))
+    // Single-dataflow form: current ∪ history in ONE full-outer join pass
+    // (the (cur, archived) pair API is the same dataflow filtered twice).
+    new Scd4(keys, tracked, clock = Clock.fixed("2026-02-15")).mergeUnified(init, b2)
   }
 
   // --------------------------------------------------------------- SCD3

@@ -205,24 +205,47 @@ class Scd4(
     *  - source rows for changed or brand-new keys enter current with
     *    `effective_from = today`.
     *
-    * One key-shuffled join decides replacement; the anti-join reuses the
-    * same key partitioning. Append `archived` to the history table —
-    * never rewrite it. */
+    * Both outputs are filters over the ONE [[mergeUnified]] dataflow;
+    * append `archived` to the history table — never rewrite it. */
   def merge(current: DataFrame, source: DataFrame): (DataFrame, DataFrame) = {
+    val u = mergeUnified(current, source)
+    (u.filter(col("scd_table") === "current").drop("scd_table", cols.to),
+      u.filter(col("scd_table") === "history").drop("scd_table"))
+  }
+
+  /** The merge as ONE dataflow: current ∪ history rows tagged by a
+    * `scd_table` column, from a single full-outer key join whose rows
+    * each explode into their branch outputs (kept / archived / entering
+    * — a changed key emits two). The union-of-three-branches form pays
+    * the upstream (dedupe + join) once per branch — 3× at plan level;
+    * this form pays it once, and the dedupe's key partitioning feeds the
+    * join with no re-exchange. Current-table invariant (≤ 1 row per key
+    * on both inputs) is the caller's; outputs preserve it. */
+  def mergeUnified(current: DataFrame, source: DataFrame): DataFrame = {
     val src = Scd.dedupeByKeys(withHash(source), keys, sourceOrder)
-    val srcKeys = src.select((keys :+ cols.hash).map(col): _*)
-      .withColumnRenamed(cols.hash, "__src_hash")
-    val joined = current.join(srcKeys, keys, "left")
-    val changed = col("__src_hash").isNotNull && col(cols.hash) =!= col("__src_hash")
-    val archived = joined.filter(changed).drop("__src_hash")
-      .withColumn(cols.to, today)
-    // changed is never null (row_hash is a non-null sha2, and isNotNull
-    // short-circuits the null src side), so the negation is exact
-    val kept = joined.filter(!changed).drop("__src_hash")
-    val entering = src
-      .join(kept.select(keys.map(col): _*), keys, "left_anti")
-      .withColumn(cols.from, today)
-    (kept.unionByName(entering), archived)
+    val payload = current.columns.filterNot(keys.contains).toSeq // tracked ++ hash ++ from
+    val s = payload.foldLeft(src.withColumn(cols.from, today)) {
+      (d, c) => d.withColumnRenamed(c, s"__s_$c")
+    }
+    val joined = current.join(s, keys, "full_outer")
+    val srcHash = col(s"__s_${cols.hash}")
+    // row_hash is a non-null sha2 on both sides, so null ⇔ side absent
+    val changed = srcHash.isNotNull && col(cols.hash).isNotNull &&
+      col(cols.hash) =!= srcHash
+    def row(side: String => Column, to: Column, table: String) = struct(
+      payload.map(c => side(c).as(c)) :+ to.as(cols.to) :+
+        lit(table).as("scd_table"): _*)
+    val nullTo = lit(null).cast(DateType)
+    val kept = when(srcHash.isNull || (col(cols.hash) === srcHash),
+      row(col, nullTo, "current"))
+    val arch = when(changed, row(col, today, "history"))
+    val enter = when(col(cols.hash).isNull || changed,
+      row(c => col(s"__s_$c"), nullTo, "current"))
+    joined.select(
+      keys.map(col) :+
+        explode(filter(array(kept, arch, enter), _.isNotNull)).as("__r"): _*)
+      .select(keys.map(col) ++ payload.map(c => col(s"__r.$c")) :+
+        col(s"__r.${cols.to}") :+ col("__r.scd_table"): _*)
   }
 }
 
