@@ -1,0 +1,219 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DateType
+
+/** Subquery query class — correlated EXISTS / NOT EXISTS, IN with a
+  * grouped HAVING, correlated scalar aggregates, and uncorrelated scalar
+  * thresholds, anchored on TPC-H shapes (Q4/Q18/Q17/Q22/Q2/Q13) adapted
+  * to the testdata columns (TESTDATA.md has no partsupp/commitdate, so
+  * date/brand/size predicates are re-targeted; semantics per class are
+  * preserved).
+  *
+  * The reference pipeline never writes a subquery (its SQL surface is
+  * CREATE/INSERT + straight SELECTs — SURVEY §2.1 S11), but a user
+  * switching engines expects the full declarative surface, and subqueries
+  * are the canonical case where "declare, don't schedule" pays: Catalyst
+  * DECORRELATES each form into the join the engine already scales —
+  * EXISTS → left-semi, NOT EXISTS → left-anti, correlated scalar agg →
+  * aggregate + equi-join on the correlation key, IN-HAVING → semi join
+  * against the aggregated subquery. At 100 TB those run as ordinary
+  * keyed shuffles/broadcasts (the same machinery as J1–J8) rather than
+  * per-row re-executions — a naive nested-loop interpretation would be
+  * O(rows × subquery) and is exactly what the optimizer exists to avoid.
+  * SubquerySpec pins the decorrelated plan shapes (no subquery node
+  * survives optimization in the semi/anti forms).
+  *
+  * Cross-engine determinism follows Parity's rules: float sums fold in
+  * DECIMAL and surface as double; counts/mins are exact; per-row double
+  * arithmetic is IEEE-identical in both engines.
+  */
+object Subqueries {
+
+  private def view(spark: SparkSession, dir: String, names: String*): Unit =
+    names.foreach { n =>
+      Parity.table(spark, dir, n).createOrReplaceTempView(n)
+    }
+
+  /** TPC-H Q4 shape: EXISTS-correlated order count per priority.
+    * Decorrelates to a left-semi join of orders against the discounted
+    * lineitems on the order key — one keyed shuffle, fact-sized. */
+  def q4Exists(spark: SparkSession, sfDir: String): DataFrame = {
+    view(spark, sfDir, "orders", "lineitem")
+    spark.sql("""
+      SELECT o_orderpriority, count(*) AS order_count
+      FROM orders
+      WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+        AND CAST(o_orderdate AS DATE) <  DATE '1997-01-01'
+        AND EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+      GROUP BY o_orderpriority""")
+  }
+
+  /** TPC-H Q17 shape: correlated scalar aggregate — lineitems below 20 %
+    * of their part's mean quantity. Decorrelates to a per-part aggregate
+    * joined back on the correlation key, so the "per-row subquery" is one
+    * keyed aggregation over lineitem + one equi-join — both map-side
+    * combinable. The inner mean is exact-decimal sum / count, multiplied
+    * by 0.2 in double (IEEE-identical cross-engine). */
+  def q17CorrelatedScalar(spark: SparkSession, sfDir: String): DataFrame = {
+    view(spark, sfDir, "lineitem", "part")
+    spark.sql("""
+      SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+               AS avg_yearly
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_brand = 'Brand#11'
+        AND l_quantity < (
+          SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                        / count(*))
+          FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""")
+  }
+
+  /** TPC-H Q18 shape: IN against a grouped-HAVING subquery (large-volume
+    * orders). The IN side aggregates lineitem once and semi-joins orders
+    * against the qualifying keys — the subquery runs once, not per row;
+    * at scale both the HAVING aggregate and the semi join shuffle on the
+    * order key, so AQE can fold them into one exchange reuse. */
+  def q18InHaving(spark: SparkSession, sfDir: String): DataFrame = {
+    view(spark, sfDir, "customer", "orders", "lineitem")
+    spark.sql("""
+      SELECT c_name, c_custkey, o_orderkey,
+             CAST(o_orderdate AS DATE) AS order_date,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+      GROUP BY c_name, c_custkey, o_orderkey, order_date, total_price""")
+  }
+
+  /** TPC-H Q22 shape: uncorrelated scalar threshold + correlated NOT
+    * EXISTS — above-average-balance customers with no URGENT order.
+    * The scalar mean evaluates once (broadcast as a literal into the
+    * filter); the NOT EXISTS decorrelates to a left-anti join on the
+    * customer key against the pre-filtered urgent orders. */
+  def q22ColdCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    view(spark, sfDir, "customer", "orders")
+    spark.sql("""
+      SELECT c_nationkey, count(*) AS numcust,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+      FROM customer
+      WHERE c_acctbal > (
+          SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+          FROM customer c2 WHERE c2.c_acctbal > 0.0)
+        AND NOT EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      GROUP BY c_nationkey""")
+  }
+
+  /** TPC-H Q2 shape: correlated MIN — for each small part, the sale rows
+    * at that part's minimum extended price (min is exact selection, no
+    * float folding). Decorrelates to a per-part min aggregate equi-joined
+    * back to the fact; ties surface as multiple rows in both engines. */
+  def q2MinPerKey(spark: SparkSession, sfDir: String): DataFrame = {
+    view(spark, sfDir, "part", "lineitem", "supplier")
+    spark.sql("""
+      SELECT p_partkey, p_brand, s_name,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS min_price
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      WHERE p_size < 8
+        AND l_extendedprice = (
+          SELECT min(l2.l_extendedprice) FROM lineitem l2
+          WHERE l2.l_partkey = p_partkey)""")
+  }
+
+  /** TPC-H Q13 shape (DataFrame form): customer order-count distribution
+    * via a conditioned LEFT OUTER join (the join predicate carries the
+    * non-key filter, so zero-order customers survive with count 0) and a
+    * two-level aggregation. First groupBy shuffles on the customer key
+    * the join already clustered by (exchange reuse); the second is
+    * 20-cardinality and collapses map-side. */
+  def q13Distribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Parity.table(spark, sfDir, "customer").select("c_custkey")
+    val ord = Parity.table(spark, sfDir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderpriority")
+    cust.join(ord,
+        cust("c_custkey") === ord("o_custkey") &&
+          ord("o_orderpriority") =!= "1-URGENT", "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sq4_exists" -> q4Exists _,
+    "sq17_corr_scalar" -> q17CorrelatedScalar _,
+    "sq18_in_having" -> q18InHaving _,
+    "sq22_cold_customers" -> q22ColdCustomers _,
+    "sq2_min_per_key" -> q2MinPerKey _,
+    "sq13_distribution" -> q13Distribution _)
+
+  def oracleSql: Map[String, String] = Map(
+    "sq4_exists" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+         FROM orders
+         WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+           AND CAST(o_orderdate AS DATE) <  DATE '1997-01-01'
+           AND EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+         GROUP BY o_orderpriority""",
+    "sq17_corr_scalar" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+           AS avg_yearly
+         FROM lineitem JOIN part ON p_partkey = l_partkey
+         WHERE p_brand = 'Brand#11'
+           AND l_quantity < (
+             SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                           / count(*))
+             FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""",
+    "sq18_in_having" ->
+      """SELECT c_name, c_custkey, o_orderkey,
+           CAST(o_orderdate AS DATE) AS order_date,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM customer
+         JOIN orders   ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE o_orderkey IN (
+           SELECT l_orderkey FROM lineitem
+           GROUP BY l_orderkey
+           HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+         GROUP BY c_name, c_custkey, o_orderkey, order_date, total_price""",
+    "sq22_cold_customers" ->
+      """SELECT c_nationkey, count(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+         FROM customer
+         WHERE c_acctbal > (
+             SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+             FROM customer c2 WHERE c2.c_acctbal > 0.0)
+           AND NOT EXISTS (
+             SELECT 1 FROM orders
+             WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+         GROUP BY c_nationkey""",
+    "sq2_min_per_key" ->
+      """SELECT p_partkey, p_brand, s_name,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS min_price
+         FROM part
+         JOIN lineitem ON p_partkey = l_partkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         WHERE p_size < 8
+           AND l_extendedprice = (
+             SELECT min(l2.l_extendedprice) FROM lineitem l2
+             WHERE l2.l_partkey = p_partkey)""",
+    "sq13_distribution" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+           SELECT c_custkey, count(o_orderkey) AS c_count
+           FROM customer LEFT OUTER JOIN orders
+             ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+           GROUP BY c_custkey)
+         GROUP BY c_count""")
+}
