@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{Extensions, Parity, Subqueries}
+import graft.queries.{Extensions, Parity, Subqueries, Views}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -21,8 +21,9 @@ object SparkEntry {
     Parity.a1Aggregates(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Parity.queries ++ Extensions.queries ++ Subqueries.queries
+    Parity.queries ++ Extensions.queries ++ Subqueries.queries ++ Views.queries
 
   def oracleSql: Map[String, String] =
-    Parity.oracleSql ++ Extensions.oracleSql ++ Subqueries.oracleSql
+    Parity.oracleSql ++ Extensions.oracleSql ++ Subqueries.oracleSql ++
+      Views.oracleSql
 }

@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(SimHashSig.registration)
     ext.injectFunction(GramHashes.registration)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    ext.injectOptimizerRule(graft.plans.MvRewriteRule)
   }
 }
 
