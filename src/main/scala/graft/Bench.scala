@@ -37,8 +37,22 @@ object Bench {
       catch { case _: Throwable => () }
     }
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    // Diagnostics (stderr only; stdout JSON is the driver contract):
+    // cumulative executor task time and JVM GC time bracketing each query
+    // separate real distributed work from driver stalls and GC pauses.
+    val taskMs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null) taskMs.addAndGet(e.taskMetrics.executorRunTime)
+    })
+    def gcMs: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
     def pass(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val (task0, gc0) = (taskMs.get, gcMs)
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         catch { case e: Throwable =>
@@ -46,6 +60,7 @@ object Bench {
           if (!failed.contains(name)) failed += name
         }
         val t = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench] $name%-28s wall=$t%8.2fs task=${(taskMs.get - task0) / 1e3}%8.1fs gc=${(gcMs - gc0) / 1e3}%6.1fs")
         // Outside the timed region: drop any blocks a query left persisted
         // (e.g. a final localCheckpoint) so no query pays GC/memory rent
         // for its predecessors. Queries are self-contained — nothing
@@ -55,13 +70,36 @@ object Bench {
         name -> t
       }
     // Per-query min of up to two passes: single-run timings on a shared
-    // host carry multi-second jitter, and min-of-2 removes one-off hits
-    // (GC, page-cache misses, neighbor contention). The second pass is
-    // skipped when the first already ran long, bounding total wall time.
+    // host carry multi-second jitter — and occasionally multi-MINUTE
+    // stalls (observed wall≫task-time with idle executors: host-level
+    // contention, not query work). Min-of-2 removes one-off hits. When a
+    // full second pass would run too long, re-measure just the slowest
+    // pass-1 entries (the ones a stall distorts most, and the ones read
+    // as regressions) within a bounded wall budget.
     val pass1 = pass()
+    def rerun(names: Set[String]): Map[String, Double] =
+      SparkEntry.queries.toSeq.filter(q => names(q._1)).sortBy(_._1).map {
+        case (name, fn) =>
+          val t0 = System.nanoTime()
+          try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          catch { case _: Throwable => () }
+          val t = (System.nanoTime() - t0) / 1e9
+          System.err.println(f"[bench] $name%-28s re-measured wall=$t%8.2fs")
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+          name -> t
+      }.toMap
     val results =
-      if (pass1.map(_._2).sum > 150.0) pass1
-      else pass1.zip(pass()).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
+      if (pass1.map(_._2).sum <= 150.0)
+        pass1.zip(pass()).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
+      else {
+        var budget = 120.0
+        val redo = pass1.sortBy(-_._2).takeWhile { case (_, t) =>
+          val ok = budget > 0; budget -= t; ok
+        }.map(_._1).toSet
+        val second = rerun(redo)
+        pass1.map { case (n, t) => n -> math.min(t, second.getOrElse(n, t)) }
+      }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")

@@ -130,6 +130,27 @@ object Subqueries {
           WHERE l2.l_partkey = p_partkey)""")
   }
 
+  /** NOT IN with a NULLABLE subquery column — the subquery form with
+    * genuinely different semantics from NOT EXISTS: one NULL in the
+    * subquery makes every `x NOT IN (...)` UNKNOWN (empty result), so a
+    * plain anti join is WRONG and the planner must use a null-aware anti
+    * join (broadcast NAAJ — the build side tracks whether any null was
+    * seen). The CASE keeps the column nullable in schema (forcing the
+    * null-aware plan) while the data happens to contain no null, so the
+    * result is non-degenerate; both engines implement three-valued IN,
+    * so the oracle is exact. At scale: NAAJ requires a broadcastable
+    * subquery side by construction — for a fact-sized right side the
+    * rewrite to do by hand is the q22 NOT EXISTS form, which shuffles. */
+  def qNotInNullAware(spark: SparkSession, sfDir: String): DataFrame = {
+    view(spark, sfDir, "customer", "orders")
+    spark.sql("""
+      SELECT c_custkey, c_name
+      FROM customer
+      WHERE c_custkey NOT IN (
+        SELECT CASE WHEN o_totalprice < 0 THEN NULL ELSE o_custkey END
+        FROM orders WHERE o_orderpriority = '1-URGENT')""")
+  }
+
   /** TPC-H Q13 shape (DataFrame form): customer order-count distribution
     * via a conditioned LEFT OUTER join (the join predicate carries the
     * non-key filter, so zero-order customers survive with count 0) and a
@@ -155,7 +176,8 @@ object Subqueries {
     "sq18_in_having" -> q18InHaving _,
     "sq22_cold_customers" -> q22ColdCustomers _,
     "sq2_min_per_key" -> q2MinPerKey _,
-    "sq13_distribution" -> q13Distribution _)
+    "sq13_distribution" -> q13Distribution _,
+    "sq_not_in_null" -> qNotInNullAware _)
 
   def oracleSql: Map[String, String] = Map(
     "sq4_exists" ->
@@ -209,6 +231,12 @@ object Subqueries {
            AND l_extendedprice = (
              SELECT min(l2.l_extendedprice) FROM lineitem l2
              WHERE l2.l_partkey = p_partkey)""",
+    "sq_not_in_null" ->
+      """SELECT c_custkey, c_name
+         FROM customer
+         WHERE c_custkey NOT IN (
+           SELECT CASE WHEN o_totalprice < 0 THEN NULL ELSE o_custkey END
+           FROM orders WHERE o_orderpriority = '1-URGENT')""",
     "sq13_distribution" ->
       """SELECT c_count, count(*) AS custdist FROM (
            SELECT c_custkey, count(o_orderkey) AS c_count

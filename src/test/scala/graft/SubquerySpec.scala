@@ -41,6 +41,15 @@ class SubquerySpec extends SparkSpec {
     assert(plan.contains("LeftSemi"), plan)
   }
 
+  test("NOT IN with nullable subquery column plans a null-aware anti join") {
+    val plan = planOf(Subqueries.qNotInNullAware(spark, sf))
+    // a plain LeftAnti would be wrong under three-valued IN; Spark marks
+    // the broadcast hash join null-aware with a trailing `true` flag
+    // (BroadcastHashJoinExec.isNullAwareAntiJoin) in the plan string
+    assert(plan.contains("LeftAnti, BuildRight, true") ||
+      (plan.contains("LeftAnti") && plan.contains("BroadcastNestedLoop")), plan)
+  }
+
   test("subquery anchors return rows at sf0.001") {
     for ((name, fn) <- Subqueries.queries)
       assert(fn(spark, sf).limit(1).count() == 1L, s"$name returned no rows")
