@@ -108,7 +108,11 @@ object MaterializedViews {
     // Rebuild the batch's partial aggregate with the registered measure
     // expressions, re-resolved against the batch (same schema as base).
     def inputCol(m: Measure): Column = expr(m.inputSql)
-    require(batch.schema == base.schema,
+    // name+type equality; nullability may differ between a parquet-backed
+    // base and an in-flight batch (e.g. a streaming source's non-null cols)
+    def shape(s: org.apache.spark.sql.types.StructType) =
+      s.fields.map(f => (f.name, f.dataType)).toSeq
+    require(shape(batch.schema) == shape(base.schema),
       s"refresh batch schema must match base: ${batch.schema} vs ${base.schema}")
     val aggs = d.measures.map {
       case m if m.kind == "sum" => sum(inputCol(m)).as(m.mvCol)

@@ -418,7 +418,8 @@ object Extensions {
     val daily = Parity.table(spark, sfDir, "orders")
       .filter(col("o_custkey") % 50 === 0)
       .withColumn("d_day",
-        datediff(col("o_orderdate").cast("date"), lit("1992-01-01").cast("date")))
+        datediff(col("o_orderdate").cast("date"), lit("1992-01-01").cast("date"))
+          .cast("long"))
       .groupBy("o_custkey", "d_day")
       .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("spend"))
     val cal = daily.groupBy("o_custkey")

@@ -613,6 +613,105 @@ object Parity {
       .agg(sum(col("disc_price")).cast("double").as("revenue"))
   }
 
+  private def discPrice: Column =
+    (dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") -
+      dec(col("l_discount")))).cast("decimal(18,4)")
+
+  /** TPC-H Q7 (volume shipping), adapted: revenue between two nations in
+    * either direction, by supplier nation / customer nation / ship year.
+    * Classic 6-way fact-chain join. Plan shape: lineitem⋈orders shuffles
+    * on orderkey, then customer on custkey; supplier and both nation
+    * copies broadcast; the nation-pair disjunction rides the broadcast
+    * joins so non-qualifying rows drop before the fact shuffles widen.
+    * Year derives from the ship date (exact integer), revenue folds in
+    * exact decimals. */
+  def tpchQ7(spark: SparkSession, sfDir: String): DataFrame = {
+    val n1 = table(spark, sfDir, "nation")
+      .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+    val n2 = table(spark, sfDir, "nation")
+      .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+    val sup = table(spark, sfDir, "supplier").select("s_suppkey", "s_nationkey")
+    val cust = table(spark, sfDir, "customer").select("c_custkey", "c_nationkey")
+    val ord = table(spark, sfDir, "orders").select("o_orderkey", "o_custkey")
+    val li = table(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).cast("long").as("l_year"), discPrice.as("disc_price"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+      .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy("supp_nation", "cust_nation", "l_year")
+      .agg(sum(col("disc_price")).cast("double").as("revenue"))
+  }
+
+  /** TPC-H Q8 (national market share), adapted: NATION_3's share of
+    * AMERICA-customer PROMO-part revenue per order year. The share is a
+    * conditional-sum / total-sum ratio over the SAME aggregated rows —
+    * one pass, no self-join; both sums fold in exact decimals and the
+    * ratio is a single double division. */
+  def tpchQ8(spark: SparkSession, sfDir: String): DataFrame = {
+    val nat = table(spark, sfDir, "nation")
+    val america = nat
+      .join(broadcast(table(spark, sfDir, "region")
+        .filter(col("r_name") === "AMERICA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("cn_key"))
+    val supNat = table(spark, sfDir, "supplier")
+      .join(broadcast(nat.select(col("n_nationkey").as("sn_key"),
+        col("n_name").as("supp_nation"))), col("s_nationkey") === col("sn_key"))
+      .select("s_suppkey", "supp_nation")
+    val promo = table(spark, sfDir, "part")
+      .filter(col("p_type") === "PROMO").select("p_partkey")
+    val cust = table(spark, sfDir, "customer").select("c_custkey", "c_nationkey")
+    val ord = table(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+    val li = table(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        discPrice.as("volume"))
+    li.join(broadcast(promo), col("l_partkey") === col("p_partkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(america), col("c_nationkey") === col("cn_key"))
+      .join(broadcast(supNat), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("o_year")
+      .agg((sum(when(col("supp_nation") === "NATION_3", col("volume"))
+          .otherwise(lit(0).cast("decimal(18,4)"))).cast("double") /
+        sum(col("volume")).cast("double")).as("mkt_share"))
+  }
+
+  /** TPC-H Q9 (product-type profit), adapted: per supplier-nation and
+    * order year over name-matched parts, amount = disc revenue minus a
+    * retail-price carrying cost (the testdata has no partsupp, so
+    * p_retailprice × quantity stands in for ps_supplycost × quantity —
+    * same expression shape, exact decimal fold). LIKE-filtered part dim
+    * broadcasts; the two fact joins shuffle on their own keys. */
+  def tpchQ9(spark: SparkSession, sfDir: String): DataFrame = {
+    val gearParts = table(spark, sfDir, "part")
+      .filter(col("p_name").contains("gear"))
+      .select("p_partkey", "p_retailprice")
+    val supNat = table(spark, sfDir, "supplier")
+      .join(broadcast(table(spark, sfDir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    val ord = table(spark, sfDir, "orders")
+      .select(col("o_orderkey"), year(col("o_orderdate")).cast("long").as("o_year"))
+    val li = table(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"), discPrice.as("disc_price"))
+    li.join(broadcast(gearParts), col("l_partkey") === col("p_partkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supNat), col("l_suppkey") === col("s_suppkey"))
+      .withColumn("amount",
+        (col("disc_price") - (dec(col("p_retailprice")) * dec(col("l_quantity")))
+          .cast("decimal(18,4)")).cast("decimal(18,4)"))
+      .groupBy("nation", "o_year")
+      .agg(sum(col("amount")).cast("double").as("sum_profit"))
+  }
+
   /** Set operations: union distinct, intersect, except (absent from the
     * reference; introduced by our MERGE rewrite internally — SURVEY §2.6). */
   def setOps(spark: SparkSession, sfDir: String): DataFrame = {
@@ -860,6 +959,9 @@ object Parity {
     "tpch_q1" -> tpchQ1 _,
     "tpch_q3" -> tpchQ3 _,
     "tpch_q5" -> tpchQ5 _,
+    "tpch_q7" -> tpchQ7 _,
+    "tpch_q8" -> tpchQ8 _,
+    "tpch_q9" -> tpchQ9 _,
     "scalar_suite" -> scalarSuite _,
     "scd2_two_batch" -> scd2TwoBatch _,
     "scd4_two_batch" -> scd4TwoBatch _,
@@ -1150,6 +1252,54 @@ object Parity {
            AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
            AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
          GROUP BY n_name""",
+    "tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l_shipdate) AS l_year,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM supplier
+         JOIN lineitem ON s_suppkey = l_suppkey
+         JOIN orders   ON o_orderkey = l_orderkey
+         JOIN customer ON c_custkey = o_custkey
+         JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+         GROUP BY 1, 2, 3""",
+    "tpch_q8" ->
+      """SELECT year(o_orderdate) AS o_year,
+           CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'
+               THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                 (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))
+               ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) /
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE)
+             AS mkt_share
+         FROM part
+         JOIN lineitem ON p_partkey = l_partkey
+         JOIN supplier ON s_suppkey = l_suppkey
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         JOIN region   ON n1.n_regionkey = r_regionkey
+         JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+         GROUP BY 1""",
+    "tpch_q9" ->
+      """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+           CAST(SUM(CAST(
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+               (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) -
+             CAST(CAST(p_retailprice AS DECIMAL(18,2)) *
+               CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(18,4))
+             AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
+         FROM part
+         JOIN lineitem ON p_partkey = l_partkey
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation   ON s_nationkey = n_nationkey
+         WHERE p_name LIKE '%gear%'
+         GROUP BY 1, 2""",
     "scalar_suite" ->
       """SELECT c_custkey,
            regexp_extract(c_name, '([0-9]+)$', 1) AS name_code,

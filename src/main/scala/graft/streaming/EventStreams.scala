@@ -161,6 +161,25 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming incremental view maintenance: fold each micro-batch into
+    * a registered summary table ([[graft.plans.MaterializedViews]]) with
+    * the same partial-state algebra the rollup rewrite reads (sum+sum,
+    * min of mins, max of maxs, cnt+cnt). The summary stays queryable —
+    * and rewrite-eligible — while the stream runs, and each batch costs
+    * O(|batch| + |summary|), never a base-table rescan: this is the
+    * streaming half of the classic lambda architecture collapsed into
+    * one artifact (the batch rewrite and the stream refresh share the
+    * measure definitions, so they cannot drift). */
+  def mvRefreshSink(
+      source: DataFrame,
+      mv: graft.plans.MaterializedViews.MvDef): org.apache.spark.sql.streaming.StreamingQuery =
+    source.writeStream
+      .outputMode(OutputMode.Update)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.plans.MaterializedViews.refresh(batch.sparkSession, mv, batch.toDF())
+      }
+      .start()
+
   /** Watermarked stream-stream interval join: each purchase picks up the
     * same user's clicks from the preceding `lookbackSeconds` (click
     * attribution). Both sides watermark, and the join condition bounds

@@ -165,6 +165,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("mvRefreshSink maintains a summary across micro-batches (streaming IVM)") {
+    import graft.plans.MaterializedViews
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-mv-stream")
+    val basePath = s"$dir/base.parquet"
+    val mvPath = s"$dir/summary"
+    // seed base + summary with one batch, then stream two more
+    Seq(("a", 10L), ("b", 5L)).toDF("k", "v").write.parquet(basePath)
+    val d = MaterializedViews.create(spark, basePath, mvPath,
+      groupCols = Seq("k"), sums = Seq(col("v").cast("decimal(18,0)")))
+    try {
+      val mem = MemoryStream[(String, Long)]
+      val q = EventStreams.mvRefreshSink(mem.toDF().toDF("k", "v"), d)
+      try {
+        mem.addData(("a", 1L), ("c", 7L))
+        q.processAllAvailable()
+        mem.addData(("c", 2L))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.read.parquet(mvPath)
+        .select(col("k"), col("mv_sum_0").cast("long"), col("mv_cnt"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      // summary equals a from-scratch aggregate over every row ever seen
+      assert(got == Set(("a", 11L, 2L), ("b", 5L, 1L), ("c", 9L, 2L)), got)
+    } finally MaterializedViews.clear()
+  }
+
   test("scd2Sink maintains dimension history across micro-batches") {
     import graft.core.{Clock, TableCatalog}
     import graft.scd.Scd2
