@@ -61,6 +61,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("GlobalLimit"), s"top-k fell back to sort+limit:\n$plan")
   }
 
+  test("tpch_q7 broadcasts all dims; only the fact joins shuffle") {
+    val plan = Parity.tpchQ7(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"nation-pair disjunction must not degrade to a non-equi join:\n$plan")
+  }
+
+  test("tpch_q8 computes the market-share ratio in one aggregate pass") {
+    val q = Parity.tpchQ8(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    // conditional sum + total sum fold in the SAME HashAggregate — a
+    // self-join of two aggregations would scan and shuffle twice
+    assert(scanLines(q).count(_.contains("lineitem")) == 1,
+      s"q8 must read the fact once:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("multi-distinct aggregation plans through Expand, not N scans") {
     val q = Parity.a7MultiDistinct(spark, sf)
     val plan = q.queryExecution.executedPlan.toString
