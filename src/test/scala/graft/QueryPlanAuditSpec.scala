@@ -1,0 +1,44 @@
+package graft
+
+/** Whole-contract plan audit: no driver query may plan an UNINTENDED
+  * cartesian product or non-broadcast nested-loop join — the two shapes
+  * that stop scaling outright (O(L×R) pair materialization / per-row
+  * re-scan). Intentional exceptions are pinned by name with the reason
+  * in a comment; a new query that accidentally plans one fails here
+  * before it ever reaches the bench.
+  */
+class QueryPlanAuditSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // Queries whose plan legitimately contains a broadcast nested-loop:
+  // every one crosses against a BROADCAST side that is structurally tiny
+  // (a literal/aggregated singleton or a fixed centroid table), so the
+  // "loop" is a map-side constant lookup, not a pair-space scan.
+  private val broadcastLoopOk: Set[String] = Set(
+    "x_ann_topk",      // query-vector singleton × corpus (broadcast)
+    "x_ann_topk_agg",  // same shape, typed aggregator variant
+    "x_ann_lsh",       // hyperplane constants × corpus (broadcast)
+    "x_outliers",      // global mean/stddev singleton × rows (broadcast)
+    "x_decay_features", // reference-time singleton × rows (broadcast)
+    "j6_cross_join",    // the operator under test IS an explicit small-dim cross
+    "x_ann_ivf",        // corpus × broadcast coarse-quantizer centroids
+    "x_ann_ivf_trained", // same, trained centroid table (nList rows, broadcast)
+    "x_tfidf"           // docs × broadcast corpus-size singleton (idf denominator)
+  )
+
+  test("no query plans an unintended cartesian or nested-loop join") {
+    val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan =
+          try fn(spark, sf).queryExecution.executedPlan.toString
+          catch { case e: Throwable => fail(s"$name failed to plan: $e") }
+        val cartesian = plan.contains("CartesianProduct")
+        val loop = plan.contains("BroadcastNestedLoopJoin")
+        if (cartesian) Some(s"$name: CartesianProduct")
+        else if (loop && !broadcastLoopOk(name)) Some(s"$name: BroadcastNestedLoopJoin")
+        else None
+    }
+    assert(violations.isEmpty, violations.mkString("\n"))
+  }
+}
