@@ -191,6 +191,32 @@ object Extensions {
       d.select("doc_id", "text").unionByName(prefixes), 0.9, maxDf = 100)
   }
 
+  /** Benchmark decontamination: flag training docs whose shingle sets
+    * overlap a held-out evaluation set (every 97th doc stands in for the
+    * benchmark). The standard LLM-pipeline gate against test-set leakage:
+    * a doc sharing many n-grams with the benchmark is dropped or audited
+    * before training. Scale design: the benchmark side is tiny by
+    * construction (eval sets are thousands of docs vs a 100 TB corpus),
+    * so its distinct shingles BROADCAST and the corpus postings stream
+    * through a map-side hash probe — one shuffle for the per-doc count,
+    * no pair space, no corpus self-join. Per-doc shingles are distinct,
+    * so count(*) after the probe IS the distinct-overlap count. */
+  def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = docs(spark, sfDir)
+      .select(col("doc_id"), TextKit.wordShingles(col("text"), 3).as("shingles"))
+      .withColumn("nsh", size(col("shingles")).cast("long"))
+      .transform(Par.spread(_, col("doc_id")))
+    val ex = sh.select(col("doc_id"), col("nsh"), explode(col("shingles")).as("shingle"))
+    val bench = ex.filter(col("doc_id") % 97 === 0).select("shingle").distinct()
+    ex.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(bench), Seq("shingle"))
+      .groupBy("doc_id", "nsh")
+      .agg(count(lit(1)).as("n_hits"))
+      .select(col("doc_id"), col("n_hits"), col("nsh"),
+        (col("n_hits").cast("double") / col("nsh").cast("double")).as("overlap"),
+        (col("n_hits") >= 5).as("contaminated"))
+  }
+
   /** MinHash+LSH candidates, exact-verified at j >= 0.8. */
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.minHashNearDups(docs(spark, sfDir), 0.8)
@@ -789,6 +815,7 @@ object Extensions {
     "d_jaccard_capped" -> jaccardCapped _,
     "d_containment" -> containmentDup _,
     "d_minhash_lsh" -> minhashLsh _,
+    "x_decontaminate" -> decontaminate _,
     "d_simhash_pairs" -> simhashPairs _,
     "d_embed_neardup" -> embedNearDup _,
     "x_ann_topk" -> annTopK _,
@@ -1009,6 +1036,16 @@ object Extensions {
            count(*) AS n_copies
          FROM all_docs GROUP BY 1 HAVING count(*) > 1""",
     "d_ngram_jaccard" -> jaccardSql("0.5"),
+    "x_decontaminate" ->
+      s"""WITH $shingleCte,
+          bench AS (SELECT DISTINCT shingle FROM ex WHERE doc_id % 97 = 0),
+          hits AS (SELECT ex.doc_id, count(*) AS n_hits
+                   FROM ex JOIN bench USING (shingle)
+                   WHERE ex.doc_id % 97 <> 0 GROUP BY 1)
+          SELECT h.doc_id, h.n_hits, shc.nsh,
+                 CAST(h.n_hits AS DOUBLE) / CAST(shc.nsh AS DOUBLE) AS overlap,
+                 h.n_hits >= 5 AS contaminated
+          FROM hits h JOIN shc ON h.doc_id = shc.doc_id""",
     "d_jaccard_capped" ->
       s"""WITH $shingleCte,
           $cappedCte,
