@@ -151,6 +151,26 @@ object Subqueries {
         FROM orders WHERE o_orderpriority = '1-URGENT')""")
   }
 
+  /** Correlated LATERAL subquery — per-customer top-2 orders by price.
+    * The lateral form expresses "top-N per key" as a subquery the outer
+    * row parameterizes; Catalyst decorrelates the correlated ORDER BY +
+    * LIMIT into a per-key window/rank over one keyed shuffle — the same
+    * physical work as the hand-written dense_rank idiom
+    * (`p9_latest_per_key`), which is exactly what "declare, don't
+    * schedule" promises: the naive reading (re-run the subquery per
+    * outer row) never executes. Unique price tiebreak (o_orderkey)
+    * keeps the top-2 deterministic cross-engine. */
+  def qLateralTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    view(spark, sfDir, "customer", "orders")
+    spark.sql("""
+      SELECT c_custkey, o.o_orderkey, o.price
+      FROM customer c JOIN LATERAL (
+        SELECT o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+        FROM orders WHERE o_custkey = c.c_custkey
+        ORDER BY price DESC, o_orderkey LIMIT 2) o""")
+  }
+
   /** TPC-H Q13 shape (DataFrame form): customer order-count distribution
     * via a conditioned LEFT OUTER join (the join predicate carries the
     * non-key filter, so zero-order customers survive with count 0) and a
@@ -177,7 +197,8 @@ object Subqueries {
     "sq22_cold_customers" -> q22ColdCustomers _,
     "sq2_min_per_key" -> q2MinPerKey _,
     "sq13_distribution" -> q13Distribution _,
-    "sq_not_in_null" -> qNotInNullAware _)
+    "sq_not_in_null" -> qNotInNullAware _,
+    "sq_lateral_topk" -> qLateralTopK _)
 
   def oracleSql: Map[String, String] = Map(
     "sq4_exists" ->
@@ -237,6 +258,13 @@ object Subqueries {
          WHERE c_custkey NOT IN (
            SELECT CASE WHEN o_totalprice < 0 THEN NULL ELSE o_custkey END
            FROM orders WHERE o_orderpriority = '1-URGENT')""",
+    "sq_lateral_topk" ->
+      """SELECT c_custkey, o.o_orderkey, o.price
+         FROM customer c, LATERAL (
+           SELECT o_orderkey,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+           FROM orders WHERE o_custkey = c.c_custkey
+           ORDER BY price DESC, o_orderkey LIMIT 2) o""",
     "sq13_distribution" ->
       """SELECT c_count, count(*) AS custdist FROM (
            SELECT c_custkey, count(o_orderkey) AS c_count

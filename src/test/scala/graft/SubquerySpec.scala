@@ -50,6 +50,15 @@ class SubquerySpec extends SparkSpec {
       (plan.contains("LeftAnti") && plan.contains("BroadcastNestedLoop")), plan)
   }
 
+  test("correlated LATERAL top-N decorrelates to a WindowGroupLimit, not per-row re-execution") {
+    val plan = planOf(Subqueries.qLateralTopK(spark, sf))
+    // the correlated ORDER BY + LIMIT becomes a rank window with
+    // map-side group-limit pushdown — per-partition top-k crosses the
+    // shuffle, never the full orders table per customer
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(!plan.toLowerCase.contains("cartesian"), plan)
+  }
+
   test("subquery anchors return rows at sf0.001") {
     for ((name, fn) <- Subqueries.queries)
       assert(fn(spark, sf).limit(1).count() == 1L, s"$name returned no rows")
