@@ -712,6 +712,80 @@ object Parity {
       .agg(sum(col("amount")).cast("double").as("sum_profit"))
   }
 
+  /** TPC-H Q6 (forecast revenue change): the canonical SELECTIVE SCAN
+    * aggregate — no joins, no grouping, three pushable predicates and
+    * one exact-decimal fold. The point at 100 TB is the scan: every
+    * predicate reaches the parquet reader (PushedFilters) and row-group
+    * min/max statistics skip most of the file before a row decodes. */
+  def tpchQ6(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00") &&
+        col("l_shipdate") < lit("1997-01-01 00:00:00") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(sum((dec(col("l_extendedprice")) * dec(col("l_discount")))
+        .cast("decimal(18,4)")).cast("double").as("revenue"))
+
+  /** TPC-H Q10 (returned-item reporting), adapted: revenue lost to
+    * returns per customer over a quarter, top 20. Fact joins shuffle on
+    * their keys, nation broadcasts, and the final top-k is
+    * TakeOrderedAndProject over the aggregated rows (unique c_custkey
+    * tiebreak keeps it deterministic). */
+  def tpchQ10(spark: SparkSession, sfDir: String): DataFrame = {
+    val nat = table(spark, sfDir, "nation").select("n_nationkey", "n_name")
+    val cust = table(spark, sfDir, "customer")
+      .select("c_custkey", "c_name", "c_nationkey")
+    val ord = table(spark, sfDir, "orders")
+      .filter(col("o_orderdate").cast(DateType) >= lit("1996-01-01").cast(DateType) &&
+        col("o_orderdate").cast(DateType) < lit("1996-07-01").cast(DateType))
+      .select("o_orderkey", "o_custkey")
+    val li = table(spark, sfDir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), discPrice.as("disc_price"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(sum(col("disc_price")).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q14 (promotion effect): promo share of one month's revenue —
+    * a conditional/total sum ratio in ONE aggregate pass over the
+    * part-joined fact (part broadcasts; no self-join). */
+  def tpchQ14(spark: SparkSession, sfDir: String): DataFrame = {
+    val parts = table(spark, sfDir, "part").select("p_partkey", "p_type")
+    val li = table(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-03-01 00:00:00") &&
+        col("l_shipdate") < lit("1997-04-01 00:00:00"))
+      .select(col("l_partkey"), discPrice.as("disc_price"))
+    li.join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .agg(((sum(when(col("p_type") === "PROMO", col("disc_price"))
+          .otherwise(lit(0).cast("decimal(18,4)"))).cast("double") * 100.0) /
+        sum(col("disc_price")).cast("double")).as("promo_revenue_pct"))
+  }
+
+  /** TPC-H Q19 (discounted revenue, bracketed OR-of-ANDs): three
+    * (brand, size-range, quantity-range) brackets OR'd together across
+    * fact and dim columns. The optimizer extracts the common
+    * `p_partkey = l_partkey` equi-condition from under the disjunction
+    * (no nested-loop fallback) and pushes each side's bracket residuals
+    * to its own scan. */
+  def tpchQ19(spark: SparkSession, sfDir: String): DataFrame = {
+    val parts = table(spark, sfDir, "part").select("p_partkey", "p_brand", "p_size")
+    val li = table(spark, sfDir, "lineitem")
+      .select(col("l_partkey"), col("l_quantity"), discPrice.as("disc_price"))
+    li.join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(1, 15)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(11, 30) &&
+          col("l_quantity").between(10, 25)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
+          col("l_quantity").between(20, 40)))
+      .agg(sum(col("disc_price")).cast("double").as("revenue"))
+  }
+
   /** Set operations: union distinct, intersect, except (absent from the
     * reference; introduced by our MERGE rewrite internally — SURVEY §2.6). */
   def setOps(spark: SparkSession, sfDir: String): DataFrame = {
@@ -959,9 +1033,13 @@ object Parity {
     "tpch_q1" -> tpchQ1 _,
     "tpch_q3" -> tpchQ3 _,
     "tpch_q5" -> tpchQ5 _,
+    "tpch_q6" -> tpchQ6 _,
     "tpch_q7" -> tpchQ7 _,
     "tpch_q8" -> tpchQ8 _,
     "tpch_q9" -> tpchQ9 _,
+    "tpch_q10" -> tpchQ10 _,
+    "tpch_q14" -> tpchQ14 _,
+    "tpch_q19" -> tpchQ19 _,
     "scalar_suite" -> scalarSuite _,
     "scd2_two_batch" -> scd2TwoBatch _,
     "scd4_two_batch" -> scd4TwoBatch _,
@@ -1252,6 +1330,48 @@ object Parity {
            AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
            AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
          GROUP BY n_name""",
+    "tpch_q6" ->
+      """SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+           AND l_discount BETWEEN 0.05 AND 0.07
+           AND l_quantity < 24""",
+    "tpch_q10" ->
+      """SELECT c_custkey, c_name, n_name,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM customer
+         JOIN orders   ON c_custkey = o_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         JOIN nation   ON c_nationkey = n_nationkey
+         WHERE l_returnflag = 'R'
+           AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+           AND CAST(o_orderdate AS DATE) <  DATE '1996-07-01'
+         GROUP BY 1, 2, 3
+         ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "tpch_q14" ->
+      """SELECT (CAST(SUM(CASE WHEN p_type = 'PROMO'
+               THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                 (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))
+               ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) * 100.0) /
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE)
+             AS promo_revenue_pct
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+           AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'""",
+    "tpch_q19" ->
+      """SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM lineitem JOIN part ON p_partkey = l_partkey
+         WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+                AND l_quantity BETWEEN 1 AND 15)
+            OR (p_brand = 'Brand#2' AND p_size BETWEEN 11 AND 30
+                AND l_quantity BETWEEN 10 AND 25)
+            OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+                AND l_quantity BETWEEN 20 AND 40)""",
     "tpch_q7" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
            year(l_shipdate) AS l_year,
