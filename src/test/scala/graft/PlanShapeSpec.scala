@@ -144,6 +144,65 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("shingle self-join computes the postings exchange once (ReuseExchange)") {
+    // jaccardPairs joins the exploded postings with themselves; the
+    // barrier repartition makes both sides the IDENTICAL exchange, so at
+    // 100 TB (where neither side broadcasts) the shingle derivation runs
+    // once, not twice. Disable broadcast to get the at-scale plan, and
+    // execute so AQE finalizes before inspecting.
+    val conf = spark.conf
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    try {
+      keys.foreach(conf.set(_, "-1"))
+      val q = graft.queries.Extensions.ngramJaccard(spark, sf)
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("ReusedExchange"), plan)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
+  test("AQE splits a skewed join partition at runtime (skew=true)") {
+    // The declarative complement to ops/Skew salting: when one key
+    // dwarfs the others, AQE re-plans the sort-merge join to split the
+    // oversized partition instead of letting one task run for hours.
+    // Production thresholds are 256MB; scale them down and restore.
+    import spark.implicits._
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    try {
+      conf.set(keys(0), "16KB")
+      conf.set(keys(1), "8KB")
+      conf.set(keys(2), "2")
+      conf.set(keys(3), "-1")
+      conf.set(keys(4), "-1")
+      // key 0 carries ~100k rows, the rest 1 each — a canonical hot key
+      val left = spark.range(0, 100000).select(
+        when(col("id") < 99000, 0L).otherwise(col("id")).as("k"),
+        col("id").as("v"))
+      val right = spark.range(0, 200).select(col("id").as("k"), (col("id") * 2).as("w"))
+      val joined = left.join(right, "k")
+      // collect() drives THIS dataset's query execution, so its AQE plan
+      // finalizes (a write would execute a separate wrapped plan)
+      joined.collect()
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"), finalPlan)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("partition-pruned read scans only the selected partition") {
     val dir = Parity.tmp("planshape-part", sf)
     Parity.table(spark, sf, "orders")
