@@ -129,6 +129,81 @@ object Multimodal {
     * "decoded feature" its first byte — a stand-in for the codec this
     * container can't host — but batch iteration, dispatch, and fan-out
     * are the real, load-bearing parts. */
+  // ---------------------------------------------------- image header probe
+  // REAL byte parsing (not a stub): production curation pipelines gate on
+  // width/height/format BEFORE any full decode — container headers carry
+  // the dimensions, so the probe reads tens of bytes per asset with no
+  // image library. Runs inside the same partition-local loop as the
+  // decode stubs; no shuffle ever touches the payload.
+
+  /** Parsed container header: format + dimensions, or ok=false when the
+    * payload matches no known signature (or is truncated). */
+  case class ImageInfo(doc_id: Long, format: String, width: Long,
+                       height: Long, ok: Boolean)
+
+  /** Parse PNG (IHDR), JPEG (SOF0/1/2 scan), and GIF (logical screen)
+    * headers. Pure byte logic; returns None for unknown/truncated input. */
+  def probeImageHeader(b: Array[Byte]): Option[(String, Int, Int)] = {
+    def u8(i: Int) = b(i) & 0xff
+    def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    def be32(i: Int) = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    if (b.length >= 24 &&
+        b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
+        b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')
+      Some(("png", be32(16), be32(20)))
+    else if (b.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+      // JPEG: walk marker segments to the first start-of-frame
+      var i = 2
+      while (i + 9 < b.length) {
+        if (u8(i) != 0xff) return None
+        val marker = u8(i + 1)
+        if (marker == 0xc0 || marker == 0xc1 || marker == 0xc2)
+          return Some(("jpeg", be16(i + 7), be16(i + 5)))
+        i += 2 + be16(i + 2) // skip this segment's payload
+      }
+      None
+    }
+    else if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a')
+      Some(("gif", le16(6), le16(8)))
+    else None
+  }
+
+  /** Probe a media dataset's headers partition-locally. */
+  def probeImages(media: Dataset[MediaRow])(implicit spark: SparkSession): Dataset[ImageInfo] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { m =>
+      probeImageHeader(m.payload) match {
+        case Some((fmt, w, h)) => ImageInfo(m.doc_id, fmt, w.toLong, h.toLong, ok = true)
+        case None => ImageInfo(m.doc_id, "unknown", 0L, 0L, ok = false)
+      }
+    })
+  }
+
+  /** Synthesize a minimal valid header for tests/fixtures (PNG IHDR,
+    * JPEG APP0+SOF0, GIF89a screen descriptor) followed by filler. */
+  def synthesizeImage(format: String, width: Int, height: Int): Array[Byte] = {
+    def be16(v: Int) = Array[Byte]((v >> 8).toByte, v.toByte)
+    def be32(v: Int) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    format match {
+      case "png" =>
+        Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+          be32(13) ++ "IHDR".getBytes ++ be32(width) ++ be32(height) ++
+          Array[Byte](8, 2, 0, 0, 0)
+      case "jpeg" =>
+        // SOI, APP0 (len 4 = 2 len bytes + 2 payload), SOF0 (len 9 =
+        // 2 len bytes + prec 1 + height 2 + width 2 + 2 trailing)
+        Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte) ++
+          be16(4) ++ Array[Byte](0, 0) ++
+          Array[Byte](0xff.toByte, 0xc0.toByte) ++ be16(9) ++
+          Array[Byte](8) ++ be16(height) ++ be16(width) ++ Array[Byte](3, 0)
+      case _ =>
+        "GIF89a".getBytes ++ le16(width) ++ le16(height) ++ Array[Byte](0, 0, 0)
+    }
+  }
+
   def sampleFrames(media: Dataset[MediaRow])(implicit spark: SparkSession): Dataset[FrameSample] = {
     import spark.implicits._
     media.mapPartitions { rows =>

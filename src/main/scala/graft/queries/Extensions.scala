@@ -217,6 +217,30 @@ object Extensions {
         (col("n_hits") >= 5).as("contaminated"))
   }
 
+  /** Image-header probe over synthesized container bytes: each doc gets
+    * a REAL PNG/JPEG/GIF header (dimensions derived from doc_id), and
+    * [[Multimodal.probeImageHeader]] parses them back partition-locally
+    * — actual byte parsing, not a stub. The oracle recomputes the
+    * dimension formula directly, so a parser bug (endianness, offset,
+    * marker walk) breaks the hash match. This is the production cheap
+    * gate: width/height/format filtering reads tens of header bytes per
+    * asset, no image library, no full decode, no shuffle of payloads. */
+  def imageProbe(spark: SparkSession, sfDir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val media = docs(spark, sfDir).select(col("doc_id")).as[Long].map { id =>
+      val fmt = (id % 3) match {
+        case 0 => "png"
+        case 1 => "jpeg"
+        case _ => "gif"
+      }
+      graft.ext.MediaRow(id, fmt, Multimodal.synthesizeImage(
+        fmt, (id % 507 + 1).toInt, (id % 281 + 1).toInt))
+    }
+    Multimodal.probeImages(media).toDF()
+      .select("doc_id", "format", "width", "height", "ok")
+  }
+
   /** MinHash+LSH candidates, exact-verified at j >= 0.8. */
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.minHashNearDups(docs(spark, sfDir), 0.8)
@@ -816,6 +840,7 @@ object Extensions {
     "d_containment" -> containmentDup _,
     "d_minhash_lsh" -> minhashLsh _,
     "x_decontaminate" -> decontaminate _,
+    "m_image_probe" -> imageProbe _,
     "d_simhash_pairs" -> simhashPairs _,
     "d_embed_neardup" -> embedNearDup _,
     "x_ann_topk" -> annTopK _,
@@ -1036,6 +1061,14 @@ object Extensions {
            count(*) AS n_copies
          FROM all_docs GROUP BY 1 HAVING count(*) > 1""",
     "d_ngram_jaccard" -> jaccardSql("0.5"),
+    "m_image_probe" ->
+      """SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END
+             AS format,
+           doc_id % 507 + 1 AS width,
+           doc_id % 281 + 1 AS height,
+           TRUE AS ok
+         FROM documents""",
     "x_decontaminate" ->
       s"""WITH $shingleCte,
           bench AS (SELECT DISTINCT shingle FROM ex WHERE doc_id % 97 = 0),

@@ -106,6 +106,20 @@ class OpsSpec extends SparkSpec {
     assert(inits.value == 4, s"expected one codec init per partition, got ${inits.value}")
   }
 
+  test("image header probe parses real PNG/JPEG/GIF bytes and rejects junk") {
+    import graft.ext.Multimodal.{probeImageHeader, synthesizeImage}
+    assert(probeImageHeader(synthesizeImage("png", 640, 480)) == Some(("png", 640, 480)))
+    assert(probeImageHeader(synthesizeImage("jpeg", 1920, 1080)) == Some(("jpeg", 1920, 1080)))
+    assert(probeImageHeader(synthesizeImage("gif", 320, 200)) == Some(("gif", 320, 200)))
+    // JPEG dims live past an APP0 the walker must skip, not scan blindly
+    assert(probeImageHeader(synthesizeImage("jpeg", 1, 65535)) == Some(("jpeg", 1, 65535)))
+    // truncated, corrupt, and empty payloads all refuse, never throw
+    assert(probeImageHeader(synthesizeImage("png", 640, 480).take(20)).isEmpty)
+    assert(probeImageHeader(Array[Byte](0xff.toByte, 0xd8.toByte, 0x00, 0x01)).isEmpty)
+    assert(probeImageHeader("not an image at all".getBytes).isEmpty)
+    assert(probeImageHeader(Array.empty[Byte]).isEmpty)
+  }
+
   test("frame sampling dispatches per media type") {
     implicit val s = spark
     // doc_id % 3 decides the type: 0→image, 1→audio, 2→video.
