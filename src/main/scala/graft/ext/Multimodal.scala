@@ -204,6 +204,61 @@ object Multimodal {
     }
   }
 
+  /** Parsed WAV header: channel layout, rate, depth, payload size. */
+  case class AudioInfo(doc_id: Long, channels: Long, sample_rate: Long,
+                       bits: Long, data_bytes: Long, ok: Boolean)
+
+  /** Parse a WAV (RIFF) header: walk chunks to `fmt ` (channels, sample
+    * rate, bit depth) and `data` (payload size). Same role as the image
+    * probe: the pre-decode duration/rate/channels gate, tens of bytes
+    * per asset, no audio library. */
+  def probeWavHeader(b: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+    def u8(i: Int) = b(i) & 0xff
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def tag(i: Int, t: String) = b.length >= i + 4 &&
+      (0 until 4).forall(j => b(i + j) == t(j).toByte)
+    if (b.length < 12 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    var i = 12
+    var fmt: Option[(Int, Int, Int)] = None
+    var data: Option[Int] = None
+    while (i + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
+      val size = le32(i + 4)
+      if (size < 0) return None
+      if (tag(i, "fmt ") && i + 24 <= b.length)
+        fmt = Some((le16(i + 10), le32(i + 12), le16(i + 22)))
+      else if (tag(i, "data"))
+        data = Some(size)
+      i += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    for ((ch, rate, bits) <- fmt; d <- data) yield (ch, rate, bits, d)
+  }
+
+  /** Probe WAV headers partition-locally. */
+  def probeAudio(media: Dataset[MediaRow])(implicit spark: SparkSession): Dataset[AudioInfo] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { m =>
+      probeWavHeader(m.payload) match {
+        case Some((ch, rate, bits, d)) =>
+          AudioInfo(m.doc_id, ch.toLong, rate.toLong, bits.toLong, d.toLong, ok = true)
+        case None => AudioInfo(m.doc_id, 0L, 0L, 0L, 0L, ok = false)
+      }
+    })
+  }
+
+  /** Minimal valid WAV header + empty data chunk for fixtures. */
+  def synthesizeWav(channels: Int, sampleRate: Int, bits: Int,
+                    dataBytes: Int): Array[Byte] = {
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    val blockAlign = channels * bits / 8
+    "RIFF".getBytes ++ le32(36 + dataBytes) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(channels) ++
+      le32(sampleRate) ++ le32(sampleRate * blockAlign) ++
+      le16(blockAlign) ++ le16(bits) ++
+      "data".getBytes ++ le32(dataBytes)
+  }
+
   def sampleFrames(media: Dataset[MediaRow])(implicit spark: SparkSession): Dataset[FrameSample] = {
     import spark.implicits._
     media.mapPartitions { rows =>

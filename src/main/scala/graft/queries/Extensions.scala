@@ -241,6 +241,23 @@ object Extensions {
       .select("doc_id", "format", "width", "height", "ok")
   }
 
+  /** WAV-header probe, the audio sibling of [[imageProbe]]: synthesized
+    * RIFF headers (channels/rate/size from a doc_id formula) parsed back
+    * by the real chunk walker; formula oracle. */
+  def audioProbe(spark: SparkSession, sfDir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val media = docs(spark, sfDir).select(col("doc_id")).as[Long].map { id =>
+      graft.ext.MediaRow(id, "audio", Multimodal.synthesizeWav(
+        channels = (id % 2 + 1).toInt,
+        sampleRate = (8000 + (id % 5) * 8000).toInt,
+        bits = 16,
+        dataBytes = ((id % 1000 + 1) * 4).toInt))
+    }
+    Multimodal.probeAudio(media).toDF()
+      .select("doc_id", "channels", "sample_rate", "bits", "data_bytes", "ok")
+  }
+
   /** MinHash+LSH candidates, exact-verified at j >= 0.8. */
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.minHashNearDups(docs(spark, sfDir), 0.8)
@@ -841,6 +858,7 @@ object Extensions {
     "d_minhash_lsh" -> minhashLsh _,
     "x_decontaminate" -> decontaminate _,
     "m_image_probe" -> imageProbe _,
+    "m_audio_probe" -> audioProbe _,
     "d_simhash_pairs" -> simhashPairs _,
     "d_embed_neardup" -> embedNearDup _,
     "x_ann_topk" -> annTopK _,
@@ -1061,6 +1079,14 @@ object Extensions {
            count(*) AS n_copies
          FROM all_docs GROUP BY 1 HAVING count(*) > 1""",
     "d_ngram_jaccard" -> jaccardSql("0.5"),
+    "m_audio_probe" ->
+      """SELECT doc_id,
+           doc_id % 2 + 1 AS channels,
+           8000 + (doc_id % 5) * 8000 AS sample_rate,
+           CAST(16 AS BIGINT) AS bits,
+           (doc_id % 1000 + 1) * 4 AS data_bytes,
+           TRUE AS ok
+         FROM documents""",
     "m_image_probe" ->
       """SELECT doc_id,
            CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END

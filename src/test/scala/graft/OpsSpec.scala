@@ -120,6 +120,20 @@ class OpsSpec extends SparkSpec {
     assert(probeImageHeader(Array.empty[Byte]).isEmpty)
   }
 
+  test("wav header probe parses RIFF chunks and rejects junk") {
+    import graft.ext.Multimodal.{probeWavHeader, synthesizeWav}
+    assert(probeWavHeader(synthesizeWav(2, 44100, 16, 88200)) == Some((2, 44100, 16, 88200)))
+    assert(probeWavHeader(synthesizeWav(1, 8000, 8, 0)) == Some((1, 8000, 8, 0)))
+    // an unknown chunk before fmt must be skipped by size, not break the walk
+    val extra = "RIFF".getBytes ++ Array[Byte](0, 1, 0, 0) ++ "WAVE".getBytes ++
+      "LIST".getBytes ++ Array[Byte](4, 0, 0, 0) ++ Array[Byte](1, 2, 3, 4) ++
+      synthesizeWav(2, 16000, 16, 64).drop(12)
+    assert(probeWavHeader(extra) == Some((2, 16000, 16, 64)))
+    assert(probeWavHeader(synthesizeWav(2, 44100, 16, 100).take(20)).isEmpty)
+    assert(probeWavHeader("RIFFxxxxNOPE".getBytes).isEmpty)
+    assert(probeWavHeader(Array.empty[Byte]).isEmpty)
+  }
+
   test("frame sampling dispatches per media type") {
     implicit val s = spark
     // doc_id % 3 decides the type: 0→image, 1→audio, 2→video.
