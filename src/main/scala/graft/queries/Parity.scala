@@ -809,6 +809,21 @@ object Parity {
         grouping(col("o_orderstatus")).as("g_status"),
         grouping(col("o_orderpriority")).as("g_priority"))
 
+  /** A9 — ordered string aggregation (listagg/string_agg): the reporting
+    * aggregate that concatenates group members. Determinism rule: sort
+    * INSIDE the aggregate (array_sort before join ≡ string_agg ORDER BY)
+    * — collect_list order is execution-dependent, so an unsorted concat
+    * would differ run to run, let alone cross-engine. Per-group list
+    * size is dimension-bounded (nations per region), never fact-sized. */
+  def a9StringAgg(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "nation")
+      .join(broadcast(table(spark, sfDir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(
+        array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"),
+        count(lit(1)).as("n_nations"))
+
   /** Cube — the remaining member of the grouping-sets family (rollup is
     * a4): all 4 grouping combinations in one pass; Catalyst expands to a
     * single Expand + hash-aggregate, so scale cost is one shuffle. */
@@ -1033,6 +1048,7 @@ object Parity {
     "tpch_q1" -> tpchQ1 _,
     "tpch_q3" -> tpchQ3 _,
     "tpch_q5" -> tpchQ5 _,
+    "a9_string_agg" -> a9StringAgg _,
     "tpch_q6" -> tpchQ6 _,
     "tpch_q7" -> tpchQ7 _,
     "tpch_q8" -> tpchQ8 _,
@@ -1330,6 +1346,12 @@ object Parity {
            AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
            AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
          GROUP BY n_name""",
+    "a9_string_agg" ->
+      """SELECT r_name,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           count(*) AS n_nations
+         FROM nation JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name""",
     "tpch_q6" ->
       """SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
              CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
