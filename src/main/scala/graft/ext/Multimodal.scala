@@ -259,6 +259,82 @@ object Multimodal {
       "data".getBytes ++ le32(dataBytes)
   }
 
+  /** Parsed MP4 movie header: timescale (ticks/sec), duration (ticks),
+    * derived milliseconds. */
+  case class VideoInfo(doc_id: Long, brand: String, timescale: Long,
+                       duration: Long, duration_ms: Long, ok: Boolean)
+
+  /** Parse an MP4 (ISO-BMFF) header: top-level box walk to `moov`, then
+    * inside it to `mvhd` (version 0: 32-bit timescale + duration at
+    * fixed offsets; version 1: 64-bit duration). The video sibling of
+    * the image/WAV probes — duration/timescale gating without a media
+    * library. Returns (major_brand, timescale, duration). */
+  def probeMp4Header(b: Array[Byte]): Option[(String, Long, Long)] = {
+    def u8(i: Int) = (b(i) & 0xff).toLong
+    def be32(i: Int) = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def be64(i: Int) = (be32(i) << 32) | be32(i + 4)
+    def tag(i: Int) = new String(b.slice(i + 4, i + 8), "ISO-8859-1")
+    if (b.length < 16 || tag(0) != "ftyp") return None
+    val brand = new String(b.slice(8, 12), "ISO-8859-1")
+    var i = 0
+    while (i + 8 <= b.length) {
+      val size = be32(i)
+      if (size < 8) return None
+      if (tag(i) == "moov") {
+        // walk the moov children for mvhd
+        var j = i + 8
+        val end = math.min(i + size, b.length.toLong).toInt
+        while (j + 8 <= end) {
+          val csize = be32(j).toInt
+          if (csize < 8) return None
+          if (tag(j) == "mvhd") {
+            val v = u8(j + 8)
+            return {
+              if (v == 0L && j + 28 <= end)
+                Some((brand, be32(j + 20), be32(j + 24)))
+              else if (v == 1L && j + 40 <= end)
+                Some((brand, be32(j + 28), be64(j + 32)))
+              else None
+            }
+          }
+          j += csize
+        }
+        return None
+      }
+      i += size.toInt
+    }
+    None
+  }
+
+  /** Probe MP4 headers partition-locally. */
+  def probeVideo(media: Dataset[MediaRow])(implicit spark: SparkSession): Dataset[VideoInfo] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { m =>
+      probeMp4Header(m.payload) match {
+        case Some((brand, ts, dur)) =>
+          VideoInfo(m.doc_id, brand, ts, dur,
+            if (ts > 0) dur * 1000L / ts else 0L, ok = true)
+        case None => VideoInfo(m.doc_id, "", 0L, 0L, 0L, ok = false)
+      }
+    })
+  }
+
+  /** Minimal valid ftyp + moov/mvhd (version 0) for fixtures. */
+  def synthesizeMp4(brand: String, timescale: Int, duration: Int): Array[Byte] = {
+    require(brand.length == 4, "brand must be 4 chars")
+    def be32(v: Int) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    val ftyp = be32(16) ++ "ftyp".getBytes ++ brand.getBytes ++ be32(0)
+    // mvhd v0: size 108 per spec = 8 box header + 100 payload; payload =
+    // verflags 4 + creation 4 + modification 4 + timescale 4 + duration 4
+    // + 80 zero-fill (rate/volume/matrix/next-track)
+    val mvhdPayload = Array[Byte](0, 0, 0, 0) ++ // version + flags
+      be32(0) ++ be32(0) ++ be32(timescale) ++ be32(duration) ++
+      Array.fill[Byte](80)(0)
+    val mvhd = be32(108) ++ "mvhd".getBytes ++ mvhdPayload
+    val moov = be32(8 + mvhd.length) ++ "moov".getBytes ++ mvhd
+    ftyp ++ moov
+  }
+
   def sampleFrames(media: Dataset[MediaRow])(implicit spark: SparkSession): Dataset[FrameSample] = {
     import spark.implicits._
     media.mapPartitions { rows =>

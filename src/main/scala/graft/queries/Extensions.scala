@@ -258,6 +258,22 @@ object Extensions {
       .select("doc_id", "channels", "sample_rate", "bits", "data_bytes", "ok")
   }
 
+  /** MP4-header probe, the video sibling: synthesized ftyp+moov/mvhd
+    * parsed back by the real box walker; formula oracle (duration_ms =
+    * ticks scaled by timescale in exact integer arithmetic). */
+  def videoProbe(spark: SparkSession, sfDir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val media = docs(spark, sfDir).select(col("doc_id")).as[Long].map { id =>
+      graft.ext.MediaRow(id, "video", Multimodal.synthesizeMp4(
+        brand = if (id % 2 == 0) "isom" else "mp42",
+        timescale = (600 + (id % 4) * 600).toInt,
+        duration = ((id % 7200 + 1) * 600).toInt))
+    }
+    Multimodal.probeVideo(media).toDF()
+      .select("doc_id", "brand", "timescale", "duration", "duration_ms", "ok")
+  }
+
   /** MinHash+LSH candidates, exact-verified at j >= 0.8. */
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.minHashNearDups(docs(spark, sfDir), 0.8)
@@ -859,6 +875,7 @@ object Extensions {
     "x_decontaminate" -> decontaminate _,
     "m_image_probe" -> imageProbe _,
     "m_audio_probe" -> audioProbe _,
+    "m_video_probe" -> videoProbe _,
     "d_simhash_pairs" -> simhashPairs _,
     "d_embed_neardup" -> embedNearDup _,
     "x_ann_topk" -> annTopK _,
@@ -1079,6 +1096,15 @@ object Extensions {
            count(*) AS n_copies
          FROM all_docs GROUP BY 1 HAVING count(*) > 1""",
     "d_ngram_jaccard" -> jaccardSql("0.5"),
+    "m_video_probe" ->
+      """SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END AS brand,
+           600 + (doc_id % 4) * 600 AS timescale,
+           (doc_id % 7200 + 1) * 600 AS duration,
+           ((doc_id % 7200 + 1) * 600) * 1000 // (600 + (doc_id % 4) * 600)
+             AS duration_ms,
+           TRUE AS ok
+         FROM documents""",
     "m_audio_probe" ->
       """SELECT doc_id,
            doc_id % 2 + 1 AS channels,

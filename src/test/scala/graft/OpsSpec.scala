@@ -134,6 +134,20 @@ class OpsSpec extends SparkSpec {
     assert(probeWavHeader(Array.empty[Byte]).isEmpty)
   }
 
+  test("mp4 header probe walks boxes to mvhd and rejects junk") {
+    import graft.ext.Multimodal.{probeMp4Header, synthesizeMp4}
+    assert(probeMp4Header(synthesizeMp4("isom", 600, 72000)) == Some(("isom", 600L, 72000L)))
+    assert(probeMp4Header(synthesizeMp4("mp42", 90000, 1)) == Some(("mp42", 90000L, 1L)))
+    // a free box between ftyp and moov must be skipped by size
+    val mp4 = synthesizeMp4("isom", 1000, 5000)
+    val free = Array[Byte](0, 0, 0, 12) ++ "free".getBytes ++ Array[Byte](9, 9, 9, 9)
+    val withFree = mp4.take(16) ++ free ++ mp4.drop(16)
+    assert(probeMp4Header(withFree) == Some(("isom", 1000L, 5000L)))
+    assert(probeMp4Header(mp4.take(30)).isEmpty)  // truncated before mvhd
+    assert(probeMp4Header("definitely not an mp4 file".getBytes).isEmpty)
+    assert(probeMp4Header(Array.empty[Byte]).isEmpty)
+  }
+
   test("frame sampling dispatches per media type") {
     implicit val s = spark
     // doc_id % 3 decides the type: 0→image, 1→audio, 2→video.
