@@ -797,6 +797,25 @@ object Extensions {
         sum(col("n_chars")).as("sum_chars"))
   }
 
+  /** Deterministic train/val/test split — reproducible hash assignment,
+    * the op every training pipeline runs before export. Split = a pure
+    * function of (doc_id, salt) via the engine's portable polynomial
+    * hash, so membership is stable across runs, machines, and engine
+    * versions; changing the salt re-deals the split without touching
+    * data. 80/10/10 on hash mod 100. No shuffle for assignment (per-row
+    * projection); one keyed agg for the report. The same idiom shards to
+    * N training files via partitionBy(split). */
+  def trainValSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket = TextKit.polyHash(
+      concat(lit("split-v1:"), col("doc_id").cast("string"))) % 100
+    docs(spark, sfDir)
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+  }
+
   /** TF-IDF (rational form): score = tf · N / df — log-free so the
     * arithmetic is one IEEE multiply + divide and bit-identical across
     * engines; ranking is unchanged because ln is monotone. Emits each
@@ -913,6 +932,7 @@ object Extensions {
     "x_pii_scrub" -> piiScrub _,
     "x_pivot" -> pivotStatus _,
     "x_stratified_sample" -> stratifiedSample _,
+    "x_train_val_split" -> trainValSplit _,
     "x_resample" -> resampleFfill _,
     "x_group_topk" -> groupTopK _,
     "x_chunk_docs" -> (chunkDocs(_, _)),
@@ -1675,6 +1695,17 @@ object Extensions {
           WHERE $h % 100 < CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 30
                            ELSE 50 END
           GROUP BY lang"""
+    },
+    "x_train_val_split" -> {
+      val h = DuckSql.polyHash("'split-v1:' || CAST(doc_id AS VARCHAR)")
+      s"""SELECT source,
+            CASE WHEN $h % 100 < 80 THEN 'train'
+                 WHEN $h % 100 < 90 THEN 'val' ELSE 'test' END AS split,
+            count(*) AS n_docs,
+            CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+            MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+          FROM documents
+          GROUP BY 1, 2"""
     },
     "x_outliers" ->
       """WITH s AS (SELECT lang, count(*) AS n, SUM(n_chars) AS s1x,
