@@ -37,6 +37,18 @@ final class TableCatalog(val root: String) extends Serializable {
   def read(spark: SparkSession, name: String): DataFrame =
     spark.read.parquet(currentPath(name))
 
+  /** Register the table's CURRENT version as a SQL temp view (dots in
+    * the 3-level name become underscores — temp views are single-level).
+    * The view binds to the version current at registration: a pointer
+    * swap after an overwrite needs re-registration to become visible,
+    * which is the read-consistency contract a long-running report wants
+    * (no mid-query version tear). */
+  def registerView(spark: SparkSession, name: String): String = {
+    val viewName = name.replace('.', '_')
+    read(spark, name).createOrReplaceTempView(viewName)
+    viewName
+  }
+
   /** Retained version tags, oldest first (pruning keeps the newest 2 —
     * the Delta-time-travel analogue bounded by the retention policy). */
   def versions(name: String): Seq[String] =

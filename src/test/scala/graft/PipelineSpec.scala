@@ -271,6 +271,22 @@ class PipelineSpec extends SparkSpec {
     assert(drifted.filter(col("extra").isNull).count() == 120)
   }
 
+  test("catalog tables register as SQL views bound to the current version") {
+    import spark.implicits._
+    val cat = new TableCatalog(
+      java.nio.file.Files.createTempDirectory("graft-view").toString)
+    cat.overwrite(Seq((1, "a"), (2, "b")).toDF("k", "v"), "gold.mart.sales")
+    val view = cat.registerView(spark, "gold.mart.sales")
+    assert(view == "gold_mart_sales")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $view").head().getLong(0) == 2L)
+    // the view is version-stable: a later overwrite is invisible until
+    // re-registration (no mid-query version tear)
+    cat.overwrite(Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v"), "gold.mart.sales")
+    assert(spark.sql(s"SELECT count(*) FROM $view").head().getLong(0) == 2L)
+    cat.registerView(spark, "gold.mart.sales")
+    assert(spark.sql(s"SELECT count(*) FROM $view").head().getLong(0) == 3L)
+  }
+
   test("catalog change feed classifies insert/delete/update between versions") {
     import spark.implicits._
     val cat = new TableCatalog(
