@@ -288,6 +288,7 @@ object Multimodal {
           val csize = be32(j).toInt
           if (csize < 8) return None
           if (tag(j) == "mvhd") {
+            if (j + 9 > end) return None // version byte truncated
             val v = u8(j + 8)
             return {
               if (v == 0L && j + 28 <= end)
