@@ -203,6 +203,31 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("native as-of join over co-bucketed tables plans exchange-free") {
+    // The custom operator composes with bucketing exactly like a built-in
+    // sort-merge join: its ClusteredDistribution requirement is satisfied
+    // by the bucketed scans' HashPartitioning, so a 100 TB as-of
+    // enrichment against a co-bucketed quote table pays ZERO shuffle.
+    import spark.implicits._
+    val trades = Seq((1L, 10L, "t1"), (1L, 20L, "t2"), (2L, 15L, "t3"))
+      .toDF("key", "ts", "trade")
+    val quotes = Seq((1L, 5L, 100.0), (1L, 15L, 101.0), (2L, 10L, 200.0))
+      .toDF("key", "qts", "px")
+    val base = Parity.tmp("planshape-bucketed-asof", sf)
+    graft.ops.Bucketing.writeBucketed(trades, "asof_trades", s"$base/t", Seq("key"), 4)
+    graft.ops.Bucketing.writeBucketed(quotes, "asof_quotes", s"$base/q", Seq("key"), 4)
+    val q = graft.ext.AsOf.joinBackwardNative(
+      spark.table("asof_trades"), spark.table("asof_quotes"),
+      keys = Seq("key"), leftTs = "ts", rightTs = "qts",
+      payload = Seq("px"), tiebreak = "qts")
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"bucketed as-of must not shuffle:\n$plan")
+    assert(q.select("key", "ts", "px").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet ==
+      Set((1L, 10L, 100.0), (1L, 20L, 101.0), (2L, 15L, 200.0)))
+  }
+
   test("partition-pruned read scans only the selected partition") {
     val dir = Parity.tmp("planshape-part", sf)
     Parity.table(spark, sf, "orders")
