@@ -219,17 +219,24 @@ object Multimodal {
     def tag(i: Int, t: String) = b.length >= i + 4 &&
       (0 until 4).forall(j => b(i + j) == t(j).toByte)
     if (b.length < 12 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
-    var i = 12
+    // Walk offsets as Long: a crafted chunk size near 2^32 must walk the
+    // cursor PAST the buffer (loop exit), never wrap it negative into an
+    // out-of-bounds read — the probe's contract is None, never throw.
+    var i: Long = 12
     var fmt: Option[(Int, Int, Int)] = None
     var data: Option[Int] = None
     while (i + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
-      val size = le32(i + 4)
-      if (size < 0) return None
-      if (tag(i, "fmt ") && i + 24 <= b.length)
-        fmt = Some((le16(i + 10), le32(i + 12), le16(i + 22)))
-      else if (tag(i, "data"))
-        data = Some(size)
-      i += 8 + size + (size & 1) // chunks are word-aligned
+      val at = i.toInt // i + 8 <= b.length, so it fits
+      val size = le32(at + 4).toLong & 0xffffffffL // unsigned
+      if (tag(at, "fmt ") && at + 24 <= b.length)
+        fmt = Some((le16(at + 10), le32(at + 12), le16(at + 22)))
+      else if (tag(at, "data")) {
+        if (size > Int.MaxValue) return None // payload exceeds Int contract
+        data = Some(size.toInt)
+      }
+      val next = i + 8 + size + (size & 1) // chunks are word-aligned
+      if (next <= i) return None // no-progress guard
+      i = next
     }
     for ((ch, rate, bits) <- fmt; d <- data) yield (ch, rate, bits, d)
   }
@@ -274,35 +281,51 @@ object Multimodal {
     def be32(i: Int) = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
     def be64(i: Int) = (be32(i) << 32) | be32(i + 4)
     def tag(i: Int) = new String(b.slice(i + 4, i + 8), "ISO-8859-1")
+    // Resolve an ISO-BMFF box size at `at` (bounded by `end`): the
+    // 32-bit size field, or per spec size==0 → box extends to `end`,
+    // size==1 → 64-bit largesize follows the tag. Returns the box's
+    // total size, or None when malformed/truncated. All arithmetic is
+    // Long so a crafted size >= 2^31 can never wrap an offset negative
+    // (the probe's contract is None, never throw).
+    def boxSize(at: Int, end: Long): Option[(Long, Int)] = be32(at) match {
+      case 0L => Some((end - at, 8)) // "to end of enclosing container"
+      case 1L => // 64-bit largesize follows the tag; header is 16 bytes
+        if (at + 16 > end) None
+        else Some(be64(at + 8)).filter(_ >= 16L).map((_, 16))
+      case s => Some(s).filter(_ >= 8L).map((_, 8))
+    }
     if (b.length < 16 || tag(0) != "ftyp") return None
     val brand = new String(b.slice(8, 12), "ISO-8859-1")
-    var i = 0
+    var i: Long = 0
     while (i + 8 <= b.length) {
-      val size = be32(i)
-      if (size < 8) return None
-      if (tag(i) == "moov") {
+      val at = i.toInt
+      val (size, hdr) = boxSize(at, b.length.toLong).getOrElse(return None)
+      if (tag(at) == "moov") {
         // walk the moov children for mvhd
-        var j = i + 8
-        val end = math.min(i + size, b.length.toLong).toInt
+        var j: Long = i + hdr
+        val end = math.min(i + size, b.length.toLong)
         while (j + 8 <= end) {
-          val csize = be32(j).toInt
-          if (csize < 8) return None
-          if (tag(j) == "mvhd") {
-            if (j + 9 > end) return None // version byte truncated
-            val v = u8(j + 8)
+          val cat = j.toInt
+          val (csize, chdr) = boxSize(cat, end).getOrElse(return None)
+          if (tag(cat) == "mvhd") {
+            val ph = cat + chdr // FullBox payload: verflags, then fields
+            if (ph + 1 > end) return None // version byte truncated
+            val v = u8(ph)
             return {
-              if (v == 0L && j + 28 <= end)
-                Some((brand, be32(j + 20), be32(j + 24)))
-              else if (v == 1L && j + 40 <= end)
-                Some((brand, be32(j + 28), be64(j + 32)))
+              if (v == 0L && ph + 20 <= end)
+                Some((brand, be32(ph + 12), be32(ph + 16)))
+              else if (v == 1L && ph + 32 <= end)
+                Some((brand, be32(ph + 20), be64(ph + 24)))
               else None
             }
           }
+          if (j + csize <= j) return None // no-progress guard
           j += csize
         }
         return None
       }
-      i += size.toInt
+      if (i + size <= i) return None // no-progress guard
+      i += size
     }
     None
   }

@@ -3,7 +3,7 @@ package graft.plans
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Coalesce, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -66,6 +66,27 @@ object MaterializedViews {
   def clear(): Unit = defs.clear()
   def registered: Seq[MvDef] = defs.asScala.toSeq
 
+  /** Base paths whose rebuild is in flight. A rebuild's own aggregate
+    * over the base MUST NOT be redirected to the (stale) summary it is
+    * replacing — create() re-creating a registered def would otherwise
+    * read the old summary and write it straight back, and refresh()
+    * would double-count a batch that happens to scan the base path. */
+  private val rebuilding = new java.util.concurrent.CopyOnWriteArraySet[String]()
+
+  private[plans] def isRebuilding(basePath: String): Boolean =
+    rebuilding.asScala.exists(p => pathsMatch(p, basePath))
+
+  private def withRebuildGuard[T](basePath: String)(f: => T): T = {
+    rebuilding.add(basePath)
+    try f finally rebuilding.remove(basePath)
+  }
+
+  /** Compare ignoring scheme prefixes (file: vs plain local paths). */
+  private[plans] def pathsMatch(a: String, b: String): Boolean = {
+    def norm(s: String) = s.stripPrefix("file:").replaceAll("/+", "/")
+    norm(a) == norm(b)
+  }
+
   /** Build + persist the summary table for `basePath` grouped by
     * `groupCols`, then register it for rewriting. `sums`/`mins`/`maxs`
     * list base-side input expressions; a row count is always included.
@@ -90,8 +111,10 @@ object MaterializedViews {
       mins.zip(minMs).map { case (c, m) => min(c).as(m.mvCol) } ++
       maxs.zip(maxMs).map { case (c, m) => max(c).as(m.mvCol) } :+
       count(lit(1)).as(cnt.mvCol)
-    base.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
-      .write.mode("overwrite").parquet(mvPath)
+    withRebuildGuard(basePath) {
+      base.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+        .write.mode("overwrite").parquet(mvPath)
+    }
     val d = MvDef(basePath, mvPath, groupCols, sumMs ++ minMs ++ maxMs :+ cnt)
     register(d)
     d
@@ -133,15 +156,24 @@ object MaterializedViews {
     }
     val next = cur.unionByName(part)
       .groupBy(d.groupCols.map(col): _*).agg(combine.head, combine.tail: _*)
-    val tmp = d.mvPath + ".next"
-    next.write.mode("overwrite").parquet(tmp)
-    val fs = new java.io.File(d.mvPath)
-    def wipe(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles.foreach(wipe)
-      f.delete()
+    // Stage the new summary, then swap via the Hadoop FS API (works on
+    // any supported filesystem, not just local) with every rename
+    // checked: the current summary is only deleted AFTER the staged one
+    // has successfully taken its place, so no failure mode destroys it.
+    val tmpPath = new org.apache.hadoop.fs.Path(d.mvPath + ".next")
+    val mvP = new org.apache.hadoop.fs.Path(d.mvPath)
+    val stale = new org.apache.hadoop.fs.Path(d.mvPath + ".stale")
+    withRebuildGuard(d.basePath) {
+      next.write.mode("overwrite").parquet(tmpPath.toString)
     }
-    wipe(fs)
-    new java.io.File(tmp).renameTo(fs)
+    val hfs = mvP.getFileSystem(spark.sessionState.newHadoopConf())
+    if (hfs.exists(stale)) hfs.delete(stale, true)
+    require(hfs.rename(mvP, stale), s"refresh: could not stage out $mvP")
+    if (!hfs.rename(tmpPath, mvP)) {
+      hfs.rename(stale, mvP) // restore; summary is intact either way
+      sys.error(s"refresh: could not swap $tmpPath into place at $mvP")
+    }
+    hfs.delete(stale, true)
   }
 }
 
@@ -171,7 +203,11 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
     val path = scanPath(agg.child).getOrElse(return None)
-    val d = registered.find(d => pathsMatch(path, d.basePath)).getOrElse(return None)
+    val d = registered.find(d => MaterializedViews.pathsMatch(path, d.basePath))
+      .getOrElse(return None)
+    // Never rewrite the rebuild's own base aggregate to the summary it
+    // is replacing (create()/refresh() in flight for this base).
+    if (MaterializedViews.isRebuilding(d.basePath)) return None
     // every grouping expression must be a plain summary grouping column
     val groupNames = agg.groupingExpressions.map {
       case a: AttributeReference if d.groupCols.contains(a.name) => a.name
@@ -188,8 +224,13 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           d.measures.find(m => m.kind == "sum" && m.inputSql == e.sql)
             .map(m => "sum" -> Sum(mvAttr(m.mvCol), mode).toAggregateExpression())
         case Count(Seq(Literal(_, _))) | Count(Nil) =>
+          // COUNT over zero rows is 0, but SUM(mv_cnt) over an empty
+          // summary is NULL — coalesce restores count semantics for the
+          // global-aggregate (no GROUP BY) case; grouped rewrites never
+          // see an empty group so the coalesce is inert there.
           d.measures.find(_.kind == "count")
-            .map(m => "count" -> Sum(mvAttr(m.mvCol)).toAggregateExpression())
+            .map(m => "count" -> Coalesce(Seq(
+              Sum(mvAttr(m.mvCol)).toAggregateExpression(), Literal(0L))))
         case Min(e) =>
           d.measures.find(m => m.kind == "min" && m.inputSql == e.sql)
             .map(m => "min" -> Min(mvAttr(m.mvCol)).toAggregateExpression())
@@ -228,11 +269,5 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val newGrouping: Seq[Expression] = groupNames.map(mvAttr(_))
     logInfo(s"graft MV rewrite: aggregate over $path -> summary ${d.mvPath}")
     Some(Aggregate(newGrouping, newResult, mvPlan))
-  }
-
-  /** Compare ignoring scheme prefixes (file: vs plain local paths). */
-  private def pathsMatch(scanned: String, registered: String): Boolean = {
-    def norm(s: String) = s.stripPrefix("file:").replaceAll("/+", "/")
-    norm(scanned) == norm(registered)
   }
 }

@@ -48,6 +48,14 @@ class MvRewriteSpec extends SparkSpec with BeforeAndAfterAll {
 
   private def base = spark.read.parquet(basePath)
 
+  /** Ground-truth computations must NOT themselves be redirected to the
+    * summary under test. */
+  private def withoutRule[T](f: => T): T = {
+    val saved = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = Nil
+    try f finally spark.experimental.extraOptimizations = saved
+  }
+
   test("derivable rollup reads the summary, not the base, with identical results") {
     val q = base.groupBy("o_orderstatus")
       .agg(
@@ -135,5 +143,69 @@ class MvRewriteSpec extends SparkSpec with BeforeAndAfterAll {
       sums = Seq(dec(col("o_totalprice"))),
       mins = Seq(col("o_orderdate")),
       maxs = Seq(col("o_orderdate")))
+    // REBUILD SOUNDNESS: that create() ran with its own def already
+    // registered — its rebuild aggregate must read the BASE, not get
+    // rewritten to the refreshed summary it is replacing. The on-disk
+    // summary must therefore equal the base aggregate exactly.
+    val rebuilt = spark.read.parquet(mvPath)
+      .select("o_orderstatus", "o_orderpriority", "mv_sum_0", "mv_cnt")
+      .collect().map(_.toSeq).toSet
+    val fromBase = withoutRule {
+      base.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(sum(dec(col("o_totalprice"))).as("mv_sum_0"),
+          count(lit(1)).as("mv_cnt"))
+        .collect().map(_.toSeq).toSet
+    }
+    assert(rebuilt == fromBase,
+      "re-create() with a registered def must rebuild from the base")
+  }
+
+  test("refresh batch partials come from the batch, not a rewritten summary read") {
+    // Own base copy so it can drift from its summary (stale summary is
+    // the discriminating state: a mid-refresh rewrite would fold in the
+    // OLD summary instead of the batch rows).
+    val basePath2 = Parity.tmp("spec-mv-refresh-base", sf)
+    val mvPath2 = Parity.tmp("spec-mv-refresh-mv", sf)
+    base.write.mode("overwrite").parquet(basePath2)
+    val d = MaterializedViews.create(spark, basePath2, mvPath2,
+      groupCols = Seq("o_orderstatus"), sums = Seq(dec(col("o_totalprice"))))
+    // Drift: the base grows by 100 rows the summary has not seen.
+    base.limit(100).write.mode("append").parquet(basePath2)
+    // A batch that IS a bare scan of the (grown) base path: its partial
+    // aggregate must be computed from the batch rows, not redirected to
+    // the stale summary mid-refresh.
+    MaterializedViews.refresh(spark, d, spark.read.parquet(basePath2))
+    val got = spark.read.parquet(mvPath2)
+      .select(col("o_orderstatus"), col("mv_cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (oldCnt, grownCnt) = withoutRule {
+      (base.groupBy("o_orderstatus").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap,
+       spark.read.parquet(basePath2).groupBy("o_orderstatus").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+    }
+    // expected = stale summary (old counts) + batch partial (grown counts)
+    assert(got == grownCnt.map { case (k, v) => k -> (v + oldCnt.getOrElse(k, 0L)) })
+  }
+
+  test("global aggregates (no GROUP BY) rewrite, and COUNT(*) over an empty base is 0") {
+    val q = base.agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).cast("double").as("s"))
+    assert(readsSummary(q), scans(q).mkString("\n"))
+    val Array(row) = q.collect()
+    val saved = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = Nil
+    val expect =
+      try base.agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).cast("double").as("s")).collect()(0)
+      finally spark.experimental.extraOptimizations = saved
+    assert(row.toSeq == expect.toSeq)
+    // empty base: COUNT(*) must stay 0 through the SUM(mv_cnt) rewrite
+    val emptyBase = Parity.tmp("spec-mv-empty-base", sf)
+    val emptyMv = Parity.tmp("spec-mv-empty-mv", sf)
+    base.limit(0).write.mode("overwrite").parquet(emptyBase)
+    MaterializedViews.create(spark, emptyBase, emptyMv,
+      groupCols = Seq("o_orderstatus"), sums = Seq(dec(col("o_totalprice"))))
+    val eq = spark.read.parquet(emptyBase).agg(count(lit(1)).as("n"))
+    assert(scans(eq).exists(_.contains("spec-mv-empty-mv")), scans(eq).mkString("\n"))
+    assert(eq.collect()(0).getLong(0) == 0L)
   }
 }
