@@ -109,11 +109,11 @@ object Bench {
       n -> (if (good.nonEmpty) good.min else runs.map(_._1).min)
     }
     val results =
-      if (pass1.map(_._2).sum <= 150.0)
+      if (pass1.map(_._2).sum <= 300.0)
         pass1.zip(pass()).map { case ((n, a, ao), (_, b, bo)) =>
           best(n, Seq((a, ao), (b, bo))) }
       else {
-        var budget = 120.0
+        var budget = 180.0
         val redo = pass1.sortBy(-_._2).takeWhile { case (_, t, _) =>
           val ok = budget > 0; budget -= t; ok
         }.map(_._1).toSet

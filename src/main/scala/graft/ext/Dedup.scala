@@ -423,6 +423,47 @@ object Dedup {
       .select("a", "src_a", "b", "inter", "na", "nb", "jaccard")
   }
 
+  /** Content-defined chunking (CDC): split each document at ROLLING-HASH
+    * boundaries — after any word whose polyHash ≡ 0 (mod `modulus`) — so
+    * chunk boundaries are a function of CONTENT, not position. An
+    * insertion near the head of a doc shifts every fixed-size chunk after
+    * it (defeating chunk-hash dedup), but leaves all content-defined
+    * boundaries outside the edited region in place — the property
+    * rsync/LBFS-style storage dedup is built on, applied here to sub-
+    * document dedup: shared boilerplate blocks hash to the same chunks
+    * wherever they sit. Expected chunk length = `modulus` words.
+    *
+    * Returns one row per chunk: (doc_id, chunk_id, n_words, chunk_hash).
+    * Scale design (100 TB): chunking is pure per-row generated
+    * expressions (split → boundary filter → slice → hash; no shuffle,
+    * no UDFs); downstream frequency analysis is one keyed aggregation on
+    * the chunk hash. */
+  def cdcChunkTable(docs: DataFrame, modulus: Int = 16): DataFrame =
+    docs
+      .select(col("doc_id"), TextKit.words(col("text")).as("ws"))
+      .transform(Par.spread(_, col("doc_id"))) // barrier: ws computes once
+      .select(col("doc_id"), col("ws"),
+        filter(sequence(lit(1), size(col("ws"))),
+          i => TextKit.polyHash(element_at(col("ws"), i)) % modulus === 0).as("bs"))
+      .transform(Par.spread(_, col("doc_id"))) // barrier: bs computes once
+      .select(col("doc_id"), col("ws"),
+        // chunk k spans words [starts(k), ends(k)]; a trailing boundary
+        // yields an empty (start > end) span, dropped by the filter below
+        concat(array(lit(1)), transform(col("bs"), b => b + 1)).as("starts"),
+        concat(col("bs"), array(size(col("ws")))).as("ends"))
+      .select(col("doc_id"), col("ws"),
+        posexplode(filter(
+          transform(sequence(lit(1), size(col("starts"))), k =>
+            struct(element_at(col("starts"), k).as("s"),
+              element_at(col("ends"), k).as("e"))),
+          p => p.getField("s") <= p.getField("e"))).as(Seq("idx", "se")))
+      .select(col("doc_id"),
+        (col("idx") + 1).cast("long").as("chunk_id"),
+        (col("se.e") - col("se.s") + 1).cast("long").as("n_words"),
+        TextKit.polyHash(array_join(
+          slice(col("ws"), col("se.s"), col("se.e") - col("se.s") + 1), " "))
+          .as("chunk_hash"))
+
   /** Per-doc SimHash value (24-bit); word hashes materialize once per
     * row before the 24 per-bit votes read them. */
   def simHashed(docs: DataFrame, bits: Int = 24): DataFrame =

@@ -879,6 +879,117 @@ object Extensions {
   def profileOrders(spark: SparkSession, sfDir: String): DataFrame =
     graft.ops.Quality.profile(Parity.table(spark, sfDir, "orders"))
 
+  /** Sessionization via the native `session_window` aggregate — the
+    * declarative twin of [[sessionize]]: Catalyst plans the dedicated
+    * session-merge exec (UpdatingSessions + MergingSessionsExec folding
+    * overlapping per-key windows inside ONE user-keyed exchange) instead
+    * of a window sort + running island sum. Same gap rule as the islands
+    * form (an event exactly `gap` after the last MERGES — windows are
+    * [first, last+gap] and merging is end-inclusive, verified
+    * empirically), so both strategies share one oracle shape. Seconds
+    * precision on both sides keeps the boundary arithmetic exact. */
+  def sessionWindow(spark: SparkSession, sfDir: String): DataFrame =
+    Parity.events(spark, sfDir)
+      .withColumn("tse", unix_timestamp(col("ts")))
+      .groupBy(col("user_id"),
+        session_window(timestamp_seconds(col("tse")), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast(DoubleType).as("sum_value"))
+      .select(col("user_id"),
+        unix_timestamp(col("sw.start")).as("start_epoch"),
+        unix_timestamp(col("sw.end")).as("end_epoch"),
+        col("n_events"), col("sum_value"))
+
+  /** Exact corpus-wide frequent bigrams ("heavy hitters") WITHOUT a
+    * full-vocabulary shuffle: a mergeable frequent-items sketch
+    * (`approx_top_k`, DataSketches ItemsSketch — map-side partial state,
+    * one tiny merged row) nominates candidates, then only candidate
+    * postings are re-counted exactly and gated on support. The sketch
+    * guarantee (any item with true count > 3.5·N/maxTracked survives;
+    * here 3.5N/16384 ≈ 0.0002N, 5× below the 0.001N support gate) makes
+    * the candidate set a provable superset, so the output is EXACT —
+    * the same candidates-then-verify shape as the MinHash/LSH dedup
+    * path. At 100 TB the exact recount shuffles only candidate postings
+    * (≤ k distinct keys) instead of the full n-gram vocabulary. */
+  def heavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    val grams = docs(spark, sfDir)
+      .select(explode(TextKit.wordNgrams(col("text"), 2)).as("b"))
+    val cand = grams.agg(expr("approx_top_k(b, 2000, 16384)").as("tk"))
+      .select(explode(col("tk")).as("c"))
+      .select(col("c.item").as("b"))
+    val n = grams.agg(count(lit(1)).as("n_total"))
+    grams.join(broadcast(cand), Seq("b")) // map-side candidate prune
+      .groupBy("b").agg(count(lit(1)).as("cnt")) // exact recount
+      .crossJoin(broadcast(n))
+      .filter(col("cnt").cast(DoubleType) >=
+        col("n_total").cast(DoubleType) * lit(0.001))
+      .select(col("b").as("bigram"), col("cnt"), col("n_total"))
+  }
+
+  /** Frequency-ranked vocabulary build + document id-encoding — the
+    * tokenizer-fitting step of a training pipeline: vocab = top-V
+    * bigrams by (count desc, value asc), id = 1-based rank, OOV = 0;
+    * each doc re-emerges as its id sequence (space-joined, preserving
+    * order) plus an OOV count. The vocabulary is a single bounded row
+    * (TakeOrdered top-V, no global sort) broadcast to every encoder
+    * task; encoding is pure per-row generated expressions. */
+  def vocabEncode(spark: SparkSession, sfDir: String, v: Int = 256): DataFrame = {
+    val d = docs(spark, sfDir)
+    val grams = d.select(explode(TextKit.wordNgrams(col("text"), 2)).as("b"))
+    val top = grams.groupBy("b").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("b")).limit(v)
+    // one sorted array row: struct sort on (-cnt, b) = rank order
+    val vocab = top.agg(
+      transform(
+        array_sort(collect_list(struct((-col("cnt")).as("nc"), col("b").as("b")))),
+        s => s.getField("b")).as("vocab"))
+    d.crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        TextKit.let(transform(TextKit.wordNgrams(col("text"), 2),
+          t => array_position(col("vocab"), t))) { ids =>
+          struct(
+            array_join(transform(ids, i => i.cast(StringType)), " ").as("ids_str"),
+            size(ids).cast(LongType).as("n_grams"),
+            size(filter(ids, i => i === 0L)).cast(LongType).as("n_oov"))
+        }.as("e"))
+      .select(col("doc_id"), col("e.ids_str").as("ids_str"),
+        col("e.n_grams").as("n_grams"), col("e.n_oov").as("n_oov"))
+  }
+
+  /** Content-defined chunking rollup ([[Dedup.cdcChunkTable]]): per doc,
+    * how many rolling-hash-bounded chunks it splits into and how many of
+    * them are SHARED with at least one other document — the sub-document
+    * dedup signal fixed-size chunking misses when an edit shifts
+    * positions. One chunk-hash-keyed aggregation for document frequency,
+    * one doc-keyed rollup; chunking itself never shuffles. */
+  def cdcChunks(spark: SparkSession, sfDir: String): DataFrame = {
+    val ch = Dedup.cdcChunkTable(docs(spark, sfDir), modulus = 16)
+    val dfreq = ch.select(col("chunk_hash"), col("doc_id")).distinct()
+      .groupBy("chunk_hash").agg(count(lit(1)).as("cdf"))
+    ch.join(dfreq, Seq("chunk_hash"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("cdf") > 1, 1L).otherwise(0L)).as("n_shared_chunks"),
+        sum(col("n_words")).as("n_words"))
+      .select("doc_id", "n_chunks", "n_shared_chunks", "n_words")
+  }
+
+  /** Bloom-pruned fact⋈dim semi join ([[graft.ops.BloomPrune]]): revenue
+    * rollup of line items belonging to finished urgent orders, with the
+    * order-key Bloom sketch pruning the lineitem side BEFORE its
+    * exchange. Result is exact (the sketch only prunes; the semi join
+    * removes false positives), so the oracle is the plain IN-subquery. */
+  def bloomPrune(spark: SparkSession, sfDir: String): DataFrame = {
+    val dim = Parity.table(spark, sfDir, "orders")
+      .filter(col("o_orderstatus") === "F" && col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("l_orderkey"))
+    graft.ops.BloomPrune.prunedSemiJoin(
+        Parity.table(spark, sfDir, "lineitem"), dim, "l_orderkey")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast(DoubleType).as("sum_qty"))
+  }
+
   // ---------------------------------------------------------- queries map
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_token_stats" -> tokenStats _,
@@ -944,7 +1055,12 @@ object Extensions {
     "x_outliers" -> lengthOutliers _,
     "x_decay_features" -> decayFeatures _,
     "m_binary_scan" -> binaryScan _,
-    "x_tfidf" -> tfidfTop _)
+    "x_tfidf" -> tfidfTop _,
+    "x_session_window" -> sessionWindow _,
+    "x_heavy_hitters" -> heavyHitters _,
+    "x_vocab_encode" -> (vocabEncode(_, _)),
+    "d_cdc_chunks" -> cdcChunks _,
+    "x_bloom_prune" -> bloomPrune _)
 
   // ----------------------------------------------------------- oracle SQL
   // Shared SQL fragments (DuckDB dialect), mirroring TextKit/DuckSql.
@@ -1801,5 +1917,95 @@ object Extensions {
           SELECT doc_id, term, tf, df, n_docs, score FROM (
             SELECT *, row_number() OVER (PARTITION BY doc_id
               ORDER BY score DESC, term) AS rn FROM s)
-          WHERE rn = 1""")
+          WHERE rn = 1""",
+    "x_session_window" ->
+      // Same gaps-and-islands state machine as x_sessionize (the native
+      // session_window merge is end-inclusive: an event exactly gap
+      // seconds after the last still merges, hence strict >), with the
+      // window-end convention end_epoch = last event + gap.
+      """WITH e AS (
+           SELECT user_id, ts, event_id, value,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS tse FROM events),
+         m AS (
+           SELECT *, CASE WHEN tse - LAG(tse) OVER w > 1800
+                            OR LAG(tse) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (
+           SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS seq FROM m)
+         SELECT user_id,
+           MIN(tse) AS start_epoch, MAX(tse) + 1800 AS end_epoch,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM s GROUP BY user_id, seq""",
+    "x_heavy_hitters" -> {
+      val G = "list_transform(generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1])"
+      s"""WITH grams AS (
+            SELECT unnest(CASE WHEN len(w) >= 2 THEN $G ELSE [] END) AS b
+            FROM (SELECT $W AS w FROM documents)),
+          n AS (SELECT count(*) AS n_total FROM grams)
+          SELECT b AS bigram, count(*) AS cnt, n.n_total AS n_total
+          FROM grams, n
+          GROUP BY b, n.n_total
+          HAVING CAST(count(*) AS DOUBLE) >= CAST(n.n_total AS DOUBLE) * 0.001"""
+    },
+    "x_vocab_encode" -> {
+      val G = "list_transform(generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1])"
+      s"""WITH grams AS (
+            SELECT unnest(CASE WHEN len(w) >= 2 THEN $G ELSE [] END) AS b
+            FROM (SELECT $W AS w FROM documents)),
+          top AS (SELECT b, count(*) AS cnt FROM grams
+                  GROUP BY 1 ORDER BY cnt DESC, b LIMIT 256),
+          voc AS (SELECT list(b ORDER BY cnt DESC, b) AS vl FROM top),
+          enc AS (
+            SELECT doc_id,
+              list_transform(
+                CASE WHEN len(w) >= 2 THEN $G ELSE [] END,
+                t -> coalesce(list_position(vl, t), 0)) AS ids
+            FROM (SELECT doc_id, $W AS w FROM documents), voc)
+          SELECT doc_id,
+            array_to_string(list_transform(ids, i -> CAST(i AS VARCHAR)), ' ')
+              AS ids_str,
+            CAST(len(ids) AS BIGINT) AS n_grams,
+            CAST(len(list_filter(ids, i -> i = 0)) AS BIGINT) AS n_oov
+          FROM enc"""
+    },
+    "d_cdc_chunks" -> {
+      // outer index vars must not be `i`: DuckSql.polyHash's inner lambda
+      // binds `i` and would shadow it inside the hashed expression
+      val hashWord = DuckSql.polyHash("ws[wi]")
+      val hashChunk =
+        DuckSql.polyHash("array_to_string(list_slice(ws, starts[ci], ends[ci]), ' ')")
+      s"""WITH base AS (SELECT doc_id, $W AS ws FROM documents),
+          b AS (
+            SELECT doc_id, ws,
+              list_filter(generate_series(1, len(ws)), wi -> $hashWord % 16 = 0) AS bs
+            FROM base),
+          se AS (
+            SELECT doc_id, ws,
+              list_prepend(1, list_transform(bs, x -> x + 1)) AS starts,
+              list_append(bs, len(ws)) AS ends
+            FROM b),
+          ch AS (
+            SELECT doc_id,
+              CAST(ends[ci] - starts[ci] + 1 AS BIGINT) AS n_words,
+              $hashChunk AS chunk_hash
+            FROM se, unnest(generate_series(1, len(starts))) t(ci)
+            WHERE starts[ci] <= ends[ci]),
+          dfq AS (
+            SELECT chunk_hash, count(DISTINCT doc_id) AS cdf FROM ch GROUP BY 1)
+          SELECT ch.doc_id, count(*) AS n_chunks,
+            CAST(SUM(CASE WHEN dfq.cdf > 1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_shared_chunks,
+            CAST(SUM(ch.n_words) AS BIGINT) AS n_words
+          FROM ch JOIN dfq USING (chunk_hash)
+          GROUP BY ch.doc_id"""
+    },
+    "x_bloom_prune" ->
+      """SELECT l_returnflag, count(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem
+         WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+           WHERE o_orderstatus = 'F' AND o_orderpriority = '1-URGENT')
+         GROUP BY l_returnflag""")
 }
