@@ -84,24 +84,30 @@ object Bench {
     val pass1 = pass()
     // A rerun that throws contributes NO timing (its short failure wall
     // would win the min() and mask a genuine regression) and is recorded
-    // in `failed` like a pass-1 failure.
-    def rerun(names: Set[String]): Map[String, Double] =
-      SparkEntry.queries.toSeq.filter(q => names(q._1)).sortBy(_._1).flatMap {
-        case (name, fn) =>
-          val t0 = System.nanoTime()
-          val ok =
-            try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
-            catch { case e: Throwable =>
-              System.err.println(s"[bench] $name rerun failed: ${e.getMessage}")
-              if (!failed.contains(name)) failed += name
-              false
-            }
-          val t = (System.nanoTime() - t0) / 1e9
-          System.err.println(f"[bench] $name%-28s re-measured wall=$t%8.2fs")
-          spark.sparkContext.getPersistentRDDs.values
-            .foreach(_.unpersist(blocking = false))
-          if (ok) Some(name -> t) else None
-      }.toMap
+    // in `failed` like a pass-1 failure. Ordered by descending pass-1
+    // wall and bounded by ACTUAL elapsed rerun seconds — budgeting on
+    // pass-1 times would let one multi-minute host stall consume the
+    // whole budget even though its rerun takes seconds (r3: three
+    // stalled queries re-measured 17-30s in pass 1, ~2-4s real).
+    def rerun(names: Seq[String], budgetSec: Double): Map[String, Double] = {
+      val deadline = System.nanoTime() + (budgetSec * 1e9).toLong
+      val fns = SparkEntry.queries
+      names.iterator.takeWhile(_ => System.nanoTime() < deadline).map { name =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fns(name)(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name rerun failed: ${e.getMessage}")
+            if (!failed.contains(name)) failed += name
+            false
+          }
+        val t = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench] $name%-28s re-measured wall=$t%8.2fs")
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        (name, t, ok)
+      }.collect { case (n, t, true) => n -> t }.toMap
+    }
     // Combine measurements: min over SUCCESSFUL runs only; a query with
     // no successful run keeps its (failure) wall time and sits in `failed`.
     def best(n: String, runs: Seq[(Double, Boolean)]): (String, Double) = {
@@ -113,28 +119,49 @@ object Bench {
         pass1.zip(pass()).map { case ((n, a, ao), (_, b, bo)) =>
           best(n, Seq((a, ao), (b, bo))) }
       else {
-        var budget = 180.0
-        val redo = pass1.sortBy(-_._2).takeWhile { case (_, t, _) =>
-          val ok = budget > 0; budget -= t; ok
-        }.map(_._1).toSet
-        val second = rerun(redo) // successful reruns only
+        val second = rerun(pass1.sortBy(-_._2).map(_._1), budgetSec = 180.0)
         pass1.map { case (n, t, ok) =>
           best(n, (t, ok) +: second.get(n).map(s => (s, true)).toSeq) }
       }
-    // Millisecond precision keeps the JSON line as short as possible: the
-    // driver captures a bounded output tail, and full-precision doubles
-    // pushed the line past that window (r2/r3 records show it truncated
-    // mid-line, defeating machine parsing of the per-query dict).
+    // The driver records only a bounded tail of stdout (r3's capture was
+    // 2000 chars), and a full 135-entry per-query dict is ~3000 chars at
+    // ANY numeric precision — the line got clipped mid-dict in r2 and r3
+    // and failed machine parsing. Keep the line parseable by itemizing
+    // the SLOWEST queries (the ones perf review reads) up to a length
+    // budget and folding the fast tail into one "zz_other" entry whose
+    // value is the tail's summed seconds (so "value" still equals the
+    // sum of "queries"). The complete per-query dict goes to
+    // bench_local.json and stderr.
     def ms3(v: Double) = f"$v%.3f"
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms3(v) }
-      .mkString("{", ",", "}")
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}"""
+    def render(entries: Seq[(String, String)]) = {
+      val qs = entries.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}"""
+    }
+    val fullLine = render(results.sortBy(_._1).map { case (k, v) => k -> ms3(v) })
+    val line =
+      if (fullLine.length <= 1800) fullLine
+      else {
+        val maxEntryChars = 1800 - render(Seq(
+          "zz_other" -> ms3(total), "zz_other_n" -> "135")).length
+        var used = 0
+        val keep = results.sortBy(-_._2).iterator.takeWhile { case (n, v) =>
+          used += n.length + 4 + ms3(v).length
+          used <= maxEntryChars
+        }.map(_._1).toSet
+        val rest = results.filterNot(r => keep(r._1))
+        render(results.filter(r => keep(r._1)).sortBy(_._1)
+          .map { case (k, v) => k -> ms3(v) } ++
+          Seq("zz_other" -> ms3(rest.map(_._2).sum),
+            "zz_other_n" -> rest.size.toString))
+      }
     println(line)
-    // Also keep a local copy: the stdout capture window can still clip the
-    // line, and round-over-round analysis needs the full per-query dict.
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_local.json"), line + "\n")
+    System.err.println("[bench] full: " + fullLine)
+    // Full per-query dict for round-over-round analysis (stdout line may
+    // itemize only the slowest queries).
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_local.json"), fullLine + "\n")
     catch { case _: Throwable => () }
     spark.stop()
   }
