@@ -1,0 +1,60 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph analytics over edge tables — the operator class the
+  * dedup/curation pipelines need beyond connected components
+  * ([[Dedup.dupClusters]]): triangle counting measures how CLIQUE-like a
+  * near-dup or co-engagement neighborhood is (a hub sharing boilerplate
+  * with many unrelated docs has high degree but few triangles; a true
+  * duplicate cluster is all-triangles), the standard cohesion signal for
+  * deciding between "drop the whole cluster" and "keep, it's a hub".
+  *
+  * Scale design (100 TB of edges): the naive wedge join explodes on high-
+  * degree vertices (a degree-d hub contributes d² wedges). The classic
+  * fix — orient every edge from the (degree, id)-SMALLER endpoint to the
+  * larger — caps every out-degree at O(√m) on any graph, so the wedge
+  * join's per-key fanout is bounded no matter how skewed the degree
+  * distribution; each triangle is then found exactly once. Everything is
+  * keyed equi-joins + one aggregation — no driver state, no iteration.
+  */
+object Graph {
+
+  /** Per-vertex triangle participation. `edges` must be the undirected
+    * edge set as columns (a, b) with a < b and no duplicate rows; output
+    * is (v, n_triangles) for every vertex in at least one triangle.
+    *
+    * Three keyed joins: orientation (edges ⋈ degrees twice), wedge
+    * enumeration (oriented ⋈ oriented on the shared smaller endpoint),
+    * and a left-semi close check — each triangle counted once as
+    * u ≺ v ≺ w in the (degree, id) total order. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("a"), col("b"))
+    val deg = e.select(col("a").as("v"))
+      .unionAll(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    // total order ≺ = (degree, id); orient each edge smaller → larger
+    val fwd = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
+    val oriented = e
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), Seq("b"))
+      .select(
+        when(fwd, col("a")).otherwise(col("b")).as("u"),
+        when(fwd, col("b")).otherwise(col("a")).as("w"),
+        when(fwd, col("db")).otherwise(col("da")).as("dw"))
+    // wedges rooted at u: out-neighbor pairs v ≺ w, closed by edge v → w.
+    // Both wedge sides and the close probe reuse ONE oriented exchange
+    // (same key layout), and ≤O(√m) out-degree bounds the join fanout.
+    val tri = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.u") === col("e2.u") &&
+          (col("e1.dw") < col("e2.dw") ||
+            (col("e1.dw") === col("e2.dw") && col("e1.w") < col("e2.w"))))
+      .select(col("e1.u").as("x"), col("e1.w").as("y"), col("e2.w").as("z"))
+      .join(oriented.select(col("u").as("y"), col("w").as("z")),
+        Seq("y", "z"), "left_semi")
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("n_triangles"))
+  }
+}

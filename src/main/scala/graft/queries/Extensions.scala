@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Analytics, AsOf, Dedup, DuckSql, Mixture, Multimodal, Par, RangeJoin, Similarity, TextKit}
+import graft.ext.{Analytics, AsOf, Dedup, DuckSql, Graph, Mixture, Multimodal, Par, RangeJoin, Similarity, TextKit}
 import graft.ops.{Bucketing, Skew}
 import graft.streaming.EventStreams
 
@@ -990,6 +990,29 @@ object Extensions {
         sum(col("l_quantity").cast("decimal(18,2)")).cast(DoubleType).as("sum_qty"))
   }
 
+  /** Triangle counting ([[graft.ext.Graph.triangleCounts]]) over a user
+    * co-engagement graph: users are connected when they purchased on ≥5
+    * of the same catalog keys; each user's triangle participation is the
+    * cluster-cohesion signal (hubs have high degree, few triangles;
+    * tight cohorts are all-triangles). Edge build is one distinct + one
+    * key-equality self-join + keyed count; the count itself is the
+    * degree-ordered wedge join — no step is quadratic in the vertex set. */
+  def triangles(spark: SparkSession, sfDir: String): DataFrame = {
+    val uk = Parity.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+      .distinct()
+    val edges = uk.as("x").join(uk.as("y"),
+        col("x.k") === col("y.k") && col("x.user_id") < col("y.user_id"))
+      .groupBy(col("x.user_id").as("a"), col("y.user_id").as("b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 5)
+      .select("a", "b")
+    Graph.triangleCounts(edges)
+      .select(col("v").as("user_id"), col("n_triangles"))
+  }
+
   // ---------------------------------------------------------- queries map
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_token_stats" -> tokenStats _,
@@ -1060,7 +1083,8 @@ object Extensions {
     "x_heavy_hitters" -> heavyHitters _,
     "x_vocab_encode" -> (vocabEncode(_, _)),
     "d_cdc_chunks" -> cdcChunks _,
-    "x_bloom_prune" -> bloomPrune _)
+    "x_bloom_prune" -> bloomPrune _,
+    "x_triangles" -> triangles _)
 
   // ----------------------------------------------------------- oracle SQL
   // Shared SQL fragments (DuckDB dialect), mirroring TextKit/DuckSql.
@@ -2007,5 +2031,26 @@ object Extensions {
          FROM lineitem
          WHERE l_orderkey IN (SELECT o_orderkey FROM orders
            WHERE o_orderstatus = 'F' AND o_orderpriority = '1-URGENT')
-         GROUP BY l_returnflag""")
+         GROUP BY l_returnflag""",
+    "x_triangles" ->
+      // Oracle enumerates triangles in plain a<b<c id order; the Spark
+      // side's degree-ordered orientation finds the same triangle set
+      // (orientation only changes WHERE each triangle is discovered).
+      """WITH uk AS (
+           SELECT DISTINCT user_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+           FROM events WHERE event_type = 'purchase'),
+         edges AS (
+           SELECT x.user_id AS a, y.user_id AS b
+           FROM uk x JOIN uk y ON x.k = y.k AND x.user_id < y.user_id
+           GROUP BY 1, 2 HAVING count(*) >= 5),
+         tri AS (
+           SELECT e1.a AS x, e1.b AS y, e2.b AS z
+           FROM edges e1 JOIN edges e2 ON e1.b = e2.a
+           JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b)
+         SELECT v AS user_id, count(*) AS n_triangles
+         FROM (SELECT x AS v FROM tri
+               UNION ALL SELECT y FROM tri
+               UNION ALL SELECT z FROM tri)
+         GROUP BY 1""")
 }

@@ -1,0 +1,58 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSpec {
+
+  private def edges(pairs: (Long, Long)*) = {
+    import spark.implicits._
+    pairs.toDF("a", "b")
+  }
+
+  private def counts(pairs: (Long, Long)*): Map[Long, Long] =
+    Graph.triangleCounts(edges(pairs: _*))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("K4: every vertex sits in 3 of the 4 triangles") {
+    val c = counts((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    assert(c === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    assert(c.values.sum === 4L * 3) // 4 triangles x 3 vertices
+  }
+
+  test("triangle-free graphs produce no rows (path, star, square)") {
+    assert(counts((1L, 2L), (2L, 3L), (3L, 4L)).isEmpty) // path
+    assert(counts((9L, 1L), (1L, 2L), (1L, 3L), (1L, 4L)).isEmpty) // star hub
+    assert(counts((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).isEmpty) // 4-cycle
+  }
+
+  test("square with one diagonal: two triangles sharing the diagonal") {
+    // 1-2-3-4-1 plus diagonal 1-3 → triangles (1,2,3) and (1,3,4)
+    val c = counts((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 3L))
+    assert(c === Map(1L -> 2L, 3L -> 2L, 2L -> 1L, 4L -> 1L))
+  }
+
+  test("matches brute-force enumeration on a fixed pseudo-random graph") {
+    // deterministic edge set: hash-select from all pairs over 24 vertices
+    val all = for {
+      i <- 1L to 24L; j <- (i + 1) to 24L
+      if ((i * 31 + j * 17) % 5) < 2
+    } yield (i, j)
+    val e = all.toSet
+    val brute = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for {
+      Seq(x, y, z) <- (1L to 24L).combinations(3)
+      if e((x, y)) && e((y, z)) && e((x, z))
+      v <- Seq(x, y, z)
+    } brute(v) += 1
+    assert(counts(all: _*) === brute.toMap)
+  }
+
+  test("high-degree hub does not explode the wedge join result") {
+    // hub 100 connected to 50 leaves + one triangle off to the side:
+    // only the triangle is counted, hub contributes nothing
+    val hub = (1L to 50L).map(i => (i, 100L))
+    val c = counts(hub ++ Seq((200L, 201L), (201L, 202L), (200L, 202L)): _*)
+    assert(c === Map(200L -> 1L, 201L -> 1L, 202L -> 1L))
+  }
+}
