@@ -270,6 +270,47 @@ final class TableCatalog(val root: String) extends Serializable {
     base.filter(col(c) >= lit(lo) && col(c) <= lit(hi))
   }
 
+  /** Roll the table back to a retained version — pointer swap only, no
+    * data rewrite and no version deletion (the newer version stays
+    * retained, so a roll-forward is the same call with the newer tag).
+    * This is the operational payoff of versioned overwrite: undoing a
+    * bad batch is O(1) metadata, not a restore job. The next overwrite/
+    * append builds on the rolled-back state and version numbers keep
+    * increasing monotonically (the abandoned version is simply pruned
+    * or vacuumed later, never reused). */
+  def rollback(name: String, version: String): Unit = {
+    require(versions(name).contains(version),
+      s"rollback: version $version of $name not retained (have: ${versions(name)})")
+    val dir = tableDir(name)
+    val tmp = dir.resolve("_CURRENT.tmp")
+    Files.writeString(tmp, version)
+    Files.move(tmp, currentPointer(name), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** VACUUM analogue: explicitly drop retained versions beyond the newest
+    * `keepLast`, returning the deleted tags. The CURRENT version is never
+    * deleted, whatever `keepLast` says — after a [[rollback]] the pointer
+    * may sit on an old version, and vacuum must not destroy the data the
+    * table is serving. Deleting a version only unlinks its files: data
+    * files carried forward by [[append]]/[[overwritePartitions]] hardlinks
+    * stay alive through the newer versions' links, so vacuum reclaims
+    * exactly the bytes no retained version references — the same
+    * reachability contract as Delta's VACUUM, done by the filesystem's
+    * link counts instead of a manifest walk. */
+  def vacuum(name: String, keepLast: Int = 1): Seq[String] = {
+    require(keepLast >= 1, "vacuum: keepLast must be >= 1")
+    val dir = tableDir(name)
+    val cur = Files.readString(currentPointer(name)).trim
+    val doomed = versions(name).dropRight(keepLast).filterNot(_ == cur)
+    doomed.foreach { v =>
+      val walk = Files.walk(dir.resolve(v))
+      try walk.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+      finally walk.close()
+    }
+    doomed
+  }
+
   /** Small-file compaction — the file-count half of the reference's
     * `OPTIMIZE` (`s2g.py:98-101`; [[graft.ops.Gold.clusterBy]] is the
     * ZORDER half): rewrite the current version into ~`targetFileBytes`
@@ -298,9 +339,14 @@ final class TableCatalog(val root: String) extends Serializable {
   }
 
   private def pruneOldVersions(dir: Path, keep: Int): Unit = {
+    // Never delete the pointed-to version: after a rollback the pointer
+    // can sit below the newest tags, and automatic pruning must not pull
+    // the serving data out from under the table.
+    val cur = scala.util.Try(Files.readString(dir.resolve("_CURRENT")).trim)
+      .getOrElse("")
     val versions = Option(dir.toFile.list()).getOrElse(Array.empty[String])
       .filter(_.startsWith("v")).sorted
-    versions.dropRight(keep).foreach { v =>
+    versions.dropRight(keep).filterNot(_ == cur).foreach { v =>
       val walk = Files.walk(dir.resolve(v))
       try walk.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
       finally walk.close()

@@ -136,6 +136,25 @@ object EventStreams {
       }
   }
 
+  /** Native session-window streaming aggregate — the declarative twin of
+    * [[sessionizeStream]]: `session_window` lets Catalyst plan the
+    * dedicated session-merge exec (UpdatingSessions + MergingSessionsExec
+    * folding overlapping [event, event+gap) windows per user inside one
+    * keyed exchange, state bounded by the watermark), instead of
+    * hand-rolled `flatMapGroupsWithState` bookkeeping. Append mode emits
+    * each session exactly once, when the watermark passes its end —
+    * windows are [first, last+gap), the same rule as the batch
+    * `x_session_window` query, so the two twins agree row-for-row on
+    * closed sessions. Events must carry a watermark on `ts`. */
+  def sessionWindowStream(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_timestamp(col("sw.start")).as("start_epoch"),
+        unix_timestamp(col("sw.end")).as("end_epoch"),
+        col("n_events"))
+
   /** Incremental SCD2 over a stream: every micro-batch merges into the
     * versioned dimension table via `foreachBatch` — the streaming form of
     * the reference's silver merge job (`b2s_yfinance.py:142-186`, which

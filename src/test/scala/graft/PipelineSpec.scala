@@ -342,4 +342,42 @@ class PipelineSpec extends SparkSpec {
       cat.readVersion(spark, "c.s.t", "v000001")
     }
   }
+
+  test("rollback is a pointer swap; vacuum never deletes the serving version") {
+    import spark.implicits._
+    val cat = new TableCatalog(
+      java.nio.file.Files.createTempDirectory("graft-vac").toString)
+    cat.overwrite(Seq(1).toDF("n"), "c.s.vac") // v1
+    cat.append(Seq(2).toDF("n"), "c.s.vac")    // v2 = v1-hardlinks + batch
+    assert(cat.versions("c.s.vac") == Seq("v000001", "v000002"))
+    // rollback: O(1) pointer swap, both versions stay retained
+    cat.rollback("c.s.vac", "v000001")
+    assert(cat.read(spark, "c.s.vac").as[Int].collect().toSeq == Seq(1))
+    assert(cat.versions("c.s.vac") == Seq("v000001", "v000002"))
+    // roll-forward is the same call with the newer tag
+    cat.rollback("c.s.vac", "v000002")
+    assert(cat.read(spark, "c.s.vac").as[Int].collect().sorted.toSeq == Seq(1, 2))
+    // vacuum protects the CURRENT version even when keepLast says otherwise
+    cat.rollback("c.s.vac", "v000001")
+    assert(cat.vacuum("c.s.vac", keepLast = 1).isEmpty) // v1 current, v2 newest
+    assert(cat.versions("c.s.vac") == Seq("v000001", "v000002"))
+    // vacuum drops the no-longer-current old version; hardlinked data
+    // carried into v2 survives via v2's links
+    cat.rollback("c.s.vac", "v000002")
+    assert(cat.vacuum("c.s.vac", keepLast = 1) == Seq("v000001"))
+    assert(cat.versions("c.s.vac") == Seq("v000002"))
+    assert(cat.read(spark, "c.s.vac").as[Int].collect().sorted.toSeq == Seq(1, 2))
+    intercept[IllegalArgumentException] {
+      cat.readVersion(spark, "c.s.vac", "v000001")
+    }
+    // append after rollback builds on the rolled-back state: v2's row
+    // never resurfaces, and automatic pruning spares nothing it serves
+    cat.rollback("c.s.vac", "v000002")
+    cat.overwrite(Seq(7).toDF("n"), "c.s.vac")  // v3
+    cat.rollback("c.s.vac", "v000002")
+    // v4 builds on v2; pruning then drops the v2 TAG (oldest, no longer
+    // current) but v4's hardlinks keep every byte it serves alive
+    cat.append(Seq(9).toDF("n"), "c.s.vac")
+    assert(cat.read(spark, "c.s.vac").as[Int].collect().sorted.toSeq == Seq(1, 2, 9))
+  }
 }

@@ -97,6 +97,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("native session_window streaming merges windows and flushes on watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = Timestamp.valueOf(s"2024-01-01 $s")
+    def epoch(s: String) = t(s).getTime / 1000
+
+    val mem = MemoryStream[(Long, Timestamp)]
+    val events = mem.toDF().toDF("user_id", "ts").withWatermark("ts", "10 minutes")
+    val q = EventStreams.sessionWindowStream(events, "30 minutes")
+      .writeStream.format("memory").queryName("swin_test")
+      .outputMode("append").start()
+    try {
+      // user 1: 00:00 and 00:10 merge into one [00:00, 00:40) session;
+      // 00:55 opens a second. user 2: lone event → [00:05, 00:35).
+      mem.addData((1L, t("00:00:00")), (1L, t("00:10:00")),
+        (1L, t("00:55:00")), (2L, t("00:05:00")))
+      q.processAllAvailable()
+      def rows() = spark.table("swin_test")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      // watermark (00:55 - 10 min = 00:45) passed both early session ends
+      assert(rows() == Set(
+        (1L, epoch("00:00:00"), epoch("00:40:00"), 2L),
+        (2L, epoch("00:05:00"), epoch("00:35:00"), 1L)), s"early: ${rows()}")
+
+      // push the watermark far ahead → the open session flushes
+      mem.addData((9L, t("06:00:00")))
+      q.processAllAvailable()
+      assert(rows().contains((1L, epoch("00:55:00"), epoch("01:25:00"), 1L)),
+        s"open session not flushed: ${rows()}")
+    } finally q.stop()
+  }
+
   test("file-source streaming: readEventStream over a landing directory") {
     import java.nio.file.{Files, Paths}
     val dir = Files.createTempDirectory("graft-events")
