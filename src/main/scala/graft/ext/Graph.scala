@@ -57,4 +57,36 @@ object Graph {
     tri.select(explode(array(col("x"), col("y"), col("z"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** PageRank over the undirected edge set (a, b), in FIXED-POINT integer
+    * arithmetic: ranks are scaled by `scale` and every division is the
+    * integral `div`, so the result is bit-exact and engine-independent —
+    * the float-summation ordering that makes distributed PageRank
+    * non-deterministic (per-partition add order changes the low bits)
+    * never arises. Damping 0.85 as (85·x) div 100; init rank = `scale`
+    * (1.0 per vertex). Every vertex of an undirected edge has degree ≥ 1,
+    * so there are no dangling-mass corrections.
+    *
+    * Scale design: each iteration is one join of the edge list with the
+    * rank table on the source key plus one keyed sum — the classic
+    * message-passing shuffle pair, state strictly O(V) + O(E), nothing on
+    * the driver. Lineage grows linearly in `iters`; callers running many
+    * iterations should checkpoint every ~10 (the dup-clusters loop shows
+    * the pattern). Returns (v, pr_fixed = rank·scale, floored). */
+  def pageRank(edges: DataFrame, iters: Int = 3,
+               scale: Long = 1000000000000L): DataFrame = {
+    val und = edges.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
+    val deg = und.groupBy("u").agg(count(lit(1)).as("deg"))
+    val undD = und.join(deg, Seq("u"))
+    var pr = deg.select(col("u"), lit(scale).as("pr"))
+    val base = 15L * scale / 100 // (1 - d) exactly, scale % 100 == 0
+    for (_ <- 1 to iters) {
+      pr = undD.join(pr, Seq("u"))
+        .select(col("v").as("u"), expr("pr div deg").as("c"))
+        .groupBy("u").agg(sum(col("c")).as("s"))
+        .select(col("u"), (lit(base) + expr("(85 * s) div 100")).as("pr"))
+    }
+    pr.select(col("u").as("v"), col("pr").as("pr_fixed"))
+  }
 }

@@ -997,21 +997,32 @@ object Extensions {
     * tight cohorts are all-triangles). Edge build is one distinct + one
     * key-equality self-join + keyed count; the count itself is the
     * degree-ordered wedge join — no step is quadratic in the vertex set. */
-  def triangles(spark: SparkSession, sfDir: String): DataFrame = {
+  private def coPurchaseEdges(spark: SparkSession, sfDir: String): DataFrame = {
     val uk = Parity.events(spark, sfDir)
       .filter(col("event_type") === "purchase")
       .select(col("user_id"),
         get_json_object(col("props"), "$.k").cast(LongType).as("k"))
       .distinct()
-    val edges = uk.as("x").join(uk.as("y"),
+    uk.as("x").join(uk.as("y"),
         col("x.k") === col("y.k") && col("x.user_id") < col("y.user_id"))
       .groupBy(col("x.user_id").as("a"), col("y.user_id").as("b"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= 5)
       .select("a", "b")
-    Graph.triangleCounts(edges)
-      .select(col("v").as("user_id"), col("n_triangles"))
   }
+
+  def triangles(spark: SparkSession, sfDir: String): DataFrame =
+    Graph.triangleCounts(coPurchaseEdges(spark, sfDir))
+      .select(col("v").as("user_id"), col("n_triangles"))
+
+  /** Fixed-point PageRank ([[graft.ext.Graph.pageRank]]) over the same
+    * co-purchase graph — influence centrality where triangle counting
+    * gives cohesion. Integer arithmetic end-to-end (scaled ranks,
+    * integral division), so the oracle replays the exact iterations and
+    * the hash matches bit-for-bit: no float-summation-order drift. */
+  def pagerank(spark: SparkSession, sfDir: String): DataFrame =
+    Graph.pageRank(coPurchaseEdges(spark, sfDir), iters = 3)
+      .select(col("v").as("user_id"), col("pr_fixed"))
 
   // ---------------------------------------------------------- queries map
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1084,7 +1095,8 @@ object Extensions {
     "x_vocab_encode" -> (vocabEncode(_, _)),
     "d_cdc_chunks" -> cdcChunks _,
     "x_bloom_prune" -> bloomPrune _,
-    "x_triangles" -> triangles _)
+    "x_triangles" -> triangles _,
+    "x_pagerank" -> pagerank _)
 
   // ----------------------------------------------------------- oracle SQL
   // Shared SQL fragments (DuckDB dialect), mirroring TextKit/DuckSql.
@@ -1114,6 +1126,18 @@ object Extensions {
             CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
         (acc, v) -> acc + v)"""
   /** CTE computing per-doc distinct trigram shingles + counts. */
+  /** Co-purchase graph shared by x_triangles / x_pagerank: users joined
+    * by ≥5 common purchase keys; `edges` has (a, b) with a < b. */
+  private val coPurchaseCte =
+    """uk AS (
+         SELECT DISTINCT user_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+         FROM events WHERE event_type = 'purchase'),
+       edges AS (
+         SELECT x.user_id AS a, y.user_id AS b
+         FROM uk x JOIN uk y ON x.k = y.k AND x.user_id < y.user_id
+         GROUP BY 1, 2 HAVING count(*) >= 5)"""
+
   private val shingleCte =
     s"""sh AS (
           SELECT doc_id, ${DuckSql.wordShingles("w", 3)} AS shingles
@@ -2036,14 +2060,7 @@ object Extensions {
       // Oracle enumerates triangles in plain a<b<c id order; the Spark
       // side's degree-ordered orientation finds the same triangle set
       // (orientation only changes WHERE each triangle is discovered).
-      """WITH uk AS (
-           SELECT DISTINCT user_id,
-             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
-           FROM events WHERE event_type = 'purchase'),
-         edges AS (
-           SELECT x.user_id AS a, y.user_id AS b
-           FROM uk x JOIN uk y ON x.k = y.k AND x.user_id < y.user_id
-           GROUP BY 1, 2 HAVING count(*) >= 5),
+      s"""WITH $coPurchaseCte,
          tri AS (
            SELECT e1.a AS x, e1.b AS y, e2.b AS z
            FROM edges e1 JOIN edges e2 ON e1.b = e2.a
@@ -2052,5 +2069,24 @@ object Extensions {
          FROM (SELECT x AS v FROM tri
                UNION ALL SELECT y FROM tri
                UNION ALL SELECT z FROM tri)
-         GROUP BY 1""")
+         GROUP BY 1""",
+    "x_pagerank" ->
+      // Exact replay of the fixed-point iterations: integer division at
+      // the same two points (per-source share, damping) makes every
+      // intermediate a bit-exact BIGINT in both engines.
+      s"""WITH $coPurchaseCte,
+         und AS (SELECT a AS u, b AS v FROM edges
+                 UNION ALL SELECT b, a FROM edges),
+         deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY 1),
+         p0 AS (SELECT u, CAST(1000000000000 AS BIGINT) AS pr FROM deg),
+         c1 AS (SELECT und.v AS u, CAST(SUM(p0.pr // d.deg) AS BIGINT) AS s
+                FROM und JOIN deg d USING (u) JOIN p0 USING (u) GROUP BY 1),
+         p1 AS (SELECT u, CAST(150000000000 + (85 * s) // 100 AS BIGINT) AS pr FROM c1),
+         c2 AS (SELECT und.v AS u, CAST(SUM(p1.pr // d.deg) AS BIGINT) AS s
+                FROM und JOIN deg d USING (u) JOIN p1 USING (u) GROUP BY 1),
+         p2 AS (SELECT u, CAST(150000000000 + (85 * s) // 100 AS BIGINT) AS pr FROM c2),
+         c3 AS (SELECT und.v AS u, CAST(SUM(p2.pr // d.deg) AS BIGINT) AS s
+                FROM und JOIN deg d USING (u) JOIN p2 USING (u) GROUP BY 1),
+         p3 AS (SELECT u, CAST(150000000000 + (85 * s) // 100 AS BIGINT) AS pr FROM c3)
+         SELECT u AS user_id, pr AS pr_fixed FROM p3""")
 }

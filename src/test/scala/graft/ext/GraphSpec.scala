@@ -48,6 +48,31 @@ class GraphSpec extends SparkSpec {
     assert(counts(all: _*) === brute.toMap)
   }
 
+  test("fixed-point pageRank matches a sequential reference bit-for-bit") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 3L), (4L, 5L))
+    val scale = 1000000000000L
+    // sequential reference: same integer arithmetic, same iteration count
+    val und = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val deg = und.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var pr = deg.keys.map(_ -> scale).toMap
+    for (_ <- 1 to 3) {
+      val s = und.groupBy(_._2).view.mapValues(
+        _.map { case (u, _) => pr(u) / deg(u) }.sum).toMap
+      pr = s.map { case (v, sv) => v -> (15L * scale / 100 + 85L * sv / 100) }
+    }
+    val got = Graph.pageRank(edges(pairs: _*), iters = 3, scale = scale)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === pr)
+    // the 3-edge vertex 1 outranks the 1-edge leaf 5
+    assert(got(1L) > got(5L))
+  }
+
+  test("pageRank on a symmetric cycle gives every vertex the same rank") {
+    val c = Graph.pageRank(edges((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)))
+      .collect().map(_.getLong(1)).toSet
+    assert(c.size === 1) // symmetry → identical fixed-point values
+  }
+
   test("high-degree hub does not explode the wedge join result") {
     // hub 100 connected to 50 leaves + one triangle off to the side:
     // only the triangle is counted, hub contributes nothing
