@@ -1024,6 +1024,32 @@ object Extensions {
     Graph.pageRank(coPurchaseEdges(spark, sfDir), iters = 3)
       .select(col("v").as("user_id"), col("pr_fixed"))
 
+  /** Incremental view maintenance of a JOIN view — the batch form of the
+    * algebra streaming IVM relies on: with base tables A, B and delta
+    * batches ΔA, ΔB, the maintained view is
+    * V' = (A⋈B) ∪ (ΔA⋈B) ∪ (A⋈ΔB) ∪ (ΔA⋈ΔB) — each delta term joins a
+    * small batch against a base (broadcast/co-partitioned at scale), so
+    * refreshing the view costs O(Δ·selectivity), never a full A⋈B
+    * recompute. The oracle IS the full recompute over (A∪ΔA)⋈(B∪ΔB):
+    * correctness means the four terms tile the full join exactly — no
+    * duplicates, no gaps. Here A/ΔA split orders on a key residue and
+    * B/ΔB split customer, so every term is non-empty and all four
+    * cross-term shapes are exercised. */
+  def ivmJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Parity.table(spark, sfDir, "orders")
+    val cust = Parity.table(spark, sfDir, "customer")
+    val a0 = orders.filter(col("o_orderkey") % 10 =!= 0)
+    val da = orders.filter(col("o_orderkey") % 10 === 0)
+    val b0 = cust.filter(col("c_custkey") % 7 =!= 0)
+    val db = cust.filter(col("c_custkey") % 7 === 0)
+    def term(x: DataFrame, y: DataFrame): DataFrame =
+      x.join(y, x("o_custkey") === y("c_custkey"))
+        .select(x("o_orderkey"), x("o_custkey"), y("c_name"),
+          x("o_totalprice").cast("decimal(18,2)").cast(DoubleType).as("o_totalprice"))
+    term(a0, b0).unionAll(term(da, b0))
+      .unionAll(term(a0, db)).unionAll(term(da, db))
+  }
+
   // ---------------------------------------------------------- queries map
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_token_stats" -> tokenStats _,
@@ -1096,7 +1122,8 @@ object Extensions {
     "d_cdc_chunks" -> cdcChunks _,
     "x_bloom_prune" -> bloomPrune _,
     "x_triangles" -> triangles _,
-    "x_pagerank" -> pagerank _)
+    "x_pagerank" -> pagerank _,
+    "x_ivm_join" -> ivmJoin _)
 
   // ----------------------------------------------------------- oracle SQL
   // Shared SQL fragments (DuckDB dialect), mirroring TextKit/DuckSql.
@@ -2088,5 +2115,11 @@ object Extensions {
          c3 AS (SELECT und.v AS u, CAST(SUM(p2.pr // d.deg) AS BIGINT) AS s
                 FROM und JOIN deg d USING (u) JOIN p2 USING (u) GROUP BY 1),
          p3 AS (SELECT u, CAST(150000000000 + (85 * s) // 100 AS BIGINT) AS pr FROM c3)
-         SELECT u AS user_id, pr AS pr_fixed FROM p3""")
+         SELECT u AS user_id, pr AS pr_fixed FROM p3""",
+    "x_ivm_join" ->
+      // The oracle is the FULL recompute: the four delta-algebra terms
+      // must tile it exactly (no dup, no gap).
+      """SELECT o.o_orderkey, o.o_custkey, c.c_name,
+           CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey""")
 }
