@@ -464,6 +464,33 @@ object Dedup {
           slice(col("ws"), col("se.s"), col("se.e") - col("se.s") + 1), " "))
           .as("chunk_hash"))
 
+  /** Winnowed fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    * algorithm): slide a window of `w` consecutive k-gram hashes over
+    * each document and keep each window's MINIMUM, deduplicated. The
+    * guarantee: any substring match of at least w + k - 1 characters
+    * yields at least one SHARED fingerprint, while density drops to
+    * ~2/(w+1) of all grams — the posting table the downstream dedup
+    * join keys on shrinks ~(w+1)/2× versus full shingle postings with a
+    * bounded, provable recall floor (unlike uniform sampling, which can
+    * miss arbitrarily long matches). Documents shorter than one window
+    * contribute their single overall minimum.
+    *
+    * Scale design (100 TB): fingerprinting is pure per-row generated
+    * expressions over the one-pass rolling [[TextKit.gramHashes]] —
+    * no shuffle, no UDFs; the shared-fingerprint analysis downstream is
+    * one keyed aggregation on the fingerprint value. */
+  def winnowedFingerprints(docs: DataFrame, k: Int = 5, w: Int = 8): DataFrame =
+    docs
+      .select(col("doc_id"), TextKit.gramHashes(col("text"), k).as("g"))
+      .transform(Par.spread(_, col("doc_id"))) // barrier: g computes once
+      .select(col("doc_id"),
+        when(size(col("g")) === 0, array().cast("array<long>"))
+          .when(size(col("g")) < w, array(array_min(col("g"))))
+          .otherwise(array_distinct(
+            transform(sequence(lit(1), size(col("g")) - (w - 1)),
+              i => array_min(slice(col("g"), i, lit(w))))))
+          .as("fps"))
+
   /** Per-doc SimHash value (24-bit); word hashes materialize once per
     * row before the 24 per-bit votes read them. */
   def simHashed(docs: DataFrame, bits: Int = 24): DataFrame =

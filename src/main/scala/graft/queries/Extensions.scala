@@ -1024,6 +1024,27 @@ object Extensions {
     Graph.pageRank(coPurchaseEdges(spark, sfDir), iters = 3)
       .select(col("v").as("user_id"), col("pr_fixed"))
 
+  /** Winnowed-fingerprint rollup ([[Dedup.winnowedFingerprints]]): per
+    * doc, its fingerprint count and how many fingerprints are shared
+    * with another document — same shape as the CDC-chunk rollup, but
+    * with MOSS's guarantee that any ≥ w+k-1-char substring match
+    * surfaces. One fingerprint-keyed aggregation + one doc-keyed
+    * rollup; fingerprinting itself never shuffles. */
+  def winnowing(spark: SparkSession, sfDir: String): DataFrame = {
+    val fpt = Dedup.winnowedFingerprints(docs(spark, sfDir))
+    val ex = fpt.select(col("doc_id"), explode(col("fps")).as("fp"))
+    // fps are per-doc distinct, so count(*) per fp IS document frequency
+    val dfq = ex.groupBy("fp").agg(count(lit(1)).as("df"))
+    val rolled = ex.join(dfq, Seq("fp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_fps"),
+        sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_shared_fps"))
+    fpt.select("doc_id").join(rolled, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_fps"), lit(0L)).as("n_fps"),
+        coalesce(col("n_shared_fps"), lit(0L)).as("n_shared_fps"))
+  }
+
   /** Incremental view maintenance of a JOIN view — the batch form of the
     * algebra streaming IVM relies on: with base tables A, B and delta
     * batches ΔA, ΔB, the maintained view is
@@ -1123,7 +1144,8 @@ object Extensions {
     "x_bloom_prune" -> bloomPrune _,
     "x_triangles" -> triangles _,
     "x_pagerank" -> pagerank _,
-    "x_ivm_join" -> ivmJoin _)
+    "x_ivm_join" -> ivmJoin _,
+    "d_winnowing" -> winnowing _)
 
   // ----------------------------------------------------------- oracle SQL
   // Shared SQL fragments (DuckDB dialect), mirroring TextKit/DuckSql.
@@ -2121,5 +2143,37 @@ object Extensions {
       // must tile it exactly (no dup, no gap).
       """SELECT o.o_orderkey, o.o_custkey, c.c_name,
            CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice
-         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey""")
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey""",
+    "d_winnowing" -> {
+      // 5-gram rolling hashes (same as x_fingerprint), then winnowing:
+      // min of each 8-hash window, deduped. DuckDB list_slice is
+      // inclusive-INDEX-based (Spark slice is length-based): window i
+      // spans indices [i, i+7].
+      val gram = (1 to 4).foldLeft("c[i]") { (acc, j) => s"($acc*31 + c[i+$j])" }
+      s"""WITH g AS (
+            SELECT doc_id,
+              CASE WHEN length(text) >= 5
+              THEN list_transform(generate_series(1, length(text) - 4), i -> $gram)
+              ELSE [] END AS g
+            FROM (SELECT doc_id, text, ${DuckSql.charCodes("text")} AS c FROM documents)),
+          fpt AS (
+            SELECT doc_id,
+              CASE WHEN len(g) = 0 THEN []
+                   WHEN len(g) < 8 THEN [list_min(g)]
+                   ELSE list_distinct(list_transform(
+                     generate_series(1, len(g) - 7),
+                     i -> list_min(list_slice(g, i, i + 7)))) END AS fps
+            FROM g),
+          ex AS (SELECT doc_id, unnest(fps) AS fp FROM fpt),
+          dfq AS (SELECT fp, count(*) AS df FROM ex GROUP BY 1),
+          rolled AS (
+            SELECT ex.doc_id, CAST(count(*) AS BIGINT) AS n_fps,
+              CAST(SUM(CASE WHEN dfq.df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_shared_fps
+            FROM ex JOIN dfq USING (fp) GROUP BY 1)
+          SELECT fpt.doc_id,
+            coalesce(rolled.n_fps, 0::BIGINT) AS n_fps,
+            coalesce(rolled.n_shared_fps, 0::BIGINT) AS n_shared_fps
+          FROM fpt LEFT JOIN rolled ON fpt.doc_id = rolled.doc_id"""
+    })
 }

@@ -95,6 +95,33 @@ class DedupSpec extends SparkSpec {
     assert(uncappedPairs == 45L, s"skew premise broken: $uncappedPairs")
   }
 
+  test("winnowing: shared long substring guarantees a shared fingerprint") {
+    // k=5, w=8 → any shared substring of >= w+k-1 = 12 chars must yield
+    // at least one common fingerprint, wherever it sits in each doc
+    val shared = "zqxjkvwpbyfgm" // 13 chars, unusual alphabet
+    val d = Seq(
+      (0L, s"aaaa bbbb $shared cccc dddd"),
+      (1L, s"totally different prefix text here $shared and other tail"),
+      (2L, "no overlap with anything else at all in this one"))
+      .toDF("doc_id", "text")
+    val fps = Dedup.winnowedFingerprints(d)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((fps(0L) intersect fps(1L)).nonEmpty, "guaranteed match missed")
+    assert((fps(0L) intersect fps(2L)).isEmpty, "unrelated docs share fingerprints")
+  }
+
+  test("winnowing: density ~2/(w+1) of grams; short docs keep one fingerprint") {
+    val txt = ('a' to 'z').mkString * 40 // 1040 chars, all 5-grams distinct
+    val d = Seq((0L, txt), (1L, "tiny"), (2L, "sevench")).toDF("doc_id", "text")
+    val fps = Dedup.winnowedFingerprints(d)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val nGrams = txt.length - 4
+    val density = fps(0L).size.toDouble / nGrams
+    assert(density < 0.3, s"winnowed density $density not sparse")
+    assert(fps(1L).isEmpty)      // < k chars → no grams
+    assert(fps(2L).size == 1)    // grams but < one window → overall min
+  }
+
   test("minHashNearDupsIncremental: batch-driven pairs only, corpus never self-pairs") {
     // corpus: 0 (base), 2 (unrelated); batch: 1 (near-dup of 0), 3 (copy of
     // 0), 4 (copy of 2). Expected pairs all end in a batch doc; the
