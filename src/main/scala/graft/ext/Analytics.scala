@@ -18,6 +18,45 @@ import org.apache.spark.sql.types.{DateType, DoubleType, LongType}
   */
 object Analytics {
 
+  /** 2-D skyline (Pareto frontier): rows not DOMINATED on (maximize x,
+    * maximize y) — other.x ≥ x ∧ other.y ≥ y with at least one strict.
+    * The classic sort-based algorithm, distributed in two phases:
+    *
+    * 1. LOCAL skyline per hash bucket: within each bucket, order by
+    *    (x desc, y desc) and keep rows whose y strictly exceeds the
+    *    running max of all earlier rows — an O(n log n) windowed pass
+    *    that never materializes the quadratic dominance pair space.
+    *    ANY disjoint partitioning is correct here: a global skyline row
+    *    is undominated in every subset containing it, so it always
+    *    survives its bucket; hash bucketing costs one narrow projection
+    *    (no global sort, unlike range bucketing).
+    * 2. MERGE: phase 1's survivors (≤ per-bucket skyline × #buckets,
+    *    small) go through the same windowed pass globally — correct
+    *    because dominance is transitive: a row dominated by a dropped
+    *    row is also dominated by whichever survivor dropped it.
+    *
+    * The pass runs over DISTINCT (x, y) pairs — on distinct pairs, every
+    * earlier row in (x desc, y desc) order has x' > x, or x' = x with
+    * y' > y, so "y ≤ running max" is exactly dominance; duplicate points
+    * (mutually non-dominating, all skyline members) re-enter via the
+    * final semi-join. */
+  def skyline2D(df: DataFrame, x: String, y: String,
+                buckets: Int = 32): DataFrame = {
+    def pass(d: DataFrame, part: Seq[String]): DataFrame = {
+      val w0 = if (part.isEmpty) Window.orderBy(col(x).desc, col(y).desc)
+               else Window.partitionBy(part.map(col): _*)
+                 .orderBy(col(x).desc, col(y).desc)
+      val w = w0.rowsBetween(Window.unboundedPreceding, -1)
+      d.withColumn("_ymax", max(col(y)).over(w))
+        .filter(col("_ymax").isNull || col(y) > col("_ymax"))
+        .drop("_ymax")
+    }
+    val pairs = df.select(col(x), col(y)).distinct()
+      .withColumn("_bk", pmod(hash(col(x), col(y)), lit(buckets)))
+    val frontier = pass(pass(pairs, Seq("_bk")).drop("_bk"), Nil)
+    df.join(frontier, Seq(x, y), "left_semi")
+  }
+
   /** Weekly cohort retention over an event log.
     *
     * cohort_week = ISO week (Monday-truncated) of the user's first event;

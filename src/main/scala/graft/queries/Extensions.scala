@@ -1045,6 +1045,20 @@ object Extensions {
         coalesce(col("n_shared_fps"), lit(0L)).as("n_shared_fps"))
   }
 
+  /** Skyline / Pareto frontier ([[graft.ext.Analytics.skyline2D]]):
+    * orders that no other order beats on BOTH total price and recency —
+    * the multi-criteria "best offers" query that otherwise needs a
+    * quadratic dominance self-join. Windowed two-phase plan; oracle is
+    * the literal NOT EXISTS dominance definition. */
+  def skyline(spark: SparkSession, sfDir: String): DataFrame =
+    Analytics.skyline2D(
+        Parity.table(spark, sfDir, "orders")
+          .select(col("o_orderkey"),
+            col("o_totalprice").cast("decimal(18,2)").cast(DoubleType).as("price"),
+            col("o_orderdate").cast(StringType).as("odate")),
+        x = "price", y = "odate")
+      .select("o_orderkey", "price", "odate")
+
   /** Incremental view maintenance of a JOIN view — the batch form of the
     * algebra streaming IVM relies on: with base tables A, B and delta
     * batches ΔA, ΔB, the maintained view is
@@ -1145,7 +1159,8 @@ object Extensions {
     "x_triangles" -> triangles _,
     "x_pagerank" -> pagerank _,
     "x_ivm_join" -> ivmJoin _,
-    "d_winnowing" -> winnowing _)
+    "d_winnowing" -> winnowing _,
+    "x_skyline" -> skyline _)
 
   // ----------------------------------------------------------- oracle SQL
   // Shared SQL fragments (DuckDB dialect), mirroring TextKit/DuckSql.
@@ -2175,5 +2190,18 @@ object Extensions {
             coalesce(rolled.n_fps, 0::BIGINT) AS n_fps,
             coalesce(rolled.n_shared_fps, 0::BIGINT) AS n_shared_fps
           FROM fpt LEFT JOIN rolled ON fpt.doc_id = rolled.doc_id"""
-    })
+    },
+    "x_skyline" ->
+      // literal dominance definition; the Spark side's windowed two-phase
+      // plan must produce exactly this set (ties included)
+      """WITH o AS (
+           SELECT o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+             CAST(o_orderdate AS VARCHAR) AS odate
+           FROM orders)
+         SELECT o_orderkey, price, odate FROM o
+         WHERE NOT EXISTS (
+           SELECT 1 FROM o o2
+           WHERE o2.price >= o.price AND o2.odate >= o.odate
+             AND (o2.price > o.price OR o2.odate > o.odate))""")
 }

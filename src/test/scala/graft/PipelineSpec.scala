@@ -343,6 +343,28 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("shallow clone shares inodes; divergent writes leave the other side intact") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val cat = new TableCatalog(Files.createTempDirectory("graft-clone").toString)
+    cat.overwrite((1 to 50).toDF("n"), "c.s.orig")
+    cat.clone(spark, "c.s.orig", "c.s.copy")
+    // same bytes served, by the same inodes (no data copy)
+    assert(cat.read(spark, "c.s.copy").as[Int].collect().sorted.toSeq == (1 to 50))
+    def inodes(p: String) = new java.io.File(p).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(f => Files.getAttribute(Paths.get(f.getPath), "unix:fileKey")).toSet
+    assert(inodes(cat.currentPath("c.s.orig")) == inodes(cat.currentPath("c.s.copy")))
+    // divergence: writing the clone leaves the source untouched, and
+    // vacuuming the source cannot free bytes the clone still links
+    cat.overwrite((100 to 110).toDF("n"), "c.s.copy")
+    assert(cat.read(spark, "c.s.orig").as[Int].collect().sorted.toSeq == (1 to 50))
+    cat.overwrite((200 to 210).toDF("n"), "c.s.orig")
+    cat.vacuum("c.s.orig", keepLast = 1)
+    assert(cat.readVersion(spark, "c.s.copy", "v000001")
+      .as[Int].collect().sorted.toSeq == (1 to 50))
+  }
+
   test("rollback is a pointer swap; vacuum never deletes the serving version") {
     import spark.implicits._
     val cat = new TableCatalog(

@@ -51,6 +51,33 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("skyline2D: exactly the non-dominated set, ties kept, any bucketing") {
+    // frontier: (9,1), (5,5), (1,9); dominated: (4,4) by (5,5), (5,3) by
+    // (5,5) [tie on x, strict on y], (3,5) by (5,5); tie point (5,5) dup
+    val rows = Seq(
+      (1L, 9.0, 1L), (2L, 5.0, 5L), (3L, 1.0, 9L),
+      (4L, 4.0, 4L), (5L, 5.0, 3L), (6L, 3.0, 5L),
+      (7L, 5.0, 5L) // duplicate of the frontier point — both stay
+    ).toDF("id", "x", "y")
+    def ids(buckets: Int) =
+      Analytics.skyline2D(rows, "x", "y", buckets)
+        .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids(32) === Set(1L, 2L, 3L, 7L))
+    assert(ids(1) === Set(1L, 2L, 3L, 7L))  // result independent of bucketing
+    assert(ids(2) === Set(1L, 2L, 3L, 7L))
+    // brute-force cross-check on a pseudo-random cloud
+    val cloud = (1 to 200).map { i =>
+      (i.toLong, ((i * 31) % 97).toDouble, ((i * 17) % 89).toLong) }
+    val cdf = cloud.toDF("id", "x", "y")
+    val brute = cloud.filter { case (_, x, y) =>
+      !cloud.exists { case (_, x2, y2) =>
+        x2 >= x && y2 >= y && (x2 > x || y2 > y) }
+    }.map(_._1).toSet
+    val got = Analytics.skyline2D(cdf, "x", "y")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got === brute)
+  }
+
   test("editDistancePairs: finds close pairs within a block, skips far ones") {
     val docs = Seq(
       (0L, "the quick brown fox jumps over the lazy dog", "en"),
