@@ -486,6 +486,22 @@ object Dedup {
       .select(col("doc_id"),
         when(size(col("g")) === 0, array().cast("array<long>"))
           .when(size(col("g")) < w, array(array_min(col("g"))))
+          // one-pass monotonic-deque window minima (O(n), codegen) —
+          // value-identical to the O(n·w) slice/array_min HOF twin
+          // ([[winnowedFingerprintsHof]], cross-checked in DedupSpec)
+          .otherwise(array_distinct(
+            graft.functions.SlidingMin(col("g"), w)))
+          .as("fps"))
+
+  /** Interpreted higher-order twin of [[winnowedFingerprints]] — the
+    * cross-check reference (same output, O(n·w) slice chain). */
+  def winnowedFingerprintsHof(docs: DataFrame, k: Int = 5, w: Int = 8): DataFrame =
+    docs
+      .select(col("doc_id"), TextKit.gramHashes(col("text"), k).as("g"))
+      .transform(Par.spread(_, col("doc_id")))
+      .select(col("doc_id"),
+        when(size(col("g")) === 0, array().cast("array<long>"))
+          .when(size(col("g")) < w, array(array_min(col("g"))))
           .otherwise(array_distinct(
             transform(sequence(lit(1), size(col("g")) - (w - 1)),
               i => array_min(slice(col("g"), i, lit(w))))))

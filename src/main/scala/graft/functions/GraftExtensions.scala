@@ -16,6 +16,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(MinHashSig.registration)
     ext.injectFunction(SimHashSig.registration)
     ext.injectFunction(GramHashes.registration)
+    ext.injectFunction(SlidingMin.registration)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(graft.plans.MvRewriteRule)
   }
@@ -27,7 +28,8 @@ object GraftExtensions {
     val reg = spark.sessionState.functionRegistry
     Seq(PolyHash.registration, DotProduct.registration,
         InterleaveBits.registration, MinHashSig.registration,
-        SimHashSig.registration, GramHashes.registration).foreach { r =>
+        SimHashSig.registration, GramHashes.registration,
+        SlidingMin.registration).foreach { r =>
       reg.registerFunction(r._1, r._2, r._3)
     }
   }

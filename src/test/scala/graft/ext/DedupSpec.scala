@@ -110,6 +110,20 @@ class DedupSpec extends SparkSpec {
     assert((fps(0L) intersect fps(2L)).isEmpty, "unrelated docs share fingerprints")
   }
 
+  test("winnowing: native SlidingMin form equals the HOF twin on varied docs") {
+    val d = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again"),
+      (1L, ('a' to 'z').mkString * 10),
+      (2L, "ababababababababababab"), // heavy ties exercise deque >= rule
+      (3L, "short"), (4L, "tiny"), (5L, ""))
+      .toDF("doc_id", "text")
+    val native = Dedup.winnowedFingerprints(d)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val hof = Dedup.winnowedFingerprintsHof(d)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(native === hof)
+  }
+
   test("winnowing: density ~2/(w+1) of grams; short docs keep one fingerprint") {
     val txt = ('a' to 'z').mkString * 40 // 1040 chars, all 5-grams distinct
     val d = Seq((0L, txt), (1L, "tiny"), (2L, "sevench")).toDF("doc_id", "text")
