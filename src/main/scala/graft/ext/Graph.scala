@@ -58,6 +58,43 @@ object Graph {
       .groupBy("v").agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Derive a deterministic FOREST from an undirected edge set:
+    * parent(u) = the smallest neighbor below u, or u itself (a root)
+    * when every neighbor is larger. parent < child strictly, so the
+    * pointer graph is acyclic by construction; local-minimum vertices
+    * become roots (a component can contribute several trees — this is
+    * the one-hop hooking forest, not full connectivity, which
+    * [[Dedup.dupClusters]] already provides). Output columns (u, p). */
+  def parentPointers(edges: DataFrame): DataFrame = {
+    val und = edges.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
+    val mins = und.filter(col("v") < col("u"))
+      .groupBy("u").agg(min(col("v")).as("p"))
+    und.select("u").distinct()
+      .join(mins, Seq("u"), "left")
+      .select(col("u"), coalesce(col("p"), col("u")).as("p"))
+  }
+
+  /** Resolve every node of a parent forest to its ROOT and DEPTH by
+    * pointer doubling: each round joins the pointer table with itself so
+    * a pointer spanning 2^(k-1) ancestors becomes one spanning 2^k (or
+    * stops at the root, whose self-pointer contributes 0 further steps).
+    * `rounds` = r handles any depth ≤ 2^r — exponential convergence,
+    * where naive parent-chasing needs depth-many rounds; this is THE
+    * technique for resolving deep chains (symlink forests, org
+    * hierarchies, SCD lineage) in a bounded number of shuffles.
+    * Each round is one self-join keyed on the current ancestor. */
+  def rootsAndDepths(parents: DataFrame, rounds: Int = 8): DataFrame = {
+    var s = parents.select(col("u"), col("p").as("anc"),
+      when(col("p") === col("u"), 0L).otherwise(1L).as("d"))
+    for (_ <- 1 to rounds) {
+      val j = s.select(col("u").as("ju"), col("anc").as("janc"), col("d").as("jd"))
+      s = s.join(j, s("anc") === j("ju"))
+        .select(s("u"), col("janc").as("anc"), (s("d") + col("jd")).as("d"))
+    }
+    s.select(col("u"), col("anc").as("root"), col("d").as("depth"))
+  }
+
   /** PageRank over the undirected edge set (a, b), in FIXED-POINT integer
     * arithmetic: ranks are scaled by `scale` and every division is the
     * integral `div`, so the result is bit-exact and engine-independent —

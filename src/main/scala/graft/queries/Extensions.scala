@@ -1024,6 +1024,16 @@ object Extensions {
     Graph.pageRank(coPurchaseEdges(spark, sfDir), iters = 3)
       .select(col("v").as("user_id"), col("pr_fixed"))
 
+  /** Pointer-doubling hierarchy resolution
+    * ([[graft.ext.Graph.rootsAndDepths]]): derive the canonical
+    * smallest-neighbor forest over the co-purchase graph, then resolve
+    * every user to its root and depth in log-many self-joins — the
+    * bounded-shuffle answer to "follow this pointer chain to the end"
+    * that a recursive CTE (the oracle) answers with depth-many steps. */
+  def hierarchy(spark: SparkSession, sfDir: String): DataFrame =
+    Graph.rootsAndDepths(Graph.parentPointers(coPurchaseEdges(spark, sfDir)))
+      .select(col("u").as("user_id"), col("root"), col("depth"))
+
   /** Winnowed-fingerprint rollup ([[Dedup.winnowedFingerprints]]): per
     * doc, its fingerprint count and how many fingerprints are shared
     * with another document — same shape as the CDC-chunk rollup, but
@@ -1160,7 +1170,8 @@ object Extensions {
     "x_pagerank" -> pagerank _,
     "x_ivm_join" -> ivmJoin _,
     "d_winnowing" -> winnowing _,
-    "x_skyline" -> skyline _)
+    "x_skyline" -> skyline _,
+    "x_hierarchy" -> hierarchy _)
 
   // ----------------------------------------------------------- oracle SQL
   // Shared SQL fragments (DuckDB dialect), mirroring TextKit/DuckSql.
@@ -2203,5 +2214,26 @@ object Extensions {
          WHERE NOT EXISTS (
            SELECT 1 FROM o o2
            WHERE o2.price >= o.price AND o2.odate >= o.odate
-             AND (o2.price > o.price OR o2.odate > o.odate))""")
+             AND (o2.price > o.price OR o2.odate > o.odate))""",
+    "x_hierarchy" ->
+      // Recursive CTE walks each pointer chain one step per level; the
+      // Spark side covers the same chains in log-many doubling rounds.
+      s"""WITH RECURSIVE $coPurchaseCte,
+         und AS (SELECT a AS u, b AS v FROM edges
+                 UNION ALL SELECT b, a FROM edges),
+         parents AS (
+           SELECT u, coalesce(MIN(CASE WHEN v < u THEN v END), u) AS p
+           FROM und GROUP BY u),
+         walk(u, cur, d) AS (
+           SELECT u, u, CAST(0 AS BIGINT) FROM parents
+           UNION ALL
+           SELECT w.u, p.p, w.d + 1
+           FROM walk w JOIN parents p ON w.cur = p.u
+           WHERE p.p <> p.u),
+         resolved AS (
+           SELECT u, cur, d,
+             row_number() OVER (PARTITION BY u ORDER BY d DESC) AS rn
+           FROM walk)
+         SELECT u AS user_id, cur AS root, d AS depth
+         FROM resolved WHERE rn = 1""")
 }

@@ -73,6 +73,23 @@ class GraphSpec extends SparkSpec {
     assert(c.size === 1) // symmetry → identical fixed-point values
   }
 
+  test("pointer doubling resolves chain roots and depths in log rounds") {
+    // chain 1-2-3-4-5-6-7-8-9: parent(k)=k-1, depth(k)=k-1, all root 1.
+    // depth 8 > 2^3 requires >3 rounds — exercises the doubling.
+    val chain = (1L to 8L).map(i => (i, i + 1))
+    val got = Graph.rootsAndDepths(Graph.parentPointers(edges(chain: _*)), rounds = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === (1L to 9L).map(k => (k, 1L, k - 1)).toSet)
+  }
+
+  test("local-minimum vertices become roots of their own trees") {
+    // component {2,8,9}: parent(9)=2, but 8's only neighbor (9) is larger
+    // so 8 roots its own (singleton) tree
+    val got = Graph.rootsAndDepths(Graph.parentPointers(edges((2L, 9L), (8L, 9L))))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((2L, 2L, 0L), (8L, 8L, 0L), (9L, 2L, 1L)))
+  }
+
   test("high-degree hub does not explode the wedge join result") {
     // hub 100 connected to 50 leaves + one triangle off to the side:
     // only the triangle is counted, hub contributes nothing
