@@ -74,12 +74,18 @@ final class TableCatalog(val root: String) extends Serializable {
     repoint(dir, name, nextV)
   }
 
-  /** Atomically swap `_CURRENT` to `nextV` and prune old versions. */
-  private def repoint(dir: Path, name: String, nextV: String): Unit = {
+  /** Atomically swap `_CURRENT` to `version` (write-temp + ATOMIC_MOVE —
+    * the one pointer-swap protocol, shared by writes and rollback). */
+  private def swapPointer(dir: Path, name: String, version: String): Unit = {
     val tmp = dir.resolve("_CURRENT.tmp")
-    Files.writeString(tmp, nextV)
+    Files.writeString(tmp, version)
     Files.move(tmp, currentPointer(name), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Atomically swap `_CURRENT` to `nextV` and prune old versions. */
+  private def repoint(dir: Path, name: String, nextV: String): Unit = {
+    swapPointer(dir, name, nextV)
     pruneOldVersions(dir, keep = 2)
   }
 
@@ -279,7 +285,7 @@ final class TableCatalog(val root: String) extends Serializable {
     * vacuum/pruning on one side cannot free bytes the other still
     * links. The cheap dev/test-sandbox copy a 100 TB table otherwise
     * cannot afford. */
-  def clone(spark: SparkSession, source: String, target: String): Unit = {
+  def clone(source: String, target: String): Unit = {
     require(exists(source), s"clone: $source does not exist")
     require(!exists(target), s"clone: $target already exists")
     val src = Paths.get(currentPath(source))
@@ -307,11 +313,7 @@ final class TableCatalog(val root: String) extends Serializable {
   def rollback(name: String, version: String): Unit = {
     require(versions(name).contains(version),
       s"rollback: version $version of $name not retained (have: ${versions(name)})")
-    val dir = tableDir(name)
-    val tmp = dir.resolve("_CURRENT.tmp")
-    Files.writeString(tmp, version)
-    Files.move(tmp, currentPointer(name), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    swapPointer(tableDir(name), name, version)
   }
 
   /** VACUUM analogue: explicitly drop retained versions beyond the newest

@@ -84,13 +84,23 @@ object Graph {
     * technique for resolving deep chains (symlink forests, org
     * hierarchies, SCD lineage) in a bounded number of shuffles.
     * Each round is one self-join keyed on the current ancestor. */
-  def rootsAndDepths(parents: DataFrame, rounds: Int = 8): DataFrame = {
+  def rootsAndDepths(parents: DataFrame, rounds: Int = 8,
+                     verifyConverged: Boolean = true): DataFrame = {
     var s = parents.select(col("u"), col("p").as("anc"),
       when(col("p") === col("u"), 0L).otherwise(1L).as("d"))
     for (_ <- 1 to rounds) {
       val j = s.select(col("u").as("ju"), col("anc").as("janc"), col("d").as("jd"))
       s = s.join(j, s("anc") === j("ju"))
         .select(s("u"), col("janc").as("anc"), (s("d") + col("jd")).as("d"))
+    }
+    if (verifyConverged) {
+      // A chain deeper than 2^rounds would SILENTLY stop at a non-root
+      // ancestor with an undercounted depth — fail loudly instead. One
+      // bounded existence probe (limit 1 under a semi join).
+      val nonRoots = parents.filter(col("p") =!= col("u")).select(col("u").as("nr"))
+      val unresolved = s.join(nonRoots, s("anc") === col("nr"), "left_semi")
+      require(unresolved.limit(1).count() == 0,
+        s"rootsAndDepths: a chain exceeds depth 2^$rounds — increase rounds")
     }
     s.select(col("u"), col("anc").as("root"), col("d").as("depth"))
   }
@@ -109,7 +119,12 @@ object Graph {
     * message-passing shuffle pair, state strictly O(V) + O(E), nothing on
     * the driver. Lineage grows linearly in `iters`; callers running many
     * iterations should checkpoint every ~10 (the dup-clusters loop shows
-    * the pattern). Returns (v, pr_fixed = rank·scale, floored). */
+    * the pattern). Damping uses the exact split identity
+    * ⌊85s/100⌋ = 85·⌊s/100⌋ + ⌊85·(s mod 100)/100⌋ so no intermediate
+    * exceeds the running sum itself; total mass is ≤ V·scale, so pick
+    * `scale` such that V·scale stays inside Long (default 1e12 covers
+    * ~9M vertices; pass 1e6 for billion-vertex graphs — ranks keep 6
+    * decimal digits). Returns (v, pr_fixed = rank·scale, floored). */
   def pageRank(edges: DataFrame, iters: Int = 3,
                scale: Long = 1000000000000L): DataFrame = {
     val und = edges.select(col("a").as("u"), col("b").as("v"))
@@ -122,7 +137,8 @@ object Graph {
       pr = undD.join(pr, Seq("u"))
         .select(col("v").as("u"), expr("pr div deg").as("c"))
         .groupBy("u").agg(sum(col("c")).as("s"))
-        .select(col("u"), (lit(base) + expr("(85 * s) div 100")).as("pr"))
+        .select(col("u"), (lit(base) +
+          expr("85 * (s div 100) + (85 * (s % 100)) div 100")).as("pr"))
     }
     pr.select(col("u").as("v"), col("pr").as("pr_fixed"))
   }

@@ -20,9 +20,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 case class SlidingMin(child: Expression, w: Int) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(LongType, _) if w > 0 => TypeCheckResult.TypeCheckSuccess
+    // containsNull arrays are REJECTED: toLongArray() would read null
+    // slots as 0 and silently corrupt the minima — fail analysis instead.
+    case ArrayType(LongType, false) if w > 0 => TypeCheckResult.TypeCheckSuccess
     case _ => TypeCheckResult.TypeCheckFailure(
-      s"graft_sliding_min requires ARRAY<BIGINT> and w > 0, got ${child.dataType.sql}, w=$w")
+      s"graft_sliding_min requires ARRAY<BIGINT NOT NULL> and w > 0, " +
+        s"got ${child.dataType.sql}, w=$w")
   }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_sliding_min"

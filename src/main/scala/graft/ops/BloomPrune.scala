@@ -59,7 +59,9 @@ object BloomPrune {
                      estimatedItems: Long = 1L << 20,
                      numBits: Long = 1L << 23): DataFrame = {
     val bf = buildFilter(dim.select(col(key)), key, estimatedItems, numBits)
+    // left_semi already ignores duplicate build-side keys — no distinct()
+    // (it would add a full aggregate pass over the dim keys for nothing)
     fact.filter(mightContain(bf, col(key)))
-      .join(dim.select(col(key)).distinct(), Seq(key), "left_semi")
+      .join(dim.select(col(key)), Seq(key), "left_semi")
   }
 }

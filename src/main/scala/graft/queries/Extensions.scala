@@ -2156,13 +2156,16 @@ object Extensions {
          p0 AS (SELECT u, CAST(1000000000000 AS BIGINT) AS pr FROM deg),
          c1 AS (SELECT und.v AS u, CAST(SUM(p0.pr // d.deg) AS BIGINT) AS s
                 FROM und JOIN deg d USING (u) JOIN p0 USING (u) GROUP BY 1),
-         p1 AS (SELECT u, CAST(150000000000 + (85 * s) // 100 AS BIGINT) AS pr FROM c1),
+         p1 AS (SELECT u, CAST(150000000000 + 85 * (s // 100)
+                  + (85 * (s % 100)) // 100 AS BIGINT) AS pr FROM c1),
          c2 AS (SELECT und.v AS u, CAST(SUM(p1.pr // d.deg) AS BIGINT) AS s
                 FROM und JOIN deg d USING (u) JOIN p1 USING (u) GROUP BY 1),
-         p2 AS (SELECT u, CAST(150000000000 + (85 * s) // 100 AS BIGINT) AS pr FROM c2),
+         p2 AS (SELECT u, CAST(150000000000 + 85 * (s // 100)
+                  + (85 * (s % 100)) // 100 AS BIGINT) AS pr FROM c2),
          c3 AS (SELECT und.v AS u, CAST(SUM(p2.pr // d.deg) AS BIGINT) AS s
                 FROM und JOIN deg d USING (u) JOIN p2 USING (u) GROUP BY 1),
-         p3 AS (SELECT u, CAST(150000000000 + (85 * s) // 100 AS BIGINT) AS pr FROM c3)
+         p3 AS (SELECT u, CAST(150000000000 + 85 * (s // 100)
+                  + (85 * (s % 100)) // 100 AS BIGINT) AS pr FROM c3)
          SELECT u AS user_id, pr AS pr_fixed FROM p3""",
     "x_ivm_join" ->
       // The oracle is the FULL recompute: the four delta-algebra terms

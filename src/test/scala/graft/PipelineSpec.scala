@@ -348,7 +348,7 @@ class PipelineSpec extends SparkSpec {
     import java.nio.file.{Files, Paths}
     val cat = new TableCatalog(Files.createTempDirectory("graft-clone").toString)
     cat.overwrite((1 to 50).toDF("n"), "c.s.orig")
-    cat.clone(spark, "c.s.orig", "c.s.copy")
+    cat.clone("c.s.orig", "c.s.copy")
     // same bytes served, by the same inodes (no data copy)
     assert(cat.read(spark, "c.s.copy").as[Int].collect().sorted.toSeq == (1 to 50))
     def inodes(p: String) = new java.io.File(p).listFiles()

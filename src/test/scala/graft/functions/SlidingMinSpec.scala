@@ -55,4 +55,12 @@ class SlidingMinSpec extends SparkSpec {
     assert(spark.sql("SELECT graft_sliding_min(array(3L), 2) AS m")
       .head().getSeq[Long](0).isEmpty)
   }
+
+  test("nullable array elements are rejected at analysis, not read as 0") {
+    GraftExtensions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_sliding_min(array(3L, NULL, 2L), 2)").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("graft_sliding_min"), e.getMessage)
+  }
 }
