@@ -225,6 +225,33 @@ object EventStreams {
       .select("user_id", "purchase_id", "purchase_ts", "click_id", "click_ts")
   }
 
+  /** LEFT OUTER form of [[clickAttribution]]: purchases with no click in
+    * the lookback still emit — with null click columns — once the click-
+    * side watermark passes the end of their lookback window (the engine
+    * can only then prove no match will arrive). The state-cleanup
+    * contract is identical to the inner join; the outer semantics add
+    * the "unattributed purchase" rows a funnel-loss report needs, which
+    * an inner join silently drops. */
+  def clickAttributionOuter(
+      purchases: DataFrame,
+      clicks: DataFrame,
+      lookbackSeconds: Long = 3600): DataFrame = {
+    val p = purchases
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", "2 hours")
+    val c = clicks
+      .select(col("user_id").as("click_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "2 hours")
+    p.join(c,
+        col("click_user") === col("user_id") &&
+          col("click_ts") <= col("purchase_ts") &&
+          col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $lookbackSeconds SECONDS"),
+        "left_outer")
+      .select("user_id", "purchase_id", "purchase_ts", "click_id", "click_ts")
+  }
+
   /** Stream-static enrichment join: every micro-batch joins the event
     * stream
     * against a dimension snapshot. A stream-static join holds NO

@@ -363,6 +363,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("outer interval join emits unattributed purchases after the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val pMem = MemoryStream[(Long, Timestamp, Long)]
+    val cMem = MemoryStream[(Long, Timestamp, Long)]
+    val q = EventStreams.clickAttributionOuter(
+        pMem.toDF().toDF("user_id", "ts", "event_id"),
+        cMem.toDF().toDF("user_id", "ts", "event_id"), lookbackSeconds = 3600)
+      .writeStream.format("memory").queryName("attrib_outer_test")
+      .outputMode("append").start()
+    try {
+      cMem.addData((1L, Timestamp.valueOf("2024-01-01 09:30:00"), 101L))
+      pMem.addData(
+        (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 900L), // attributed
+        (2L, Timestamp.valueOf("2024-01-01 10:00:00"), 901L)) // no click
+      q.processAllAvailable()
+      // matched row emits immediately; the unmatched one must WAIT until
+      // the engine can prove no click will arrive
+      def rows() = spark.table("attrib_outer_test")
+        .select("purchase_id", "click_id")
+        .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+      assert(rows() == Set((900L, Some(101L))), s"early: ${rows()}")
+
+      // advance both watermarks far past the lookback window
+      cMem.addData((9L, Timestamp.valueOf("2024-01-02 00:00:00"), 999L))
+      pMem.addData((9L, Timestamp.valueOf("2024-01-02 00:00:00"), 998L))
+      q.processAllAvailable()
+      cMem.addData((9L, Timestamp.valueOf("2024-01-03 00:00:00"), 997L))
+      pMem.addData((9L, Timestamp.valueOf("2024-01-03 00:00:00"), 996L))
+      q.processAllAvailable()
+      assert(rows().contains((901L, None)),
+        s"unattributed purchase never emitted: ${rows()}")
+    } finally q.stop()
+  }
+
   test("batch hourlyRollup groups by hour and sums exactly") {
     import spark.implicits._
     val events = Seq(
