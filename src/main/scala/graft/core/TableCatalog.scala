@@ -339,6 +339,45 @@ final class TableCatalog(val root: String) extends Serializable {
     doomed
   }
 
+  /** Right-to-be-forgotten purge (GDPR erasure): rewrite EVERY retained
+    * version of `name` dropping rows whose `keyCol` value is in `keys`.
+    * This is the one operation that must deliberately break version
+    * immutability — retention and time travel would otherwise keep
+    * purged subjects readable forever. Each version is rewritten to a
+    * staging dir and swapped in; rewriting every version independently
+    * is REQUIRED (not an optimization): versions share data files by
+    * hardlink, so editing one shared file in place is impossible and
+    * unlinking it from one version would leave the others' links — the
+    * per-version rewrite is what severs every path to the purged rows.
+    * Partition layout (col=value subdirs) is preserved. The pointer
+    * never moves; `keys` is a small in-clause list (erasure requests
+    * arrive per subject, not per corpus). */
+  def purgeKeys(spark: SparkSession, name: String, keyCol: String,
+      keys: Seq[Any]): Unit = {
+    require(keys.nonEmpty, "purgeKeys: empty key list")
+    import org.apache.spark.sql.functions.col
+    val dir = tableDir(name)
+    versions(name).foreach { v =>
+      val vDir = dir.resolve(v)
+      val partCol = Option(vDir.toFile.listFiles()).getOrElse(Array.empty)
+        .filter(_.isDirectory).flatMap(_.getName.split('=').headOption)
+        .headOption.filterNot(_.startsWith("_"))
+      val kept = spark.read.parquet(vDir.toString)
+        .filter(!col(keyCol).isin(keys: _*))
+      val tmp = dir.resolve(s"$v.purging")
+      val w = kept.write.mode("overwrite")
+      partCol.fold(w)(c => w.partitionBy(c)).parquet(tmp.toString)
+      // swap: stage out the old dir first so a crash leaves either the
+      // old or the new version fully intact, never a half state
+      val stale = dir.resolve(s"$v.stale")
+      Files.move(vDir, stale)
+      Files.move(tmp, vDir)
+      val walk = Files.walk(stale)
+      try walk.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+      finally walk.close()
+    }
+  }
+
   /** Small-file compaction — the file-count half of the reference's
     * `OPTIMIZE` (`s2g.py:98-101`; [[graft.ops.Gold.clusterBy]] is the
     * ZORDER half): rewrite the current version into ~`targetFileBytes`

@@ -365,6 +365,34 @@ class PipelineSpec extends SparkSpec {
       .as[Int].collect().sorted.toSeq == (1 to 50))
   }
 
+  test("purgeKeys erases a subject from every retained version, sharing and all") {
+    import spark.implicits._
+    val cat = new TableCatalog(
+      java.nio.file.Files.createTempDirectory("graft-purge").toString)
+    cat.overwrite(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), "c.s.p")
+    cat.append(Seq((4L, "d")).toDF("k", "v"), "c.s.p") // v2 hardlinks v1's files
+    assert(cat.versions("c.s.p") == Seq("v000001", "v000002"))
+    cat.purgeKeys(spark, "c.s.p", "k", Seq(2L))
+    // gone from the current version AND from time travel
+    assert(cat.read(spark, "c.s.p").select("k").as[Long].collect().sorted.toSeq
+      == Seq(1L, 3L, 4L))
+    cat.versions("c.s.p").foreach { v =>
+      assert(!cat.readVersion(spark, "c.s.p", v).select("k").as[Long]
+        .collect().contains(2L), s"purged key survives in $v")
+    }
+    // unpurged rows intact; table still writable afterwards
+    assert(cat.readVersion(spark, "c.s.p", "v000001").count() == 2)
+    cat.append(Seq((5L, "e")).toDF("k", "v"), "c.s.p")
+    assert(cat.read(spark, "c.s.p").count() == 4)
+    // partitioned layout: purge preserves the col=value dirs
+    cat.overwrite(Seq((1L, "x"), (2L, "y")).toDF("k", "part"), "c.s.pp",
+      partitionBy = Seq("part"))
+    cat.purgeKeys(spark, "c.s.pp", "k", Seq(1L))
+    assert(cat.read(spark, "c.s.pp").select("k").as[Long].collect().toSeq == Seq(2L))
+    assert(new java.io.File(cat.currentPath("c.s.pp")).listFiles()
+      .exists(f => f.isDirectory && f.getName.startsWith("part=")))
+  }
+
   test("rollback is a pointer swap; vacuum never deletes the serving version") {
     import spark.implicits._
     val cat = new TableCatalog(
