@@ -49,11 +49,17 @@ final class TableCatalog(val root: String) extends Serializable {
     viewName
   }
 
+  /** Exactly a version tag (v + 6 digits): staging/trash dirs from an
+    * interrupted purge or swap (`v000001.purging`, `v000001.stale`) must
+    * never surface as readable versions. */
+  private def isVersionTag(s: String): Boolean =
+    s.length == 7 && s.charAt(0) == 'v' && s.drop(1).forall(_.isDigit)
+
   /** Retained version tags, oldest first (pruning keeps the newest 2 —
     * the Delta-time-travel analogue bounded by the retention policy). */
   def versions(name: String): Seq[String] =
     Option(tableDir(name).toFile.list()).getOrElse(Array.empty[String])
-      .filter(_.startsWith("v")).sorted.toSeq
+      .filter(isVersionTag).sorted.toSeq
 
   /** Time travel: read a specific retained version (as-of-write state —
     * the rollback/debug/audit read path every versioned store needs). */
@@ -400,7 +406,7 @@ final class TableCatalog(val root: String) extends Serializable {
 
   private def nextVersion(dir: Path): Int = {
     val existing = Option(dir.toFile.list()).getOrElse(Array.empty[String])
-      .filter(_.startsWith("v"))
+      .filter(isVersionTag)
       .flatMap(s => scala.util.Try(s.drop(1).toInt).toOption)
     if (existing.isEmpty) 1 else existing.max + 1
   }
@@ -412,7 +418,7 @@ final class TableCatalog(val root: String) extends Serializable {
     val cur = scala.util.Try(Files.readString(dir.resolve("_CURRENT")).trim)
       .getOrElse("")
     val versions = Option(dir.toFile.list()).getOrElse(Array.empty[String])
-      .filter(_.startsWith("v")).sorted
+      .filter(isVersionTag).sorted
     versions.dropRight(keep).filterNot(_ == cur).foreach { v =>
       val walk = Files.walk(dir.resolve(v))
       try walk.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))

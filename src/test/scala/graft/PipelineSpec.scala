@@ -391,6 +391,14 @@ class PipelineSpec extends SparkSpec {
     assert(cat.read(spark, "c.s.pp").select("k").as[Long].collect().toSeq == Seq(2L))
     assert(new java.io.File(cat.currentPath("c.s.pp")).listFiles()
       .exists(f => f.isDirectory && f.getName.startsWith("part=")))
+    // leftover staging/trash dirs from a crashed purge never surface as
+    // versions (tag filter is exact: v + 6 digits)
+    val vdir = java.nio.file.Paths.get(cat.currentPath("c.s.p")).getParent
+    java.nio.file.Files.createDirectory(vdir.resolve("v000002.stale"))
+    java.nio.file.Files.createDirectory(vdir.resolve("v000009.purging"))
+    assert(cat.versions("c.s.p").forall(_.matches("v\\d{6}")))
+    cat.append(Seq((6L, "f")).toDF("k", "v"), "c.s.p") // nextVersion unaffected
+    assert(cat.read(spark, "c.s.p").count() == 5)
   }
 
   test("rollback is a pointer swap; vacuum never deletes the serving version") {
