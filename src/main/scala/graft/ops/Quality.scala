@@ -104,4 +104,26 @@ object Quality {
         col("n_distinct"), col("min_num"), col("max_num"),
         col("min_str"), col("max_str"))
   }
+
+  /** Zero-extra-pass pipeline observability (`Dataset.observe` /
+    * `CollectMetricsExec`): attach named aggregate metrics to a
+    * dataframe so they are computed AS THE JOB RUNS — row counts, null
+    * counts, value sums ride the existing scan instead of a second
+    * `count()` pass over 100 TB (the way a naive post-write audit would
+    * do it). Returns the instrumented frame and the [[Observation]]
+    * handle; read `obs.get` after any action on the frame completes.
+    *
+    * The metric set is the write-audit trio every layer transition
+    * wants: volume (n_rows), key completeness (null count per key
+    * column), and a drift-sensitive checksum (sum of a numeric col). */
+  def observed(df: DataFrame, name: String, keyCols: Seq[String],
+      sumCol: Option[String] = None)
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation(name)
+    val metrics =
+      count(lit(1)).as("n_rows") +:
+        (keyCols.map(k => count(when(col(k).isNull, 1)).as(s"n_null_$k")) ++
+          sumCol.map(c => sum(col(c).cast("decimal(28,6)")).as(s"sum_$c")))
+    (df.observe(obs, metrics.head, metrics.tail: _*), obs)
+  }
 }

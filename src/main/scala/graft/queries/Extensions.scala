@@ -1095,6 +1095,17 @@ object Extensions {
       .unionAll(term(a0, db)).unionAll(term(da, db))
   }
 
+  /** Custom DataSource V2 under the correctness gate
+    * ([[graft.sources.SeqSource]]): the id-range predicate pushes into
+    * the scan (partitions are planned over [1000, 2000] only — verified
+    * by plan in SeqSourceSpec) and the projection reaches the reader.
+    * The oracle regenerates the same deterministic sequence. */
+  def dsv2Source(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.format("graft.sources.SeqSource")
+      .option("n", "100000").option("slices", "16").load()
+      .filter(col("id") >= 1000L && col("id") <= 2000L)
+      .select(col("id"), col("doc"))
+
   // ---------------------------------------------------------- queries map
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_token_stats" -> tokenStats _,
@@ -1171,7 +1182,8 @@ object Extensions {
     "x_ivm_join" -> ivmJoin _,
     "d_winnowing" -> winnowing _,
     "x_skyline" -> skyline _,
-    "x_hierarchy" -> hierarchy _)
+    "x_hierarchy" -> hierarchy _,
+    "x_dsv2_source" -> dsv2Source _)
 
   // ----------------------------------------------------------- oracle SQL
   // Shared SQL fragments (DuckDB dialect), mirroring TextKit/DuckSql.
@@ -2238,5 +2250,8 @@ object Extensions {
              row_number() OVER (PARTITION BY u ORDER BY d DESC) AS rn
            FROM walk)
          SELECT u AS user_id, cur AS root, d AS depth
-         FROM resolved WHERE rn = 1""")
+         FROM resolved WHERE rn = 1""",
+    "x_dsv2_source" ->
+      """SELECT CAST(i AS BIGINT) AS id, 'doc-' || CAST(i AS VARCHAR) AS doc
+         FROM generate_series(1000, 2000) t(i)""")
 }

@@ -20,6 +20,19 @@ class OpsSpec extends SparkSpec {
     assert(out == Set(1L, 3L))
   }
 
+  test("observed metrics ride the job: counts, per-key nulls, checksum") {
+    val df = Seq(
+      (Some(1L), 2.5), (None, 1.0), (Some(3L), 4.0)
+    ).toDF("k", "x")
+    val (instrumented, obs) = Quality.observed(df, "audit_test",
+      keyCols = Seq("k"), sumCol = Some("x"))
+    instrumented.write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    assert(m("n_rows") == 3L)
+    assert(m("n_null_k") == 1L)
+    assert(m("sum_x").asInstanceOf[java.math.BigDecimal].doubleValue() == 7.5)
+  }
+
   test("row hash: concat_ws skips nulls (parity) unless strict") {
     val df = Seq(("x", null.asInstanceOf[String]), (null.asInstanceOf[String], "x"))
       .toDF("c1", "c2")

@@ -1,0 +1,47 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+class SeqSourceSpec extends SparkSpec {
+
+  private def load(n: Long = 100000L, slices: Int = 16) =
+    spark.read.format("graft.sources.SeqSource")
+      .option("n", n.toString).option("slices", slices.toString).load()
+
+  private def scanDesc(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan.description()
+    }.mkString("; ")
+
+  test("values are the deterministic sequence; slices tile the range exactly") {
+    val got = load(n = 10L, slices = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq.sortBy(_._1) == (0L until 10L).map(i => (i, s"doc-$i")))
+    // 3 slices over 10 rows: no row lost or duplicated across partitions
+    assert(load(n = 10L, slices = 3).rdd.getNumPartitions == 3)
+  }
+
+  test("id range filters push into the scan and narrow planned partitions") {
+    val df = load().filter(col("id") >= 1000L && col("id") <= 2000L)
+    assert(scanDesc(df).contains("graft-seq[1000..2000]"), scanDesc(df))
+    assert(df.count() == 1001)
+    // an impossible range plans zero partitions instead of scanning
+    val empty = load().filter(col("id") > 50L && col("id") < 10L)
+    assert(empty.count() == 0)
+    // equality collapses the range to one row
+    val eq = load().filter(col("id") === 77L)
+    assert(scanDesc(eq).contains("graft-seq[77..77]"), scanDesc(eq))
+    assert(eq.collect().map(_.getString(1)).toSeq == Seq("doc-77"))
+  }
+
+  test("column pruning reaches the reader (doc-only projection drops id)") {
+    val df = load(n = 100L).select("doc")
+    assert(scanDesc(df).contains("cols=[doc]"), scanDesc(df))
+    assert(df.count() == 100)
+    // non-pushable predicate stays with Spark as a residual and still works
+    val residual = load(n = 100L).filter(col("doc").endsWith("-42"))
+    assert(residual.collect().map(_.getLong(0)).toSeq == Seq(42L))
+  }
+}
