@@ -337,11 +337,7 @@ final class TableCatalog(val root: String) extends Serializable {
     val dir = tableDir(name)
     val cur = Files.readString(currentPointer(name)).trim
     val doomed = versions(name).dropRight(keepLast).filterNot(_ == cur)
-    doomed.foreach { v =>
-      val walk = Files.walk(dir.resolve(v))
-      try walk.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
-      finally walk.close()
-    }
+    doomed.foreach(v => deleteRecursively(dir.resolve(v)))
     doomed
   }
 
@@ -363,25 +359,67 @@ final class TableCatalog(val root: String) extends Serializable {
     require(keys.nonEmpty, "purgeKeys: empty key list")
     import org.apache.spark.sql.functions.col
     val dir = tableDir(name)
+    // Crash recovery from an earlier interrupted purge, BEFORE listing
+    // versions: a `.purging` dir is an incomplete rewrite (discard); a
+    // `.stale` dir whose live counterpart is missing IS the version —
+    // the previous run died between the two swap moves — restore it so
+    // it is listed, rewritten, and purged like any other; a `.stale`
+    // next to a live dir only missed its final cleanup (discard).
+    Option(dir.toFile.listFiles()).getOrElse(Array.empty).foreach { f =>
+      val n = f.getName
+      if (n.endsWith(".purging")) deleteRecursively(f.toPath)
+      else if (n.endsWith(".stale")) {
+        val live = dir.resolve(n.stripSuffix(".stale"))
+        if (Files.exists(live)) deleteRecursively(f.toPath)
+        else Files.move(f.toPath, live)
+      }
+    }
     versions(name).foreach { v =>
       val vDir = dir.resolve(v)
-      val partCol = Option(vDir.toFile.listFiles()).getOrElse(Array.empty)
-        .filter(_.isDirectory).flatMap(_.getName.split('=').headOption)
-        .headOption.filterNot(_.startsWith("_"))
-      val kept = spark.read.parquet(vDir.toString)
-        .filter(!col(keyCol).isin(keys: _*))
+      val partCols = partitionColumnsOf(vDir)
+      // Partition-column type inference must stay OFF for the rewrite:
+      // with it on, a string partition col holding "01" comes back as
+      // int 1 and the rewrite would silently mutate both the directory
+      // names and the column's values in every retained version.
+      val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+      val inferPrev = spark.conf.get(inferKey, "true")
+      spark.conf.set(inferKey, "false")
+      val kept =
+        try spark.read.parquet(vDir.toString)
+          .filter(!col(keyCol).isin(keys: _*))
+        finally spark.conf.set(inferKey, inferPrev)
       val tmp = dir.resolve(s"$v.purging")
       val w = kept.write.mode("overwrite")
-      partCol.fold(w)(c => w.partitionBy(c)).parquet(tmp.toString)
-      // swap: stage out the old dir first so a crash leaves either the
-      // old or the new version fully intact, never a half state
+      (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
+        .parquet(tmp.toString)
+      // swap: stage the old dir out, then the rewrite in. A crash inside
+      // the two-move window is repaired by the recovery block above on
+      // the next purge attempt (the .stale dir is moved back), so no
+      // version is ever lost and a retry always succeeds.
       val stale = dir.resolve(s"$v.stale")
       Files.move(vDir, stale)
       Files.move(tmp, vDir)
-      val walk = Files.walk(stale)
-      try walk.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
-      finally walk.close()
+      deleteRecursively(stale)
     }
+  }
+
+  /** All partition columns of a written version, outermost first, by
+    * walking the nested `col=value` directory levels (one representative
+    * child per level — Spark writes a uniform layout). Underscore
+    * entries (`_SUCCESS`, a crashed write's `_temporary`) are never
+    * partition dirs. */
+  private def partitionColumnsOf(vDir: Path): Seq[String] = {
+    @scala.annotation.tailrec
+    def loop(d: java.io.File, acc: List[String]): List[String] = {
+      val next = Option(d.listFiles()).getOrElse(Array.empty)
+        .find(f => f.isDirectory && !f.getName.startsWith("_") &&
+          f.getName.contains('='))
+      next match {
+        case Some(p) => loop(p, p.getName.split('=').head :: acc)
+        case None => acc.reverse
+      }
+    }
+    loop(vDir.toFile, Nil)
   }
 
   /** Small-file compaction — the file-count half of the reference's
@@ -420,9 +458,14 @@ final class TableCatalog(val root: String) extends Serializable {
     val versions = Option(dir.toFile.list()).getOrElse(Array.empty[String])
       .filter(isVersionTag).sorted
     versions.dropRight(keep).filterNot(_ == cur).foreach { v =>
-      val walk = Files.walk(dir.resolve(v))
-      try walk.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
-      finally walk.close()
+      deleteRecursively(dir.resolve(v))
     }
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    // try/finally: Files.walk holds directory handles until closed.
+    val walk = Files.walk(p)
+    try walk.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+    finally walk.close()
   }
 }

@@ -83,7 +83,14 @@ object Graph {
     * where naive parent-chasing needs depth-many rounds; this is THE
     * technique for resolving deep chains (symlink forests, org
     * hierarchies, SCD lineage) in a bounded number of shuffles.
-    * Each round is one self-join keyed on the current ancestor. */
+    * Each round is one self-join keyed on the current ancestor.
+    *
+    * EAGER: this function runs Spark jobs at CALL time (each round's
+    * localCheckpoint materializes, and the convergence probe is an
+    * action) — it returns a materialized result, not a lazy plan.
+    * Lineage truncation is what makes 8 self-join rounds cost seconds
+    * instead of minutes, and the checkpoint blocks it pins are exactly
+    * the rounds' results, so the eagerness is the point, not a leak. */
   def rootsAndDepths(parents0: DataFrame, rounds: Int = 8,
                      verifyConverged: Boolean = true): DataFrame = {
     // Each round joins the state with ITSELF: without materialization the

@@ -80,9 +80,16 @@ private[sources] class SeqScanBuilder(n: Long, slices: Int)
     }
     ok.foreach {
       case GreaterThanOrEqual(_, v) => lo = math.max(lo, long(v).get)
-      case GreaterThan(_, v) => lo = math.max(lo, long(v).get + 1)
+      // saturate at the Long extremes: id > MaxValue must yield an empty
+      // range, not wrap to MinValue and return every row (the filter is
+      // consumed, so Spark never re-checks it)
+      case GreaterThan(_, v) =>
+        val x = long(v).get
+        lo = if (x == Long.MaxValue) Long.MaxValue else math.max(lo, x + 1)
       case LessThanOrEqual(_, v) => hi = math.min(hi, long(v).get)
-      case LessThan(_, v) => hi = math.min(hi, long(v).get - 1)
+      case LessThan(_, v) =>
+        val x = long(v).get
+        hi = if (x == Long.MinValue) Long.MinValue else math.min(hi, x - 1)
       case EqualTo(_, v) => lo = math.max(lo, long(v).get); hi = math.min(hi, long(v).get)
       case _ =>
     }
@@ -104,9 +111,9 @@ private[sources] class SeqScan(lo: Long, hi: Long, slices: Int,
   override def description: String =
     s"graft-seq[$lo..$hi] cols=[${required.fieldNames.mkString(",")}]"
   override def planInputPartitions(): Array[InputPartition] = {
+    if (hi < lo) return Array.empty
     val total = hi - lo + 1
-    if (total <= 0) return Array.empty
-    val k = math.min(slices.toLong, total).toInt
+    val k = math.min(math.max(1L, slices.toLong), total).toInt
     // contiguous ranges, remainder spread over the first partitions
     val base = total / k; val rem = total % k
     var start = lo

@@ -209,21 +209,8 @@ object EventStreams {
   def clickAttribution(
       purchases: DataFrame,
       clicks: DataFrame,
-      lookbackSeconds: Long = 3600): DataFrame = {
-    val p = purchases
-      .select(col("user_id"), col("ts").as("purchase_ts"),
-        col("event_id").as("purchase_id"))
-      .withWatermark("purchase_ts", "2 hours")
-    val c = clicks
-      .select(col("user_id").as("click_user"), col("ts").as("click_ts"),
-        col("event_id").as("click_id"))
-      .withWatermark("click_ts", "2 hours")
-    p.join(c,
-        col("click_user") === col("user_id") &&
-          col("click_ts") <= col("purchase_ts") &&
-          col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $lookbackSeconds SECONDS"))
-      .select("user_id", "purchase_id", "purchase_ts", "click_id", "click_ts")
-  }
+      lookbackSeconds: Long = 3600): DataFrame =
+    attributionJoin(purchases, clicks, lookbackSeconds, "inner")
 
   /** LEFT OUTER form of [[clickAttribution]]: purchases with no click in
     * the lookback still emit — with null click columns — once the click-
@@ -235,7 +222,14 @@ object EventStreams {
   def clickAttributionOuter(
       purchases: DataFrame,
       clicks: DataFrame,
-      lookbackSeconds: Long = 3600): DataFrame = {
+      lookbackSeconds: Long = 3600): DataFrame =
+    attributionJoin(purchases, clicks, lookbackSeconds, "left_outer")
+
+  private def attributionJoin(
+      purchases: DataFrame,
+      clicks: DataFrame,
+      lookbackSeconds: Long,
+      joinType: String): DataFrame = {
     val p = purchases
       .select(col("user_id"), col("ts").as("purchase_ts"),
         col("event_id").as("purchase_id"))
@@ -248,7 +242,7 @@ object EventStreams {
         col("click_user") === col("user_id") &&
           col("click_ts") <= col("purchase_ts") &&
           col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $lookbackSeconds SECONDS"),
-        "left_outer")
+        joinType)
       .select("user_id", "purchase_id", "purchase_ts", "click_id", "click_ts")
   }
 

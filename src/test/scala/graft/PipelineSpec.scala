@@ -401,6 +401,39 @@ class PipelineSpec extends SparkSpec {
     assert(cat.read(spark, "c.s.p").count() == 5)
   }
 
+  test("purgeKeys keeps multi-level string partition dirs and recovers a crashed swap") {
+    import spark.implicits._
+    val cat = new TableCatalog(
+      java.nio.file.Files.createTempDirectory("graft-purge2").toString)
+    // two partition levels with zero-padded string values — the layout a
+    // naive rewrite mangles (type inference turns "01" into 1; a single-
+    // level partitionBy flattens p2 into the files)
+    cat.overwrite(Seq((1L, "01", "x"), (2L, "01", "y"), (3L, "007", "x"))
+      .toDF("k", "p1", "p2"), "c.s.mp", partitionBy = Seq("p1", "p2"))
+    cat.purgeKeys(spark, "c.s.mp", "k", Seq(2L))
+    val cur = new java.io.File(cat.currentPath("c.s.mp"))
+    val l1 = cur.listFiles().filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(l1 == Seq("p1=007", "p1=01"), s"level-1 dirs mangled: $l1")
+    val l2 = new java.io.File(cur, "p1=01").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSeq
+    assert(l2 == Seq("p2=x"), s"level-2 dirs mangled or flattened: $l2")
+    assert(cat.read(spark, "c.s.mp").select("k").as[Long].collect().sorted.toSeq
+      == Seq(1L, 3L))
+    // crash mid-swap: the old dir is staged out (.stale), the new one not
+    // yet moved in — the version vanishes from the listing. A retry must
+    // restore it and complete instead of throwing FileAlreadyExists.
+    val vdir = java.nio.file.Paths.get(cat.currentPath("c.s.mp")).getParent
+    val v = cat.versions("c.s.mp").last
+    java.nio.file.Files.move(vdir.resolve(v), vdir.resolve(s"$v.stale"))
+    java.nio.file.Files.createDirectory(vdir.resolve(s"$v.purging"))
+    assert(!cat.versions("c.s.mp").contains(v))
+    cat.purgeKeys(spark, "c.s.mp", "k", Seq(3L))
+    assert(cat.versions("c.s.mp").contains(v))
+    assert(cat.read(spark, "c.s.mp").select("k").as[Long].collect().toSeq
+      == Seq(1L))
+    assert(!vdir.toFile.list().exists(n => n.endsWith(".stale") || n.endsWith(".purging")))
+  }
+
   test("rollback is a pointer swap; vacuum never deletes the serving version") {
     import spark.implicits._
     val cat = new TableCatalog(

@@ -36,6 +36,15 @@ class SeqSourceSpec extends SparkSpec {
     assert(eq.collect().map(_.getString(1)).toSeq == Seq("doc-77"))
   }
 
+  test("Long-extreme pushed bounds yield empty, not wraparound; slices=0 clamps") {
+    // id > Long.MaxValue must return 0 rows — the filter is consumed by
+    // the scan, so an overflowed lo bound would return EVERY row with
+    // nothing left to re-check it
+    assert(load(n = 100L).filter(col("id") > Long.MaxValue).count() == 0)
+    assert(load(n = 100L).filter(col("id") < Long.MinValue).count() == 0)
+    assert(load(n = 10L, slices = 0).count() == 10)
+  }
+
   test("column pruning reaches the reader (doc-only projection drops id)") {
     val df = load(n = 100L).select("doc")
     assert(scanDesc(df).contains("cols=[doc]"), scanDesc(df))
