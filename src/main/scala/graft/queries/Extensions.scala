@@ -1106,8 +1106,55 @@ object Extensions {
       .filter(col("id") >= 1000L && col("id") <= 2000L)
       .select(col("id"), col("doc"))
 
+  /** Higher-order collection functions as one per-doc suite: lambda
+    * `filter`/`transform`/`exists`/`aggregate` (left fold), `zip_with`,
+    * `slice`+`sort_array`+`array_distinct`. All codegen'd collection
+    * expressions over a single scan — zero shuffles, zero UDFs: the
+    * entire suite is one whole-stage-codegen projection, which is why
+    * HOFs (not mapPartitions row loops) are the 100 TB way to do per-row
+    * array work. Empty token lists fold to the literal 0 initial state,
+    * matched by COALESCE in the oracle. */
+  def collectionSuite(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = filter(split(col("text"), " "), t => t =!= lit(""))
+    docs(spark, sfDir)
+      .withColumn("toks", toks)
+      .withColumn("lens", transform(col("toks"), t => length(t).cast(LongType)))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast(LongType).as("n_tokens"),
+        size(filter(col("toks"), t => length(t) > 5)).cast(LongType).as("n_long"),
+        aggregate(col("lens"), lit(0L), (acc, v) => acc + v).as("total_len"),
+        exists(col("toks"), t => t === lit("the")).as("has_the"),
+        array_join(
+          transform(slice(sort_array(array_distinct(col("toks"))), 1, 3),
+            t => upper(t)), ",").as("top3"),
+        aggregate(zip_with(col("lens"), reverse(col("lens")), (x, y) => x * y),
+          lit(0L), (acc, v) => acc + v).as("dot"))
+  }
+
+  /** Schema evolution on read (`mergeSchema`): two parquet batches with
+    * different schemas — the later one added `n_chars` — union into one
+    * frame with the old rows null-padded, the lakehouse ALTER-ADD-COLUMN
+    * read path (no rewrite of the old batch; footer-level schema merge
+    * only). The oracle re-derives both batches from `documents`. */
+  def s17SchemaEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = Parity.tmp("s17", sfDir)
+    Parity.setupOnce("s17", sfDir) {
+      val d = table(spark, sfDir, "documents")
+      d.filter(col("doc_id") % 2 === 0).select("doc_id", "lang")
+        .write.mode("overwrite").parquet(s"$dir/batch1")
+      d.filter(col("doc_id") % 2 === 1).select("doc_id", "lang", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/batch2")
+    }
+    spark.read.option("mergeSchema", "true")
+      .parquet(s"$dir/batch1", s"$dir/batch2")
+      .select("doc_id", "lang", "n_chars")
+  }
+
   // ---------------------------------------------------------- queries map
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_collection_suite" -> collectionSuite _,
+    "s17_schema_evolution" -> s17SchemaEvolution _,
     "x_token_stats" -> tokenStats _,
     "x_quality_score" -> qualityScore _,
     "x_lang_id" -> langId _,
@@ -2253,5 +2300,30 @@ object Extensions {
          FROM resolved WHERE rn = 1""",
     "x_dsv2_source" ->
       """SELECT CAST(i AS BIGINT) AS id, 'doc-' || CAST(i AS VARCHAR) AS doc
-         FROM generate_series(1000, 2000) t(i)""")
+         FROM generate_series(1000, 2000) t(i)""",
+    "x_collection_suite" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+         l AS (
+           SELECT doc_id, toks,
+             list_transform(toks, x -> CAST(length(x) AS BIGINT)) AS lens
+           FROM t)
+         SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(toks, x -> length(x) > 5)) AS BIGINT) AS n_long,
+           COALESCE(CAST(list_sum(lens) AS BIGINT), 0) AS total_len,
+           list_contains(toks, 'the') AS has_the,
+           array_to_string(
+             list_transform(list_sort(list_distinct(toks))[1:3],
+               x -> upper(x)), ',') AS top3,
+           COALESCE(CAST(list_dot_product(lens, list_reverse(lens)) AS BIGINT),
+             0) AS dot
+         FROM l""",
+    "s17_schema_evolution" ->
+      """SELECT doc_id, lang, CAST(NULL AS BIGINT) AS n_chars
+         FROM documents WHERE doc_id % 2 = 0
+         UNION ALL
+         SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 1""")
 }
