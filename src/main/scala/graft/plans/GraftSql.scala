@@ -1,0 +1,148 @@
+package graft.plans
+
+import graft.core.TableCatalog
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.{ParameterContext, ParserInterface}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{BooleanType, StringType, StructType}
+
+/** SQL surface for the catalog's maintenance operations — the
+  * `injectParser` extension point, completing the engine's use of every
+  * `SparkSessionExtensions` hook (functions, optimizer rule, planner
+  * strategy, DSv2 source/sink, and now parser):
+  *
+  * {{{
+  *   GRAFT VERSIONS <table>                   -- tags + current marker
+  *   GRAFT ROLLBACK <table> TO v000002        -- O(1) pointer swap
+  *   GRAFT VACUUM <table> KEEP <n>            -- returns deleted tags
+  *   GRAFT COMPACT <table>                    -- small-file rewrite
+  *   GRAFT PURGE <table> KEY <col> IN (...)   -- GDPR erasure, all versions
+  * }}}
+  *
+  * The grammar is a prefix dispatch: statements starting with the GRAFT
+  * keyword parse here into `LeafRunnableCommand`s (driver-side catalog
+  * maintenance — no distributed plan to build, exactly what Spark's own
+  * DDL commands are); everything else delegates verbatim to the session
+  * parser, so the extension is invisible to normal SQL. Commands resolve
+  * table names against the catalog bound via [[GraftSql.use]] (the same
+  * session-global registry pattern as the MV rewrite rule).
+  */
+object GraftSql {
+  @volatile private var bound: Option[TableCatalog] = None
+
+  /** Bind the catalog GRAFT commands operate on. */
+  def use(cat: TableCatalog): Unit = bound = Some(cat)
+
+  private[plans] def catalog: TableCatalog = bound.getOrElse(
+    throw new IllegalStateException(
+      "GRAFT SQL: no catalog bound — call GraftSql.use(catalog) first"))
+
+  private val Vacuum =
+    """(?is)\s*GRAFT\s+VACUUM\s+(\S+)\s+KEEP\s+(\d+)\s*;?\s*""".r
+  private val Rollback =
+    """(?is)\s*GRAFT\s+ROLLBACK\s+(\S+)\s+TO\s+(v\d{6})\s*;?\s*""".r
+  private val Versions =
+    """(?is)\s*GRAFT\s+VERSIONS\s+(\S+)\s*;?\s*""".r
+  private val Compact =
+    """(?is)\s*GRAFT\s+COMPACT\s+(\S+)\s*;?\s*""".r
+  private val Purge =
+    """(?is)\s*GRAFT\s+PURGE\s+(\S+)\s+KEY\s+(\w+)\s+IN\s*\(([^)]*)\)\s*;?\s*""".r
+  private val GraftPrefix = """(?is)\s*GRAFT\b.*""".r
+
+  /** One purge value: single-quoted ('' escapes a quote) → String,
+    * bare integer → Long. */
+  private def purgeValue(s: String): Any = {
+    val t = s.trim
+    if (t.startsWith("'") && t.endsWith("'") && t.length >= 2)
+      t.substring(1, t.length - 1).replace("''", "'")
+    else t.toLong
+  }
+
+  private[plans] def parse(sqlText: String): Option[LogicalPlan] =
+    sqlText match {
+      case Vacuum(t, n) => Some(GraftVacuumCommand(t, n.toInt))
+      case Rollback(t, v) => Some(GraftRollbackCommand(t, v))
+      case Versions(t) => Some(GraftVersionsCommand(t))
+      case Compact(t) => Some(GraftCompactCommand(t))
+      case Purge(t, c, vs) =>
+        Some(GraftPurgeCommand(t, c,
+          vs.split(',').map(purgeValue).toSeq))
+      case GraftPrefix() => throw new IllegalArgumentException(
+        s"""Unrecognized GRAFT statement: $sqlText
+           |Supported: GRAFT VERSIONS t | GRAFT ROLLBACK t TO vNNNNNN |
+           |GRAFT VACUUM t KEEP n | GRAFT COMPACT t |
+           |GRAFT PURGE t KEY col IN (v, ...)""".stripMargin)
+      case _ => None
+    }
+}
+
+/** Delegating parser: GRAFT statements parse here, all other methods and
+  * statements pass straight through to the session parser. */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GraftSql.parse(sqlText).getOrElse(delegate.parsePlan(sqlText))
+  override def parsePlanWithParameters(sqlText: String,
+      ctx: ParameterContext): LogicalPlan =
+    GraftSql.parse(sqlText)
+      .getOrElse(delegate.parsePlanWithParameters(sqlText, ctx))
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}
+
+case class GraftVersionsCommand(table: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", StringType, nullable = false)(),
+    AttributeReference("is_current", BooleanType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val cat = GraftSql.catalog
+    val cur = java.nio.file.Paths.get(cat.currentPath(table))
+      .getFileName.toString
+    cat.versions(table).map(v => Row(v, v == cur))
+  }
+}
+
+case class GraftRollbackCommand(table: String, version: String)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftSql.catalog.rollback(table, version); Seq.empty
+  }
+}
+
+case class GraftVacuumCommand(table: String, keep: Int)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("deleted", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    GraftSql.catalog.vacuum(table, keep).map(Row(_))
+}
+
+case class GraftCompactCommand(table: String) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftSql.catalog.compact(spark, table); Seq.empty
+  }
+}
+
+case class GraftPurgeCommand(table: String, keyCol: String, keys: Seq[Any])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftSql.catalog.purgeKeys(spark, table, keyCol, keys); Seq.empty
+  }
+}

@@ -1,0 +1,102 @@
+package graft.plans
+
+import graft.core.TableCatalog
+
+import org.apache.spark.sql.classic.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** GRAFT SQL command surface ([[GraftSqlParser]], `injectParser`).
+  * Builds its own session: a parser can only be injected at
+  * session-build time via `spark.sql.extensions`, unlike the optimizer
+  * rule / strategy which the other suites attach post-hoc to
+  * `SparkSpec`'s shared session. Suites run sequentially in the forked
+  * test JVM, so temporarily swapping the default session is safe; the
+  * previous default is restored in afterAll. */
+class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var shared: SparkSession = _
+  private var sess: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    // Force the suite-shared plain session to exist FIRST: its lazy val
+    // must never initialize while our extensions session is the default
+    // (getOrCreate would capture it, silently giving every later suite
+    // an injected MvRewriteRule that extraOptimizations can't strip).
+    shared = graft.SparkSpec.session.asInstanceOf[SparkSession]
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    sess = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-sql-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // withExtensions, NOT .config("spark.sql.extensions", ...): the
+      // conf is STATIC — silently ignored when another suite already
+      // created the SparkContext — while withExtensions binds to this
+      // session whatever the context's age.
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate()
+  }
+
+  override def afterAll(): Unit = {
+    // Hand the shared plain session back as default AND active so later
+    // suites see exactly the pre-suite state whatever the run order.
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    SparkSession.setDefaultSession(shared)
+    SparkSession.setActiveSession(shared)
+  }
+
+  private def cat(): TableCatalog = {
+    val c = new TableCatalog(
+      java.nio.file.Files.createTempDirectory("graft-sql").toString)
+    GraftSql.use(c)
+    c
+  }
+
+  test("GRAFT VERSIONS / ROLLBACK / VACUUM / COMPACT round-trip the catalog") {
+    val sp = sess; import sp.implicits._
+    val c = cat()
+    c.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "c.s.t")
+    c.overwrite(Seq((1L, "a2"), (2L, "b2"), (3L, "c")).toDF("k", "v"), "c.s.t")
+    assert(sess.sql("GRAFT VERSIONS c.s.t").collect()
+      .map(r => (r.getString(0), r.getBoolean(1))).toSeq
+      == Seq(("v000001", false), ("v000002", true)))
+    sess.sql("graft rollback c.s.t to v000001") // keywords case-insensitive
+    assert(c.read(sess, "c.s.t").count() == 2)
+    sess.sql("GRAFT ROLLBACK c.s.t TO v000002")
+    assert(sess.sql("GRAFT VACUUM c.s.t KEEP 1").collect()
+      .map(_.getString(0)).toSeq == Seq("v000001"))
+    assert(c.versions("c.s.t") == Seq("v000002"))
+    sess.sql("GRAFT COMPACT c.s.t")
+    assert(c.versions("c.s.t") == Seq("v000002", "v000003"))
+    assert(c.read(sess, "c.s.t").count() == 3)
+  }
+
+  test("GRAFT PURGE erases long and quoted-string keys across versions") {
+    val sp = sess; import sp.implicits._
+    val c = cat()
+    c.overwrite(Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("k", "v"), "c.s.p")
+    c.append(Seq((4L, "w")).toDF("k", "v"), "c.s.p")
+    sess.sql("GRAFT PURGE c.s.p KEY k IN (2, 3)")
+    c.versions("c.s.p").foreach { v =>
+      val ks = c.readVersion(sess, "c.s.p", v).select("k").as[Long].collect()
+      assert(!ks.contains(2L) && !ks.contains(3L), s"purged keys survive in $v")
+    }
+    c.overwrite(Seq(("ann", 1L), ("bob", 2L), ("o'ha", 3L)).toDF("who", "n"),
+      "c.s.q")
+    sess.sql("GRAFT PURGE c.s.q KEY who IN ('bob', 'o''ha')")
+    assert(c.read(sess, "c.s.q").select("who").as[String].collect().toSeq
+      == Seq("ann"))
+  }
+
+  test("non-GRAFT SQL delegates untouched; malformed GRAFT fails loudly") {
+    assert(sess.sql("SELECT 1 + 1 AS x").collect().head.getInt(0) == 2)
+    // injected native functions still resolve through the wrapped parser
+    assert(sess.sql("SELECT graft_polyhash('abc') AS h").collect()
+      .head.getLong(0) >= 0)
+    val e = intercept[IllegalArgumentException](sess.sql("GRAFT FROBNICATE t"))
+    assert(e.getMessage.contains("Supported:"))
+  }
+}
