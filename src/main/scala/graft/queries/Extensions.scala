@@ -1151,10 +1151,61 @@ object Extensions {
       .select("doc_id", "lang", "n_chars")
   }
 
+  /** Semi-structured columns through the VARIANT type: `parse_json`
+    * binary-encodes each `props` payload ONCE, then every typed
+    * `variant_get` is a cheap path lookup on the encoding — at 100 TB
+    * this replaces N regex/string JSON parses per row with one parse +
+    * N O(path) reads, and a malformed payload surfaces as a null via
+    * `try_parse_json` instead of a task failure. The oracle reads the
+    * same fields with DuckDB's JSON extraction. */
+  def variantJson(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = try_parse_json(col("props"))
+    Parity.events(spark, sfDir)
+      .select(col("event_type"),
+        variant_get(v, "$.k", "long").as("k"))
+      .filter(col("k").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        max(col("k")).as("max_k"))
+  }
+
+  /** Recursive CTE in Spark SQL (4.x): the SAME parent-forest walk the
+    * `x_hierarchy` oracle runs, executed BY Spark this time — one
+    * iteration per pointer-chain level, each a keyed join on the
+    * frontier. The pointer-doubling twin ([[hierarchy]]) covers any
+    * depth-d chain in log(d) self-joins and is the 100 TB shape; this
+    * query pins the declarative SQL surface to the same result, the
+    * asof-composed/asof-native pattern applied to iteration. */
+  def recursiveCte(spark: SparkSession, sfDir: String): DataFrame = {
+    // Materialize the parent pointers ONCE before recursing: each
+    // recursion round re-evaluates the plan subtree it references, so
+    // leaving the (self-join-heavy) edge derivation inside the CTE
+    // re-pays it per chain level — measured 11 s vs 2 s at sf0.1.
+    Graph.parentPointers(coPurchaseEdges(spark, sfDir)).localCheckpoint()
+      .createOrReplaceTempView("graft_rcte_parents")
+    spark.sql(
+      """WITH RECURSIVE
+         walk(u, cur, d) AS (
+           SELECT u, u, CAST(0 AS BIGINT) FROM graft_rcte_parents
+           UNION ALL
+           SELECT w.u, p.p, w.d + 1
+           FROM walk w JOIN graft_rcte_parents p ON w.cur = p.u
+           WHERE p.p <> p.u),
+         resolved AS (
+           SELECT u, cur, d,
+             row_number() OVER (PARTITION BY u ORDER BY d DESC) AS rn
+           FROM walk)
+         SELECT u AS user_id, cur AS root, d AS depth
+         FROM resolved WHERE rn = 1""")
+  }
+
   // ---------------------------------------------------------- queries map
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_collection_suite" -> collectionSuite _,
     "s17_schema_evolution" -> s17SchemaEvolution _,
+    "x_variant_json" -> variantJson _,
+    "x_recursive_cte" -> recursiveCte _,
     "x_token_stats" -> tokenStats _,
     "x_quality_score" -> qualityScore _,
     "x_lang_id" -> langId _,
@@ -2325,5 +2376,34 @@ object Extensions {
       """SELECT doc_id, lang, CAST(NULL AS BIGINT) AS n_chars
          FROM documents WHERE doc_id % 2 = 0
          UNION ALL
-         SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 1""")
+         SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 1""",
+    "x_variant_json" ->
+      """SELECT event_type, count(*) AS n,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+         FROM events
+         WHERE json_extract(props, '$.k') IS NOT NULL
+         GROUP BY event_type""",
+    "x_recursive_cte" ->
+      // identical walk to the x_hierarchy oracle — two Spark execution
+      // strategies (recursive CTE here, pointer doubling there), one
+      // oracle shape
+      s"""WITH RECURSIVE $coPurchaseCte,
+         und AS (SELECT a AS u, b AS v FROM edges
+                 UNION ALL SELECT b, a FROM edges),
+         parents AS (
+           SELECT u, coalesce(MIN(CASE WHEN v < u THEN v END), u) AS p
+           FROM und GROUP BY u),
+         walk(u, cur, d) AS (
+           SELECT u, u, CAST(0 AS BIGINT) FROM parents
+           UNION ALL
+           SELECT w.u, p.p, w.d + 1
+           FROM walk w JOIN parents p ON w.cur = p.u
+           WHERE p.p <> p.u),
+         resolved AS (
+           SELECT u, cur, d,
+             row_number() OVER (PARTITION BY u ORDER BY d DESC) AS rn
+           FROM walk)
+         SELECT u AS user_id, cur AS root, d AS depth
+         FROM resolved WHERE rn = 1""")
 }
