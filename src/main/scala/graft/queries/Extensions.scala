@@ -1200,8 +1200,27 @@ object Extensions {
          FROM resolved WHERE rn = 1""")
   }
 
+  /** Generator surface beyond plain explode: `posexplode` carries the
+    * element ORDINAL through the flatten (order-sensitive downstream
+    * logic — token position features, frame indexes — without a window
+    * re-rank), and `stack` unpivots N metric columns into rows inside
+    * the generate, no shuffle. Both stay whole-stage-codegen'd. */
+  def generators(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = filter(split(col("text"), " "), t => t =!= lit(""))
+    val first3 = docs(spark, sfDir)
+      .select(col("doc_id"), posexplode(slice(toks, 1, 3)))
+      .select(col("doc_id"), lit("tok").as("metric"),
+        col("pos").cast(LongType).as("pos"), col("col").as("value"))
+    val metrics = docs(spark, sfDir)
+      .select(col("doc_id"),
+        expr("stack(2, 'lang', lang, 'source', source) AS (metric, value)"))
+      .select(col("doc_id"), col("metric"), lit(-1L).as("pos"), col("value"))
+    first3.unionAll(metrics)
+  }
+
   // ---------------------------------------------------------- queries map
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_generators" -> generators _,
     "x_collection_suite" -> collectionSuite _,
     "s17_schema_evolution" -> s17SchemaEvolution _,
     "x_variant_json" -> variantJson _,
@@ -2377,6 +2396,25 @@ object Extensions {
          FROM documents WHERE doc_id % 2 = 0
          UNION ALL
          SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 1""",
+    "x_generators" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents)
+         SELECT doc_id, 'tok' AS metric, CAST(0 AS BIGINT) AS pos,
+                toks[1] AS value FROM t WHERE len(toks) >= 1
+         UNION ALL
+         SELECT doc_id, 'tok' AS metric, CAST(1 AS BIGINT) AS pos,
+                toks[2] AS value FROM t WHERE len(toks) >= 2
+         UNION ALL
+         SELECT doc_id, 'tok' AS metric, CAST(2 AS BIGINT) AS pos,
+                toks[3] AS value FROM t WHERE len(toks) >= 3
+         UNION ALL
+         SELECT doc_id, 'lang' AS metric, CAST(-1 AS BIGINT) AS pos,
+                lang AS value FROM documents
+         UNION ALL
+         SELECT doc_id, 'source' AS metric, CAST(-1 AS BIGINT) AS pos,
+                source AS value FROM documents""",
     "x_variant_json" ->
       """SELECT event_type, count(*) AS n,
            CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
