@@ -282,6 +282,75 @@ final class TableCatalog(val root: String) extends Serializable {
     base.filter(col(c) >= lit(lo) && col(c) <= lit(hi))
   }
 
+  /** Build a per-file Bloom membership sidecar for `c` over the CURRENT
+    * version (`_bloom/<c>` inside the version dir) — the point-lookup
+    * complement of [[analyze]]'s min/max manifest. Min/max skipping is
+    * blind for equality on a high-cardinality key unless the table is
+    * clustered on exactly that key; a per-file bloom prunes point reads
+    * on ANY column regardless of layout, at `fpp` false-positive cost
+    * and zero false negatives (Delta's bloom filter index, rebuilt on
+    * the versioned-Parquet layout).
+    *
+    * Values are probed via one canonical representation: the column
+    * CAST to string on the build side, `Any.toString` on the probe side
+    * — exact for integral/string keys, the intended use. Same lifecycle
+    * as `_stats`: lives and dies with its version, appends don't carry
+    * it, so stale filters are never consulted.
+    *
+    * Scale shape: one column-pruned scan, map-side partial blooms, only
+    * O(#files × bits) crosses the shuffle ([[graft.functions.BloomAgg]]);
+    * the sidecar is O(#files) rows. */
+  def analyzeBloom(spark: SparkSession, name: String, c: String,
+      expectedItemsPerFile: Long = 100000L, fpp: Double = 0.03): Unit = {
+    import org.apache.spark.sql.functions._
+    val cur = currentPath(name)
+    val bloom = udaf(new graft.functions.BloomAgg(expectedItemsPerFile, fpp),
+      org.apache.spark.sql.Encoders.STRING)
+    spark.read.parquet(cur)
+      .select(input_file_name().as("_file"), col(c).cast("string").as("_v"))
+      .groupBy("_file")
+      .agg(bloom(col("_v")).as("_bloom"))
+      .withColumn("_file", element_at(split(col("_file"), "/"), -1))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(Paths.get(cur, "_bloom", c).toString)
+  }
+
+  /** Current-version files that might contain any of `values` in `c`
+    * per the `_bloom/<c>` sidecar — or every data file when none
+    * covers `c`. Driver-side, O(#files) like [[prunedFiles]]. */
+  def bloomPrunedFiles(spark: SparkSession, name: String, c: String,
+      values: Seq[Any]): Seq[String] = {
+    val cur = Paths.get(currentPath(name))
+    val bloomDir = cur.resolve("_bloom").resolve(c)
+    def allFiles = Option(cur.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map(_.getPath).toSeq
+    if (!Files.isDirectory(bloomDir)) return allFiles
+    val probes = values.map(String.valueOf)
+    spark.read.parquet(bloomDir.toString).collect().iterator
+      .filter { r =>
+        val bf = graft.functions.BloomAgg.deserialize(
+          r.getAs[Array[Byte]]("_bloom"))
+        probes.exists(bf.mightContainString)
+      }
+      .map(r => cur.resolve(r.getAs[String]("_file")).toString).toSeq
+  }
+
+  /** Point lookup with Bloom file skipping: read only files whose bloom
+    * might hold a probe value, then apply the exact IN predicate as a
+    * residual — false positives cost I/O, never wrong rows. On a 100 TB
+    * table this turns a needle query from a full scan into a handful of
+    * file reads without requiring the table be clustered on `c`. */
+  def scanPoints(spark: SparkSession, name: String, c: String,
+      values: Seq[Any]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val files = bloomPrunedFiles(spark, name, c, values)
+    val base =
+      if (files.nonEmpty) spark.read.parquet(files: _*)
+      else read(spark, name).limit(0) // keep the schema, scan nothing
+    base.filter(col(c).isin(values: _*))
+  }
+
   /** Shallow clone (Delta CLONE analogue): register `target` whose
     * current version shares every data file of `source`'s current
     * version by hardlink — O(#files) metadata, zero data copy. The clone

@@ -21,6 +21,8 @@ import org.apache.spark.sql.types.{BooleanType, StringType, StructType}
   *   GRAFT VACUUM <table> KEEP <n>            -- returns deleted tags
   *   GRAFT COMPACT <table>                    -- small-file rewrite
   *   GRAFT PURGE <table> KEY <col> IN (...)   -- GDPR erasure, all versions
+  *   GRAFT ANALYZE <table> COLUMNS (a, b)     -- per-file min/max sidecar
+  *   GRAFT ANALYZE BLOOM <table> COLUMN <c>   -- per-file bloom sidecar
   * }}}
   *
   * The grammar is a prefix dispatch: statements starting with the GRAFT
@@ -51,6 +53,11 @@ object GraftSql {
     """(?is)\s*GRAFT\s+COMPACT\s+(\S+)\s*;?\s*""".r
   private val Purge =
     """(?is)\s*GRAFT\s+PURGE\s+(\S+)\s+KEY\s+(\w+)\s+IN\s*\(([^)]*)\)\s*;?\s*""".r
+  // BLOOM before the plain form: both start with ANALYZE
+  private val AnalyzeBloom =
+    """(?is)\s*GRAFT\s+ANALYZE\s+BLOOM\s+(\S+)\s+COLUMN\s+(\w+)\s*;?\s*""".r
+  private val Analyze =
+    """(?is)\s*GRAFT\s+ANALYZE\s+(\S+)\s+COLUMNS\s*\(([^)]*)\)\s*;?\s*""".r
   private val GraftPrefix = """(?is)\s*GRAFT\b.*""".r
 
   /** One purge value: single-quoted ('' escapes a quote) → String,
@@ -71,11 +78,17 @@ object GraftSql {
       case Purge(t, c, vs) =>
         Some(GraftPurgeCommand(t, c,
           vs.split(',').map(purgeValue).toSeq))
+      case AnalyzeBloom(t, c) => Some(GraftAnalyzeBloomCommand(t, c))
+      case Analyze(t, cs) =>
+        Some(GraftAnalyzeCommand(t,
+          cs.split(',').map(_.trim).filter(_.nonEmpty).toSeq))
       case GraftPrefix() => throw new IllegalArgumentException(
         s"""Unrecognized GRAFT statement: $sqlText
            |Supported: GRAFT VERSIONS t | GRAFT ROLLBACK t TO vNNNNNN |
            |GRAFT VACUUM t KEEP n | GRAFT COMPACT t |
-           |GRAFT PURGE t KEY col IN (v, ...)""".stripMargin)
+           |GRAFT PURGE t KEY col IN (v, ...) |
+           |GRAFT ANALYZE t COLUMNS (a, b) |
+           |GRAFT ANALYZE BLOOM t COLUMN c""".stripMargin)
       case _ => None
     }
 }
@@ -144,5 +157,19 @@ case class GraftPurgeCommand(table: String, keyCol: String, keys: Seq[Any])
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     GraftSql.catalog.purgeKeys(spark, table, keyCol, keys); Seq.empty
+  }
+}
+
+case class GraftAnalyzeCommand(table: String, cols: Seq[String])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftSql.catalog.analyze(spark, table, cols); Seq.empty
+  }
+}
+
+case class GraftAnalyzeBloomCommand(table: String, column: String)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftSql.catalog.analyzeBloom(spark, table, column); Seq.empty
   }
 }

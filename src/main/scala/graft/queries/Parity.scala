@@ -198,6 +198,25 @@ object Parity {
       .agg(count(lit(1)).as("n"), sumd(col("l_quantity")).as("sum_qty"))
   }
 
+  // --------------------------------------------------------------- S18
+  /** S18 — Bloom-filter file skipping ([[graft.core.TableCatalog.analyzeBloom]]):
+    * point lookup on a high-cardinality key over a HASH-distributed
+    * layout, where min/max stats are blind (every file spans the whole
+    * key domain). The per-file bloom sidecar prunes the needle query to
+    * the files that might hold the probe keys; the exact IN residual
+    * keeps correctness independent of the filter. */
+  def s18BloomPoint(spark: SparkSession, sfDir: String): DataFrame = {
+    val cat = new graft.core.TableCatalog(tmp("s18bloom", sfDir))
+    val t = "gold.orders_by_cust"
+    setupOnce("s18bloom", sfDir) {
+      cat.overwrite(graft.ext.Par.spread(
+        table(spark, sfDir, "orders"), col("o_custkey")), t)
+      cat.analyzeBloom(spark, t, "o_custkey")
+    }
+    cat.scanPoints(spark, t, "o_custkey", Seq(41, 103))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+  }
+
   // --------------------------------------------------------------- S11
   /** S11 — SQL literal-rows table (`aws/ticker.dbquery.ipynb` DDL+INSERT
     * VALUES; no metastore here so the VALUES relation stands in). */
@@ -1009,6 +1028,7 @@ object Parity {
     "s2_csv_scan" -> s2CsvScan _,
     "s3_file_identity" -> s3FileIdentity _,
     "s15_text_lines" -> s15TextLines _,
+    "s18_bloom_point" -> s18BloomPoint _,
     "s5_partitioned_sink" -> s5PartitionedSink _,
     "s10_clustering" -> s10Clustering _,
     "s11_sql_values" -> s11SqlValues _,
@@ -1073,6 +1093,9 @@ object Parity {
       "SELECT 'lineitem' AS src_table, count(*) AS n FROM lineitem",
     "s15_text_lines" ->
       "SELECT doc_id, lang, n_chars FROM documents",
+    "s18_bloom_point" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         WHERE o_custkey IN (41, 103)""",
     "s5_partitioned_sink" ->
       "SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY o_orderstatus",
     "s10_clustering" ->

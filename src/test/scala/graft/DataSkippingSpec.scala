@@ -84,6 +84,47 @@ class DataSkippingSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("bloom sidecar prunes point lookups min/max can't, on any layout") {
+    // Layout clustered on k — but probe on v, where every file's [min,max]
+    // covers the whole domain, so min/max skipping is blind. Give v few
+    // distinct values per file (id/1000 → one value per range-file) so the
+    // bloom has signal.
+    val byK = spark.range(0, 4000).select(col("id").as("k"),
+        (col("id") / 1000).cast("long").as("v")) // integral: "/" is double division
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+    val cat = freshCat("bloom")
+    cat.overwrite(byK, "t.bloom")
+    cat.analyzeBloom(spark, "t.bloom", "v", expectedItemsPerFile = 1000)
+    val hit = cat.bloomPrunedFiles(spark, "t.bloom", "v", Seq(2L))
+    assert(hit.size == 1, s"one file holds v=2, pruned to ${hit.size}/4")
+    // zero false negatives: pruned scan == full-scan filter, exactly
+    val got = cat.scanPoints(spark, "t.bloom", "v", Seq(2L))
+      .agg(count(lit(1)), sum(col("k"))).head()
+    val want = cat.read(spark, "t.bloom").filter(col("v") === 2L)
+      .agg(count(lit(1)), sum(col("k"))).head()
+    assert(got == want)
+    // absent value: typically zero files (fpp=3%), never wrong rows
+    assert(cat.scanPoints(spark, "t.bloom", "v", Seq(99L)).count() == 0L)
+    // no sidecar for this column → all files, correct result
+    assert(cat.bloomPrunedFiles(spark, "t.bloom", "k", Seq(7L)).size == 4)
+    assert(cat.scanPoints(spark, "t.bloom", "k", Seq(7L)).count() == 1L)
+  }
+
+  test("bloom sidecar dies with its version: appends fall back to all files") {
+    val cat = freshCat("bloomv")
+    cat.overwrite(clustered, "t.bloomv")
+    // tight fpp: at 0.03 a 1000-key file false-positives often enough to
+    // flake an exact file-count assertion across runs
+    cat.analyzeBloom(spark, "t.bloomv", "k", expectedItemsPerFile = 1000,
+      fpp = 0.001)
+    assert(cat.bloomPrunedFiles(spark, "t.bloomv", "k", Seq(100L)).size <= 2)
+    cat.append(Seq((5000L, 1L)).toDF("k", "v"), "t.bloomv")
+    // stale filters (which don't cover the new batch) must not survive
+    val files = cat.bloomPrunedFiles(spark, "t.bloomv", "k", Seq(5000L))
+    assert(files.size >= 5, s"post-append fallback should list all files, got ${files.size}")
+    assert(cat.scanPoints(spark, "t.bloomv", "k", Seq(5000L)).count() == 1L)
+  }
+
   test("empty pruning result keeps the schema and returns zero rows") {
     val cat = freshCat("empty")
     cat.overwrite(clustered, "t.empty")

@@ -91,6 +91,23 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
       == Seq("ann"))
   }
 
+  test("GRAFT ANALYZE builds min/max and bloom sidecars the scans consume") {
+    val sp = sess; import sp.implicits._
+    val c = cat()
+    c.overwrite(
+      sess.range(0, 400).select(
+        org.apache.spark.sql.functions.col("id").as("k"),
+        (org.apache.spark.sql.functions.col("id") % 100).as("m"))
+        .repartitionByRange(4, org.apache.spark.sql.functions.col("k"))
+        .sortWithinPartitions("k"),
+      "c.s.a")
+    sess.sql("GRAFT ANALYZE c.s.a COLUMNS (k, m)")
+    assert(c.prunedFiles(sess, "c.s.a", "k", 0L, 50L).size == 1)
+    sess.sql("graft analyze bloom c.s.a column k")
+    assert(c.bloomPrunedFiles(sess, "c.s.a", "k", Seq(150L)).size == 1)
+    assert(c.scanPoints(sess, "c.s.a", "k", Seq(150L)).count() == 1L)
+  }
+
   test("non-GRAFT SQL delegates untouched; malformed GRAFT fails loudly") {
     assert(sess.sql("SELECT 1 + 1 AS x").collect().head.getInt(0) == 2)
     // injected native functions still resolve through the wrapped parser
