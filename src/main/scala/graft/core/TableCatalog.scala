@@ -317,7 +317,15 @@ final class TableCatalog(val root: String) extends Serializable {
 
   /** Current-version files that might contain any of `values` in `c`
     * per the `_bloom/<c>` sidecar — or every data file when none
-    * covers `c`. Driver-side, O(#files) like [[prunedFiles]]. */
+    * covers `c`.
+    *
+    * Driver-memory bound: the membership probe runs ON THE EXECUTORS
+    * (the filter deserializes each file's bloom where the sidecar row
+    * lives), so only surviving file NAMES cross to the driver — O(#hit
+    * files × path length), never O(#files × bloom bits). At 100 TB
+    * (say 10^5 files × 128 KiB blooms = ~12 GiB of filter bytes) a
+    * driver-side collect of the sidecar would OOM; the name list for a
+    * selective probe is a few KiB. */
   def bloomPrunedFiles(spark: SparkSession, name: String, c: String,
       values: Seq[Any]): Seq[String] = {
     val cur = Paths.get(currentPath(name))
@@ -327,13 +335,14 @@ final class TableCatalog(val root: String) extends Serializable {
       .map(_.getPath).toSeq
     if (!Files.isDirectory(bloomDir)) return allFiles
     val probes = values.map(String.valueOf)
-    spark.read.parquet(bloomDir.toString).collect().iterator
-      .filter { r =>
-        val bf = graft.functions.BloomAgg.deserialize(
-          r.getAs[Array[Byte]]("_bloom"))
-        probes.exists(bf.mightContainString)
-      }
-      .map(r => cur.resolve(r.getAs[String]("_file")).toString).toSeq
+    val mightHit = org.apache.spark.sql.functions.udf { (bytes: Array[Byte]) =>
+      val bf = graft.functions.BloomAgg.deserialize(bytes)
+      probes.exists(bf.mightContainString)
+    }
+    spark.read.parquet(bloomDir.toString)
+      .filter(mightHit(org.apache.spark.sql.functions.col("_bloom")))
+      .select("_file").collect().iterator
+      .map(r => cur.resolve(r.getString(0)).toString).toSeq
   }
 
   /** Point lookup with Bloom file skipping: read only files whose bloom

@@ -26,15 +26,33 @@ object Parity {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
-    * Spark only reads via the nanos-as-long legacy conf; convert back to a
-    * microsecond timestamp with exact integer arithmetic (a double division
-    * would lose precision above 2^53 ns). DuckDB's `CAST(ts_ns AS
-    * TIMESTAMP)` truncates identically. */
+  /** The events table's physical `ts` encoding has drifted across data
+    * generations — parquet TIMESTAMP(NANOS) (readable only as a long via
+    * the legacy nanos-as-long conf) vs timestamp[us] (read as
+    * TIMESTAMP_NTZ). Dispatch on the dtype Spark actually read so either
+    * vintage normalizes to the same session-UTC TimestampType column:
+    *  - LongType (nanos-as-long): exact integer `div 1000` → micros; a
+    *    double division would lose precision above 2^53 ns, and DuckDB's
+    *    `CAST(ts_ns AS TIMESTAMP)` truncates identically;
+    *  - TimestampNTZType: reinterpret the wall-clock under the session
+    *    zone (sessions pin UTC), which preserves `unix_timestamp`
+    *    semantics bit-for-bit vs the nanos-era oracle results;
+    *  - TimestampType: already normalized.
+    * Setting the legacy conf is harmless for non-nanos files (it only
+    * changes how TIMESTAMP(NANOS) columns decode), so set it
+    * unconditionally and let the dtype branch do the rest. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeEventTs(spark.read.parquet(s"$dir/events.parquet"))
+  }
+
+  /** Normalize an events frame's `ts` to session-zone TimestampType
+    * regardless of which physical encoding it was read as (see [[events]]).
+    * Shared with the streaming reader so batch and stream agree. */
+  def normalizeEventTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+    case _                => df
   }
 
   /** Scratch dir for sink-operator queries (inside repo target/, gitignored). */

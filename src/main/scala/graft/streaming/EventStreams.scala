@@ -15,9 +15,11 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** Events file schema; ts arrives as nanosecond longs (see
-    * graft.queries.Parity.events) and is normalized to a micro timestamp
-    * with exact integer arithmetic. */
+  /** Events file schema as of the nanos-era data generation (ts as
+    * nanosecond longs). Kept as the fallback when the landing directory is
+    * empty at stream start; live dirs are footer-probed instead (see
+    * [[readEventStream]]) because the physical ts encoding has drifted
+    * across data generations (int64-nanos vs timestamp[us]). */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -26,8 +28,14 @@ object EventStreams {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  def normalize(raw: DataFrame): DataFrame =
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  /** Normalize `ts` to session-zone TimestampType whichever physical
+    * encoding it was read as — same dispatch as the batch loader
+    * (graft.queries.Parity.normalizeEventTs), so batch and stream agree. */
+  def normalize(raw: DataFrame): DataFrame = raw.schema("ts").dataType match {
+    case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+    case _                => raw
+  }
 
   /** Hourly rollup: count, exact decimal value sum (order-independent),
     * and JSON-extracted metric sum per (event_type, hour). Shared by the
@@ -45,8 +53,15 @@ object EventStreams {
     * production shape for landing-zone ingestion; swap path for a Kafka
     * source URI at deploy time). */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    // A file stream needs a declared schema; probe the landing dir's real
+    // footer (one cheap driver-side metadata read) instead of hard-coding
+    // one encoding — the batch read applies the same legacy-nanos conf and
+    // therefore yields exactly the schema the stream will decode with.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    normalize(spark.readStream.schema(rawSchema)
+    val schema =
+      try spark.read.parquet(dir).schema
+      catch { case _: Throwable => rawSchema } // empty dir at start: fallback
+    normalize(spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(dir))
   }
 

@@ -89,9 +89,18 @@ class DataSkippingSpec extends SparkSpec {
     // covers the whole domain, so min/max skipping is blind. Give v few
     // distinct values per file (id/1000 → one value per range-file) so the
     // bloom has signal.
-    val byK = spark.range(0, 4000).select(col("id").as("k"),
-        (col("id") / 1000).cast("long").as("v")) // integral: "/" is double division
-      .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+    // Build the 4-file layout with EXACT per-file v ownership: an
+    // explicitly 4-way parallelized row seq splits evenly IN ORDER, so
+    // partition g holds precisely k∈[1000g,1000g+1000) = v==g.
+    // (repartitionByRange(k) picks SAMPLED boundaries, so a v value could
+    // genuinely straddle two files and fail the ==1 assertion below even
+    // though pruning was correct — zero false negatives, 2/4 files.)
+    val byK = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        (0L until 4000L).map(k => org.apache.spark.sql.Row(k, k / 1000L)), 4),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType))))
     val cat = freshCat("bloom")
     cat.overwrite(byK, "t.bloom")
     cat.analyzeBloom(spark, "t.bloom", "v", expectedItemsPerFile = 1000)
