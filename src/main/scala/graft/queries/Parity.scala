@@ -823,6 +823,86 @@ object Parity {
       .agg(sum(col("disc_price")).cast("double").as("revenue"))
   }
 
+  /** TPC-H Q12 (shipping modes and order priority), adapted: the testdata
+    * has no l_shipmode/commitdate/receiptdate, so the mode axis becomes a
+    * shipping-DELAY band (days between order and ship date) — the same
+    * conditional two-way priority count over a fact join. Exact integer
+    * counts, hash-safe. Plan: one shuffle join on orderkey, map-side
+    * CASE counts, tiny 3-row result. */
+  def tpchQ12(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = table(spark, sfDir, "orders")
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val delay = datediff(col("l_shipdate"), col("o_orderdate"))
+    table(spark, sfDir, "lineitem").select("l_orderkey", "l_shipdate")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("delay_band",
+        when(delay <= 30, "1-fast")
+          .when(delay <= 90, "2-normal").otherwise("3-slow"))
+      .groupBy("delay_band")
+      .agg(
+        sum(when(col("o_orderpriority") === "1-URGENT" ||
+          col("o_orderpriority") === "2-HIGH", 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when(col("o_orderpriority") =!= "1-URGENT" &&
+          col("o_orderpriority") =!= "2-HIGH", 1L).otherwise(0L))
+          .as("low_line_count"))
+  }
+
+  /** TPC-H Q15 (top supplier): quarterly revenue per supplier, keep the
+    * supplier(s) at the maximum. The max is a one-row aggregate broadcast
+    * against the 100-row revenue table (NOT a global sort) — at 100 TB the
+    * revenue rollup shuffles on suppkey once and the argmax costs nothing.
+    * Double equality against the max is exact: both sides are the same
+    * decimal-summed bits. */
+  def tpchQ15(spark: SparkSession, sfDir: String): DataFrame = {
+    val rev = table(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00") &&
+        col("l_shipdate") < lit("1996-04-01 00:00:00"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(discPrice).cast("double").as("total_revenue"))
+    val mx = rev.agg(max(col("total_revenue")).as("max_rev"))
+    rev.join(broadcast(mx), col("total_revenue") === col("max_rev"))
+      .join(broadcast(table(spark, sfDir, "supplier")
+        .select("s_suppkey", "s_name")), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+  }
+
+  /** TPC-H Q21 (suppliers who kept orders waiting), adapted: no
+    * receipt/commit dates, so "waiting" = shipped more than 60 days after
+    * the order date. Count, per supplier, the late lines in MULTI-supplier
+    * orders where this supplier was the ONLY late one. The classic
+    * EXISTS / NOT-EXISTS pair is re-expressed as per-order WINDOW
+    * aggregates over the (order, supplier) rollup — no correlated
+    * re-scan of lineitem, no self-join (a perSupp⋈perOrder formulation
+    * planned a double scan of lineitem+orders): the fact is read ONCE,
+    * the orderkey-only repartition lets both the two-key groupBy and the
+    * order-window run on the same single exchange (HashPartitioning on a
+    * subset of the grouping keys satisfies the aggregate's clustering),
+    * then a broadcast of the 100-row supplier dim. */
+  def tpchQ21(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = table(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(table(spark, sfDir, "orders").select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late",
+        when(datediff(col("l_shipdate"), col("o_orderdate")) > 60, 1L)
+          .otherwise(0L))
+    val perSupp = li.repartition(col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(sum(col("late")).as("n_late"))
+    val byOrder = Window.partitionBy(col("l_orderkey"))
+    perSupp
+      .withColumn("n_supps", count(lit(1)).over(byOrder))
+      .withColumn("n_late_supps",
+        sum(when(col("n_late") > 0, 1L).otherwise(0L)).over(byOrder))
+      .filter(col("n_late") > 0 && col("n_supps") > 1 &&
+        col("n_late_supps") === 1)
+      .join(broadcast(table(spark, sfDir, "supplier")
+        .select("s_suppkey", "s_name")), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(sum(col("n_late")).cast("long").as("numwait"))
+  }
+
   /** Set operations: union distinct, intersect, except (absent from the
     * reference; introduced by our MERGE rewrite internally — SURVEY §2.6). */
   def setOps(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1092,8 +1172,11 @@ object Parity {
     "tpch_q8" -> tpchQ8 _,
     "tpch_q9" -> tpchQ9 _,
     "tpch_q10" -> tpchQ10 _,
+    "tpch_q12" -> tpchQ12 _,
     "tpch_q14" -> tpchQ14 _,
+    "tpch_q15" -> tpchQ15 _,
     "tpch_q19" -> tpchQ19 _,
+    "tpch_q21" -> tpchQ21 _,
     "scalar_suite" -> scalarSuite _,
     "scd2_two_batch" -> scd2TwoBatch _,
     "scd4_two_batch" -> scd4TwoBatch _,
@@ -1435,6 +1518,51 @@ object Parity {
                 AND l_quantity BETWEEN 10 AND 25)
             OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
                 AND l_quantity BETWEEN 20 AND 40)""",
+    "tpch_q12" ->
+      """SELECT CASE
+             WHEN date_diff('day', CAST(o_orderdate AS DATE),
+               CAST(l_shipdate AS DATE)) <= 30 THEN '1-fast'
+             WHEN date_diff('day', CAST(o_orderdate AS DATE),
+               CAST(l_shipdate AS DATE)) <= 90 THEN '2-normal'
+             ELSE '3-slow' END AS delay_band,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+             THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1""",
+    "tpch_q15" ->
+      """WITH revenue AS (
+           SELECT l_suppkey,
+             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+               (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)))
+               AS DOUBLE) AS total_revenue
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+           GROUP BY 1)
+         SELECT s_suppkey, s_name, total_revenue
+         FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+         WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)""",
+    "tpch_q21" ->
+      """WITH li AS (
+           SELECT l_orderkey, l_suppkey,
+             CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+               CAST(l_shipdate AS DATE)) > 60 THEN 1 ELSE 0 END AS late
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         per_supp AS (
+           SELECT l_orderkey, l_suppkey, SUM(late) AS n_late
+           FROM li GROUP BY 1, 2),
+         per_order AS (
+           SELECT l_orderkey, COUNT(*) AS n_supps,
+             SUM(CASE WHEN n_late > 0 THEN 1 ELSE 0 END) AS n_late_supps
+           FROM per_supp GROUP BY 1)
+         SELECT s_name, CAST(SUM(n_late) AS BIGINT) AS numwait
+         FROM per_supp
+         JOIN per_order USING (l_orderkey)
+         JOIN supplier ON l_suppkey = s_suppkey
+         WHERE n_late > 0 AND n_supps > 1 AND n_late_supps = 1
+         GROUP BY 1""",
     "tpch_q7" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
            year(l_shipdate) AS l_year,

@@ -61,6 +61,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("GlobalLimit"), s"top-k fell back to sort+limit:\n$plan")
   }
 
+  test("tpch_q21 reads the fact once; one exchange feeds both agg and windows") {
+    val plan = Parity.tpchQ21(spark, sf).queryExecution.executedPlan.toString
+    val factScans = plan.split('\n')
+      .count(l => l.contains("FileScan parquet") && l.contains("lineitem"))
+    assert(factScans == 1,
+      s"q21 must not self-join back into a second lineitem scan ($factScans):\n$plan")
+    // the orderkey repartition serves the (orderkey,suppkey) groupBy AND
+    // the per-order windows: exactly 2 exchanges total (fact + final
+    // s_name rollup), no extra window re-shuffle
+    val exchanges = plan.split('\n').count(l => l.trim.startsWith("+- Exchange")
+      || l.trim.startsWith(":- Exchange") || l.trim.startsWith("Exchange"))
+    assert(exchanges <= 2, s"q21 planned $exchanges exchanges (want ≤2):\n$plan")
+    assert(plan.contains("Window"), plan)
+  }
+
+  test("tpch_q15 argmax joins hash-to-hash, never a nested loop") {
+    val plan = Parity.tpchQ15(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"),
+      s"max-revenue equality must stay an equi-join:\n$plan")
+  }
+
   test("tpch_q7 broadcasts all dims; only the fact joins shuffle") {
     val plan = Parity.tpchQ7(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
