@@ -155,4 +155,53 @@ object Graph {
     }
     pr.select(col("u").as("v"), col("pr").as("pr_fixed"))
   }
+
+  /** Multi-source BFS hop distance over an undirected edge set:
+    * dist(v) = fewest hops from ANY seed vertex, computed as `rounds`
+    * synchronous frontier relaxations (Bellman-Ford specialization for
+    * unit weights). Vertices farther than `rounds` hops are absent from
+    * the output — the k-hop-neighborhood contract (reach/expansion
+    * features, blast-radius queries), not full-graph SSSP.
+    *
+    * Scale design: each round is one join of the CURRENT distance table
+    * with the edge list on the source key plus one min-merge aggregation
+    * — the same O(E) message-passing shuffle pair as [[pageRank]], state
+    * strictly O(reached vertices), nothing on the driver. Fixed `rounds`
+    * (not converge-probe) keeps the round count — and therefore the
+    * oracle — deterministic. localCheckpoint per round truncates the
+    * exponential self-referencing lineage; freed eagerly like the
+    * dup-clusters loop. EAGER: runs jobs at call time.
+    *
+    * All-integer arithmetic (hop counts), so a DuckDB replay of the same
+    * chained relaxations is bit-exact. */
+  def bfsDistances(edges: DataFrame, seeds: DataFrame,
+                   rounds: Int = 4): DataFrame = {
+    val und = edges.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint()
+    var ckpt = seeds.select(col("v"), lit(0L).as("dist")).localCheckpoint()
+    var dist = ckpt
+    for (_ <- 1 to rounds) {
+      val prop = dist.join(und.select(col("u"), col("v").as("nbr")),
+          dist("v") === col("u"))
+        .select(col("nbr").as("v"), (col("dist") + lit(1L)).as("dist"))
+      val next = dist.unionAll(prop)
+        .groupBy("v").agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+      freeCheckpoint(ckpt)
+      ckpt = next
+      dist = next
+    }
+    freeCheckpoint(und)
+    dist
+  }
+
+  /** Unpersist the block-manager storage behind a localCheckpoint'd frame
+    * (Dataset.unpersist only covers cache-manager entries, not checkpoint
+    * RDDs). No-op for non-checkpoint plans. */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

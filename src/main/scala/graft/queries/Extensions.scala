@@ -1034,6 +1034,22 @@ object Extensions {
     Graph.rootsAndDepths(Graph.parentPointers(coPurchaseEdges(spark, sfDir)))
       .select(col("u").as("user_id"), col("root"), col("depth"))
 
+  /** Multi-source BFS hop distance ([[graft.ext.Graph.bfsDistances]])
+    * over the co-purchase graph: distance from the nearest seed user
+    * (deterministic seed set: user_id divisible by 97) within 4 hops —
+    * the k-hop-neighborhood / blast-radius primitive the other graph
+    * queries don't cover (triangles = cohesion, PageRank = centrality,
+    * hierarchy = chain resolution, BFS = reach). Unit-weight integer
+    * hops, so the DuckDB oracle replays the same four relaxations
+    * bit-exactly. */
+  def bfsReach(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = coPurchaseEdges(spark, sfDir)
+    val seeds = edges.select(explode(array(col("a"), col("b"))).as("v"))
+      .distinct().filter(col("v") % 97 === 0)
+    Graph.bfsDistances(edges, seeds, rounds = 4)
+      .select(col("v").as("user_id"), col("dist"))
+  }
+
   /** Winnowed-fingerprint rollup ([[Dedup.winnowedFingerprints]]): per
     * doc, its fingerprint count and how many fingerprints are shared
     * with another document — same shape as the CDC-chunk rollup, but
@@ -1296,6 +1312,7 @@ object Extensions {
     "x_bloom_prune" -> bloomPrune _,
     "x_triangles" -> triangles _,
     "x_pagerank" -> pagerank _,
+    "x_bfs_reach" -> bfsReach _,
     "x_ivm_join" -> ivmJoin _,
     "d_winnowing" -> winnowing _,
     "x_skyline" -> skyline _,
@@ -2296,6 +2313,32 @@ object Extensions {
          p3 AS (SELECT u, CAST(150000000000 + 85 * (s // 100)
                   + (85 * (s % 100)) // 100 AS BIGINT) AS pr FROM c3)
          SELECT u AS user_id, pr AS pr_fixed FROM p3""",
+    "x_bfs_reach" ->
+      // Exact replay of the four synchronous relaxations: unit-weight
+      // integer hops, min-merge per round — every intermediate is a
+      // BIGINT in both engines.
+      s"""WITH $coPurchaseCte,
+         und AS (SELECT a AS u, b AS v FROM edges
+                 UNION ALL SELECT b, a FROM edges),
+         d0 AS (SELECT DISTINCT u AS v, CAST(0 AS BIGINT) AS dist
+                FROM und WHERE u % 97 = 0),
+         d1 AS (SELECT v, MIN(dist) AS dist FROM (
+                  SELECT * FROM d0 UNION ALL
+                  SELECT und.v, d0.dist + 1 FROM d0 JOIN und ON d0.v = und.u)
+                GROUP BY 1),
+         d2 AS (SELECT v, MIN(dist) AS dist FROM (
+                  SELECT * FROM d1 UNION ALL
+                  SELECT und.v, d1.dist + 1 FROM d1 JOIN und ON d1.v = und.u)
+                GROUP BY 1),
+         d3 AS (SELECT v, MIN(dist) AS dist FROM (
+                  SELECT * FROM d2 UNION ALL
+                  SELECT und.v, d2.dist + 1 FROM d2 JOIN und ON d2.v = und.u)
+                GROUP BY 1),
+         d4 AS (SELECT v, MIN(dist) AS dist FROM (
+                  SELECT * FROM d3 UNION ALL
+                  SELECT und.v, d3.dist + 1 FROM d3 JOIN und ON d3.v = und.u)
+                GROUP BY 1)
+         SELECT v AS user_id, dist FROM d4""",
     "x_ivm_join" ->
       // The oracle is the FULL recompute: the four delta-algebra terms
       // must tile it exactly (no dup, no gap).

@@ -97,4 +97,34 @@ class GraphSpec extends SparkSpec {
     val c = counts(hub ++ Seq((200L, 201L), (201L, 202L), (200L, 202L)): _*)
     assert(c === Map(200L -> 1L, 201L -> 1L, 202L -> 1L))
   }
+
+  private def bfs(seedIds: Seq[Long], rounds: Int, pairs: (Long, Long)*) = {
+    import spark.implicits._
+    Graph.bfsDistances(edges(pairs: _*), seedIds.toDF("v"), rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("BFS hop distances: chain from one end, bounded by rounds") {
+    // chain 1-2-3-4-5-6, seed 1, 3 rounds → 4,5 at their true distance? no:
+    // only vertices within 3 hops appear; 5 and 6 are absent
+    val got = bfs(Seq(1L), rounds = 3, (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+  }
+
+  test("BFS multi-source: nearest seed wins; unreachable component absent") {
+    // two components: path 1-2-3 (seed 1) and square 10-11-12-13 (seed 12)
+    val got = bfs(Seq(1L, 12L), rounds = 4,
+      (1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (12L, 13L), (10L, 13L))
+    assert(got === Map(
+      1L -> 0L, 2L -> 1L, 3L -> 2L,
+      12L -> 0L, 11L -> 1L, 13L -> 1L, 10L -> 2L))
+  }
+
+  test("BFS: a shorter path found in a later round overrides the longer one") {
+    // ring 1-2-3-4-5-1 with seed 1: vertex 3 reachable as 1→2→3 (2 hops)
+    // and 1→5→4→3 (3 hops); min must win
+    val got = bfs(Seq(1L), rounds = 4,
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 1L))
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L))
+  }
 }
