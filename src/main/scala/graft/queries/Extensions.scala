@@ -1043,7 +1043,11 @@ object Extensions {
     * hops, so the DuckDB oracle replays the same four relaxations
     * bit-exactly. */
   def bfsReach(spark: SparkSession, sfDir: String): DataFrame = {
-    val edges = coPurchaseEdges(spark, sfDir)
+    // Materialize the edge build ONCE: both the seed derivation and the
+    // relaxation loop read it, and without the checkpoint the seed branch
+    // replays the full distinct+self-join edge pipeline a second time
+    // (measured ~2x the query wall at sf0.1).
+    val edges = coPurchaseEdges(spark, sfDir).localCheckpoint()
     val seeds = edges.select(explode(array(col("a"), col("b"))).as("v"))
       .distinct().filter(col("v") % 97 === 0)
     Graph.bfsDistances(edges, seeds, rounds = 4)
