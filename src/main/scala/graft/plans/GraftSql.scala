@@ -21,6 +21,7 @@ import org.apache.spark.sql.types.{BooleanType, StringType, StructType}
   *   GRAFT VACUUM <table> KEEP <n>            -- returns deleted tags
   *   GRAFT COMPACT <table>                    -- small-file rewrite
   *   GRAFT PURGE <table> KEY <col> IN (...)   -- GDPR erasure, all versions
+  *   GRAFT CLONE <src> TO <dst>               -- zero-copy hardlink clone
   *   GRAFT ANALYZE <table> COLUMNS (a, b)     -- per-file min/max sidecar
   *   GRAFT ANALYZE BLOOM <table> COLUMN <c>   -- per-file bloom sidecar
   * }}}
@@ -54,6 +55,8 @@ object GraftSql {
   private val Purge =
     """(?is)\s*GRAFT\s+PURGE\s+(\S+)\s+KEY\s+(\w+)\s+IN\s*\(([^)]*)\)\s*;?\s*""".r
   // BLOOM before the plain form: both start with ANALYZE
+  private val Clone =
+    """(?is)\s*GRAFT\s+CLONE\s+(\S+)\s+TO\s+(\S+)\s*;?\s*""".r
   private val AnalyzeBloom =
     """(?is)\s*GRAFT\s+ANALYZE\s+BLOOM\s+(\S+)\s+COLUMN\s+(\w+)\s*;?\s*""".r
   private val Analyze =
@@ -78,6 +81,7 @@ object GraftSql {
       case Purge(t, c, vs) =>
         Some(GraftPurgeCommand(t, c,
           vs.split(',').map(purgeValue).toSeq))
+      case Clone(s, t) => Some(GraftCloneCommand(s, t))
       case AnalyzeBloom(t, c) => Some(GraftAnalyzeBloomCommand(t, c))
       case Analyze(t, cs) =>
         Some(GraftAnalyzeCommand(t,
@@ -87,6 +91,7 @@ object GraftSql {
            |Supported: GRAFT VERSIONS t | GRAFT ROLLBACK t TO vNNNNNN |
            |GRAFT VACUUM t KEEP n | GRAFT COMPACT t |
            |GRAFT PURGE t KEY col IN (v, ...) |
+           |GRAFT CLONE src TO dst |
            |GRAFT ANALYZE t COLUMNS (a, b) |
            |GRAFT ANALYZE BLOOM t COLUMN c""".stripMargin)
       case _ => None
@@ -150,6 +155,12 @@ case class GraftVacuumCommand(table: String, keep: Int)
 case class GraftCompactCommand(table: String) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     GraftSql.catalog.compact(spark, table); Seq.empty
+  }
+}
+case class GraftCloneCommand(source: String, target: String)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftSql.catalog.clone(source, target); Seq.empty
   }
 }
 

@@ -108,6 +108,21 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(c.scanPoints(sess, "c.s.a", "k", Seq(150L)).count() == 1L)
   }
 
+  test("GRAFT CLONE hardlinks the current version into a new table") {
+    val sp = sess; import sp.implicits._
+    val c = cat()
+    c.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "c.s.src")
+    c.overwrite(Seq((1L, "a2"), (2L, "b2"), (3L, "c3")).toDF("k", "v"), "c.s.src")
+    sess.sql("GRAFT CLONE c.s.src TO c.s.dst")
+    assert(c.read(sess, "c.s.dst").count() == 3)
+    // clone is zero-copy-now, independent-later: rolling the source back
+    // must not change the clone's contents
+    sess.sql("GRAFT ROLLBACK c.s.src TO v000001")
+    assert(c.read(sess, "c.s.dst").count() == 3)
+    val e = intercept[Exception](sess.sql("GRAFT CLONE c.s.src TO c.s.dst"))
+    assert(e.getMessage.contains("already exists"))
+  }
+
   test("non-GRAFT SQL delegates untouched; malformed GRAFT fails loudly") {
     assert(sess.sql("SELECT 1 + 1 AS x").collect().head.getInt(0) == 2)
     // injected native functions still resolve through the wrapped parser
