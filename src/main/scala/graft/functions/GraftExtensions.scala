@@ -13,6 +13,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(PolyHash.registration)
     ext.injectFunction(DotProduct.registration)
     ext.injectFunction(InterleaveBits.registration)
+    ext.injectFunction(HilbertIndex.registration)
     ext.injectFunction(MinHashSig.registration)
     ext.injectFunction(SimHashSig.registration)
     ext.injectFunction(GramHashes.registration)
@@ -28,9 +29,9 @@ object GraftExtensions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     Seq(PolyHash.registration, DotProduct.registration,
-        InterleaveBits.registration, MinHashSig.registration,
-        SimHashSig.registration, GramHashes.registration,
-        SlidingMin.registration).foreach { r =>
+        InterleaveBits.registration, HilbertIndex.registration,
+        MinHashSig.registration, SimHashSig.registration,
+        GramHashes.registration, SlidingMin.registration).foreach { r =>
       reg.registerFunction(r._1, r._2, r._3)
     }
   }

@@ -63,7 +63,33 @@ object Gold {
     * heavy-tailed layouts should pre-transform (e.g. log) the column.
     */
   def zorderBy(df: DataFrame, c1: String, c2: String, bits: Int = 16,
-      partitions: Option[Int] = None): DataFrame = {
+      partitions: Option[Int] = None): DataFrame =
+    curveBy(df, c1, c2, bits, partitions, graft.functions.InterleaveBits.apply)
+
+  /** Hilbert-curve clustering — same quantize → curve-index →
+    * range-partition recipe as [[zorderBy]], but the cell ids map to
+    * their distance along the Hilbert curve
+    * ([[graft.functions.HilbertIndex]]) instead of the Morton
+    * interleave. The Hilbert curve never jumps (consecutive indices are
+    * grid neighbors), so per-file bounding boxes come out tighter than
+    * Morton's at the power-of-two seams — measurably fewer
+    * false-positive files under min/max skipping on either dimension
+    * (DataSkippingSpec compares the two on identical data). */
+  def hilbertBy(df: DataFrame, c1: String, c2: String, bits: Int = 16,
+      partitions: Option[Int] = None): DataFrame =
+    curveBy(df, c1, c2, bits, partitions, graft.functions.HilbertIndex.apply)
+
+  /** Shared space-filling-curve clustering core: bucket two numeric
+    * columns into `2^bits` uniform cells over their [min, max], map the
+    * cell pair to a curve index, then range-partition + sort on it.
+    *
+    * The min/max pass is one tiny aggregate (bounded driver metadata —
+    * the same class of collect as `approxQuantile`). Nulls go to cell 0
+    * (nulls-first). Uniform cells are skew-sensitive in the extreme;
+    * heavy-tailed layouts should pre-transform (e.g. log) the column. */
+  private def curveBy(df: DataFrame, c1: String, c2: String, bits: Int,
+      partitions: Option[Int],
+      curve: (Column, Column) => Column): DataFrame = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
     val mm = df.agg(
       min(col(c1).cast("double")), max(col(c1).cast("double")),
@@ -79,7 +105,7 @@ object Gold {
             .cast("int")))
           .cast("int"), lit(0))
       else lit(0)
-    val z = graft.functions.InterleaveBits(
+    val z = curve(
       cell(c1, mm.getDouble(0), mm.getDouble(1)),
       cell(c2, mm.getDouble(2), mm.getDouble(3)))
     val withZ = df.withColumn("_graft_z", z)

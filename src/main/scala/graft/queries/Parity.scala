@@ -191,6 +191,27 @@ object Parity {
       max(col("l_partkey")).as("max_pkey"))
   }
 
+  /** S10, Hilbert-curve form ([[Gold.hilbertBy]]): same quantize →
+    * curve-index → range-partition recipe as [[s10Zorder]], but the cell
+    * pair maps to its Hilbert distance — no power-of-two-seam jumps, so
+    * per-file bounding boxes come out at-least-as-tight as Morton's
+    * (HilbertIndexSpec pins the invariants and the area comparison).
+    * Oracle is the plain aggregate: layout can't change results. */
+  def s10Hilbert(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = tmp("s10h", sfDir)
+    Gold.hilbertBy(
+        graft.ext.Par.spread(table(spark, sfDir, "lineitem"), col("l_orderkey")),
+        "l_orderkey", "l_partkey", bits = 12)
+      .write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir).agg(
+      count(lit(1)).as("n"),
+      sumd(col("l_quantity")).as("sum_qty"),
+      min(col("l_orderkey")).as("min_okey"),
+      max(col("l_orderkey")).as("max_okey"),
+      min(col("l_partkey")).as("min_pkey"),
+      max(col("l_partkey")).as("max_pkey"))
+  }
+
   /** S10 read-side payoff — file skipping over the clustered layout:
     * cluster lineitem on l_shipdate into a catalog table, collect the
     * per-file min/max manifest ([[graft.core.TableCatalog.analyze]]),
@@ -1156,6 +1177,7 @@ object Parity {
     "w5_analytics" -> w5Analytics _,
     "set_ops" -> setOps _,
     "s10_zorder" -> s10Zorder _,
+    "s10_hilbert" -> s10Hilbert _,
     "s10_skipping" -> s10Skipping _,
     "a4_rollup" -> a4Rollup _,
     "a5_cube" -> a5Cube _,
@@ -1204,6 +1226,11 @@ object Parity {
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
          MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key FROM lineitem""",
     "s10_zorder" ->
+      """SELECT count(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         MIN(l_orderkey) AS min_okey, MAX(l_orderkey) AS max_okey,
+         MIN(l_partkey) AS min_pkey, MAX(l_partkey) AS max_pkey FROM lineitem""",
+    "s10_hilbert" ->
       """SELECT count(*) AS n,
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
          MIN(l_orderkey) AS min_okey, MAX(l_orderkey) AS max_okey,

@@ -84,6 +84,33 @@ class DataSkippingSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("hilbert layout prunes both dims at least as tightly as z-order") {
+    val grid = spark.range(0, 1 << 14).select(
+      (col("id") % 128).as("x"), (col("id") / 128).as("y"))
+    val nf = 16
+    val catH = freshCat("hilbert")
+    catH.overwrite(graft.ops.Gold.hilbertBy(grid, "x", "y", bits = 7,
+      partitions = Some(nf)), "t.h")
+    catH.analyze(spark, "t.h", Seq("x", "y"))
+    val catZ = freshCat("zorder2")
+    catZ.overwrite(graft.ops.Gold.zorderBy(grid, "x", "y", bits = 7,
+      partitions = Some(nf)), "t.z2")
+    catZ.analyze(spark, "t.z2", Seq("x", "y"))
+    for (c <- Seq("x", "y")) {
+      val h = catH.prunedFiles(spark, "t.h", c, 0L, 7L).size
+      val z = catZ.prunedFiles(spark, "t.z2", c, 0L, 7L).size
+      assert(h <= nf / 2, s"hilbert should skip most files on $c, got $h/$nf")
+      // the no-jump curve can't do worse than Morton on the same data
+      assert(h <= z, s"hilbert pruned $h files on $c, morton only $z")
+    }
+    // skipping never changes answers
+    val a = catH.scanRange(spark, "t.h", "y", 0L, 7L)
+      .agg(sum(col("x")), count(lit(1))).head()
+    val b = grid.filter(col("y").between(0, 7))
+      .agg(sum(col("x")), count(lit(1))).head()
+    assert(a == b)
+  }
+
   test("bloom sidecar prunes point lookups min/max can't, on any layout") {
     // Layout clustered on k — but probe on v, where every file's [min,max]
     // covers the whole domain, so min/max skipping is blind. Give v few
