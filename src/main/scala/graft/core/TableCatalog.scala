@@ -61,6 +61,22 @@ final class TableCatalog(val root: String) extends Serializable {
     Option(tableDir(name).toFile.list()).getOrElse(Array.empty[String])
       .filter(isVersionTag).sorted.toSeq
 
+  /** Per-version metadata: (version, isCurrent, nDataFiles, dataBytes,
+    * sidecar names present). Driver-side directory walk, O(#files)
+    * metadata only — the audit/ops view behind `GRAFT DESCRIBE`. */
+  def describe(name: String): Seq[(String, Boolean, Long, Long, Seq[String])] = {
+    val cur = Paths.get(currentPath(name)).getFileName.toString
+    versions(name).map { v =>
+      val dir = tableDir(name).resolve(v)
+      val entries = Option(dir.toFile.listFiles()).getOrElse(Array.empty)
+      val data = entries.filter(f => f.isFile &&
+        !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      val sidecars = entries.filter(f => f.getName.startsWith("_"))
+        .map(_.getName).sorted.toSeq
+      (v, v == cur, data.length.toLong, data.map(_.length).sum, sidecars)
+    }
+  }
+
   /** Time travel: read a specific retained version (as-of-write state —
     * the rollback/debug/audit read path every versioned store needs). */
   def readVersion(spark: SparkSession, name: String, version: String): DataFrame = {

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference,
 import org.apache.spark.sql.catalyst.parser.{ParameterContext, ParserInterface}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
-import org.apache.spark.sql.types.{BooleanType, StringType, StructType}
+import org.apache.spark.sql.types.{BooleanType, LongType, StringType, StructType}
 
 /** SQL surface for the catalog's maintenance operations — the
   * `injectParser` extension point, completing the engine's use of every
@@ -22,6 +22,7 @@ import org.apache.spark.sql.types.{BooleanType, StringType, StructType}
   *   GRAFT COMPACT <table>                    -- small-file rewrite
   *   GRAFT PURGE <table> KEY <col> IN (...)   -- GDPR erasure, all versions
   *   GRAFT CLONE <src> TO <dst>               -- zero-copy hardlink clone
+  *   GRAFT DESCRIBE <table>                   -- per-version files/bytes/sidecars
   *   GRAFT ANALYZE <table> COLUMNS (a, b)     -- per-file min/max sidecar
   *   GRAFT ANALYZE BLOOM <table> COLUMN <c>   -- per-file bloom sidecar
   * }}}
@@ -57,6 +58,8 @@ object GraftSql {
   // BLOOM before the plain form: both start with ANALYZE
   private val Clone =
     """(?is)\s*GRAFT\s+CLONE\s+(\S+)\s+TO\s+(\S+)\s*;?\s*""".r
+  private val Describe =
+    """(?is)\s*GRAFT\s+DESCRIBE\s+(\S+)\s*;?\s*""".r
   private val AnalyzeBloom =
     """(?is)\s*GRAFT\s+ANALYZE\s+BLOOM\s+(\S+)\s+COLUMN\s+(\w+)\s*;?\s*""".r
   private val Analyze =
@@ -82,6 +85,7 @@ object GraftSql {
         Some(GraftPurgeCommand(t, c,
           vs.split(',').map(purgeValue).toSeq))
       case Clone(s, t) => Some(GraftCloneCommand(s, t))
+      case Describe(t) => Some(GraftDescribeCommand(t))
       case AnalyzeBloom(t, c) => Some(GraftAnalyzeBloomCommand(t, c))
       case Analyze(t, cs) =>
         Some(GraftAnalyzeCommand(t,
@@ -91,7 +95,7 @@ object GraftSql {
            |Supported: GRAFT VERSIONS t | GRAFT ROLLBACK t TO vNNNNNN |
            |GRAFT VACUUM t KEEP n | GRAFT COMPACT t |
            |GRAFT PURGE t KEY col IN (v, ...) |
-           |GRAFT CLONE src TO dst |
+           |GRAFT CLONE src TO dst | GRAFT DESCRIBE t |
            |GRAFT ANALYZE t COLUMNS (a, b) |
            |GRAFT ANALYZE BLOOM t COLUMN c""".stripMargin)
       case _ => None
@@ -135,6 +139,19 @@ case class GraftVersionsCommand(table: String) extends LeafRunnableCommand {
       .getFileName.toString
     cat.versions(table).map(v => Row(v, v == cur))
   }
+}
+
+case class GraftDescribeCommand(table: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", StringType, nullable = false)(),
+    AttributeReference("is_current", BooleanType, nullable = false)(),
+    AttributeReference("n_files", LongType, nullable = false)(),
+    AttributeReference("bytes", LongType, nullable = false)(),
+    AttributeReference("sidecars", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    GraftSql.catalog.describe(table).map { case (v, cur, nf, b, sc) =>
+      Row(v, cur, nf, b, sc.mkString(","))
+    }
 }
 
 case class GraftRollbackCommand(table: String, version: String)

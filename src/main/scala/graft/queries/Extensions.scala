@@ -850,6 +850,36 @@ object Extensions {
   def cohortRetention(spark: SparkSession, sfDir: String): DataFrame =
     Analytics.cohortRetention(Parity.events(spark, sfDir))
 
+  /** OHLC bars — the finance-domain rollup the reference's trading
+    * pipeline consumes (daily yfinance bars): per (event_type, hour),
+    * open/close = value of the first/last event, high/low = extremes,
+    * volume = exact decimal sum. First/last are picked by row_number
+    * over the deterministic (ts, event_id) order — NOT arg_min/max,
+    * whose tiebreak differs across engines.
+    *
+    * Scale shape: ONE exchange on the bar key; both row_number windows
+    * and the final aggregate share its partitioning (the desc window
+    * re-sorts in place, no re-shuffle), so the whole query is a single
+    * shuffle regardless of fact size. */
+  def ohlcBars(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Parity.events(spark, sfDir)
+      .withColumn("hour_epoch", unix_timestamp(date_trunc("hour", col("ts"))))
+    val keys = Seq(col("event_type"), col("hour_epoch"))
+    val asc = Window.partitionBy(keys: _*).orderBy(col("ts").asc, col("event_id").asc)
+    val desc = Window.partitionBy(keys: _*).orderBy(col("ts").desc, col("event_id").desc)
+    e.withColumn("rn_a", row_number().over(asc))
+      .withColumn("rn_d", row_number().over(desc))
+      .groupBy(keys: _*)
+      .agg(
+        count(lit(1)).as("n"),
+        max(when(col("rn_a") === 1, col("value"))).as("open"),
+        max(when(col("rn_d") === 1, col("value"))).as("close"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("volume"))
+  }
+
   /** Z-score length-outlier gate per language ([[Analytics.zOutliers]]) —
     * the statistical complement to the rule-based quality gates. */
   def lengthOutliersOn(d: DataFrame): DataFrame =
@@ -1268,6 +1298,7 @@ object Extensions {
     "m_media_meta" -> mediaMeta _,
     "m_frame_sample" -> frameSample _,
     "x_event_window" -> eventWindow _,
+    "x_ohlc_bars" -> ohlcBars _,
     "x_sessionize" -> sessionize _,
     "x_ngram_freq" -> ngramFreq _,
     "x_percentiles" -> percentiles _,
@@ -1669,6 +1700,26 @@ object Extensions {
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
            CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
          FROM events GROUP BY 1, 2""",
+    "x_ohlc_bars" ->
+      """WITH e AS (
+           SELECT event_type,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+             value, ts, event_id
+           FROM events),
+         r AS (
+           SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY event_type, hour_epoch
+               ORDER BY ts ASC, event_id ASC) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY event_type, hour_epoch
+               ORDER BY ts DESC, event_id DESC) AS rn_d
+           FROM e)
+         SELECT event_type, hour_epoch,
+           count(*) AS n,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           MAX(value) AS high, MIN(value) AS low,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
+         FROM r GROUP BY 1, 2""",
     "x_sessionize" ->
       """WITH e AS (
            -- FLOOR before the cast: DuckDB ROUNDS double->BIGINT, Spark's

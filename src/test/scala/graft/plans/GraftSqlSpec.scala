@@ -123,6 +123,25 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("already exists"))
   }
 
+  test("GRAFT DESCRIBE reports per-version files, bytes, and sidecars") {
+    val sp = sess; import sp.implicits._
+    val c = cat()
+    c.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .repartition(2), "c.s.d")
+    c.overwrite(Seq((1L, "a2")).toDF("k", "v").coalesce(1), "c.s.d")
+    sess.sql("GRAFT ANALYZE c.s.d COLUMNS (k)")
+    val rows = sess.sql("GRAFT DESCRIBE c.s.d").collect()
+      .map(r => (r.getString(0), r.getBoolean(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+    assert(rows.map(_._1).toSeq == Seq("v000001", "v000002"))
+    assert(rows.map(_._2).toSeq == Seq(false, true))
+    val (v1, v2) = (rows(0), rows(1))
+    assert(v1._3 == 2 && v2._3 == 1, rows.mkString("; "))
+    assert(rows.forall(_._4 > 0), "bytes must be positive")
+    assert(v2._5.contains("_stats") && !v1._5.contains("_stats"),
+      "sidecar must be listed for the analyzed current version only")
+  }
+
   test("non-GRAFT SQL delegates untouched; malformed GRAFT fails loudly") {
     assert(sess.sql("SELECT 1 + 1 AS x").collect().head.getInt(0) == 2)
     // injected native functions still resolve through the wrapped parser
