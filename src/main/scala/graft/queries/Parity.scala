@@ -1085,6 +1085,32 @@ object Parity {
     new Scd4(keys, tracked, clock = Clock.fixed("2026-02-15")).mergeUnified(init, b2)
   }
 
+  /** J9 — point-in-time join against SCD2 history: each fact picks the
+    * dimension VERSION whose `[effective_from, effective_to)` validity
+    * interval covers the fact's date — the canonical "what did the
+    * dimension say when this fact happened" lakehouse query. Probes
+    * straddle the merge boundary (even keys before, odd keys after), so
+    * both expired and current versions are exercised.
+    *
+    * Scale shape: an EQUI-join on the business key with the interval as
+    * a residual filter — per-key match count before the residual is
+    * bounded by that key's history depth (2 here, rarely >tens in
+    * practice), so this stays a hash join at 100 TB and never degrades
+    * to a band/interval join over the whole history. */
+  def j9PitJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val dim = scd2TwoBatch(spark, sfDir)
+    val facts = table(spark, sfDir, "orders")
+      .select(col("o_orderkey").as("f_key"),
+        when(col("o_orderkey") % 2 === 0, lit("2026-01-20"))
+          .otherwise(lit("2026-02-20")).cast(DateType).as("pit_date"))
+    facts.join(dim,
+        facts("f_key") === dim("o_orderkey") &&
+          col("effective_from") <= col("pit_date") &&
+          (col("effective_to").isNull || col("pit_date") < col("effective_to")))
+      .select(col("o_orderkey"), col("pit_date"), col("o_orderstatus"),
+        col("price"), col("is_current"))
+  }
+
   // --------------------------------------------------------------- SCD3
   /** SCD3 — current/previous limited history (`scd.py:114-143`). */
   def scd3Merge(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1202,6 +1228,7 @@ object Parity {
     "scalar_suite" -> scalarSuite _,
     "scd2_two_batch" -> scd2TwoBatch _,
     "scd4_two_batch" -> scd4TwoBatch _,
+    "j9_pit_join" -> j9PitJoin _,
     "scd3_merge" -> scd3Merge _,
     "c_change_feed" -> cChangeFeed _,
     "json_extract" -> jsonExtract _)
@@ -1670,6 +1697,39 @@ object Parity {
            DATE '2026-02-15', NULL, TRUE
          FROM h2 LEFT JOIN h1 ON h1.o_orderkey = h2.o_orderkey
          WHERE h1.o_orderkey IS NULL OR h1.row_hash <> h2.row_hash""",
+    "j9_pit_join" ->
+      """WITH b1 AS (
+           SELECT o_orderkey, o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS price
+           FROM orders WHERE year(CAST(o_orderdate AS DATE)) < 1997),
+         b2 AS (
+           SELECT o_orderkey, o_orderstatus,
+             CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) +
+               (CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END) AS DECIMAL(18,2)) AS VARCHAR) AS price
+           FROM orders WHERE year(CAST(o_orderdate AS DATE)) >= 1996),
+         h1 AS (SELECT *, sha256(concat_ws('||', o_orderstatus, price)) AS row_hash FROM b1),
+         h2 AS (SELECT *, sha256(concat_ws('||', o_orderstatus, price)) AS row_hash FROM b2),
+         dim AS (
+           SELECT h1.o_orderkey, h1.o_orderstatus, h1.price,
+             DATE '2026-01-15' AS effective_from,
+             CASE WHEN h2.o_orderkey IS NOT NULL AND h2.row_hash <> h1.row_hash
+                  THEN DATE '2026-02-15' END AS effective_to,
+             NOT (h2.o_orderkey IS NOT NULL AND h2.row_hash <> h1.row_hash) AS is_current
+           FROM h1 LEFT JOIN h2 ON h1.o_orderkey = h2.o_orderkey
+           UNION ALL
+           SELECT h2.o_orderkey, h2.o_orderstatus, h2.price,
+             DATE '2026-02-15', NULL, TRUE
+           FROM h2 LEFT JOIN h1 ON h1.o_orderkey = h2.o_orderkey
+           WHERE h1.o_orderkey IS NULL OR h1.row_hash <> h2.row_hash),
+         f AS (
+           SELECT o_orderkey AS f_key,
+             CASE WHEN o_orderkey % 2 = 0 THEN DATE '2026-01-20'
+                  ELSE DATE '2026-02-20' END AS pit_date
+           FROM orders)
+         SELECT d.o_orderkey, f.pit_date, d.o_orderstatus, d.price, d.is_current
+         FROM f JOIN dim d ON f.f_key = d.o_orderkey
+           AND d.effective_from <= f.pit_date
+           AND (d.effective_to IS NULL OR f.pit_date < d.effective_to)""",
     "scd4_two_batch" ->
       """WITH b1 AS (
            SELECT o_orderkey, o_orderstatus,
