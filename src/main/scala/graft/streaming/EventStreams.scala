@@ -286,4 +286,30 @@ object EventStreams {
       .select(col("event_type"),
         unix_timestamp(col("window.start")).as("hour_epoch"),
         col("n"), col("sum_value"))
+
+  /** Streaming OHLC bars — the incremental twin of the batch
+    * `x_ohlc_bars` query: per (event_type, hour) window, open/close are
+    * `min_by`/`max_by` on the deterministic (ts, event_id) order (both
+    * are declarative aggregates, so they fold incrementally across
+    * micro-batches and merge across partial states — no sort, no custom
+    * state), high/low/volume are plain extremes and an exact decimal
+    * sum. Append mode emits each bar exactly once when the watermark
+    * closes its hour; out-of-order rows inside the lateness bound land
+    * in the right bar because every aggregate here is order-free over
+    * the final row set. Events must carry `event_id` for the tiebreak. */
+  def ohlcStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("event_type"), window(col("ts"), "1 hour"))
+      .agg(
+        count(lit(1)).as("n"),
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("volume"))
+      .select(col("event_type"),
+        unix_timestamp(col("window.start")).as("hour_epoch"),
+        col("n"), col("open"), col("close"), col("high"), col("low"),
+        col("volume"))
 }

@@ -48,6 +48,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming OHLC bars: out-of-order rows land in the right bar, once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val mem = MemoryStream[(Long, String, Timestamp, Double)]
+    // hour 0 arrives OUT OF ORDER: the true open (00:05, id 1) comes last
+    mem.addData(
+      (2L, "trade", Timestamp.valueOf("2024-01-01 00:30:00"), 9.0),
+      (3L, "trade", Timestamp.valueOf("2024-01-01 00:50:00"), 4.0))
+    val events = mem.toDF().toDF("event_id", "event_type", "ts", "value")
+    val q = EventStreams.ohlcStream(events)
+      .writeStream.format("memory").queryName("ohlc_test")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      mem.addData((1L, "trade", Timestamp.valueOf("2024-01-01 00:05:00"), 7.0))
+      q.processAllAvailable()
+      assert(spark.table("ohlc_test").count() == 0, "no bar before watermark")
+      // push the watermark far past hour 0 → the bar closes exactly once
+      mem.addData((9L, "trade", Timestamp.valueOf("2024-01-01 05:00:00"), 1.0))
+      q.processAllAvailable()
+      val bars = spark.table("ohlc_test")
+        .select("event_type", "hour_epoch", "n", "open", "close", "high", "low", "volume")
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+            r.getDouble(6), r.getDouble(7))).toMap
+      val epoch0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime / 1000
+      // open = late-arriving 00:05 row; close = 00:50; extremes + volume exact
+      assert(bars(("trade", epoch0)) == (3L, 7.0, 4.0, 9.0, 4.0, 20.0),
+        bars.toString)
+      assert(bars.size == 1, s"only hour 0 is closed: $bars")
+    } finally q.stop()
+  }
+
   test("streaming sessionization (flatMapGroupsWithState) matches batch sessions") {
     import spark.implicits._
     implicit val s = spark
