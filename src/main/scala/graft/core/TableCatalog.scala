@@ -29,6 +29,22 @@ final class TableCatalog(val root: String) extends Serializable {
 
   def exists(name: String): Boolean = Files.exists(currentPointer(name))
 
+  /** Every table under this catalog root (directories holding a
+    * `_CURRENT` pointer), as dotted names — the catalog-browse metadata
+    * walk behind `GRAFT TABLES`. Driver-side, O(#dirs). */
+  def listTables(): Seq[String] = {
+    val rootPath = Paths.get(root)
+    if (!Files.isDirectory(rootPath)) return Nil
+    import scala.jdk.CollectionConverters._
+    val walk = Files.walk(rootPath)
+    try walk.iterator().asScala
+      .filter(p => p.getFileName.toString == "_CURRENT")
+      .map(p => rootPath.relativize(p.getParent).iterator().asScala
+        .map(_.toString).mkString("."))
+      .toSeq.sorted
+    finally walk.close()
+  }
+
   def currentPath(name: String): String = {
     val v = Files.readString(currentPointer(name)).trim
     tableDir(name).resolve(v).toString

@@ -23,6 +23,7 @@ import org.apache.spark.sql.types.{BooleanType, LongType, StringType, StructType
   *   GRAFT PURGE <table> KEY <col> IN (...)   -- GDPR erasure, all versions
   *   GRAFT CLONE <src> TO <dst>               -- zero-copy hardlink clone
   *   GRAFT DESCRIBE <table>                   -- per-version files/bytes/sidecars
+  *   GRAFT TABLES                             -- all tables under the catalog root
   *   GRAFT ANALYZE <table> COLUMNS (a, b)     -- per-file min/max sidecar
   *   GRAFT ANALYZE BLOOM <table> COLUMN <c>   -- per-file bloom sidecar
   * }}}
@@ -60,6 +61,8 @@ object GraftSql {
     """(?is)\s*GRAFT\s+CLONE\s+(\S+)\s+TO\s+(\S+)\s*;?\s*""".r
   private val Describe =
     """(?is)\s*GRAFT\s+DESCRIBE\s+(\S+)\s*;?\s*""".r
+  private val Tables =
+    """(?is)\s*GRAFT\s+TABLES\s*;?\s*""".r
   private val AnalyzeBloom =
     """(?is)\s*GRAFT\s+ANALYZE\s+BLOOM\s+(\S+)\s+COLUMN\s+(\w+)\s*;?\s*""".r
   private val Analyze =
@@ -86,6 +89,7 @@ object GraftSql {
           vs.split(',').map(purgeValue).toSeq))
       case Clone(s, t) => Some(GraftCloneCommand(s, t))
       case Describe(t) => Some(GraftDescribeCommand(t))
+      case Tables() => Some(GraftTablesCommand())
       case AnalyzeBloom(t, c) => Some(GraftAnalyzeBloomCommand(t, c))
       case Analyze(t, cs) =>
         Some(GraftAnalyzeCommand(t,
@@ -95,7 +99,7 @@ object GraftSql {
            |Supported: GRAFT VERSIONS t | GRAFT ROLLBACK t TO vNNNNNN |
            |GRAFT VACUUM t KEEP n | GRAFT COMPACT t |
            |GRAFT PURGE t KEY col IN (v, ...) |
-           |GRAFT CLONE src TO dst | GRAFT DESCRIBE t |
+           |GRAFT CLONE src TO dst | GRAFT DESCRIBE t | GRAFT TABLES |
            |GRAFT ANALYZE t COLUMNS (a, b) |
            |GRAFT ANALYZE BLOOM t COLUMN c""".stripMargin)
       case _ => None
@@ -139,6 +143,13 @@ case class GraftVersionsCommand(table: String) extends LeafRunnableCommand {
       .getFileName.toString
     cat.versions(table).map(v => Row(v, v == cur))
   }
+}
+
+case class GraftTablesCommand() extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("table", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    GraftSql.catalog.listTables().map(Row(_))
 }
 
 case class GraftDescribeCommand(table: String) extends LeafRunnableCommand {

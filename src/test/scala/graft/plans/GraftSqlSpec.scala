@@ -123,6 +123,16 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("already exists"))
   }
 
+  test("GRAFT TABLES lists every table under the catalog root") {
+    val sp = sess; import sp.implicits._
+    val c = cat()
+    c.overwrite(Seq((1L, "a")).toDF("k", "v"), "c.s.t1")
+    c.overwrite(Seq((2L, "b")).toDF("k", "v"), "c.s.t2")
+    c.overwrite(Seq((3L, "c")).toDF("k", "v"), "other.schema.t3")
+    val names = sess.sql("GRAFT TABLES").collect().map(_.getString(0)).toSeq
+    assert(names == Seq("c.s.t1", "c.s.t2", "other.schema.t3"), names.toString)
+  }
+
   test("GRAFT DESCRIBE reports per-version files, bytes, and sidecars") {
     val sp = sess; import sp.implicits._
     val c = cat()
