@@ -144,8 +144,12 @@ final class TableCatalog(val root: String) extends Serializable {
     def shape(s: org.apache.spark.sql.types.StructType) =
       s.fields.map(f => (f.name, f.dataType)).toSeq
     val prev = Paths.get(currentPath(name))
+    // Metadata sidecar dirs (_stats, _bloom) are NOT hive partitions:
+    // counting them here silently downgraded every post-analyze append
+    // to the O(table) union-rewrite path.
     val prevPartitioned = Option(prev.toFile.listFiles())
-      .getOrElse(Array.empty).exists(_.isDirectory)
+      .getOrElse(Array.empty).exists(f => f.isDirectory &&
+        !f.getName.startsWith("_") && !f.getName.startsWith("."))
     if (shape(cur.schema) != shape(df.schema) || prevPartitioned) {
       overwrite(cur.unionByName(df, allowMissingColumns = true), name)
     } else {
@@ -153,13 +157,21 @@ final class TableCatalog(val root: String) extends Serializable {
       val nextV = "v%06d".format(nextVersion(dir))
       val next = dir.resolve(nextV)
       df.write.mode("overwrite").parquet(next.toString)
+      // Capture the fresh batch's file paths BEFORE hardlinking carries
+      // the old files in: incremental stats below must scan exactly the
+      // new batch (O(batch)), and a lazy directory read resolved later
+      // would see the carried files too.
+      val batchFiles = Option(next.toFile.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        .map(_.getPath).toSeq
       // Part-file names embed the write job's UUID, so links from the
       // previous version cannot collide with the fresh batch's files.
       val walk = Files.walk(prev)
       // skip job markers (_SUCCESS), hidden checksums (._SUCCESS.crc) and
-      // metadata sidecars (_stats/**) — the fresh write produced its own
-      // markers, and carried stats would be stale (they don't cover the
-      // new batch's files); re-run analyze() after appends that need them.
+      // metadata sidecars (_stats/**, _bloom/**) — the fresh write
+      // produced its own markers; min/max stats are re-derived
+      // incrementally below, and bloom sidecars (whose build parameters
+      // aren't stored) still require a post-append re-analyze.
       try walk.filter(Files.isRegularFile(_)).forEach { f =>
         val rel = prev.relativize(f)
         val hidden = (0 until rel.getNameCount).exists { i =>
@@ -168,8 +180,40 @@ final class TableCatalog(val root: String) extends Serializable {
         }
         if (!hidden) Files.createLink(next.resolve(rel), f)
       } finally walk.close()
+      carryStatsIncremental(spark, prev, next, df, batchFiles)
       repoint(dir, name, nextV)
     }
+  }
+
+  /** Incremental `_stats` maintenance on hardlink append: carried files
+    * keep their manifest rows verbatim (hardlinks preserve name AND
+    * content, so per-file min/max can't drift), and ONLY the fresh
+    * batch's files are scanned for theirs — O(batch), matching the
+    * append's data cost. Without this, every append dropped the sidecar
+    * and skipping on an append-heavy 100 TB table silently degraded to
+    * full-scan fallback until someone re-ran analyze() over the whole
+    * table. Completeness invariant (prunedFiles trusts the manifest):
+    * prev stats cover all prev files by induction, batch stats cover
+    * exactly the new files, and their union is written or nothing is. */
+  private def carryStatsIncremental(spark: SparkSession, prev: Path,
+      next: Path, df: DataFrame, batchFiles: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    val prevStats = prev.resolve("_stats")
+    if (!Files.isDirectory(prevStats) || batchFiles.isEmpty) return
+    val prevManifest = spark.read.parquet(prevStats.toString)
+    val statsCols = prevManifest.columns.toSeq
+      .collect { case c if c.startsWith("min_") => c.stripPrefix("min_") }
+    if (statsCols.isEmpty || !statsCols.forall(df.columns.contains)) return
+    val batchStats = spark.read.parquet(batchFiles: _*)
+      .select(input_file_name().as("_file") +: statsCols.map(col): _*)
+      .groupBy("_file")
+      .agg(min(col(statsCols.head)).as(s"min_${statsCols.head}"),
+        (statsCols.tail.map(c => min(col(c)).as(s"min_$c")) ++
+          statsCols.map(c => max(col(c)).as(s"max_$c"))): _*)
+      .withColumn("_file", element_at(split(col("_file"), "/"), -1))
+    prevManifest.unionByName(batchStats)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(next.resolve("_stats").toString)
   }
 
   /** Partition-scoped versioned overwrite: `df` carries ONLY the rewritten

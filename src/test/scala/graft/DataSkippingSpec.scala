@@ -37,21 +37,34 @@ class DataSkippingSpec extends SparkSpec {
     assert(got == want)
   }
 
-  test("scanRange without a manifest (or after append) reads everything, correctly") {
+  test("scanRange without a manifest reads everything; append extends the manifest") {
     val cat = freshCat("fallback")
     cat.overwrite(clustered, "t.nostats")
     // no analyze: every file survives pruning
     assert(cat.prunedFiles(spark, "t.nostats", "k", 0L, 10L).size == 4)
     cat.analyze(spark, "t.nostats", Seq("k"))
     assert(cat.prunedFiles(spark, "t.nostats", "k", 0L, 10L).size == 1)
-    // append: the new version carries data files but NOT the stale
-    // manifest, so pruning falls back to all files instead of missing
-    // the appended rows
+    // append: carried files keep their manifest rows, the fresh batch's
+    // files get theirs computed incrementally (O(batch)) — skipping
+    // keeps working without a full re-analyze
     cat.append(Seq((5000L, 1L)).toDF("k", "v"), "t.nostats")
-    val files = cat.prunedFiles(spark, "t.nostats", "k", 4500L, 6000L)
-    assert(files.size >= 5, s"post-append fallback should list all files, got ${files.size}")
-    val n = cat.scanRange(spark, "t.nostats", "k", 4500L, 6000L).count()
-    assert(n == 1L)
+    val newRange = cat.prunedFiles(spark, "t.nostats", "k", 4500L, 6000L)
+    assert(newRange.size == 1,
+      s"appended batch should be the only file in [4500,6000], got ${newRange.size}")
+    assert(cat.scanRange(spark, "t.nostats", "k", 4500L, 6000L).count() == 1L)
+    // old ranges still prune to their original single file (not 5)
+    assert(cat.prunedFiles(spark, "t.nostats", "k", 0L, 10L).size == 1)
+    // completeness: pruned scan == full-scan filter across old + new rows
+    val got = cat.scanRange(spark, "t.nostats", "k", 3500L, 6000L)
+      .agg(count(lit(1)), sum(col("k"))).head()
+    val want = cat.read(spark, "t.nostats").filter(col("k").between(3500, 6000))
+      .agg(count(lit(1)), sum(col("k"))).head()
+    assert(got == want)
+    // an append WITHOUT a prior manifest still yields no manifest
+    val cat2 = freshCat("nomanifest")
+    cat2.overwrite(clustered, "t.raw")
+    cat2.append(Seq((5000L, 1L)).toDF("k", "v"), "t.raw")
+    assert(cat2.prunedFiles(spark, "t.raw", "k", 0L, 10L).size == 5)
   }
 
   test("z-order lets BOTH dimensions prune; linear clustering only its own key") {
