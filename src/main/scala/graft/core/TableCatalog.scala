@@ -181,6 +181,7 @@ final class TableCatalog(val root: String) extends Serializable {
         if (!hidden) Files.createLink(next.resolve(rel), f)
       } finally walk.close()
       carryStatsIncremental(spark, prev, next, df, batchFiles)
+      carryBloomsIncremental(spark, prev, next, df, batchFiles)
       repoint(dir, name, nextV)
     }
   }
@@ -214,6 +215,32 @@ final class TableCatalog(val root: String) extends Serializable {
     prevManifest.unionByName(batchStats)
       .coalesce(1).write.mode("overwrite")
       .parquet(next.resolve("_stats").toString)
+  }
+
+  /** Incremental `_bloom/<c>` maintenance on hardlink append, same
+    * contract as [[carryStatsIncremental]]: carried files keep their
+    * filter rows, the fresh batch's files get filters built with the
+    * ORIGINAL analyze's sizing (the `_items`/`_fpp` columns stored by
+    * [[analyzeBloom]]) — zero false negatives is preserved because the
+    * union covers every data file. Legacy sidecars without the sizing
+    * columns can't be extended safely and drop (pre-carry fallback). */
+  private def carryBloomsIncremental(spark: SparkSession, prev: Path,
+      next: Path, df: DataFrame, batchFiles: Seq[String]): Unit = {
+    val bloomRoot = prev.resolve("_bloom")
+    if (!Files.isDirectory(bloomRoot) || batchFiles.isEmpty) return
+    Option(bloomRoot.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory).map(_.getName).sorted.foreach { c =>
+        if (df.columns.contains(c)) {
+          val prevSidecar = spark.read.parquet(bloomRoot.resolve(c).toString)
+          if (prevSidecar.columns.contains("_items")) {
+            val params = prevSidecar.select("_items", "_fpp").head(1)
+            if (params.nonEmpty)
+              buildBloomSidecar(spark, batchFiles, c,
+                params.head.getLong(0), params.head.getDouble(1),
+                next.resolve("_bloom").resolve(c), carryFrom = Some(prevSidecar))
+          }
+        }
+      }
   }
 
   /** Partition-scoped versioned overwrite: `df` carries ONLY the rewritten
@@ -377,18 +404,31 @@ final class TableCatalog(val root: String) extends Serializable {
     * O(#files × bits) crosses the shuffle ([[graft.functions.BloomAgg]]);
     * the sidecar is O(#files) rows. */
   def analyzeBloom(spark: SparkSession, name: String, c: String,
-      expectedItemsPerFile: Long = 100000L, fpp: Double = 0.03): Unit = {
+      expectedItemsPerFile: Long = 100000L, fpp: Double = 0.03): Unit =
+    buildBloomSidecar(spark, Seq(currentPath(name)), c,
+      expectedItemsPerFile, fpp,
+      Paths.get(currentPath(name), "_bloom", c), carryFrom = None)
+
+  /** Shared bloom sidecar builder: per-file membership filters for the
+    * files under `scanPaths`, optionally unioned with carried rows from
+    * a previous sidecar (incremental append path). The build parameters
+    * ride along as columns so an append can rebuild batch-file filters
+    * with the SAME sizing as the original analyze. */
+  private def buildBloomSidecar(spark: SparkSession, scanPaths: Seq[String],
+      c: String, expectedItemsPerFile: Long, fpp: Double, outDir: Path,
+      carryFrom: Option[DataFrame]): Unit = {
     import org.apache.spark.sql.functions._
-    val cur = currentPath(name)
     val bloom = udaf(new graft.functions.BloomAgg(expectedItemsPerFile, fpp),
       org.apache.spark.sql.Encoders.STRING)
-    spark.read.parquet(cur)
+    val fresh = spark.read.parquet(scanPaths: _*)
       .select(input_file_name().as("_file"), col(c).cast("string").as("_v"))
       .groupBy("_file")
       .agg(bloom(col("_v")).as("_bloom"))
       .withColumn("_file", element_at(split(col("_file"), "/"), -1))
-      .coalesce(1).write.mode("overwrite")
-      .parquet(Paths.get(cur, "_bloom", c).toString)
+      .withColumn("_items", lit(expectedItemsPerFile))
+      .withColumn("_fpp", lit(fpp))
+    carryFrom.map(_.unionByName(fresh)).getOrElse(fresh)
+      .coalesce(1).write.mode("overwrite").parquet(outDir.toString)
   }
 
   /** Current-version files that might contain any of `values` in `c`

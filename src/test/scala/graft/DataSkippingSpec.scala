@@ -159,7 +159,7 @@ class DataSkippingSpec extends SparkSpec {
     assert(cat.scanPoints(spark, "t.bloom", "k", Seq(7L)).count() == 1L)
   }
 
-  test("bloom sidecar dies with its version: appends fall back to all files") {
+  test("bloom sidecar survives appends: batch filters built with original sizing") {
     val cat = freshCat("bloomv")
     cat.overwrite(clustered, "t.bloomv")
     // tight fpp: at 0.03 a 1000-key file false-positives often enough to
@@ -168,10 +168,17 @@ class DataSkippingSpec extends SparkSpec {
       fpp = 0.001)
     assert(cat.bloomPrunedFiles(spark, "t.bloomv", "k", Seq(100L)).size <= 2)
     cat.append(Seq((5000L, 1L)).toDF("k", "v"), "t.bloomv")
-    // stale filters (which don't cover the new batch) must not survive
-    val files = cat.bloomPrunedFiles(spark, "t.bloomv", "k", Seq(5000L))
-    assert(files.size >= 5, s"post-append fallback should list all files, got ${files.size}")
+    // carried filters still cover old files; the batch file got its own
+    // filter (same sizing), so a point probe for the appended key prunes
+    // to (about) one file instead of falling back to all five
+    val newFiles = cat.bloomPrunedFiles(spark, "t.bloomv", "k", Seq(5000L))
+    assert(newFiles.size <= 2, s"appended key should prune, got ${newFiles.size}/5")
     assert(cat.scanPoints(spark, "t.bloomv", "k", Seq(5000L)).count() == 1L)
+    // zero false negatives on carried files after the append
+    assert(cat.bloomPrunedFiles(spark, "t.bloomv", "k", Seq(100L)).size <= 2)
+    assert(cat.scanPoints(spark, "t.bloomv", "k", Seq(100L)).count() == 1L)
+    // probing a column with no sidecar still returns every data file
+    assert(cat.bloomPrunedFiles(spark, "t.bloomv", "v", Seq(1L)).size == 5)
   }
 
   test("empty pruning result keeps the schema and returns zero rows") {
