@@ -1,88 +1,114 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types.{DataType, IntegerType, LongType}
 
-/** Native codegen Morton (Z-order) interleave: the low 31 bits of two
-  * non-negative ints woven into one 62-bit long (`x` on the odd bits,
-  * `y` on the even), so that sorting by the result clusters rows that
-  * are close in BOTH dimensions.
+/** Native codegen Morton (Z-order) interleave, n-ary: the low
+  * `⌊62/n⌋` bits of each of `n` non-negative ints (2 ≤ n ≤ 8) woven
+  * into one ≤62-bit long — dimension 0 on the highest bit of each
+  * group — so that sorting by the result clusters rows that are close
+  * in ALL dimensions at once. For the two-column case this is
+  * bit-identical to the classic 31-bits-per-dim interleave (`x` on the
+  * odd bits, `y` on the even).
   *
   * This is the curve behind the reference's `OPTIMIZE ... ZORDER BY`
-  * (`medallion/gold/s2g.py:98-101`): Delta computes a Z-value per row and
-  * range-partitions on it; [[graft.ops.Gold.zorderBy]] does the same with
-  * this expression. A single-column `repartitionByRange` + sort
+  * (`medallion/gold/s2g.py:98-101`): Delta computes a Z-value per row
+  * (over arbitrarily many columns) and range-partitions on it;
+  * [[graft.ops.Gold.zorderBy]] does the same with this expression. A
+  * single-column `repartitionByRange` + sort
   * ([[graft.ops.Gold.clusterBy]]) gives perfect skipping on the leading
-  * column only; the Z-value keeps Parquet footer min/max ranges tight on
-  * both dimensions at once, which is what makes multi-predicate data
-  * skipping work on a 100 TB fact table.
+  * column only; the Z-value keeps Parquet footer min/max ranges tight
+  * on every clustered dimension, which is what makes multi-predicate
+  * data skipping work on a 100 TB fact table.
   *
-  * Interpreted `eval` and generated code are bit-identical; inputs are
-  * masked to 31 bits so the result is always non-negative (safe under
-  * ANSI mode, stable as a range-partition key).
+  * Interpreted `eval` and generated code call the SAME static kernel
+  * ([[CurveOps.mortonN]] — static forwarder, JIT-inlined inside
+  * whole-stage codegen), so the two paths are bit-identical by
+  * construction; inputs are masked to the per-dimension bit budget so
+  * the result is always non-negative (safe under ANSI mode, stable as
+  * a range-partition key). Null-intolerant: any null input → null.
   */
-case class InterleaveBits(left: Expression, right: Expression) extends BinaryExpression {
+case class InterleaveBits(children: Seq[Expression]) extends Expression {
+
+  private def n: Int = children.size
+  /** 62 usable bits split evenly across dimensions: 31/31, 20/20/20, 15×4… */
+  private def bitsPerDim: Int = 62 / n
+  private def mask: Long = (1L << bitsPerDim) - 1
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (left.dataType == IntegerType && right.dataType == IntegerType)
-      TypeCheckResult.TypeCheckSuccess
-    else
+    if (n < 2 || n > 8)
       TypeCheckResult.TypeCheckFailure(
-        s"graft_zvalue requires (INT, INT), got (${left.dataType.sql}, ${right.dataType.sql})")
+        s"graft_zvalue takes 2..8 arguments, got $n")
+    else if (children.exists(_.dataType != IntegerType))
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_zvalue requires INT arguments, got (${children.map(_.dataType.sql).mkString(", ")})")
+    else TypeCheckResult.TypeCheckSuccess
 
   override def dataType: DataType = LongType
+  override def nullable: Boolean = children.exists(_.nullable)
   override def prettyName: String = "graft_zvalue"
 
-  override protected def nullSafeEval(l: Any, r: Any): Any = {
-    val x = l.asInstanceOf[Int] & 0x7fffffffL
-    val y = r.asInstanceOf[Int] & 0x7fffffffL
-    var z = 0L
-    var b = 30
-    while (b >= 0) {
-      z = (z << 2) | (((x >> b) & 1L) << 1) | ((y >> b) & 1L)
-      b -= 1
+  override def eval(input: InternalRow): Any = {
+    val xs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val v = children(i).eval(input)
+      if (v == null) return null
+      xs(i) = v.asInstanceOf[Int].toLong & mask
+      i += 1
     }
-    z
+    CurveOps.mortonN(bitsPerDim, xs)
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (l, r) => {
-      val x = ctx.freshName("x")
-      val y = ctx.freshName("y")
-      val z = ctx.freshName("z")
-      val b = ctx.freshName("b")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val evals = children.map(_.genCode(ctx))
+    val xs = ctx.freshName("xs")
+    val loads = evals.zipWithIndex.map { case (e, i) =>
       s"""
-         |long $x = $l & 0x7fffffffL;
-         |long $y = $r & 0x7fffffffL;
-         |long $z = 0L;
-         |for (int $b = 30; $b >= 0; $b--) {
-         |  $z = ($z << 2) | ((($x >> $b) & 1L) << 1) | (($y >> $b) & 1L);
-         |}
-         |${ev.value} = $z;
+         |${e.code}
+         |if (${e.isNull}) { ${ev.isNull} = true; }
+         |else { $xs[$i] = ((long) ${e.value}) & ${mask}L; }
        """.stripMargin
-    })
+    }.mkString("\n")
+    ev.copy(code =
+      code"""
+        |boolean ${ev.isNull} = false;
+        |long ${ev.value} = -1L;
+        |long[] $xs = new long[$n];
+        |$loads
+        |if (!${ev.isNull}) {
+        |  ${ev.value} = graft.functions.CurveOps.mortonN($bitsPerDim, $xs);
+        |}
+       """.stripMargin)
+  }
 
   override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): InterleaveBits =
-    copy(left = newLeft, right = newRight)
+      newChildren: IndexedSeq[Expression]): InterleaveBits =
+    copy(children = newChildren)
 }
 
 object InterleaveBits {
-  /** Column-API entry point. */
-  def apply(x: Column, y: Column): Column =
-    Bridge.column(InterleaveBits(Bridge.expression(x), Bridge.expression(y)))
+  /** Column-API entry point (classic two-dimension form). */
+  def apply(x: Column, y: Column): Column = apply(Seq(x, y))
 
-  /** SQL registration: `graft_zvalue(x, y)`. */
+  /** Column-API entry point, n-ary (2..8 dims). */
+  def apply(cols: Seq[Column]): Column =
+    Bridge.column(InterleaveBits(cols.map(Bridge.expression)))
+
+  /** SQL registration: `graft_zvalue(x, y, ...)` (2..8 args). */
   val registration: (org.apache.spark.sql.catalyst.FunctionIdentifier,
       ExpressionInfo, Seq[Expression] => Expression) = (
     org.apache.spark.sql.catalyst.FunctionIdentifier("graft_zvalue"),
     new ExpressionInfo(classOf[InterleaveBits].getName, "graft_zvalue"),
     (children: Seq[Expression]) => {
-      require(children.size == 2, "graft_zvalue takes exactly two arguments")
-      InterleaveBits(children.head, children(1))
+      require(children.size >= 2 && children.size <= 8,
+        "graft_zvalue takes 2..8 arguments")
+      InterleaveBits(children)
     })
 }

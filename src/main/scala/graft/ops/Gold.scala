@@ -64,7 +64,15 @@ object Gold {
     */
   def zorderBy(df: DataFrame, c1: String, c2: String, bits: Int = 16,
       partitions: Option[Int] = None): DataFrame =
-    curveBy(df, c1, c2, bits, partitions, graft.functions.InterleaveBits.apply)
+    zorderBy(df, Seq(c1, c2), bits, partitions)
+
+  /** n-ary Z-order clustering (2..8 columns) — Delta's `ZORDER BY`
+    * accepts arbitrary arity and real tables cluster 3–4 columns; the
+    * per-dimension cell budget shrinks to `⌊62/n⌋` bits automatically
+    * (`bits` is a cap, not a promise). */
+  def zorderBy(df: DataFrame, cols: Seq[String], bits: Int,
+      partitions: Option[Int]): DataFrame =
+    curveBy(df, cols, bits, partitions, graft.functions.InterleaveBits.apply)
 
   /** Hilbert-curve clustering — same quantize → curve-index →
     * range-partition recipe as [[zorderBy]], but the cell ids map to
@@ -77,25 +85,41 @@ object Gold {
     * (DataSkippingSpec compares the two on identical data). */
   def hilbertBy(df: DataFrame, c1: String, c2: String, bits: Int = 16,
       partitions: Option[Int] = None): DataFrame =
-    curveBy(df, c1, c2, bits, partitions, graft.functions.HilbertIndex.apply)
+    hilbertBy(df, Seq(c1, c2), bits, partitions)
 
-  /** Shared space-filling-curve clustering core: bucket two numeric
-    * columns into `2^bits` uniform cells over their [min, max], map the
-    * cell pair to a curve index, then range-partition + sort on it.
+  /** n-ary Hilbert clustering (2..8 columns) — the Skilling-transform
+    * kernel takes over above two dimensions
+    * ([[graft.functions.CurveOps.hilbertN]]); per-dimension cell budget
+    * is `min(bits, ⌊62/n⌋)`. */
+  def hilbertBy(df: DataFrame, cols: Seq[String], bits: Int,
+      partitions: Option[Int]): DataFrame =
+    curveBy(df, cols, bits, partitions, graft.functions.HilbertIndex.apply)
+
+  /** Shared space-filling-curve clustering core: bucket `n` numeric
+    * columns into `2^b` uniform cells each over their [min, max]
+    * (`b = min(bits, ⌊62/n⌋)` so the packed curve index always fits one
+    * non-negative long), map the cell tuple to a curve index, then
+    * range-partition + sort on it.
     *
     * The min/max pass is one tiny aggregate (bounded driver metadata —
     * the same class of collect as `approxQuantile`). Nulls go to cell 0
     * (nulls-first). Uniform cells are skew-sensitive in the extreme;
     * heavy-tailed layouts should pre-transform (e.g. log) the column. */
-  private def curveBy(df: DataFrame, c1: String, c2: String, bits: Int,
+  private def curveBy(df: DataFrame, cols: Seq[String], bits: Int,
       partitions: Option[Int],
-      curve: (Column, Column) => Column): DataFrame = {
+      curve: Seq[Column] => Column): DataFrame = {
+    require(cols.size >= 2 && cols.size <= 8,
+      s"curve clustering takes 2..8 columns, got ${cols.size}")
     require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
-    val mm = df.agg(
-      min(col(c1).cast("double")), max(col(c1).cast("double")),
-      min(col(c2).cast("double")), max(col(c2).cast("double"))).head()
-    if (mm.isNullAt(0) || mm.isNullAt(2)) return clusterBy(df, Seq(c1, c2), partitions)
-    val n = 1 << bits
+    val b = math.min(bits, 62 / cols.size)
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
+    val mm = df.agg(aggs.head, aggs.tail: _*).head()
+    // a dimension with no non-null values has no range to quantize —
+    // fall back to plain lexicographic clustering
+    if (cols.indices.exists(i => mm.isNullAt(2 * i)))
+      return clusterBy(df, cols, partitions)
+    val n = 1 << b
     def cell(c: String, lo: Double, hi: Double): Column =
       if (hi > lo)
         // nanvl: a stray NaN must land in a cell (ANSI cast would throw),
@@ -105,9 +129,8 @@ object Gold {
             .cast("int")))
           .cast("int"), lit(0))
       else lit(0)
-    val z = curve(
-      cell(c1, mm.getDouble(0), mm.getDouble(1)),
-      cell(c2, mm.getDouble(2), mm.getDouble(3)))
+    val z = curve(cols.zipWithIndex.map { case (c, i) =>
+      cell(c, mm.getDouble(2 * i), mm.getDouble(2 * i + 1)) })
     val withZ = df.withColumn("_graft_z", z)
     val rep = partitions match {
       case Some(p) => withZ.repartitionByRange(p, col("_graft_z"))

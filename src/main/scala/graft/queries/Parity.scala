@@ -212,6 +212,32 @@ object Parity {
       max(col("l_partkey")).as("max_pkey"))
   }
 
+  /** S10, n-dimensional Hilbert form: cluster the fact by THREE keys —
+    * Delta's `ZORDER BY` takes arbitrary arity, and real tables cluster
+    * 3–4 columns. The per-dimension cell budget drops to ⌊62/3⌋ = 20
+    * bits automatically ([[Gold.hilbertBy]]); the curve kernel switches
+    * to the Skilling transpose algorithm
+    * ([[graft.functions.CurveOps.hilbertN]]), whose invariants
+    * (bijectivity, unit-step adjacency) HilbertIndexSpec pins in 3-D and
+    * whose per-file pruning on all three dims DataSkippingSpec asserts.
+    * Oracle is the plain aggregate: layout can't change results. */
+  def s10Hilbert3(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = tmp("s10h3", sfDir)
+    Gold.hilbertBy(
+        graft.ext.Par.spread(table(spark, sfDir, "lineitem"), col("l_orderkey")),
+        Seq("l_orderkey", "l_partkey", "l_suppkey"), bits = 12, partitions = None)
+      .write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir).agg(
+      count(lit(1)).as("n"),
+      sumd(col("l_quantity")).as("sum_qty"),
+      min(col("l_orderkey")).as("min_okey"),
+      max(col("l_orderkey")).as("max_okey"),
+      min(col("l_partkey")).as("min_pkey"),
+      max(col("l_partkey")).as("max_pkey"),
+      min(col("l_suppkey")).as("min_skey"),
+      max(col("l_suppkey")).as("max_skey"))
+  }
+
   /** S10 read-side payoff — file skipping over the clustered layout:
     * cluster lineitem on l_shipdate into a catalog table, collect the
     * per-file min/max manifest ([[graft.core.TableCatalog.analyze]]),
@@ -1204,6 +1230,7 @@ object Parity {
     "set_ops" -> setOps _,
     "s10_zorder" -> s10Zorder _,
     "s10_hilbert" -> s10Hilbert _,
+    "s10_hilbert3" -> s10Hilbert3 _,
     "s10_skipping" -> s10Skipping _,
     "a4_rollup" -> a4Rollup _,
     "a5_cube" -> a5Cube _,
@@ -1262,6 +1289,12 @@ object Parity {
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
          MIN(l_orderkey) AS min_okey, MAX(l_orderkey) AS max_okey,
          MIN(l_partkey) AS min_pkey, MAX(l_partkey) AS max_pkey FROM lineitem""",
+    "s10_hilbert3" ->
+      """SELECT count(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         MIN(l_orderkey) AS min_okey, MAX(l_orderkey) AS max_okey,
+         MIN(l_partkey) AS min_pkey, MAX(l_partkey) AS max_pkey,
+         MIN(l_suppkey) AS min_skey, MAX(l_suppkey) AS max_skey FROM lineitem""",
     "s10_skipping" ->
       """SELECT l_returnflag, count(*) AS n,
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty

@@ -124,6 +124,31 @@ class DataSkippingSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("3-column hilbert layout prunes on every dimension") {
+    // 32×32×16 grid: under 3-D Hilbert clustering each file's bounding
+    // box is tight in all THREE dims, so a selective slice on any one
+    // of them skips most files — the property 2-D curves can't give a
+    // third predicate column.
+    val nf = 16
+    val grid = spark.range(0, 1 << 14).select(
+      (col("id") % 32).as("x"), ((col("id") / 32) % 32).as("y"),
+      (col("id") / 1024).as("z"))
+    val cat = freshCat("h3")
+    cat.overwrite(graft.ops.Gold.hilbertBy(grid, Seq("x", "y", "z"),
+      bits = 5, partitions = Some(nf)), "t.h3")
+    cat.analyze(spark, "t.h3", Seq("x", "y", "z"))
+    for ((c, hi) <- Seq(("x", 3L), ("y", 3L), ("z", 1L))) {
+      val pruned = cat.prunedFiles(spark, "t.h3", c, 0L, hi).size
+      assert(pruned <= nf / 2, s"3-D hilbert should skip most files on $c, got $pruned/$nf")
+    }
+    // skipping never changes answers
+    val a = cat.scanRange(spark, "t.h3", "z", 0L, 1L)
+      .agg(sum(col("x")), count(lit(1))).head()
+    val b = grid.filter(col("z").between(0, 1))
+      .agg(sum(col("x")), count(lit(1))).head()
+    assert(a == b)
+  }
+
   test("bloom sidecar prunes point lookups min/max can't, on any layout") {
     // Layout clustered on k — but probe on v, where every file's [min,max]
     // covers the whole domain, so min/max skipping is blind. Give v few

@@ -51,6 +51,47 @@ class HilbertIndexSpec extends SparkSpec {
     assert(spark.sql("SELECT graft_hvalue(CAST(NULL AS INT), 3)").head().isNullAt(0))
   }
 
+  /** 3-D curve index of the 2^k cube via the expression (Skilling
+    * kernel, codegen path). */
+  private def cubeIndex(k: Int): Map[(Int, Int, Int), Long] = {
+    val n = 1 << k
+    (for (x <- 0 until n; y <- 0 until n; z <- 0 until n) yield (x, y, z))
+      .toDF("x", "y", "z")
+      .select(col("x"), col("y"), col("z"),
+        HilbertIndex(Seq(col("x"), col("y"), col("z"))).as("h"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getLong(3)).toMap
+  }
+
+  test("3-D: bijective and unit-step adjacent — the Hilbert invariants in n dims") {
+    for (k <- Seq(2, 3)) {
+      val n = 1 << k
+      val idx = cubeIndex(k)
+      val sorted = idx.toSeq.sortBy(_._2)
+      // NOTE: the full 2^k cube is NOT a dyadic subcell of the order-20
+      // frame the expression quantizes into, so indices are a strictly
+      // increasing walk, not necessarily 0..8^k-1 — bijectivity plus
+      // unit-step adjacency are the invariants that characterize a
+      // Hilbert traversal of the cube.
+      assert(sorted.map(_._2).distinct.size == n * n * n, s"order-$k: collision")
+      sorted.sliding(2).foreach { case Seq(((x1, y1, z1), _), ((x2, y2, z2), _)) =>
+        assert(math.abs(x1 - x2) + math.abs(y1 - y2) + math.abs(z1 - z2) == 1,
+          s"order-$k: jump from ($x1,$y1,$z1) to ($x2,$y2,$z2)")
+      }
+    }
+  }
+
+  test("3-ary SQL registration matches the Column API; nulls propagate") {
+    GraftExtensions.register(spark)
+    val pts = Seq((0, 0, 0), (5, 3, 7), (1023, 0, 511))
+    val viaExpr = pts.toDF("x", "y", "z")
+      .select(HilbertIndex(Seq(col("x"), col("y"), col("z")))).as[Long].collect().toSeq
+    val viaSql = pts.map { case (x, y, z) =>
+      spark.sql(s"SELECT graft_hvalue($x, $y, $z)").head().getLong(0) }
+    assert(viaExpr == viaSql)
+    assert(spark.sql("SELECT graft_hvalue(1, CAST(NULL AS INT), 3)").head().isNullAt(0))
+  }
+
   test("hilbertBy clusters both dims; no jump-straddled partitions vs Morton") {
     val n = 64
     val grid = (for (x <- 0 until n; y <- 0 until n) yield (x, y)).toDF("x", "y")

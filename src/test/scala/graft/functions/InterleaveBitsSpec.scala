@@ -54,6 +54,35 @@ class InterleaveBitsSpec extends SparkSpec {
     assert(Gold.zorderBy(grid, "x", "y", bits = 6).count() == n.toLong * n)
   }
 
+  /** Reference 3-D Morton encode at 20 bits/dim, independent of the
+    * expression: MSB-first interleave, dim 0 on the top bit of each
+    * 3-bit group. */
+  private def morton3(x: Int, y: Int, z: Int): Long = {
+    var d = 0L
+    for (b <- 19 to 0 by -1)
+      d = (d << 3) | (((x.toLong >> b) & 1L) << 2) |
+        (((y.toLong >> b) & 1L) << 1) | ((z.toLong >> b) & 1L)
+    d
+  }
+
+  test("3-ary interleave matches the reference and registers in SQL") {
+    GraftExtensions.register(spark)
+    val pts = Seq((0, 0, 0), (1, 0, 0), (0, 1, 0), (0, 0, 1), (5, 3, 7),
+      ((1 << 20) - 1, (1 << 20) - 1, (1 << 20) - 1)) ++
+      Seq.fill(30)((scala.util.Random.nextInt(1 << 20),
+        scala.util.Random.nextInt(1 << 20), scala.util.Random.nextInt(1 << 20)))
+    val out = pts.toDF("x", "y", "z")
+      .select(col("x"), col("y"), col("z"),
+        InterleaveBits(Seq(col("x"), col("y"), col("z"))).as("d"))
+      .collect()
+    out.foreach(r => assert(r.getLong(3) == morton3(r.getInt(0), r.getInt(1), r.getInt(2)),
+      r.toString))
+    // dim 0 carries the highest bit: (1,0,0) > (0,1,0) > (0,0,1)
+    assert(morton3(1, 0, 0) == 4L && morton3(0, 1, 0) == 2L && morton3(0, 0, 1) == 1L)
+    val viaSql = spark.sql("SELECT graft_zvalue(5, 3, 7), graft_zvalue(5, 3, CAST(NULL AS INT))").head()
+    assert(viaSql.getLong(0) == morton3(5, 3, 7) && viaSql.isNullAt(1))
+  }
+
   test("zorderBy survives NaN and null cells under ANSI mode") {
     val df = Seq((1.0, 2.0), (Double.NaN, 3.0), (4.0, Double.NaN), (5.0, 6.0))
       .toDF("x", "y")
