@@ -182,6 +182,13 @@ final class TableCatalog(val root: String) extends Serializable {
       } finally walk.close()
       carryStatsIncremental(spark, prev, next, df, batchFiles)
       carryBloomsIncremental(spark, prev, next, df, batchFiles)
+      // The curve-layout note survives appends UNCHANGED: hardlinked
+      // files keep their names (so the clustered set stays valid) and
+      // the fresh batch's files are, by definition, not yet clustered —
+      // they are exactly what a later optimizeIncremental() picks up.
+      val prevLayout = prev.resolve("_layout")
+      if (Files.isRegularFile(prevLayout))
+        Files.copy(prevLayout, next.resolve("_layout"))
       repoint(dir, name, nextV)
     }
   }
@@ -197,11 +204,18 @@ final class TableCatalog(val root: String) extends Serializable {
     * prev stats cover all prev files by induction, batch stats cover
     * exactly the new files, and their union is written or nothing is. */
   private def carryStatsIncremental(spark: SparkSession, prev: Path,
-      next: Path, df: DataFrame, batchFiles: Seq[String]): Unit = {
+      next: Path, df: DataFrame, batchFiles: Seq[String],
+      dropNames: Seq[String] = Nil): Unit = {
     import org.apache.spark.sql.functions._
     val prevStats = prev.resolve("_stats")
     if (!Files.isDirectory(prevStats) || batchFiles.isEmpty) return
-    val prevManifest = spark.read.parquet(prevStats.toString)
+    // dropNames: manifest rows of files the new version REWRITES (an
+    // incremental OPTIMIZE replaces the unclustered files) must not be
+    // carried — their stats now describe files the version doesn't hold.
+    val prevManifest0 = spark.read.parquet(prevStats.toString)
+    val prevManifest =
+      if (dropNames.isEmpty) prevManifest0
+      else prevManifest0.filter(!col("_file").isin(dropNames: _*))
     val statsCols = prevManifest.columns.toSeq
       .collect { case c if c.startsWith("min_") => c.stripPrefix("min_") }
     if (statsCols.isEmpty || !statsCols.forall(df.columns.contains)) return
@@ -225,15 +239,23 @@ final class TableCatalog(val root: String) extends Serializable {
     * union covers every data file. Legacy sidecars without the sizing
     * columns can't be extended safely and drop (pre-carry fallback). */
   private def carryBloomsIncremental(spark: SparkSession, prev: Path,
-      next: Path, df: DataFrame, batchFiles: Seq[String]): Unit = {
+      next: Path, df: DataFrame, batchFiles: Seq[String],
+      dropNames: Seq[String] = Nil): Unit = {
+    import org.apache.spark.sql.functions.col
     val bloomRoot = prev.resolve("_bloom")
     if (!Files.isDirectory(bloomRoot) || batchFiles.isEmpty) return
     Option(bloomRoot.toFile.listFiles()).getOrElse(Array.empty)
       .filter(_.isDirectory).map(_.getName).sorted.foreach { c =>
         if (df.columns.contains(c)) {
-          val prevSidecar = spark.read.parquet(bloomRoot.resolve(c).toString)
-          if (prevSidecar.columns.contains("_items")) {
-            val params = prevSidecar.select("_items", "_fpp").head(1)
+          val prevSidecar0 = spark.read.parquet(bloomRoot.resolve(c).toString)
+          // dropNames: filters of rewritten files must not be carried
+          // (see carryStatsIncremental) — the rewritten output gets
+          // fresh filters below, built with the original sizing.
+          val prevSidecar =
+            if (dropNames.isEmpty) prevSidecar0
+            else prevSidecar0.filter(!col("_file").isin(dropNames: _*))
+          if (prevSidecar0.columns.contains("_items")) {
+            val params = prevSidecar0.select("_items", "_fpp").head(1)
             if (params.nonEmpty)
               buildBloomSidecar(spark, batchFiles, c,
                 params.head.getLong(0), params.head.getDouble(1),
@@ -634,6 +656,127 @@ final class TableCatalog(val root: String) extends Serializable {
       finally walk.close()
     val parts = math.max(1, (bytes / targetFileBytes).toInt)
     overwrite(read(spark, name).coalesce(parts), name)
+  }
+
+  // ------------------------------------------------------ OPTIMIZE layout
+
+  /** Parsed `_layout` sidecar: which curve/grid the table was clustered
+    * with, and which of the version's files are ALREADY in curve order.
+    * `files` membership is the incremental-OPTIMIZE work list: a data
+    * file not in it arrived by append and is unclustered. */
+  private case class Layout(curve: String, bits: Int, cols: Seq[String],
+      bounds: Seq[(Double, Double)], files: Set[String])
+
+  /** `_layout` note beside `_stats`: three-section text file (header
+    * `curve|bits|cols`, grid bounds `lo,hi|lo,hi|…`, then one clustered
+    * file name per line). Driver-side O(#files) metadata — the same
+    * class as the `_stats` manifest; at 10^5 files this is a few MB,
+    * the analogue of a Delta checkpoint's file list. */
+  private def writeLayout(vDir: Path, curve: String, bits: Int,
+      cols: Seq[String], bounds: Seq[(Double, Double)],
+      files: Seq[String]): Unit = {
+    val sb = new StringBuilder
+    sb.append(curve).append('|').append(bits).append('|')
+      .append(cols.mkString(",")).append('\n')
+    sb.append(bounds.map { case (lo, hi) => s"$lo,$hi" }.mkString("|"))
+      .append('\n')
+    files.foreach(f => sb.append(f).append('\n'))
+    Files.writeString(vDir.resolve("_layout"), sb.toString)
+  }
+
+  private def readLayout(vDir: Path): Option[Layout] = {
+    val p = vDir.resolve("_layout")
+    if (!Files.isRegularFile(p)) return None
+    val lines = Files.readAllLines(p)
+    if (lines.size < 2) return None
+    val Array(curve, bits, cols) = lines.get(0).split('|')
+    val bounds = lines.get(1).split('|').toSeq.map { s =>
+      val Array(lo, hi) = s.split(',')
+      (lo.toDouble, hi.toDouble)
+    }
+    import scala.jdk.CollectionConverters._
+    Some(Layout(curve, bits.toInt, cols.split(',').toSeq, bounds,
+      lines.asScala.drop(2).filter(_.nonEmpty).toSet))
+  }
+
+  /** Data file NAMES of a (flat) version directory. */
+  private def dataFileNames(vDir: Path): Seq[String] =
+    Option(vDir.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map(_.getName).sorted.toSeq
+
+  /** OPTIMIZE, full form (Delta `OPTIMIZE t ZORDER BY (…)`): rewrite the
+    * CURRENT version curve-clustered on `cols` and record the layout —
+    * curve, effective bits, quantization grid, and the clustered file
+    * set — in a `_layout` sidecar, so that later appends can be folded
+    * back in incrementally by [[optimizeIncremental]] instead of paying
+    * this full-table rewrite again. One-time O(table) cost by design. */
+  def optimize(spark: SparkSession, name: String, cols: Seq[String],
+      curve: String = "hilbert", bits: Int = 16,
+      partitions: Option[Int] = None): Unit = {
+    val df = read(spark, name)
+    graft.ops.Gold.curveBounds(df, cols) match {
+      case None =>
+        // no quantizable range (all-null dimension): plain lexicographic
+        // clustering, no grid to record — incremental re-cluster is
+        // meaningless without a stable grid.
+        overwrite(graft.ops.Gold.clusterBy(df, cols, partitions), name)
+      case Some(bounds) =>
+        overwrite(graft.ops.Gold.clusterOnGrid(
+          df, cols, bounds, bits, partitions, curve), name)
+        val cur = Paths.get(currentPath(name))
+        writeLayout(cur, curve, math.min(bits, 62 / cols.size), cols,
+          bounds, dataFileNames(cur))
+    }
+  }
+
+  /** OPTIMIZE, incremental form (Delta OPTIMIZE semantics): re-cluster
+    * ONLY the files appends have landed since the last optimize — the
+    * data files not in the `_layout` clustered set — into the SAME
+    * quantization grid the original layout used, and hardlink every
+    * already-clustered file across untouched. Returns the number of
+    * files written (0 = nothing to do, including "never optimized").
+    *
+    * Scale shape: O(appended bytes) read+write + O(#files) metadata per
+    * call, against O(table) for a full re-cluster — the difference
+    * between an hourly maintenance tick and an unschedulable job on an
+    * append-heavy 100 TB table. Because the grid is pinned, the new
+    * files' curve ranges interleave correctly with the old ones'
+    * (out-of-grid values clamp to edge cells), so min/max skipping over
+    * the merged layout matches a fresh full cluster's pruning
+    * (DataSkippingSpec pins this), while layout quality of the
+    * untouched files is preserved exactly. `_stats`/`_bloom` sidecars
+    * are maintained through the rewrite: carried files keep their rows,
+    * rewritten files' rows are dropped and rebuilt for the new files. */
+  def optimizeIncremental(spark: SparkSession, name: String,
+      partitions: Option[Int] = None): Int = {
+    val dir = tableDir(name)
+    val prev = Paths.get(currentPath(name))
+    readLayout(prev) match {
+      case None => 0
+      case Some(l) =>
+        val all = dataFileNames(prev)
+        val unclustered = all.filterNot(l.files)
+        if (unclustered.isEmpty) return 0
+        val batch = spark.read.parquet(
+          unclustered.map(n => prev.resolve(n).toString): _*)
+        val nextV = "v%06d".format(nextVersion(dir))
+        val next = dir.resolve(nextV)
+        graft.ops.Gold.clusterOnGrid(
+            batch, l.cols, l.bounds, l.bits, partitions, l.curve)
+          .write.mode("overwrite").parquet(next.toString)
+        val fresh = dataFileNames(next)
+        val kept = all.filter(l.files)
+        kept.foreach(n => Files.createLink(next.resolve(n), prev.resolve(n)))
+        val freshPaths = fresh.map(n => next.resolve(n).toString)
+        carryStatsIncremental(spark, prev, next, batch, freshPaths,
+          dropNames = unclustered)
+        carryBloomsIncremental(spark, prev, next, batch, freshPaths,
+          dropNames = unclustered)
+        writeLayout(next, l.curve, l.bits, l.cols, l.bounds, kept ++ fresh)
+        repoint(dir, name, nextV)
+        fresh.size
+    }
   }
 
   private def nextVersion(dir: Path): Int = {

@@ -72,7 +72,7 @@ object Gold {
     * (`bits` is a cap, not a promise). */
   def zorderBy(df: DataFrame, cols: Seq[String], bits: Int,
       partitions: Option[Int]): DataFrame =
-    curveBy(df, cols, bits, partitions, graft.functions.InterleaveBits.apply)
+    curveBy(df, cols, bits, partitions, "zorder")
 
   /** Hilbert-curve clustering — same quantize → curve-index →
     * range-partition recipe as [[zorderBy]], but the cell ids map to
@@ -93,32 +93,50 @@ object Gold {
     * is `min(bits, ⌊62/n⌋)`. */
   def hilbertBy(df: DataFrame, cols: Seq[String], bits: Int,
       partitions: Option[Int]): DataFrame =
-    curveBy(df, cols, bits, partitions, graft.functions.HilbertIndex.apply)
+    curveBy(df, cols, bits, partitions, "hilbert")
 
-  /** Shared space-filling-curve clustering core: bucket `n` numeric
-    * columns into `2^b` uniform cells each over their [min, max]
-    * (`b = min(bits, ⌊62/n⌋)` so the packed curve index always fits one
-    * non-negative long), map the cell tuple to a curve index, then
-    * range-partition + sort on it.
-    *
-    * The min/max pass is one tiny aggregate (bounded driver metadata —
-    * the same class of collect as `approxQuantile`). Nulls go to cell 0
-    * (nulls-first). Uniform cells are skew-sensitive in the extreme;
-    * heavy-tailed layouts should pre-transform (e.g. log) the column. */
-  private def curveBy(df: DataFrame, cols: Seq[String], bits: Int,
-      partitions: Option[Int],
-      curve: Seq[Column] => Column): DataFrame = {
-    require(cols.size >= 2 && cols.size <= 8,
-      s"curve clustering takes 2..8 columns, got ${cols.size}")
-    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
-    val b = math.min(bits, 62 / cols.size)
+  /** Per-column [min, max] of `cols` cast to double — the quantization
+    * grid curve clustering buckets into. One tiny aggregate (bounded
+    * driver metadata — the same class of collect as `approxQuantile`);
+    * `None` when some column has no non-null values (no range to
+    * quantize). Persisted by the catalog's `_layout` sidecar so an
+    * incremental OPTIMIZE re-buckets appended rows into the SAME grid
+    * the original layout used. */
+  def curveBounds(df: DataFrame, cols: Seq[String]): Option[Seq[(Double, Double)]] = {
     val aggs = cols.flatMap(c =>
       Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
     val mm = df.agg(aggs.head, aggs.tail: _*).head()
-    // a dimension with no non-null values has no range to quantize —
-    // fall back to plain lexicographic clustering
-    if (cols.indices.exists(i => mm.isNullAt(2 * i)))
-      return clusterBy(df, cols, partitions)
+    if (cols.indices.exists(i => mm.isNullAt(2 * i))) None
+    else Some(cols.indices.map(i => (mm.getDouble(2 * i), mm.getDouble(2 * i + 1))))
+  }
+
+  /** Curve-cluster `df` on a FIXED quantization grid: bucket each column
+    * into `2^b` uniform cells over the GIVEN bounds
+    * (`b = min(bits, ⌊62/n⌋)` so the packed curve index always fits one
+    * non-negative long), map the cell tuple to the named curve's index,
+    * then range-partition + sort on it. Values outside the grid clamp to
+    * the edge cells (the `least`/`greatest` guard), so re-clustering an
+    * appended batch against the ORIGINAL table's grid is safe — new
+    * out-of-range keys just land in the boundary cells.
+    *
+    * Nulls go to cell 0 (nulls-first). Uniform cells are skew-sensitive
+    * in the extreme; heavy-tailed layouts should pre-transform (e.g.
+    * log) the column. */
+  def clusterOnGrid(df: DataFrame, cols: Seq[String],
+      bounds: Seq[(Double, Double)], bits: Int, partitions: Option[Int],
+      curve: String): DataFrame = {
+    require(cols.size >= 2 && cols.size <= 8,
+      s"curve clustering takes 2..8 columns, got ${cols.size}")
+    require(bounds.size == cols.size,
+      s"bounds arity ${bounds.size} != cols arity ${cols.size}")
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    val curveFn: Seq[Column] => Column = curve match {
+      case "zorder"  => graft.functions.InterleaveBits.apply
+      case "hilbert" => graft.functions.HilbertIndex.apply
+      case other => throw new IllegalArgumentException(
+        s"unknown curve '$other' (zorder|hilbert)")
+    }
+    val b = math.min(bits, 62 / cols.size)
     val n = 1 << b
     def cell(c: String, lo: Double, hi: Double): Column =
       if (hi > lo)
@@ -129,8 +147,7 @@ object Gold {
             .cast("int")))
           .cast("int"), lit(0))
       else lit(0)
-    val z = curve(cols.zipWithIndex.map { case (c, i) =>
-      cell(c, mm.getDouble(2 * i), mm.getDouble(2 * i + 1)) })
+    val z = curveFn(cols.zip(bounds).map { case (c, (lo, hi)) => cell(c, lo, hi) })
     val withZ = df.withColumn("_graft_z", z)
     val rep = partitions match {
       case Some(p) => withZ.repartitionByRange(p, col("_graft_z"))
@@ -138,4 +155,14 @@ object Gold {
     }
     rep.sortWithinPartitions(col("_graft_z")).drop("_graft_z")
   }
+
+  /** Shared one-shot curve clustering: compute the grid from the data,
+    * then cluster on it; falls back to plain lexicographic clustering
+    * when some dimension is all-null. */
+  private def curveBy(df: DataFrame, cols: Seq[String], bits: Int,
+      partitions: Option[Int], curve: String): DataFrame =
+    curveBounds(df, cols) match {
+      case Some(b) => clusterOnGrid(df, cols, b, bits, partitions, curve)
+      case None    => clusterBy(df, cols, partitions)
+    }
 }

@@ -26,6 +26,9 @@ import org.apache.spark.sql.types.{BooleanType, LongType, StringType, StructType
   *   GRAFT TABLES                             -- all tables under the catalog root
   *   GRAFT ANALYZE <table> COLUMNS (a, b)     -- per-file min/max sidecar
   *   GRAFT ANALYZE BLOOM <table> COLUMN <c>   -- per-file bloom sidecar
+  *   GRAFT OPTIMIZE <t> HILBERT BY (a, b)     -- full curve recluster + layout note
+  *   GRAFT OPTIMIZE <t> ZORDER BY (a, b)      -- (same, Morton curve)
+  *   GRAFT OPTIMIZE <t>                       -- incremental: recluster appended files only
   * }}}
   *
   * The grammar is a prefix dispatch: statements starting with the GRAFT
@@ -67,6 +70,11 @@ object GraftSql {
     """(?is)\s*GRAFT\s+ANALYZE\s+BLOOM\s+(\S+)\s+COLUMN\s+(\w+)\s*;?\s*""".r
   private val Analyze =
     """(?is)\s*GRAFT\s+ANALYZE\s+(\S+)\s+COLUMNS\s*\(([^)]*)\)\s*;?\s*""".r
+  // curve form before the bare form: both start with OPTIMIZE
+  private val OptimizeBy =
+    """(?is)\s*GRAFT\s+OPTIMIZE\s+(\S+)\s+(ZORDER|HILBERT)\s+BY\s*\(([^)]*)\)\s*;?\s*""".r
+  private val Optimize =
+    """(?is)\s*GRAFT\s+OPTIMIZE\s+(\S+)\s*;?\s*""".r
   private val GraftPrefix = """(?is)\s*GRAFT\b.*""".r
 
   /** One purge value: single-quoted ('' escapes a quote) → String,
@@ -94,6 +102,10 @@ object GraftSql {
       case Analyze(t, cs) =>
         Some(GraftAnalyzeCommand(t,
           cs.split(',').map(_.trim).filter(_.nonEmpty).toSeq))
+      case OptimizeBy(t, curve, cs) =>
+        Some(GraftOptimizeByCommand(t, curve.toLowerCase,
+          cs.split(',').map(_.trim).filter(_.nonEmpty).toSeq))
+      case Optimize(t) => Some(GraftOptimizeCommand(t))
       case GraftPrefix() => throw new IllegalArgumentException(
         s"""Unrecognized GRAFT statement: $sqlText
            |Supported: GRAFT VERSIONS t | GRAFT ROLLBACK t TO vNNNNNN |
@@ -101,7 +113,8 @@ object GraftSql {
            |GRAFT PURGE t KEY col IN (v, ...) |
            |GRAFT CLONE src TO dst | GRAFT DESCRIBE t | GRAFT TABLES |
            |GRAFT ANALYZE t COLUMNS (a, b) |
-           |GRAFT ANALYZE BLOOM t COLUMN c""".stripMargin)
+           |GRAFT ANALYZE BLOOM t COLUMN c |
+           |GRAFT OPTIMIZE t [ZORDER|HILBERT BY (a, b)]""".stripMargin)
       case _ => None
     }
 }
@@ -211,4 +224,21 @@ case class GraftAnalyzeBloomCommand(table: String, column: String)
   override def run(spark: SparkSession): Seq[Row] = {
     GraftSql.catalog.analyzeBloom(spark, table, column); Seq.empty
   }
+}
+
+/** Full curve recluster + `_layout` note (Delta `OPTIMIZE … ZORDER BY`). */
+case class GraftOptimizeByCommand(table: String, curve: String,
+    cols: Seq[String]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftSql.catalog.optimize(spark, table, cols, curve); Seq.empty
+  }
+}
+
+/** Incremental OPTIMIZE: recluster only files appended since the last
+  * optimize; reports how many files were rewritten (0 = already tight). */
+case class GraftOptimizeCommand(table: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("rewritten_files", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(GraftSql.catalog.optimizeIncremental(spark, table).toLong))
 }

@@ -238,6 +238,40 @@ object Parity {
       max(col("l_suppkey")).as("max_skey"))
   }
 
+  /** S10 OPTIMIZE lifecycle — the maintenance loop an append-heavy
+    * 100 TB table lives by: initial load curve-clustered with a
+    * `_layout` note ([[graft.core.TableCatalog.optimize]]), a late
+    * batch appended (hardlink O(batch), lands UNclustered), then
+    * [[graft.core.TableCatalog.optimizeIncremental]] folds exactly the
+    * appended files back into the curve layout — O(batch) rewrite, the
+    * clustered files carried by hardlink untouched (Delta OPTIMIZE
+    * semantics; DataSkippingSpec pins the rewritten-file count and the
+    * restored pruning). Setup (load+optimize+append) is one-time
+    * fixture; the query runs the incremental tick (a no-op when
+    * already tight — idempotency is part of the contract) and proves
+    * content integrity: oracle is the plain full-fact aggregate because
+    * the 7/8 + 1/8 split reunites to exactly `lineitem`. */
+  def s10Optimize(spark: SparkSession, sfDir: String): DataFrame = {
+    val cat = new graft.core.TableCatalog(tmp("s10opt", sfDir))
+    val t = "gold.lineitem_opt"
+    setupOnce("s10opt", sfDir) {
+      val li = table(spark, sfDir, "lineitem")
+      cat.overwrite(li.filter(col("l_orderkey") % 8 =!= 0), t)
+      cat.optimize(spark, t, Seq("l_orderkey", "l_partkey"),
+        curve = "hilbert", bits = 12)
+      cat.analyze(spark, t, Seq("l_orderkey", "l_partkey"))
+      cat.append(li.filter(col("l_orderkey") % 8 === 0), t)
+    }
+    cat.optimizeIncremental(spark, t)
+    cat.read(spark, t).agg(
+      count(lit(1)).as("n"),
+      sumd(col("l_quantity")).as("sum_qty"),
+      min(col("l_orderkey")).as("min_okey"),
+      max(col("l_orderkey")).as("max_okey"),
+      min(col("l_partkey")).as("min_pkey"),
+      max(col("l_partkey")).as("max_pkey"))
+  }
+
   /** S10 read-side payoff — file skipping over the clustered layout:
     * cluster lineitem on l_shipdate into a catalog table, collect the
     * per-file min/max manifest ([[graft.core.TableCatalog.analyze]]),
@@ -1231,6 +1265,7 @@ object Parity {
     "s10_zorder" -> s10Zorder _,
     "s10_hilbert" -> s10Hilbert _,
     "s10_hilbert3" -> s10Hilbert3 _,
+    "s10_optimize" -> s10Optimize _,
     "s10_skipping" -> s10Skipping _,
     "a4_rollup" -> a4Rollup _,
     "a5_cube" -> a5Cube _,
@@ -1295,6 +1330,11 @@ object Parity {
          MIN(l_orderkey) AS min_okey, MAX(l_orderkey) AS max_okey,
          MIN(l_partkey) AS min_pkey, MAX(l_partkey) AS max_pkey,
          MIN(l_suppkey) AS min_skey, MAX(l_suppkey) AS max_skey FROM lineitem""",
+    "s10_optimize" ->
+      """SELECT count(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         MIN(l_orderkey) AS min_okey, MAX(l_orderkey) AS max_okey,
+         MIN(l_partkey) AS min_pkey, MAX(l_partkey) AS max_pkey FROM lineitem""",
     "s10_skipping" ->
       """SELECT l_returnflag, count(*) AS n,
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty

@@ -149,6 +149,68 @@ class DataSkippingSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("incremental OPTIMIZE reclusters only appended files and restores skipping") {
+    val nf = 16
+    val grid = spark.range(0, 1 << 14).select(
+      (col("id") % 128).as("x"), (col("id") / 128).as("y"))
+    val cat = freshCat("opt")
+    cat.overwrite(grid, "t.opt")
+    cat.optimize(spark, "t.opt", Seq("x", "y"), curve = "hilbert", bits = 7,
+      partitions = Some(nf))
+    cat.analyze(spark, "t.opt", Seq("x", "y"))
+    def files() = new java.io.File(cat.currentPath("t.opt")).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map(_.getName).toSet
+    def prunedX() = cat.prunedFiles(spark, "t.opt", "x", 0L, 7L).size
+    val p0 = prunedX()
+    assert(p0 <= nf / 2, s"fresh hilbert layout should prune on x, got $p0/$nf")
+    val clustered0 = files()
+    assert(clustered0.size == nf)
+    // append a 2-file batch spanning the WHOLE domain — the worst case
+    // for layout quality (every appended file's bounding box covers
+    // everything, so no probe can skip it)
+    val batch = spark.range(0, 2048).select(
+      (col("id") % 128).as("x"),
+      ((col("id") * 7) % 128).cast("double").as("y")).repartition(2)
+    cat.append(batch, "t.opt")
+    val batchFiles = files() -- clustered0
+    assert(batchFiles.size == 2)
+    // carried stats make the batch files visible to pruning — and they
+    // always survive it (full-domain boxes): layout quality degraded
+    assert(prunedX() == p0 + 2)
+    // incremental optimize rewrites EXACTLY the appended files (O(batch)
+    // cost), leaving every clustered file untouched (hardlink carry)
+    val rewritten = cat.optimizeIncremental(spark, "t.opt", partitions = Some(2))
+    assert(rewritten == 2, s"expected the 2-file batch rewritten, got $rewritten")
+    val afterOpt = files()
+    assert(clustered0.subsetOf(afterOpt), "clustered files must carry by name")
+    assert((afterOpt -- clustered0).size == rewritten)
+    // skipping restored: the batch, re-bucketed into the ORIGINAL grid,
+    // splits at the curve midpoint — for this orientation the second
+    // half is entirely x >= 64, so the x<8 probe touches exactly one of
+    // the two new files (what a fresh full cluster of the batch gives)
+    assert(prunedX() == p0 + 1, s"optimize should restore skipping, got ${prunedX()}")
+    // and matches a freshly-fully-clustered layout of the same total
+    // data within the range-sampler's ±1 file slack (sampled partition
+    // boundaries make exact file-for-file equality ill-posed)
+    val cat2 = freshCat("optfresh")
+    cat2.overwrite(grid.unionByName(
+      spark.range(0, 2048).select((col("id") % 128).as("x"),
+        ((col("id") * 7) % 128).cast("double").as("y"))), "t.fresh")
+    cat2.optimize(spark, "t.fresh", Seq("x", "y"), curve = "hilbert",
+      bits = 7, partitions = Some(nf + 2))
+    cat2.analyze(spark, "t.fresh", Seq("x", "y"))
+    val pF = cat2.prunedFiles(spark, "t.fresh", "x", 0L, 7L).size
+    assert(math.abs(prunedX() - pF) <= 1,
+      s"append+optimize pruning (${prunedX()}) should match fresh layout ($pF)")
+    // idempotent — a second tick finds nothing unclustered
+    assert(cat.optimizeIncremental(spark, "t.opt") == 0)
+    // correctness through the whole lifecycle
+    val got = cat.read(spark, "t.opt").agg(count(lit(1)), sum(col("x"))).head()
+    val want = grid.unionByName(batch).agg(count(lit(1)), sum(col("x"))).head()
+    assert(got == want)
+  }
+
   test("bloom sidecar prunes point lookups min/max can't, on any layout") {
     // Layout clustered on k — but probe on v, where every file's [min,max]
     // covers the whole domain, so min/max skipping is blind. Give v few

@@ -152,6 +152,27 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
       "sidecar must be listed for the analyzed current version only")
   }
 
+  test("GRAFT OPTIMIZE: full curve form records layout, bare form folds appends in") {
+    val sp = sess; import sp.implicits._
+    val c = cat()
+    c.overwrite(
+      sess.range(0, 4096).select(
+        (org.apache.spark.sql.functions.col("id") % 64).as("x"),
+        (org.apache.spark.sql.functions.col("id") / 64).as("y")),
+      "c.s.o")
+    sess.sql("GRAFT OPTIMIZE c.s.o HILBERT BY (x, y)")
+    // never-appended layout: incremental is a no-op
+    assert(sess.sql("GRAFT OPTIMIZE c.s.o").collect().head.getLong(0) == 0L)
+    // match the table's schema exactly (x long, y double — `/` divides
+    // to double): a drifted batch would take the union-rewrite path and
+    // defeat the incremental story under test
+    c.append(Seq((10L, 20.0), (30L, 40.0)).toDF("x", "y"), "c.s.o")
+    assert(sess.sql("GRAFT OPTIMIZE c.s.o").collect().head.getLong(0) >= 1L)
+    // content preserved through append + incremental recluster
+    assert(c.read(sess, "c.s.o").count() == 4098L)
+    assert(sess.sql("GRAFT OPTIMIZE c.s.o").collect().head.getLong(0) == 0L)
+  }
+
   test("non-GRAFT SQL delegates untouched; malformed GRAFT fails loudly") {
     assert(sess.sql("SELECT 1 + 1 AS x").collect().head.getInt(0) == 2)
     // injected native functions still resolve through the wrapped parser
