@@ -31,18 +31,24 @@ final class TableCatalog(val root: String) extends Serializable {
 
   /** Every table under this catalog root (directories holding a
     * `_CURRENT` pointer), as dotted names — the catalog-browse metadata
-    * walk behind `GRAFT TABLES`. Driver-side, O(#dirs). */
+    * walk behind `GRAFT TABLES`. Driver-side, genuinely O(#dirs): the
+    * recursion prunes at each table root (a `_CURRENT` marker) instead
+    * of descending into version/data subtrees, so a large catalog costs
+    * one directory listing per namespace level + table, never a
+    * full-tree file walk. */
   def listTables(): Seq[String] = {
     val rootPath = Paths.get(root)
     if (!Files.isDirectory(rootPath)) return Nil
-    import scala.jdk.CollectionConverters._
-    val walk = Files.walk(rootPath)
-    try walk.iterator().asScala
-      .filter(p => p.getFileName.toString == "_CURRENT")
-      .map(p => rootPath.relativize(p.getParent).iterator().asScala
-        .map(_.toString).mkString("."))
-      .toSeq.sorted
-    finally walk.close()
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    def visit(d: Path, parts: List[String]): Unit = {
+      val entries = Option(d.toFile.listFiles()).getOrElse(Array.empty)
+      if (entries.exists(f => f.isFile && f.getName == "_CURRENT")) {
+        if (parts.nonEmpty) out += parts.reverse.mkString(".")
+      } else entries.filter(f => f.isDirectory && !f.getName.startsWith("_") &&
+        !f.getName.startsWith(".")).foreach(f => visit(f.toPath, f.getName :: parts))
+    }
+    visit(rootPath, Nil)
+    out.sorted.toSeq
   }
 
   def currentPath(name: String): String = {
@@ -51,7 +57,49 @@ final class TableCatalog(val root: String) extends Serializable {
   }
 
   def read(spark: SparkSession, name: String): DataFrame =
-    spark.read.parquet(currentPath(name))
+    applyTombstones(spark.read.parquet(currentPath(name)), name)
+
+  // ------------------------------------------------- deletion vectors
+  /** Parsed `_tombstones` sidecar rows: (keyCol, type tag, value). The
+    * table-level deletion-vector store behind [[purgeKeys]]: one line
+    * per erased key, applied as a residual filter on EVERY read path
+    * (current, time travel, pruned scans) until [[purgeRewrite]]
+    * physically erases and clears it. */
+  private def readTombstones(name: String): Seq[(String, String, String)] = {
+    val p = tableDir(name).resolve("_tombstones")
+    if (!Files.isRegularFile(p)) return Nil
+    import scala.jdk.CollectionConverters._
+    Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty).map { line =>
+      val Array(c, t, v) = line.split('\u0001')
+      (c, t, v)
+    }
+  }
+
+  /** NOT-IN residual over the tombstoned keys, restricted to key
+    * columns `cols` actually has (a version written before an ALTER ADD
+    * COLUMN cannot hold the subject under a column it lacks). Null keys
+    * are explicitly preserved: `k NOT IN (…)` alone is NULL — i.e.
+    * dropped — for null `k`, which would silently erase every
+    * null-keyed row. */
+  private def tombstoneFilter(name: String,
+      cols: Set[String]): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.col
+    val byCol = readTombstones(name).groupBy(_._1)
+      .filter { case (c, _) => cols.contains(c) }
+    if (byCol.isEmpty) None
+    else Some(byCol.map { case (c, ts) =>
+      val vs: Seq[Any] = ts.map {
+        case (_, "long", v) => v.toLong
+        case (_, _, v) => v
+      }
+      col(c).isNull || !col(c).isin(vs: _*)
+    }.reduce(_ && _))
+  }
+
+  /** Apply the table's deletion vectors to a frame read from any of its
+    * versions — the read-time half of the merge-on-read purge. */
+  private def applyTombstones(df: DataFrame, name: String): DataFrame =
+    tombstoneFilter(name, df.columns.toSet).map(df.filter).getOrElse(df)
 
   /** Register the table's CURRENT version as a SQL temp view (dots in
     * the 3-level name become underscores — temp views are single-level).
@@ -84,12 +132,26 @@ final class TableCatalog(val root: String) extends Serializable {
     val cur = Paths.get(currentPath(name)).getFileName.toString
     versions(name).map { v =>
       val dir = tableDir(name).resolve(v)
-      val entries = Option(dir.toFile.listFiles()).getOrElse(Array.empty)
-      val data = entries.filter(f => f.isFile &&
-        !f.getName.startsWith("_") && !f.getName.startsWith("."))
-      val sidecars = entries.filter(f => f.getName.startsWith("_"))
+      // recurse: partitioned versions keep data files under col=value
+      // subdirs, which a flat listing reported as 0 files / 0 bytes.
+      // Any _-prefixed path segment (sidecar dirs, _SUCCESS, a crashed
+      // write's _temporary) excludes the file from the data census.
+      var nFiles = 0L
+      var bytes = 0L
+      val walk = Files.walk(dir)
+      try walk.filter(Files.isRegularFile(_)).forEach { f =>
+        val rel = dir.relativize(f)
+        val hidden = (0 until rel.getNameCount).exists { i =>
+          val n = rel.getName(i).toString
+          n.startsWith("_") || n.startsWith(".")
+        }
+        if (!hidden) { nFiles += 1; bytes += Files.size(f) }
+      } finally walk.close()
+      // sidecars: metadata artifacts only — job markers are noise here
+      val sidecars = Option(dir.toFile.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("_") && f.getName != "_SUCCESS")
         .map(_.getName).sorted.toSeq
-      (v, v == cur, data.length.toLong, data.map(_.length).sum, sidecars)
+      (v, v == cur, nFiles, bytes, sidecars)
     }
   }
 
@@ -98,7 +160,11 @@ final class TableCatalog(val root: String) extends Serializable {
   def readVersion(spark: SparkSession, name: String, version: String): DataFrame = {
     require(versions(name).contains(version),
       s"version $version of $name not retained (have: ${versions(name)})")
-    spark.read.parquet(tableDir(name).resolve(version).toString)
+    // deletion vectors are table-level: an erased subject is gone from
+    // time travel too, immediately — logical erasure must not be
+    // escapable by reading an older version
+    applyTombstones(
+      spark.read.parquet(tableDir(name).resolve(version).toString), name)
   }
 
   /** Write `df` as the next version of `name` and atomically repoint. */
@@ -402,7 +468,7 @@ final class TableCatalog(val root: String) extends Serializable {
     import org.apache.spark.sql.functions._
     val files = prunedFiles(spark, name, c, lo, hi)
     val base =
-      if (files.nonEmpty) spark.read.parquet(files: _*)
+      if (files.nonEmpty) applyTombstones(spark.read.parquet(files: _*), name)
       else read(spark, name).limit(0) // keep the schema, scan nothing
     base.filter(col(c) >= lit(lo) && col(c) <= lit(hi))
   }
@@ -473,6 +539,11 @@ final class TableCatalog(val root: String) extends Serializable {
       .map(_.getPath).toSeq
     if (!Files.isDirectory(bloomDir)) return allFiles
     val probes = values.map(String.valueOf)
+    // Deliberate METADATA-PLANE exception to the no-UDF rule: the probe
+    // must deserialize a custom filter format no builtin expression can
+    // read, and it runs over the sidecar — O(#files) rows × O(#probes)
+    // mightContain calls, never over data rows — so codegen throughput
+    // is irrelevant here; every data-plane hot path stays UDF-free.
     val mightHit = org.apache.spark.sql.functions.udf { (bytes: Array[Byte]) =>
       val bf = graft.functions.BloomAgg.deserialize(bytes)
       probes.exists(bf.mightContainString)
@@ -493,7 +564,7 @@ final class TableCatalog(val root: String) extends Serializable {
     import org.apache.spark.sql.functions._
     val files = bloomPrunedFiles(spark, name, c, values)
     val base =
-      if (files.nonEmpty) spark.read.parquet(files: _*)
+      if (files.nonEmpty) applyTombstones(spark.read.parquet(files: _*), name)
       else read(spark, name).limit(0) // keep the schema, scan nothing
     base.filter(col(c).isin(values: _*))
   }
@@ -521,6 +592,12 @@ final class TableCatalog(val root: String) extends Serializable {
       Files.createDirectories(to.getParent)
       Files.createLink(to, f)
     } finally walk.close()
+    // pending deletion vectors travel with the data: the clone links the
+    // same physical files, so without the tombstones an erased subject
+    // would resurface through the clone's read path
+    val srcTombstones = tableDir(source).resolve("_tombstones")
+    if (Files.isRegularFile(srcTombstones))
+      Files.copy(srcTombstones, dir.resolve("_tombstones"))
     repoint(dir, target, "v%06d".format(1))
   }
 
@@ -557,25 +634,71 @@ final class TableCatalog(val root: String) extends Serializable {
     doomed
   }
 
-  /** Right-to-be-forgotten purge (GDPR erasure): rewrite EVERY retained
-    * version of `name` dropping rows whose `keyCol` value is in `keys`.
-    * This is the one operation that must deliberately break version
-    * immutability — retention and time travel would otherwise keep
-    * purged subjects readable forever. Each version is rewritten to a
-    * staging dir and swapped in; rewriting every version independently
-    * is REQUIRED (not an optimization): versions share data files by
-    * hardlink, so editing one shared file in place is impossible and
-    * unlinking it from one version would leave the others' links — the
-    * per-version rewrite is what severs every path to the purged rows.
-    * Partition layout (col=value subdirs) is preserved. The pointer
-    * never moves; `keys` is a small in-clause list (erasure requests
-    * arrive per subject, not per corpus). */
+  /** Right-to-be-forgotten purge (GDPR erasure), merge-on-read form:
+    * append the subject's keys to the table-level `_tombstones`
+    * deletion-vector sidecar — O(keys) driver metadata, ZERO data I/O.
+    * The subject is logically gone EVERYWHERE immediately: every read
+    * path ([[read]], [[readVersion]] time travel, [[scanRange]]/
+    * [[scanPoints]] pruned scans, [[changes]] via readVersion, clones
+    * via the copied sidecar) applies the tombstone residual. Physical
+    * byte erasure is deferred to [[purgeRewrite]] (run it on the
+    * compaction/vacuum maintenance schedule), exactly Delta's
+    * deletion-vector design: at 100 TB × N retained versions, an eager
+    * per-version rewrite per erasure request is the most expensive
+    * operation in the catalog, while the DV write is a metadata blip
+    * and the rewrite batches many requests into one pass.
+    *
+    * Write protocol: read-modify-write of the sidecar through a temp
+    * file + ATOMIC_MOVE (same protocol as the `_CURRENT` swap) — a
+    * crash never leaves a torn file, and the previous sidecar stays
+    * live until the move lands. Key values must not contain newlines
+    * (erasure keys are ids, not documents).
+    *
+    * Caveat (documented, deliberate): tombstones are table-level, so
+    * they also mask the subject in versions written AFTER the purge —
+    * erasure is sticky until [[purgeRewrite]] clears it. Re-onboarding
+    * an erased subject therefore requires a purgeRewrite first; for
+    * GDPR erasure (the operation this implements) stickiness is the
+    * safe default, not a bug. */
   def purgeKeys(spark: SparkSession, name: String, keyCol: String,
       keys: Seq[Any]): Unit = {
     require(keys.nonEmpty, "purgeKeys: empty key list")
-    import org.apache.spark.sql.functions.col
+    require(exists(name), s"purgeKeys: $name does not exist")
     val dir = tableDir(name)
-    // Crash recovery from an earlier interrupted purge, BEFORE listing
+    val p = dir.resolve("_tombstones")
+    val sb = new StringBuilder(
+      if (Files.isRegularFile(p)) Files.readString(p) else "")
+    keys.foreach { k =>
+      val (tpe, v) = k match {
+        case n: Long => ("long", n.toString)
+        case n: Int => ("long", n.toString)
+        case other => ("string", String.valueOf(other))
+      }
+      require(!v.contains('\n') && !v.contains('\u0001'),
+        s"purgeKeys: unsupported characters in key value '$v'")
+      sb.append(keyCol).append('\u0001').append(tpe).append('\u0001')
+        .append(v).append('\n')
+    }
+    val tmp = dir.resolve("_tombstones.tmp")
+    Files.writeString(tmp, sb.toString)
+    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Physical erasure pass: rewrite EVERY retained version of `name`
+    * dropping all tombstoned rows, then clear the `_tombstones` sidecar.
+    * This is the deferred half of [[purgeKeys]] — run it with compaction
+    * / vacuum, where one rewrite amortizes every erasure request since
+    * the last pass. Rewriting every version independently is REQUIRED
+    * (not an optimization): versions share data files by hardlink, so
+    * editing one shared file in place is impossible and unlinking it
+    * from one version would leave the others' links — the per-version
+    * rewrite is what severs every physical path to the purged bytes.
+    * Partition layout (col=value subdirs) is preserved. The pointer
+    * never moves. */
+  def purgeRewrite(spark: SparkSession, name: String): Unit = {
+    val dir = tableDir(name)
+    // Crash recovery from an earlier interrupted rewrite, BEFORE listing
     // versions: a `.purging` dir is an incomplete rewrite (discard); a
     // `.stale` dir whose live counterpart is missing IS the version —
     // the previous run died between the two swap moves — restore it so
@@ -590,6 +713,7 @@ final class TableCatalog(val root: String) extends Serializable {
         else Files.move(f.toPath, live)
       }
     }
+    if (readTombstones(name).isEmpty) return
     versions(name).foreach { v =>
       val vDir = dir.resolve(v)
       val partCols = partitionColumnsOf(vDir)
@@ -601,22 +725,25 @@ final class TableCatalog(val root: String) extends Serializable {
       val inferPrev = spark.conf.get(inferKey, "true")
       spark.conf.set(inferKey, "false")
       val kept =
-        try spark.read.parquet(vDir.toString)
-          .filter(!col(keyCol).isin(keys: _*))
-        finally spark.conf.set(inferKey, inferPrev)
+        try {
+          val raw = spark.read.parquet(vDir.toString)
+          tombstoneFilter(name, raw.columns.toSet)
+            .map(raw.filter).getOrElse(raw)
+        } finally spark.conf.set(inferKey, inferPrev)
       val tmp = dir.resolve(s"$v.purging")
       val w = kept.write.mode("overwrite")
       (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
         .parquet(tmp.toString)
       // swap: stage the old dir out, then the rewrite in. A crash inside
       // the two-move window is repaired by the recovery block above on
-      // the next purge attempt (the .stale dir is moved back), so no
+      // the next rewrite attempt (the .stale dir is moved back), so no
       // version is ever lost and a retry always succeeds.
       val stale = dir.resolve(s"$v.stale")
       Files.move(vDir, stale)
       Files.move(tmp, vDir)
       deleteRecursively(stale)
     }
+    Files.deleteIfExists(dir.resolve("_tombstones"))
   }
 
   /** All partition columns of a written version, outermost first, by

@@ -20,7 +20,8 @@ import org.apache.spark.sql.types.{BooleanType, LongType, StringType, StructType
   *   GRAFT ROLLBACK <table> TO v000002        -- O(1) pointer swap
   *   GRAFT VACUUM <table> KEEP <n>            -- returns deleted tags
   *   GRAFT COMPACT <table>                    -- small-file rewrite
-  *   GRAFT PURGE <table> KEY <col> IN (...)   -- GDPR erasure, all versions
+  *   GRAFT PURGE <table> KEY <col> IN (...)   -- GDPR erasure (deletion vector, O(keys))
+  *   GRAFT PURGE REWRITE <table>              -- physical erasure pass, clears DVs
   *   GRAFT CLONE <src> TO <dst>               -- zero-copy hardlink clone
   *   GRAFT DESCRIBE <table>                   -- per-version files/bytes/sidecars
   *   GRAFT TABLES                             -- all tables under the catalog root
@@ -59,6 +60,8 @@ object GraftSql {
     """(?is)\s*GRAFT\s+COMPACT\s+(\S+)\s*;?\s*""".r
   private val Purge =
     """(?is)\s*GRAFT\s+PURGE\s+(\S+)\s+KEY\s+(\w+)\s+IN\s*\(([^)]*)\)\s*;?\s*""".r
+  private val PurgeRewrite =
+    """(?is)\s*GRAFT\s+PURGE\s+REWRITE\s+(\S+)\s*;?\s*""".r
   // BLOOM before the plain form: both start with ANALYZE
   private val Clone =
     """(?is)\s*GRAFT\s+CLONE\s+(\S+)\s+TO\s+(\S+)\s*;?\s*""".r
@@ -92,6 +95,7 @@ object GraftSql {
       case Rollback(t, v) => Some(GraftRollbackCommand(t, v))
       case Versions(t) => Some(GraftVersionsCommand(t))
       case Compact(t) => Some(GraftCompactCommand(t))
+      case PurgeRewrite(t) => Some(GraftPurgeRewriteCommand(t))
       case Purge(t, c, vs) =>
         Some(GraftPurgeCommand(t, c,
           vs.split(',').map(purgeValue).toSeq))
@@ -110,7 +114,7 @@ object GraftSql {
         s"""Unrecognized GRAFT statement: $sqlText
            |Supported: GRAFT VERSIONS t | GRAFT ROLLBACK t TO vNNNNNN |
            |GRAFT VACUUM t KEEP n | GRAFT COMPACT t |
-           |GRAFT PURGE t KEY col IN (v, ...) |
+           |GRAFT PURGE t KEY col IN (v, ...) | GRAFT PURGE REWRITE t |
            |GRAFT CLONE src TO dst | GRAFT DESCRIBE t | GRAFT TABLES |
            |GRAFT ANALYZE t COLUMNS (a, b) |
            |GRAFT ANALYZE BLOOM t COLUMN c |
@@ -209,6 +213,13 @@ case class GraftPurgeCommand(table: String, keyCol: String, keys: Seq[Any])
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     GraftSql.catalog.purgeKeys(spark, table, keyCol, keys); Seq.empty
+  }
+}
+
+/** Physical erasure pass — the deferred half of GRAFT PURGE. */
+case class GraftPurgeRewriteCommand(table: String) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftSql.catalog.purgeRewrite(spark, table); Seq.empty
   }
 }
 

@@ -372,6 +372,12 @@ class PipelineSpec extends SparkSpec {
     cat.overwrite(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), "c.s.p")
     cat.append(Seq((4L, "d")).toDF("k", "v"), "c.s.p") // v2 hardlinks v1's files
     assert(cat.versions("c.s.p") == Seq("v000001", "v000002"))
+    // snapshot the physical file set: the deletion-vector purge must
+    // not rewrite a single data file
+    def dataFiles() = new java.io.File(cat.currentPath("c.s.p")).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map(f => (f.getName, f.lastModified)).toSet
+    val filesBefore = dataFiles()
     cat.purgeKeys(spark, "c.s.p", "k", Seq(2L))
     // gone from the current version AND from time travel
     assert(cat.read(spark, "c.s.p").select("k").as[Long].collect().sorted.toSeq
@@ -380,14 +386,29 @@ class PipelineSpec extends SparkSpec {
       assert(!cat.readVersion(spark, "c.s.p", v).select("k").as[Long]
         .collect().contains(2L), s"purged key survives in $v")
     }
+    // …at O(keys) metadata cost: zero data files touched (merge-on-read
+    // deletion vector, physical rewrite deferred to purgeRewrite)
+    assert(dataFiles() == filesBefore, "logical purge must not rewrite data")
+    assert(spark.read.parquet(cat.currentPath("c.s.p")).select("k")
+      .as[Long].collect().contains(2L), "bytes remain until purgeRewrite")
+    // physical erasure pass: bytes gone from every version, DVs cleared
+    cat.purgeRewrite(spark, "c.s.p")
+    cat.versions("c.s.p").foreach { v =>
+      val raw = spark.read.parquet(
+        java.nio.file.Paths.get(cat.currentPath("c.s.p")).getParent
+          .resolve(v).toString)
+      assert(!raw.select("k").as[Long].collect().contains(2L),
+        s"purged bytes survive rewrite in $v")
+    }
     // unpurged rows intact; table still writable afterwards
     assert(cat.readVersion(spark, "c.s.p", "v000001").count() == 2)
     cat.append(Seq((5L, "e")).toDF("k", "v"), "c.s.p")
     assert(cat.read(spark, "c.s.p").count() == 4)
-    // partitioned layout: purge preserves the col=value dirs
+    // partitioned layout: the physical pass preserves the col=value dirs
     cat.overwrite(Seq((1L, "x"), (2L, "y")).toDF("k", "part"), "c.s.pp",
       partitionBy = Seq("part"))
     cat.purgeKeys(spark, "c.s.pp", "k", Seq(1L))
+    cat.purgeRewrite(spark, "c.s.pp")
     assert(cat.read(spark, "c.s.pp").select("k").as[Long].collect().toSeq == Seq(2L))
     assert(new java.io.File(cat.currentPath("c.s.pp")).listFiles()
       .exists(f => f.isDirectory && f.getName.startsWith("part=")))
@@ -411,6 +432,7 @@ class PipelineSpec extends SparkSpec {
     cat.overwrite(Seq((1L, "01", "x"), (2L, "01", "y"), (3L, "007", "x"))
       .toDF("k", "p1", "p2"), "c.s.mp", partitionBy = Seq("p1", "p2"))
     cat.purgeKeys(spark, "c.s.mp", "k", Seq(2L))
+    cat.purgeRewrite(spark, "c.s.mp")
     val cur = new java.io.File(cat.currentPath("c.s.mp"))
     val l1 = cur.listFiles().filter(_.isDirectory).map(_.getName).sorted.toSeq
     assert(l1 == Seq("p1=007", "p1=01"), s"level-1 dirs mangled: $l1")
@@ -428,6 +450,7 @@ class PipelineSpec extends SparkSpec {
     java.nio.file.Files.createDirectory(vdir.resolve(s"$v.purging"))
     assert(!cat.versions("c.s.mp").contains(v))
     cat.purgeKeys(spark, "c.s.mp", "k", Seq(3L))
+    cat.purgeRewrite(spark, "c.s.mp")
     assert(cat.versions("c.s.mp").contains(v))
     assert(cat.read(spark, "c.s.mp").select("k").as[Long].collect().toSeq
       == Seq(1L))

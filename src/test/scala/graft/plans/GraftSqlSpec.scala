@@ -84,6 +84,10 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
       val ks = c.readVersion(sess, "c.s.p", v).select("k").as[Long].collect()
       assert(!ks.contains(2L) && !ks.contains(3L), s"purged keys survive in $v")
     }
+    // deferred physical pass: bytes erased, raw read (no DV filter) clean
+    sess.sql("GRAFT PURGE REWRITE c.s.p")
+    val raw = sess.read.parquet(c.currentPath("c.s.p")).select("k").as[Long].collect()
+    assert(!raw.contains(2L) && !raw.contains(3L), "bytes survive rewrite")
     c.overwrite(Seq(("ann", 1L), ("bob", 2L), ("o'ha", 3L)).toDF("who", "n"),
       "c.s.q")
     sess.sql("GRAFT PURGE c.s.q KEY who IN ('bob', 'o''ha')")
