@@ -198,8 +198,12 @@ object Graph {
 
   /** Unpersist the block-manager storage behind a localCheckpoint'd frame
     * (Dataset.unpersist only covers cache-manager entries, not checkpoint
-    * RDDs). No-op for non-checkpoint plans. */
-  private def freeCheckpoint(df: DataFrame): Unit =
+    * RDDs). No-op for non-checkpoint plans. Public: callers that feed a
+    * checkpointed input into an iterative routine (whose internals
+    * eagerly re-checkpoint everything they keep) should free their input
+    * once the routine returns — in a long-lived session the blocks
+    * otherwise accumulate until the context dies. */
+  def freeCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
       case _ => ()

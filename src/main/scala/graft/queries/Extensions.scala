@@ -1080,8 +1080,16 @@ object Extensions {
     val edges = coPurchaseEdges(spark, sfDir).localCheckpoint()
     val seeds = edges.select(explode(array(col("a"), col("b"))).as("v"))
       .distinct().filter(col("v") % 97 === 0)
-    Graph.bfsDistances(edges, seeds, rounds = 4)
+    // bfsDistances eagerly checkpoints everything it keeps (the
+    // undirected edge frame and each round's frontier), so the edges
+    // checkpoint is dead weight once it returns — free it here. The
+    // RETURNED frame still holds its own final-round checkpoint: Bench
+    // unpersists between queries; long-lived library callers should
+    // unpersist the result when done with it.
+    val out = Graph.bfsDistances(edges, seeds, rounds = 4)
       .select(col("v").as("user_id"), col("dist"))
+    Graph.freeCheckpoint(edges)
+    out
   }
 
   /** Winnowed-fingerprint rollup ([[Dedup.winnowedFingerprints]]): per

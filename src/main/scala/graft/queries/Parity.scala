@@ -984,6 +984,77 @@ object Parity {
       .agg(sum(col("n_late")).cast("long").as("numwait"))
   }
 
+  /** TPC-H Q11 shape (important stock), adapted to the testdata star
+    * (no partsupp — lineitem revenue per part stands in for
+    * supplycost×availqty): per-part value shipped by one nation's
+    * suppliers, kept only where it exceeds a FRACTION OF THE GLOBAL
+    * TOTAL — the group-aggregate-vs-global-scalar-threshold form, the
+    * one classic subquery shape the suite lacked.
+    *
+    * Scale shape: lineitem is scanned ONCE — the grouped frame feeds
+    * both the per-part values and (via its own tiny re-aggregate,
+    * deduped by ReuseExchange) the global threshold, which comes back
+    * as a broadcast single row; suppliers/nation are broadcast dims.
+    * SUMS stay DECIMAL (order-independent, engine-exact); only then do
+    * the single-value threshold multiply and the comparison move to
+    * double — one IEEE op on one exact number is deterministic and
+    * identical across engines, unlike a double SUM whose result depends
+    * on summation order. */
+  def tpchQ11(spark: SparkSession, sfDir: String): DataFrame = {
+    val supp = table(spark, sfDir, "supplier").select("s_suppkey", "s_nationkey")
+      .join(broadcast(table(spark, sfDir, "nation")
+          .filter(col("n_name") === "NATION_7").select("n_nationkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val grouped = table(spark, sfDir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"), dec(col("l_extendedprice")).as("ep"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("ep")).as("value_dec"))
+    val threshold = grouped.agg(
+      (sum(col("value_dec")).cast("double") * lit(0.0001)).as("thr"))
+    grouped.join(broadcast(threshold))
+      .filter(col("value_dec").cast("double") > col("thr"))
+      .select(col("l_partkey"), col("value_dec").cast("double").as("value"))
+  }
+
+  /** TPC-H Q20 shape (excess-stock suppliers), adapted to the testdata
+    * star (no partsupp): suppliers of one nation who, for some part
+    * whose name starts with "red", shipped MORE in 1996 than 5% of that
+    * part's all-time total — the nested semi-join chain (supplier IN
+    * (… part IN (…) … correlated per-part threshold …)) that Q20 is
+    * the canonical example of.
+    *
+    * Scale shape: lineitem scanned ONCE with a conditional aggregate
+    * per (part, supplier) — qty in the window year vs qty overall —
+    * then the per-part total is a second, much smaller rollup of that
+    * grouped frame; the part-name filter broadcasts, the candidate
+    * supplier set semi-joins into the supplier dim. No correlated
+    * re-scan per outer row, which is how the nested-subquery form
+    * must decorrelate to survive 100 TB. */
+  def tpchQ20(spark: SparkSession, sfDir: String): DataFrame = {
+    val redParts = table(spark, sfDir, "part")
+      .filter(col("p_name").startsWith("red")).select("p_partkey")
+    val sp = table(spark, sfDir, "lineitem")
+      .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(
+        sum(when(year(col("l_shipdate")) === 1996, dec(col("l_quantity"))))
+          .as("qty96"),
+        sum(dec(col("l_quantity"))).as("qty_all"))
+    val perPart = sp.groupBy(col("l_partkey"))
+      .agg((sum(col("qty_all")).cast("double") * lit(0.05)).as("part_thr"))
+    val cands = sp.join(perPart, Seq("l_partkey"))
+      .filter(col("qty96").cast("double") > col("part_thr"))
+      .select(col("l_suppkey")).distinct()
+    table(spark, sfDir, "supplier")
+      .join(broadcast(table(spark, sfDir, "nation")
+          .filter(col("n_name") === "NATION_3").select("n_nationkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(cands, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+  }
+
   /** Set operations: union distinct, intersect, except (absent from the
     * reference; introduced by our MERGE rewrite internally — SURVEY §2.6). */
   def setOps(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1282,10 +1353,12 @@ object Parity {
     "tpch_q8" -> tpchQ8 _,
     "tpch_q9" -> tpchQ9 _,
     "tpch_q10" -> tpchQ10 _,
+    "tpch_q11" -> tpchQ11 _,
     "tpch_q12" -> tpchQ12 _,
     "tpch_q14" -> tpchQ14 _,
     "tpch_q15" -> tpchQ15 _,
     "tpch_q19" -> tpchQ19 _,
+    "tpch_q20" -> tpchQ20 _,
     "tpch_q21" -> tpchQ21 _,
     "scalar_suite" -> scalarSuite _,
     "scd2_two_batch" -> scd2TwoBatch _,
@@ -1645,6 +1718,35 @@ object Parity {
                 AND l_quantity BETWEEN 10 AND 25)
             OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
                 AND l_quantity BETWEEN 20 AND 40)""",
+    "tpch_q11" ->
+      """WITH g AS (
+           SELECT l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS value_dec
+           FROM lineitem
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+           WHERE n_name = 'NATION_7'
+           GROUP BY l_partkey)
+         SELECT l_partkey, CAST(value_dec AS DOUBLE) AS value FROM g
+         WHERE CAST(value_dec AS DOUBLE) >
+           (SELECT CAST(SUM(value_dec) AS DOUBLE) * 0.0001 FROM g)""",
+    "tpch_q20" ->
+      """WITH sp AS (
+           SELECT l_partkey, l_suppkey,
+             SUM(CASE WHEN EXTRACT(year FROM l_shipdate) = 1996
+               THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS qty96,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty_all
+           FROM lineitem
+           WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+           GROUP BY l_partkey, l_suppkey),
+         pp AS (
+           SELECT l_partkey, CAST(SUM(qty_all) AS DOUBLE) * 0.05 AS part_thr
+           FROM sp GROUP BY l_partkey)
+         SELECT s_suppkey, s_name
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         WHERE n_name = 'NATION_3' AND s_suppkey IN (
+           SELECT sp.l_suppkey FROM sp JOIN pp ON sp.l_partkey = pp.l_partkey
+           WHERE CAST(sp.qty96 AS DOUBLE) > pp.part_thr)""",
     "tpch_q12" ->
       """SELECT CASE
              WHEN date_diff('day', CAST(o_orderdate AS DATE),

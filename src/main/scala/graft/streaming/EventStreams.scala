@@ -58,9 +58,14 @@ object EventStreams {
     // one encoding — the batch read applies the same legacy-nanos conf and
     // therefore yields exactly the schema the stream will decode with.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Fallback ONLY for the empty/missing-dir start case (Spark raises
+    // AnalysisException for both): a transient IO/corruption failure on a
+    // live directory must propagate at stream start instead of silently
+    // pinning the legacy-nanos schema for the stream's lifetime and
+    // surfacing later as a confusing decode error.
     val schema =
       try spark.read.parquet(dir).schema
-      catch { case _: Throwable => rawSchema } // empty dir at start: fallback
+      catch { case _: org.apache.spark.sql.AnalysisException => rawSchema }
     normalize(spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(dir))
   }

@@ -26,7 +26,8 @@ class QueryPlanAuditSpec extends SparkSpec {
     "x_ann_ivf_trained", // same, trained centroid table (nList rows, broadcast)
     "x_tfidf",          // docs × broadcast corpus-size singleton (idf denominator)
     "x_heavy_hitters",  // recounted candidates × broadcast total-count singleton
-    "x_vocab_encode"    // docs × broadcast one-row top-V vocabulary array
+    "x_vocab_encode",   // docs × broadcast one-row top-V vocabulary array
+    "tpch_q11"          // per-part values × broadcast global-threshold singleton
   )
 
   test("no query plans an unintended cartesian or nested-loop join") {
