@@ -1,0 +1,76 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev tool: weak-scaling fixture generator. Replicates the sf0.1
+  * `events` and `documents` tables `copies`× into an output dir with
+  * DISJOINT key spaces per copy, so the iterative-suite queries
+  * (graph analytics over the co-purchase graph; near-dup clustering
+  * over documents) see a corpus `copies`× the rows whose per-copy
+  * structure matches the original — the honest scaling probe for
+  * operators whose cost depends on graph/cluster structure, not just
+  * row count:
+  *
+  *  - events: `user_id`/`event_id` and the `props.k` product key shift
+  *    by a per-copy offset → `copies` disjoint co-purchase graphs
+  *    (edge count scales linearly; per-copy degree structure exact).
+  *  - documents: `doc_id` shifts; `text` is caesar-rotated by the copy
+  *    index → shingle spaces are disjoint across copies (identical
+  *    text would make every cross-copy pair a near-duplicate and blow
+  *    the pair space up ~copies² instead of ×copies), while intra-copy
+  *    duplicate structure is preserved exactly (rotation is a
+  *    length-preserving bijection on the alphabet). Caveat: rotated
+  *    copies have no real English stopwords, so stopword-ratio gates
+  *    pass slightly MORE docs than the original — the probe errs on
+  *    the heavy side.
+  *
+  * Usage: `sbt "runMain graft.tools.ScaleUp [srcDir] [outDir] [copies]"`.
+  * Output defaults under target/ (gitignored scratch, never touches
+  * the read-only driver testdata).
+  */
+object ScaleUp {
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = if (args.length > 1) args(1) else "/root/repo/target/sfscaled"
+    val copies = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val off = 100000000L // beyond any real id/key in the source tables
+    val ev = graft.queries.Parity.events(spark, src)
+    (0 until copies).map { i =>
+      ev.select(
+        (col("event_id") + lit(i * off)).as("event_id"),
+        col("ts"),
+        (col("user_id") + lit(i * off)).as("user_id"),
+        col("event_type"),
+        col("value"),
+        concat(lit("{\"k\": "),
+          get_json_object(col("props"), "$.k").cast("long") + lit(i * off),
+          lit("}")).as("props"))
+    }.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    (0 until copies).map { i =>
+      val rot = alpha.drop(i % 26) + alpha.take(i % 26)
+      docs.select(
+        (col("doc_id") + lit(i * off)).as("doc_id"),
+        translate(col("text"), alpha, rot).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    println(s"[scaleup] wrote $out (events+documents, ${copies}x $src)")
+    spark.stop()
+  }
+}
