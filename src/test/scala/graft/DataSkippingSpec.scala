@@ -278,6 +278,25 @@ class DataSkippingSpec extends SparkSpec {
     assert(cat.bloomPrunedFiles(spark, "t.bloomv", "v", Seq(1L)).size == 5)
   }
 
+  test("deletion vectors are honored by pruned scans") {
+    val cat = freshCat("dv")
+    cat.overwrite(clustered, "t.dv")
+    cat.analyze(spark, "t.dv", Seq("k"))
+    cat.analyzeBloom(spark, "t.dv", "k", expectedItemsPerFile = 1000)
+    cat.purgeKeys(spark, "t.dv", "k", Seq(150L))
+    // the stats/bloom sidecars still cover the purged key's file (DV is
+    // read-time), but neither pruned read path may return the row
+    assert(cat.scanRange(spark, "t.dv", "k", 100L, 200L)
+      .filter(col("k") === 150L).count() == 0L)
+    assert(cat.scanRange(spark, "t.dv", "k", 100L, 200L).count() == 100L)
+    assert(cat.scanPoints(spark, "t.dv", "k", Seq(150L)).count() == 0L)
+    assert(cat.scanPoints(spark, "t.dv", "k", Seq(151L)).count() == 1L)
+    // physical pass clears the DV; pruned scans unchanged for live keys
+    cat.purgeRewrite(spark, "t.dv")
+    assert(cat.scanPoints(spark, "t.dv", "k", Seq(151L)).count() == 1L)
+    assert(cat.read(spark, "t.dv").filter(col("k") === 150L).count() == 0L)
+  }
+
   test("empty pruning result keeps the schema and returns zero rows") {
     val cat = freshCat("empty")
     cat.overwrite(clustered, "t.empty")
