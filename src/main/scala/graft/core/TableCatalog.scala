@@ -876,7 +876,8 @@ final class TableCatalog(val root: String) extends Serializable {
     * are maintained through the rewrite: carried files keep their rows,
     * rewritten files' rows are dropped and rebuilt for the new files. */
   def optimizeIncremental(spark: SparkSession, name: String,
-      partitions: Option[Int] = None): Int = {
+      partitions: Option[Int] = None,
+      targetFileBytes: Long = 128L << 20): Int = {
     val dir = tableDir(name)
     val prev = Paths.get(currentPath(name))
     readLayout(prev) match {
@@ -885,12 +886,22 @@ final class TableCatalog(val root: String) extends Serializable {
         val all = dataFileNames(prev)
         val unclustered = all.filterNot(l.files)
         if (unclustered.isEmpty) return 0
+        // Default output-file count is SIZE-derived from the batch (like
+        // compact()), not spark.sql.shuffle.partitions: a small appended
+        // batch re-range-partitioned into the session default would
+        // shatter into that many tiny files on every maintenance tick —
+        // the incremental path must fix layout without creating the
+        // small-file problem compaction exists to solve.
+        val batchBytes = unclustered
+          .map(n => Files.size(prev.resolve(n))).sum
+        val parts = partitions.getOrElse(
+          math.max(1, (batchBytes / targetFileBytes).toInt))
         val batch = spark.read.parquet(
           unclustered.map(n => prev.resolve(n).toString): _*)
         val nextV = "v%06d".format(nextVersion(dir))
         val next = dir.resolve(nextV)
         graft.ops.Gold.clusterOnGrid(
-            batch, l.cols, l.bounds, l.bits, partitions, l.curve)
+            batch, l.cols, l.bounds, l.bits, Some(parts), l.curve)
           .write.mode("overwrite").parquet(next.toString)
         val fresh = dataFileNames(next)
         val kept = all.filter(l.files)
