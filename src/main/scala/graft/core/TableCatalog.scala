@@ -790,23 +790,25 @@ final class TableCatalog(val root: String) extends Serializable {
   /** Parsed `_layout` sidecar: which curve/grid the table was clustered
     * with, and which of the version's files are ALREADY in curve order.
     * `files` membership is the incremental-OPTIMIZE work list: a data
-    * file not in it arrived by append and is unclustered. */
+    * file not in it arrived by append and is unclustered. Per-column
+    * grid descriptor: 2 values = uniform [lo, hi]; >2 = explicit
+    * quantile cell boundaries (string columns — see
+    * [[graft.ops.Gold.curveBounds]]). */
   private case class Layout(curve: String, bits: Int, cols: Seq[String],
-      bounds: Seq[(Double, Double)], files: Set[String])
+      bounds: Seq[Seq[Double]], files: Set[String])
 
   /** `_layout` note beside `_stats`: three-section text file (header
-    * `curve|bits|cols`, grid bounds `lo,hi|lo,hi|…`, then one clustered
+    * `curve|bits|cols`, grid `v,v,…|v,v,…`, then one clustered
     * file name per line). Driver-side O(#files) metadata — the same
     * class as the `_stats` manifest; at 10^5 files this is a few MB,
     * the analogue of a Delta checkpoint's file list. */
   private def writeLayout(vDir: Path, curve: String, bits: Int,
-      cols: Seq[String], bounds: Seq[(Double, Double)],
+      cols: Seq[String], bounds: Seq[Seq[Double]],
       files: Seq[String]): Unit = {
     val sb = new StringBuilder
     sb.append(curve).append('|').append(bits).append('|')
       .append(cols.mkString(",")).append('\n')
-    sb.append(bounds.map { case (lo, hi) => s"$lo,$hi" }.mkString("|"))
-      .append('\n')
+    sb.append(bounds.map(_.mkString(",")).mkString("|")).append('\n')
     files.foreach(f => sb.append(f).append('\n'))
     Files.writeString(vDir.resolve("_layout"), sb.toString)
   }
@@ -817,10 +819,8 @@ final class TableCatalog(val root: String) extends Serializable {
     val lines = Files.readAllLines(p)
     if (lines.size < 2) return None
     val Array(curve, bits, cols) = lines.get(0).split('|')
-    val bounds = lines.get(1).split('|').toSeq.map { s =>
-      val Array(lo, hi) = s.split(',')
-      (lo.toDouble, hi.toDouble)
-    }
+    val bounds = lines.get(1).split('|').toSeq.map(
+      _.split(',').toSeq.map(_.toDouble))
     import scala.jdk.CollectionConverters._
     Some(Layout(curve, bits.toInt, cols.split(',').toSeq, bounds,
       lines.asScala.drop(2).filter(_.nonEmpty).toSet))
@@ -842,7 +842,7 @@ final class TableCatalog(val root: String) extends Serializable {
       curve: String = "hilbert", bits: Int = 16,
       partitions: Option[Int] = None): Unit = {
     val df = read(spark, name)
-    graft.ops.Gold.curveBounds(df, cols) match {
+    graft.ops.Gold.curveBounds(df, cols, bits) match {
       case None =>
         // no quantizable range (all-null dimension): plain lexicographic
         // clustering, no grid to record — incremental re-cluster is

@@ -95,35 +95,84 @@ object Gold {
       partitions: Option[Int]): DataFrame =
     curveBy(df, cols, bits, partitions, "hilbert")
 
-  /** Per-column [min, max] of `cols` cast to double — the quantization
-    * grid curve clustering buckets into. One tiny aggregate (bounded
-    * driver metadata — the same class of collect as `approxQuantile`);
-    * `None` when some column has no non-null values (no range to
-    * quantize). Persisted by the catalog's `_layout` sidecar so an
-    * incremental OPTIMIZE re-buckets appended rows into the SAME grid
-    * the original layout used. */
-  def curveBounds(df: DataFrame, cols: Seq[String]): Option[Seq[(Double, Double)]] = {
+  /** Numeric ordering proxy for a clustering column. Numerics (and
+    * timestamps/dates) cast to double directly. STRING columns — Delta's
+    * ZORDER takes them, and the reference's own cluster key
+    * (`company_number`, `s2g.py:98-101`) is one — map through their
+    * 7-byte UTF-8 prefix read as a base-16 integer: order-preserving
+    * (UTF-8 byte order = code-point order, and the big-endian prefix
+    * value is monotone in the string), always positive (7 bytes = 56
+    * bits), and depending only on the column's VALUE and declared type,
+    * so an incremental re-cluster derives the identical proxy without
+    * anything extra persisted in the `_layout` grid. Strings sharing a
+    * 7-byte prefix land in one cell — the same collision a range
+    * partitioner has at any fixed prefix depth; fine for keys, ids, and
+    * codes (the use case), not for long common-prefix URLs (pre-strip
+    * the scheme). */
+  private def curveProxy(df: DataFrame, c: String): Column =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        conv(hex(substring(col(c).cast("binary"), 1, 7)), 16, 10).cast("double")
+      case _ => col(c).cast("double")
+    }
+
+  /** Per-column quantization grid for curve clustering, as a boundary
+    * descriptor per column:
+    *  - length 2 `[lo, hi]` — UNIFORM cells over the proxy range
+    *    (numeric/timestamp columns, where uniform-width cells are cheap
+    *    and usually fine);
+    *  - length > 2 — explicit QUANTILE cell boundaries (string columns:
+    *    their prefix proxies are wildly non-uniform — digit ids with a
+    *    shared prefix collapse into a handful of uniform cells — so the
+    *    grid comes from `approxQuantile` over the proxy, Delta's
+    *    range-id approach, giving every cell ~equal population whatever
+    *    the value distribution).
+    * One tiny aggregate + one approximate-quantile pass (bounded driver
+    * metadata); `None` when some column has no non-null values.
+    * Persisted by the catalog's `_layout` sidecar so an incremental
+    * OPTIMIZE re-buckets appended rows into the SAME grid the original
+    * layout used. */
+  def curveBounds(df: DataFrame, cols: Seq[String],
+      bits: Int): Option[Seq[Seq[Double]]] = {
     val aggs = cols.flatMap(c =>
-      Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
+      Seq(min(curveProxy(df, c)), max(curveProxy(df, c))))
     val mm = df.agg(aggs.head, aggs.tail: _*).head()
-    if (cols.indices.exists(i => mm.isNullAt(2 * i))) None
-    else Some(cols.indices.map(i => (mm.getDouble(2 * i), mm.getDouble(2 * i + 1))))
+    if (cols.indices.exists(i => mm.isNullAt(2 * i))) return None
+    val b = math.min(bits, 62 / cols.size)
+    Some(cols.zipWithIndex.map { case (c, i) =>
+      df.schema(c).dataType match {
+        case org.apache.spark.sql.types.StringType =>
+          // cap the boundary list: 2^b can be thousands, but ~128
+          // population-balanced cells already give file-level pruning,
+          // and the list must stay cheap driver metadata in `_layout`
+          val nb = math.min((1 << b) - 1, 127)
+          val probed = df.select(curveProxy(df, c).as("_p"))
+            .stat.approxQuantile("_p",
+              (1 to nb).map(_.toDouble / (nb + 1)).toArray, 0.001)
+          val bs = probed.toSeq.distinct.sorted
+          // degenerate spread (≤1 distinct boundary) → uniform fallback
+          if (bs.size < 2) Seq(mm.getDouble(2 * i), mm.getDouble(2 * i + 1))
+          else bs
+        case _ => Seq(mm.getDouble(2 * i), mm.getDouble(2 * i + 1))
+      }
+    })
   }
 
   /** Curve-cluster `df` on a FIXED quantization grid: bucket each column
-    * into `2^b` uniform cells over the GIVEN bounds
-    * (`b = min(bits, ⌊62/n⌋)` so the packed curve index always fits one
-    * non-negative long), map the cell tuple to the named curve's index,
-    * then range-partition + sort on it. Values outside the grid clamp to
-    * the edge cells (the `least`/`greatest` guard), so re-clustering an
-    * appended batch against the ORIGINAL table's grid is safe — new
-    * out-of-range keys just land in the boundary cells.
+    * into cells per its boundary descriptor (uniform `[lo, hi]` split
+    * into `2^b` cells, `b = min(bits, ⌊62/n⌋)`, so the packed curve
+    * index always fits one non-negative long; or explicit quantile
+    * boundaries — cell = count of boundaries ≤ proxy), map the cell
+    * tuple to the named curve's index, then range-partition + sort on
+    * it. Values outside the grid clamp to the edge cells, so
+    * re-clustering an appended batch against the ORIGINAL table's grid
+    * is safe — new out-of-range keys just land in the boundary cells.
     *
     * Nulls go to cell 0 (nulls-first). Uniform cells are skew-sensitive
     * in the extreme; heavy-tailed layouts should pre-transform (e.g.
-    * log) the column. */
+    * log) the column or rely on the quantile path. */
   def clusterOnGrid(df: DataFrame, cols: Seq[String],
-      bounds: Seq[(Double, Double)], bits: Int, partitions: Option[Int],
+      bounds: Seq[Seq[Double]], bits: Int, partitions: Option[Int],
       curve: String): DataFrame = {
     require(cols.size >= 2 && cols.size <= 8,
       s"curve clustering takes 2..8 columns, got ${cols.size}")
@@ -138,16 +187,24 @@ object Gold {
     }
     val b = math.min(bits, 62 / cols.size)
     val n = 1 << b
-    def cell(c: String, lo: Double, hi: Double): Column =
-      if (hi > lo)
+    def cell(c: String, bs: Seq[Double]): Column = bs match {
+      case Seq(lo, hi) if hi > lo =>
         // nanvl: a stray NaN must land in a cell (ANSI cast would throw),
         // and coalesce sends nulls to cell 0 (nulls-first).
         coalesce(least(lit(n - 1), greatest(lit(0),
-          floor(nanvl((col(c).cast("double") - lit(lo)) / lit(hi - lo), lit(0.0)) * lit(n))
+          floor(nanvl((curveProxy(df, c) - lit(lo)) / lit(hi - lo), lit(0.0)) * lit(n))
             .cast("int")))
           .cast("int"), lit(0))
-      else lit(0)
-    val z = curveFn(cols.zip(bounds).map { case (c, (lo, hi)) => cell(c, lo, hi) })
+      case Seq(_, _) | Seq(_) => lit(0) // degenerate range: single cell
+      case qs =>
+        // quantile boundaries: cell = #(boundaries ≤ proxy) — an O(k)
+        // codegen'd lambda over a literal array (k ≤ 127); nulls give a
+        // null-predicate filter → size 0 → cell 0 (nulls-first)
+        val p = curveProxy(df, c)
+        least(lit(n - 1),
+          size(filter(array(qs.map(lit): _*), q => q <= p))).cast("int")
+    }
+    val z = curveFn(cols.zip(bounds).map { case (c, bs) => cell(c, bs) })
     val withZ = df.withColumn("_graft_z", z)
     val rep = partitions match {
       case Some(p) => withZ.repartitionByRange(p, col("_graft_z"))
@@ -161,7 +218,7 @@ object Gold {
     * when some dimension is all-null. */
   private def curveBy(df: DataFrame, cols: Seq[String], bits: Int,
       partitions: Option[Int], curve: String): DataFrame =
-    curveBounds(df, cols) match {
+    curveBounds(df, cols, bits) match {
       case Some(b) => clusterOnGrid(df, cols, b, bits, partitions, curve)
       case None    => clusterBy(df, cols, partitions)
     }

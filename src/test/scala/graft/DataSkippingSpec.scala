@@ -149,6 +149,31 @@ class DataSkippingSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("string column participates in curve clustering via the prefix proxy") {
+    // Delta's ZORDER takes string columns (the reference's own cluster
+    // key is one); the 7-byte-prefix proxy must give the same both-dims
+    // pruning a numeric column gets. Keys "k0000".."k0127" spread
+    // lexicographically; stats min/max on strings compare correctly.
+    val nf = 16
+    val grid = spark.range(0, 1 << 14).select(
+      format_string("k%04d", col("id") % 128).as("skey"),
+      (col("id") / 128).as("y"))
+    val cat = freshCat("strz")
+    cat.overwrite(graft.ops.Gold.hilbertBy(grid, Seq("skey", "y"),
+      bits = 7, partitions = Some(nf)), "t.strz")
+    cat.analyze(spark, "t.strz", Seq("skey", "y"))
+    val pS = cat.prunedFiles(spark, "t.strz", "skey", "k0000", "k0007").size
+    val pY = cat.prunedFiles(spark, "t.strz", "y", 0L, 7L).size
+    assert(pS <= nf / 2, s"string dim should prune, got $pS/$nf")
+    assert(pY <= nf / 2, s"numeric dim should prune, got $pY/$nf")
+    // pruning never changes answers
+    val a = cat.scanRange(spark, "t.strz", "skey", "k0000", "k0007")
+      .agg(count(lit(1)), sum(col("y"))).head()
+    val b = grid.filter(col("skey").between("k0000", "k0007"))
+      .agg(count(lit(1)), sum(col("y"))).head()
+    assert(a == b)
+  }
+
   test("incremental OPTIMIZE reclusters only appended files and restores skipping") {
     val nf = 16
     val grid = spark.range(0, 1 << 14).select(
