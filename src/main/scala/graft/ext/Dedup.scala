@@ -143,6 +143,43 @@ object Dedup {
       .agg(count(lit(1)).as("inter"))
   }
 
+  /** Exact duplicated-SPAN coverage — the substring view of training-data
+    * dedup (cf. suffix-array substring dedup, Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): slide a `k`-char window
+    * at fixed `stride` over each document, mark every window whose exact
+    * text also occurs in a DIFFERENT document, and report per-doc how much
+    * of the text sits in cross-document duplicated spans. A dup_ratio near
+    * 1.0 flags a doc that is substantially copied even when no whole-doc or
+    * shingle-set signal fires (long verbatim quotes inside otherwise-unique
+    * wrappers — the case doc-level MinHash misses by design).
+    *
+    * This is the distributed stand-in for a suffix array: a suffix array
+    * finds maximal repeats exactly but needs the corpus in one address
+    * space; strided fixed-k windows find any repeat of length ≥ k+stride-1
+    * with per-window exactness, using only keyed shuffles. Plan shape:
+    * generate → one groupBy(gram) for the shared mark (partial agg
+    * map-side; count_distinct over doc_id truncated at 2 by the >= 2
+    * predicate after partial dedup) → one equi-join back → per-doc rollup.
+    * At 100 TB the join/group key becomes xxhash64(gram) (64-bit collisions
+    * only over-mark astronomically few spans) and template-hot grams get a
+    * df cap like [[jaccardPairsCapped]]; the text key is kept here for
+    * exact oracle parity. */
+  def spanCoverage(docs: DataFrame, k: Int = 40, stride: Int = 10): DataFrame = {
+    val grams = docs.filter(length(col("text")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, cast((length(text) - $k) div $stride as int))," +
+          s" i -> substring(text, i * $stride + 1, $k))")).as("gram"))
+    val marks = grams.groupBy("gram")
+      .agg((count_distinct(col("doc_id")) >= 2).as("is_shared"))
+    grams.join(marks, Seq("gram"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("is_shared"), 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("dup_ratio",
+        col("n_shared").cast("double") / col("n_spans").cast("double"))
+  }
+
   /** Cross-document LINE-level dedup (CCNet-style): drop every
     * "line" (non-overlapping `w`-word chunk, [[TextKit.wordChunks]]) whose
     * document frequency exceeds `maxDf` — repeated lines are boilerplate

@@ -585,6 +585,13 @@ object Extensions {
   def lineDedup(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.lineLevelDedup(docs(spark, sfDir), w = 8, maxDf = 4)
 
+  /** Exact duplicated-span coverage ([[Dedup.spanCoverage]]): per doc,
+    * which fraction of its 40-char strided windows occur verbatim in some
+    * other document — the substring-level dedup signal that catches long
+    * verbatim quotes doc-level MinHash misses. */
+  def spanCoverageQ(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.spanCoverage(docs(spark, sfDir), k = 40, stride = 10)
+
   /** Deterministic per-source token-budget mixture
     * ([[Mixture.tokenBudgetMix]]): each source contributes docs in
     * hash-priority order until 600 tokens — the reproducible "corpus
@@ -1323,6 +1330,7 @@ object Extensions {
     "d_dup_clusters" -> dupClusters _,
     "d_incremental" -> incrementalDedup _,
     "d_line_dedup" -> lineDedup _,
+    "d_span_coverage" -> spanCoverageQ _,
     "d_semantic_keep" -> semanticKeep _,
     "x_token_budget_mix" -> tokenBudgetMix _,
     "x_label_cohesion" -> labelCohesion _,
@@ -2052,6 +2060,23 @@ object Extensions {
             coalesce(string_agg(line, ' ' ORDER BY pos) FILTER (kept), '')
               AS clean_text
           FROM j GROUP BY doc_id""",
+    "d_span_coverage" ->
+      """WITH grams AS (
+           SELECT doc_id, substr(text, (g - 1) * 10 + 1, 40) AS gram
+           FROM documents,
+             unnest(generate_series(1, (length(text) - 40) // 10 + 1)) AS t(g)
+           WHERE length(text) >= 40),
+         marks AS (
+           SELECT gram, count(DISTINCT doc_id) >= 2 AS is_shared
+           FROM grams GROUP BY gram)
+         SELECT g.doc_id,
+           count(*) AS n_spans,
+           CAST(SUM(CASE WHEN m.is_shared THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared,
+           CAST(SUM(CASE WHEN m.is_shared THEN 1 ELSE 0 END) AS DOUBLE) /
+             CAST(count(*) AS DOUBLE) AS dup_ratio
+         FROM grams g JOIN marks m USING (gram)
+         GROUP BY g.doc_id""",
     "d_semantic_keep" ->
       s"""WITH RECURSIVE $normCte,
           p AS (

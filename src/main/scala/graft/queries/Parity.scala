@@ -93,6 +93,28 @@ object Parity {
     spark.read.schema(schema).json(dir)
   }
 
+  /** S19 — XML scan (extension; Spark 4 ships the former spark-xml as a
+    * built-in source): round-trip `supplier` through element-per-row XML
+    * and read back with an explicit schema + rowTag — the remaining
+    * text-format sibling of S1 JSON / S2 CSV. Explicit schema matters
+    * doubly for XML: inference requires a full extra pass AND infers
+    * everything as string; a predefined StructType gets typed columns in
+    * one scan. Like all row-format scans this splits by file, not by
+    * block — at 100 TB the ingest writer must emit many files (the
+    * fixture write inherits the source's parallelism here). */
+  def s19XmlScan(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = tmp("s19", sfDir)
+    setupOnce("s19", sfDir) {
+      table(spark, sfDir, "supplier")
+        .select("s_suppkey", "s_name", "s_nationkey")
+        .write.mode("overwrite").option("rowTag", "supplier").xml(dir)
+    }
+    val schema = StructType(Seq(
+      StructField("s_suppkey", LongType), StructField("s_name", StringType),
+      StructField("s_nationkey", IntegerType)))
+    spark.read.schema(schema).option("rowTag", "supplier").xml(dir)
+  }
+
   // ---------------------------------------------------------------- S2
   /** S2 — CSV scan: explicit schema, header, PERMISSIVE
     * (`ds2b_yfinance.py:54-60`). */
@@ -1055,6 +1077,36 @@ object Parity {
       .select(col("s_suppkey"), col("s_name"))
   }
 
+  /** TPC-H Q16 shape (supplier diversity per part attribute), adapted to
+    * the testdata star (no partsupp; lineitem stands in as the
+    * part↔supplier relation, and the "Customer Complaints" comment filter
+    * becomes negative account balance — supplier has no comment column):
+    * for parts of selected brands/types/sizes, how many DISTINCT
+    * suppliers ship them, excluding suppliers in bad standing. The
+    * classic NOT-IN-subquery + COUNT(DISTINCT) rollup — the one TPC-H
+    * form with no prior analog in this suite.
+    *
+    * Scale shape: the excluded-supplier set is dimension-sized →
+    * broadcast LEFT ANTI (l_suppkey is non-nullable, so NOT IN ≡ anti
+    * join without the three-valued-logic trap that sq_not_in_null
+    * exercises); the part attribute filter prunes before the fact join
+    * and broadcasts. The distinct count shuffles once on the grouping
+    * attrs with partial dedup map-side — no second exchange. */
+  def tpchQ16(spark: SparkSession, sfDir: String): DataFrame = {
+    val badSupp = table(spark, sfDir, "supplier")
+      .filter(col("s_acctbal") < 0).select("s_suppkey")
+    val parts = table(spark, sfDir, "part")
+      .filter(col("p_brand") =!= "Brand#1" &&
+        !col("p_type").startsWith("PROMO") &&
+        col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    table(spark, sfDir, "lineitem").select("l_partkey", "l_suppkey")
+      .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
   /** Set operations: union distinct, intersect, except (absent from the
     * reference; introduced by our MERGE rewrite internally — SURVEY §2.6). */
   def setOps(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1302,6 +1354,7 @@ object Parity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_json_scan" -> s1JsonScan _,
     "s2_csv_scan" -> s2CsvScan _,
+    "s19_xml_scan" -> s19XmlScan _,
     "s3_file_identity" -> s3FileIdentity _,
     "s15_text_lines" -> s15TextLines _,
     "s18_bloom_point" -> s18BloomPoint _,
@@ -1358,6 +1411,7 @@ object Parity {
     "tpch_q14" -> tpchQ14 _,
     "tpch_q15" -> tpchQ15 _,
     "tpch_q19" -> tpchQ19 _,
+    "tpch_q16" -> tpchQ16 _,
     "tpch_q20" -> tpchQ20 _,
     "tpch_q21" -> tpchQ21 _,
     "scalar_suite" -> scalarSuite _,
@@ -1374,6 +1428,8 @@ object Parity {
       "SELECT r_regionkey, r_name FROM region",
     "s2_csv_scan" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    "s19_xml_scan" ->
+      "SELECT s_suppkey, s_name, s_nationkey FROM supplier",
     "s3_file_identity" ->
       "SELECT 'lineitem' AS src_table, count(*) AS n FROM lineitem",
     "s15_text_lines" ->
@@ -1730,6 +1786,16 @@ object Parity {
          SELECT l_partkey, CAST(value_dec AS DOUBLE) AS value FROM g
          WHERE CAST(value_dec AS DOUBLE) >
            (SELECT CAST(SUM(value_dec) AS DOUBLE) * 0.0001 FROM g)""",
+    "tpch_q16" ->
+      """SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+         FROM lineitem JOIN part ON p_partkey = l_partkey
+         WHERE p_brand <> 'Brand#1'
+           AND p_type NOT LIKE 'PROMO%'
+           AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+           AND l_suppkey NOT IN
+             (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         GROUP BY p_brand, p_type, p_size""",
     "tpch_q20" ->
       """WITH sp AS (
            SELECT l_partkey, l_suppkey,
