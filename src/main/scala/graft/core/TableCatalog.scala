@@ -167,14 +167,159 @@ final class TableCatalog(val root: String) extends Serializable {
       spark.read.parquet(tableDir(name).resolve(version).toString), name)
   }
 
+  // --------------------------------------------- CHECK constraints
+  private def constraintsFile(name: String): Path =
+    tableDir(name).resolve("_constraints")
+
+  /** Declared write-time constraints: (name, kind, sqlExpr) with kind
+    * CHECK (a violating batch is rejected whole) or EXPECT_DROP
+    * (violating rows are dropped and counted — DLT's `expect_or_drop`).
+    * Table-level like `_tombstones`: constraints govern the table across
+    * versions, not one snapshot. SQL-NULL semantics match standard CHECK:
+    * a row violates only when the expression evaluates to FALSE — an
+    * expression that comes out NULL passes. */
+  def constraints(name: String): Seq[(String, String, String)] = {
+    val p = constraintsFile(name)
+    if (!Files.isRegularFile(p)) Nil
+    else {
+      import scala.jdk.CollectionConverters._
+      Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty).map { l =>
+        val a = l.split("\t", 3); (a(0), a(1), a(2))
+      }
+    }
+  }
+
+  /** Add a CHECK constraint. Existing data must already satisfy it
+    * (Delta `ALTER TABLE ADD CONSTRAINT` semantics) — one scan with a
+    * limit-1 violation probe, so the common all-good case still reads
+    * every file but ships one row at most to the driver. */
+  def addCheck(spark: SparkSession, name: String, cname: String,
+      sqlExpr: String): Unit = {
+    spark.sessionState.sqlParser.parseExpression(sqlExpr) // syntax gate
+    require(!constraints(name).exists(_._1 == cname),
+      s"constraint $cname already exists on $name")
+    if (exists(name)) {
+      val bad = read(spark, name).filter(violationPredicate(sqlExpr)).limit(1).count()
+      require(bad == 0,
+        s"cannot add CHECK $cname to $name: existing rows violate ($sqlExpr)")
+    }
+    appendConstraintLine(name, cname, "CHECK", sqlExpr)
+  }
+
+  /** Add an expectation with drop-on-violation (new batches only —
+    * existing rows are not re-judged, matching DLT expectations). */
+  def addExpectDrop(spark: SparkSession, name: String, cname: String,
+      sqlExpr: String): Unit = {
+    spark.sessionState.sqlParser.parseExpression(sqlExpr)
+    require(!constraints(name).exists(_._1 == cname),
+      s"constraint $cname already exists on $name")
+    appendConstraintLine(name, cname, "EXPECT_DROP", sqlExpr)
+  }
+
+  def dropConstraint(name: String, cname: String): Unit = {
+    val keep = constraints(name).filterNot(_._1 == cname)
+    if (keep.isEmpty) Files.deleteIfExists(constraintsFile(name))
+    else Files.writeString(constraintsFile(name),
+      keep.map { case (n, k, e) => s"$n\t$k\t$e" }.mkString("", "\n", "\n"))
+  }
+
+  private def appendConstraintLine(name: String, cname: String, kind: String,
+      sqlExpr: String): Unit = {
+    require(!cname.contains("\t") && !sqlExpr.contains("\t") &&
+      !sqlExpr.contains("\n"), "constraint name/expr must not contain tab/newline")
+    Files.createDirectories(tableDir(name))
+    Files.writeString(constraintsFile(name), s"$cname\t$kind\t$sqlExpr\n",
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+  }
+
+  /** Violation = expression is definitively FALSE (null passes, as in
+    * SQL CHECK). */
+  private def violationPredicate(sqlExpr: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    expr(sqlExpr) <=> lit(false)
+  }
+
+  /** In-flight enforcement state: the Observation resolves after the
+    * staged write's action completes, the audit rows describe per-
+    * constraint violation counts. */
+  private case class ConstraintGuard(obs: org.apache.spark.sql.Observation,
+    checks: Seq[(String, String)], drops: Seq[(String, String)])
+
+  /** Wrap a batch with write-time constraint enforcement — at ZERO extra
+    * scans. CHECK violations are counted through `observe` metrics that
+    * piggyback on the staged write itself; EXPECT_DROP rows are filtered
+    * out (the observe node sits below the filter, so drop counts see the
+    * pre-filter rows). The verdict is then read in [[enforceConstraints]]
+    * AFTER the staged version is fully written but BEFORE the `_CURRENT`
+    * pointer swap: a rejected batch deletes its staged directory and the
+    * table is untouched — the versioned-pointer protocol is what makes
+    * validate-after-write safe, where an in-place writer would need a
+    * full pre-pass over the batch instead. */
+  private def guardConstraints(df: DataFrame, name: String)
+      : (DataFrame, Option[ConstraintGuard]) = {
+    val cons = constraints(name)
+    if (cons.isEmpty) return (df, None)
+    import org.apache.spark.sql.functions._
+    val checks = cons.collect { case (n, "CHECK", e) => (n, e) }
+    val drops = cons.collect { case (n, "EXPECT_DROP", e) => (n, e) }
+    val metrics = (checks ++ drops).map { case (n, e) =>
+      sum(when(violationPredicate(e), 1L).otherwise(0L)).as(n)
+    }
+    val obs = new org.apache.spark.sql.Observation(s"graft_constraints_$name")
+    val observed = df.observe(obs, metrics.head, metrics.tail: _*)
+    val guarded = drops.foldLeft(observed) { case (d, (_, e)) =>
+      d.filter(!violationPredicate(e))
+    }
+    (guarded, Some(ConstraintGuard(obs, checks, drops)))
+  }
+
+  /** Resolve the constraint verdict for a fully-written staged version:
+    * throw (and delete the staged dir) on any CHECK violation, else
+    * record EXPECT_DROP counts as a `_audit` sidecar in the version dir
+    * (one line per constraint: name, dropped count) — the per-version
+    * quality ledger a curation pipeline reads back. */
+  private def enforceConstraints(guard: Option[ConstraintGuard],
+      name: String, staged: Path): Unit = guard.foreach { g =>
+    val m = g.obs.get
+    def cnt(n: String): Long =
+      Option(m.getOrElse(n, 0L)).map(_.asInstanceOf[Number].longValue).getOrElse(0L)
+    val violated = g.checks.map { case (n, e) => (n, e, cnt(n)) }.filter(_._3 > 0)
+    if (violated.nonEmpty) {
+      deleteRecursively(staged)
+      throw new IllegalStateException(
+        s"write to $name rejected by CHECK constraint(s): " +
+          violated.map { case (n, e, c) => s"$n ($e): $c row(s)" }.mkString("; "))
+    }
+    if (g.drops.nonEmpty)
+      Files.writeString(staged.resolve("_audit"),
+        g.drops.map { case (n, _) => s"$n\t${cnt(n)}" }.mkString("", "\n", "\n"))
+  }
+
+  /** Per-version expectation audit: (constraint, dropped row count) for
+    * the CURRENT version, empty if the table has no drop expectations
+    * or the version predates them. */
+  def audit(name: String): Seq[(String, Long)] = {
+    val p = Paths.get(currentPath(name)).resolve("_audit")
+    if (!Files.isRegularFile(p)) Nil
+    else {
+      import scala.jdk.CollectionConverters._
+      Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty).map { l =>
+        val a = l.split("\t", 2); (a(0), a(1).toLong)
+      }
+    }
+  }
+
   /** Write `df` as the next version of `name` and atomically repoint. */
   def overwrite(df: DataFrame, name: String, partitionBy: Seq[String] = Nil): Unit = {
     val dir = tableDir(name)
     Files.createDirectories(dir)
+    val (guarded, guard) = guardConstraints(df, name)
     val nextV = "v%06d".format(nextVersion(dir))
-    val w = df.write.mode("overwrite")
+    val w = guarded.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(dir.resolve(nextV).toString)
+    enforceConstraints(guard, name, dir.resolve(nextV))
     repoint(dir, name, nextV)
   }
 
@@ -220,9 +365,14 @@ final class TableCatalog(val root: String) extends Serializable {
       overwrite(cur.unionByName(df, allowMissingColumns = true), name)
     } else {
       val dir = tableDir(name)
+      val (guarded, guard) = guardConstraints(df, name)
       val nextV = "v%06d".format(nextVersion(dir))
       val next = dir.resolve(nextV)
-      df.write.mode("overwrite").parquet(next.toString)
+      guarded.write.mode("overwrite").parquet(next.toString)
+      // Constraint verdict BEFORE hardlink carry: a rejected batch
+      // deletes only its own staged files, and the audit sidecar lands
+      // next to the batch it describes.
+      enforceConstraints(guard, name, next)
       // Capture the fresh batch's file paths BEFORE hardlinking carries
       // the old files in: incremental stats below must scan exactly the
       // new batch (O(batch)), and a lazy directory read resolved later
@@ -344,7 +494,10 @@ final class TableCatalog(val root: String) extends Serializable {
     val prev = Paths.get(currentPath(name))
     val nextV = "v%06d".format(nextVersion(dir))
     val next = dir.resolve(nextV)
-    df.write.mode("overwrite").partitionBy(partCol).parquet(next.toString)
+    val (guarded, guard) = guardConstraints(df, name)
+    guarded.write.mode("overwrite").partitionBy(partCol).parquet(next.toString)
+    // verdict before the untouched-partition carry, same as append
+    enforceConstraints(guard, name, next)
     val touchedDirs = touched.map(v => s"$partCol=$v").toSet
     // hardlink untouched partition dirs (and root-level files like _SUCCESS
     // are left to the new write) from the previous version
@@ -598,6 +751,11 @@ final class TableCatalog(val root: String) extends Serializable {
     val srcTombstones = tableDir(source).resolve("_tombstones")
     if (Files.isRegularFile(srcTombstones))
       Files.copy(srcTombstones, dir.resolve("_tombstones"))
+    // constraints are table properties: a clone inherits them (Delta
+    // CLONE semantics), so writes to the clone stay governed
+    val srcConstraints = constraintsFile(source)
+    if (Files.isRegularFile(srcConstraints))
+      Files.copy(srcConstraints, constraintsFile(target))
     repoint(dir, target, "v%06d".format(1))
   }
 
@@ -827,6 +985,41 @@ final class TableCatalog(val root: String) extends Serializable {
   }
 
   /** Data file NAMES of a (flat) version directory. */
+  /** One scheduled-maintenance pass — the nightly job a lakehouse runs
+    * per table (Databricks "predictive optimization" class), bundling
+    * the three upkeep operations in dependency order with cheap
+    * trigger checks so drift-free tables cost one directory listing:
+    *  1. incremental OPTIMIZE — folds appended files into the curve
+    *     layout, O(appended batch), no-op without a `_layout`;
+    *  2. small-file compaction — ONLY when the version holds more than
+    *     `maxSmallFiles` data files AND their mean size is under half
+    *     `targetFileBytes` (an append-heavy table accretes exactly this
+    *     shape; a well-laid-out table must not pay an O(table) rewrite
+    *     per tick);
+    *  3. version-retention vacuum to `keepVersions`.
+    * Returns an (action, detail) audit row per step, skips included, so
+    * a scheduler's log shows WHY nothing was rewritten. */
+  def maintain(spark: SparkSession, name: String,
+      targetFileBytes: Long = 128L << 20, maxSmallFiles: Int = 32,
+      keepVersions: Int = 2): Seq[(String, String)] = {
+    val out = Seq.newBuilder[(String, String)]
+    val reclustered = optimizeIncremental(spark, name,
+      targetFileBytes = targetFileBytes)
+    out += (("optimize", if (reclustered > 0) s"reclustered_files=$reclustered"
+      else "skipped: layout tight or no curve layout"))
+    val cur = Paths.get(currentPath(name))
+    val files = dataFileNames(cur)
+    val bytes = files.map(n => Files.size(cur.resolve(n))).sum
+    if (files.size > maxSmallFiles && bytes / files.size < targetFileBytes / 2) {
+      compact(spark, name, targetFileBytes)
+      out += (("compact",
+        s"files=${files.size} -> ${dataFileNames(Paths.get(currentPath(name))).size}"))
+    } else out += (("compact", s"skipped: ${files.size} file(s)"))
+    val deleted = vacuum(name, keepVersions)
+    out += (("vacuum", s"deleted=${deleted.size} version(s)"))
+    out.result()
+  }
+
   private def dataFileNames(vDir: Path): Seq[String] =
     Option(vDir.toFile.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))

@@ -105,6 +105,39 @@ object Analytics {
       .drop("n", "s1x", "s2x", "mean")
   }
 
+  /** Exact-deterministic per-group OLS fit (y on x) + r² from DECIMAL
+    * moment sums — the statistical-aggregate class (corr/covar/regr_*)
+    * done so the result hashes identically across engines: the five
+    * moment sums are exact decimals (order-independent), cast to double
+    * ONCE, and slope/intercept/r² are then a fixed scalar IEEE
+    * expression tree (a double-summed covariance is execution-order-
+    * dependent; this is not). r² avoids sqrt by squaring the numerator.
+    * Scale shape: one keyed hash aggregate — moment sums are the classic
+    * mergeable partial state, so map-side combine does the heavy
+    * lifting and the shuffle carries six numbers per group. */
+  def olsFit(df: DataFrame, group: String, x: String, y: String): DataFrame = {
+    val xd = col(x).cast("decimal(18,2)")
+    val yd = col(y).cast("decimal(18,2)")
+    val m = df.groupBy(group).agg(
+      count(lit(1)).cast(DoubleType).as("n"),
+      sum(xd).cast(DoubleType).as("sx"),
+      sum(yd).cast(DoubleType).as("sy"),
+      sum(xd * xd).cast(DoubleType).as("sxx"),
+      sum(yd * yd).cast(DoubleType).as("syy"),
+      sum(xd * yd).cast(DoubleType).as("sxy"))
+    m.withColumn("slope",
+        (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")))
+      .withColumn("intercept",
+        (col("sy") - col("slope") * col("sx")) / col("n"))
+      .withColumn("r2",
+        ((col("n") * col("sxy") - col("sx") * col("sy")) *
+          (col("n") * col("sxy") - col("sx") * col("sy"))) /
+          ((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy"))))
+      .select(col(group), col("slope"), col("intercept"), col("r2"))
+  }
+
   /** Recency-weighted per-key value aggregate — the feature-engineering
     * staple (recent behavior counts more). Weight = 1/(1 + whole days
     * before the key's latest event): an exact-rational decay whose IEEE

@@ -30,6 +30,12 @@ import org.apache.spark.sql.types.{BooleanType, LongType, StringType, StructType
   *   GRAFT OPTIMIZE <t> HILBERT BY (a, b)     -- full curve recluster + layout note
   *   GRAFT OPTIMIZE <t> ZORDER BY (a, b)      -- (same, Morton curve)
   *   GRAFT OPTIMIZE <t>                       -- incremental: recluster appended files only
+  *   GRAFT ALTER TABLE t ADD CHECK n (expr)   -- write-time CHECK (batch rejected on violation)
+  *   GRAFT ALTER TABLE t ADD EXPECT n (expr) OR DROP  -- drop+count violating rows
+  *   GRAFT ALTER TABLE t DROP CONSTRAINT n    -- remove a constraint
+  *   GRAFT CONSTRAINTS t                      -- list declared constraints
+  *   GRAFT AUDIT t                            -- current version's dropped-row ledger
+  *   GRAFT MAINTAIN t                         -- one maintenance pass: incr-OPTIMIZE + conditional compact + vacuum
   * }}}
   *
   * The grammar is a prefix dispatch: statements starting with the GRAFT
@@ -78,6 +84,20 @@ object GraftSql {
     """(?is)\s*GRAFT\s+OPTIMIZE\s+(\S+)\s+(ZORDER|HILBERT)\s+BY\s*\(([^)]*)\)\s*;?\s*""".r
   private val Optimize =
     """(?is)\s*GRAFT\s+OPTIMIZE\s+(\S+)\s*;?\s*""".r
+  // constraint DDL: the expr capture is greedy to the LAST ')' so nested
+  // parens inside the check expression survive
+  private val AddCheck =
+    """(?is)\s*GRAFT\s+ALTER\s+TABLE\s+(\S+)\s+ADD\s+CHECK\s+(\w+)\s*\((.+)\)\s*;?\s*""".r
+  private val AddExpectDrop =
+    """(?is)\s*GRAFT\s+ALTER\s+TABLE\s+(\S+)\s+ADD\s+EXPECT\s+(\w+)\s*\((.+)\)\s+OR\s+DROP\s*;?\s*""".r
+  private val DropConstraint =
+    """(?is)\s*GRAFT\s+ALTER\s+TABLE\s+(\S+)\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*""".r
+  private val Constraints =
+    """(?is)\s*GRAFT\s+CONSTRAINTS\s+(\S+)\s*;?\s*""".r
+  private val Audit =
+    """(?is)\s*GRAFT\s+AUDIT\s+(\S+)\s*;?\s*""".r
+  private val Maintain =
+    """(?is)\s*GRAFT\s+MAINTAIN\s+(\S+)\s*;?\s*""".r
   private val GraftPrefix = """(?is)\s*GRAFT\b.*""".r
 
   /** One purge value: single-quoted ('' escapes a quote) → String,
@@ -110,6 +130,14 @@ object GraftSql {
         Some(GraftOptimizeByCommand(t, curve.toLowerCase,
           cs.split(',').map(_.trim).filter(_.nonEmpty).toSeq))
       case Optimize(t) => Some(GraftOptimizeCommand(t))
+      case AddExpectDrop(t, n, e) =>
+        Some(GraftAddConstraintCommand(t, n, "EXPECT_DROP", e.trim))
+      case AddCheck(t, n, e) =>
+        Some(GraftAddConstraintCommand(t, n, "CHECK", e.trim))
+      case DropConstraint(t, n) => Some(GraftDropConstraintCommand(t, n))
+      case Constraints(t) => Some(GraftConstraintsCommand(t))
+      case Audit(t) => Some(GraftAuditCommand(t))
+      case Maintain(t) => Some(GraftMaintainCommand(t))
       case GraftPrefix() => throw new IllegalArgumentException(
         s"""Unrecognized GRAFT statement: $sqlText
            |Supported: GRAFT VERSIONS t | GRAFT ROLLBACK t TO vNNNNNN |
@@ -118,7 +146,11 @@ object GraftSql {
            |GRAFT CLONE src TO dst | GRAFT DESCRIBE t | GRAFT TABLES |
            |GRAFT ANALYZE t COLUMNS (a, b) |
            |GRAFT ANALYZE BLOOM t COLUMN c |
-           |GRAFT OPTIMIZE t [ZORDER|HILBERT BY (a, b)]""".stripMargin)
+           |GRAFT OPTIMIZE t [ZORDER|HILBERT BY (a, b)] |
+           |GRAFT ALTER TABLE t ADD CHECK name (expr) |
+           |GRAFT ALTER TABLE t ADD EXPECT name (expr) OR DROP |
+           |GRAFT ALTER TABLE t DROP CONSTRAINT name |
+           |GRAFT CONSTRAINTS t | GRAFT AUDIT t | GRAFT MAINTAIN t""".stripMargin)
       case _ => None
     }
 }
@@ -252,4 +284,50 @@ case class GraftOptimizeCommand(table: String) extends LeafRunnableCommand {
     AttributeReference("rewritten_files", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(GraftSql.catalog.optimizeIncremental(spark, table).toLong))
+}
+
+/** Constraint DDL (Delta `ADD CONSTRAINT` / DLT `expect_or_drop`). */
+case class GraftAddConstraintCommand(table: String, cname: String,
+    kind: String, expr: String) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    if (kind == "CHECK") GraftSql.catalog.addCheck(spark, table, cname, expr)
+    else GraftSql.catalog.addExpectDrop(spark, table, cname, expr)
+    Seq.empty
+  }
+}
+
+case class GraftDropConstraintCommand(table: String, cname: String)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftSql.catalog.dropConstraint(table, cname); Seq.empty
+  }
+}
+
+case class GraftConstraintsCommand(table: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("name", StringType, nullable = false)(),
+    AttributeReference("kind", StringType, nullable = false)(),
+    AttributeReference("expr", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    GraftSql.catalog.constraints(table).map { case (n, k, e) => Row(n, k, e) }
+}
+
+/** One table-maintenance pass (incremental OPTIMIZE → conditional
+  * small-file compaction → retention vacuum) with an audit row per step. */
+case class GraftMaintainCommand(table: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("action", StringType, nullable = false)(),
+    AttributeReference("detail", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    GraftSql.catalog.maintain(spark, table).map { case (a, d) => Row(a, d) }
+}
+
+/** Per-version expectation ledger: dropped-row counts for the current
+  * version's EXPECT … OR DROP constraints. */
+case class GraftAuditCommand(table: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("constraint", StringType, nullable = false)(),
+    AttributeReference("dropped", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    GraftSql.catalog.audit(table).map { case (n, c) => Row(n, c) }
 }

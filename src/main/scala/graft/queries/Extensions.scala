@@ -896,6 +896,14 @@ object Extensions {
   def lengthOutliers(spark: SparkSession, sfDir: String): DataFrame =
     lengthOutliersOn(docs(spark, sfDir))
 
+  /** Per-group OLS of revenue on quantity ([[Analytics.olsFit]]): the
+    * regr_slope/regr_intercept/corr statistical-aggregate family with
+    * exact cross-engine determinism (decimal moments → one fixed double
+    * expression tree). */
+  def regressionFit(spark: SparkSession, sfDir: String): DataFrame =
+    Analytics.olsFit(Parity.table(spark, sfDir, "lineitem"),
+      group = "l_returnflag", x = "l_quantity", y = "l_extendedprice")
+
   /** Recency-weighted per-user value aggregate
     * ([[Analytics.harmonicDecaySum]]). */
   def decayFeaturesOn(e: DataFrame): DataFrame =
@@ -1353,6 +1361,7 @@ object Extensions {
     "d_edit_distance" -> editDistance _,
     "x_profile" -> profileOrders _,
     "x_outliers" -> lengthOutliers _,
+    "x_regression" -> regressionFit _,
     "x_decay_features" -> decayFeatures _,
     "m_binary_scan" -> binaryScan _,
     "x_tfidf" -> tfidfTop _,
@@ -2192,6 +2201,27 @@ object Extensions {
          FROM j
          WHERE abs((CAST(n_chars AS DOUBLE) - mean)
                    / sqrt(m2 - mean * mean)) > 2.0""",
+    "x_regression" ->
+      """WITH m AS (
+           SELECT l_returnflag,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) *
+               CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+               CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) *
+               CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+           FROM lineitem GROUP BY l_returnflag),
+         s AS (
+           SELECT *, (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+           FROM m)
+         SELECT l_returnflag, slope,
+           (sy - slope * sx) / n AS intercept,
+           ((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+             ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+         FROM s""",
     "x_decay_features" ->
       """WITH e AS (SELECT user_id, event_id, value,
              CAST(FLOOR(epoch(ts)) AS BIGINT) AS tse FROM events),

@@ -177,6 +177,75 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sess.sql("GRAFT OPTIMIZE c.s.o").collect().head.getLong(0) == 0L)
   }
 
+  test("CHECK constraints reject a violating write before the pointer swap") {
+    val sp = sess; import sp.implicits._
+    val c = cat()
+    c.overwrite(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "price"), "c.s.chk")
+    sess.sql("GRAFT ALTER TABLE c.s.chk ADD CHECK pos_price (price > 0)")
+    assert(sess.sql("GRAFT CONSTRAINTS c.s.chk").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+      == Seq(("pos_price", "CHECK")))
+    // a conforming append passes and is enforced at zero extra scans
+    c.append(Seq((3L, 30.0)).toDF("k", "price"), "c.s.chk")
+    assert(c.read(sess, "c.s.chk").count() == 3)
+    val before = c.versions("c.s.chk")
+    // violating batch: rejected whole, staged dir cleaned, table untouched
+    val e = intercept[IllegalStateException](
+      c.append(Seq((4L, -1.0)).toDF("k", "price"), "c.s.chk"))
+    assert(e.getMessage.contains("pos_price"))
+    assert(c.versions("c.s.chk") == before)
+    assert(c.read(sess, "c.s.chk").count() == 3)
+    // NULL passes CHECK (SQL three-valued semantics)
+    c.append(Seq((5L, Option.empty[Double])).toDF("k", "price"), "c.s.chk")
+    assert(c.read(sess, "c.s.chk").count() == 4)
+    // adding a CHECK that existing data violates is refused
+    val e2 = intercept[IllegalArgumentException](
+      sess.sql("GRAFT ALTER TABLE c.s.chk ADD CHECK small (k < 3)"))
+    assert(e2.getMessage.contains("existing rows violate"))
+  }
+
+  test("EXPECT ... OR DROP quarantines violating rows and ledgers the counts") {
+    val sp = sess; import sp.implicits._
+    val c = cat()
+    c.overwrite(Seq((1L, "ok")).toDF("k", "v"), "c.s.exp")
+    sess.sql("GRAFT ALTER TABLE c.s.exp ADD EXPECT nonempty (length(v) > 0) OR DROP")
+    c.append(Seq((2L, "fine"), (3L, ""), (4L, "")).toDF("k", "v"), "c.s.exp")
+    assert(c.read(sess, "c.s.exp").select("k").as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L))
+    assert(sess.sql("GRAFT AUDIT c.s.exp").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("nonempty", 2L)))
+    // dropping the constraint restores pass-through writes
+    sess.sql("GRAFT ALTER TABLE c.s.exp DROP CONSTRAINT nonempty")
+    c.append(Seq((5L, "")).toDF("k", "v"), "c.s.exp")
+    assert(c.read(sess, "c.s.exp").count() == 3)
+    assert(sess.sql("GRAFT AUDIT c.s.exp").collect().isEmpty)
+  }
+
+  test("GRAFT MAINTAIN runs incr-OPTIMIZE, conditional compact, and vacuum") {
+    val sp = sess; import sp.implicits._
+    val c = cat()
+    c.overwrite(
+      sess.range(0, 4096).select(
+        (org.apache.spark.sql.functions.col("id") % 64).as("x"),
+        (org.apache.spark.sql.functions.col("id") % 97).as("y")),
+      "c.s.m")
+    sess.sql("GRAFT OPTIMIZE c.s.m HILBERT BY (x, y)")
+    // drift the layout with appends (many tiny files)
+    (1 to 3).foreach(i => c.append(Seq((i.toLong, i.toLong)).toDF("x", "y"), "c.s.m"))
+    val acts = sess.sql("GRAFT MAINTAIN c.s.m").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(acts("optimize").startsWith("reclustered_files="))
+    // 5 data files (1 clustered + 3 appends reclustered to 1 + carry) —
+    // under the 32-file trigger, so compaction correctly declines
+    assert(acts("compact").startsWith("skipped"))
+    assert(acts.contains("vacuum"))
+    assert(c.read(sess, "c.s.m").count() == 4099L)
+    // second pass: layout tight, nothing to do
+    val acts2 = sess.sql("GRAFT MAINTAIN c.s.m").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(acts2("optimize").startsWith("skipped"))
+  }
+
   test("non-GRAFT SQL delegates untouched; malformed GRAFT fails loudly") {
     assert(sess.sql("SELECT 1 + 1 AS x").collect().head.getInt(0) == 2)
     // injected native functions still resolve through the wrapped parser
