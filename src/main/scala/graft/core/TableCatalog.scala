@@ -167,6 +167,36 @@ final class TableCatalog(val root: String) extends Serializable {
       spark.read.parquet(tableDir(name).resolve(version).toString), name)
   }
 
+  // ------------------------------------------------ table properties
+  private def propertiesFile(name: String): Path =
+    tableDir(name).resolve("_properties")
+
+  /** Table-level key=value properties (the Delta TBLPROPERTIES
+    * analogue). Known key: `schema.mode` = `strict` (appends with a
+    * drifted schema are REJECTED instead of taking the null-padded
+    * union-rewrite evolution path — the production posture once a
+    * silver schema is contractual) | `evolve` (default). */
+  def properties(name: String): Map[String, String] = {
+    val p = propertiesFile(name)
+    if (!Files.isRegularFile(p)) Map.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      Files.readAllLines(p).asScala.filter(_.contains('=')).map { l =>
+        val i = l.indexOf('='); (l.substring(0, i), l.substring(i + 1))
+      }.toMap
+    }
+  }
+
+  def setProperty(name: String, key: String, value: String): Unit = {
+    require(!key.contains('=') && !key.contains('\n') && !value.contains('\n'),
+      "property key/value must not contain '=' (key) or newlines")
+    Files.createDirectories(tableDir(name))
+    val next = properties(name) + (key -> value)
+    Files.writeString(propertiesFile(name),
+      next.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
+        .mkString("", "\n", "\n"))
+  }
+
   // --------------------------------------------- CHECK constraints
   private def constraintsFile(name: String): Path =
     tableDir(name).resolve("_constraints")
@@ -362,6 +392,12 @@ final class TableCatalog(val root: String) extends Serializable {
       .getOrElse(Array.empty).exists(f => f.isDirectory &&
         !f.getName.startsWith("_") && !f.getName.startsWith("."))
     if (shape(cur.schema) != shape(df.schema) || prevPartitioned) {
+      if (shape(cur.schema) != shape(df.schema) &&
+          properties(name).get("schema.mode").contains("strict"))
+        throw new IllegalStateException(
+          s"append to $name rejected: schema.mode=strict and the batch " +
+            s"schema (${df.schema.simpleString}) drifts from the table's " +
+            s"(${cur.schema.simpleString})")
       overwrite(cur.unionByName(df, allowMissingColumns = true), name)
     } else {
       val dir = tableDir(name)

@@ -36,6 +36,7 @@ import org.apache.spark.sql.types.{BooleanType, LongType, StringType, StructType
   *   GRAFT CONSTRAINTS t                      -- list declared constraints
   *   GRAFT AUDIT t                            -- current version's dropped-row ledger
   *   GRAFT MAINTAIN t                         -- one maintenance pass: incr-OPTIMIZE + conditional compact + vacuum
+  *   GRAFT ALTER TABLE t SET ('k' = 'v')      -- table property (e.g. 'schema.mode' = 'strict')
   * }}}
   *
   * The grammar is a prefix dispatch: statements starting with the GRAFT
@@ -98,6 +99,8 @@ object GraftSql {
     """(?is)\s*GRAFT\s+AUDIT\s+(\S+)\s*;?\s*""".r
   private val Maintain =
     """(?is)\s*GRAFT\s+MAINTAIN\s+(\S+)\s*;?\s*""".r
+  private val SetProperty =
+    """(?is)\s*GRAFT\s+ALTER\s+TABLE\s+(\S+)\s+SET\s+\(\s*'([^']+)'\s*=\s*'([^']*)'\s*\)\s*;?\s*""".r
   private val GraftPrefix = """(?is)\s*GRAFT\b.*""".r
 
   /** One purge value: single-quoted ('' escapes a quote) → String,
@@ -138,6 +141,7 @@ object GraftSql {
       case Constraints(t) => Some(GraftConstraintsCommand(t))
       case Audit(t) => Some(GraftAuditCommand(t))
       case Maintain(t) => Some(GraftMaintainCommand(t))
+      case SetProperty(t, k, v) => Some(GraftSetPropertyCommand(t, k, v))
       case GraftPrefix() => throw new IllegalArgumentException(
         s"""Unrecognized GRAFT statement: $sqlText
            |Supported: GRAFT VERSIONS t | GRAFT ROLLBACK t TO vNNNNNN |
@@ -150,7 +154,8 @@ object GraftSql {
            |GRAFT ALTER TABLE t ADD CHECK name (expr) |
            |GRAFT ALTER TABLE t ADD EXPECT name (expr) OR DROP |
            |GRAFT ALTER TABLE t DROP CONSTRAINT name |
-           |GRAFT CONSTRAINTS t | GRAFT AUDIT t | GRAFT MAINTAIN t""".stripMargin)
+           |GRAFT CONSTRAINTS t | GRAFT AUDIT t | GRAFT MAINTAIN t |
+           |GRAFT ALTER TABLE t SET ('key' = 'value')""".stripMargin)
       case _ => None
     }
 }
@@ -320,6 +325,15 @@ case class GraftMaintainCommand(table: String) extends LeafRunnableCommand {
     AttributeReference("detail", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] =
     GraftSql.catalog.maintain(spark, table).map { case (a, d) => Row(a, d) }
+}
+
+/** Table property (TBLPROPERTIES analogue; `schema.mode` governs
+  * append-time schema evolution). */
+case class GraftSetPropertyCommand(table: String, key: String, value: String)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftSql.catalog.setProperty(table, key, value); Seq.empty
+  }
 }
 
 /** Per-version expectation ledger: dropped-row counts for the current

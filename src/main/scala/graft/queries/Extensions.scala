@@ -401,6 +401,30 @@ object Extensions {
     * the run report a curation job emits so ops can see where documents
     * die. Flags ride as boolean columns; the only extra work over the
     * pipeline itself is the conditional-count aggregate. */
+  /** Per-source dataset card — the corpus-level report a training run
+    * reads before mixing sources: volume (docs, chars), language
+    * histogram (sorted `lang:count` string — deterministic, unlike a
+    * mode/top-1 under ties), exact-duplicate copy count
+    * (docs − distinct texts), and mean doc length. Two keyed
+    * aggregations (per-(source,lang) counts roll up into the histogram;
+    * the base rollup carries a distinct-agg) joined on the small
+    * source dimension — at 100 TB the text-distinct becomes a
+    * sha256-distinct but the shape is unchanged. */
+  def dataCard(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val hist = d.groupBy("source", "lang").agg(count(lit(1)).as("n"))
+      .groupBy("source")
+      .agg(array_join(array_sort(collect_list(
+        concat(col("lang"), lit(":"), col("n")))), ",").as("lang_hist"))
+    val base = d.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_chars")).as("total_chars"),
+      (count(lit(1)) - count_distinct(col("text"))).as("dup_copies"),
+      (sum(col("n_chars")).cast(DoubleType) /
+        count(lit(1)).cast(DoubleType)).as("mean_chars"))
+    base.join(hist, Seq("source"))
+  }
+
   def qualityFunnel(spark: SparkSession, sfDir: String): DataFrame = {
     val d = docs(spark, sfDir)
     val w = TextKit.words(col("text"))
@@ -1362,6 +1386,7 @@ object Extensions {
     "x_profile" -> profileOrders _,
     "x_outliers" -> lengthOutliers _,
     "x_regression" -> regressionFit _,
+    "x_data_card" -> dataCard _,
     "x_decay_features" -> decayFeatures _,
     "m_binary_scan" -> binaryScan _,
     "x_tfidf" -> tfidfTop _,
@@ -2201,6 +2226,23 @@ object Extensions {
          FROM j
          WHERE abs((CAST(n_chars AS DOUBLE) - mean)
                    / sqrt(m2 - mean * mean)) > 2.0""",
+    "x_data_card" ->
+      """WITH h AS (
+           SELECT source,
+             string_agg(lang || ':' || n, ',' ORDER BY lang || ':' || n)
+               AS lang_hist
+           FROM (SELECT source, lang, count(*) AS n
+                 FROM documents GROUP BY source, lang)
+           GROUP BY source)
+         SELECT d.source,
+           count(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           count(*) - count(DISTINCT text) AS dup_copies,
+           CAST(SUM(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             AS mean_chars,
+           any_value(h.lang_hist) AS lang_hist
+         FROM documents d JOIN h ON d.source = h.source
+         GROUP BY d.source""",
     "x_regression" ->
       """WITH m AS (
            SELECT l_returnflag,

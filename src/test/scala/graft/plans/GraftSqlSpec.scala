@@ -221,6 +221,23 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sess.sql("GRAFT AUDIT c.s.exp").collect().isEmpty)
   }
 
+  test("schema.mode=strict rejects drifted appends; evolve restores union path") {
+    val sp = sess; import sp.implicits._
+    val c = cat()
+    c.overwrite(Seq((1L, "a")).toDF("k", "v"), "c.s.sm")
+    sess.sql("GRAFT ALTER TABLE c.s.sm SET ('schema.mode' = 'strict')")
+    // same shape: the O(batch) hardlink append still works under strict
+    c.append(Seq((2L, "b")).toDF("k", "v"), "c.s.sm")
+    val e = intercept[IllegalStateException](
+      c.append(Seq((3L, "c", 9L)).toDF("k", "v", "extra"), "c.s.sm"))
+    assert(e.getMessage.contains("schema.mode=strict"))
+    assert(c.read(sess, "c.s.sm").columns.toSeq == Seq("k", "v"))
+    sess.sql("GRAFT ALTER TABLE c.s.sm SET ('schema.mode' = 'evolve')")
+    c.append(Seq((3L, "c", 9L)).toDF("k", "v", "extra"), "c.s.sm")
+    assert(c.read(sess, "c.s.sm").columns.toSet == Set("k", "v", "extra"))
+    assert(c.read(sess, "c.s.sm").count() == 3)
+  }
+
   test("GRAFT MAINTAIN runs incr-OPTIMIZE, conditional compact, and vacuum") {
     val sp = sess; import sp.implicits._
     val c = cat()
