@@ -99,6 +99,8 @@ object GraftSql {
     """(?is)\s*GRAFT\s+AUDIT\s+(\S+)\s*;?\s*""".r
   private val Maintain =
     """(?is)\s*GRAFT\s+MAINTAIN\s+(\S+)\s*;?\s*""".r
+  private val Properties =
+    """(?is)\s*GRAFT\s+PROPERTIES\s+(\S+)\s*;?\s*""".r
   private val SetProperty =
     """(?is)\s*GRAFT\s+ALTER\s+TABLE\s+(\S+)\s+SET\s+\(\s*'([^']+)'\s*=\s*'([^']*)'\s*\)\s*;?\s*""".r
   private val GraftPrefix = """(?is)\s*GRAFT\b.*""".r
@@ -142,6 +144,7 @@ object GraftSql {
       case Audit(t) => Some(GraftAuditCommand(t))
       case Maintain(t) => Some(GraftMaintainCommand(t))
       case SetProperty(t, k, v) => Some(GraftSetPropertyCommand(t, k, v))
+      case Properties(t) => Some(GraftPropertiesCommand(t))
       case GraftPrefix() => throw new IllegalArgumentException(
         s"""Unrecognized GRAFT statement: $sqlText
            |Supported: GRAFT VERSIONS t | GRAFT ROLLBACK t TO vNNNNNN |
@@ -155,7 +158,7 @@ object GraftSql {
            |GRAFT ALTER TABLE t ADD EXPECT name (expr) OR DROP |
            |GRAFT ALTER TABLE t DROP CONSTRAINT name |
            |GRAFT CONSTRAINTS t | GRAFT AUDIT t | GRAFT MAINTAIN t |
-           |GRAFT ALTER TABLE t SET ('key' = 'value')""".stripMargin)
+           |GRAFT ALTER TABLE t SET ('key' = 'value') | GRAFT PROPERTIES t""".stripMargin)
       case _ => None
     }
 }
@@ -334,6 +337,15 @@ case class GraftSetPropertyCommand(table: String, key: String, value: String)
   override def run(spark: SparkSession): Seq[Row] = {
     GraftSql.catalog.setProperty(table, key, value); Seq.empty
   }
+}
+
+case class GraftPropertiesCommand(table: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("key", StringType, nullable = false)(),
+    AttributeReference("value", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    GraftSql.catalog.properties(table).toSeq.sortBy(_._1)
+      .map { case (k, v) => Row(k, v) }
 }
 
 /** Per-version expectation ledger: dropped-row counts for the current

@@ -623,6 +623,31 @@ object Parity {
         count(lit(1)).over(w).as("n_7d"))
   }
 
+  /** W6 — rolling EXACT median (ordered-statistics window class, beyond
+    * the sum/count frames of w2/w4): 7-day median of daily revenue.
+    * Cross-engine exactness by construction: output is restricted to
+    * rows with a FULL 7-row frame, so the median is always the 4th
+    * order statistic — an element of the input, no midpoint
+    * interpolation (whose FP formula differs between engines' quantile
+    * implementations and would break hash parity).
+    *
+    * Scale shape: the fact table aggregates FIRST (one keyed exchange,
+    * map-side combined) down to the date-cardinality series, and only
+    * that tiny series crosses the single-partition ordered window — the
+    * window never sees fact rows. A global ordered window over facts
+    * would serialize; over O(#days) rows it is free. */
+  def w6MedianWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = table(spark, sfDir, "orders")
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg(sumd(col("o_totalprice")).as("rev"))
+    val w = Window.orderBy(col("d"))
+    daily
+      .withColumn("med7",
+        expr("percentile(rev, 0.5)").over(w.rowsBetween(-6, Window.currentRow)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") >= 7).drop("rn")
+  }
+
   /** W3 — ranking-function suite: rank, dense_rank, ntile, frame-pinned
     * last_value (beyond reference parity; the "latest snapshot" README
     * idiom generalized, SURVEY.md §2.5). */
@@ -1107,6 +1132,46 @@ object Parity {
       .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"))
   }
 
+  /** P13 — null-handling suite (`na.fill` / `na.replace` / `na.drop`):
+    * the data-cleaning basics every ingest applies. Nulls are derived
+    * with `nullif` so the op composition is visible end-to-end: fill a
+    * default, recode a value, gate on non-null — all per-row projections
+    * and one filter, fully pushdown-friendly. */
+  def p13NaOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = table(spark, sfDir, "orders").select(
+      col("o_orderkey"),
+      expr("nullif(o_orderstatus, 'P')").as("status"),
+      expr("nullif(o_orderpriority, '3-MEDIUM')").as("priority"),
+      when(col("o_totalprice") > 200000, col("o_totalprice")).as("big_price"))
+    d.na.fill(Map("priority" -> "0-UNSPEC"))
+      .na.replace("status", Map("F" -> "FINAL"))
+      .na.drop(Seq("status"))
+  }
+
+  /** Equi-width histogram (profiling class): explicit bucket arithmetic
+    * (`floor(v / w)` — NOT an engine-specific width_bucket, whose
+    * boundary semantics differ across engines) so the same IEEE ops run
+    * on both sides of the oracle. One keyed aggregation. */
+  def xHistogram(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "orders")
+      .groupBy(col("o_orderstatus"),
+        floor(col("o_totalprice") / lit(50000.0)).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"), sumd(col("o_totalprice")).as("sum_price"))
+
+  /** Multiset set-ops (ALL variants — §2.6's bag semantics half):
+    * UNION ALL / EXCEPT ALL / INTERSECT ALL keep duplicate multiplicity,
+    * which the distinct forms of [[setOps]] erase; EXCEPT ALL is the
+    * "subtract one occurrence per match" op that dedup accounting needs. */
+  def setOpsAll(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = table(spark, sfDir, "orders")
+    val urgent = orders.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+    val high = orders.filter(col("o_orderpriority") === "2-HIGH").select("o_custkey")
+    val finished = orders.filter(col("o_orderstatus") === "F").select("o_custkey")
+    urgent.unionAll(high)
+      .exceptAll(finished)
+      .intersectAll(orders.select("o_custkey"))
+  }
+
   /** Set operations: union distinct, intersect, except (absent from the
     * reference; introduced by our MERGE rewrite internally — SURVEY §2.6). */
   def setOps(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1384,8 +1449,12 @@ object Parity {
     "w2_running_total" -> w2RunningTotal _,
     "w3_ranks" -> w3Ranks _,
     "w4_rolling_range" -> w4RollingRange _,
+    "w6_median_window" -> w6MedianWindow _,
     "w5_analytics" -> w5Analytics _,
     "set_ops" -> setOps _,
+    "set_ops_all" -> setOpsAll _,
+    "p13_na_ops" -> p13NaOps _,
+    "x_histogram" -> xHistogram _,
     "s10_zorder" -> s10Zorder _,
     "s10_hilbert" -> s10Hilbert _,
     "s10_hilbert3" -> s10Hilbert3 _,
@@ -1615,6 +1684,16 @@ object Parity {
                  o_totalprice FROM orders)
          WINDOW w AS (PARTITION BY o_custkey ORDER BY d_day
            RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""",
+    "w6_median_window" ->
+      """WITH daily AS (
+           SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+           FROM orders GROUP BY 1)
+         SELECT d, rev,
+           median(rev) OVER (ORDER BY d
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med7
+         FROM daily
+         QUALIFY row_number() OVER (ORDER BY d) >= 7""",
     "w5_analytics" ->
       """SELECT c_custkey, c_nationkey, c_acctbal,
            percent_rank() OVER w AS pct_rank,
@@ -1645,6 +1724,31 @@ object Parity {
            SELECT o_custkey FROM orders)
          EXCEPT
          SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""",
+    "set_ops_all" ->
+      """SELECT * FROM (
+           (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+            UNION ALL
+            SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH')
+           EXCEPT ALL
+           SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+         INTERSECT ALL
+         SELECT o_custkey FROM orders""",
+    "p13_na_ops" ->
+      """SELECT o_orderkey,
+           CASE WHEN nullif(o_orderstatus, 'P') = 'F' THEN 'FINAL'
+                ELSE nullif(o_orderstatus, 'P') END AS status,
+           COALESCE(nullif(o_orderpriority, '3-MEDIUM'), '0-UNSPEC')
+             AS priority,
+           CASE WHEN o_totalprice > 200000 THEN o_totalprice END AS big_price
+         FROM orders
+         WHERE nullif(o_orderstatus, 'P') IS NOT NULL""",
+    "x_histogram" ->
+      """SELECT o_orderstatus,
+           CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+           count(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price
+         FROM orders GROUP BY 1, 2""",
     "a4_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Dev tool: weak-scaling fixture generator. Replicates the sf0.1
-  * `events` and `documents` tables `copies`× into an output dir with
+  * `events`, `documents` and `embeddings` tables `copies`× into an output dir with
   * DISJOINT key spaces per copy, so the iterative-suite queries
   * (graph analytics over the co-purchase graph; near-dup clustering
   * over documents) see a corpus `copies`× the rows whose per-copy
@@ -70,7 +70,25 @@ object ScaleUp {
     }.reduce(_ unionAll _)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
 
-    println(s"[scaleup] wrote $out (events+documents, ${copies}x $src)")
+    // embeddings: vec_id shifts; each copy's vectors are CYCLICALLY
+    // ROTATED by the copy index — a rotation preserves norms and all
+    // intra-copy distances (per-copy ANN structure exact) while making
+    // cross-copy vectors genuinely different (identical copies would
+    // collapse every centroid and make each vector have `copies` exact
+    // twins, turning a perf probe into a degenerate-duplicate stress).
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    (0 until copies).map { i =>
+      emb.select(
+        (col("vec_id") + lit(i * off)).as("vec_id"),
+        (if (i == 0) col("embedding")
+         else concat(
+           slice(col("embedding"), i + 1, 10000),
+           slice(col("embedding"), 1, i))).as("embedding"),
+        col("label"))
+    }.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    println(s"[scaleup] wrote $out (events+documents+embeddings, ${copies}x $src)")
     spark.stop()
   }
 }

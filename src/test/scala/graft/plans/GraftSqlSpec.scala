@@ -226,6 +226,9 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     val c = cat()
     c.overwrite(Seq((1L, "a")).toDF("k", "v"), "c.s.sm")
     sess.sql("GRAFT ALTER TABLE c.s.sm SET ('schema.mode' = 'strict')")
+    assert(sess.sql("GRAFT PROPERTIES c.s.sm").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+      == Seq(("schema.mode", "strict")))
     // same shape: the O(batch) hardlink append still works under strict
     c.append(Seq((2L, "b")).toDF("k", "v"), "c.s.sm")
     val e = intercept[IllegalStateException](
