@@ -1132,6 +1132,160 @@ object Parity {
       .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"))
   }
 
+  /** TPC-H Q2 (minimum-cost supplier), adapted to the testdata star (no
+    * partsupp): the per-(part, supplier) MIN extended price observed in
+    * lineitem stands in for ps_supplycost. For small LARGE parts, find
+    * the EUROPE supplier(s) offering each part at its region-minimum
+    * cost — the classic correlated-MIN subquery.
+    *
+    * Scale shape: decorrelated to two rollups of ONE lineitem scan —
+    * per-(part,supplier) min, then per-part min of that — joined back by
+    * (partkey, exact DECIMAL cost equality; DECIMAL MIN carries the same
+    * bits on both sides, so the equality is safe where a double MIN
+    * would not be). Part and supplier filters broadcast ahead of the
+    * fact join, so the fact shuffle carries only qualifying rows. No
+    * per-outer-row re-scan — the only way the correlated form survives
+    * 100 TB. */
+  def tpchQ2(spark: SparkSession, sfDir: String): DataFrame = {
+    val suppEu = table(spark, sfDir, "supplier")
+      .join(broadcast(table(spark, sfDir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(table(spark, sfDir, "region")
+          .filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    val parts = table(spark, sfDir, "part")
+      .filter(col("p_size") <= 5 && col("p_type") === "LARGE")
+      .select("p_partkey", "p_brand")
+    val ps = table(spark, sfDir, "lineitem")
+      .select("l_partkey", "l_suppkey", "l_extendedprice")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(suppEu.select("s_suppkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("p_partkey"), col("p_brand"), col("l_suppkey"))
+      .agg(min(dec(col("l_extendedprice"))).as("cost_dec"))
+    val minCost = ps.groupBy(col("p_partkey").as("mp"))
+      .agg(min(col("cost_dec")).as("min_cost"))
+    ps.join(broadcast(minCost),
+        col("p_partkey") === col("mp") && col("cost_dec") === col("min_cost"))
+      .join(broadcast(suppEu), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_brand"),
+        col("cost_dec").cast("double").as("supplycost"))
+      .orderBy(desc("s_acctbal"), col("s_name"), col("p_partkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q4 (order priority checking), adapted: no commit/receipt
+    * dates, so the EXISTS predicate becomes "some line shipped more than
+    * 30 days after the order was placed". EXISTS ≡ LEFT SEMI on the
+    * order key with the date arithmetic as a residual — one shuffle pair
+    * on orderkey, the quarter filter prunes orders before the exchange,
+    * and lineitem projects two columns at the scan. */
+  def tpchQ4(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = table(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    ord.join(table(spark, sfDir, "lineitem").select("l_orderkey", "l_shipdate"),
+        col("l_orderkey") === col("o_orderkey") &&
+          datediff(col("l_shipdate"), col("o_orderdate")) > 30, "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  /** TPC-H Q13 (customer order-count distribution): LEFT join customers
+    * to a pre-aggregated per-customer order count (excluding URGENT
+    * orders, standing in for the comment NOT-LIKE), then the histogram
+    * of those counts. Aggregating the fact BEFORE the outer join turns
+    * dim⋈fact into dim⋈rollup — at 100 TB the orders shuffle carries one
+    * row per customer, not one per order, and the second groupBy is over
+    * a numcustomers-sized frame. */
+  def tpchQ13(spark: SparkSession, sfDir: String): DataFrame = {
+    val perCust = table(spark, sfDir, "orders")
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+    table(spark, sfDir, "customer").select("c_custkey")
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("cnt"), lit(0L)).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  /** TPC-H Q17 (small-quantity-order revenue): revenue lost to orders of
+    * less than 20% of a part's average quantity, for one brand's small
+    * parts. The correlated per-part AVG is a WINDOW over the part key —
+    * lineitem is scanned ONCE (the two-scan join-back formulation reads
+    * the fact twice at 100 TB); the broadcast part filter runs before
+    * the window exchange so only the brand's rows shuffle. The average
+    * is DECIMAL-sum / count cast to double — order-independent, so the
+    * threshold comparison is engine-exact. */
+  def tpchQ17(spark: SparkSession, sfDir: String): DataFrame = {
+    val parts = table(spark, sfDir, "part")
+      .filter(col("p_brand") === "Brand#12" && col("p_size") <= 10)
+      .select("p_partkey")
+    val w = Window.partitionBy(col("l_partkey"))
+    table(spark, sfDir, "lineitem")
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .withColumn("avg_qty",
+        sum(dec(col("l_quantity"))).over(w).cast("double") /
+          count(lit(1)).over(w))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg((sum(dec(col("l_extendedprice"))).cast("double") / lit(7.0))
+        .as("avg_yearly"))
+  }
+
+  /** TPC-H Q18 (large-volume customers): orders whose total quantity
+    * exceeds 300. The HAVING rollup runs first on ONE orderkey shuffle;
+    * the survivors (a handful of keys at any SF) broadcast back into
+    * orders, and the customer dim broadcasts — so the second pass over
+    * the fact is avoided entirely: the rollup already carries the
+    * quantity sum the output needs. */
+  def tpchQ18(spark: SparkSession, sfDir: String): DataFrame = {
+    val big = table(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_quantity")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec(col("l_quantity"))).as("qty_dec"))
+      .filter(col("qty_dec") > 300)
+    table(spark, sfDir, "orders")
+      .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(table(spark, sfDir, "customer")
+        .select("c_custkey", "c_name")), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast(DateType).as("order_date"),
+        col("o_totalprice"), col("qty_dec").cast("double").as("sum_qty"))
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q22 (global sales opportunity): customers above the positive-
+    * balance average with no RECENT order (the reference window "last 7
+    * years" becomes "since 2000-07-01" on this data's 1995–2001 span),
+    * rolled up by market segment (standing in for the phone country
+    * code). The global scalar is a one-row broadcast (DECIMAL-sum /
+    * count → double, engine-exact); the NOT EXISTS is a LEFT ANTI
+    * against the DISTINCT recent-order custkeys — the fact collapses to
+    * one row per customer before the anti-join shuffle, so both sides of
+    * the exchange are dimension-sized, and the date filter prunes at the
+    * orders scan. */
+  def tpchQ22(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = table(spark, sfDir, "customer")
+      .select("c_custkey", "c_mktsegment", "c_acctbal")
+    val avgBal = cust.filter(col("c_acctbal") > 0)
+      .agg((sum(dec(col("c_acctbal"))).cast("double") / count(lit(1)))
+        .as("avg_bal"))
+    cust.join(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(table(spark, sfDir, "orders")
+          .filter(col("o_orderdate") >= lit("2000-07-01").cast("timestamp"))
+          .select("o_custkey").distinct(),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(dec(col("c_acctbal"))).cast("double").as("totacctbal"))
+  }
+
   /** P13 — null-handling suite (`na.fill` / `na.replace` / `na.drop`):
     * the data-cleaning basics every ingest applies. Nulls are derived
     * with `nullif` so the op composition is visible end-to-end: fill a
@@ -1483,6 +1637,12 @@ object Parity {
     "tpch_q16" -> tpchQ16 _,
     "tpch_q20" -> tpchQ20 _,
     "tpch_q21" -> tpchQ21 _,
+    "tpch_q2" -> tpchQ2 _,
+    "tpch_q4" -> tpchQ4 _,
+    "tpch_q13" -> tpchQ13 _,
+    "tpch_q17" -> tpchQ17 _,
+    "tpch_q18" -> tpchQ18 _,
+    "tpch_q22" -> tpchQ22 _,
     "scalar_suite" -> scalarSuite _,
     "scd2_two_batch" -> scd2TwoBatch _,
     "scd4_two_batch" -> scd4TwoBatch _,
@@ -1900,6 +2060,79 @@ object Parity {
            AND l_suppkey NOT IN
              (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
          GROUP BY p_brand, p_type, p_size""",
+    "tpch_q2" ->
+      """WITH ps AS (
+           SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS ps_cost
+           FROM lineitem GROUP BY 1, 2)
+         SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+           CAST(ps_cost AS DOUBLE) AS supplycost
+         FROM part
+         JOIN ps ON p_partkey = ps_partkey
+         JOIN supplier ON s_suppkey = ps_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE p_size <= 5 AND p_type = 'LARGE' AND r_name = 'EUROPE'
+           AND ps_cost = (
+             SELECT MIN(ps2.ps_cost)
+             FROM ps ps2
+             JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+             JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+             JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+             WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE')
+         ORDER BY s_acctbal DESC, s_name, p_partkey LIMIT 10""",
+    "tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+         FROM orders
+         WHERE CAST(o_orderdate AS DATE) >= DATE '1996-07-01'
+           AND CAST(o_orderdate AS DATE) < DATE '1996-10-01'
+           AND EXISTS (
+             SELECT 1 FROM lineitem
+             WHERE l_orderkey = o_orderkey
+               AND date_diff('day', CAST(o_orderdate AS DATE),
+                     CAST(l_shipdate AS DATE)) > 30)
+         GROUP BY o_orderpriority""",
+    "tpch_q13" ->
+      """SELECT c_count, count(*) AS custdist
+         FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+               FROM customer
+               LEFT JOIN orders ON c_custkey = o_custkey
+                 AND o_orderpriority <> '1-URGENT'
+               GROUP BY c_custkey)
+         GROUP BY c_count""",
+    "tpch_q17" ->
+      """SELECT CAST(SUM(CAST(l1.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / 7.0 AS avg_yearly
+         FROM lineitem l1 JOIN part ON p_partkey = l1.l_partkey
+         WHERE p_brand = 'Brand#12' AND p_size <= 10
+           AND l1.l_quantity < 0.2 * (
+             SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               / count(*)
+             FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)""",
+    "tpch_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey,
+           CAST(o_orderdate AS DATE) AS order_date, o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE o_orderkey IN (
+           SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+           HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+         GROUP BY 1, 2, 3, 4, 5
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""",
+    "tpch_q22" ->
+      """SELECT c_mktsegment, count(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+         FROM customer
+         WHERE c_acctbal > (
+             SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               / count(*)
+             FROM customer c2 WHERE c2.c_acctbal > 0)
+           AND NOT EXISTS (
+             SELECT 1 FROM orders WHERE o_custkey = c_custkey
+               AND CAST(o_orderdate AS DATE) >= DATE '2000-07-01')
+         GROUP BY c_mktsegment""",
     "tpch_q20" ->
       """WITH sp AS (
            SELECT l_partkey, l_suppkey,
