@@ -298,4 +298,67 @@ object Similarity {
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select("q_id", "n_id", "rank", "cos")
   }
+
+  /** Product-quantization (PQ) top-k: the compressed-domain ANN scan.
+    * Each unit vector is cut into `m` sub-vectors of `subDim` dims; each
+    * sub-vector is replaced by the id of its nearest codeword (L2) in a
+    * per-subspace codebook of `nCode` entries — the vector collapses from
+    * `m·subDim` floats to `m` small ints (64 dims → 8 bytes here, a 32×
+    * compression). A query stays full-precision and scores candidates by
+    * ADC (asymmetric distance computation): its per-subspace dot products
+    * with every codeword form an `m × nCode` lookup table computed ONCE
+    * per query, and each candidate's approximate cosine is then `m` table
+    * lookups + adds — no float multiply touches the corpus at scan time.
+    *
+    * Scale design (100 TB): the codebook is a single broadcast row built
+    * from the `nCode` lowest vec_ids (deterministic seed, same convention
+    * as [[ivfTopK]]; at real scale codewords come from per-subspace
+    * k-means — [[trainCentroids]] shows the training shape — and the scan
+    * below is unchanged). Encoding is one narrow projection over the
+    * corpus; the code table it emits is what a 100 TB deployment persists
+    * and re-scans (32× smaller than the embeddings), composing with IVF
+    * cell-routing for sub-linear candidate counts. Every reduction is a
+    * serial left-fold (`zip_with` + `aggregate`, subspaces in order), so
+    * the DuckDB oracle reproduces each ADC score bit-for-bit; codeword
+    * argmin is array_min + first-position, deterministic under ties. */
+  def pqTopK(emb: DataFrame, nQueries: Int = 20, k: Int = 5,
+             m: Int = 8, subDim: Int = 8, nCode: Int = 16): DataFrame = {
+    val un = withNorm(emb).filter(col("nrm") > 0)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast(DoubleType) / col("nrm")).as("u"))
+    // Codebook singleton: cb[s][c] = sub-vector s of seed vector c —
+    // [m][nCode][subDim] nested arrays in one broadcast row.
+    val cb = un.filter(col("vec_id") < nCode)
+      .agg(array_sort(collect_list(struct(col("vec_id"), col("u")))).as("seeds"))
+      .select(transform(sequence(lit(0), lit(m - 1)), s =>
+        transform(col("seeds"), v =>
+          slice(v.getField("u"), s * lit(subDim) + 1, lit(subDim)))).as("cb"))
+    def fold1(terms: Column): Column =
+      aggregate(terms, lit(0.0), (a, v) => a + v)
+    // Encode: per subspace, distances to all codewords, keep the argmin
+    // (first index of the exact min — ties resolve to the lowest c_id).
+    val coded = un.crossJoin(broadcast(cb))
+      .select(col("vec_id").as("n_id"),
+        transform(sequence(lit(0), lit(m - 1)), s => {
+          val sub = slice(col("u"), s * lit(subDim) + 1, lit(subDim))
+          val dists = transform(element_at(col("cb"), s + 1), cvec =>
+            fold1(zip_with(sub, cvec, (x, y) => (x - y) * (x - y))))
+          (array_position(dists, array_min(dists)) - 1).cast("int")
+        }).as("codes"))
+    // Per-query ADC lookup table: lut[s][c] = dot(q_sub_s, cb[s][c]).
+    val qlut = un.filter(col("vec_id") < nQueries).crossJoin(broadcast(cb))
+      .select(col("vec_id").as("q_id"),
+        transform(sequence(lit(1), lit(m)), s =>
+          transform(element_at(col("cb"), s), cvec =>
+            fold1(zip_with(slice(col("u"), (s - lit(1)) * subDim + 1, lit(subDim)),
+              cvec, (x, y) => x * y)))).as("lut"))
+    val scored = qlut.join(coded, col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        aggregate(sequence(lit(1), lit(m)), lit(0.0), (acc, s) =>
+          acc + element_at(element_at(col("lut"), s),
+            element_at(col("codes"), s) + 1)).as("adc"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("q_id", "n_id", "rank", "adc")
+  }
 }

@@ -314,6 +314,12 @@ object Extensions {
   def annIvfTrained(spark: SparkSession, sfDir: String): DataFrame =
     Similarity.trainedAssignments(emb(spark, sfDir), nList = 8, iters = 3)
 
+  /** PQ / ADC top-5: 8 subspaces × 16 codewords over the 64-dim unit
+    * vectors (8-byte codes, 32× compression); queries score candidates
+    * through a per-query lookup table — the compressed-domain scan. */
+  def annPq(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.pqTopK(emb(spark, sfDir), nQueries = 20, k = 5)
+
   /** Corpus-wide bigram frequency table, top 100 by (count desc, bigram).
     * Top-k runs as sort+limit (`TakeOrderedAndProject`: per-partition
     * heaps, driver merges k rows), NOT a global window — an unpartitioned
@@ -1342,6 +1348,7 @@ object Extensions {
     "x_ann_topk_agg" -> annTopKAgg _,
     "x_ann_ivf" -> annIvf _,
     "x_ann_ivf_trained" -> annIvfTrained _,
+    "x_ann_pq" -> annPq _,
     "m_media_meta" -> mediaMeta _,
     "m_frame_sample" -> frameSample _,
     "x_event_window" -> eventWindow _,
@@ -1717,6 +1724,55 @@ object Extensions {
             FROM cand)
           WHERE rank <= 5""",
     "x_ann_ivf_trained" -> ivfTrainedSql(8, 3, 64),
+    // PQ/ADC mirror of Similarity.pqTopK: m=8 subspaces × subDim=8 over
+    // unit vectors, nCode=16 codewords seeded from the 16 lowest vec_ids.
+    // Every reduction is the same serial left-fold as the Spark side;
+    // argmin = list_min + first list_indexof (ties → lowest codeword).
+    // The [dists] single-element-list transform binds the distance list
+    // to a lambda variable (SQL has no let).
+    "x_ann_pq" -> {
+      def fold1(terms: String) =
+        s"list_reduce(list_prepend(0.0::DOUBLE, $terms), (a, v) -> a + v)"
+      val distTerms =
+        """list_transform(generate_series(1, 8), i ->
+             (list_slice(u, s*8 + 1, s*8 + 8)[i] - cvec[i])
+             * (list_slice(u, s*8 + 1, s*8 + 8)[i] - cvec[i]))"""
+      val lutTerms =
+        """list_transform(generate_series(1, 8), i ->
+             list_slice(u, (s-1)*8 + 1, (s-1)*8 + 8)[i] * cvec[i])"""
+      s"""WITH $normCte,
+          un AS (
+            SELECT vec_id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS u
+            FROM ne WHERE nrm > 0),
+          cbt AS (
+            SELECT list_transform(generate_series(0, 7), s ->
+                     list_transform(vs, v -> list_slice(v, s*8 + 1, s*8 + 8))) AS cb
+            FROM (SELECT list(u ORDER BY vec_id) AS vs FROM un WHERE vec_id < 16)),
+          coded AS (
+            SELECT vec_id AS n_id,
+              list_transform(generate_series(0, 7), s ->
+                CAST(list_transform(
+                    [list_transform(cb[s + 1], cvec -> ${fold1(distTerms)})],
+                    d -> list_indexof(d, list_min(d)))[1] - 1 AS INT)) AS codes
+            FROM un CROSS JOIN cbt),
+          qlut AS (
+            SELECT vec_id AS q_id,
+              list_transform(generate_series(1, 8), s ->
+                list_transform(cb[s], cvec -> ${fold1(lutTerms)})) AS lut
+            FROM un CROSS JOIN cbt WHERE vec_id < 20),
+          scored AS (
+            SELECT q.q_id, c.n_id,
+              list_reduce(list_prepend(0.0::DOUBLE,
+                list_transform(generate_series(1, 8), s ->
+                  q.lut[s][c.codes[s] + 1])),
+                (a, v) -> a + v) AS adc
+            FROM qlut q JOIN coded c ON q.q_id != c.n_id)
+          SELECT q_id, n_id, rank, adc FROM (
+            SELECT *, row_number() OVER (PARTITION BY q_id
+              ORDER BY adc DESC, n_id) AS rank
+            FROM scored)
+          WHERE rank <= 5""" },
     "m_media_meta" -> {
       val samp = s"""list_transform(generate_series(0, (length(text) + 63) // 64 - 1),
                        i -> CAST(ascii(substr(text, i*64 + 1, 1)) AS BIGINT))"""

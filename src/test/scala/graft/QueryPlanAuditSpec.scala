@@ -24,6 +24,7 @@ class QueryPlanAuditSpec extends SparkSpec {
     "j6_cross_join",    // the operator under test IS an explicit small-dim cross
     "x_ann_ivf",        // corpus × broadcast coarse-quantizer centroids
     "x_ann_ivf_trained", // same, trained centroid table (nList rows, broadcast)
+    "x_ann_pq",         // corpus × broadcast one-row codebook; query LUTs × codes
     "x_tfidf",          // docs × broadcast corpus-size singleton (idf denominator)
     "x_heavy_hitters",  // recounted candidates × broadcast total-count singleton
     "x_vocab_encode",   // docs × broadcast one-row top-V vocabulary array

@@ -40,6 +40,28 @@ class SimilaritySpec extends SparkSpec {
       s"unexpected ranking $top") // rank1 = exact dup id5, rank2 = near nbr id1
   }
 
+  test("pqTopK: duplicate-direction neighbor gets ADC exactly 1.0, rank 1") {
+    // dim 4, m=2 subspaces × subDim=2, codebook = unit axes 0..3.
+    // Vector 4 is a scaled copy of vector 0: its unit subvectors sit ON
+    // codewords, so quantization is lossless for it and its ADC against
+    // query 0 is dot(u0,u0) = 1.0 exactly. Every other candidate's ADC
+    // is 0, so the rank-2 tie resolves to the lowest n_id.
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f), 0),
+      (1L, Array(0f, 1f, 0f, 0f), 0),
+      (2L, Array(0f, 0f, 1f, 0f), 0),
+      (3L, Array(0f, 0f, 0f, 1f), 0),
+      (4L, Array(2f, 0f, 0f, 0f), 0),
+      (5L, Array(0f, 3f, 0f, 0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.pqTopK(vecs, nQueries = 1, k = 2, m = 2, subDim = 2,
+        nCode = 4).sort("rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(out.length == 2)
+    assert(out(0) == ((0L, 4L, 1, 1.0)))
+    assert(out(1) == ((0L, 1L, 2, 0.0)))
+  }
+
   test("trained quantizer recovers planted clusters and lifts IVF recall") {
     // 8 planted unit-ish cluster directions in 16d, 40 vectors each with
     // small deterministic noise; queries = 20 of the vectors.
