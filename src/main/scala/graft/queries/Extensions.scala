@@ -544,6 +544,51 @@ object Extensions {
       .withColumn("spend_ff", last(col("spend"), ignoreNulls = true).over(w))
   }
 
+  /** Calendar gap-fill with LINEAR INTERPOLATION between observation
+    * anchors — the time-series repair step downstream of [[resampleFfill]]
+    * (which only carries the last value forward): each gap day gets
+    * prev + (next − prev) · elapsed/span from its bracketing anchors.
+    * Anchors come from two one-pass windows (running `last` ignoreNulls
+    * forward, running `first` ignoreNulls backward) — no self-join, no
+    * per-gap search. Leading/trailing gaps have no bracket and stay NULL.
+    *
+    * Scale: the window partition is one priority's calendar — bounded by
+    * the date span (a few-thousand rows per key regardless of fact SF),
+    * so the unbounded frames are safe; the fact collapses to per-day
+    * anchors BEFORE the calendar join. The interpolation expression tree
+    * is written identically in the oracle, so every double matches
+    * bit-for-bit. */
+  def gapFillInterp(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Parity.table(spark, sfDir, "orders")
+      .filter(col("o_totalprice") > 450000)
+      .withColumn("d_day",
+        datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+          .cast("long"))
+      .groupBy(col("o_orderpriority"), col("d_day"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("rev"))
+    val cal = daily.groupBy("o_orderpriority")
+      .agg(min(col("d_day")).as("lo"), max(col("d_day")).as("hi"))
+      .select(col("o_orderpriority"), explode(sequence(col("lo"), col("hi"))).as("d_day"))
+    val w = Window.partitionBy("o_orderpriority").orderBy("d_day")
+    val back = w.rowsBetween(Window.unboundedPreceding, 0)
+    val fwd = w.rowsBetween(0, Window.unboundedFollowing)
+    cal.join(daily, Seq("o_orderpriority", "d_day"), "left")
+      .withColumn("prev_rev", last(col("rev"), ignoreNulls = true).over(back))
+      .withColumn("prev_day",
+        last(when(col("rev").isNotNull, col("d_day")), ignoreNulls = true).over(back))
+      .withColumn("next_rev", first(col("rev"), ignoreNulls = true).over(fwd))
+      .withColumn("next_day",
+        first(when(col("rev").isNotNull, col("d_day")), ignoreNulls = true).over(fwd))
+      .withColumn("rev_interp",
+        when(col("rev").isNotNull, col("rev"))
+          .otherwise(col("prev_rev") + (col("next_rev") - col("prev_rev")) *
+            ((col("d_day") - col("prev_day")).cast("double") /
+              (col("next_day") - col("prev_day")).cast("double"))))
+      .select(col("o_orderpriority"), col("d_day"), col("rev"),
+        col("rev").isNull.as("is_gap"), col("rev_interp"))
+  }
+
   // ------------------------------------------------------- skew salting
   /** Two-phase salted aggregation ([[graft.ops.Skew.saltedAggregate]]):
     * hot grouping keys split across salt buckets before combining.
@@ -1384,6 +1429,7 @@ object Extensions {
     "x_stratified_sample" -> stratifiedSample _,
     "x_train_val_split" -> trainValSplit _,
     "x_resample" -> resampleFfill _,
+    "x_gap_fill" -> gapFillInterp _,
     "x_group_topk" -> groupTopK _,
     "x_chunk_docs" -> (chunkDocs(_, _)),
     "x_pack_sequences" -> (packSequences(_, _)),
@@ -2070,6 +2116,43 @@ object Extensions {
              (PARTITION BY cal.o_custkey ORDER BY cal.d_day) AS spend_ff
          FROM cal LEFT JOIN daily
            ON cal.o_custkey = daily.o_custkey AND cal.d_day = daily.d_day""",
+    "x_gap_fill" ->
+      """WITH daily AS (
+           SELECT o_orderpriority,
+             datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS d_day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+           FROM orders WHERE o_totalprice > 450000
+           GROUP BY 1, 2),
+         cal AS (
+           SELECT o_orderpriority, unnest(generate_series(lo, hi)) AS d_day
+           FROM (SELECT o_orderpriority, MIN(d_day) AS lo, MAX(d_day) AS hi
+                 FROM daily GROUP BY 1)),
+         anch AS (
+           SELECT cal.o_orderpriority, cal.d_day, daily.rev,
+             last_value(daily.rev IGNORE NULLS) OVER
+               (PARTITION BY cal.o_orderpriority ORDER BY cal.d_day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_rev,
+             last_value(CASE WHEN daily.rev IS NOT NULL THEN cal.d_day END
+                 IGNORE NULLS) OVER
+               (PARTITION BY cal.o_orderpriority ORDER BY cal.d_day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_day,
+             first_value(daily.rev IGNORE NULLS) OVER
+               (PARTITION BY cal.o_orderpriority ORDER BY cal.d_day
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_rev,
+             first_value(CASE WHEN daily.rev IS NOT NULL THEN cal.d_day END
+                 IGNORE NULLS) OVER
+               (PARTITION BY cal.o_orderpriority ORDER BY cal.d_day
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_day
+           FROM cal LEFT JOIN daily
+             ON cal.o_orderpriority = daily.o_orderpriority
+             AND cal.d_day = daily.d_day)
+         SELECT o_orderpriority, d_day, rev,
+           rev IS NULL AS is_gap,
+           CASE WHEN rev IS NOT NULL THEN rev
+                ELSE prev_rev + (next_rev - prev_rev) *
+                  (CAST(d_day - prev_day AS DOUBLE)
+                   / CAST(next_day - prev_day AS DOUBLE)) END AS rev_interp
+         FROM anch""",
     "x_salted_join" ->
       """SELECT d.flag_label, count(*) AS n,
            CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty

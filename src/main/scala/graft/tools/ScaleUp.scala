@@ -88,7 +88,30 @@ object ScaleUp {
     }.reduce(_ unionAll _)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
-    println(s"[scaleup] wrote $out (events+documents+embeddings, ${copies}x $src)")
+    // TPC-H star: dims pass through UNCHANGED (customer/supplier/part/
+    // nation/region — production dimensions don't grow with the fact);
+    // orders and lineitem replicate with DISJOINT orderkeys per copy.
+    // Foreign keys into the dims stay as-is, so per-customer order
+    // counts, per-part line depth, and per-supplier volumes all grow
+    // `copies`× — exactly how a fact table accretes history: Q18/Q13
+    // rollups see deeper keys, Q17's per-part window sees more rows,
+    // Q21's per-order groups keep their original width (the order is
+    // the unit of replication).
+    for (t <- Seq("region", "nation", "customer", "supplier", "part"))
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    val ord = spark.read.parquet(s"$src/orders.parquet")
+    (0 until copies).map { i =>
+      ord.withColumn("o_orderkey", col("o_orderkey") + lit(i * off))
+    }.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    (0 until copies).map { i =>
+      li.withColumn("l_orderkey", col("l_orderkey") + lit(i * off))
+    }.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
+    println(s"[scaleup] wrote $out (events+documents+embeddings+tpch, ${copies}x $src)")
     spark.stop()
   }
 }
