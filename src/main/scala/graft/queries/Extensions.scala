@@ -868,6 +868,37 @@ object Extensions {
     * a content hash (`polyHash(doc_id:lang) % 100 < rate`) — reproducible
     * across runs/engines/cluster sizes, no RNG state, embarrassingly
     * parallel. The per-stratum report proves the rates. */
+  /** Approximate query processing: answer a grouped COUNT/SUM from a 1%
+    * deterministic Bernoulli sample, with Horvitz–Thompson scaling and a
+    * per-group standard error — the interactive-latency pattern for
+    * 100 TB facts (scan 1% of the rows, report estimate ± error; persist
+    * the sample bucket as a partition column and the scan prunes 99% of
+    * the IO instead of filtering it). Membership is a pure integer hash
+    * of the row key (Knuth multiplicative, mod-prime, mod-100), so the
+    * sample — and therefore every output double — is reproducible
+    * bit-for-bit by any engine.
+    *
+    * Estimators (Bernoulli p = 0.01): est = sample_sum / p;
+    * Var(est) ≈ (1−p)/p² · Σ_sample x² (HT variance estimate), so
+    * se = sqrt(9900 · Σx²). Sums and sums-of-squares fold in DECIMAL
+    * (order-independent, exact); the scale/sqrt/ratio arithmetic runs on
+    * those exact values in a fixed expression tree. */
+  def aqpSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val price = col("o_totalprice").cast("decimal(18,2)")
+    Parity.table(spark, sfDir, "orders")
+      .filter((col("o_orderkey") * lit(2654435761L) % lit(1000000007L)) % 100 < 1)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_sample"),
+        sum(price).as("sum_dec"),
+        sum(price * price).as("sum2_dec"))
+      .select(col("o_orderpriority"),
+        col("n_sample"),
+        (col("n_sample") * 100).as("est_count"),
+        (col("sum_dec").cast("double") * lit(100.0)).as("est_sum"),
+        sqrt(lit(9900.0) * col("sum2_dec").cast("double")).as("se_sum"))
+      .withColumn("rel_se", col("se_sum") / col("est_sum"))
+  }
+
   def stratifiedSample(spark: SparkSession, sfDir: String): DataFrame = {
     val rate = when(col("lang") === "en", 10)
       .when(col("lang") === "de", 30).otherwise(50)
@@ -1427,6 +1458,7 @@ object Extensions {
     "x_pii_scrub" -> piiScrub _,
     "x_pivot" -> pivotStatus _,
     "x_stratified_sample" -> stratifiedSample _,
+    "x_aqp_sample" -> aqpSample _,
     "x_train_val_split" -> trainValSplit _,
     "x_resample" -> resampleFfill _,
     "x_gap_fill" -> gapFillInterp _,
@@ -2332,6 +2364,23 @@ object Extensions {
       s"""SELECT o_orderpriority, ${Seq("F", "O", "P").map(cell).mkString(", ")}
           FROM orders GROUP BY o_orderpriority"""
     },
+    "x_aqp_sample" ->
+      """WITH s AS (
+           SELECT o_orderpriority,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS p
+           FROM orders
+           WHERE (o_orderkey * 2654435761 % 1000000007) % 100 < 1),
+         g AS (
+           SELECT o_orderpriority, count(*) AS n_sample,
+             SUM(p) AS sum_dec, SUM(p * p) AS sum2_dec
+           FROM s GROUP BY 1)
+         SELECT o_orderpriority, n_sample,
+           n_sample * 100 AS est_count,
+           CAST(sum_dec AS DOUBLE) * 100.0 AS est_sum,
+           sqrt(9900.0 * CAST(sum2_dec AS DOUBLE)) AS se_sum,
+           sqrt(9900.0 * CAST(sum2_dec AS DOUBLE))
+             / (CAST(sum_dec AS DOUBLE) * 100.0) AS rel_se
+         FROM g""",
     "x_stratified_sample" -> {
       val h = DuckSql.polyHash("CAST(doc_id AS VARCHAR) || ':' || lang")
       s"""SELECT lang, count(*) AS n_kept,
