@@ -1286,6 +1286,51 @@ object Parity {
         sum(dec(col("c_acctbal"))).cast("double").as("totacctbal"))
   }
 
+  /** P14 — native UNPIVOT (melt): wide per-flag measure columns back to
+    * long (measure, value) rows via `Dataset.unpivot` — the inverse of
+    * [[pivotQ]] and the standard reshape before a generic metrics sink.
+    * Unpivot is a per-row projection (each input row emits one row per
+    * value column, no shuffle); the rollup before it is the only
+    * exchange. */
+  def p14Unpivot(spark: SparkSession, sfDir: String): DataFrame = {
+    table(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(sum(dec(col("l_quantity"))).cast("double").as("qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("price"),
+        sum(dec(col("l_discount"))).cast("double").as("discount"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("qty"), col("price"), col("discount")),
+        "measure", "value")
+  }
+
+  /** P15 — one-pass pipeline observability via `Dataset.observe`: the
+    * data-quality counters the reference computes with EXTRA passes
+    * (count filters before/after each gate) ride the gate's own job as
+    * accumulator-backed partial aggregates — at 100 TB the difference
+    * between "metrics for free" and "scan the fact twice per gate".
+    * The returned frame is the metrics row itself (driver-side single
+    * row, like S12): total rows, rule-violation counts, surviving rows,
+    * max price — every value an exact count/max, so the oracle is plain
+    * SQL. */
+  def p15Observe(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.Observation
+    val obs = Observation()
+    val gated = table(spark, sfDir, "orders")
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_keys"),
+        sum(when(col("o_totalprice") <= 100, 1L).otherwise(0L)).as("low_price"),
+        max(col("o_totalprice")).as("max_price"))
+      .filter(col("o_totalprice") > 100)
+    val kept = gated.count() // ONE job: gate count + observed metrics
+    val m = obs.get
+    import spark.implicits._
+    Seq((m("n_rows").asInstanceOf[Long], m("null_keys").asInstanceOf[Long],
+      m("low_price").asInstanceOf[Long], kept,
+      m("max_price").asInstanceOf[Double]))
+      .toDF("n_rows", "null_keys", "low_price", "n_kept", "max_price")
+  }
+
   /** P13 — null-handling suite (`na.fill` / `na.replace` / `na.drop`):
     * the data-cleaning basics every ingest applies. Nulls are derived
     * with `nullif` so the op composition is visible end-to-end: fill a
@@ -1608,6 +1653,8 @@ object Parity {
     "set_ops" -> setOps _,
     "set_ops_all" -> setOpsAll _,
     "p13_na_ops" -> p13NaOps _,
+    "p14_unpivot" -> p14Unpivot _,
+    "p15_observe" -> p15Observe _,
     "x_histogram" -> xHistogram _,
     "s10_zorder" -> s10Zorder _,
     "s10_hilbert" -> s10Hilbert _,
@@ -1902,6 +1949,28 @@ object Parity {
            CASE WHEN o_totalprice > 200000 THEN o_totalprice END AS big_price
          FROM orders
          WHERE nullif(o_orderstatus, 'P') IS NOT NULL""",
+    "p15_observe" ->
+      """SELECT count(*) AS n_rows,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS null_keys,
+           CAST(SUM(CASE WHEN o_totalprice <= 100 THEN 1 ELSE 0 END) AS BIGINT)
+             AS low_price,
+           CAST(SUM(CASE WHEN o_totalprice > 100 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           MAX(o_totalprice) AS max_price
+         FROM orders""",
+    "p14_unpivot" ->
+      """WITH g AS (
+           SELECT l_returnflag,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price,
+             CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS discount
+           FROM lineitem GROUP BY 1)
+         SELECT l_returnflag, 'qty' AS measure, qty AS value FROM g
+         UNION ALL
+         SELECT l_returnflag, 'price' AS measure, price AS value FROM g
+         UNION ALL
+         SELECT l_returnflag, 'discount' AS measure, discount AS value FROM g""",
     "x_histogram" ->
       """SELECT o_orderstatus,
            CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bucket,
