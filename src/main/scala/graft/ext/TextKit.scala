@@ -163,6 +163,67 @@ object TextKit {
             .reduce((acc, x) => acc * 31 + x)))
         .otherwise(array().cast("array<long>"))
     }
+
+  /** BPE tokenizer TRAINING: learn the first `k` merge rules from a
+    * corpus — the op that produces the merge table [[bpeTokens]]-style
+    * pre-tokenizers consume. Classic algorithm (Sennrich et al. 2016,
+    * arXiv:1508.07909): start from characters, repeatedly merge the
+    * globally most frequent adjacent symbol pair (greedy left-to-right,
+    * non-overlapping within a word).
+    *
+    * Distributed shape, per merge round:
+    *  1. adjacent-pair counts — one keyed aggregation over the DISTINCT
+    *     word table (built once; pair counts are freq-weighted, so the
+    *     corpus is touched once total, like every trainer since the
+    *     original: dedupe words first, the symbol work is O(|vocab|)
+    *     not O(corpus));
+    *  2. argmax — a 1-row collect (cnt desc, then lexicographic pair;
+    *     metadata-scale, the same driver role as a centroid broadcast);
+    *  3. rewrite — a pure per-word fold projection (no shuffle): the
+    *     winning pair concatenates wherever it appears, leftmost-first.
+    * localCheckpoint per round cuts the growing lineage exactly like the
+    * Lloyd-iteration trainer in [[Similarity.trainCentroids]].
+    *
+    * Returns the merge table (rank, lhs, rhs, cnt) — `k` rows. Fully
+    * deterministic (integer counts, binary-ordered tiebreaks), so the
+    * DuckDB oracle replays the identical rounds as unrolled CTEs. */
+  def bpeTrainMerges(docs: org.apache.spark.sql.DataFrame, k: Int,
+      textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    var words = docs
+      .select(explode(split(lower(col(textCol)), "[^a-z]+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(transform(sequence(lit(1), length(col("w"))),
+        i => col("w").substr(i, lit(1))).as("syms"), col("freq"))
+      .localCheckpoint()
+    val merges = (1 to k).map { rank =>
+      val Array(l, r, cnt) = words.filter(size(col("syms")) > 1)
+        .select(col("freq"), explode(transform(
+          sequence(lit(1), size(col("syms")) - 1), j =>
+            struct(element_at(col("syms"), j).as("l"),
+              element_at(col("syms"), j + 1).as("r")))).as("p"))
+        .groupBy(col("p.l"), col("p.r")).agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r")).limit(1)
+        .collect()(0).toSeq.toArray
+      val (lS, rS) = (l.asInstanceOf[String], r.asInstanceOf[String])
+      // greedy leftmost non-overlapping merge: fold symbols, gluing
+      // (lhs, rhs) whenever rhs follows an unconsumed lhs.
+      words = words.withColumn("syms",
+          when(size(col("syms")) > 1,
+            aggregate(slice(col("syms"), lit(2), size(col("syms")) - 1),
+              array(element_at(col("syms"), 1)),
+              (acc, x) => when(
+                element_at(acc, -1) === lit(lS) && x === lit(rS),
+                concat(slice(acc, lit(1), size(acc) - 1), array(lit(lS + rS))))
+                .otherwise(concat(acc, array(x)))))
+            .otherwise(col("syms")))
+        .localCheckpoint()
+      (rank.toLong, lS, rS, cnt.asInstanceOf[Long])
+    }
+    import spark.implicits._
+    merges.toDF("rank", "lhs", "rhs", "cnt")
+  }
 }
 
 /** DuckDB SQL mirrors of [[TextKit]] — used to assemble oracle SQL.

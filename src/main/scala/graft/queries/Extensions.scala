@@ -61,6 +61,13 @@ object Extensions {
         size(array_distinct(col("toks"))).cast(LongType).as("n_bpe_distinct"))
   }
 
+  /** BPE tokenizer training over the documents corpus: the first 6 merge
+    * rules (see [[graft.ext.TextKit.bpeTrainMerges]] for the distributed
+    * shape — dedupe words once, then per round one keyed pair count, a
+    * 1-row argmax collect, and a shuffle-free fold rewrite). */
+  def bpeTrain(spark: SparkSession, sfDir: String): DataFrame =
+    TextKit.bpeTrainMerges(docs(spark, sfDir), k = 6)
+
   /** Repetition signal: share of the most frequent bigram in all bigram
     * occurrences per doc (Gopher-style repetitiveness gate; high ratio =
     * template/boilerplate). Both aggregations shuffle on doc_id. */
@@ -1452,6 +1459,7 @@ object Extensions {
     "x_salted_agg" -> saltedAgg _,
     "x_salted_join" -> saltedJoinQ _,
     "x_bpe_tokens" -> bpeTokens _,
+    "x_bpe_train" -> bpeTrain _,
     "x_repetition" -> repetition _,
     "x_range_join" -> rangeJoin _,
     "x_overlap_join" -> overlapIntervals _,
@@ -2074,6 +2082,51 @@ object Extensions {
            CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS BIGINT) AS n_bpe,
            CAST(len(list_distinct(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+'))) AS BIGINT) AS n_bpe_distinct
          FROM documents""",
+    // Unrolled BPE training rounds mirroring TextKit.bpeTrainMerges: per
+    // round, pair counts over the deduped word table, a deterministic
+    // 1-row argmax (cnt desc, lexicographic pair), then the greedy
+    // leftmost-non-overlapping rewrite as a list_reduce whose VARCHAR
+    // accumulator is the chr(31)-delimited symbol sequence (DuckDB folds
+    // require accumulator type == element type; the corpus is [a-z]+ so
+    // the separator can't collide).
+    "x_bpe_train" -> {
+      val S = "chr(31)"
+      def parts(acc: String) = s"string_split($acc, $S)"
+      def step(i: Int) =
+        s"""p$i AS (
+              SELECT syms[j] AS l, syms[j + 1] AS r, SUM(freq) AS cnt
+              FROM s${i - 1}, unnest(generate_series(1, len(syms) - 1)) t(j)
+              GROUP BY 1, 2),
+            t$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+            s$i AS (
+              SELECT freq,
+                CASE WHEN len(syms) <= 1 THEN syms
+                  ELSE string_split(
+                    list_reduce(syms, (acc, x) ->
+                      CASE WHEN ${parts("acc")}[len(${parts("acc")})] = t$i.l
+                             AND x = t$i.r
+                           THEN array_to_string(list_append(
+                             list_slice(${parts("acc")}, 1,
+                               len(${parts("acc")}) - 1),
+                             t$i.l || t$i.r), $S)
+                           ELSE acc || $S || x END),
+                    $S) END AS syms
+              FROM s${i - 1} CROSS JOIN t$i)"""
+      s"""WITH w0 AS (
+            SELECT w, count(*) AS freq FROM (
+              SELECT unnest(list_filter(
+                regexp_split_to_array(lower(text), '[^a-z]+'),
+                x -> x <> '')) AS w
+              FROM documents)
+            GROUP BY 1),
+          s0 AS (
+            SELECT freq, list_transform(generate_series(1, length(w)),
+              i -> substr(w, i, 1)) AS syms
+            FROM w0),
+          ${(1 to 6).map(step).mkString(",\n")}
+          ${(1 to 6).map(i =>
+            s"SELECT CAST($i AS BIGINT) AS rank, l AS lhs, r AS rhs, CAST(cnt AS BIGINT) AS cnt FROM t$i")
+            .mkString("\nUNION ALL\n")}""" },
     "x_repetition" ->
       s"""WITH grams AS (
             SELECT doc_id, unnest(CASE WHEN len(w) >= 2

@@ -51,4 +51,16 @@ class TextKitSpec extends SparkSpec {
     assert(sigs.length == 64)
     assert(sigs.forall(v => v >= 0 && v <= TextKit.P))
   }
+
+  test("bpeTrainMerges: hand-computed merge sequence on a tiny corpus") {
+    // words: aaab ×3, aab ×2.
+    // Round 1: (a,a) = 2·3 + 1·2 = 8 beats (a,b) = 5 → merge a+a.
+    //   Greedy leftmost: aaab → [aa, a, b] (NOT [a, aa, b]); aab → [aa, b].
+    // Round 2: (aa,a) = 3, (a,b) = 3, (aa,b) = 2 — tie broken
+    //   lexicographically ('a' < 'aa') → merge a+b, cnt 3.
+    val docs = Seq("aaab aaab aaab aab aab").toDF("text")
+    val m = TextKit.bpeTrainMerges(docs, k = 2).orderBy("rank")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m.toSeq == Seq((1L, "a", "a", 8L), (2L, "a", "b", 3L)))
+  }
 }
