@@ -190,11 +190,21 @@ object TextKit {
   def bpeTrainMerges(docs: org.apache.spark.sql.DataFrame, k: Int,
       textCol: String = "text"): org.apache.spark.sql.DataFrame = {
     val spark = docs.sparkSession
+    import spark.implicits._
+    bpeTrainState(docs, k, textCol)._1.toDF("rank", "lhs", "rhs", "cnt")
+  }
+
+  /** Training loop shared by [[bpeTrainMerges]] (the merge table) and
+    * [[bpeEncode]] (which also needs the trained per-word segmentation):
+    * returns the k merges plus the final word table (w, syms, freq). */
+  def bpeTrainState(docs: org.apache.spark.sql.DataFrame, k: Int,
+      textCol: String = "text")
+      : (Seq[(Long, String, String, Long)], org.apache.spark.sql.DataFrame) = {
     var words = docs
       .select(explode(split(lower(col(textCol)), "[^a-z]+")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("freq"))
-      .select(transform(sequence(lit(1), length(col("w"))),
+      .select(col("w"), transform(sequence(lit(1), length(col("w"))),
         i => col("w").substr(i, lit(1))).as("syms"), col("freq"))
       .localCheckpoint()
     val merges = (1 to k).map { rank =>
@@ -221,8 +231,33 @@ object TextKit {
         .localCheckpoint()
       (rank.toLong, lS, rS, cnt.asInstanceOf[Long])
     }
-    import spark.implicits._
-    merges.toDF("rank", "lhs", "rhs", "cnt")
+    (merges, words)
+  }
+
+  /** Encode the corpus with a freshly trained k-merge BPE vocabulary:
+    * per document, the sub-word token count after the merges, next to
+    * the raw word/char counts — the "how much does my tokenizer
+    * compress" report a data pipeline runs after training.
+    *
+    * Scale shape: training touches only the deduped word table; encoding
+    * is one broadcast join of that (vocabulary-sized) table back to the
+    * exploded corpus words and a per-doc rollup — the fact is scanned
+    * once and shuffles once on doc_id. */
+  def bpeEncode(docs: org.apache.spark.sql.DataFrame, k: Int,
+      textCol: String = "text", idCol: String = "doc_id")
+      : org.apache.spark.sql.DataFrame = {
+    val (_, words) = bpeTrainState(docs, k, textCol)
+    val wordTok = words.select(col("w"), size(col("syms")).cast(LongType).as("n_tok"))
+    docs.select(col(idCol),
+        explode(split(lower(col(textCol)), "[^a-z]+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(broadcast(wordTok), Seq("w"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("w")).cast(LongType)).as("n_chars_az"),
+        sum(col("n_tok")).as("n_bpe"))
+      .withColumn("chars_per_token",
+        col("n_chars_az").cast(DoubleType) / col("n_bpe").cast(DoubleType))
   }
 }
 

@@ -68,6 +68,11 @@ object Extensions {
   def bpeTrain(spark: SparkSession, sfDir: String): DataFrame =
     TextKit.bpeTrainMerges(docs(spark, sfDir), k = 6)
 
+  /** Per-doc sub-word token counts under the trained 6-merge vocabulary
+    * (train on the deduped words, broadcast the vocabulary back). */
+  def bpeEncodeQ(spark: SparkSession, sfDir: String): DataFrame =
+    TextKit.bpeEncode(docs(spark, sfDir), k = 6)
+
   /** Repetition signal: share of the most frequent bigram in all bigram
     * occurrences per doc (Gopher-style repetitiveness gate; high ratio =
     * template/boilerplate). Both aggregations shuffle on doc_id. */
@@ -1460,6 +1465,7 @@ object Extensions {
     "x_salted_join" -> saltedJoinQ _,
     "x_bpe_tokens" -> bpeTokens _,
     "x_bpe_train" -> bpeTrain _,
+    "x_bpe_encode" -> bpeEncodeQ _,
     "x_repetition" -> repetition _,
     "x_range_join" -> rangeJoin _,
     "x_overlap_join" -> overlapIntervals _,
@@ -1615,6 +1621,52 @@ object Extensions {
         SELECT f.vec_id, f.c_id AS cell,
           ${dotD("f.u", "c.c_emb")} AS cos
         FROM asg${iters + 1} f JOIN cent$iters c ON f.c_id = c.c_id"""
+  }
+
+  /** Unrolled BPE training rounds (DuckDB) mirroring
+    * [[graft.ext.TextKit.bpeTrainState]]: per round, freq-weighted pair
+    * counts over the deduped word table (`p_i`), a deterministic 1-row
+    * argmax (`t_i`: cnt desc, lexicographic pair), then the greedy
+    * leftmost-non-overlapping rewrite (`s_i`) as a list_reduce whose
+    * VARCHAR accumulator is the chr(31)-delimited symbol sequence
+    * (DuckDB folds require accumulator type == element type; the corpus
+    * is [a-z]+ so the separator can't collide). `w` rides along so the
+    * final segmentation can join back to the corpus (x_bpe_encode). */
+  private def bpeCtes(k: Int): String = {
+    val S = "chr(31)"
+    def parts(acc: String) = s"string_split($acc, $S)"
+    def step(i: Int) =
+      s"""p$i AS (
+            SELECT syms[j] AS l, syms[j + 1] AS r, SUM(freq) AS cnt
+            FROM s${i - 1}, unnest(generate_series(1, len(syms) - 1)) t(j)
+            GROUP BY 1, 2),
+          t$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+          s$i AS (
+            SELECT w, freq,
+              CASE WHEN len(syms) <= 1 THEN syms
+                ELSE string_split(
+                  list_reduce(syms, (acc, x) ->
+                    CASE WHEN ${parts("acc")}[len(${parts("acc")})] = t$i.l
+                           AND x = t$i.r
+                         THEN array_to_string(list_append(
+                           list_slice(${parts("acc")}, 1,
+                             len(${parts("acc")}) - 1),
+                           t$i.l || t$i.r), $S)
+                         ELSE acc || $S || x END),
+                  $S) END AS syms
+            FROM s${i - 1} CROSS JOIN t$i)"""
+    s"""w0 AS (
+          SELECT w, count(*) AS freq FROM (
+            SELECT unnest(list_filter(
+              regexp_split_to_array(lower(text), '[^a-z]+'),
+              x -> x <> '')) AS w
+            FROM documents)
+          GROUP BY 1),
+        s0 AS (
+          SELECT w, freq, list_transform(generate_series(1, length(w)),
+            i -> substr(w, i, 1)) AS syms
+          FROM w0),
+        ${(1 to k).map(step).mkString(",\n")}"""
   }
 
   val oracleSql: Map[String, String] = Map(
@@ -2082,51 +2134,30 @@ object Extensions {
            CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS BIGINT) AS n_bpe,
            CAST(len(list_distinct(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+'))) AS BIGINT) AS n_bpe_distinct
          FROM documents""",
-    // Unrolled BPE training rounds mirroring TextKit.bpeTrainMerges: per
-    // round, pair counts over the deduped word table, a deterministic
-    // 1-row argmax (cnt desc, lexicographic pair), then the greedy
-    // leftmost-non-overlapping rewrite as a list_reduce whose VARCHAR
-    // accumulator is the chr(31)-delimited symbol sequence (DuckDB folds
-    // require accumulator type == element type; the corpus is [a-z]+ so
-    // the separator can't collide).
-    "x_bpe_train" -> {
-      val S = "chr(31)"
-      def parts(acc: String) = s"string_split($acc, $S)"
-      def step(i: Int) =
-        s"""p$i AS (
-              SELECT syms[j] AS l, syms[j + 1] AS r, SUM(freq) AS cnt
-              FROM s${i - 1}, unnest(generate_series(1, len(syms) - 1)) t(j)
-              GROUP BY 1, 2),
-            t$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
-            s$i AS (
-              SELECT freq,
-                CASE WHEN len(syms) <= 1 THEN syms
-                  ELSE string_split(
-                    list_reduce(syms, (acc, x) ->
-                      CASE WHEN ${parts("acc")}[len(${parts("acc")})] = t$i.l
-                             AND x = t$i.r
-                           THEN array_to_string(list_append(
-                             list_slice(${parts("acc")}, 1,
-                               len(${parts("acc")}) - 1),
-                             t$i.l || t$i.r), $S)
-                           ELSE acc || $S || x END),
-                    $S) END AS syms
-              FROM s${i - 1} CROSS JOIN t$i)"""
-      s"""WITH w0 AS (
-            SELECT w, count(*) AS freq FROM (
-              SELECT unnest(list_filter(
-                regexp_split_to_array(lower(text), '[^a-z]+'),
-                x -> x <> '')) AS w
-              FROM documents)
-            GROUP BY 1),
-          s0 AS (
-            SELECT freq, list_transform(generate_series(1, length(w)),
-              i -> substr(w, i, 1)) AS syms
-            FROM w0),
-          ${(1 to 6).map(step).mkString(",\n")}
+    // Unrolled BPE training rounds mirroring TextKit.bpeTrainState (see
+    // bpeCtes below): x_bpe_train reads the per-round argmax tables.
+    "x_bpe_train" ->
+      s"""WITH ${bpeCtes(6)}
           ${(1 to 6).map(i =>
             s"SELECT CAST($i AS BIGINT) AS rank, l AS lhs, r AS rhs, CAST(cnt AS BIGINT) AS cnt FROM t$i")
-            .mkString("\nUNION ALL\n")}""" },
+            .mkString("\nUNION ALL\n")}""",
+    // Corpus encode with the trained vocabulary: the final word table's
+    // segmentation joins back to the exploded corpus words.
+    "x_bpe_encode" ->
+      s"""WITH ${bpeCtes(6)},
+          wt AS (SELECT w, len(syms) AS n_tok FROM s6),
+          dw AS (
+            SELECT doc_id, unnest(list_filter(
+              regexp_split_to_array(lower(text), '[^a-z]+'),
+              x -> x <> '')) AS w
+            FROM documents)
+          SELECT doc_id, count(*) AS n_words,
+            CAST(SUM(length(w)) AS BIGINT) AS n_chars_az,
+            CAST(SUM(n_tok) AS BIGINT) AS n_bpe,
+            CAST(CAST(SUM(length(w)) AS BIGINT) AS DOUBLE)
+              / CAST(CAST(SUM(n_tok) AS BIGINT) AS DOUBLE) AS chars_per_token
+          FROM dw JOIN wt USING (w)
+          GROUP BY doc_id""",
     "x_repetition" ->
       s"""WITH grams AS (
             SELECT doc_id, unnest(CASE WHEN len(w) >= 2

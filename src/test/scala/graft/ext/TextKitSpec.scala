@@ -63,4 +63,13 @@ class TextKitSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
     assert(m.toSeq == Seq((1L, "a", "a", 8L), (2L, "a", "b", 3L)))
   }
+
+  test("bpeEncode: doc token counts under the trained segmentation") {
+    // After the two merges above: aaab → [aa, a, b] → [aa, ab] (2 tokens);
+    // aab → [aa, b] (round-2 pair (a,b) can't fire: 'aa' != 'a').
+    val docs = Seq((7L, "aaab aaab aaab aab aab")).toDF("doc_id", "text")
+    val r = TextKit.bpeEncode(docs, k = 2).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getDouble(4)) == ((7L, 5L, 18L, 10L, 1.8)))
+  }
 }
