@@ -73,6 +73,61 @@ object Extensions {
   def bpeEncodeQ(spark: SparkSession, sfDir: String): DataFrame =
     TextKit.bpeEncode(docs(spark, sfDir), k = 6)
 
+  /** Bigram language-model fluency scoring — the CCNet/LLaMA-style
+    * "perplexity filter" op: train add-one-smoothed bigram probabilities
+    * on the corpus itself, then score every document's token sequence.
+    * p(w2|w1) = (c2(w1,w2) + 1) / (c1(w1) + V).
+    *
+    * Output carries SUFFICIENT STATISTICS, not perplexity: the per-doc
+    * likelihood product (serial fold in token order — each multiply is
+    * one correctly-rounded IEEE op, so the oracle reproduces it
+    * bit-for-bit; log/pow are NOT bit-portable across engines and the
+    * perplexity prod^(-1/n) is a trivial client-side step), the bigram
+    * count, and the weakest transition min_p (the boilerplate/garbage
+    * detector). A long-enough incoherent doc underflows the product to
+    * exactly 0.0 — identically in both engines, and "0" is precisely the
+    * filter verdict such a doc deserves.
+    *
+    * Scale shape: token explode → two keyed count aggregations (the LM),
+    * a vocabulary-size scalar broadcast, one shuffle join of corpus
+    * bigrams against the bigram table, and a per-doc rollup. No driver
+    * state; the model lives in the cluster as tables — at 100 TB you'd
+    * persist c1/c2 once and re-score increments. */
+  def lmScore(spark: SparkSession, sfDir: String): DataFrame =
+    lmScoreDf(docs(spark, sfDir))
+
+  /** [[lmScore]] over an explicit (doc_id, text) frame (spec fixture). */
+  def lmScoreDf(d: DataFrame): DataFrame = {
+    val toks = d
+      .select(col("doc_id"), array_compact(transform(
+        split(lower(col("text")), "[^a-z]+"),
+        x => when(length(x) > 0, x))).as("ws"))
+    val grams = toks.filter(size(col("ws")) > 1)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("ws")) - 1), j =>
+          struct(j.as("pos"), element_at(col("ws"), j).as("w1"),
+            element_at(col("ws"), j + 1).as("w2")))).as("g"))
+      .select(col("doc_id"), col("g.pos"), col("g.w1"), col("g.w2"))
+    val tokens = toks.select(explode(col("ws")).as("w"))
+    val uni = tokens.groupBy("w").agg(count(lit(1)).as("c1"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val bi = grams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    grams
+      .join(bi, Seq("w1", "w2"))
+      .join(uni.withColumnRenamed("w", "w1"), Seq("w1"))
+      .join(broadcast(vocab))
+      .select(col("doc_id"), col("pos"),
+        ((col("c2") + 1).cast(DoubleType) /
+          (col("c1") + col("v")).cast(DoubleType)).as("p"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        min(col("p")).as("min_p"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("pos"), col("p")))),
+            s => s("p")),
+          lit(1.0), (acc, x) => acc * x).as("lm_likelihood"))
+  }
+
   /** Repetition signal: share of the most frequent bigram in all bigram
     * occurrences per doc (Gopher-style repetitiveness gate; high ratio =
     * template/boilerplate). Both aggregations shuffle on doc_id. */
@@ -1466,6 +1521,7 @@ object Extensions {
     "x_bpe_tokens" -> bpeTokens _,
     "x_bpe_train" -> bpeTrain _,
     "x_bpe_encode" -> bpeEncodeQ _,
+    "x_lm_score" -> lmScore _,
     "x_repetition" -> repetition _,
     "x_range_join" -> rangeJoin _,
     "x_overlap_join" -> overlapIntervals _,
@@ -2158,6 +2214,35 @@ object Extensions {
               / CAST(CAST(SUM(n_tok) AS BIGINT) AS DOUBLE) AS chars_per_token
           FROM dw JOIN wt USING (w)
           GROUP BY doc_id""",
+    // Bigram-LM scoring mirror of lmScore: identical token positions,
+    // counts, smoothing, and a serial likelihood fold in pos order.
+    "x_lm_score" ->
+      """WITH d AS (
+           SELECT doc_id, list_filter(
+             regexp_split_to_array(lower(text), '[^a-z]+'),
+             x -> x <> '') AS ws
+           FROM documents),
+         tok AS (
+           SELECT ws[j] AS w FROM d, unnest(generate_series(1, len(ws))) t(j)),
+         uni AS (SELECT w, count(*) AS c1 FROM tok GROUP BY 1),
+         voc AS (SELECT count(*) AS v FROM uni),
+         grams AS (
+           SELECT doc_id, j AS pos, ws[j] AS w1, ws[j + 1] AS w2
+           FROM d, unnest(generate_series(1, len(ws) - 1)) t(j)
+           WHERE len(ws) > 1),
+         bi AS (SELECT w1, w2, count(*) AS c2 FROM grams GROUP BY 1, 2),
+         scored AS (
+           SELECT doc_id, pos,
+             CAST(c2 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE) AS p
+           FROM grams
+           JOIN bi USING (w1, w2)
+           JOIN uni ON grams.w1 = uni.w
+           CROSS JOIN voc)
+         SELECT doc_id, count(*) AS n_bigrams,
+           MIN(p) AS min_p,
+           list_reduce(list_prepend(1.0::DOUBLE, list(p ORDER BY pos)),
+             (a, b) -> a * b) AS lm_likelihood
+         FROM scored GROUP BY doc_id""",
     "x_repetition" ->
       s"""WITH grams AS (
             SELECT doc_id, unnest(CASE WHEN len(w) >= 2

@@ -72,4 +72,17 @@ class TextKitSpec extends SparkSpec {
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
       r.getDouble(4)) == ((7L, 5L, 18L, 10L, 1.8)))
   }
+
+  test("lmScore: hand-computed add-one bigram likelihoods") {
+    // corpus: doc 1 = "a b a b a b", doc 2 = "a c b".
+    // c1: a=4, b=4, c=1; V=3; c2: ab=3, ba=2, ac=1, cb=1.
+    // p(ab)=4/7, p(ba)=3/7, p(ac)=2/7, p(cb)=2/4.
+    val d = Seq((1L, "a b a b a b"), (2L, "a c b")).toDF("doc_id", "text")
+    val out = graft.queries.Extensions.lmScoreDf(d).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val likA = 1.0 * (4.0/7.0) * (3.0/7.0) * (4.0/7.0) * (3.0/7.0) * (4.0/7.0)
+    val likB = 1.0 * (2.0/7.0) * (2.0/4.0)
+    assert(out(0) == ((1L, 5L, 3.0/7.0, likA)))
+    assert(out(1) == ((2L, 2L, 2.0/7.0, likB)))
+  }
 }
