@@ -196,6 +196,93 @@ object Graph {
     dist
   }
 
+  /** k-core peeling: `rounds` synchronous rounds of "delete every vertex
+    * whose degree in the REMAINING graph is < k". Returns EVERY vertex of
+    * the edge set with the round (1-based) in which it was peeled, or
+    * NULL if it survived all rounds — survivors form the k-core once the
+    * peel has converged (no vertex peeled in the final round). The peel
+    * round itself is the standard "coreness layer" signal: early-peeled
+    * vertices are periphery, late-peeled sit just outside the core.
+    *
+    * Fixed `rounds` (not a convergence probe) keeps the computation — and
+    * therefore a round-unrolled oracle — deterministic; callers can check
+    * convergence by asserting no vertex carries `peeled_round == rounds`
+    * (a converged peel's last round deletes nobody... or the caller adds
+    * a round). All-integer arithmetic.
+    *
+    * Scale design: each round recomputes remaining-degrees as one
+    * edge-list join against the remaining-vertex set (two semi joins on
+    * the endpoint keys) plus one keyed count — O(E) per round like the
+    * other iterative ops, state O(V), nothing on the driver; per-round
+    * localCheckpoint truncates the self-referencing lineage. EAGER: runs
+    * jobs at call time. */
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int = 4): DataFrame = {
+    val und = edges.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint()
+    val all = und.select("u").distinct()
+    var remaining = all.localCheckpoint()
+    var peeled = all.filter(lit(false))
+      .select(col("u"), lit(0L).as("peeled_round")).localCheckpoint()
+    for (r <- 1 to rounds) {
+      // degree restricted to edges whose BOTH endpoints survive: vertices
+      // absent from degR have zero remaining neighbors and peel too.
+      val degR = und
+        .join(remaining, Seq("u"), "left_semi")
+        .join(remaining.select(col("u").as("v")), Seq("v"), "left_semi")
+        .groupBy("u").agg(count(lit(1)).as("deg"))
+      val nowPeeled = remaining.join(degR, Seq("u"), "left")
+        .filter(coalesce(col("deg"), lit(0L)) < k)
+        .select(col("u"), lit(r.toLong).as("peeled_round"))
+      val nextPeeled = peeled.unionAll(nowPeeled).localCheckpoint()
+      val nextRemaining = remaining
+        .join(nowPeeled.select("u"), Seq("u"), "left_anti").localCheckpoint()
+      freeCheckpoint(peeled); freeCheckpoint(remaining)
+      peeled = nextPeeled
+      remaining = nextRemaining
+    }
+    val out = remaining.select(col("u"), lit(null).cast("long").as("peeled_round"))
+      .unionAll(peeled)
+    freeCheckpoint(und)
+    out.select(col("u").as("v"), col("peeled_round"))
+  }
+
+  /** Weighted single-source (multi-seed) shortest paths: min total edge
+    * cost from any seed within `rounds` synchronous Bellman-Ford
+    * relaxations — the weighted generalization of [[bfsDistances]] (which
+    * is this with unit costs). `edges` carries (a, b, w) with INTEGER
+    * costs, so every relaxation is exact Long arithmetic and a DuckDB
+    * replay of the same rounds is bit-identical; vertices not reachable
+    * within `rounds` edges are absent. `rounds` bounds PATH LENGTH in
+    * edges, not cost — after r rounds each vertex holds the cheapest
+    * ≤ r-edge path, converged to true shortest cost when r ≥ the longest
+    * minimal-cost path's edge count.
+    *
+    * Same per-round shape as [[bfsDistances]]: one join of the current
+    * cost table with the edge list + one min-merge, O(E) shuffle per
+    * round, per-round checkpoint, eager. */
+  def ssspDistances(edges: DataFrame, seeds: DataFrame,
+                    rounds: Int = 4): DataFrame = {
+    val und = edges.select(col("a").as("u"), col("b").as("v"), col("w"))
+      .unionAll(edges.select(col("b").as("u"), col("a").as("v"), col("w")))
+      .localCheckpoint()
+    var ckpt = seeds.select(col("v"), lit(0L).as("cost")).localCheckpoint()
+    var cost = ckpt
+    for (_ <- 1 to rounds) {
+      val prop = cost.join(und.select(col("u"), col("v").as("nbr"), col("w")),
+          cost("v") === col("u"))
+        .select(col("nbr").as("v"), (col("cost") + col("w")).as("cost"))
+      val next = cost.unionAll(prop)
+        .groupBy("v").agg(min(col("cost")).as("cost"))
+        .localCheckpoint()
+      freeCheckpoint(ckpt)
+      ckpt = next
+      cost = next
+    }
+    freeCheckpoint(und)
+    cost
+  }
+
   /** Unpersist the block-manager storage behind a localCheckpoint'd frame
     * (Dataset.unpersist only covers cache-manager entries, not checkpoint
     * RDDs). No-op for non-checkpoint plans. Public: callers that feed a

@@ -1229,6 +1229,25 @@ object Extensions {
       .select("a", "b")
   }
 
+  /** [[coPurchaseEdges]] with an integer traversal COST per edge:
+    * stronger ties (more shared purchase keys) are cheaper to cross —
+    * w = max(1, 10 − shared) ∈ [1, 5] since edges require shared ≥ 5.
+    * Integer weights keep the SSSP relaxations bit-exact. */
+  private def coPurchaseEdgesWeighted(spark: SparkSession, sfDir: String): DataFrame = {
+    val uk = Parity.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+      .distinct()
+    uk.as("x").join(uk.as("y"),
+        col("x.k") === col("y.k") && col("x.user_id") < col("y.user_id"))
+      .groupBy(col("x.user_id").as("a"), col("y.user_id").as("b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 5)
+      .select(col("a"), col("b"),
+        greatest(lit(1L), lit(10L) - col("shared")).as("w"))
+  }
+
   def triangles(spark: SparkSession, sfDir: String): DataFrame =
     Graph.triangleCounts(coPurchaseEdges(spark, sfDir))
       .select(col("v").as("user_id"), col("n_triangles"))
@@ -1276,6 +1295,36 @@ object Extensions {
     // unpersist the result when done with it.
     val out = Graph.bfsDistances(edges, seeds, rounds = 4)
       .select(col("v").as("user_id"), col("dist"))
+    Graph.freeCheckpoint(edges)
+    out
+  }
+
+  /** k-core peeling ([[graft.ext.Graph.kCorePeel]]) over the co-purchase
+    * graph: four rounds of "delete vertices with remaining-degree < 3",
+    * reporting each user's peel round (periphery shells) or NULL for the
+    * 3-core survivors — the cohesion LAYERING signal where triangles
+    * give per-vertex cohesion and CC gives membership. Integer degree
+    * arithmetic; the oracle unrolls the same four rounds. */
+  def kcore(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = coPurchaseEdges(spark, sfDir).localCheckpoint()
+    val out = Graph.kCorePeel(edges, k = 3, rounds = 4)
+      .select(col("v").as("user_id"), col("peeled_round"))
+    Graph.freeCheckpoint(edges)
+    out
+  }
+
+  /** Weighted shortest paths ([[graft.ext.Graph.ssspDistances]]) over the
+    * co-purchase graph with tie-strength costs (w = max(1, 10 − shared)):
+    * cheapest total cost from any seed user (user_id % 97 == 0) within 4
+    * Bellman-Ford relaxations — the weighted twin of `x_bfs_reach`
+    * (cheapest path ≠ fewest hops when strong ties are cheap). Long
+    * arithmetic throughout; the oracle replays the same rounds. */
+  def sssp(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = coPurchaseEdgesWeighted(spark, sfDir).localCheckpoint()
+    val seeds = edges.select(explode(array(col("a"), col("b"))).as("v"))
+      .distinct().filter(col("v") % 97 === 0)
+    val out = Graph.ssspDistances(edges, seeds, rounds = 4)
+      .select(col("v").as("user_id"), col("cost"))
     Graph.freeCheckpoint(edges)
     out
   }
@@ -1553,6 +1602,8 @@ object Extensions {
     "x_triangles" -> triangles _,
     "x_pagerank" -> pagerank _,
     "x_bfs_reach" -> bfsReach _,
+    "x_kcore" -> kcore _,
+    "x_sssp" -> sssp _,
     "x_ivm_join" -> ivmJoin _,
     "d_winnowing" -> winnowing _,
     "x_skyline" -> skyline _,
@@ -1595,7 +1646,7 @@ object Extensions {
            CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
          FROM events WHERE event_type = 'purchase'),
        edges AS (
-         SELECT x.user_id AS a, y.user_id AS b
+         SELECT x.user_id AS a, y.user_id AS b, count(*) AS shared
          FROM uk x JOIN uk y ON x.k = y.k AND x.user_id < y.user_id
          GROUP BY 1, 2 HAVING count(*) >= 5)"""
 
@@ -2856,6 +2907,70 @@ object Extensions {
                   SELECT und.v, d3.dist + 1 FROM d3 JOIN und ON d3.v = und.u)
                 GROUP BY 1)
          SELECT v AS user_id, dist FROM d4""",
+    "x_kcore" ->
+      // Exact replay of the four peel rounds: each round's degree is
+      // counted over edges with BOTH endpoints still remaining, and
+      // vertices with zero remaining edges (absent from the count) peel
+      // via COALESCE — all-integer, so the hash matches bit-for-bit.
+      s"""WITH $coPurchaseCte,
+         und AS (SELECT a AS u, b AS v FROM edges
+                 UNION ALL SELECT b, a FROM edges),
+         v0 AS (SELECT DISTINCT u FROM und),
+         d1 AS (SELECT u, count(*) AS deg FROM und GROUP BY 1),
+         p1 AS (SELECT v0.u FROM v0 LEFT JOIN d1 USING (u)
+                WHERE COALESCE(deg, 0) < 3),
+         r1 AS (SELECT u FROM v0 EXCEPT SELECT u FROM p1),
+         d2 AS (SELECT und.u, count(*) AS deg FROM und
+                JOIN r1 ra ON und.u = ra.u JOIN r1 rb ON und.v = rb.u
+                GROUP BY 1),
+         p2 AS (SELECT r1.u FROM r1 LEFT JOIN d2 USING (u)
+                WHERE COALESCE(deg, 0) < 3),
+         r2 AS (SELECT u FROM r1 EXCEPT SELECT u FROM p2),
+         d3 AS (SELECT und.u, count(*) AS deg FROM und
+                JOIN r2 ra ON und.u = ra.u JOIN r2 rb ON und.v = rb.u
+                GROUP BY 1),
+         p3 AS (SELECT r2.u FROM r2 LEFT JOIN d3 USING (u)
+                WHERE COALESCE(deg, 0) < 3),
+         r3 AS (SELECT u FROM r2 EXCEPT SELECT u FROM p3),
+         d4 AS (SELECT und.u, count(*) AS deg FROM und
+                JOIN r3 ra ON und.u = ra.u JOIN r3 rb ON und.v = rb.u
+                GROUP BY 1),
+         p4 AS (SELECT r3.u FROM r3 LEFT JOIN d4 USING (u)
+                WHERE COALESCE(deg, 0) < 3),
+         r4 AS (SELECT u FROM r3 EXCEPT SELECT u FROM p4)
+         SELECT u AS user_id, peeled_round FROM (
+           SELECT u, CAST(1 AS BIGINT) AS peeled_round FROM p1
+           UNION ALL SELECT u, 2 FROM p2
+           UNION ALL SELECT u, 3 FROM p3
+           UNION ALL SELECT u, 4 FROM p4
+           UNION ALL SELECT u, CAST(NULL AS BIGINT) FROM r4)""",
+    "x_sssp" ->
+      // Exact replay of the four weighted relaxations: integer costs
+      // (w = max(1, 10 - shared)), min-merge per round.
+      s"""WITH $coPurchaseCte,
+         ew AS (SELECT a, b,
+                  GREATEST(CAST(1 AS BIGINT), 10 - shared) AS w FROM edges),
+         und AS (SELECT a AS u, b AS v, w FROM ew
+                 UNION ALL SELECT b, a, w FROM ew),
+         c0 AS (SELECT DISTINCT u AS v, CAST(0 AS BIGINT) AS cost
+                FROM und WHERE u % 97 = 0),
+         c1 AS (SELECT v, MIN(cost) AS cost FROM (
+                  SELECT * FROM c0 UNION ALL
+                  SELECT und.v, c0.cost + und.w FROM c0 JOIN und ON c0.v = und.u)
+                GROUP BY 1),
+         c2 AS (SELECT v, MIN(cost) AS cost FROM (
+                  SELECT * FROM c1 UNION ALL
+                  SELECT und.v, c1.cost + und.w FROM c1 JOIN und ON c1.v = und.u)
+                GROUP BY 1),
+         c3 AS (SELECT v, MIN(cost) AS cost FROM (
+                  SELECT * FROM c2 UNION ALL
+                  SELECT und.v, c2.cost + und.w FROM c2 JOIN und ON c2.v = und.u)
+                GROUP BY 1),
+         c4 AS (SELECT v, MIN(cost) AS cost FROM (
+                  SELECT * FROM c3 UNION ALL
+                  SELECT und.v, c3.cost + und.w FROM c3 JOIN und ON c3.v = und.u)
+                GROUP BY 1)
+         SELECT v AS user_id, cost FROM c4""",
     "x_ivm_join" ->
       // The oracle is the FULL recompute: the four delta-algebra terms
       // must tile it exactly (no dup, no gap).

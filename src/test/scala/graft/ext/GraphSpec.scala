@@ -127,4 +127,72 @@ class GraphSpec extends SparkSpec {
       (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 1L))
     assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L))
   }
+
+  private def kcore(k: Int, rounds: Int, pairs: (Long, Long)*): Map[Long, Option[Long]] =
+    Graph.kCorePeel(edges(pairs: _*), k, rounds)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+
+  test("kCorePeel: K4 with a pendant fan peels the periphery in layers") {
+    // K4 {1,2,3,4} + vertex 5 on {4,6,7} (deg 3 initially) + leaves 6,7:
+    // round 1 peels the leaves (deg 1), which drops 5 to remaining-deg 1
+    // → round 2; the K4 survives as the 3-core.
+    val got = kcore(3, 4, (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L), (5L, 7L))
+    assert(got === Map(
+      1L -> None, 2L -> None, 3L -> None, 4L -> None,
+      5L -> Some(2L), 6L -> Some(1L), 7L -> Some(1L)))
+  }
+
+  test("kCorePeel: cascade — removing one shell collapses the next") {
+    // chain 1-2-3-4-5 with k=2: ends peel round 1, next pair round 2,
+    // middle round 3 — the whole chain unravels.
+    val got = kcore(2, 4, (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    assert(got === Map(1L -> Some(1L), 5L -> Some(1L),
+      2L -> Some(2L), 4L -> Some(2L), 3L -> Some(3L)))
+  }
+
+  test("kCorePeel: a cycle is its own 2-core (nothing peels)") {
+    val got = kcore(2, 4, (1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    assert(got === Map(1L -> None, 2L -> None, 3L -> None, 4L -> None))
+  }
+
+  private def wedges(triples: (Long, Long, Long)*) = {
+    import spark.implicits._
+    triples.toDF("a", "b", "w")
+  }
+
+  private def sssp(seedIds: Seq[Long], rounds: Int, triples: (Long, Long, Long)*) = {
+    import spark.implicits._
+    Graph.ssspDistances(wedges(triples: _*), seedIds.toDF("v"), rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("SSSP: cheapest path wins over fewest hops") {
+    // 1→3 direct costs 10; 1→2→3 costs 2+3=5. With 2 rounds the
+    // two-edge path must win.
+    val got = sssp(Seq(1L), rounds = 2, (1L, 3L, 10L), (1L, 2L, 2L), (2L, 3L, 3L))
+    assert(got === Map(1L -> 0L, 2L -> 2L, 3L -> 5L))
+  }
+
+  test("SSSP: round bound limits path LENGTH, not cost") {
+    // chain 1-2-3-4 (unit costs) with 2 rounds: 4 is 3 edges away → absent
+    val got = sssp(Seq(1L), rounds = 2, (1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L))
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("SSSP: a cheaper longer path discovered in a later round overrides") {
+    // 1→4 direct costs 100; 1→2→3→4 costs 3. Round 1 sets 4 to 100,
+    // round 3 relaxes it down to 3.
+    val got = sssp(Seq(1L), rounds = 3,
+      (1L, 4L, 100L), (1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L))
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+  }
+
+  test("SSSP multi-seed: each vertex takes its cheapest seed") {
+    val got = sssp(Seq(1L, 5L), rounds = 2,
+      (1L, 2L, 4L), (2L, 3L, 4L), (5L, 4L, 1L), (4L, 3L, 1L))
+    // 3 reachable from seed 1 at 8 and from seed 5 at 2 — min wins
+    assert(got === Map(1L -> 0L, 5L -> 0L, 2L -> 4L, 4L -> 1L, 3L -> 2L))
+  }
 }
