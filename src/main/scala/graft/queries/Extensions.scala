@@ -1016,6 +1016,120 @@ object Extensions {
       .select("doc_id", "term", "tf", "df", "n_docs", "score")
   }
 
+  /** BM25 document retrieval scoring for a fixed query term set — the
+    * lexical-search ranking op a RAG corpus pipeline runs next to the ANN
+    * queries (BM25 candidates ∪ vector candidates is the standard hybrid
+    * retrieval). RATIONAL form, like [[tfidfTop]] and `x_lm_score`: the
+    * classic idf is ln((N−df+0.5)/(df+0.5)) but ln is not bit-portable
+    * across engines, so each term contributes idf_ratio · tf_part where
+    * idf_ratio is the UN-logged odds — order-equivalent per term, and the
+    * true BM25 is one client-side log away. tf_part is the exact
+    * Robertson saturation tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) with
+    * k1=1.2, b=0.75; every double op is one correctly-rounded IEEE step
+    * mirrored in the oracle, and the per-doc sum folds in term order.
+    *
+    * Scale shape: term explode pre-filtered to the query terms (the scan
+    * discards non-query tokens BEFORE any shuffle — at 100 TB the tf
+    * table is |hits|, not |tokens|), one keyed tf count, a 3-row df
+    * table + corpus-stats singleton broadcast back, one doc-keyed rollup. */
+  def bm25(spark: SparkSession, sfDir: String): DataFrame =
+    bm25Df(docs(spark, sfDir), Seq("hash", "join", "vector"))
+
+  /** [[bm25]] over an explicit (doc_id, text) frame (spec fixture). */
+  def bm25Df(d: DataFrame, qTerms: Seq[String]): DataFrame = {
+    val dls = d.select(col("doc_id"),
+      size(TextKit.words(col("text"))).cast(LongType).as("dl"))
+    val stats = dls.agg(sum(col("dl")).as("tot"), count(lit(1)).as("n_docs"))
+    val tf = d.select(col("doc_id"), explode(TextKit.words(col("text"))).as("term"))
+      .filter(col("term").isin(qTerms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dfq), Seq("term"))
+      .join(dls, Seq("doc_id"))
+      .join(broadcast(stats))
+      .select(col("doc_id"), col("term"),
+        ((col("n_docs").cast(DoubleType) - col("df").cast(DoubleType) + lit(0.5)) /
+          (col("df").cast(DoubleType) + lit(0.5))).as("idf_ratio"),
+        ((col("tf").cast(DoubleType) * lit(2.2)) /
+          (col("tf").cast(DoubleType) + lit(1.2) * (lit(0.25) +
+            lit(0.75) * (col("dl").cast(DoubleType) /
+              (col("tot").cast(DoubleType) / col("n_docs").cast(DoubleType))))))
+          .as("tf_part"))
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hit_terms"),
+        aggregate(
+          transform(
+            array_sort(collect_list(struct(col("term"), col("idf_ratio"), col("tf_part")))),
+            s => s("idf_ratio") * s("tf_part")),
+          lit(0.0), (acc, x) => acc + x).as("bm25"))
+  }
+
+  /** MAD robust outlier report per language: median / median-absolute-
+    * deviation of doc length, and how many docs sit beyond the 3·MAD
+    * fence — the robust complement of the z-score gate `x_outliers`
+    * (mean/stddev move with the outliers they're meant to catch; the
+    * median pair doesn't). Exact interpolated medians (`percentile` ≡
+    * `quantile_cont`, bit-identical — pinned by `x_percentiles`), then
+    * one subtraction/abs per row: all IEEE-exact.
+    *
+    * Scale shape: two grouped exact-percentile passes (each one shuffle
+    * on lang) + the group medians joined back (broadcast-sized: one row
+    * per lang) + one counting rollup. Exact medians at 100 TB are the
+    * deliberate choice here (this is a REPORT, run rarely);
+    * `approxQuantile` is the always-on path. */
+  def madOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+      .select(col("lang"), col("n_chars").cast(DoubleType).as("x"))
+    val med = d.groupBy("lang").agg(expr("percentile(x, 0.5)").as("med"))
+    val dev = d.join(broadcast(med), Seq("lang"))
+      .select(col("lang"), col("med"), abs(col("x") - col("med")).as("adev"))
+    val mad = dev.groupBy("lang").agg(expr("percentile(adev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), Seq("lang"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        min(col("med")).as("med"),
+        min(col("mad")).as("mad"),
+        sum(when(col("adev") > lit(3.0) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
+
+  /** Distribution drift between two event batches (chi-square form): the
+    * batch-over-batch data-quality gate that catches "the new feed's
+    * value distribution moved" before it poisons training. Reference =
+    * even event_ids, current = odd (a deterministic split standing in
+    * for yesterday/today); values bucket into fixed width-50 bins;
+    * expected(current) = ref count rescaled by the batch-size ratio, and
+    * each bin reports its (obs−exp)²/exp component — pure +,−,×,÷ on
+    * doubles, so the oracle is bit-exact (no p-value: that needs the
+    * incomplete gamma, one client-side step from the statistic).
+    * Bins the reference never saw report NULL (chi-square undefined;
+    * their obs count still surfaces — the "new regime" signal).
+    *
+    * Scale shape: one scan, one (type, bin)-keyed count per side (both
+    * ride the same exchange via the side flag in the key), one small
+    * join — no row ever leaves its bin. */
+  def drift(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Parity.events(spark, sfDir)
+      .select(col("event_type"), (col("event_id") % 2 === 0).as("is_ref"),
+        floor(col("value") / lit(50.0)).cast(LongType).as("bin"))
+    val counts = e.groupBy("event_type", "bin")
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("is_ref"), 0L).otherwise(1L)).as("n_cur"))
+    val totals = counts.groupBy("event_type")
+      .agg(sum(col("n_ref")).as("tot_ref"), sum(col("n_cur")).as("tot_cur"))
+    counts.join(broadcast(totals), Seq("event_type"))
+      .select(col("event_type"), col("bin"), col("n_ref"), col("n_cur"),
+        when(col("n_ref") > 0,
+          col("n_ref").cast(DoubleType) *
+            (col("tot_cur").cast(DoubleType) / col("tot_ref").cast(DoubleType)))
+          .as("expected"))
+      .select(col("event_type"), col("bin"), col("n_ref"), col("n_cur"),
+        col("expected"),
+        ((col("n_cur").cast(DoubleType) - col("expected")) *
+          (col("n_cur").cast(DoubleType) - col("expected")) / col("expected"))
+          .as("chi2_component"))
+  }
+
   // ------------------------------------------------------------ streaming
   /** Batch twin of the streaming hourly rollup (same code path). */
   def eventWindow(spark: SparkSession, sfDir: String): DataFrame =
@@ -1594,6 +1708,9 @@ object Extensions {
     "x_decay_features" -> decayFeatures _,
     "m_binary_scan" -> binaryScan _,
     "x_tfidf" -> tfidfTop _,
+    "x_bm25" -> bm25 _,
+    "x_mad_outliers" -> madOutliers _,
+    "x_drift" -> drift _,
     "x_session_window" -> sessionWindow _,
     "x_heavy_hitters" -> heavyHitters _,
     "x_vocab_encode" -> (vocabEncode(_, _)),
@@ -2755,6 +2872,71 @@ object Extensions {
             SELECT *, row_number() OVER (PARTITION BY doc_id
               ORDER BY score DESC, term) AS rn FROM s)
           WHERE rn = 1""",
+    // BM25 mirror of bm25(): identical tokenization, query-term filter,
+    // df/dl/avgdl statistics, the same IEEE expression tree per term
+    // (un-logged idf odds × Robertson saturation), and a term-ordered
+    // sum fold.
+    "x_bm25" ->
+      s"""WITH dls AS (SELECT doc_id,
+                  CAST(len($W) AS BIGINT) AS dl FROM documents),
+          st AS (SELECT CAST(SUM(dl) AS BIGINT) AS tot,
+                   count(*) AS n_docs FROM dls),
+          t AS (SELECT doc_id, unnest($W) AS term FROM documents),
+          tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+                 WHERE term IN ('hash', 'join', 'vector') GROUP BY 1, 2),
+          dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+          sc AS (SELECT tf.doc_id, tf.term,
+                   (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                     / (CAST(df AS DOUBLE) + 0.5) AS idf_ratio,
+                   (CAST(tf AS DOUBLE) * 2.2)
+                     / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+                         (CAST(dl AS DOUBLE)
+                           / (CAST(tot AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+                     AS tf_part
+                 FROM tf JOIN dfq USING (term) JOIN dls USING (doc_id)
+                 CROSS JOIN st)
+          SELECT doc_id, count(*) AS n_hit_terms,
+            list_reduce(list_prepend(0.0::DOUBLE,
+                list(idf_ratio * tf_part ORDER BY term)),
+              (a, b) -> a + b) AS bm25
+          FROM sc GROUP BY doc_id""",
+    // MAD mirror: quantile_cont ≡ Spark percentile (bit-identical
+    // interpolation, pinned by x_percentiles), then per-row abs-dev.
+    "x_mad_outliers" ->
+      """WITH d AS (SELECT lang, CAST(n_chars AS DOUBLE) AS x FROM documents),
+         med AS (SELECT lang, quantile_cont(x, 0.5) AS med FROM d GROUP BY 1),
+         dev AS (SELECT d.lang, med, abs(x - med) AS adev
+                 FROM d JOIN med USING (lang)),
+         mad AS (SELECT lang, quantile_cont(adev, 0.5) AS mad
+                 FROM dev GROUP BY 1)
+         SELECT dev.lang, count(*) AS n, MIN(med) AS med, MIN(mad) AS mad,
+           CAST(SUM(CASE WHEN adev > 3.0 * mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers
+         FROM dev JOIN mad USING (lang) GROUP BY 1""",
+    // Drift mirror: same parity split, same width-50 bins, same rescaled
+    // expectation and chi-square component arithmetic; ref-unseen bins
+    // NULL on both sides.
+    "x_drift" ->
+      """WITH e AS (SELECT event_type,
+                  event_id % 2 = 0 AS is_ref,
+                  CAST(FLOOR(value / 50.0) AS BIGINT) AS bin FROM events),
+         counts AS (SELECT event_type, bin,
+                  CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+                  CAST(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
+                FROM e GROUP BY 1, 2),
+         totals AS (SELECT event_type,
+                  CAST(SUM(n_ref) AS BIGINT) AS tot_ref,
+                  CAST(SUM(n_cur) AS BIGINT) AS tot_cur
+                FROM counts GROUP BY 1),
+         ex AS (SELECT counts.event_type, bin, n_ref, n_cur,
+                  CASE WHEN n_ref > 0 THEN CAST(n_ref AS DOUBLE) *
+                    (CAST(tot_cur AS DOUBLE) / CAST(tot_ref AS DOUBLE))
+                  END AS expected
+                FROM counts JOIN totals USING (event_type))
+         SELECT event_type, bin, n_ref, n_cur, expected,
+           (CAST(n_cur AS DOUBLE) - expected) *
+             (CAST(n_cur AS DOUBLE) - expected) / expected AS chi2_component
+         FROM ex""",
     "x_session_window" ->
       // Same gaps-and-islands state machine as x_sessionize (the native
       // session_window merge is end-inclusive: an event exactly gap

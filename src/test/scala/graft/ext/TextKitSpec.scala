@@ -85,4 +85,23 @@ class TextKitSpec extends SparkSpec {
     assert(out(0) == ((1L, 5L, 3.0/7.0, likA)))
     assert(out(1) == ((2L, 2L, 2.0/7.0, likB)))
   }
+
+  test("bm25: hand-computed rational scores (Robertson saturation + odds idf)") {
+    // doc 1 = "a a b" (dl 3), doc 2 = "b c" (dl 2), doc 3 = "c c c c c"
+    // (dl 5). N=3, avgdl=10/3. Query {a, b}: df(a)=1, df(b)=2.
+    val d = Seq((1L, "a a b"), (2L, "b c"), (3L, "c c c c c"))
+      .toDF("doc_id", "text")
+    val out = graft.queries.Extensions.bm25Df(d, Seq("a", "b"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val avgdl = 10.0 / 3.0
+    def tfPart(tf: Long, dl: Long) =
+      (tf.toDouble * 2.2) / (tf.toDouble + 1.2 * (0.25 + 0.75 * (dl.toDouble / avgdl)))
+    val idfA = (3.0 - 1.0 + 0.5) / (1.0 + 0.5) // df 1 → 5/3
+    val idfB = (3.0 - 2.0 + 0.5) / (2.0 + 0.5) // df 2 → 3/5
+    // doc 1 matches both; fold in term order a, b from 0.0
+    val s1 = 0.0 + idfA * tfPart(2, 3) + idfB * tfPart(1, 3)
+    val s2 = 0.0 + idfB * tfPart(1, 2)
+    assert(out.toSeq == Seq((1L, 2L, s1), (2L, 1L, s2)))
+  }
 }
