@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.ext.{Analytics, AsOf, Dedup, DuckSql, Graph, Mixture, Multimodal, Par, RangeJoin, Similarity, TextKit}
-import graft.ops.{Bucketing, Skew}
+import graft.ops.{Bucketing, GlobalOrder, Skew}
 import graft.streaming.EventStreams
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -1093,6 +1093,44 @@ object Extensions {
           .as("n_outliers"))
   }
 
+  /** Contiguous global row numbering + fixed-size sharding
+    * ([[graft.ops.GlobalOrder.rowNumbered]]): number every document
+    * 1..N in doc_id order and derive its 100-row training shard — the
+    * "write the corpus as numbered shards" step after curation. The
+    * oracle is the single-partition window this op refuses to plan;
+    * results are identical, the partition-offset scheme just computes
+    * them without ever putting the table in one task. */
+  def rowNumberShards(spark: SparkSession, sfDir: String): DataFrame =
+    GlobalOrder.rowNumbered(
+        docs(spark, sfDir).select("doc_id", "lang"),
+        "row_num", 32, col("doc_id"))
+      .select(col("doc_id"), col("lang"), col("row_num"),
+        expr("(row_num - 1) div 100").as("shard"))
+
+  /** Sorted-neighborhood record-linkage blocking: sort by a normalized
+    * key (first 12 chars of the text), slide a window of w = 4 over the
+    * GLOBAL sort order, and emit every in-window pair — the classic SNM
+    * blocker, generating O(N·w) candidates where all-pairs is O(N²).
+    * Global positions come from [[graft.ops.GlobalOrder.rowNumbered]];
+    * the windowed self-pairing is a bucket equi-join (each row joins its
+    * own ⌊(rn−1)/w⌋ bucket and, as left side, the next — any pair closer
+    * than w shares a bucket exactly once), never a band join. */
+  def sortedBlocking(spark: SparkSession, sfDir: String): DataFrame = {
+    val numbered = GlobalOrder.rowNumbered(
+      docs(spark, sfDir)
+        .select(col("doc_id"), substring(col("text"), 1, 12).as("k")),
+      "rn", 32, col("k"), col("doc_id"))
+    val right = numbered.select(expr("(rn - 1) div 4").as("bucket"),
+      col("doc_id").as("b"), col("rn").as("rnb"))
+    val left = numbered.select(
+      explode(array(expr("(rn - 1) div 4"), expr("(rn - 1) div 4 + 1")))
+        .as("bucket"),
+      col("doc_id").as("a"), col("rn").as("rna"))
+    left.join(right, Seq("bucket"))
+      .filter(col("rnb") - col("rna") > 0 && col("rnb") - col("rna") < 4)
+      .select(col("a"), col("b"), (col("rnb") - col("rna")).as("gap"))
+  }
+
   /** Distribution drift between two event batches (chi-square form): the
     * batch-over-batch data-quality gate that catches "the new feed's
     * value distribution moved" before it poisons training. Reference =
@@ -1711,6 +1749,8 @@ object Extensions {
     "x_bm25" -> bm25 _,
     "x_mad_outliers" -> madOutliers _,
     "x_drift" -> drift _,
+    "x_row_number" -> rowNumberShards _,
+    "x_sorted_blocking" -> sortedBlocking _,
     "x_session_window" -> sessionWindow _,
     "x_heavy_hitters" -> heavyHitters _,
     "x_vocab_encode" -> (vocabEncode(_, _)),
@@ -2913,6 +2953,22 @@ object Extensions {
            CAST(SUM(CASE WHEN adev > 3.0 * mad THEN 1 ELSE 0 END) AS BIGINT)
              AS n_outliers
          FROM dev JOIN mad USING (lang) GROUP BY 1""",
+    // Row-number mirror: the single-partition window form — the values
+    // are what rowNumbered computes distributively.
+    "x_row_number" ->
+      """SELECT doc_id, lang,
+           ROW_NUMBER() OVER (ORDER BY doc_id) AS row_num,
+           (ROW_NUMBER() OVER (ORDER BY doc_id) - 1) // 100 AS shard
+         FROM documents""",
+    // Sorted-neighborhood mirror: global positions by (key, doc_id),
+    // then the w=4 window as an explicit rank-distance self-join (the
+    // quadratic form the bucket join avoids).
+    "x_sorted_blocking" ->
+      """WITH n AS (SELECT doc_id, substr(text, 1, 12) AS k FROM documents),
+         r AS (SELECT doc_id,
+                 ROW_NUMBER() OVER (ORDER BY k, doc_id) AS rn FROM n)
+         SELECT r1.doc_id AS a, r2.doc_id AS b, r2.rn - r1.rn AS gap
+         FROM r r1 JOIN r r2 ON r2.rn - r1.rn BETWEEN 1 AND 3""",
     // Drift mirror: same parity split, same width-50 bins, same rescaled
     // expectation and chi-square component arithmetic; ref-unseen bins
     // NULL on both sides.

@@ -30,7 +30,8 @@ class QueryPlanAuditSpec extends SparkSpec {
     "x_vocab_encode",   // docs × broadcast one-row top-V vocabulary array
     "tpch_q11",         // per-part values × broadcast global-threshold singleton
     "tpch_q22",         // customers × broadcast positive-balance-average singleton
-    "x_lm_score"        // bigrams × broadcast vocabulary-size singleton (smoothing V)
+    "x_lm_score",       // bigrams × broadcast vocabulary-size singleton (smoothing V)
+    "x_bm25"            // term hits × broadcast corpus-stats singleton (N, avgdl)
   )
 
   test("no query plans an unintended cartesian or nested-loop join") {
