@@ -1131,6 +1131,49 @@ object Extensions {
       .select(col("a"), col("b"), (col("rnb") - col("rna")).as("gap"))
   }
 
+  /** Entity-resolution GOLDEN RECORD — the full record-linkage pipeline
+    * composed end-to-end: sorted-neighborhood candidates
+    * ([[sortedBlocking]]) → blocked edit-distance match (prefix
+    * Levenshtein ≤ 12, integer-exact in both engines) → transitive
+    * closure into entities ([[graft.ext.Dedup.duplicateClusters]]) →
+    * survivorship per entity (canonical id = min member; representative
+    * = longest text, doc_id tiebreak — picked by a window over the
+    * cluster key, bounded by cluster size). Unmatched docs are their own
+    * singleton entity, so the output IS the master table: one row per
+    * resolved entity.
+    *
+    * Scale shape: candidates are O(N·w) from the SNM bucket join (never
+    * all-pairs), the match adds two doc-keyed prefix joins, CC is the
+    * iterative keyed min-propagation, and survivorship is one
+    * cluster-keyed exchange shared by the window and the rollup. */
+  def goldenRecord(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val matched = sortedBlocking(spark, sfDir)
+      .join(d.select(col("doc_id").as("a"),
+        substring(col("text"), 1, 64).as("pa")), Seq("a"))
+      .join(d.select(col("doc_id").as("b"),
+        substring(col("text"), 1, 64).as("pb")), Seq("b"))
+      .filter(levenshtein(col("pa"), col("pb")) <= 12)
+      .select("a", "b")
+    val clusters = Dedup.duplicateClusters(matched)
+      .select(col("node").as("doc_id"), col("label"))
+    val member = d.join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        coalesce(col("label"), col("doc_id")).as("cluster"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("cluster")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val rep = member.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster"), col("doc_id").as("rep_id"),
+        col("n_chars").as("rep_n_chars"))
+    member.groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"),
+        min(col("doc_id")).as("canonical_id"),
+        countDistinct(col("lang")).as("n_langs"))
+      .join(rep, Seq("cluster"))
+  }
+
   /** Distribution drift between two event batches (chi-square form): the
     * batch-over-batch data-quality gate that catches "the new feed's
     * value distribution moved" before it poisons training. Reference =
@@ -1751,6 +1794,7 @@ object Extensions {
     "x_drift" -> drift _,
     "x_row_number" -> rowNumberShards _,
     "x_sorted_blocking" -> sortedBlocking _,
+    "x_golden_record" -> goldenRecord _,
     "x_session_window" -> sessionWindow _,
     "x_heavy_hitters" -> heavyHitters _,
     "x_vocab_encode" -> (vocabEncode(_, _)),
@@ -2969,6 +3013,44 @@ object Extensions {
                  ROW_NUMBER() OVER (ORDER BY k, doc_id) AS rn FROM n)
          SELECT r1.doc_id AS a, r2.doc_id AS b, r2.rn - r1.rn AS gap
          FROM r r1 JOIN r r2 ON r2.rn - r1.rn BETWEEN 1 AND 3""",
+    // Golden-record mirror: same SNM candidates and prefix-Levenshtein
+    // match, transitive closure by recursive reachability (min label =
+    // entity id — CC's fixed point is iteration-order independent), and
+    // the same survivorship window/rollup.
+    "x_golden_record" ->
+      """WITH RECURSIVE
+         n AS (SELECT doc_id, substr(text, 1, 12) AS k FROM documents),
+         r AS (SELECT doc_id,
+                 ROW_NUMBER() OVER (ORDER BY k, doc_id) AS rn FROM n),
+         cand AS (SELECT r1.doc_id AS a, r2.doc_id AS b
+                  FROM r r1 JOIN r r2 ON r2.rn - r1.rn BETWEEN 1 AND 3),
+         m AS (SELECT a, b FROM cand
+               JOIN documents da ON cand.a = da.doc_id
+               JOIN documents db ON cand.b = db.doc_id
+               WHERE levenshtein(substr(da.text, 1, 64),
+                                 substr(db.text, 1, 64)) <= 12),
+         edges AS (SELECT a AS src, b AS dst FROM m
+                   UNION SELECT b, a FROM m),
+         reach(node, r) AS (
+           SELECT DISTINCT src, src FROM edges
+           UNION
+           SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node),
+         lbl AS (SELECT node AS doc_id, MIN(r) AS label FROM reach GROUP BY 1),
+         member AS (
+           SELECT d.doc_id, d.lang, d.n_chars,
+             COALESCE(lbl.label, d.doc_id) AS cluster
+           FROM documents d LEFT JOIN lbl USING (doc_id)),
+         rep AS (
+           SELECT cluster, doc_id AS rep_id, n_chars AS rep_n_chars FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster
+               ORDER BY n_chars DESC, doc_id) AS rn FROM member)
+           WHERE rn = 1)
+         SELECT member.cluster, count(*) AS n_members,
+           MIN(doc_id) AS canonical_id,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           rep_id, rep_n_chars
+         FROM member JOIN rep ON member.cluster = rep.cluster
+         GROUP BY member.cluster, rep_id, rep_n_chars""",
     // Drift mirror: same parity split, same width-50 bins, same rescaled
     // expectation and chi-square component arithmetic; ref-unseen bins
     // NULL on both sides.
