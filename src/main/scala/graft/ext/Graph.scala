@@ -260,6 +260,47 @@ object Graph {
     out.select(col("u").as("v"), col("peeled_round"))
   }
 
+  /** Synchronous label-propagation community detection, DETERMINISTIC
+    * variant: every vertex starts as its own label; each round it adopts
+    * the most frequent label among its NEIGHBORS, ties broken by the
+    * smallest label — the plurality rule that makes classic LPA
+    * non-deterministic is pinned down, so a fixed `rounds` replay is
+    * bit-exact in any engine. Communities (densely connected vertex sets)
+    * emerge in a few rounds; vertices with no neighbors keep their own
+    * label. Complements [[Dedup.duplicateClusters]] (connectivity ≠
+    * community: one bridge edge merges two CC components but LPA keeps
+    * the two dense sides apart).
+    *
+    * Scale design: each round is one message join (labels × edges, O(E))
+    * + one (v, label)-keyed count + one per-v argmax window — the window
+    * partitions by vertex, so it rides the count's exchange; nothing on
+    * the driver; per-round localCheckpoint. EAGER: runs jobs at call
+    * time. Returns (v, community). */
+  def labelPropagation(edges: DataFrame, rounds: Int = 3): DataFrame = {
+    val und = edges.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint()
+    var ckpt = und.select("u").distinct()
+      .select(col("u").as("node"), col("u").as("label")).localCheckpoint()
+    var labels = ckpt
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("v").orderBy(col("cnt").desc, col("label"))
+    for (_ <- 1 to rounds) {
+      val pick = und.join(labels, und("u") === labels("node"))
+        .groupBy(col("v"), col("label")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("v").as("node"), col("label").as("nlabel"))
+      val next = labels.join(pick, Seq("node"), "left")
+        .select(col("node"), coalesce(col("nlabel"), col("label")).as("label"))
+        .localCheckpoint()
+      freeCheckpoint(ckpt)
+      ckpt = next
+      labels = next
+    }
+    freeCheckpoint(und)
+    labels.select(col("node").as("v"), col("label").as("community"))
+  }
+
   /** Weighted single-source (multi-seed) shortest paths: min total edge
     * cost from any seed within `rounds` synchronous Bellman-Ford
     * relaxations — the weighted generalization of [[bfsDistances]] (which

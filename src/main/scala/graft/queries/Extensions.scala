@@ -1131,6 +1131,71 @@ object Extensions {
       .select(col("a"), col("b"), (col("rnb") - col("rna")).as("gap"))
   }
 
+  /** Referential-integrity + constraint audit across the star schema —
+    * the dbt-test / Deequ-style relationship checks the single-table
+    * profiler (`x_profile`) and write-time CHECKs don't cover: FK
+    * orphans (anti joins — dims broadcast), key uniqueness (grouped
+    * count), and domain rules, emitted as one tall (check, n_bad,
+    * n_total) report. Each check is a single scan; the fact scans are
+    * shared per source table via one conditional aggregation where the
+    * rules are row-local. */
+  def integrityAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+    val c = spark.read.parquet(s"$sfDir/customer.parquet")
+    val e = Parity.events(spark, sfDir)
+    // row-local rules ride ONE aggregation per table
+    val liLocal = li.agg(
+      sum(when(col("l_quantity") <= 0, 1L).otherwise(0L)).as("bad_qty"),
+      sum(when(col("l_extendedprice") < 0, 1L).otherwise(0L)).as("bad_price"),
+      count(lit(1)).as("n"))
+      .select(explode(array(
+        struct(lit("lineitem_nonpositive_quantity").as("check"),
+          col("bad_qty").as("n_bad"), col("n").as("n_total")),
+        struct(lit("lineitem_negative_price").as("check"),
+          col("bad_price").as("n_bad"), col("n").as("n_total")))).as("r"))
+      .select("r.*")
+    val eLocal = e.agg(
+      sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("bad_user"),
+      count(lit(1)).as("n"))
+      .select(lit("events_null_user").as("check"),
+        col("bad_user").as("n_bad"), col("n").as("n_total"))
+    // FK orphans: anti join against the (broadcastable) parent keys
+    val liOrphan = li.join(o.select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n_bad"))
+      .select(lit("lineitem_orphan_orderkey").as("check"), col("n_bad"),
+        lit(null).cast(LongType).as("n_total"))
+    val oOrphan = o.join(c.select("c_custkey"),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_bad"))
+      .select(lit("orders_orphan_custkey").as("check"), col("n_bad"),
+        lit(null).cast(LongType).as("n_total"))
+    // key uniqueness: one grouped count, violations = keys seen twice
+    val oDup = o.groupBy("o_orderkey").agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(when(col("c") > 1, col("c")).otherwise(0L)), lit(0L))
+        .as("n_bad"),
+        count(lit(1)).as("n_total"))
+      .select(lit("orders_duplicate_orderkey").as("check"),
+        col("n_bad"), col("n_total"))
+    liLocal.unionAll(eLocal).unionAll(liOrphan).unionAll(oOrphan)
+      .unionAll(oDup)
+  }
+
+  /** Deterministic label-propagation communities
+    * ([[graft.ext.Graph.labelPropagation]]) over the co-purchase graph,
+    * three synchronous rounds: the community signal the other graph
+    * queries don't give (CC = connectivity — one bridge edge merges two
+    * dense cohorts; LPA keeps them apart). Plurality + min-label
+    * tie-break, all-integer, so the oracle replays the rounds exactly. */
+  def labelProp(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = coPurchaseEdges(spark, sfDir).localCheckpoint()
+    val out = Graph.labelPropagation(edges, rounds = 3)
+      .select(col("v").as("user_id"), col("community"))
+    Graph.freeCheckpoint(edges)
+    out
+  }
+
   /** Entity-resolution GOLDEN RECORD — the full record-linkage pipeline
     * composed end-to-end: sorted-neighborhood candidates
     * ([[sortedBlocking]]) → blocked edit-distance match (prefix
@@ -1795,6 +1860,8 @@ object Extensions {
     "x_row_number" -> rowNumberShards _,
     "x_sorted_blocking" -> sortedBlocking _,
     "x_golden_record" -> goldenRecord _,
+    "x_label_prop" -> labelProp _,
+    "x_integrity_audit" -> integrityAudit _,
     "x_session_window" -> sessionWindow _,
     "x_heavy_hitters" -> heavyHitters _,
     "x_vocab_encode" -> (vocabEncode(_, _)),
@@ -3264,6 +3331,65 @@ object Extensions {
            UNION ALL SELECT u, 3 FROM p3
            UNION ALL SELECT u, 4 FROM p4
            UNION ALL SELECT u, CAST(NULL AS BIGINT) FROM r4)""",
+    "x_integrity_audit" ->
+      // Same checks as scalar subqueries; NULL n_total where the check
+      // has no natural denominator (orphan counts).
+      """SELECT 'lineitem_nonpositive_quantity' AS "check",
+           CAST((SELECT count(*) FROM lineitem WHERE l_quantity <= 0) AS BIGINT) AS n_bad,
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_total
+         UNION ALL
+         SELECT 'lineitem_negative_price',
+           (SELECT count(*) FROM lineitem WHERE l_extendedprice < 0),
+           (SELECT count(*) FROM lineitem)
+         UNION ALL
+         SELECT 'events_null_user',
+           (SELECT count(*) FROM events WHERE user_id IS NULL),
+           (SELECT count(*) FROM events)
+         UNION ALL
+         SELECT 'lineitem_orphan_orderkey',
+           (SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN
+             (SELECT o_orderkey FROM orders)),
+           CAST(NULL AS BIGINT)
+         UNION ALL
+         SELECT 'orders_orphan_custkey',
+           (SELECT count(*) FROM orders WHERE o_custkey NOT IN
+             (SELECT c_custkey FROM customer)),
+           CAST(NULL AS BIGINT)
+         UNION ALL
+         SELECT 'orders_duplicate_orderkey',
+           (SELECT CAST(COALESCE(SUM(CASE WHEN c > 1 THEN c ELSE 0 END), 0) AS BIGINT)
+            FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey)),
+           (SELECT count(DISTINCT o_orderkey) FROM orders)""",
+    "x_label_prop" ->
+      // Exact replay of the three plurality rounds: per-vertex neighbor-
+      // label counts, argmax with (count DESC, label) tie-break, own
+      // label kept when no neighbor messages arrive.
+      s"""WITH $coPurchaseCte,
+         und AS (SELECT a AS u, b AS v FROM edges
+                 UNION ALL SELECT b, a FROM edges),
+         l0 AS (SELECT DISTINCT u AS node, u AS label FROM und),
+         c1 AS (SELECT und.v, l0.label, count(*) AS cnt
+                FROM und JOIN l0 ON und.u = l0.node GROUP BY 1, 2),
+         p1 AS (SELECT v AS node, label AS nlabel FROM (
+                  SELECT *, ROW_NUMBER() OVER (PARTITION BY v
+                    ORDER BY cnt DESC, label) AS rn FROM c1) WHERE rn = 1),
+         l1 AS (SELECT l0.node, COALESCE(nlabel, label) AS label
+                FROM l0 LEFT JOIN p1 USING (node)),
+         c2 AS (SELECT und.v, l1.label, count(*) AS cnt
+                FROM und JOIN l1 ON und.u = l1.node GROUP BY 1, 2),
+         p2 AS (SELECT v AS node, label AS nlabel FROM (
+                  SELECT *, ROW_NUMBER() OVER (PARTITION BY v
+                    ORDER BY cnt DESC, label) AS rn FROM c2) WHERE rn = 1),
+         l2 AS (SELECT l1.node, COALESCE(nlabel, label) AS label
+                FROM l1 LEFT JOIN p2 USING (node)),
+         c3 AS (SELECT und.v, l2.label, count(*) AS cnt
+                FROM und JOIN l2 ON und.u = l2.node GROUP BY 1, 2),
+         p3 AS (SELECT v AS node, label AS nlabel FROM (
+                  SELECT *, ROW_NUMBER() OVER (PARTITION BY v
+                    ORDER BY cnt DESC, label) AS rn FROM c3) WHERE rn = 1),
+         l3 AS (SELECT l2.node, COALESCE(nlabel, label) AS label
+                FROM l2 LEFT JOIN p3 USING (node))
+         SELECT node AS user_id, label AS community FROM l3""",
     "x_sssp" ->
       // Exact replay of the four weighted relaxations: integer costs
       // (w = max(1, 10 - shared)), min-merge per round.

@@ -189,6 +189,18 @@ class GraphSpec extends SparkSpec {
     assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
   }
 
+  test("labelPropagation: a bridge edge does not merge two dense triangles") {
+    // barbell {1,2,3}–{4,5,6} with bridge 3-4. Hand-replayed 3 rounds of
+    // plurality + min-tiebreak: left triangle → community 1, right → 3
+    // (CC would merge everything into one component — the LPA point).
+    val got = Graph.labelPropagation(
+        edges((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)),
+        rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L))
+  }
+
   test("SSSP multi-seed: each vertex takes its cheapest seed") {
     val got = sssp(Seq(1L, 5L), rounds = 2,
       (1L, 2L, 4L), (2L, 3L, 4L), (5L, 4L, 1L), (4L, 3L, 1L))
