@@ -1131,6 +1131,75 @@ object Extensions {
       .select(col("a"), col("b"), (col("rnb") - col("rna")).as("gap"))
   }
 
+  /** Smoothed target encoding (the ML feature-prep categorical encoder):
+    * enc(category) = (Σ_cat target + m·prior) / (n_cat + m) with m = 100
+    * and prior = the global target mean — high-count categories keep
+    * their own mean, rare ones shrink toward the prior. Sums run in
+    * DECIMAL (exact, order-independent — the x_ohlc pattern), the final
+    * ratio is one double expression mirrored in the oracle bit-for-bit.
+    *
+    * Scale shape: one grouped decimal aggregation + a broadcast global
+    * singleton; the encoder table is dimension-sized, applied to the
+    * fact by broadcast join at training time. */
+  def targetEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Parity.events(spark, sfDir)
+      .select(col("event_type"), col("value").cast("decimal(18,2)").as("v"))
+    val glob = e.agg(sum(col("v")).as("gsum"), count(lit(1)).as("gn"))
+    e.groupBy("event_type")
+      .agg(sum(col("v")).as("csum"), count(lit(1)).as("n"))
+      .join(broadcast(glob))
+      .select(col("event_type"), col("n"),
+        ((col("csum").cast(DoubleType) + lit(100.0) *
+          (col("gsum").cast(DoubleType) / col("gn").cast(DoubleType))) /
+          (col("n").cast(DoubleType) + lit(100.0))).as("enc"))
+  }
+
+  /** Classical seasonal decomposition (STL-lite) of the hourly event
+    * series per event type: trend = centered ±12 h moving average,
+    * seasonal = hour-of-day mean of the detrended series, remainder =
+    * what's left — the time-series triage view (is a spike trend, daily
+    * rhythm, or anomaly?). Exactness layering: the series and the trend
+    * window sum run in DECIMAL (order-independent), divisions and the
+    * detrend subtraction are single mirrored IEEE ops, and the seasonal
+    * mean — a sum of doubles, where accumulation ORDER matters — is an
+    * hr-ordered fold like `x_lm_score`, so the oracle replays it
+    * bit-for-bit.
+    *
+    * Scale shape: one (type, hour)-keyed decimal rollup; the trend
+    * window and the hod rollup both ride per-type partitions (thousands
+    * of series scale out; a single series is inherently one partition's
+    * window — the RANGE frame keeps it streaming, never materializing
+    * the ±12 neighborhood per row). */
+  def seasonalDecompose(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Parity.events(spark, sfDir)
+      .select(col("event_type"),
+        expr("unix_timestamp(ts) div 3600").as("hr"),
+        col("value").cast("decimal(18,2)").as("v"))
+    val series = e.groupBy("event_type", "hr").agg(sum(col("v")).as("vd"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy("hr").rangeBetween(-12, 12)
+    val t = series
+      .withColumn("tsum", sum(col("vd")).over(w))
+      .withColumn("tcnt", count(lit(1)).over(w))
+      .select(col("event_type"), col("hr"), col("vd").cast(DoubleType).as("v"),
+        (col("tsum").cast(DoubleType) / col("tcnt").cast(DoubleType)).as("trend"))
+      .withColumn("detrend", col("v") - col("trend"))
+    val seas = t.groupBy(col("event_type"), (col("hr") % 24).as("hod"))
+      .agg(count(lit(1)).as("cnt"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("hr"), col("detrend")))),
+            s => s("detrend")),
+          lit(0.0), (acc, x) => acc + x).as("dsum"))
+      .select(col("event_type"), col("hod"),
+        (col("dsum") / col("cnt").cast(DoubleType)).as("seasonal"))
+    t.as("t").join(seas.as("se"),
+        col("t.event_type") === col("se.event_type") &&
+          col("t.hr") % 24 === col("se.hod"))
+      .select(col("t.event_type"), col("hr"), col("v"), col("trend"),
+        col("detrend"), col("seasonal"),
+        (col("detrend") - col("seasonal")).as("remainder"))
+  }
+
   /** Referential-integrity + constraint audit across the star schema —
     * the dbt-test / Deequ-style relationship checks the single-table
     * profiler (`x_profile`) and write-time CHECKs don't cover: FK
@@ -1862,6 +1931,8 @@ object Extensions {
     "x_golden_record" -> goldenRecord _,
     "x_label_prop" -> labelProp _,
     "x_integrity_audit" -> integrityAudit _,
+    "x_target_encode" -> targetEncode _,
+    "x_seasonal" -> seasonalDecompose _,
     "x_session_window" -> sessionWindow _,
     "x_heavy_hitters" -> heavyHitters _,
     "x_vocab_encode" -> (vocabEncode(_, _)),
@@ -3331,6 +3402,39 @@ object Extensions {
            UNION ALL SELECT u, 3 FROM p3
            UNION ALL SELECT u, 4 FROM p4
            UNION ALL SELECT u, CAST(NULL AS BIGINT) FROM r4)""",
+    // Target-encoding mirror: decimal sums, one double smoothing ratio.
+    "x_target_encode" ->
+      """WITH e AS (SELECT event_type,
+                  CAST(value AS DECIMAL(18,2)) AS v FROM events),
+         g AS (SELECT SUM(v) AS gsum, count(*) AS gn FROM e)
+         SELECT event_type, count(*) AS n,
+           (CAST(SUM(v) AS DOUBLE) + 100.0 *
+             (CAST(gsum AS DOUBLE) / CAST(gn AS DOUBLE)))
+             / (CAST(count(*) AS DOUBLE) + 100.0) AS enc
+         FROM e CROSS JOIN g GROUP BY event_type, gsum, gn""",
+    // Seasonal-decomposition mirror: decimal series + decimal RANGE
+    // window trend, mirrored divisions, hr-ordered fold for the
+    // hour-of-day means.
+    "x_seasonal" ->
+      """WITH e AS (SELECT event_type,
+                  CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600 AS hr,
+                  CAST(value AS DECIMAL(18,2)) AS v FROM events),
+         s AS (SELECT event_type, hr, SUM(v) AS vd FROM e GROUP BY 1, 2),
+         t AS (SELECT event_type, hr, CAST(vd AS DOUBLE) AS v,
+                 CAST(SUM(vd) OVER w AS DOUBLE)
+                   / CAST(COUNT(*) OVER w AS DOUBLE) AS trend
+               FROM s WINDOW w AS (PARTITION BY event_type ORDER BY hr
+                 RANGE BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+         d AS (SELECT *, v - trend AS detrend FROM t),
+         se AS (SELECT event_type, hr % 24 AS hod,
+                  list_reduce(list_prepend(0.0::DOUBLE,
+                      list(detrend ORDER BY hr)),
+                    (a, b) -> a + b) / CAST(count(*) AS DOUBLE) AS seasonal
+                FROM d GROUP BY 1, 2)
+         SELECT d.event_type, hr, v, trend, detrend, seasonal,
+           detrend - seasonal AS remainder
+         FROM d JOIN se ON d.event_type = se.event_type
+           AND d.hr % 24 = se.hod""",
     "x_integrity_audit" ->
       // Same checks as scalar subqueries; NULL n_total where the check
       // has no natural denominator (orphan counts).
