@@ -292,6 +292,49 @@ object EventStreams {
         unix_timestamp(col("window.start")).as("hour_epoch"),
         col("n"), col("sum_value"))
 
+  /** Streaming drift monitor — the windowed twin of the batch `x_drift`
+    * gate: per (event_type, 1 h event-time window, width-50 value bin),
+    * compare the observed count against a STATIC reference profile of
+    * expected-per-hour rates (e.g. yesterday's batch, hourly-averaged)
+    * by chi-square component — the live "did the feed's distribution
+    * move" alarm. Bins the reference never saw emit a NULL component
+    * (new-regime signal), mirroring the batch gate.
+    *
+    * Shape notes: the reference joins BEFORE the windowed aggregation —
+    * a stateless broadcast stream-static join (a post-aggregation join
+    * would be another stateful operator); the expected rate rides
+    * through the aggregate as `min` (constant per group). Watermarked
+    * append mode: each (window, bin) row emits exactly once when its
+    * window closes, state is O(open windows × bins), never O(rows). */
+  def driftStream(events: DataFrame, hourlyRef: DataFrame): DataFrame =
+    events
+      .withColumn("bin", floor(col("value") / lit(50.0)).cast("long"))
+      .join(broadcast(hourlyRef), Seq("event_type", "bin"), "left")
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("event_type"), window(col("ts"), "1 hour"), col("bin"))
+      .agg(count(lit(1)).as("n_cur"), min(col("expected")).as("expected"))
+      .select(col("event_type"),
+        unix_timestamp(col("window.start")).as("hour_epoch"),
+        col("bin"), col("n_cur"), col("expected"),
+        ((col("n_cur").cast("double") - col("expected")) *
+          (col("n_cur").cast("double") - col("expected")) / col("expected"))
+          .as("chi2_component"))
+
+  /** Hourly-averaged reference profile for [[driftStream]], built from a
+    * BATCH of reference events: expected count per (event_type, bin) per
+    * hour = total bin count / distinct hours observed. */
+  def hourlyReference(events: DataFrame): DataFrame = {
+    val binned = events.select(col("event_type"),
+      floor(col("value") / lit(50.0)).cast("long").as("bin"),
+      (unix_timestamp(col("ts")) / 3600L).cast("long").as("hr"))
+    val hours = binned.agg(countDistinct(col("hr")).as("n_hours"))
+    binned.groupBy("event_type", "bin").agg(count(lit(1)).as("n"))
+      .join(broadcast(hours))
+      .select(col("event_type"), col("bin"),
+        (col("n").cast("double") / col("n_hours").cast("double"))
+          .as("expected"))
+  }
+
   /** Streaming OHLC bars — the incremental twin of the batch
     * `x_ohlc_bars` query: per (event_type, hour) window, open/close are
     * `min_by`/`max_by` on the deterministic (ts, event_id) order (both

@@ -82,6 +82,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming drift monitor: closed windows report chi-square vs the reference") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // reference batch: 2 hours of history → hourly expected rates.
+    // bin 0 (values < 50): 4 rows over 2 h → expected 2/h;
+    // bin 1 (50–99):       2 rows over 2 h → expected 1/h.
+    val ref = Seq(
+      ("click", "2023-12-31 00:10:00", 10.0), ("click", "2023-12-31 00:20:00", 20.0),
+      ("click", "2023-12-31 01:10:00", 30.0), ("click", "2023-12-31 01:20:00", 40.0),
+      ("click", "2023-12-31 00:30:00", 60.0), ("click", "2023-12-31 01:30:00", 70.0))
+      .map { case (t, ts, v) => (t, Timestamp.valueOf(ts), v) }
+      .toDF("event_type", "ts", "value")
+    val profile = EventStreams.hourlyReference(ref)
+
+    val mem = MemoryStream[(String, Timestamp, Double)]
+    // live hour 0: three bin-0 rows (obs 3 vs exp 2 → (3-2)²/2 = 0.5) and
+    // one row in bin 2, which the reference never saw → NULL component
+    mem.addData(
+      ("click", Timestamp.valueOf("2024-01-01 00:05:00"), 5.0),
+      ("click", Timestamp.valueOf("2024-01-01 00:15:00"), 15.0),
+      ("click", Timestamp.valueOf("2024-01-01 00:25:00"), 25.0),
+      ("click", Timestamp.valueOf("2024-01-01 00:35:00"), 120.0))
+    val events = mem.toDF().toDF("event_type", "ts", "value")
+    val q = EventStreams.driftStream(events, profile)
+      .writeStream.format("memory").queryName("drift_test")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // close hour 0 by pushing the watermark past it
+      mem.addData(("click", Timestamp.valueOf("2024-01-01 05:00:00"), 1.0))
+      q.processAllAvailable()
+      val got = spark.table("drift_test")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)) ->
+          (r.getLong(3),
+            if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+            if (r.isNullAt(5)) None else Some(r.getDouble(5)))).toMap
+      val epoch0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime / 1000
+      assert(got(("click", epoch0, 0L)) == ((3L, Some(2.0), Some(0.5))), got.toString)
+      assert(got(("click", epoch0, 2L)) == ((1L, None, None)), got.toString)
+      assert(got.size == 2, s"only hour 0 closed: $got")
+    } finally q.stop()
+  }
+
   test("streaming sessionization (flatMapGroupsWithState) matches batch sessions") {
     import spark.implicits._
     implicit val s = spark
