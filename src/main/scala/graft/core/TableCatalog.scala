@@ -197,6 +197,104 @@ final class TableCatalog(val root: String) extends Serializable {
         .mkString("", "\n", "\n"))
   }
 
+  // --------------------------------------------- column masking policies
+  /** Read the table with `mask.<col>` property policies applied — the
+    * dynamic-masking governance layer (Databricks column masks / Snowflake
+    * masking policies): the table owner sets a policy once, every policy-
+    * aware read path gets redacted values, and the physical data is
+    * untouched (unmasked reads remain possible for privileged paths —
+    * this is display-layer governance, not erasure; erasure is
+    * [[purgeKeys]]). Policies: `sha256` (deterministic pseudonym — joins
+    * and GROUP BY still work on the masked value), `nullify` (type-
+    * preserving NULL), `last4` (show only the last 4 characters). An
+    * unknown policy or a policy on a missing column fails LOUDLY at read
+    * time — silently returning unmasked data is the one wrong behavior.
+    * Masks are per-row projection expressions (codegen'd, zero shuffle). */
+  def readMasked(spark: SparkSession, name: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val df = read(spark, name)
+    val masks = properties(name).toSeq.collect {
+      case (k, v) if k.startsWith("mask.") => k.stripPrefix("mask.") -> v
+    }
+    masks.foldLeft(df) { case (d, (c, policy)) =>
+      require(d.columns.contains(c), s"mask policy on unknown column: $c")
+      val masked = policy match {
+        case "sha256" => sha2(col(c).cast("string"), 256)
+        case "nullify" => lit(null).cast(d.schema(c).dataType)
+        case "last4" => expr(
+          s"CASE WHEN length($c) <= 4 THEN $c " +
+            s"ELSE concat(repeat('*', length($c) - 4), right($c, 4)) END")
+        case other => throw new IllegalArgumentException(
+          s"unknown mask policy '$other' for column $c")
+      }
+      d.withColumn(c, masked)
+    }
+  }
+
+  // ---------------------------------------------------- export manifest
+  /** Export the CURRENT version as a self-describing manifest — the
+    * external-engine handoff (Delta's symlink-format manifest for
+    * Trino/Presto/DuckDB): a JSON file pinning the exact data files
+    * (relative path + size) of one version, so an external reader scans
+    * precisely this snapshot no matter how many writes land afterwards
+    * (version dirs are immutable until [[vacuum]]). Sidecars and
+    * `_`-prefixed markers are excluded. REFUSES to export while deletion
+    * vectors are pending: the raw files still contain logically-erased
+    * rows an external engine would resurface — run [[purgeRewrite]]
+    * first. Returns the manifest path. */
+  def exportManifest(spark: SparkSession, name: String): Path = {
+    require(readTombstones(name).isEmpty,
+      s"table $name has pending deletion vectors; run purgeRewrite before exporting")
+    val cur = Paths.get(currentPath(name)).toAbsolutePath
+    val version = cur.getFileName.toString
+    import scala.jdk.CollectionConverters._
+    // data files only: skip any path segment that is a marker/sidecar
+    // (_-prefixed) or committer bookkeeping (.-prefixed CRCs etc.)
+    val files = Files.walk(cur).iterator().asScala
+      .filter(p => Files.isRegularFile(p))
+      .filter(p => !cur.relativize(p).iterator().asScala
+        .exists(s => s.toString.startsWith("_") || s.toString.startsWith(".")))
+      .map(p => (cur.relativize(p).toString.replace('\\', '/'), Files.size(p)))
+      .toSeq.sorted
+    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val json =
+      s"""{"table": ${q(name)}, "version": ${q(version)}, "root": ${q(cur.toString)},
+         |"schema_ddl": ${q(read(spark, name).schema.toDDL)},
+         |"files": [${files.map { case (p, b) => s"""{"path": ${q(p)}, "bytes": $b}""" }.mkString(", ")}]}
+         |""".stripMargin
+    val out = tableDir(name).resolve(s"_manifest_$version.json")
+    Files.writeString(out, json)
+    out
+  }
+
+  /** Read EXACTLY the files a manifest pins (snapshot-stable no matter
+    * what was written since), verifying each file still has the
+    * manifested size — a changed or missing file fails loudly rather
+    * than silently reading a different snapshot. Partition-directory
+    * values are recovered via basePath. The manifest grammar is our own
+    * ([[exportManifest]]), so parsing is a driver-side scan of the
+    * known shape, not a schema-inferring JSON read. */
+  def readManifest(spark: SparkSession, manifest: Path): DataFrame = {
+    val body = Files.readString(manifest)
+    def unq(s: String) = s.replace("\\\"", "\"").replace("\\\\", "\\")
+    val rootRe = """"root": "((?:[^"\\]|\\.)*)"""".r
+    val root = rootRe.findFirstMatchIn(body)
+      .map(m => unq(m.group(1)))
+      .getOrElse(throw new IllegalArgumentException(
+        s"manifest $manifest: missing root"))
+    val fileRe = """\{"path": "((?:[^"\\]|\\.)*)", "bytes": (\d+)\}""".r
+    val files = fileRe.findAllMatchIn(body)
+      .map(m => (unq(m.group(1)), m.group(2).toLong)).toSeq
+    require(files.nonEmpty, s"manifest $manifest lists no files")
+    files.foreach { case (rel, bytes) =>
+      val p = Paths.get(root, rel)
+      require(Files.isRegularFile(p) && Files.size(p) == bytes,
+        s"manifest file drifted or missing: $p (expected $bytes bytes)")
+    }
+    spark.read.option("basePath", root)
+      .parquet(files.map { case (rel, _) => Paths.get(root, rel).toString }: _*)
+  }
+
   // --------------------------------------------- CHECK constraints
   private def constraintsFile(name: String): Path =
     tableDir(name).resolve("_constraints")

@@ -25,6 +25,7 @@ import org.apache.spark.sql.types.{BooleanType, LongType, StringType, StructType
   *   GRAFT CLONE <src> TO <dst>               -- zero-copy hardlink clone
   *   GRAFT DESCRIBE <table>                   -- per-version files/bytes/sidecars
   *   GRAFT TABLES                             -- all tables under the catalog root
+  *   GRAFT EXPORT <table>                     -- snapshot manifest for external engines
   *   GRAFT ANALYZE <table> COLUMNS (a, b)     -- per-file min/max sidecar
   *   GRAFT ANALYZE BLOOM <table> COLUMN <c>   -- per-file bloom sidecar
   *   GRAFT OPTIMIZE <t> HILBERT BY (a, b)     -- full curve recluster + layout note
@@ -103,6 +104,8 @@ object GraftSql {
     """(?is)\s*GRAFT\s+PROPERTIES\s+(\S+)\s*;?\s*""".r
   private val SetProperty =
     """(?is)\s*GRAFT\s+ALTER\s+TABLE\s+(\S+)\s+SET\s+\(\s*'([^']+)'\s*=\s*'([^']*)'\s*\)\s*;?\s*""".r
+  private val Export =
+    """(?is)\s*GRAFT\s+EXPORT\s+(\S+)\s*;?\s*""".r
   private val GraftPrefix = """(?is)\s*GRAFT\b.*""".r
 
   /** One purge value: single-quoted ('' escapes a quote) → String,
@@ -143,6 +146,7 @@ object GraftSql {
       case Constraints(t) => Some(GraftConstraintsCommand(t))
       case Audit(t) => Some(GraftAuditCommand(t))
       case Maintain(t) => Some(GraftMaintainCommand(t))
+      case Export(t) => Some(GraftExportCommand(t))
       case SetProperty(t, k, v) => Some(GraftSetPropertyCommand(t, k, v))
       case Properties(t) => Some(GraftPropertiesCommand(t))
       case GraftPrefix() => throw new IllegalArgumentException(
@@ -158,7 +162,8 @@ object GraftSql {
            |GRAFT ALTER TABLE t ADD EXPECT name (expr) OR DROP |
            |GRAFT ALTER TABLE t DROP CONSTRAINT name |
            |GRAFT CONSTRAINTS t | GRAFT AUDIT t | GRAFT MAINTAIN t |
-           |GRAFT ALTER TABLE t SET ('key' = 'value') | GRAFT PROPERTIES t""".stripMargin)
+           |GRAFT ALTER TABLE t SET ('key' = 'value') | GRAFT PROPERTIES t |
+           |GRAFT EXPORT t""".stripMargin)
       case _ => None
     }
 }
@@ -242,6 +247,16 @@ case class GraftCompactCommand(table: String) extends LeafRunnableCommand {
     GraftSql.catalog.compact(spark, table); Seq.empty
   }
 }
+/** Snapshot-manifest export ([[graft.core.TableCatalog.exportManifest]]):
+  * returns the manifest path so clients can hand it to an external
+  * engine. Refuses while deletion vectors are pending. */
+case class GraftExportCommand(table: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("manifest", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(GraftSql.catalog.exportManifest(spark, table).toString))
+}
+
 case class GraftCloneCommand(source: String, target: String)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {

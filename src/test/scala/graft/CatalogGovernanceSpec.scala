@@ -1,0 +1,108 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.core.TableCatalog
+import org.apache.spark.sql.functions._
+
+/** Column-masking policies and the export-manifest handoff: masks must
+  * redact at read time without touching data (and fail loudly when
+  * misconfigured); a manifest must pin ONE version's exact files,
+  * survive later writes, and refuse to export un-purged erasures. */
+class CatalogGovernanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshCat(tag: String): TableCatalog = {
+    val root = Files.createTempDirectory(Paths.get("target"), s"gov-$tag-")
+    new TableCatalog(root.toString)
+  }
+
+  private def people = Seq(
+    (1L, "alice@example.com", "4111222233334444", 30L),
+    (2L, "bob@test.org", "550012349876", 40L)).toDF("id", "email", "card", "age")
+
+  test("mask policies: sha256 pseudonym, last4, nullify; data untouched") {
+    val cat = freshCat("mask")
+    cat.overwrite(people, "gov.people")
+    cat.setProperty("gov.people", "mask.email", "sha256")
+    cat.setProperty("gov.people", "mask.card", "last4")
+    cat.setProperty("gov.people", "mask.age", "nullify")
+    val m = cat.readMasked(spark, "gov.people").orderBy("id").collect()
+    // sha256 is a deterministic pseudonym — equality on it still works
+    assert(m(0).getString(1) ===
+      sha256Hex("alice@example.com") )
+    assert(m(0).getString(2) === "************4444")
+    assert(m(1).getString(2) === "********9876")
+    assert(m(0).isNullAt(3) && m(1).isNullAt(3))
+    // physical data untouched; unmasked read unaffected
+    val raw = cat.read(spark, "gov.people").orderBy("id").collect()
+    assert(raw(0).getString(1) === "alice@example.com")
+    assert(raw(0).getLong(3) === 30L)
+  }
+
+  private def sha256Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8"))
+    d.map("%02x".format(_)).mkString
+  }
+
+  test("mask policies: short values pass last4 unmasked; bad config fails loudly") {
+    val cat = freshCat("maskedge")
+    cat.overwrite(Seq((1L, "abc")).toDF("id", "code"), "gov.t")
+    cat.setProperty("gov.t", "mask.code", "last4")
+    assert(cat.readMasked(spark, "gov.t").collect()(0).getString(1) === "abc")
+    cat.setProperty("gov.t", "mask.code", "rot13")
+    intercept[IllegalArgumentException](cat.readMasked(spark, "gov.t"))
+    val cat2 = freshCat("maskmiss")
+    cat2.overwrite(Seq((1L, "x")).toDF("id", "v"), "gov.u")
+    cat2.setProperty("gov.u", "mask.nope", "sha256")
+    intercept[IllegalArgumentException](cat2.readMasked(spark, "gov.u"))
+  }
+
+  test("export manifest: pins the version's files; read survives later writes") {
+    val cat = freshCat("manifest")
+    val v1 = spark.range(0, 100).select(col("id"),
+      (col("id") % 3).cast("string").as("p"))
+    cat.overwrite(v1, "gov.fact", partitionBy = Seq("p"))
+    val mf = cat.exportManifest(spark, "gov.fact")
+    assert(Files.isRegularFile(mf))
+    // manifest read = current read, including partition-column recovery
+    val viaManifest = cat.readManifest(spark, mf)
+    assert(viaManifest.columns.sorted.toSeq === Seq("id", "p"))
+    assert(viaManifest.agg(sum("id")).collect()(0).getLong(0) === 4950L)
+    assert(viaManifest.filter(col("p") === "1").count() === 33L)
+    // a later overwrite must NOT change what the manifest reads
+    cat.overwrite(spark.range(0, 5).select(col("id"),
+      lit("9").as("p")), "gov.fact", partitionBy = Seq("p"))
+    assert(cat.readManifest(spark, mf).count() === 100L)
+    assert(cat.read(spark, "gov.fact").count() === 5L)
+  }
+
+  test("export manifest: excludes sidecars and refuses pending deletion vectors") {
+    val cat = freshCat("manifestdv")
+    cat.overwrite(spark.range(0, 50).select(col("id"), col("id").as("k")),
+      "gov.keys")
+    cat.analyze(spark, "gov.keys", Seq("k")) // writes a _stats sidecar
+    val mf = cat.exportManifest(spark, "gov.keys")
+    val body = Files.readString(mf)
+    assert(!body.contains("_stats") && !body.contains("_SUCCESS"), body)
+    // logical GDPR purge → export must refuse until the physical rewrite
+    cat.purgeKeys(spark, "gov.keys", "k", Seq(7L))
+    intercept[IllegalArgumentException](cat.exportManifest(spark, "gov.keys"))
+    cat.purgeRewrite(spark, "gov.keys")
+    val mf2 = cat.exportManifest(spark, "gov.keys")
+    assert(cat.readManifest(spark, mf2).count() === 49L)
+  }
+
+  test("manifest read fails loudly when a pinned file drifts") {
+    val cat = freshCat("drift")
+    cat.overwrite(spark.range(0, 10).toDF("id"), "gov.d")
+    val mf = cat.exportManifest(spark, "gov.d")
+    // corrupt one pinned file by appending a byte
+    val root = Paths.get(cat.currentPath("gov.d"))
+    val f = Files.list(root).filter(p =>
+      p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+    Files.write(f, Array[Byte](0), java.nio.file.StandardOpenOption.APPEND)
+    intercept[IllegalArgumentException](cat.readManifest(spark, mf))
+  }
+}

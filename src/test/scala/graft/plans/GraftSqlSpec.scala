@@ -74,6 +74,15 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(c.read(sess, "c.s.t").count() == 3)
   }
 
+  test("GRAFT EXPORT returns a manifest the catalog can read back") {
+    val sp = sess; import sp.implicits._
+    val c = cat()
+    c.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "c.s.ex")
+    val mf = sess.sql("GRAFT EXPORT c.s.ex").collect().map(_.getString(0))
+    assert(mf.length == 1 && mf(0).endsWith("_manifest_v000001.json"), mf.toSeq)
+    assert(c.readManifest(sess, java.nio.file.Paths.get(mf(0))).count() == 2)
+  }
+
   test("GRAFT PURGE erases long and quoted-string keys across versions") {
     val sp = sess; import sp.implicits._
     val c = cat()
