@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(SimHashSig.registration)
     ext.injectFunction(GramHashes.registration)
     ext.injectFunction(SlidingMin.registration)
+    ext.injectFunction(KmvSketch.registration)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(graft.plans.MvRewriteRule)
     ext.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))
@@ -31,7 +32,8 @@ object GraftExtensions {
     Seq(PolyHash.registration, DotProduct.registration,
         InterleaveBits.registration, HilbertIndex.registration,
         MinHashSig.registration, SimHashSig.registration,
-        GramHashes.registration, SlidingMin.registration).foreach { r =>
+        GramHashes.registration, SlidingMin.registration,
+        KmvSketch.registration).foreach { r =>
       reg.registerFunction(r._1, r._2, r._3)
     }
   }

@@ -1131,6 +1131,30 @@ object Extensions {
       .select(col("a"), col("b"), (col("rnb") - col("rna")).as("gap"))
   }
 
+  /** KMV distinct-count sketch per language
+    * ([[graft.functions.KmvSketch]], k = 32) over portable text hashes —
+    * the verifiable sketch path beside the HLL rollup (SketchSpec): the
+    * k minima are a deterministic function of the value SET, so the
+    * oracle replays them exactly, minima-sum checksum included. The
+    * estimate is the classic (k−1)·domain/kth_min when the sketch is
+    * full, the exact count when not — one mirrored double expression.
+    * At scale the sketch column itself would persist per shard and
+    * answer corpus-distinct by union-merge, no re-scan. */
+  def kmvDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.KmvSketch
+    docs(spark, sfDir)
+      .select(col("lang"), TextKit.polyHash(col("text")).as("h"))
+      .groupBy("lang")
+      .agg(KmvSketch(col("h"), 32).as("mins"))
+      .select(col("lang"),
+        size(col("mins")).cast(LongType).as("n_mins"),
+        element_at(col("mins"), size(col("mins"))).as("kth_min"),
+        aggregate(col("mins"), lit(0L), (a, x) => a + x).as("mins_sum"),
+        when(size(col("mins")) < 32, size(col("mins")).cast(DoubleType))
+          .otherwise(lit(31.0) * lit(1000000007.0) /
+            element_at(col("mins"), lit(32)).cast(DoubleType)).as("est_distinct"))
+  }
+
   /** Smoothed target encoding (the ML feature-prep categorical encoder):
     * enc(category) = (Σ_cat target + m·prior) / (n_cat + m) with m = 100
     * and prior = the global target mean — high-count categories keep
@@ -1933,6 +1957,7 @@ object Extensions {
     "x_integrity_audit" -> integrityAudit _,
     "x_target_encode" -> targetEncode _,
     "x_seasonal" -> seasonalDecompose _,
+    "x_kmv_distinct" -> kmvDistinct _,
     "x_session_window" -> sessionWindow _,
     "x_heavy_hitters" -> heavyHitters _,
     "x_vocab_encode" -> (vocabEncode(_, _)),
@@ -3402,6 +3427,22 @@ object Extensions {
            UNION ALL SELECT u, 3 FROM p3
            UNION ALL SELECT u, 4 FROM p4
            UNION ALL SELECT u, CAST(NULL AS BIGINT) FROM r4)""",
+    // KMV mirror: the k smallest distinct hashes are a pure set
+    // function — sort distinct hashes, slice k, same estimator branch.
+    "x_kmv_distinct" -> {
+      val ph = DuckSql.polyHash("text")
+      s"""WITH h AS (SELECT DISTINCT lang, $ph AS h FROM documents),
+          s AS (SELECT lang, list_sort(list(h)) AS hs FROM h GROUP BY 1),
+          m AS (SELECT lang, list_slice(hs, 1, 32) AS mins FROM s)
+          SELECT lang, CAST(len(mins) AS BIGINT) AS n_mins,
+            mins[len(mins)] AS kth_min,
+            list_reduce(list_prepend(0::BIGINT, mins),
+              (a, b) -> a + b) AS mins_sum,
+            CASE WHEN len(mins) < 32 THEN CAST(len(mins) AS DOUBLE)
+                 ELSE 31.0 * 1000000007.0 / CAST(mins[32] AS DOUBLE)
+            END AS est_distinct
+          FROM m"""
+    },
     // Target-encoding mirror: decimal sums, one double smoothing ratio.
     "x_target_encode" ->
       """WITH e AS (SELECT event_type,
