@@ -167,6 +167,35 @@ final class TableCatalog(val root: String) extends Serializable {
       spark.read.parquet(tableDir(name).resolve(version).toString), name)
   }
 
+  // ------------------------------------------- time travel AS OF time
+  /** Commit time (epoch millis) of a retained version: the `_commit_ts`
+    * marker stamped at first publish, falling back to the directory
+    * mtime for versions predating the marker (or clones that didn't
+    * carry it). */
+  def commitTs(name: String, version: String): Long = {
+    val v = tableDir(name).resolve(version)
+    val m = v.resolve("_commit_ts")
+    if (Files.isRegularFile(m)) Files.readString(m).trim.toLong
+    else Files.getLastModifiedTime(v).toMillis
+  }
+
+  /** Delta `TIMESTAMP AS OF` analogue: read the LATEST retained version
+    * committed at or before `tsMillis` — so "what did this table say
+    * when yesterday's report ran" is answerable without knowing version
+    * numbers. Same deletion-vector semantics as [[readVersion]] (logical
+    * erasure is not escapable through time travel); versions already
+    * vacuumed are not resolvable — retention bounds the travel horizon,
+    * and a timestamp older than every retained version fails loudly
+    * rather than silently serving newer data. */
+  def readAsOf(spark: SparkSession, name: String, tsMillis: Long): DataFrame = {
+    val vs = versions(name)
+    val pick = vs.filter(v => commitTs(name, v) <= tsMillis)
+    require(pick.nonEmpty,
+      s"no retained version of $name committed at or before $tsMillis " +
+        s"(earliest: ${vs.headOption.map(v => s"$v @ ${commitTs(name, v)}").getOrElse("none")})")
+    readVersion(spark, name, pick.last)
+  }
+
   // ------------------------------------------------ table properties
   private def propertiesFile(name: String): Path =
     tableDir(name).resolve("_properties")
@@ -454,6 +483,12 @@ final class TableCatalog(val root: String) extends Serializable {
   /** Atomically swap `_CURRENT` to `version` (write-temp + ATOMIC_MOVE —
     * the one pointer-swap protocol, shared by writes and rollback). */
   private def swapPointer(dir: Path, name: String, version: String): Unit = {
+    // Stamp the version's commit time on FIRST publish only (rollback
+    // re-points to an old version and must not re-date it — AS OF
+    // resolution refers to when the data version was created).
+    val ts = dir.resolve(version).resolve("_commit_ts")
+    if (Files.isDirectory(dir.resolve(version)) && !Files.exists(ts))
+      Files.writeString(ts, System.currentTimeMillis().toString)
     val tmp = dir.resolve("_CURRENT.tmp")
     Files.writeString(tmp, version)
     Files.move(tmp, currentPointer(name), StandardCopyOption.ATOMIC_MOVE,

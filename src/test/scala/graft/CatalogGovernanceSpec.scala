@@ -94,6 +94,27 @@ class CatalogGovernanceSpec extends SparkSpec {
     assert(cat.readManifest(spark, mf2).count() === 49L)
   }
 
+  test("TIMESTAMP AS OF resolves the latest version committed at or before") {
+    val cat = freshCat("asof")
+    cat.overwrite(Seq((1L, "old")).toDF("k", "v"), "gov.tt")
+    cat.overwrite(Seq((1L, "new"), (2L, "x")).toDF("k", "v"), "gov.tt")
+    // pin deterministic commit times on the two retained versions
+    val dir = Paths.get(cat.root, "gov", "tt")
+    Files.writeString(dir.resolve("v000001").resolve("_commit_ts"), "1000")
+    Files.writeString(dir.resolve("v000002").resolve("_commit_ts"), "2000")
+    assert(cat.commitTs("gov.tt", "v000001") === 1000L)
+    // between the commits → v1; at/after the second → v2
+    assert(cat.readAsOf(spark, "gov.tt", 1500L).collect()
+      .map(_.getString(1)).toSeq === Seq("old"))
+    assert(cat.readAsOf(spark, "gov.tt", 2000L).count() === 2L)
+    assert(cat.readAsOf(spark, "gov.tt", 999999999999999L).count() === 2L)
+    // before every retained version → loud failure, never newer data
+    intercept[IllegalArgumentException](cat.readAsOf(spark, "gov.tt", 999L))
+    // rollback must NOT re-date the old version
+    cat.rollback("gov.tt", "v000001")
+    assert(cat.commitTs("gov.tt", "v000001") === 1000L)
+  }
+
   test("manifest read fails loudly when a pinned file drifts") {
     val cat = freshCat("drift")
     cat.overwrite(spark.range(0, 10).toDF("id"), "gov.d")
