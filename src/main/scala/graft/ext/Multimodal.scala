@@ -204,6 +204,111 @@ object Multimodal {
     }
   }
 
+  /** Synthesize a COMPLETE valid 8-bit grayscale 64×64 PNG — real
+    * scanline filters, real zlib (Deflater), real CRC32 chunks — whose
+    * pixels are BLOCK-CONSTANT on an 8×8 grid: block b (row-major
+    * 0..63) is the constant gray (seed·31 + b·7) mod 256. A real
+    * decoder (inflate + filter reconstruction) is required to read the
+    * pixels back, while the block structure keeps the perceptual hash a
+    * closed-form function of `seed` — the oracle for [[aHash64]]. */
+  def synthesizePngFull(seed: Long): Array[Byte] = {
+    val W = 64; val H = 64
+    val raw = new Array[Byte](H * (W + 1))
+    var y = 0
+    while (y < H) {
+      raw(y * (W + 1)) = 0 // filter type None per scanline
+      var x = 0
+      while (x < W) {
+        val b = (y / 8) * 8 + (x / 8)
+        raw(y * (W + 1) + 1 + x) =
+          (((seed * 31 + b * 7) % 256 + 256) % 256).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!defl.finished()) out.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    def be32(v: Int) = Array[Byte](
+      (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def chunk(tag: String, body: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32()
+      crc.update(tag.getBytes("US-ASCII")); crc.update(body)
+      be32(body.length) ++ tag.getBytes("US-ASCII") ++ body ++
+        be32(crc.getValue.toInt)
+    }
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      chunk("IHDR", be32(W) ++ be32(H) ++ Array[Byte](8, 0, 0, 0, 0)) ++
+      chunk("IDAT", out.toByteArray) ++
+      chunk("IEND", Array.empty[Byte])
+  }
+
+  /** Perceptual average-hash over a REAL pixel decode: ImageIO (the
+    * JDK's PNG decoder — zlib inflate + per-scanline filter
+    * reconstruction, no external library) yields the raster; each 8×8
+    * pixel block averages to one gray (exact integer `div`), the global
+    * mean is the block-average mean (`div 64`), and bit b of the hash is
+    * set when block b sits above it. Split (hi, lo) 32-bit halves keep
+    * every value positive in any engine. Returns (hi, lo, mean) or None
+    * for undecodable bytes — the near-dup image signature used exactly
+    * like SimHash on text (small Hamming distance ≡ visual similarity). */
+  def aHash64(png: Array[Byte]): Option[(Long, Long, Long)] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      if (img == null || img.getWidth % 8 != 0 || img.getHeight % 8 != 0 ||
+          img.getWidth == 0 || img.getHeight == 0) None
+      else {
+        val (bw, bh) = (img.getWidth / 8, img.getHeight / 8)
+        val raster = img.getRaster
+        val bavg = new Array[Long](64)
+        var by = 0
+        while (by < 8) {
+          var bx = 0
+          while (bx < 8) {
+            var s = 0L
+            var y = by * bh
+            while (y < (by + 1) * bh) {
+              var x = bx * bw
+              while (x < (bx + 1) * bw) { s += raster.getSample(x, y, 0); x += 1 }
+              y += 1
+            }
+            bavg(by * 8 + bx) = s / (bw.toLong * bh)
+            bx += 1
+          }
+          by += 1
+        }
+        val mean = bavg.sum / 64
+        var hi = 0L; var lo = 0L
+        var b = 0
+        while (b < 64) {
+          if (bavg(b) > mean) {
+            if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
+          }
+          b += 1
+        }
+        Some((hi, lo, mean))
+      }
+    } catch { case _: Throwable => None }
+
+  case class ImageHashRow(doc_id: Long, ahash_hi: Long, ahash_lo: Long,
+                          mean_gray: Long, ok: Boolean)
+
+  /** Per-partition decode+hash over a media dataset (same execution
+    * shape as [[probeImages]]: payloads never shuffle; ImageIO readers
+    * are JVM-static so there is no per-row codec init to amortize). */
+  def imageHashes(media: Dataset[MediaRow])(implicit spark: SparkSession): Dataset[ImageHashRow] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { m =>
+      aHash64(m.payload) match {
+        case Some((hi, lo, mean)) => ImageHashRow(m.doc_id, hi, lo, mean, ok = true)
+        case None => ImageHashRow(m.doc_id, 0L, 0L, 0L, ok = false)
+      }
+    })
+  }
+
   /** Parsed WAV header: channel layout, rate, depth, payload size. */
   case class AudioInfo(doc_id: Long, channels: Long, sample_rate: Long,
                        bits: Long, data_bytes: Long, ok: Boolean)

@@ -308,6 +308,25 @@ object Extensions {
       .select("doc_id", "format", "width", "height", "ok")
   }
 
+  /** Perceptual image hashing over a REAL pixel decode
+    * ([[graft.ext.Multimodal.aHash64]]): complete synthetic PNGs (real
+    * zlib + CRC chunks, block-constant 8×8 pixel grid seeded by doc_id)
+    * decoded by the JDK's ImageIO — inflate + filter reconstruction, an
+    * actual decoder in the loop, not a header peek — then average-hashed
+    * to the 64-bit near-dup signature. Because the blocks are constant,
+    * the expected hash is a closed-form function of doc_id: the oracle
+    * recomputes it without any image code, so a single wrong pixel
+    * anywhere in synthesis or decode breaks the hash match. */
+  def imageHash(spark: SparkSession, sfDir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val media = docs(spark, sfDir).select(col("doc_id")).as[Long].map { id =>
+      graft.ext.MediaRow(id, "png", Multimodal.synthesizePngFull(id))
+    }
+    Multimodal.imageHashes(media).toDF()
+      .select("doc_id", "ahash_hi", "ahash_lo", "mean_gray", "ok")
+  }
+
   /** WAV-header probe, the audio sibling of [[imageProbe]]: synthesized
     * RIFF headers (channels/rate/size from a doc_id formula) parsed back
     * by the real chunk walker; formula oracle. */
@@ -1885,6 +1904,7 @@ object Extensions {
     "d_minhash_lsh" -> minhashLsh _,
     "x_decontaminate" -> decontaminate _,
     "m_image_probe" -> imageProbe _,
+    "m_image_hash" -> imageHash _,
     "m_audio_probe" -> audioProbe _,
     "m_video_probe" -> videoProbe _,
     "d_simhash_pairs" -> simhashPairs _,
@@ -2219,6 +2239,26 @@ object Extensions {
            (doc_id % 1000 + 1) * 4 AS data_bytes,
            TRUE AS ok
          FROM documents""",
+    "m_image_hash" ->
+      // Closed-form replay of the block-constant synthesis: block b's
+      // gray is (id*31 + b*7) % 256, block averages equal it exactly,
+      // global mean = sum div 64, bit b set when above — recomputed here
+      // with zero image code, so synthesis OR decode bugs break the hash.
+      """WITH blocks AS (
+           SELECT doc_id, b, (doc_id * 31 + b * 7) % 256 AS g
+           FROM documents, unnest(generate_series(0, 63)) t(b)),
+         m AS (SELECT doc_id, CAST(SUM(g) // 64 AS BIGINT) AS gmean
+               FROM blocks GROUP BY 1),
+         bits AS (SELECT blocks.doc_id, b, g, gmean FROM blocks
+                  JOIN m USING (doc_id))
+         SELECT doc_id,
+           CAST(SUM(CASE WHEN g > gmean AND b >= 32
+             THEN (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END) AS BIGINT)
+             AS ahash_hi,
+           CAST(SUM(CASE WHEN g > gmean AND b < 32
+             THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS ahash_lo,
+           MIN(gmean) AS mean_gray, TRUE AS ok
+         FROM bits GROUP BY doc_id""",
     "m_image_probe" ->
       """SELECT doc_id,
            CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END

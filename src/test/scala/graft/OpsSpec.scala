@@ -133,6 +133,28 @@ class OpsSpec extends SparkSpec {
     assert(probeImageHeader(Array.empty[Byte]).isEmpty)
   }
 
+  test("aHash64 decodes real PNG pixels; formula-exact, corruption-safe") {
+    import graft.ext.Multimodal.{aHash64, synthesizePngFull}
+    // full decode path: expected hash from the block formula directly
+    def expected(seed: Long): (Long, Long, Long) = {
+      val g = (0 until 64).map(b => ((seed * 31 + b * 7) % 256 + 256) % 256)
+      val mean = g.sum / 64
+      var hi = 0L; var lo = 0L
+      for (b <- 0 until 64 if g(b) > mean)
+        if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
+      (hi, lo, mean)
+    }
+    for (seed <- Seq(0L, 1L, 41L, 255L, 123456789L))
+      assert(aHash64(synthesizePngFull(seed)) == Some(expected(seed)), s"seed $seed")
+    // same pixels → same hash; different seed → (generically) different
+    assert(aHash64(synthesizePngFull(7L)) == aHash64(synthesizePngFull(7L)))
+    assert(aHash64(synthesizePngFull(7L)) != aHash64(synthesizePngFull(8L)))
+    // truncated/corrupt/junk refuse, never throw
+    assert(aHash64(synthesizePngFull(1L).take(60)).isEmpty)
+    assert(aHash64("definitely not a png".getBytes).isEmpty)
+    assert(aHash64(Array.empty[Byte]).isEmpty)
+  }
+
   test("wav header probe parses RIFF chunks and rejects junk") {
     import graft.ext.Multimodal.{probeWavHeader, synthesizeWav}
     assert(probeWavHeader(synthesizeWav(2, 44100, 16, 88200)) == Some((2, 44100, 16, 88200)))
