@@ -211,7 +211,13 @@ object Multimodal {
     * decoder (inflate + filter reconstruction) is required to read the
     * pixels back, while the block structure keeps the perceptual hash a
     * closed-form function of `seed` — the oracle for [[aHash64]]. */
-  def synthesizePngFull(seed: Long): Array[Byte] = {
+  def synthesizePngFull(seed: Long): Array[Byte] =
+    synthesizePngFull(seed, pertBlock = -1, pertDelta = 0)
+
+  /** [[synthesizePngFull]] with one block's gray shifted by `pertDelta`
+    * (pertBlock −1 = none) — the controlled "almost the same image"
+    * fixture for near-dup detection. */
+  def synthesizePngFull(seed: Long, pertBlock: Int, pertDelta: Int): Array[Byte] = {
     val W = 64; val H = 64
     val raw = new Array[Byte](H * (W + 1))
     var y = 0
@@ -220,8 +226,9 @@ object Multimodal {
       var x = 0
       while (x < W) {
         val b = (y / 8) * 8 + (x / 8)
+        val d = if (b == pertBlock) pertDelta else 0
         raw(y * (W + 1) + 1 + x) =
-          (((seed * 31 + b * 7) % 256 + 256) % 256).toByte
+          (((seed * 31 + b * 7 + d) % 256 + 256) % 256).toByte
         x += 1
       }
       y += 1

@@ -327,6 +327,52 @@ object Extensions {
       .select("doc_id", "ahash_hi", "ahash_lo", "mean_gray", "ok")
   }
 
+  /** Image NEAR-DUP pairs — SimHash-style banding over the perceptual
+    * hash ([[imageHash]]'s pipeline, completed to dedup): every 5 docs
+    * share a base image (seed = doc_id div 5), four of them with one
+    * 8×8 block's gray shifted — visually "the same photo, small edit".
+    * The 64-bit aHash splits into 4×16-bit bands; a candidate pair must
+    * agree on ≥1 band (bucket equi-join — never all-pairs), then the
+    * exact Hamming distance (bit_count of xor, both halves) gates at
+    * ≤ 6. The oracle replays hash formula, banding, and verify in SQL —
+    * decode, hashing, and the pairing algebra all pinned at once. */
+  def imageNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val media = docs(spark, sfDir).select(col("doc_id")).as[Long].map { id =>
+      val pert = (id % 5).toInt
+      graft.ext.MediaRow(id, "png", Multimodal.synthesizePngFull(
+        id / 5,
+        if (pert == 0) -1 else ((pert * 11) % 64),
+        96))
+    }
+    val hashes = Multimodal.imageHashes(media).toDF()
+      .select(col("doc_id"), col("ahash_hi"), col("ahash_lo"))
+    // band identity includes POSITION (posexplode ordinal): equal values
+    // in different band slots are not a candidate signal
+    val bands = hashes.select(col("doc_id"),
+      posexplode(array(
+        col("ahash_lo") % 65536,
+        expr("shiftright(ahash_lo, 16) % 65536"),
+        col("ahash_hi") % 65536,
+        expr("shiftright(ahash_hi, 16) % 65536"))))
+      .toDF("doc_id", "band_idx", "band_val")
+    val cands = bands.as("x").join(bands.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+    cands
+      .join(hashes.select(col("doc_id").as("a"), col("ahash_hi").as("ha"),
+        col("ahash_lo").as("la")), Seq("a"))
+      .join(hashes.select(col("doc_id").as("b"), col("ahash_hi").as("hb"),
+        col("ahash_lo").as("lb")), Seq("b"))
+      .select(col("a"), col("b"),
+        (expr("bit_count(ha ^ hb)") + expr("bit_count(la ^ lb)"))
+          .cast(LongType).as("hamming"))
+      .filter(col("hamming") <= 6)
+  }
+
   /** WAV-header probe, the audio sibling of [[imageProbe]]: synthesized
     * RIFF headers (channels/rate/size from a doc_id formula) parsed back
     * by the real chunk walker; formula oracle. */
@@ -1905,6 +1951,7 @@ object Extensions {
     "x_decontaminate" -> decontaminate _,
     "m_image_probe" -> imageProbe _,
     "m_image_hash" -> imageHash _,
+    "m_image_neardup" -> imageNearDup _,
     "m_audio_probe" -> audioProbe _,
     "m_video_probe" -> videoProbe _,
     "d_simhash_pairs" -> simhashPairs _,
@@ -2239,6 +2286,38 @@ object Extensions {
            (doc_id % 1000 + 1) * 4 AS data_bytes,
            TRUE AS ok
          FROM documents""",
+    "m_image_neardup" ->
+      // Full replay: perturbed block formula → hash → 4×16 banding →
+      // candidate join → exact Hamming gate, all in SQL.
+      """WITH blocks AS (
+           SELECT doc_id, b,
+             ((doc_id // 5) * 31 + b * 7 +
+               CASE WHEN doc_id % 5 > 0 AND b = ((doc_id % 5) * 11) % 64
+                    THEN 96 ELSE 0 END) % 256 AS g
+           FROM documents, unnest(generate_series(0, 63)) t(b)),
+         m AS (SELECT doc_id, CAST(SUM(g) // 64 AS BIGINT) AS gmean
+               FROM blocks GROUP BY 1),
+         h AS (SELECT blocks.doc_id,
+                 CAST(SUM(CASE WHEN g > gmean AND b >= 32
+                   THEN (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END) AS BIGINT) AS hi,
+                 CAST(SUM(CASE WHEN g > gmean AND b < 32
+                   THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS lo
+               FROM blocks JOIN m USING (doc_id) GROUP BY 1),
+         bands AS (
+           SELECT doc_id, i AS band_idx,
+             CASE i WHEN 0 THEN lo % 65536 WHEN 1 THEN (lo >> 16) % 65536
+                    WHEN 2 THEN hi % 65536 ELSE (hi >> 16) % 65536 END AS band_val
+           FROM h, unnest(generate_series(0, 3)) t(i)),
+         cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                  FROM bands x JOIN bands y
+                  ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+                    AND x.doc_id < y.doc_id),
+         v AS (SELECT a, b,
+                 CAST(bit_count(xor(ha.hi, hb.hi))
+                   + bit_count(xor(ha.lo, hb.lo)) AS BIGINT) AS hamming
+               FROM cand JOIN h ha ON cand.a = ha.doc_id
+               JOIN h hb ON cand.b = hb.doc_id)
+         SELECT a, b, hamming FROM v WHERE hamming <= 6""",
     "m_image_hash" ->
       // Closed-form replay of the block-constant synthesis: block b's
       // gray is (id*31 + b*7) % 256, block averages equal it exactly,
