@@ -891,6 +891,27 @@ final class TableCatalog(val root: String) extends Serializable {
     base.filter(col(c).isin(values: _*))
   }
 
+  /** GDPR subject-ACCESS request — the read sibling of the erasure path
+    * ([[purgeKeys]]): pull every current-version row belonging to a
+    * subject across a set of tables into one tall report
+    * (table, row-as-json). Each table scans through [[scanPoints]], so a
+    * bloom-analyzed table touches only files whose sidecar admits the
+    * key — at 100 TB the access request reads a handful of files per
+    * table, not the lake (and tables without a bloom sidecar degrade to
+    * a full scan with the same results, never an error). Tombstoned
+    * subjects correctly return nothing: erased means erased for access
+    * requests too. */
+  def subjectRows(spark: SparkSession, tables: Seq[(String, String)],
+                  value: Any): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(tables.nonEmpty, "subjectRows: no (table, keyCol) pairs given")
+    tables.map { case (name, keyCol) =>
+      scanPoints(spark, name, keyCol, Seq(value))
+        .select(lit(name).as("table"),
+          to_json(struct(col("*"))).as("row_json"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Shallow clone (Delta CLONE analogue): register `target` whose
     * current version shares every data file of `source`'s current
     * version by hardlink — O(#files) metadata, zero data copy. The clone

@@ -1196,6 +1196,29 @@ object Extensions {
       .select(col("a"), col("b"), (col("rnb") - col("rna")).as("gap"))
   }
 
+  /** Equi-DEPTH histogram of order totals (the complement of the
+    * equi-width `x_histogram`): quartile cutpoints from the exact
+    * interpolated percentile (≡ quantile_cont, bit-identical), then one
+    * counting pass with half-open [lo, hi) buckets — the optimizer-
+    * statistics histogram shape (equal mass, unequal width). Two scans:
+    * cutpoints (one grouped percentile) broadcast back into the bucket
+    * projection. */
+  def eqDepthHist(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Parity.table(spark, sfDir, "orders")
+      .select(col("o_totalprice").cast(DoubleType).as("x"))
+    val cuts = o.agg(
+      expr("percentile(x, 0.25)").as("q1"),
+      expr("percentile(x, 0.5)").as("q2"),
+      expr("percentile(x, 0.75)").as("q3"))
+    o.join(broadcast(cuts))
+      .select(when(col("x") < col("q1"), 0L)
+        .when(col("x") < col("q2"), 1L)
+        .when(col("x") < col("q3"), 2L).otherwise(3L).as("bucket"),
+        col("x"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), min(col("x")).as("lo"), max(col("x")).as("hi"))
+  }
+
   /** KMV distinct-count sketch per language
     * ([[graft.functions.KmvSketch]], k = 32) over portable text hashes —
     * the verifiable sketch path beside the HLL rollup (SketchSpec): the
@@ -2025,6 +2048,7 @@ object Extensions {
     "x_target_encode" -> targetEncode _,
     "x_seasonal" -> seasonalDecompose _,
     "x_kmv_distinct" -> kmvDistinct _,
+    "x_eq_depth_hist" -> eqDepthHist _,
     "x_session_window" -> sessionWindow _,
     "x_heavy_hitters" -> heavyHitters _,
     "x_vocab_encode" -> (vocabEncode(_, _)),
@@ -3546,6 +3570,16 @@ object Extensions {
            UNION ALL SELECT u, 3 FROM p3
            UNION ALL SELECT u, 4 FROM p4
            UNION ALL SELECT u, CAST(NULL AS BIGINT) FROM r4)""",
+    // Equi-depth mirror: quantile_cont cutpoints, same half-open rule.
+    "x_eq_depth_hist" ->
+      """WITH o AS (SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders),
+         c AS (SELECT quantile_cont(x, 0.25) AS q1,
+                 quantile_cont(x, 0.5) AS q2,
+                 quantile_cont(x, 0.75) AS q3 FROM o)
+         SELECT CAST(CASE WHEN x < q1 THEN 0 WHEN x < q2 THEN 1
+                     WHEN x < q3 THEN 2 ELSE 3 END AS BIGINT) AS bucket,
+           count(*) AS n, MIN(x) AS lo, MAX(x) AS hi
+         FROM o CROSS JOIN c GROUP BY 1""",
     // KMV mirror: the k smallest distinct hashes are a pure set
     // function — sort distinct hashes, slice k, same estimator branch.
     "x_kmv_distinct" -> {

@@ -115,6 +115,31 @@ class CatalogGovernanceSpec extends SparkSpec {
     assert(cat.commitTs("gov.tt", "v000001") === 1000L)
   }
 
+  test("subject-access export: pruned pull across tables; erased → empty") {
+    val cat = freshCat("subject")
+    // clustered layout so the bloom sidecar can actually prune files
+    cat.overwrite(spark.range(0, 4000)
+      .select(col("id").as("uid"), (col("id") % 7).as("v"))
+      .repartitionByRange(4, col("uid")).sortWithinPartitions("uid"),
+      "gov.orders2")
+    cat.overwrite(Seq((42L, "a@x"), (7L, "b@y")).toDF("uid", "email"),
+      "gov.users")
+    cat.analyzeBloom(spark, "gov.orders2", "uid")
+    val rep = cat.subjectRows(spark,
+      Seq("gov.orders2" -> "uid", "gov.users" -> "uid"), 42L)
+    val got = rep.collect().map(r => (r.getString(0), r.getString(1)))
+    assert(got.count(_._1 == "gov.orders2") === 1)
+    assert(got.count(_._1 == "gov.users") === 1)
+    assert(got.exists(_._2.contains("a@x")))
+    // bloom pruning engaged: only files admitting uid=42 are touched
+    assert(cat.bloomPrunedFiles(spark, "gov.orders2", "uid", Seq(42L)).size < 4)
+    // erasure wins over access: purged subject yields zero rows
+    cat.purgeKeys(spark, "gov.users", "uid", Seq(42L))
+    val after = cat.subjectRows(spark,
+      Seq("gov.users" -> "uid"), 42L).count()
+    assert(after === 0L)
+  }
+
   test("manifest read fails loudly when a pinned file drifts") {
     val cat = freshCat("drift")
     cat.overwrite(spark.range(0, 10).toDF("id"), "gov.d")
