@@ -378,6 +378,110 @@ object Multimodal {
       "data".getBytes ++ le32(dataBytes)
   }
 
+  /** Synthesize a COMPLETE mono 16-bit WAV — header plus real
+    * little-endian PCM: a square wave with period p = 20 + seed mod 30
+    * samples and amplitude a = 1000 + (seed mod 7)·500. Sign flips land
+    * exactly at sample indices divisible by p, so the zero-crossing
+    * fingerprint is a closed-form function of `seed` — the oracle for
+    * [[audioFingerprint]], same fixture philosophy as
+    * [[synthesizePngFull]]. */
+  def synthesizeWavPcm(seed: Long, nSamples: Int = 4000,
+                       rate: Int = 8000): Array[Byte] = {
+    val p = (20 + ((seed % 30) + 30) % 30).toInt
+    val a = (1000 + (((seed % 7) + 7) % 7) * 500).toInt
+    val data = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val s = if ((i / p) % 2 == 0) a else -a
+      data(2 * i) = s.toByte
+      data(2 * i + 1) = (s >> 8).toByte
+      i += 1
+    }
+    synthesizeWav(1, rate, 16, data.length) ++ data
+  }
+
+  /** Decode mono 16-bit PCM out of a WAV byte array: the same guarded
+    * chunk walk as [[probeWavHeader]], then little-endian sample decode.
+    * None (never throw) for non-WAV/multi-channel/non-16-bit/truncated
+    * payloads. */
+  def pcm16Mono(b: Array[Byte]): Option[Array[Int]] = {
+    def u8(i: Int) = b(i) & 0xff
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int) = u8(i).toLong | (u8(i + 1).toLong << 8) |
+      (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    def tag(i: Int, t: String) = b.length >= i + 4 &&
+      (0 until 4).forall(j => b(i + j) == t(j).toByte)
+    if (b.length < 12 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    var i: Long = 12
+    var fmtOk = false
+    var data: Option[(Long, Long)] = None
+    while (i + 8 <= b.length && (!fmtOk || data.isEmpty)) {
+      val size = le32(i.toInt + 4)
+      if (tag(i.toInt, "fmt ") && i + 8 + 16 <= b.length)
+        fmtOk = le16(i.toInt + 8) == 1 && le16(i.toInt + 10) == 1 &&
+          le16(i.toInt + 22) == 16
+      else if (tag(i.toInt, "data")) data = Some((i + 8, size))
+      i += 8 + size + (size & 1)
+    }
+    data match {
+      case Some((off, size)) if fmtOk =>
+        val n = (math.min(size, b.length - off) / 2).toInt
+        val out = new Array[Int](n)
+        var j = 0
+        while (j < n) {
+          out(j) = (le16((off + 2 * j).toInt) << 16) >> 16 // sign-extend
+          j += 1
+        }
+        Some(out)
+      case _ => None
+    }
+  }
+
+  /** Frame-wise zero-crossing fingerprint over decoded PCM: per
+    * 500-sample frame count sign changes vs the previous sample, fold
+    * the counts in frame order into a rolling hash (h·31 + c mod 1e9+7
+    * — the [[graft.functions.PolyHash]] recurrence), and report the
+    * exact integer mean |sample| — amplitude, activity, and temporal
+    * shape in three integers, the cheap pre-ASR audio gate. All-integer
+    * → closed-form oracle over the synthetic square waves. */
+  def audioFingerprint(samples: Array[Int], frame: Int = 500): (Long, Long, Long) = {
+    val nFrames = samples.length / frame
+    var sumAbs = 0L
+    var total = 0L
+    var h = 0L
+    var f = 0
+    while (f < nFrames) {
+      var cnt = 0L
+      var i = f * frame
+      while (i < (f + 1) * frame) {
+        sumAbs += math.abs(samples(i))
+        if (i >= 1 && ((samples(i) < 0) != (samples(i - 1) < 0))) cnt += 1
+        i += 1
+      }
+      total += cnt
+      h = (h * 31 + cnt) % 1000000007L
+      f += 1
+    }
+    val counted = nFrames * frame
+    (if (counted > 0) sumAbs / counted else 0L, total, h)
+  }
+
+  case class AudioFpRow(doc_id: Long, mean_abs: Long, n_crossings: Long,
+                        fp_hash: Long, ok: Boolean)
+
+  /** Per-partition PCM decode + fingerprint (payloads never shuffle). */
+  def audioFingerprints(media: Dataset[MediaRow])(implicit spark: SparkSession): Dataset[AudioFpRow] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { m =>
+      pcm16Mono(m.payload) match {
+        case Some(samples) =>
+          val (mean, total, h) = audioFingerprint(samples)
+          AudioFpRow(m.doc_id, mean, total, h, ok = true)
+        case None => AudioFpRow(m.doc_id, 0L, 0L, 0L, ok = false)
+      }
+    })
+  }
+
   /** Parsed MP4 movie header: timescale (ticks/sec), duration (ticks),
     * derived milliseconds. */
   case class VideoInfo(doc_id: Long, brand: String, timescale: Long,

@@ -373,6 +373,23 @@ object Extensions {
       .filter(col("hamming") <= 6)
   }
 
+  /** Audio fingerprinting over a REAL PCM decode
+    * ([[graft.ext.Multimodal.audioFingerprint]]): complete WAVs with
+    * actual square-wave samples (period/amplitude from doc_id), decoded
+    * by the guarded chunk-walk + LE16 extractor, then framed into the
+    * zero-crossing signature. Crossings land exactly at multiples of the
+    * period, so the oracle recomputes every per-frame count — and the
+    * rolling fold over them — in closed form with zero audio code. */
+  def audioFp(spark: SparkSession, sfDir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val media = docs(spark, sfDir).select(col("doc_id")).as[Long].map { id =>
+      graft.ext.MediaRow(id, "wav", Multimodal.synthesizeWavPcm(id))
+    }
+    Multimodal.audioFingerprints(media).toDF()
+      .select("doc_id", "mean_abs", "n_crossings", "fp_hash", "ok")
+  }
+
   /** WAV-header probe, the audio sibling of [[imageProbe]]: synthesized
     * RIFF headers (channels/rate/size from a doc_id formula) parsed back
     * by the real chunk walker; formula oracle. */
@@ -1975,6 +1992,7 @@ object Extensions {
     "m_image_probe" -> imageProbe _,
     "m_image_hash" -> imageHash _,
     "m_image_neardup" -> imageNearDup _,
+    "m_audio_fp" -> audioFp _,
     "m_audio_probe" -> audioProbe _,
     "m_video_probe" -> videoProbe _,
     "d_simhash_pairs" -> simhashPairs _,
@@ -2310,6 +2328,22 @@ object Extensions {
            (doc_id % 1000 + 1) * 4 AS data_bytes,
            TRUE AS ok
          FROM documents""",
+    "m_audio_fp" ->
+      // Closed-form replay: p = 20 + id%30, crossings in frame f are the
+      // multiples of p inside [f*500, f*500+499] (excluding sample 0),
+      // mean |s| = the amplitude exactly, fold = (h*31 + c) % 1e9+7.
+      """WITH f AS (SELECT doc_id, 20 + doc_id % 30 AS p FROM documents),
+         fr AS (SELECT doc_id, fi,
+                 ((fi * 500 + 499) // p) -
+                   (CASE WHEN fi = 0 THEN 0 ELSE (fi * 500 - 1) // p END) AS cnt
+               FROM f, unnest(generate_series(0, 7)) t(fi)),
+         agg AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_crossings,
+                  list_reduce(list_prepend(0::BIGINT, list(cnt ORDER BY fi)),
+                    (h, c) -> (h * 31 + c) % 1000000007) AS fp_hash
+                FROM fr GROUP BY 1)
+         SELECT d.doc_id, 1000 + (d.doc_id % 7) * 500 AS mean_abs,
+           n_crossings, fp_hash, TRUE AS ok
+         FROM documents d JOIN agg USING (doc_id)""",
     "m_image_neardup" ->
       // Full replay: perturbed block formula → hash → 4×16 banding →
       // candidate join → exact Hamming gate, all in SQL.

@@ -155,6 +155,26 @@ class OpsSpec extends SparkSpec {
     assert(aHash64(Array.empty[Byte]).isEmpty)
   }
 
+  test("pcm16Mono decodes real samples; fingerprint matches hand math") {
+    import graft.ext.Multimodal.{audioFingerprint, pcm16Mono, synthesizeWavPcm}
+    // seed 1: period 21, amplitude 1500 — decode must round-trip signs
+    val samples = pcm16Mono(synthesizeWavPcm(1L)).get
+    assert(samples.length === 4000)
+    assert(samples(0) === 1500 && samples(20) === 1500 && samples(21) === -1500)
+    // hand-computed: crossings in frame f = multiples of 21 in the frame
+    def cnt(f: Int, p: Int) =
+      (f * 500 + 499) / p - (if (f == 0) 0 else (f * 500 - 1) / p)
+    val expTotal = (0 until 8).map(cnt(_, 21).toLong).sum
+    val expHash = (0 until 8).foldLeft(0L)((h, f) => (h * 31 + cnt(f, 21)) % 1000000007L)
+    assert(audioFingerprint(samples) === ((1500L, expTotal, expHash)))
+    // stereo / 8-bit / truncated / junk refuse, never throw
+    import graft.ext.Multimodal.synthesizeWav
+    assert(pcm16Mono(synthesizeWav(2, 44100, 16, 16) ++ new Array[Byte](16)).isEmpty)
+    assert(pcm16Mono(synthesizeWav(1, 8000, 8, 8) ++ new Array[Byte](8)).isEmpty)
+    assert(pcm16Mono(synthesizeWavPcm(1L).take(30)).isEmpty)
+    assert(pcm16Mono("nope".getBytes).isEmpty)
+  }
+
   test("wav header probe parses RIFF chunks and rejects junk") {
     import graft.ext.Multimodal.{probeWavHeader, synthesizeWav}
     assert(probeWavHeader(synthesizeWav(2, 44100, 16, 88200)) == Some((2, 44100, 16, 88200)))
