@@ -567,6 +567,7 @@ final class TableCatalog(val root: String) extends Serializable {
       } finally walk.close()
       carryStatsIncremental(spark, prev, next, df, batchFiles)
       carryBloomsIncremental(spark, prev, next, df, batchFiles)
+      carryIndexIncremental(spark, prev, next, batchFiles)
       // The curve-layout note survives appends UNCHANGED: hardlinked
       // files keep their names (so the clustered set stays valid) and
       // the fresh batch's files are, by definition, not yet clustered —
@@ -889,6 +890,90 @@ final class TableCatalog(val root: String) extends Serializable {
       if (files.nonEmpty) applyTombstones(spark.read.parquet(files: _*), name)
       else read(spark, name).limit(0) // keep the schema, scan nothing
     base.filter(col(c).isin(values: _*))
+  }
+
+  // ------------------------------------------ exact value-index sidecar
+  /** Build an EXACT inverted index for a low-cardinality column: a
+    * `_index/<col>` sidecar of distinct (value, file) postings — the
+    * third member of the skipping trio. `_stats` prunes by range,
+    * `_bloom` prunes point lookups probabilistically (false positives
+    * admit extra files); the index prunes point lookups exactly AND
+    * answers what a bloom structurally cannot: which files do NOT
+    * contain a value. Only sane for columns whose per-version posting
+    * count stays metadata-sized — the `maxDistinct` guard fails loudly
+    * rather than writing a sidecar that is itself big data. */
+  def analyzeIndex(spark: SparkSession, name: String, c: String,
+      maxDistinct: Long = 100000L): Unit = {
+    import org.apache.spark.sql.functions._
+    val cur = currentPath(name)
+    val postings = buildPostings(spark, Seq(cur), c)
+    val n = postings.count()
+    require(n <= maxDistinct,
+      s"analyzeIndex: $name.$c has $n postings (> $maxDistinct) — " +
+        "an exact index on a high-cardinality column is itself big data; " +
+        "use analyzeBloom instead")
+    postings.coalesce(1).write.mode("overwrite")
+      .parquet(Paths.get(cur, "_index", c).toString)
+  }
+
+  private def buildPostings(spark: SparkSession, scanPaths: Seq[String],
+      c: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.parquet(scanPaths: _*)
+      .select(element_at(split(input_file_name(), "/"), -1).as("_file"),
+        col(c).as("_value"))
+      .distinct()
+  }
+
+  /** Exact file list for `c IN (values)` per the `_index` sidecar; None
+    * when no index covers `c` (caller falls back to bloom/full scan).
+    * Sidecar-sized read + O(#matching files) collect — metadata plane. */
+  def indexedFiles(spark: SparkSession, name: String, c: String,
+      values: Seq[Any]): Option[Seq[String]] = {
+    import org.apache.spark.sql.functions._
+    val cur = Paths.get(currentPath(name))
+    val idx = cur.resolve("_index").resolve(c)
+    if (!Files.isDirectory(idx)) None
+    else Some(spark.read.parquet(idx.toString)
+      .filter(col("_value").isin(values: _*))
+      .select("_file").distinct()
+      .collect().map(r => cur.resolve(r.getString(0)).toString).toSeq)
+  }
+
+  /** Point scan through the exact index: zero false-positive file
+    * admissions (the bloom path may read files that merely might
+    * contain the key). Falls back to the bloom path — which itself
+    * falls back to a full scan — so the answer is always right, only
+    * the bytes read differ. */
+  def scanPointsIndexed(spark: SparkSession, name: String, c: String,
+      values: Seq[Any]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    indexedFiles(spark, name, c, values) match {
+      case None => scanPoints(spark, name, c, values)
+      case Some(Nil) => read(spark, name).limit(0)
+      case Some(files) =>
+        applyTombstones(spark.read.parquet(files: _*), name)
+          .filter(col(c).isin(values: _*))
+    }
+  }
+
+  /** Incremental `_index` maintenance on hardlink append: postings are
+    * per-file FACTS (a hardlinked file keeps name and content), so
+    * carried files keep their rows verbatim and only the fresh batch is
+    * scanned — O(batch), the same induction as `_stats`. */
+  private def carryIndexIncremental(spark: SparkSession, prev: Path,
+      next: Path, batchFiles: Seq[String]): Unit = {
+    val idxRoot = prev.resolve("_index")
+    if (!Files.isDirectory(idxRoot)) return
+    import scala.jdk.CollectionConverters._
+    Files.list(idxRoot).iterator().asScala.filter(Files.isDirectory(_))
+      .foreach { colDir =>
+        val c = colDir.getFileName.toString
+        val carried = spark.read.parquet(colDir.toString)
+        val fresh = buildPostings(spark, batchFiles, c)
+        carried.unionByName(fresh).coalesce(1).write.mode("overwrite")
+          .parquet(next.resolve("_index").resolve(c).toString)
+      }
   }
 
   /** GDPR subject-ACCESS request — the read sibling of the erasure path

@@ -330,4 +330,54 @@ class DataSkippingSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("k", "v"))
     assert(out.count() == 0L)
   }
+
+  test("exact value index: zero-false-positive point pruning") {
+    val cat = freshCat("index")
+    // cluster on v (0..6): each of the 4 range files holds ~2 values
+    val byV = spark.range(0, 4000).select(col("id").as("k"),
+        (col("id") % 7).as("v"))
+      .repartitionByRange(4, col("v")).sortWithinPartitions("v")
+    cat.overwrite(byV, "t.idx")
+    cat.analyzeIndex(spark, "t.idx", "v")
+    // value 0 lives in exactly one range file — the index admits ONLY it
+    val f0 = cat.indexedFiles(spark, "t.idx", "v", Seq(0L)).get
+    assert(f0.size == 1, f0)
+    // absent value → empty file list, empty scan, schema kept
+    assert(cat.indexedFiles(spark, "t.idx", "v", Seq(99L)).get.isEmpty)
+    val none = cat.scanPointsIndexed(spark, "t.idx", "v", Seq(99L))
+    assert(none.columns.toSeq == Seq("k", "v") && none.count() == 0L)
+    // results equal the full-scan filter exactly
+    assert(cat.scanPointsIndexed(spark, "t.idx", "v", Seq(0L, 3L)).count() ==
+      cat.read(spark, "t.idx").filter(col("v").isin(0L, 3L)).count())
+    // no index on the column → graceful fallback, same rows
+    assert(cat.scanPointsIndexed(spark, "t.idx", "k", Seq(42L)).count() == 1L)
+  }
+
+  test("exact value index refuses high-cardinality columns loudly") {
+    val cat = freshCat("idxguard")
+    cat.overwrite(clustered, "t.big")
+    intercept[IllegalArgumentException](
+      cat.analyzeIndex(spark, "t.big", "k", maxDistinct = 100L))
+  }
+
+  test("exact value index survives appends at O(batch)") {
+    val cat = freshCat("idxcarry")
+    val byV = spark.range(0, 1000).select(col("id").as("k"),
+        (col("id") % 5).as("v"))
+      .repartitionByRange(3, col("v")).sortWithinPartitions("v")
+    cat.overwrite(byV, "t.grow")
+    cat.analyzeIndex(spark, "t.grow", "v")
+    // append a batch introducing a NEW value 9 — postings must cover it
+    import spark.implicits._
+    cat.append(Seq((5000L, 9L), (5001L, 9L)).toDF("k", "v"), "t.grow")
+    val f9 = cat.indexedFiles(spark, "t.grow", "v", Seq(9L)).get
+    assert(f9.nonEmpty)
+    assert(cat.scanPointsIndexed(spark, "t.grow", "v", Seq(9L)).count() == 2L)
+    // carried postings for old values still exact after the append
+    assert(cat.scanPointsIndexed(spark, "t.grow", "v", Seq(2L)).count() ==
+      cat.read(spark, "t.grow").filter(col("v") === 2L).count())
+    // the new-value probe touches only the batch's file(s), not the table
+    val all = cat.describe("t.grow").filter(_._2).head._3
+    assert(f9.size < all, s"index admitted $f9 of $all files")
+  }
 }
