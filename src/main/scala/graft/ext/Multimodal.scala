@@ -575,6 +575,113 @@ object Multimodal {
     ftyp ++ moov
   }
 
+  /** Synthesize an MP4 with a REAL sample table: the full
+    * moov→trak→mdia→minf→stbl container chain holding an `stts`
+    * (decode timing: two (count, delta) runs) and an `stsz` (per-sample
+    * byte sizes). Counts/deltas/sizes all derive from `seed`:
+    * n1 = 10 + seed%5, d1 = 100 + seed%50, n2 = 8 + seed%3,
+    * d2 = 200 + seed%25, size(i) = 500 + (seed·13 + i·7) % 250 — so
+    * every statistic a parser can extract is closed-form. */
+  def synthesizeMp4Samples(seed: Long): Array[Byte] = {
+    def be32(v: Int) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def box(tag: String, payload: Array[Byte]): Array[Byte] =
+      be32(8 + payload.length) ++ tag.getBytes("US-ASCII") ++ payload
+    val n1 = (10 + ((seed % 5) + 5) % 5).toInt
+    val d1 = (100 + ((seed % 50) + 50) % 50).toInt
+    val n2 = (8 + ((seed % 3) + 3) % 3).toInt
+    val d2 = (200 + ((seed % 25) + 25) % 25).toInt
+    val n = n1 + n2
+    val stts = box("stts", Array[Byte](0, 0, 0, 0) ++ be32(2) ++
+      be32(n1) ++ be32(d1) ++ be32(n2) ++ be32(d2))
+    val sizes = (0 until n).flatMap(i =>
+      be32((500 + (((seed * 13 + i * 7) % 250) + 250) % 250).toInt)).toArray
+    val stsz = box("stsz", Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(n) ++ sizes)
+    val stbl = box("stbl", stts ++ stsz)
+    val minf = box("minf", stbl)
+    val mdia = box("mdia", minf)
+    val trak = box("trak", mdia)
+    val mvhd = box("mvhd", Array[Byte](0, 0, 0, 0) ++
+      be32(0) ++ be32(0) ++ be32(1000) ++ be32(0) ++ Array.fill[Byte](80)(0))
+    val moov = box("moov", mvhd ++ trak)
+    val ftyp = box("ftyp", "isom".getBytes ++ be32(0))
+    ftyp ++ moov
+  }
+
+  case class VideoStats(doc_id: Long, n_samples: Long, total_ticks: Long,
+                        total_bytes: Long, max_bytes: Long, ok: Boolean)
+
+  /** Parse the sample table out of an ISO-BMFF buffer: a generic guarded
+    * box walk (size-prefixed, container recursion bounded by the parent)
+    * down moov→trak→mdia→minf→stbl, then stts (Σ count·delta = total
+    * decode ticks) and stsz (per-sample sizes) — the media-library-free
+    * "how many frames, how long, how heavy" gate a video curation
+    * pipeline runs before any decoder. None for truncated/corrupt
+    * buffers, never a throw. */
+  def probeMp4Samples(b: Array[Byte]): Option[(Long, Long, Long, Long)] = {
+    def u8(i: Int) = b(i) & 0xff
+    def be32(i: Int): Long = (u8(i).toLong << 24) | (u8(i + 1) << 16) |
+      (u8(i + 2) << 8) | u8(i + 3)
+    def tag(i: Int, t: String) = b.length >= i + 8 &&
+      (0 until 4).forall(j => b(i + 4 + j) == t(j).toByte)
+    // find child box `t` inside [start, end); returns payload bounds
+    def find(start: Long, end: Long, t: String): Option[(Long, Long)] = {
+      var i = start
+      while (i + 8 <= end) {
+        val size = be32(i.toInt)
+        if (size < 8 || i + size > end) return None
+        if (tag(i.toInt, t)) return Some((i + 8, i + size))
+        i += size
+      }
+      None
+    }
+    try {
+      val stbl = List("moov", "trak", "mdia", "minf", "stbl")
+        .foldLeft(Option((0L, b.length.toLong))) { (acc, t) =>
+          acc.flatMap { case (s, e) => find(s, e, t) }
+        }
+      stbl.flatMap { case (s, e) =>
+        for {
+          (ts, te) <- find(s, e, "stts")
+          (zs, ze) <- find(s, e, "stsz")
+          nRuns = be32(ts.toInt + 4)
+          if te - ts >= 8 + nRuns * 8
+          fixed = be32(zs.toInt + 4)
+          nSamp = be32(zs.toInt + 8)
+          if fixed != 0 || ze - zs >= 12 + nSamp * 4
+        } yield {
+          var ticks = 0L
+          var r = 0
+          while (r < nRuns) {
+            ticks += be32(ts.toInt + 8 + r * 8) * be32(ts.toInt + 12 + r * 8)
+            r += 1
+          }
+          var total = 0L
+          var mx = 0L
+          var i = 0
+          while (i < nSamp) {
+            val sz = if (fixed != 0) fixed else be32(zs.toInt + 12 + i * 4)
+            total += sz
+            if (sz > mx) mx = sz
+            i += 1
+          }
+          (nSamp, ticks, total, mx)
+        }
+      }
+    } catch { case _: Throwable => None }
+  }
+
+  /** Per-partition sample-table stats over a media dataset. */
+  def videoStats(media: Dataset[MediaRow])(implicit spark: SparkSession): Dataset[VideoStats] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { m =>
+      probeMp4Samples(m.payload) match {
+        case Some((n, ticks, bytes, mx)) =>
+          VideoStats(m.doc_id, n, ticks, bytes, mx, ok = true)
+        case None => VideoStats(m.doc_id, 0L, 0L, 0L, 0L, ok = false)
+      }
+    })
+  }
+
   def sampleFrames(media: Dataset[MediaRow])(implicit spark: SparkSession): Dataset[FrameSample] = {
     import spark.implicits._
     media.mapPartitions { rows =>

@@ -373,6 +373,24 @@ object Extensions {
       .filter(col("hamming") <= 6)
   }
 
+  /** MP4 sample-table statistics ([[graft.ext.Multimodal
+    * .probeMp4Samples]]): synthesized ISO-BMFF files with a REAL
+    * moov→trak→mdia→minf→stbl chain holding stts timing runs and stsz
+    * per-sample sizes, walked back by the generic guarded box parser —
+    * frames, decode ticks, payload bytes, biggest sample: the pre-decode
+    * video triage a curation pipeline needs before any codec. Every
+    * number is a closed form of doc_id (formula oracle). */
+  def videoStatsQ(spark: SparkSession, sfDir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val media = docs(spark, sfDir).select(col("doc_id")).as[Long].map { id =>
+      graft.ext.MediaRow(id, "mp4", Multimodal.synthesizeMp4Samples(id))
+    }
+    Multimodal.videoStats(media).toDF()
+      .select("doc_id", "n_samples", "total_ticks", "total_bytes",
+        "max_bytes", "ok")
+  }
+
   /** Audio fingerprinting over a REAL PCM decode
     * ([[graft.ext.Multimodal.audioFingerprint]]): complete WAVs with
     * actual square-wave samples (period/amplitude from doc_id), decoded
@@ -1993,6 +2011,7 @@ object Extensions {
     "m_image_hash" -> imageHash _,
     "m_image_neardup" -> imageNearDup _,
     "m_audio_fp" -> audioFp _,
+    "m_video_stats" -> videoStatsQ _,
     "m_audio_probe" -> audioProbe _,
     "m_video_probe" -> videoProbe _,
     "d_simhash_pairs" -> simhashPairs _,
@@ -2328,6 +2347,22 @@ object Extensions {
            (doc_id % 1000 + 1) * 4 AS data_bytes,
            TRUE AS ok
          FROM documents""",
+    "m_video_stats" ->
+      // Closed-form replay of the sample-table synthesis: two stts runs
+      // and the per-sample stsz size formula.
+      """WITH p AS (SELECT doc_id, 10 + doc_id % 5 AS n1,
+                  100 + doc_id % 50 AS d1, 8 + doc_id % 3 AS n2,
+                  200 + doc_id % 25 AS d2 FROM documents),
+         sz AS (SELECT doc_id, 500 + (doc_id * 13 + i * 7) % 250 AS s
+                FROM p, unnest(generate_series(0, n1 + n2 - 1)) t(i)),
+         a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+                 CAST(SUM(s) AS BIGINT) AS total_bytes,
+                 CAST(MAX(s) AS BIGINT) AS max_bytes
+               FROM sz GROUP BY 1)
+         SELECT p.doc_id, n_samples,
+           CAST(n1 * d1 + n2 * d2 AS BIGINT) AS total_ticks,
+           total_bytes, max_bytes, TRUE AS ok
+         FROM p JOIN a USING (doc_id)""",
     "m_audio_fp" ->
       // Closed-form replay: p = 20 + id%30, crossings in frame f are the
       // multiples of p inside [f*500, f*500+499] (excluding sample 0),

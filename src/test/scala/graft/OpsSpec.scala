@@ -175,6 +175,21 @@ class OpsSpec extends SparkSpec {
     assert(pcm16Mono("nope".getBytes).isEmpty)
   }
 
+  test("probeMp4Samples walks the real stbl chain; rejects junk") {
+    import graft.ext.Multimodal.{probeMp4Samples, synthesizeMp4Samples}
+    // seed 3: n1=13, d1=103, n2=8, d2=203 → 21 samples, 2963 ticks
+    val Some((n, ticks, bytes, mx)) = probeMp4Samples(synthesizeMp4Samples(3L))
+    assert(n === 21L)
+    assert(ticks === 13L * 103 + 8L * 203)
+    val sizes = (0 until 21).map(i => 500L + (3L * 13 + i * 7) % 250)
+    assert(bytes === sizes.sum && mx === sizes.max)
+    // truncated / junk / header-only refuse, never throw
+    assert(probeMp4Samples(synthesizeMp4Samples(3L).take(40)).isEmpty)
+    assert(probeMp4Samples("not a video".getBytes).isEmpty)
+    import graft.ext.Multimodal.synthesizeMp4
+    assert(probeMp4Samples(synthesizeMp4("isom", 1000, 42)).isEmpty) // no stbl
+  }
+
   test("wav header probe parses RIFF chunks and rejects junk") {
     import graft.ext.Multimodal.{probeWavHeader, synthesizeWav}
     assert(probeWavHeader(synthesizeWav(2, 44100, 16, 88200)) == Some((2, 44100, 16, 88200)))
