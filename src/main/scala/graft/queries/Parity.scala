@@ -1507,6 +1507,33 @@ object Parity {
     new Scd2(keys, tracked, clock = Clock.fixed("2026-02-15")).merge(init, b2)
   }
 
+  /** SCD6 — hybrid 1+2+3 over the same two batches as [[scd2TwoBatch]]:
+    * the Type-2 rows (identical to scd2_two_batch, invariants carried by
+    * composition) each additionally carry the Type-1 overlay
+    * (`current_*` = the key's present value on EVERY row, history
+    * included) and the Type-3 glance-back (`prev_*` = the preceding
+    * version's value). The oracle derives the decorations from its own
+    * Type-2 result with one current-rows join + one lag window — the
+    * same algebra the implementation runs. */
+  def scd6TwoBatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = table(spark, sfDir, "orders")
+    def price(c: Column): Column = c.cast("decimal(18,2)")
+    val b1 = orders.filter(year(col("o_orderdate").cast(DateType)) < 1997)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        price(col("o_totalprice")).cast("string").as("price"))
+    val b2 = orders.filter(year(col("o_orderdate").cast(DateType)) >= 1996)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        (price(col("o_totalprice")) +
+          when(col("o_orderkey") % 7 === 0, 1).otherwise(0))
+          .cast("decimal(18,2)").cast("string").as("price"))
+    val keys = Seq("o_orderkey")
+    val tracked = Seq("o_orderstatus", "price")
+    val init = new graft.scd.Scd6(keys, tracked,
+      clock = Clock.fixed("2026-01-15")).initialize(b1)
+    new graft.scd.Scd6(keys, tracked,
+      clock = Clock.fixed("2026-02-15")).merge(init, b2)
+  }
+
   /** SCD4 — history-table variant over the same two batches as
     * [[scd2TwoBatch]]: the merge returns (current, archived) and the
     * query unions them under a `scd_table` tag, so the oracle checks
@@ -1692,6 +1719,7 @@ object Parity {
     "tpch_q22" -> tpchQ22 _,
     "scalar_suite" -> scalarSuite _,
     "scd2_two_batch" -> scd2TwoBatch _,
+    "scd6_two_batch" -> scd6TwoBatch _,
     "scd4_two_batch" -> scd4TwoBatch _,
     "j9_pit_join" -> j9PitJoin _,
     "scd3_merge" -> scd3Merge _,
@@ -2321,6 +2349,42 @@ object Parity {
            TRY_CAST(c_name AS DOUBLE) AS bad_cast,
            TRY_CAST(c_acctbal AS DOUBLE) AS good_cast
          FROM customer""",
+    "scd6_two_batch" ->
+      // Type-2 rows exactly as scd2_two_batch, decorated from the same
+      // result: current-rows join (Type-1 overlay) + lag window (Type-3).
+      """WITH b1 AS (
+           SELECT o_orderkey, o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS price
+           FROM orders WHERE year(CAST(o_orderdate AS DATE)) < 1997),
+         b2 AS (
+           SELECT o_orderkey, o_orderstatus,
+             CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) +
+               (CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END) AS DECIMAL(18,2)) AS VARCHAR) AS price
+           FROM orders WHERE year(CAST(o_orderdate AS DATE)) >= 1996),
+         h1 AS (SELECT *, sha256(concat_ws('||', o_orderstatus, price)) AS row_hash FROM b1),
+         h2 AS (SELECT *, sha256(concat_ws('||', o_orderstatus, price)) AS row_hash FROM b2),
+         dim AS (
+           SELECT h1.o_orderkey, h1.o_orderstatus, h1.price, h1.row_hash,
+             DATE '2026-01-15' AS effective_from,
+             CASE WHEN h2.o_orderkey IS NOT NULL AND h2.row_hash <> h1.row_hash
+                  THEN DATE '2026-02-15' END AS effective_to,
+             NOT (h2.o_orderkey IS NOT NULL AND h2.row_hash <> h1.row_hash) AS is_current
+           FROM h1 LEFT JOIN h2 ON h1.o_orderkey = h2.o_orderkey
+           UNION ALL
+           SELECT h2.o_orderkey, h2.o_orderstatus, h2.price, h2.row_hash,
+             DATE '2026-02-15', NULL, TRUE
+           FROM h2 LEFT JOIN h1 ON h1.o_orderkey = h2.o_orderkey
+           WHERE h1.o_orderkey IS NULL OR h1.row_hash <> h2.row_hash),
+         p AS (
+           SELECT *, lag(o_orderstatus) OVER w AS prev_o_orderstatus,
+             lag(price) OVER w AS prev_price
+           FROM dim WINDOW w AS (PARTITION BY o_orderkey ORDER BY effective_from)),
+         cur AS (
+           SELECT o_orderkey, o_orderstatus AS current_o_orderstatus,
+             price AS current_price
+           FROM dim WHERE is_current)
+         SELECT p.*, current_o_orderstatus, current_price
+         FROM p LEFT JOIN cur USING (o_orderkey)""",
     "scd2_two_batch" ->
       """WITH b1 AS (
            SELECT o_orderkey, o_orderstatus,

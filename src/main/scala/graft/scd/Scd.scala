@@ -306,3 +306,48 @@ class Scd3(keys: Seq[String], currentCol: String, previousCol: String) extends S
     updated.unionByName(inserts, allowMissingColumns = true)
   }
 }
+
+/** SCD Type 6 — the HYBRID dimension (1+2+3 = 6): full Type-2 row
+  * versioning PLUS, on every row (history included), a Type-1 overlay
+  * (`current_<c>` = the key's present value, overwritten in place as it
+  * changes) and a Type-3 glance-back (`prev_<c>` = the immediately
+  * preceding version's value). The point: historical fact rows joined to
+  * this dimension can group by EITHER the attribute as-it-was (the
+  * Type-2 column) or as-it-is (the overlay) without a second join to a
+  * current-only table, and deltas read off one row.
+  *
+  * Built BY composition on [[Scd2]]: merge strips the decorations,
+  * delegates the row-versioning (so every Type-2 invariant and its spec
+  * coverage carries over verbatim), and re-derives the overlay columns —
+  * a current-rows broadcast-size join for `current_*`, one lag window
+  * per key for `prev_*`. Decorations are DERIVED state: recomputing
+  * them per merge is O(history of touched keys), exactly the rows the
+  * merge already shuffles. */
+class Scd6(
+    keys: Seq[String],
+    tracked: Seq[String],
+    cols: ScdColumns = ScdColumns(),
+    clock: Clock = Clock.Wall,
+    sourceOrder: Seq[String] = Seq.empty) extends Serializable {
+
+  private val scd2 = new Scd2(keys, tracked, cols, clock, sourceOrder = sourceOrder)
+
+  private def decorations: Seq[String] =
+    tracked.flatMap(c => Seq(s"current_$c", s"prev_$c"))
+
+  private def decorate(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cur = df.filter(col(cols.current) === true)
+      .select(keys.map(col) ++ tracked.map(c => col(c).as(s"current_$c")): _*)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(cols.from))
+    val withPrev = tracked.foldLeft(df) { (d, c) =>
+      d.withColumn(s"prev_$c", lag(col(c), 1).over(w))
+    }
+    withPrev.join(cur, keys, "left")
+  }
+
+  def initialize(source: DataFrame): DataFrame = decorate(scd2.initialize(source))
+
+  def merge(target: DataFrame, source: DataFrame): DataFrame =
+    decorate(scd2.merge(target.drop(decorations: _*), source))
+}

@@ -32,7 +32,8 @@ class QueryPlanAuditSpec extends SparkSpec {
     "tpch_q22",         // customers × broadcast positive-balance-average singleton
     "x_lm_score",       // bigrams × broadcast vocabulary-size singleton (smoothing V)
     "x_bm25",           // term hits × broadcast corpus-stats singleton (N, avgdl)
-    "x_target_encode"   // category sums × broadcast global-prior singleton
+    "x_target_encode",  // category sums × broadcast global-prior singleton
+    "x_eq_depth_hist"   // rows × broadcast quartile-cutpoints singleton
   )
 
   test("no query plans an unintended cartesian or nested-loop join") {
