@@ -198,12 +198,13 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 case class GraftVersionsCommand(table: String) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", StringType, nullable = false)(),
-    AttributeReference("is_current", BooleanType, nullable = false)())
+    AttributeReference("is_current", BooleanType, nullable = false)(),
+    AttributeReference("commit_ts", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val cat = GraftSql.catalog
     val cur = java.nio.file.Paths.get(cat.currentPath(table))
       .getFileName.toString
-    cat.versions(table).map(v => Row(v, v == cur))
+    cat.versions(table).map(v => Row(v, v == cur, cat.commitTs(table, v)))
   }
 }
 
