@@ -1,7 +1,12 @@
 package graft.ext
 
+import graft.plans.{RangeJoinPlan, RangeJoinStrategy}
+
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.Attribute
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
 
 /** Point-in-interval range joins: attach to each point row the interval
   * row(s) with `lo <= value < hi`. Spark has no native range-join
@@ -79,5 +84,39 @@ object RangeJoin {
       .filter(col("__bin") ===
         floor(greatest(col(aLo), col(bLo)) / binWidth).cast("long"))
       .drop("__bin")
+  }
+
+  /** Whole-operator form of the keyed point-in-interval join via the
+    * native [[graft.plans.RangeJoinExec]] merge sweep: same semantics as
+    * `points ⋈ intervals ON keys ∧ lo <= value < hi` (the binned form
+    * stays as the executable spec), but each side shuffles exactly once
+    * in its own shape with no binWidth knob, and join state is the
+    * active-overlap depth, not the interval count. Null values and null
+    * interval bounds never match (filtered at build — the exec's natural
+    * ascending ordering would otherwise sort them first and
+    * mis-activate). Output: every left column, then `payload`. */
+  def nativeJoin(points: DataFrame, keys: Seq[String], value: String,
+      intervals: DataFrame, lo: String, hi: String,
+      payload: Seq[String]): DataFrame = {
+    val clash = payload.toSet.intersect(points.columns.toSet)
+    require(clash.isEmpty, s"payload collides with point columns: $clash")
+    val spark = points.sparkSession
+    Bridge.installStrategy(spark, RangeJoinStrategy)
+    // Build-time pruning + self-alias boundary (see AsOf.joinBackwardNative:
+    // fresh Aliases survive DeduplicateRelations re-instancing).
+    val rCols = (keys ++ Seq(lo, hi) ++ payload).distinct
+    val rPlan = Bridge.analyzed(intervals
+      .filter(col(lo).isNotNull && col(hi).isNotNull)
+      .select(rCols.map(c => col(c).as(c)): _*))
+    val lPlan = Bridge.analyzed(points.filter(col(value).isNotNull)
+      .select(points.columns.toSeq.map(c => col(c).as(c)): _*))
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $n not found in ${p.output.map(_.name)}"))
+    Bridge.ofRows(spark, RangeJoinPlan(lPlan, rPlan,
+      keys.map(attr(lPlan, _)), keys.map(attr(rPlan, _)),
+      attr(lPlan, value), attr(rPlan, lo), attr(rPlan, hi),
+      payload.map(attr(rPlan, _))))
   }
 }

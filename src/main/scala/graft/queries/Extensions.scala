@@ -1231,6 +1231,28 @@ object Extensions {
       .select(col("a"), col("b"), (col("rnb") - col("rna")).as("gap"))
   }
 
+  /** Keyed point-in-interval join through the NATIVE merge-sweep
+    * operator ([[graft.ext.RangeJoin.nativeJoin]] →
+    * [[graft.plans.RangeJoinExec]]): per (custkey mod 100) pricing
+    * bands that deliberately OVERLAP (width 75k on a 50k grid), so
+    * points match one or two bands and the exec's multi-emit active-set
+    * path is on the oracle's hook — alongside `x_range_join`
+    * (broadcast) and `x_overlap_join` (binned), this is the
+    * no-tuning-knob scale path: one shuffle per side, state = overlap
+    * depth. */
+  def rangeNative(spark: SparkSession, sfDir: String): DataFrame = {
+    val pts = Parity.table(spark, sfDir, "orders")
+      .select(col("o_orderkey"), (col("o_custkey") % 100).as("k"),
+        col("o_totalprice").cast(DoubleType).as("v"))
+    val iv = spark.range(100).select(col("id").as("k"),
+        explode(sequence(lit(0L), lit(9L))).as("band"))
+      .select(col("k"), col("band"),
+        (col("band") * lit(50000.0)).as("lo"),
+        (col("band") * lit(50000.0) + lit(75000.0)).as("hi"))
+    RangeJoin.nativeJoin(pts, Seq("k"), "v", iv, "lo", "hi", Seq("band"))
+      .select("o_orderkey", "k", "v", "band")
+  }
+
   /** Equi-DEPTH histogram of order totals (the complement of the
     * equi-width `x_histogram`): quartile cutpoints from the exact
     * interpolated percentile (≡ quantile_cont, bit-identical), then one
@@ -2053,6 +2075,7 @@ object Extensions {
     "x_lm_score" -> lmScore _,
     "x_repetition" -> repetition _,
     "x_range_join" -> rangeJoin _,
+    "x_range_native" -> rangeNative _,
     "x_overlap_join" -> overlapIntervals _,
     "x_pii_scrub" -> piiScrub _,
     "x_pivot" -> pivotStatus _,
@@ -3132,6 +3155,18 @@ object Extensions {
             FROM t)
           SELECT doc_id, source, n_tokens, priority, cum_tokens
           FROM c WHERE cum_tokens <= 600""",
+    "x_range_native" ->
+      // Plain inequality-join mirror of the native merge sweep,
+      // overlapping bands included.
+      """WITH pts AS (SELECT o_orderkey, o_custkey % 100 AS k,
+                  CAST(o_totalprice AS DOUBLE) AS v FROM orders),
+         iv AS (SELECT a.k, b.band,
+                  CAST(b.band * 50000 AS DOUBLE) AS lo,
+                  CAST(b.band * 50000 + 75000 AS DOUBLE) AS hi
+                FROM generate_series(0, 99) a(k),
+                     generate_series(0, 9) b(band))
+         SELECT o_orderkey, pts.k, v, band
+         FROM pts JOIN iv ON pts.k = iv.k AND v >= lo AND v < hi""",
     "x_range_join" ->
       """WITH bands AS (
            SELECT 'band_' || lpad(CAST(i AS VARCHAR), 2, '0') AS band,
