@@ -164,6 +164,77 @@ object Analytics {
           lit(0.0), (acc, x) => acc + x.getField("w")).as("decayed_sum"))
   }
 
+  /** Max concurrent intervals per key — the classic +1/−1 boundary sweep
+    * (peak concurrent sessions / connections / jobs), distributed as ONE
+    * key-partitioned window pass instead of a per-key sort on the driver.
+    *
+    * Each interval [start, end) emits (start, +1) and (end, −1); the
+    * running sum of deltas in (t, delta) order is the concurrency level,
+    * with ends at t processed BEFORE starts at t (delta −1 < +1), so
+    * back-to-back intervals never double-count. The cumulative sum uses
+    * the default RANGE frame deliberately: rows tied on (t, delta) all
+    * see the same cumulative value, so the result is deterministic under
+    * any partitioning without a unique tiebreak column.
+    *
+    * Scale shape: one exchange on `key`; the peak extraction reuses the
+    * same partitioning (a whole-partition max window + filter), so fact
+    * size only affects the in-partition sort. Skew lives in single hot
+    * keys; at 100 TB a hot key splits by time range with per-range
+    * offsets merged in a second tiny pass (same algebra — the sweep sum
+    * is prefix-decomposable). */
+  def maxConcurrency(intervals: DataFrame, key: String = "event_type",
+                     start: String = "start_s", end: String = "end_s"): DataFrame = {
+    val deltas = intervals
+      .select(col(key), col(start).cast(LongType).as("t"), lit(1).as("delta"))
+      .unionAll(intervals
+        .select(col(key), col(end).cast(LongType).as("t"), lit(-1).as("delta")))
+    val sweep = Window.partitionBy(key).orderBy(col("t"), col("delta"))
+    val byKey = Window.partitionBy(key)
+    deltas
+      .withColumn("conc", sum(col("delta")).over(sweep))
+      .withColumn("mx", max(col("conc")).over(byKey))
+      .where(col("conc") === col("mx"))
+      .groupBy(col(key))
+      .agg(max(col("mx")).cast(LongType).as("max_concurrent"),
+        min(col("t")).as("first_peak_epoch"))
+  }
+
+  /** Union length of (possibly overlapping) intervals per key — total
+    * covered time, merged-island count, and raw interval count: the
+    * uptime/coverage aggregate naive `sum(end − start)` overstates.
+    *
+    * Gaps-and-islands with an explicit ROWS frame: prev_max_end = running
+    * max of `end` over all EARLIER intervals in (start, id) order; an
+    * interval opens a new island iff its start exceeds that max. Island
+    * ids are the running count of openers; per-island coverage is
+    * max(end) − min(start). The order key includes the unique `id` so
+    * the ROWS frames are deterministic.
+    *
+    * Scale shape: both windows and both aggregations share ONE exchange
+    * on `key` (the island groupBy is a prefix of the window partitioning
+    * plus a derived column). State is O(1) per row — no per-key collects. */
+  def intervalUnion(intervals: DataFrame, key: String = "user_id",
+                    start: String = "start_s", end: String = "end_s",
+                    id: String = "event_id"): DataFrame = {
+    val order = Window.partitionBy(key).orderBy(col("s"), col(id))
+    val prev = order.rowsBetween(Window.unboundedPreceding, -1)
+    val runSum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    intervals
+      .select(col(key), col(id),
+        col(start).cast(LongType).as("s"), col(end).cast(LongType).as("e"))
+      .withColumn("prev_max_e", max(col("e")).over(prev))
+      .withColumn("opens",
+        when(col("prev_max_e").isNull || col("s") > col("prev_max_e"), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("opens")).over(runSum))
+      .groupBy(col(key), col("island"))
+      .agg(count(lit(1)).as("n_iv"), (max(col("e")) - min(col("s"))).as("cover"))
+      .groupBy(col(key))
+      .agg(sum(col("n_iv")).as("n_intervals"),
+        max(col("island")).as("n_islands"),
+        sum(col("cover")).as("covered_s"))
+  }
+
   /** Ordered three-stage conversion funnel (signup → click → purchase),
     * grouped by signup cohort week. A stage only counts if it happens at
     * or after the previous stage's first completion — the strict-order

@@ -1587,6 +1587,26 @@ object Extensions {
   def eventFunnel(spark: SparkSession, sfDir: String): DataFrame =
     Analytics.funnel(Parity.events(spark, sfDir))
 
+  /** Events as deterministic half-open intervals: start = event epoch,
+    * duration = 60 + (event_id mod 240) seconds — a synthetic but
+    * reproducible "session length" both engines derive identically. */
+  private def eventIntervals(spark: SparkSession, sfDir: String): DataFrame =
+    Parity.events(spark, sfDir)
+      .select(col("event_type"), col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("start_s"))
+      .withColumn("end_s",
+        col("start_s") + lit(60L) + pmod(col("event_id"), lit(240L)))
+
+  /** Peak concurrency per event type ([[Analytics.maxConcurrency]]):
+    * the +1/−1 boundary sweep as one key-partitioned window pass. */
+  def concurrencyPeaks(spark: SparkSession, sfDir: String): DataFrame =
+    Analytics.maxConcurrency(eventIntervals(spark, sfDir), key = "event_type")
+
+  /** Per-user merged interval coverage ([[Analytics.intervalUnion]]):
+    * union length + island count via gaps-and-islands, one exchange. */
+  def intervalCoverage(spark: SparkSession, sfDir: String): DataFrame =
+    Analytics.intervalUnion(eventIntervals(spark, sfDir), key = "user_id")
+
   /** Levenshtein near-dup pairs under (lang, length-bucket) blocking. */
   def editDistance(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.editDistancePairs(docs(spark, sfDir))
@@ -2089,6 +2109,8 @@ object Extensions {
     "x_pack_sequences" -> (packSequences(_, _)),
     "x_cohort_retention" -> cohortRetention _,
     "x_event_funnel" -> eventFunnel _,
+    "x_concurrency" -> concurrencyPeaks _,
+    "x_interval_union" -> intervalCoverage _,
     "d_edit_distance" -> editDistance _,
     "x_profile" -> profileOrders _,
     "x_outliers" -> lengthOutliers _,
@@ -3304,6 +3326,36 @@ object Extensions {
            CAST(date_diff('day', cohort_week, week) // 7 AS BIGINT) AS week_offset,
            count(*) AS n_users
          FROM w JOIN f USING (user_id) GROUP BY 1, 2""",
+    "x_concurrency" ->
+      """WITH e AS (SELECT event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) AS s,
+             CAST(60 + event_id % 240 AS BIGINT) AS dur FROM events),
+           d AS (SELECT event_type, s AS t, 1 AS delta FROM e
+             UNION ALL SELECT event_type, s + dur AS t, -1 AS delta FROM e),
+           r AS (SELECT event_type, t,
+             SUM(delta) OVER (PARTITION BY event_type ORDER BY t, delta) AS conc
+             FROM d),
+           m AS (SELECT *, MAX(conc) OVER (PARTITION BY event_type) AS mx FROM r)
+         SELECT event_type, CAST(MAX(mx) AS BIGINT) AS max_concurrent,
+           MIN(t) AS first_peak_epoch
+         FROM m WHERE conc = mx GROUP BY 1""",
+    "x_interval_union" ->
+      """WITH iv AS (SELECT user_id, event_id,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS s,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) + 60 + event_id % 240 AS e
+           FROM events),
+           m AS (SELECT *, MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_e
+             FROM iv),
+           o AS (SELECT *, CASE WHEN prev_max_e IS NULL OR s > prev_max_e
+             THEN 1 ELSE 0 END AS opens FROM m),
+           i AS (SELECT *, SUM(opens) OVER (PARTITION BY user_id
+             ORDER BY s, event_id ROWS UNBOUNDED PRECEDING) AS island FROM o),
+           g AS (SELECT user_id, island, count(*) AS n_iv,
+             MAX(e) - MIN(s) AS cover FROM i GROUP BY 1, 2)
+         SELECT user_id, CAST(SUM(n_iv) AS BIGINT) AS n_intervals,
+           CAST(MAX(island) AS BIGINT) AS n_islands,
+           CAST(SUM(cover) AS BIGINT) AS covered_s
+         FROM g GROUP BY 1""",
     "x_event_funnel" ->
       """WITH su AS (SELECT user_id,
              MIN(ts) FILTER (event_type = 'signup') AS signup_ts

@@ -141,4 +141,37 @@ class AnalyticsSpec extends SparkSpec {
     val v = p("v")
     assert(v.getLong(2) == 1L && v.getDouble(4) == 2.5 && v.getDouble(5) == 7.5)
   }
+
+  test("maxConcurrency: ends release before starts at the same instant") {
+    val iv = Seq(
+      // a: [0,10) [5,15) [10,20) — peak 2 first reached at t=5; the
+      // [10,20) start must NOT see [0,10) still open (half-open sweep)
+      ("a", 0L, 10L), ("a", 5L, 15L), ("a", 10L, 20L),
+      // b: one interval → peak 1 at its start
+      ("b", 100L, 101L),
+      // c: two identical intervals — RANGE-frame ties both read 2
+      ("c", 0L, 5L), ("c", 0L, 5L)
+    ).toDF("k", "start_s", "end_s")
+    val r = Analytics.maxConcurrency(iv, key = "k").collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r("a") == ((2L, 5L)))
+    assert(r("b") == ((1L, 100L)))
+    assert(r("c") == ((2L, 0L)))
+  }
+
+  test("intervalUnion: overlaps merge, touching intervals chain, gaps split") {
+    val iv = Seq(
+      // user 1: [0,10)+[5,15) merge (cover 15); gap; [20,25) (cover 5)
+      (1L, 10L, 0L, 10L), (1L, 11L, 5L, 15L), (1L, 12L, 20L, 25L),
+      // user 2: touching [30,40)+[40,50) form ONE island (cover 20)
+      (2L, 20L, 30L, 40L), (2L, 21L, 40L, 50L),
+      // user 3: contained interval must not extend its island
+      (3L, 30L, 0L, 100L), (3L, 31L, 10L, 20L)
+    ).toDF("user_id", "event_id", "start_s", "end_s")
+    val r = Analytics.intervalUnion(iv).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    assert(r(1L) == ((3L, 2L, 20L)))
+    assert(r(2L) == ((2L, 1L, 20L)))
+    assert(r(3L) == ((2L, 1L, 100L)))
+  }
 }
