@@ -1597,6 +1597,12 @@ object Extensions {
       .withColumn("end_s",
         col("start_s") + lit(60L) + pmod(col("event_id"), lit(240L)))
 
+  /** Batch twin of the state-v2 streaming user profile
+    * ([[graft.streaming.StateV2.userStatsStream]]): per-user running
+    * totals as one exact keyed aggregation. */
+  def userState(spark: SparkSession, sfDir: String): DataFrame =
+    graft.streaming.StateV2.userStatsBatch(Parity.events(spark, sfDir))
+
   /** Peak concurrency per event type ([[Analytics.maxConcurrency]]):
     * the +1/−1 boundary sweep as one key-partitioned window pass. */
   def concurrencyPeaks(spark: SparkSession, sfDir: String): DataFrame =
@@ -2111,6 +2117,7 @@ object Extensions {
     "x_event_funnel" -> eventFunnel _,
     "x_concurrency" -> concurrencyPeaks _,
     "x_interval_union" -> intervalCoverage _,
+    "x_user_state" -> userState _,
     "d_edit_distance" -> editDistance _,
     "x_profile" -> profileOrders _,
     "x_outliers" -> lengthOutliers _,
@@ -3326,6 +3333,12 @@ object Extensions {
            CAST(date_diff('day', cohort_week, week) // 7 AS BIGINT) AS week_offset,
            count(*) AS n_users
          FROM w JOIN f USING (user_id) GROUP BY 1, 2""",
+    "x_user_state" ->
+      """SELECT user_id, count(*) AS n_events,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+             AS BIGINT) AS sum_cents,
+           count(DISTINCT event_type) AS n_types
+         FROM events GROUP BY 1""",
     "x_concurrency" ->
       """WITH e AS (SELECT event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) AS s,
              CAST(60 + event_id % 240 AS BIGINT) AS dur FROM events),

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{MapState, OutputMode, StatefulProcessor,
+  TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.types.LongType
+
+/** Arbitrary stateful streaming via the Spark 4 `transformWithState` API
+  * (state-v2): composable, TYPED state variables (ValueState / MapState /
+  * ListState) backed by the RocksDB state store, replacing the single
+  * opaque blob `flatMapGroupsWithState` forces per key.
+  *
+  * The operator here is a streaming running-profile: per user, cumulative
+  * event count, exact value sum in cents, and distinct event-type count —
+  * the always-fresh per-entity feature vector a telemetry pipeline serves.
+  * Versus the gap-session processor in [[EventStreams.sessionizeStream]],
+  * the win is state SHAPE: the distinct-type tally lives in a MapState
+  * whose per-type entries update point-wise (RocksDB column-family puts),
+  * so a hot user's state write is O(types touched this batch), not a full
+  * blob rewrite — the property that keeps checkpoint commit time flat when
+  * per-key state grows at 100 TB.
+  *
+  * Totals are exact longs (cents from a decimal(18,2) cast, the repo-wide
+  * money convention), so the streaming result is bit-comparable with the
+  * batch twin `x_user_state` — StreamingSpec pins that equivalence across
+  * multi-batch input with re-keyed updates.
+  */
+object StateV2 {
+
+  /** One running per-user profile row (emitted per key per micro-batch). */
+  case class UserStat(user_id: Long, n_events: Long, sum_cents: Long,
+                      n_types: Long)
+
+  /** State-v2 processor: one ValueState for the (count, cents) totals +
+    * one MapState for per-type counts. Emits the refreshed profile for
+    * every key touched in the batch (Update-mode semantics). */
+  class UserStatsProcessor
+      extends StatefulProcessor[Long, (Long, String, Long), UserStat] {
+    @transient private var totals: ValueState[(Long, Long)] = _
+    @transient private var typeCounts: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      totals = getHandle.getValueState[(Long, Long)]("totals",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+      typeCounts = getHandle.getMapState[String, Long]("types",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, String, Long)],
+                                 timerValues: TimerValues): Iterator[UserStat] = {
+      var (n, cents) = if (totals.exists()) totals.get() else (0L, 0L)
+      rows.foreach { case (_, tpe, c) =>
+        n += 1L
+        cents += c
+        val cur = if (typeCounts.containsKey(tpe)) typeCounts.getValue(tpe) else 0L
+        typeCounts.updateValue(tpe, cur + 1L)
+      }
+      totals.update((n, cents))
+      Iterator.single(UserStat(key, n, cents, typeCounts.keys().size.toLong))
+    }
+  }
+
+  /** Running per-user profile over a (possibly streaming) events frame.
+    * Update mode: each micro-batch emits the refreshed row for every user
+    * it touched; the latest row per user is the current profile. */
+  def userStatsStream(events: DataFrame)
+                     (implicit spark: SparkSession): Dataset[UserStat] = {
+    import spark.implicits._
+    events
+      .select(col("user_id").cast(LongType),
+        col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast(LongType).as("cents"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new UserStatsProcessor, TimeMode.None(),
+        OutputMode.Update())
+  }
+
+  /** Batch twin of [[userStatsStream]] — the same profile as one exact
+    * keyed aggregation (count / decimal-cents sum / distinct types on a
+    * single user_id exchange); the driver's `x_user_state` contract query. */
+  def userStatsBatch(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum((col("value").cast("decimal(18,2)") * 100).cast(LongType))
+          .as("sum_cents"),
+        count_distinct(col("event_type")).as("n_types"))
+}

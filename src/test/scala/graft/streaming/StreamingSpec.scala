@@ -518,4 +518,52 @@ class StreamingSpec extends SparkSpec {
       assert(got.filter(_.source == "srcA").map(_.n_tokens).sum <= 25L)
     } finally q.stop()
   }
+
+  test("transformWithState user profile converges to the batch twin across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    implicit val ss = spark
+    // state-v2 requires the RocksDB store; scope it to this test and
+    // restore the session default (other suites use the HDFS-backed one)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, String, Double)]
+      val events = mem.toDF().toDF("user_id", "event_type", "value")
+      val q = StateV2.userStatsStream(events)
+        .writeStream.format("memory").queryName("user_state_test")
+        .outputMode("update").start()
+      try {
+        val b1 = Seq((1L, "click", 1.25), (1L, "view", 2.0), (2L, "click", 3.5))
+        val b2 = Seq((1L, "click", 0.75), (2L, "buy", 1.0), (3L, "view", 9.99))
+        mem.addData(b1: _*)
+        q.processAllAvailable()
+        // intermediate state visible after batch 1
+        val mid = spark.table("user_state_test").as[StateV2.UserStat]
+          .collect().map(s => s.user_id -> s).toMap
+        assert(mid(1L) == StateV2.UserStat(1L, 2L, 325L, 2L))
+        mem.addData(b2: _*)
+        q.processAllAvailable()
+        // latest emission per user (max n_events) = the running profile
+        val latest = spark.table("user_state_test").as[StateV2.UserStat]
+          .collect().groupBy(_.user_id).map { case (u, rows) =>
+            u -> rows.maxBy(_.n_events) }
+        val batch = StateV2.userStatsBatch((b1 ++ b2)
+            .toDF("user_id", "event_type", "value"))
+          .collect().map(r => r.getLong(0) ->
+            StateV2.UserStat(r.getLong(0), r.getLong(1), r.getLong(2),
+              r.getLong(3))).toMap
+        assert(latest == batch, s"stream=$latest batch=$batch")
+        // MapState distinct-type tally: user 2 saw click then buy
+        assert(latest(2L).n_types == 2L && latest(2L).sum_cents == 450L)
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
 }
