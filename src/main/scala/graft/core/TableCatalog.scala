@@ -17,8 +17,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * atomically, because Spark cannot overwrite a Parquet path it is
   * currently reading (SURVEY.md §7.4 "Delta MERGE without Delta").
   *
-  * Single-writer semantics (matching the reference's
-  * maxConcurrentRuns=1 orchestration, `aws/ ch_ingest_company_overview_raw.json`).
+  * Concurrency: the reference serializes writers externally
+  * (maxConcurrentRuns=1 orchestration, `aws/ch_ingest_company_overview_raw
+  * .json`); this catalog instead commits under a per-table filesystem
+  * lock with data staged outside it (see [[withCommitLock]]), so
+  * concurrent appends from independent jobs all publish — none is a
+  * lost update — and maintenance ops abort-and-retry on conflict,
+  * Delta-style optimistic concurrency on plain files.
   */
 final class TableCatalog(val root: String) extends Serializable {
 
@@ -467,17 +472,67 @@ final class TableCatalog(val root: String) extends Serializable {
     }
   }
 
-  /** Write `df` as the next version of `name` and atomically repoint. */
+  /** Serialize the version-claim → publish critical section across
+    * concurrent writers — same-process threads AND separate drivers on a
+    * shared filesystem: `Files.createDirectory` of the lock marker is
+    * atomic (POSIX mkdir), so exactly one writer holds the commit lock at
+    * a time. Data is ALWAYS staged outside the lock; the lock covers only
+    * slot claim, O(#files) metadata carries, and the pointer swap — the
+    * filesystem analogue of Delta's optimistic-concurrency commit. A lock
+    * left by a crashed writer is stolen after [[lockStealMs]] (no live
+    * commit holds it that long: the locked section is metadata-plus-
+    * O(batch)-sidecar work, never a table-sized write). */
+  private val lockStealMs = 600000L
+  private def withCommitLock[T](dir: Path)(body: => T): T = {
+    val lock = dir.resolve("_COMMIT_LOCK")
+    val deadline = System.nanoTime() + 900L * 1000000000L
+    var held = false
+    while (!held) {
+      try { Files.createDirectory(lock); held = true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          val age = scala.util.Try(System.currentTimeMillis() -
+            Files.getLastModifiedTime(lock).toMillis).getOrElse(0L)
+          if (age > lockStealMs) scala.util.Try(Files.deleteIfExists(lock))
+          else if (System.nanoTime() > deadline)
+            throw new IllegalStateException(
+              s"commit lock on $dir not released within 15 min")
+          else Thread.sleep(5)
+      }
+    }
+    try body finally scala.util.Try(Files.deleteIfExists(lock))
+  }
+
+  /** Unique staging dir for a version's data write (dot-prefixed: hidden
+    * from every census/read path). Orphans from crashed writers are swept
+    * opportunistically once they're an hour stale. */
+  private def newStageDir(dir: Path): Path = {
+    val cutoff = System.currentTimeMillis() - 3600000L
+    Option(dir.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith(".stage-") && f.lastModified < cutoff)
+      .foreach(f => scala.util.Try(deleteRecursively(f.toPath)))
+    dir.resolve(s".stage-${java.util.UUID.randomUUID().toString.take(12)}")
+  }
+
+  /** Write `df` as the next version of `name` and atomically repoint.
+    * Concurrency-safe: the batch lands in a staging dir first, then the
+    * commit lock serializes slot claim + pointer swap, so simultaneous
+    * writers each publish a distinct complete version (last swap wins —
+    * overwrite is state-independent, so no rebase is needed). */
   def overwrite(df: DataFrame, name: String, partitionBy: Seq[String] = Nil): Unit = {
     val dir = tableDir(name)
     Files.createDirectories(dir)
     val (guarded, guard) = guardConstraints(df, name)
-    val nextV = "v%06d".format(nextVersion(dir))
+    val stage = newStageDir(dir)
     val w = guarded.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
-      .parquet(dir.resolve(nextV).toString)
-    enforceConstraints(guard, name, dir.resolve(nextV))
-    repoint(dir, name, nextV)
+      .parquet(stage.toString)
+    enforceConstraints(guard, name, stage)
+    withCommitLock(dir) {
+      val nextV = "v%06d".format(nextVersion(dir))
+      Files.move(stage, dir.resolve(nextV), StandardCopyOption.ATOMIC_MOVE)
+      repoint(dir, name, nextV)
+    }
   }
 
   /** Atomically swap `_CURRENT` to `version` (write-temp + ATOMIC_MOVE —
@@ -514,17 +569,20 @@ final class TableCatalog(val root: String) extends Serializable {
   def append(df: DataFrame, name: String): Unit = {
     val spark = df.sparkSession
     if (!exists(name)) { overwrite(df, name); return }
-    val cur = read(spark, name)
     def shape(s: org.apache.spark.sql.types.StructType) =
       s.fields.map(f => (f.name, f.dataType)).toSeq
-    val prev = Paths.get(currentPath(name))
     // Metadata sidecar dirs (_stats, _bloom) are NOT hive partitions:
     // counting them here silently downgraded every post-analyze append
     // to the O(table) union-rewrite path.
-    val prevPartitioned = Option(prev.toFile.listFiles())
-      .getOrElse(Array.empty).exists(f => f.isDirectory &&
-        !f.getName.startsWith("_") && !f.getName.startsWith("."))
-    if (shape(cur.schema) != shape(df.schema) || prevPartitioned) {
+    def fastPathApplicable(): Boolean = {
+      val prev = Paths.get(currentPath(name))
+      val prevPartitioned = Option(prev.toFile.listFiles())
+        .getOrElse(Array.empty).exists(f => f.isDirectory &&
+          !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      shape(read(spark, name).schema) == shape(df.schema) && !prevPartitioned
+    }
+    if (!fastPathApplicable()) {
+      val cur = read(spark, name)
       if (shape(cur.schema) != shape(df.schema) &&
           properties(name).get("schema.mode").contains("strict"))
         throw new IllegalStateException(
@@ -535,47 +593,67 @@ final class TableCatalog(val root: String) extends Serializable {
     } else {
       val dir = tableDir(name)
       val (guarded, guard) = guardConstraints(df, name)
-      val nextV = "v%06d".format(nextVersion(dir))
-      val next = dir.resolve(nextV)
-      guarded.write.mode("overwrite").parquet(next.toString)
+      // Stage the batch write OUTSIDE the commit lock (appended rows are
+      // state-independent), then commit under the lock: re-resolve the
+      // base version there, so a batch another writer published between
+      // our staging and our claim is carried in, never lost.
+      val stage = newStageDir(dir)
+      guarded.write.mode("overwrite").parquet(stage.toString)
       // Constraint verdict BEFORE hardlink carry: a rejected batch
       // deletes only its own staged files, and the audit sidecar lands
       // next to the batch it describes.
-      enforceConstraints(guard, name, next)
-      // Capture the fresh batch's file paths BEFORE hardlinking carries
+      enforceConstraints(guard, name, stage)
+      // Capture the fresh batch's file names BEFORE hardlinking carries
       // the old files in: incremental stats below must scan exactly the
       // new batch (O(batch)), and a lazy directory read resolved later
       // would see the carried files too.
-      val batchFiles = Option(next.toFile.listFiles()).getOrElse(Array.empty)
+      val batchNames = Option(stage.toFile.listFiles()).getOrElse(Array.empty)
         .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
-        .map(_.getPath).toSeq
-      // Part-file names embed the write job's UUID, so links from the
-      // previous version cannot collide with the fresh batch's files.
-      val walk = Files.walk(prev)
-      // skip job markers (_SUCCESS), hidden checksums (._SUCCESS.crc) and
-      // metadata sidecars (_stats/**, _bloom/**) — the fresh write
-      // produced its own markers; min/max stats are re-derived
-      // incrementally below, and bloom sidecars (whose build parameters
-      // aren't stored) still require a post-append re-analyze.
-      try walk.filter(Files.isRegularFile(_)).forEach { f =>
-        val rel = prev.relativize(f)
-        val hidden = (0 until rel.getNameCount).exists { i =>
-          val n = rel.getName(i).toString
-          n.startsWith("_") || n.startsWith(".")
+        .map(_.getName).toSeq
+      val rebaseViaRewrite = withCommitLock(dir) {
+        if (!fastPathApplicable()) {
+          // a concurrent writer changed the table's shape under us:
+          // restage through the union-rewrite path (outside the lock)
+          deleteRecursively(stage)
+          true
+        } else {
+          val prev = Paths.get(currentPath(name))
+          val nextV = "v%06d".format(nextVersion(dir))
+          val next = dir.resolve(nextV)
+          Files.move(stage, next, StandardCopyOption.ATOMIC_MOVE)
+          val batchFiles = batchNames.map(n => next.resolve(n).toString)
+          // Part-file names embed the write job's UUID, so links from the
+          // previous version cannot collide with the fresh batch's files.
+          val walk = Files.walk(prev)
+          // skip job markers (_SUCCESS), hidden checksums (._SUCCESS.crc)
+          // and metadata sidecars (_stats/**, _bloom/**) — the fresh write
+          // produced its own markers; min/max stats are re-derived
+          // incrementally below, and bloom sidecars (whose build
+          // parameters aren't stored) still require a post-append
+          // re-analyze.
+          try walk.filter(Files.isRegularFile(_)).forEach { f =>
+            val rel = prev.relativize(f)
+            val hidden = (0 until rel.getNameCount).exists { i =>
+              val n = rel.getName(i).toString
+              n.startsWith("_") || n.startsWith(".")
+            }
+            if (!hidden) Files.createLink(next.resolve(rel), f)
+          } finally walk.close()
+          carryStatsIncremental(spark, prev, next, df, batchFiles)
+          carryBloomsIncremental(spark, prev, next, df, batchFiles)
+          carryIndexIncremental(spark, prev, next, batchFiles)
+          // The curve-layout note survives appends UNCHANGED: hardlinked
+          // files keep their names (so the clustered set stays valid) and
+          // the fresh batch's files are, by definition, not yet clustered —
+          // they are exactly what a later optimizeIncremental() picks up.
+          val prevLayout = prev.resolve("_layout")
+          if (Files.isRegularFile(prevLayout))
+            Files.copy(prevLayout, next.resolve("_layout"))
+          repoint(dir, name, nextV)
+          false
         }
-        if (!hidden) Files.createLink(next.resolve(rel), f)
-      } finally walk.close()
-      carryStatsIncremental(spark, prev, next, df, batchFiles)
-      carryBloomsIncremental(spark, prev, next, df, batchFiles)
-      carryIndexIncremental(spark, prev, next, batchFiles)
-      // The curve-layout note survives appends UNCHANGED: hardlinked
-      // files keep their names (so the clustered set stays valid) and
-      // the fresh batch's files are, by definition, not yet clustered —
-      // they are exactly what a later optimizeIncremental() picks up.
-      val prevLayout = prev.resolve("_layout")
-      if (Files.isRegularFile(prevLayout))
-        Files.copy(prevLayout, next.resolve("_layout"))
-      repoint(dir, name, nextV)
+      }
+      if (rebaseViaRewrite) append(df, name)
     }
   }
 
@@ -661,28 +739,39 @@ final class TableCatalog(val root: String) extends Serializable {
       touched: Seq[Any]): Unit = {
     require(exists(name), s"overwritePartitions: $name does not exist")
     val dir = tableDir(name)
-    val prev = Paths.get(currentPath(name))
-    val nextV = "v%06d".format(nextVersion(dir))
-    val next = dir.resolve(nextV)
     val (guarded, guard) = guardConstraints(df, name)
-    guarded.write.mode("overwrite").partitionBy(partCol).parquet(next.toString)
+    // Stage outside the commit lock; under the lock, carry untouched
+    // partitions from the LATEST committed version — so a concurrent
+    // append/merge to other partitions isn't lost. (Writes racing on the
+    // SAME partitions remain last-wins: the rewritten content is computed
+    // by the caller from an earlier read, which the lock can't rewind —
+    // merge flows that need stronger isolation serialize at their level,
+    // as ScopedScd2 documents.)
+    val stage = newStageDir(dir)
+    guarded.write.mode("overwrite").partitionBy(partCol).parquet(stage.toString)
     // verdict before the untouched-partition carry, same as append
-    enforceConstraints(guard, name, next)
+    enforceConstraints(guard, name, stage)
     val touchedDirs = touched.map(v => s"$partCol=$v").toSet
-    // hardlink untouched partition dirs (and root-level files like _SUCCESS
-    // are left to the new write) from the previous version
-    Option(prev.toFile.list()).getOrElse(Array.empty[String])
-      .filter(n => n.startsWith(s"$partCol=") && !touchedDirs.contains(n))
-      .foreach { p =>
-        val walk = Files.walk(prev.resolve(p))
-        try walk.filter(Files.isRegularFile(_)).forEach { f =>
-          val rel = prev.relativize(f)
-          val to = next.resolve(rel)
-          Files.createDirectories(to.getParent)
-          Files.createLink(to, f)
-        } finally walk.close()
-      }
-    repoint(dir, name, nextV)
+    withCommitLock(dir) {
+      val prev = Paths.get(currentPath(name))
+      val nextV = "v%06d".format(nextVersion(dir))
+      val next = dir.resolve(nextV)
+      Files.move(stage, next, StandardCopyOption.ATOMIC_MOVE)
+      // hardlink untouched partition dirs (and root-level files like
+      // _SUCCESS are left to the new write) from the previous version
+      Option(prev.toFile.list()).getOrElse(Array.empty[String])
+        .filter(n => n.startsWith(s"$partCol=") && !touchedDirs.contains(n))
+        .foreach { p =>
+          val walk = Files.walk(prev.resolve(p))
+          try walk.filter(Files.isRegularFile(_)).forEach { f =>
+            val rel = prev.relativize(f)
+            val to = next.resolve(rel)
+            Files.createDirectories(to.getParent)
+            Files.createLink(to, f)
+          } finally walk.close()
+        }
+      repoint(dir, name, nextV)
+    }
   }
 
   /** Row-level change feed between two retained versions — the change-
@@ -1347,42 +1436,64 @@ final class TableCatalog(val root: String) extends Serializable {
       partitions: Option[Int] = None,
       targetFileBytes: Long = 128L << 20): Int = {
     val dir = tableDir(name)
-    val prev = Paths.get(currentPath(name))
-    readLayout(prev) match {
-      case None => 0
-      case Some(l) =>
-        val all = dataFileNames(prev)
-        val unclustered = all.filterNot(l.files)
-        if (unclustered.isEmpty) return 0
-        // Default output-file count is SIZE-derived from the batch (like
-        // compact()), not spark.sql.shuffle.partitions: a small appended
-        // batch re-range-partitioned into the session default would
-        // shatter into that many tiny files on every maintenance tick —
-        // the incremental path must fix layout without creating the
-        // small-file problem compaction exists to solve.
-        val batchBytes = unclustered
-          .map(n => Files.size(prev.resolve(n))).sum
-        val parts = partitions.getOrElse(
-          math.max(1, (batchBytes / targetFileBytes).toInt))
-        val batch = spark.read.parquet(
-          unclustered.map(n => prev.resolve(n).toString): _*)
-        val nextV = "v%06d".format(nextVersion(dir))
-        val next = dir.resolve(nextV)
-        graft.ops.Gold.clusterOnGrid(
-            batch, l.cols, l.bounds, l.bits, Some(parts), l.curve)
-          .write.mode("overwrite").parquet(next.toString)
-        val fresh = dataFileNames(next)
-        val kept = all.filter(l.files)
-        kept.foreach(n => Files.createLink(next.resolve(n), prev.resolve(n)))
-        val freshPaths = fresh.map(n => next.resolve(n).toString)
-        carryStatsIncremental(spark, prev, next, batch, freshPaths,
-          dropNames = unclustered)
-        carryBloomsIncremental(spark, prev, next, batch, freshPaths,
-          dropNames = unclustered)
-        writeLayout(next, l.curve, l.bits, l.cols, l.bounds, kept ++ fresh)
-        repoint(dir, name, nextV)
-        fresh.size
+    // Optimistic-concurrency loop: the recluster derives FROM the current
+    // version's unclustered files, so the expensive rewrite runs outside
+    // the commit lock against a base snapshot, and the commit aborts +
+    // recomputes if another writer published meanwhile (its appends may
+    // hold new unclustered files this pass never saw). Maintenance loses
+    // races to ingest by design — it can always rerun.
+    var attempt = 0
+    while (attempt < 3) {
+      attempt += 1
+      val prev = Paths.get(currentPath(name))
+      readLayout(prev) match {
+        case None => return 0
+        case Some(l) =>
+          val all = dataFileNames(prev)
+          val unclustered = all.filterNot(l.files)
+          if (unclustered.isEmpty) return 0
+          // Default output-file count is SIZE-derived from the batch (like
+          // compact()), not spark.sql.shuffle.partitions: a small appended
+          // batch re-range-partitioned into the session default would
+          // shatter into that many tiny files on every maintenance tick —
+          // the incremental path must fix layout without creating the
+          // small-file problem compaction exists to solve.
+          val batchBytes = unclustered
+            .map(n => Files.size(prev.resolve(n))).sum
+          val parts = partitions.getOrElse(
+            math.max(1, (batchBytes / targetFileBytes).toInt))
+          val batch = spark.read.parquet(
+            unclustered.map(n => prev.resolve(n).toString): _*)
+          val stage = newStageDir(dir)
+          graft.ops.Gold.clusterOnGrid(
+              batch, l.cols, l.bounds, l.bits, Some(parts), l.curve)
+            .write.mode("overwrite").parquet(stage.toString)
+          var committed = -1
+          withCommitLock(dir) {
+            if (Paths.get(currentPath(name)) != prev) {
+              deleteRecursively(stage) // lost the race: recompute from the new base
+            } else {
+              val nextV = "v%06d".format(nextVersion(dir))
+              val next = dir.resolve(nextV)
+              Files.move(stage, next, StandardCopyOption.ATOMIC_MOVE)
+              val fresh = dataFileNames(next)
+              val kept = all.filter(l.files)
+              kept.foreach(n => Files.createLink(next.resolve(n), prev.resolve(n)))
+              val freshPaths = fresh.map(n => next.resolve(n).toString)
+              carryStatsIncremental(spark, prev, next, batch, freshPaths,
+                dropNames = unclustered)
+              carryBloomsIncremental(spark, prev, next, batch, freshPaths,
+                dropNames = unclustered)
+              writeLayout(next, l.curve, l.bits, l.cols, l.bounds, kept ++ fresh)
+              repoint(dir, name, nextV)
+              committed = fresh.size
+            }
+          }
+          if (committed >= 0) return committed
+      }
     }
+    throw new IllegalStateException(
+      s"optimizeIncremental($name) lost 3 consecutive commit races")
   }
 
   private def nextVersion(dir: Path): Int = {

@@ -1,0 +1,85 @@
+package graft
+
+import graft.core.TableCatalog
+
+import java.nio.file.{Files, Paths}
+import java.nio.file.attribute.FileTime
+import java.util.concurrent.Executors
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration._
+
+/** Commit-protocol concurrency: simultaneous writers must each publish a
+  * complete version with no lost batches, and crashed-writer debris
+  * (stale locks, orphaned staging dirs) must not wedge the table. */
+class CatalogConcurrencySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshCatalog(tag: String): TableCatalog =
+    new TableCatalog(
+      Files.createTempDirectory(s"graft_occ_$tag").toString)
+
+  test("concurrent appends all commit — every batch present exactly once") {
+    val cat = freshCatalog("append")
+    val t = "main.silver.occ_events"
+    cat.overwrite(Seq((0L, "seed")).toDF("id", "batch"), t)
+    val nThreads = 6
+    val pool = Executors.newFixedThreadPool(nThreads)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val fs = (1 to nThreads).map { b =>
+        Future {
+          cat.append(
+            (1 to 10).map(i => (b * 100L + i, s"b$b")).toDF("id", "batch"), t)
+        }
+      }
+      Await.result(Future.sequence(fs), 120.seconds)
+    } finally pool.shutdown()
+    val rows = cat.read(spark, t)
+    // no lost updates: the seed plus all 6 batches of 10, each id once
+    assert(rows.count() == 61L)
+    assert(rows.select("id").distinct().count() == 61L)
+    val perBatch = rows.groupBy("batch").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    (1 to nThreads).foreach(b => assert(perBatch(s"b$b") == 10L, s"batch $b"))
+    // commit debris cleaned: no lock, no staging dirs
+    val dir = Paths.get(cat.root, "main", "silver", "occ_events")
+    assert(!Files.exists(dir.resolve("_COMMIT_LOCK")))
+    val stages = Option(dir.toFile.list()).get.filter(_.startsWith(".stage-"))
+    assert(stages.isEmpty, s"orphan staging dirs: ${stages.toSeq}")
+  }
+
+  test("a crashed writer's stale lock is stolen, not waited out") {
+    val cat = freshCatalog("steal")
+    val t = "main.silver.occ_steal"
+    cat.overwrite(Seq((1L, "a")).toDF("id", "v"), t)
+    val dir = Paths.get(cat.root, "main", "silver", "occ_steal")
+    val lock = dir.resolve("_COMMIT_LOCK")
+    Files.createDirectory(lock)
+    // age the lock past the steal threshold (10 min)
+    Files.setLastModifiedTime(lock,
+      FileTime.fromMillis(System.currentTimeMillis() - 11 * 60 * 1000L))
+    cat.append(Seq((2L, "b")).toDF("id", "v"), t) // must not block 15 min
+    assert(cat.read(spark, t).count() == 2L)
+    assert(!Files.exists(lock))
+  }
+
+  test("concurrent overwrites each publish a complete version (last wins)") {
+    val cat = freshCatalog("ow")
+    val t = "main.silver.occ_ow"
+    cat.overwrite(Seq((0L, 0L)).toDF("k", "v"), t)
+    val pool = Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val fs = (1 to 4).map { w =>
+        Future { cat.overwrite((1 to 5).map(i => (i.toLong, w.toLong)).toDF("k", "v"), t) }
+      }
+      Await.result(Future.sequence(fs), 120.seconds)
+    } finally pool.shutdown()
+    // whichever writer won, the table is ONE complete 5-row batch
+    val rows = cat.read(spark, t).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length == 5)
+    assert(rows.map(_._2).distinct.length == 1, s"torn version: ${rows.toSeq}")
+    assert(rows.map(_._1).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+}
