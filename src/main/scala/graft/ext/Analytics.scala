@@ -235,6 +235,42 @@ object Analytics {
         sum(col("cover")).as("covered_s"))
   }
 
+  /** Per-EVENT session features — the event-level enrichment behind
+    * sequence models and churn features: session id, position within the
+    * session, seconds since session start, seconds since the previous
+    * event. The session rollup ([[graft.streaming.EventStreams.sessionize]])
+    * aggregates these away; models need them row-wise.
+    *
+    * Scale shape: every quantity is a RUNNING aggregate over ONE user_id
+    * exchange. The naive form re-windows over (user, session_id) — a
+    * second shuffle on a derived key — but per-session windows collapse
+    * into running ones because session starts are monotone within a user:
+    * session start = running max of gap-opener timestamps, position =
+    * row_number minus the opener's row_number. One exchange, four window
+    * passes that share it. */
+  def sessionFeatures(events: DataFrame, gapSeconds: Long = 1800,
+                      ts: String = "ts", user: String = "user_id",
+                      id: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(user).orderBy(col("tse"), col(id))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col(user), col(id), col(ts).cast(LongType).as("tse"))
+      .withColumn("prev_tse", lag(col("tse"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_tse").isNull ||
+          col("tse") - col("prev_tse") > gapSeconds, 1L).otherwise(0L))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("session_seq", sum(col("is_new")).over(run))
+      .withColumn("sess_start",
+        max(when(col("is_new") === 1L, col("tse"))).over(run))
+      .withColumn("sess_start_rn",
+        max(when(col("is_new") === 1L, col("rn"))).over(run))
+      .select(col(user), col(id), col("session_seq"),
+        (col("rn") - col("sess_start_rn") + 1L).cast(LongType).as("event_idx"),
+        (col("tse") - col("sess_start")).as("secs_in_session"),
+        (col("tse") - col("prev_tse")).as("secs_since_prev"))
+  }
+
   /** Ordered three-stage conversion funnel (signup → click → purchase),
     * grouped by signup cohort week. A stage only counts if it happens at
     * or after the previous stage's first completion — the strict-order

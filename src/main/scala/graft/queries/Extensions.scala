@@ -1613,6 +1613,12 @@ object Extensions {
   def intervalCoverage(spark: SparkSession, sfDir: String): DataFrame =
     Analytics.intervalUnion(eventIntervals(spark, sfDir), key = "user_id")
 
+  /** Event-level session features ([[Analytics.sessionFeatures]]):
+    * session id, in-session position, elapsed seconds — the sequence-model
+    * enrichment, all running windows on one user exchange. */
+  def sessionFeatures(spark: SparkSession, sfDir: String): DataFrame =
+    Analytics.sessionFeatures(Parity.events(spark, sfDir))
+
   /** Levenshtein near-dup pairs under (lang, length-bucket) blocking. */
   def editDistance(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.editDistancePairs(docs(spark, sfDir))
@@ -2118,6 +2124,7 @@ object Extensions {
     "x_concurrency" -> concurrencyPeaks _,
     "x_interval_union" -> intervalCoverage _,
     "x_user_state" -> userState _,
+    "x_session_features" -> sessionFeatures _,
     "d_edit_distance" -> editDistance _,
     "x_profile" -> profileOrders _,
     "x_outliers" -> lengthOutliers _,
@@ -3333,6 +3340,24 @@ object Extensions {
            CAST(date_diff('day', cohort_week, week) // 7 AS BIGINT) AS week_offset,
            count(*) AS n_users
          FROM w JOIN f USING (user_id) GROUP BY 1, 2""",
+    "x_session_features" ->
+      """WITH e AS (SELECT user_id, event_id,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS tse FROM events),
+           w AS (SELECT *, LAG(tse) OVER win AS prev_tse,
+             ROW_NUMBER() OVER win AS rn
+             FROM e WINDOW win AS (PARTITION BY user_id ORDER BY tse, event_id)),
+           m AS (SELECT *, CASE WHEN prev_tse IS NULL OR tse - prev_tse > 1800
+             THEN 1 ELSE 0 END AS is_new FROM w),
+           r AS (SELECT *, SUM(is_new) OVER wrun AS session_seq,
+             MAX(CASE WHEN is_new = 1 THEN tse END) OVER wrun AS sess_start,
+             MAX(CASE WHEN is_new = 1 THEN rn END) OVER wrun AS sess_start_rn
+             FROM m WINDOW wrun AS (PARTITION BY user_id ORDER BY tse, event_id
+               ROWS UNBOUNDED PRECEDING))
+         SELECT user_id, event_id, CAST(session_seq AS BIGINT) AS session_seq,
+           CAST(rn - sess_start_rn + 1 AS BIGINT) AS event_idx,
+           tse - sess_start AS secs_in_session,
+           tse - prev_tse AS secs_since_prev
+         FROM r""",
     "x_user_state" ->
       """SELECT user_id, count(*) AS n_events,
            CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))

@@ -159,6 +159,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(r("c") == ((2L, 0L)))
   }
 
+  test("sessionFeatures: per-session position/elapsed from running windows only") {
+    val events = Seq(
+      // user 1: session A = {t0, t100}, gap > 1800, session B = {t2000, t2100}
+      (1L, 10L, ts("2024-01-01 00:00:00")),
+      (1L, 11L, ts("2024-01-01 00:01:40")),
+      (1L, 12L, ts("2024-01-01 00:33:20")),
+      (1L, 13L, ts("2024-01-01 00:35:00")),
+      // user 2: single event
+      (2L, 20L, ts("2024-01-01 05:00:00"))
+    ).toDF("user_id", "event_id", "ts")
+    val r = Analytics.sessionFeatures(events).collect()
+      .map(x => x.getLong(1) -> (x.getLong(2), x.getLong(3), x.getLong(4),
+        if (x.isNullAt(5)) -1L else x.getLong(5))).toMap
+    assert(r(10L) == ((1L, 1L, 0L, -1L)))
+    assert(r(11L) == ((1L, 2L, 100L, 100L)))
+    assert(r(12L) == ((2L, 1L, 0L, 1900L)))
+    assert(r(13L) == ((2L, 2L, 100L, 100L)))
+    assert(r(20L) == ((1L, 1L, 0L, -1L)))
+  }
+
   test("intervalUnion: overlaps merge, touching intervals chain, gaps split") {
     val iv = Seq(
       // user 1: [0,10)+[5,15) merge (cover 15); gap; [20,25) (cover 5)
