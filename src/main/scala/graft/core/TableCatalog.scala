@@ -603,6 +603,33 @@ final class TableCatalog(val root: String) extends Serializable {
       // deletes only its own staged files, and the audit sidecar lands
       // next to the batch it describes.
       enforceConstraints(guard, name, stage)
+      // Write-time clustering (Delta optimizeWrite analogue), opt-in via
+      // table property optimize.write=true: when the table has a curve
+      // layout, re-stage the batch curve-clustered on the SAME pinned
+      // grid, so appended files enter the layout already tight and the
+      // maintenance tick finds nothing to fold in. O(batch) extra
+      // read+write; output file count is size-derived (like
+      // optimizeIncremental) so small batches don't shatter.
+      val wroteClustered: Option[Layout] =
+        if (!properties(name).get("optimize.write").contains("true")) None
+        else readLayout(Paths.get(currentPath(name))).map { l =>
+          val batchBytes = Option(stage.toFile.listFiles())
+            .getOrElse(Array.empty).filter(_.isFile).map(_.length).sum
+          // target.file.bytes (Delta's targetFileSize analogue) sizes the
+          // clustered batch's output files; default 128 MiB
+          val targetBytes = properties(name).get("target.file.bytes")
+            .flatMap(s => scala.util.Try(s.toLong).toOption)
+            .getOrElse(128L << 20)
+          val parts = math.max(1, (batchBytes / targetBytes).toInt)
+          val batch = spark.read.parquet(stage.toString)
+          val stage2 = newStageDir(dir)
+          graft.ops.Gold.clusterOnGrid(
+              batch, l.cols, l.bounds, l.bits, Some(parts), l.curve)
+            .write.mode("overwrite").parquet(stage2.toString)
+          deleteRecursively(stage)
+          Files.move(stage2, stage, StandardCopyOption.ATOMIC_MOVE)
+          l
+        }
       // Capture the fresh batch's file names BEFORE hardlinking carries
       // the old files in: incremental stats below must scan exactly the
       // new batch (O(batch)), and a lazy directory read resolved later
@@ -642,13 +669,24 @@ final class TableCatalog(val root: String) extends Serializable {
           carryStatsIncremental(spark, prev, next, df, batchFiles)
           carryBloomsIncremental(spark, prev, next, df, batchFiles)
           carryIndexIncremental(spark, prev, next, batchFiles)
-          // The curve-layout note survives appends UNCHANGED: hardlinked
-          // files keep their names (so the clustered set stays valid) and
-          // the fresh batch's files are, by definition, not yet clustered —
-          // they are exactly what a later optimizeIncremental() picks up.
+          // The curve-layout note survives appends: hardlinked files keep
+          // their names, so the clustered set stays valid. A plain append's
+          // batch files are, by definition, not yet clustered — exactly
+          // what a later optimizeIncremental() picks up. A CLUSTERED-WRITE
+          // batch joins the clustered set immediately — but only if the
+          // base's grid still matches the one the batch was clustered on
+          // (a concurrent re-optimize could have re-gridded between our
+          // staging and this claim; then the batch stays out of the set
+          // and maintenance folds it in later — safe, never wrong).
           val prevLayout = prev.resolve("_layout")
-          if (Files.isRegularFile(prevLayout))
-            Files.copy(prevLayout, next.resolve("_layout"))
+          if (Files.isRegularFile(prevLayout)) readLayout(prev) match {
+            case Some(pl) if wroteClustered.exists(l =>
+                l.curve == pl.curve && l.bits == pl.bits &&
+                  l.cols == pl.cols && l.bounds == pl.bounds) =>
+              writeLayout(next, pl.curve, pl.bits, pl.cols, pl.bounds,
+                (pl.files ++ batchNames).toSeq.sorted)
+            case _ => Files.copy(prevLayout, next.resolve("_layout"))
+          }
           repoint(dir, name, nextV)
           false
         }

@@ -246,6 +246,46 @@ class DataSkippingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("optimize.write clusters appended batches at write time on the pinned grid") {
+    val nf = 8
+    val grid = spark.range(0, 1 << 14).select(
+      (col("id") % 128).as("x"), (col("id") / 128).as("y"))
+    val cat = freshCat("ow")
+    cat.overwrite(grid, "t.ow")
+    cat.optimize(spark, "t.ow", Seq("x", "y"), curve = "hilbert", bits = 7,
+      partitions = Some(nf))
+    cat.analyze(spark, "t.ow", Seq("x", "y"))
+    cat.setProperty("t.ow", "optimize.write", "true")
+    // small target so the tiny test batch still splits into several
+    // grid-ordered files (at the default 128 MiB it would be one file)
+    cat.setProperty("t.ow", "target.file.bytes", "1500")
+    def files() = new java.io.File(cat.currentPath("t.ow")).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map(_.getName).toSet
+    def prunedX() = cat.prunedFiles(spark, "t.ow", "x", 0L, 7L).size
+    val p0 = prunedX()
+    val clustered0 = files()
+    // full-domain batch — worst case for layout quality if appended raw
+    val batch = spark.range(0, 2048).select(
+      (col("id") % 128).as("x"),
+      ((col("id") * 7) % 128).cast("double").as("y")).repartition(2)
+    cat.append(batch, "t.ow")
+    val batchFiles = files() -- clustered0
+    assert(batchFiles.size > 1, s"expected a multi-file clustered batch, got $batchFiles")
+    // the batch entered the layout at write time: maintenance finds
+    // nothing unclustered, and every data file is in the clustered set
+    assert(cat.optimizeIncremental(spark, "t.ow") == 0)
+    // write-time clustering preserves skipping: the x<8 probe must skip
+    // at least one of the batch's files (a raw append's full-domain
+    // files would ALL survive every probe)
+    assert(prunedX() < p0 + batchFiles.size,
+      s"clustered-write batch should prune: ${prunedX()} vs $p0 + ${batchFiles.size}")
+    // rows survive the restage intact
+    val got = cat.read(spark, "t.ow").agg(count(lit(1)), sum(col("x"))).head()
+    val want = grid.unionByName(batch).agg(count(lit(1)), sum(col("x"))).head()
+    assert(got == want)
+  }
+
   test("bloom sidecar prunes point lookups min/max can't, on any layout") {
     // Layout clustered on k — but probe on v, where every file's [min,max]
     // covers the whole domain, so min/max skipping is blind. Give v few
