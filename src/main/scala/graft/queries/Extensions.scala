@@ -6,7 +6,7 @@ import graft.streaming.EventStreams
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+import org.apache.spark.sql.types.{DateType, DoubleType, LongType, StringType}
 
 /** North-star extension queries: training-data-pipeline operators
   * (dedup, similarity search, text analysis, multimodal, streaming
@@ -583,6 +583,60 @@ object Extensions {
     * the base rollup carries a distinct-agg) joined on the small
     * source dimension — at 100 TB the text-distinct becomes a
     * sha256-distinct but the shape is unchanged. */
+  /** Deterministic per-group mode (most frequent source per language) —
+    * the exact MODE() aggregate, distributed WITHOUT a sort: count per
+    * (group, value), then one struct-min per group picks (max count,
+    * lexicographically-first value) — two keyed aggregations whose
+    * second input is already tiny, versus the window-rank form that
+    * sorts every group's full count list. Ties break on value ASC via
+    * the negated-count struct ordering, so both engines agree. */
+  def modePerGroup(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("lang"))
+      .agg(min(struct((-col("n")).as("neg_n"), col("source").as("s"))).as("m"))
+      .select(col("lang"), col("m.s").as("top_source"),
+        (-col("m.neg_n")).as("n_docs"))
+
+  /** Weekly growth accounting — the new / retained / resurrected /
+    * churned user decomposition every growth team runs: classify each
+    * user-week against the user's previous active week, and charge a
+    * churn to the week AFTER an activity gap opens. One distinct over
+    * (user, week), one user-partitioned window chain (first week + lag +
+    * lead share the exchange), a reused-scan union for the churn branch,
+    * and a final tiny (week, status) rollup — no per-week scaffolding
+    * join, no driver calendars. The trailing-churn cutoff (nobody churns
+    * past the observed horizon) broadcasts one max-week row. */
+  def growthAccounting(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val weeks = Parity.events(spark, sfDir)
+      .select(col("user_id"),
+        date_trunc("week", col("ts")).cast(DateType).as("week"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("week")
+    val seq = weeks
+      .withColumn("first_week", min(col("week")).over(
+        Window.partitionBy("user_id")))
+      .withColumn("prev_week", lag(col("week"), 1).over(w))
+      .withColumn("next_week", lead(col("week"), 1).over(w))
+    val active = seq.select(col("week"),
+      when(col("week") === col("first_week"), "new")
+        .when(datediff(col("week"), col("prev_week")) === 7, "retained")
+        .otherwise("resurrected").as("status"))
+    val horizon = weeks.agg(max(col("week")).as("max_week"))
+    val churned = seq
+      .filter(col("next_week").isNull ||
+        datediff(col("next_week"), col("week")) > 7)
+      .select(date_add(col("week"), 7).as("week"), lit("churned").as("status"))
+      .crossJoin(broadcast(horizon))
+      .filter(col("week") <= col("max_week"))
+      .select(col("week"), col("status"))
+    active.unionByName(churned)
+      .groupBy(col("week"), col("status"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   def dataCard(spark: SparkSession, sfDir: String): DataFrame = {
     val d = docs(spark, sfDir)
     val hist = d.groupBy("source", "lang").agg(count(lit(1)).as("n"))
@@ -2125,6 +2179,8 @@ object Extensions {
     "x_interval_union" -> intervalCoverage _,
     "x_user_state" -> userState _,
     "x_session_features" -> sessionFeatures _,
+    "x_mode" -> modePerGroup _,
+    "x_growth_accounting" -> growthAccounting _,
     "d_edit_distance" -> editDistance _,
     "x_profile" -> profileOrders _,
     "x_outliers" -> lengthOutliers _,
@@ -3340,6 +3396,27 @@ object Extensions {
            CAST(date_diff('day', cohort_week, week) // 7 AS BIGINT) AS week_offset,
            count(*) AS n_users
          FROM w JOIN f USING (user_id) GROUP BY 1, 2""",
+    "x_mode" ->
+      """WITH c AS (SELECT lang, source, count(*) AS n
+             FROM documents GROUP BY 1, 2),
+           r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+             ORDER BY n DESC, source) AS rn FROM c)
+         SELECT lang, source AS top_source, n AS n_docs FROM r WHERE rn = 1""",
+    "x_growth_accounting" ->
+      """WITH wk AS (SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS DATE) AS week FROM events),
+           s AS (SELECT *, MIN(week) OVER (PARTITION BY user_id) AS first_week,
+             LAG(week) OVER w AS prev_week, LEAD(week) OVER w AS next_week
+             FROM wk WINDOW w AS (PARTITION BY user_id ORDER BY week)),
+           a AS (SELECT week, CASE WHEN week = first_week THEN 'new'
+             WHEN date_diff('day', prev_week, week) = 7 THEN 'retained'
+             ELSE 'resurrected' END AS status FROM s),
+           h AS (SELECT MAX(week) AS max_week FROM wk),
+           c AS (SELECT week + 7 AS week, 'churned' AS status FROM s, h
+             WHERE (next_week IS NULL OR date_diff('day', week, next_week) > 7)
+               AND week + 7 <= max_week),
+           u AS (SELECT * FROM a UNION ALL SELECT * FROM c)
+         SELECT week, status, count(*) AS n_users FROM u GROUP BY 1, 2""",
     "x_session_features" ->
       """WITH e AS (SELECT user_id, event_id,
              CAST(FLOOR(epoch(ts)) AS BIGINT) AS tse FROM events),
