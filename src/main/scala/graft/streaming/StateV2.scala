@@ -2,8 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{MapState, OutputMode, StatefulProcessor,
-  TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, MapState, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types.LongType
 
 /** Arbitrary stateful streaming via the Spark 4 `transformWithState` API
@@ -86,4 +86,82 @@ object StateV2 {
         sum((col("value").cast("decimal(18,2)") * 100).cast(LongType))
           .as("sum_cents"),
         count_distinct(col("event_type")).as("n_types"))
+
+  /** One closed session (same shape as
+    * [[EventStreams.SessionOut]] — kept separate so the two stateful
+    * APIs' encoders stay independent). */
+  case class SessionRow(user_id: Long, session_seq: Long, n_events: Long,
+                        start_epoch: Long, end_epoch: Long)
+
+  /** Open-session state; `deadline` is the registered timer's expiry
+    * (ms), kept so a newer batch can delete the superseded timer. */
+  case class SessionSt(seq: Long, start: Long, last: Long, n: Long,
+                       deadline: Long)
+
+  /** Gap sessionization on the state-v2 TIMER API — the event-time
+    * timeout flush [[EventStreams.sessionizeStream]] gets from
+    * GroupStateTimeout, re-expressed with explicit per-key timers:
+    * each batch re-arms one timer at (last event + gap), deleting the
+    * timer it supersedes, and `handleExpiredTimer` flushes the open
+    * session when the watermark crosses that deadline. Versus the
+    * GroupState form, timers are a first-class multi-instance facility
+    * (a processor can arm several per key) and state/timer lifecycles
+    * are decoupled — this processor is the minimal correct use:
+    * exactly one live timer per key with open state.
+    * StreamingSpec pins both APIs to identical session sets. */
+  class SessionTimerProcessor(gapSeconds: Long)
+      extends StatefulProcessor[Long, (Long, Long, java.sql.Timestamp), SessionRow] {
+    @transient private var open: ValueState[SessionSt] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[SessionSt]("open",
+        Encoders.product[SessionSt], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long,
+        rows: Iterator[(Long, Long, java.sql.Timestamp)],
+        tv: TimerValues): Iterator[SessionRow] = {
+      val sorted = rows.map(_._2).toSeq.sorted
+      var closed = List.empty[SessionRow]
+      var st =
+        if (open.exists()) open.get() else SessionSt(0L, -1L, -1L, 0L, -1L)
+      if (st.deadline >= 0) getHandle.deleteTimer(st.deadline)
+      sorted.foreach { t =>
+        if (st.start < 0) st = SessionSt(st.seq + 1, t, t, 1L, -1L)
+        else if (t - st.last > gapSeconds) {
+          closed ::= SessionRow(user, st.seq, st.n, st.start, st.last)
+          st = SessionSt(st.seq + 1, t, t, 1L, -1L)
+        } else st = st.copy(last = t, n = st.n + 1)
+      }
+      if (st.start >= 0) {
+        val deadline = (st.last + gapSeconds) * 1000L
+        open.update(st.copy(deadline = deadline))
+        getHandle.registerTimer(deadline)
+      }
+      closed.reverseIterator
+    }
+
+    override def handleExpiredTimer(user: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[SessionRow] = {
+      if (!open.exists()) return Iterator.empty
+      val st = open.get()
+      // a timer this batch superseded can still fire once; ignore it
+      if (info.getExpiryTimeInMs < st.deadline) return Iterator.empty
+      open.clear()
+      Iterator.single(SessionRow(user, st.seq, st.n, st.start, st.last))
+    }
+  }
+
+  /** Gap sessionization via [[SessionTimerProcessor]]. `events` must
+    * carry a watermark on `ts` (event-time timers fire against it). */
+  def sessionizeTimers(events: DataFrame, gapSeconds: Long = 1800)
+                      (implicit spark: SparkSession): Dataset[SessionRow] = {
+    import spark.implicits._
+    events
+      .select(col("user_id").cast(LongType),
+        unix_timestamp(col("ts")).as("tse"), col("ts"))
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionTimerProcessor(gapSeconds),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 }

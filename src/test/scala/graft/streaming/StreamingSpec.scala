@@ -519,6 +519,61 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("state-v2 timer sessionization matches the GroupState form exactly") {
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // same scenario as the flatMapGroupsWithState test: user 1 closes a
+      // session in-batch (45-min gap), user 2's lone session must be
+      // flushed by a TIMER once the watermark crosses its gap deadline
+      val rows = Seq(
+        (1L, "2024-01-01 00:00:00"), (1L, "2024-01-01 00:10:00"),
+        (1L, "2024-01-01 00:55:00"),
+        (2L, "2024-01-01 00:05:00"))
+        .map { case (u, ts) => (u, Timestamp.valueOf(ts)) }
+      val mem = MemoryStream[(Long, Timestamp)]
+      mem.addData(rows: _*)
+      val events = mem.toDF().toDF("user_id", "ts")
+        .withWatermark("ts", "10 minutes")
+      val q = StateV2.sessionizeTimers(events, gapSeconds = 1800)
+        .writeStream.format("memory").queryName("twstimer_test")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val early = spark.table("twstimer_test").as[StateV2.SessionRow].collect()
+        assert(early.map(o => (o.user_id, o.session_seq, o.n_events)).toSet ==
+          Set((1L, 1L, 2L), (2L, 1L, 1L)),
+          s"in-batch close + timer flush expected, got ${early.toSeq}")
+        // a LATER event for user 1 extends session 2, then far-future
+        // events advance the watermark past every deadline → timer flush
+        mem.addData((1L, Timestamp.valueOf("2024-01-01 01:05:00")))
+        q.processAllAvailable()
+        mem.addData((9L, Timestamp.valueOf("2024-01-01 06:00:00")))
+        q.processAllAvailable()
+        mem.addData((9L, Timestamp.valueOf("2024-01-01 12:00:00")))
+        q.processAllAvailable()
+        val out = spark.table("twstimer_test").as[StateV2.SessionRow].collect()
+          .map(o => (o.user_id, o.session_seq, o.n_events,
+            o.start_epoch, o.end_epoch)).toSet
+        // user 1 session 2: 00:55 extended by 01:05 (10-min gap) — the
+        // superseded 00:55+gap timer must NOT have flushed it early
+        assert(out.contains((1L, 2L, 2L, 1704070500L, 1704071100L)),
+          s"extended session wrong: $out")
+        assert(out.exists(r => r._1 == 2L && r._3 == 1L))
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("transformWithState user profile converges to the batch twin across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
