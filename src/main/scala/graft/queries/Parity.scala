@@ -1585,6 +1585,42 @@ object Parity {
         col("price"), col("is_current"))
   }
 
+  /** J10 — CDC apply with sequence ordering: fold an out-of-order change
+    * log (key, monotone sequence, op ∈ {U upsert, D delete}, value) into
+    * a base table, latest-per-key wins — the Debezium/CDC-consumer merge
+    * the plain SCD paths don't cover, since they assume a pre-deduped
+    * batch. Log: orders as balance events on customers (P-status =
+    * delete); base: customers outside the %3 stripe, so the log also
+    * INSERTS keys the base never had.
+    *
+    * Scale shape: latest-per-key is a rank-1 window that Spark 4 plans
+    * with WindowGroupLimit (map-side per-key top-1 BEFORE the exchange,
+    * so the shuffle carries ~one row per key, not the whole log); the
+    * apply is then one full-outer hash join where the log side is
+    * already partitioned by the join key — one exchange per side total. */
+  def j10CdcApply(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = table(spark, sfDir, "customer")
+      .filter(pmod(col("c_custkey"), lit(3)) =!= 0)
+      .select(col("c_custkey"), col("c_acctbal"))
+    val log = table(spark, sfDir, "orders").select(
+      col("o_custkey").as("key"), col("o_orderkey").as("seq"),
+      when(col("o_orderstatus") === "P", "D").otherwise("U").as("op"),
+      col("o_totalprice").as("v"))
+    val latest = log
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("key").orderBy(col("seq").desc)))
+      .filter(col("rn") === 1).drop("rn")
+    base.join(latest, col("c_custkey") === col("key"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(coalesce(col("c_custkey"), col("key")).as("c_custkey"),
+        when(col("key").isNull, col("c_acctbal")).otherwise(col("v"))
+          .as("balance"),
+        when(col("key").isNull, "kept")
+          .when(col("c_custkey").isNull, "inserted")
+          .otherwise("updated").as("change"))
+  }
+
   // --------------------------------------------------------------- SCD3
   /** SCD3 — current/previous limited history (`scd.py:114-143`). */
   def scd3Merge(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1722,6 +1758,7 @@ object Parity {
     "scd6_two_batch" -> scd6TwoBatch _,
     "scd4_two_batch" -> scd4TwoBatch _,
     "j9_pit_join" -> j9PitJoin _,
+    "j10_cdc_apply" -> j10CdcApply _,
     "scd3_merge" -> scd3Merge _,
     "c_change_feed" -> cChangeFeed _,
     "json_extract" -> jsonExtract _)
@@ -2441,6 +2478,22 @@ object Parity {
          FROM f JOIN dim d ON f.f_key = d.o_orderkey
            AND d.effective_from <= f.pit_date
            AND (d.effective_to IS NULL OR f.pit_date < d.effective_to)""",
+    "j10_cdc_apply" ->
+      """WITH base AS (SELECT c_custkey, c_acctbal FROM customer
+             WHERE c_custkey % 3 <> 0),
+           log AS (SELECT o_custkey AS key, o_orderkey AS seq,
+             CASE WHEN o_orderstatus = 'P' THEN 'D' ELSE 'U' END AS op,
+             o_totalprice AS v FROM orders),
+           latest AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER
+             (PARTITION BY key ORDER BY seq DESC) AS rn FROM log)
+             WHERE rn = 1)
+         SELECT COALESCE(b.c_custkey, l.key) AS c_custkey,
+           CASE WHEN l.key IS NULL THEN b.c_acctbal ELSE l.v END AS balance,
+           CASE WHEN l.key IS NULL THEN 'kept'
+                WHEN b.c_custkey IS NULL THEN 'inserted'
+                ELSE 'updated' END AS change
+         FROM base b FULL OUTER JOIN latest l ON b.c_custkey = l.key
+         WHERE l.op IS NULL OR l.op <> 'D'""",
     "scd4_two_batch" ->
       """WITH b1 AS (
            SELECT o_orderkey, o_orderstatus,

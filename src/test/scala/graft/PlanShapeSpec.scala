@@ -250,6 +250,22 @@ class PlanShapeSpec extends SparkSpec {
       Set((1L, 10L, 100.0), (1L, 20L, 101.0), (2L, 15L, 200.0)))
   }
 
+  test("interval sweeps and session features run on a single exchange") {
+    // the scale claim these operators make: every window pass and the
+    // downstream aggregations share ONE hash exchange on the key — a
+    // second exchange here is a plan regression, not a tuning matter
+    for (name <- Seq("x_interval_union", "x_session_features")) {
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      val exchanges = plan.split('\n').count(_.contains("Exchange"))
+      assert(exchanges == 1, s"$name plans $exchanges exchanges:\n$plan")
+    }
+    // x_concurrency unions two scans before its single sweep exchange
+    val plan = SparkEntry.queries("x_concurrency")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.split('\n').count(_.contains("Exchange")) == 1, plan)
+  }
+
   test("partition-pruned read scans only the selected partition") {
     val dir = Parity.tmp("planshape-part", sf)
     Parity.table(spark, sf, "orders")

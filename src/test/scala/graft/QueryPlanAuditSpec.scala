@@ -33,7 +33,8 @@ class QueryPlanAuditSpec extends SparkSpec {
     "x_lm_score",       // bigrams × broadcast vocabulary-size singleton (smoothing V)
     "x_bm25",           // term hits × broadcast corpus-stats singleton (N, avgdl)
     "x_target_encode",  // category sums × broadcast global-prior singleton
-    "x_eq_depth_hist"   // rows × broadcast quartile-cutpoints singleton
+    "x_eq_depth_hist",  // rows × broadcast quartile-cutpoints singleton
+    "x_growth_accounting" // churn weeks × broadcast max-week horizon singleton
   )
 
   test("no query plans an unintended cartesian or nested-loop join") {
