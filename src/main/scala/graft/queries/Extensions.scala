@@ -1517,18 +1517,18 @@ object Extensions {
     val member = d.join(clusters, Seq("doc_id"), "left")
       .select(col("doc_id"), col("lang"), col("n_chars"),
         coalesce(col("label"), col("doc_id")).as("cluster"))
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("cluster")
-      .orderBy(col("n_chars").desc, col("doc_id"))
-    val rep = member.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("cluster"), col("doc_id").as("rep_id"),
-        col("n_chars").as("rep_n_chars"))
+    // representative = longest member, doc_id-ascending tiebreak — as a
+    // struct-min INSIDE the rollup aggregate (negated length inverts the
+    // ordering), not a rank-1 window + join-back: one exchange on
+    // cluster instead of window-sort + aggregate + join over the same key
     member.groupBy("cluster")
       .agg(count(lit(1)).as("n_members"),
         min(col("doc_id")).as("canonical_id"),
-        countDistinct(col("lang")).as("n_langs"))
-      .join(rep, Seq("cluster"))
+        countDistinct(col("lang")).as("n_langs"),
+        min(struct((-col("n_chars")).as("nn"), col("doc_id").as("d"))).as("m"))
+      .select(col("cluster"), col("n_members"), col("canonical_id"),
+        col("n_langs"), col("m.d").as("rep_id"),
+        (-col("m.nn")).as("rep_n_chars"))
   }
 
   /** Distribution drift between two event batches (chi-square form): the
