@@ -851,6 +851,32 @@ final class TableCatalog(val root: String) extends Serializable {
     joined.select(explode(images).as("c")).select(col("c.row.*"), col("c._change_type"))
   }
 
+  /** Per-column PROFILE drift between two retained versions — the
+    * statistical complement of [[changes]]: row-level CDF answers "which
+    * rows moved", this answers "did the table's SHAPE move" (row count,
+    * null rate, cardinality, numeric range per column) — the
+    * version-over-version audit a data-quality monitor alerts on before
+    * a drifted batch poisons downstream training.
+    *
+    * Full-outer on column name, so schema evolution surfaces as one-
+    * sided rows instead of being silently dropped. Cost: one single-pass
+    * profile per version ([[graft.ops.Quality.profile]] — every min/max/
+    * null aggregate rides one scan, distincts one tall shuffle), joined
+    * on a #columns-sized frame. */
+  def profileDrift(spark: SparkSession, name: String,
+      vFrom: String, vTo: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    def p(v: String, tag: String) =
+      graft.ops.Quality.profile(readVersion(spark, name, v))
+        .select(col("column"),
+          col("n_rows").as(s"rows_$tag"),
+          col("n_nulls").as(s"nulls_$tag"),
+          col("n_distinct").as(s"distinct_$tag"),
+          col("min_num").as(s"min_num_$tag"),
+          col("max_num").as(s"max_num_$tag"))
+    p(vFrom, "from").join(p(vTo, "to"), Seq("column"), "full_outer")
+  }
+
   /** Collect per-file min/max statistics for `statsCols` over the CURRENT
     * version and persist them as a `_stats` parquet sidecar inside the
     * version directory — the data-skipping manifest Delta keeps in its

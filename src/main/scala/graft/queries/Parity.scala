@@ -1668,6 +1668,16 @@ object Parity {
   private val cdfCatalogs =
     new java.util.concurrent.ConcurrentHashMap[String, graft.core.TableCatalog]()
 
+  /** Per-column profile drift across the same two customer versions the
+    * change feed diffs ([[graft.core.TableCatalog.profileDrift]]): CDF
+    * answers which rows moved; this audits whether the table's SHAPE
+    * moved (rows, nulls, cardinality, numeric range per column). */
+  def cVersionDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    cChangeFeed(spark, sfDir) // ensure the two-version fixture is built
+    cdfCatalogs.get(sfDir)
+      .profileDrift(spark, "tmp.cdc.customer", "v000001", "v000002")
+  }
+
   // ------------------------------------------------------ JSON functions
   /** JSON extraction + exact grouped sums over the events stream table. */
   def jsonExtract(spark: SparkSession, sfDir: String): DataFrame =
@@ -1761,6 +1771,7 @@ object Parity {
     "j10_cdc_apply" -> j10CdcApply _,
     "scd3_merge" -> scd3Merge _,
     "c_change_feed" -> cChangeFeed _,
+    "c_version_drift" -> cVersionDrift _,
     "json_extract" -> jsonExtract _)
 
   // ----------------------------------------------------------- oracle SQL
@@ -2564,6 +2575,43 @@ object Parity {
          SELECT k2, s2, n2, 'update_postimage' FROM diff
          WHERE k1 IS NOT NULL AND k2 IS NOT NULL
            AND (s1 IS DISTINCT FROM s2 OR n1 IS DISTINCT FROM n2)""",
+    "c_version_drift" ->
+      """WITH v1 AS (SELECT c_custkey, c_mktsegment, c_name FROM customer),
+         v2 AS (
+           SELECT c_custkey,
+             CASE WHEN c_custkey % 3 = 0 THEN 'MOVED' ELSE c_mktsegment END AS c_mktsegment,
+             c_name
+           FROM customer WHERE c_custkey % 11 <> 0
+           UNION ALL
+           SELECT c_custkey + 1000000, 'NEW', c_name FROM customer WHERE c_custkey % 13 = 0),
+         p1 AS (
+           SELECT 'c_custkey' AS column, count(*) AS rows_from,
+             count(*) - count(c_custkey) AS nulls_from,
+             count(DISTINCT c_custkey) AS distinct_from,
+             CAST(MIN(c_custkey) AS DOUBLE) AS min_num_from,
+             CAST(MAX(c_custkey) AS DOUBLE) AS max_num_from FROM v1
+           UNION ALL
+           SELECT 'c_mktsegment', count(*), count(*) - count(c_mktsegment),
+             count(DISTINCT c_mktsegment), NULL, NULL FROM v1
+           UNION ALL
+           SELECT 'c_name', count(*), count(*) - count(c_name),
+             count(DISTINCT c_name), NULL, NULL FROM v1),
+         p2 AS (
+           SELECT 'c_custkey' AS column, count(*) AS rows_to,
+             count(*) - count(c_custkey) AS nulls_to,
+             count(DISTINCT c_custkey) AS distinct_to,
+             CAST(MIN(c_custkey) AS DOUBLE) AS min_num_to,
+             CAST(MAX(c_custkey) AS DOUBLE) AS max_num_to FROM v2
+           UNION ALL
+           SELECT 'c_mktsegment', count(*), count(*) - count(c_mktsegment),
+             count(DISTINCT c_mktsegment), NULL, NULL FROM v2
+           UNION ALL
+           SELECT 'c_name', count(*), count(*) - count(c_name),
+             count(DISTINCT c_name), NULL, NULL FROM v2)
+         SELECT p1.column, rows_from, nulls_from, distinct_from,
+           min_num_from, max_num_from,
+           rows_to, nulls_to, distinct_to, min_num_to, max_num_to
+         FROM p1 JOIN p2 ON p1.column = p2.column""",
     "json_extract" ->
       // CAST around SUM: DuckDB's SUM(BIGINT) yields HUGEINT, which the
       // driver's pandas bridge renders as float ("3.0" vs Spark's "3").
