@@ -583,6 +583,68 @@ object Extensions {
     * the base rollup carries a distinct-agg) joined on the small
     * source dimension — at 100 TB the text-distinct becomes a
     * sha256-distinct but the shape is unchanged. */
+  /** Deterministic per-group "reservoir" sample — k docs per source for
+    * human inspection, reproducible across runs and engines: rank by the
+    * md5 of the doc id (a uniform-but-deterministic stand-in for a
+    * random draw) and keep the k smallest. Plans as WindowGroupLimit:
+    * each task keeps a k-heap per group BEFORE the exchange, so the
+    * shuffle carries O(k × groups) rows — the only sane way to sample a
+    * 100 TB corpus for eyeballs. */
+  def reservoirSample(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source")
+      .orderBy(col("draw"), col("doc_id"))
+    docs(spark, sfDir)
+      .select(col("source"), col("doc_id"),
+        md5(col("doc_id").cast(StringType)).as("draw"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("source"), col("doc_id"), col("rn").cast(LongType).as("rn"))
+  }
+
+  /** Per-group quantile normalization — the rank-based feature scaling
+    * (percent_rank + cume_dist of doc length within its language) that
+    * maps any distribution onto [0,1] without parametric assumptions.
+    * Both statistics are exact rationals of rank/count divided ONCE in
+    * IEEE double, and ties share a rank, so doc-level output is
+    * deterministic under any partitioning. One exchange; both window
+    * functions share it. */
+  def quantileNorm(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang").orderBy("n_chars")
+    docs(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+  }
+
+  /** Event-type co-occurrence lift — association mining's support/lift
+    * over "which event types does the same user trigger": distinct
+    * (user, type) pairs self-joined on user (ordered, so each pair
+    * counts once), with lift = P(a,b) / (P(a)·P(b)) from exact integer
+    * counts in one fixed double expression. The pair space is
+    * O(types²) — tiny next to the event log — and the self-join is an
+    * equi-join on user, never a cross. */
+  def coOccurrenceLift(spark: SparkSession, sfDir: String): DataFrame = {
+    val ut = Parity.events(spark, sfDir)
+      .select(col("user_id"), col("event_type")).distinct()
+    val pairs = ut.toDF("user_id", "ta")
+      .join(ut.toDF("user_id", "tb"), Seq("user_id"))
+      .filter(col("ta") < col("tb"))
+      .groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("n_ab"))
+    val singles = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val nUsers = ut.select(col("user_id")).distinct()
+      .agg(count(lit(1)).as("n_users"))
+    pairs
+      .join(broadcast(singles.select(col("event_type").as("ta"), col("n").as("n_a"))), Seq("ta"))
+      .join(broadcast(singles.select(col("event_type").as("tb"), col("n").as("n_b"))), Seq("tb"))
+      .crossJoin(broadcast(nUsers))
+      .select(col("ta"), col("tb"), col("n_ab"), col("n_a"), col("n_b"),
+        (col("n_ab").cast(DoubleType) * col("n_users").cast(DoubleType) /
+          (col("n_a").cast(DoubleType) * col("n_b").cast(DoubleType)))
+          .as("lift"))
+  }
+
   /** Deterministic per-group mode (most frequent source per language) —
     * the exact MODE() aggregate, distributed WITHOUT a sort: count per
     * (group, value), then one struct-min per group picks (max count,
@@ -2181,6 +2243,9 @@ object Extensions {
     "x_session_features" -> sessionFeatures _,
     "x_mode" -> modePerGroup _,
     "x_growth_accounting" -> growthAccounting _,
+    "x_reservoir" -> (reservoirSample(_, _)),
+    "x_quantile_norm" -> quantileNorm _,
+    "x_lift" -> coOccurrenceLift _,
     "d_edit_distance" -> editDistance _,
     "x_profile" -> profileOrders _,
     "x_outliers" -> lengthOutliers _,
@@ -3396,6 +3461,29 @@ object Extensions {
            CAST(date_diff('day', cohort_week, week) // 7 AS BIGINT) AS week_offset,
            count(*) AS n_users
          FROM w JOIN f USING (user_id) GROUP BY 1, 2""",
+    "x_reservoir" ->
+      """WITH d AS (SELECT source, doc_id,
+             md5(CAST(doc_id AS VARCHAR)) AS draw FROM documents),
+           r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+             ORDER BY draw, doc_id) AS rn FROM d)
+         SELECT source, doc_id, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 3""",
+    "x_quantile_norm" ->
+      """SELECT doc_id, lang, n_chars,
+           percent_rank() OVER w AS pr, cume_dist() OVER w AS cd
+         FROM documents WINDOW w AS (PARTITION BY lang ORDER BY n_chars)""",
+    "x_lift" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+           p AS (SELECT a.event_type AS ta, b.event_type AS tb,
+             count(*) AS n_ab
+             FROM ut a JOIN ut b ON a.user_id = b.user_id
+               AND a.event_type < b.event_type GROUP BY 1, 2),
+           s AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1),
+           u AS (SELECT count(DISTINCT user_id) AS n_users FROM ut)
+         SELECT ta, tb, n_ab, sa.n AS n_a, sb.n AS n_b,
+           CAST(n_ab AS DOUBLE) * CAST(n_users AS DOUBLE) /
+             (CAST(sa.n AS DOUBLE) * CAST(sb.n AS DOUBLE)) AS lift
+         FROM p JOIN s sa ON p.ta = sa.event_type
+           JOIN s sb ON p.tb = sb.event_type CROSS JOIN u""",
     "x_mode" ->
       """WITH c AS (SELECT lang, source, count(*) AS n
              FROM documents GROUP BY 1, 2),

@@ -34,7 +34,8 @@ class QueryPlanAuditSpec extends SparkSpec {
     "x_bm25",           // term hits × broadcast corpus-stats singleton (N, avgdl)
     "x_target_encode",  // category sums × broadcast global-prior singleton
     "x_eq_depth_hist",  // rows × broadcast quartile-cutpoints singleton
-    "x_growth_accounting" // churn weeks × broadcast max-week horizon singleton
+    "x_growth_accounting", // churn weeks × broadcast max-week horizon singleton
+    "x_lift"            // type pairs × broadcast distinct-user-count singleton
   )
 
   test("no query plans an unintended cartesian or nested-loop join") {
