@@ -519,6 +519,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming appendSink keeps a curve-laid-out table clustered batch over batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val cat = new graft.core.TableCatalog(
+      java.nio.file.Files.createTempDirectory("graft_stream_ow").toString)
+    val t = "main.silver.stream_ow"
+    val grid = spark.range(0, 1 << 13).select(
+      (col("id") % 128).as("x"), (col("id") / 128).as("y"))
+    cat.overwrite(grid, t)
+    cat.optimize(spark, t, Seq("x", "y"), curve = "hilbert", bits = 7,
+      partitions = Some(4))
+    cat.analyze(spark, t, Seq("x", "y"))
+    cat.setProperty(t, "optimize.write", "true")
+    val mem = MemoryStream[(Long, Long)]
+    val q = EventStreams.appendSink(mem.toDF().toDF("x", "y"), cat, t)
+    try {
+      mem.addData((1L, 999L), (2L, 998L))
+      q.processAllAvailable()
+      mem.addData((3L, 997L))
+      q.processAllAvailable()
+    } finally q.stop()
+    // both micro-batches entered the layout at write time: nothing left
+    // for maintenance, and the row set is complete
+    assert(cat.optimizeIncremental(spark, t) == 0,
+      "streamed batches should be clustered at write time")
+    assert(cat.read(spark, t).count() == (1L << 13) + 3L)
+    assert(cat.read(spark, t).filter(col("y") >= 997L).count() == 3L)
+  }
+
   test("state-v2 timer sessionization matches the GroupState form exactly") {
     import spark.implicits._
     implicit val s = spark
