@@ -566,9 +566,58 @@ final class TableCatalog(val root: String) extends Serializable {
     * directory unreadable as one consistent Parquet table. Versioning and
     * rollback semantics are unchanged: pruning old versions only unlinks,
     * so carried files survive through the newer version's links. */
+  // ------------------------------------------------- idempotent appends
+
+  /** Stream-transaction ledger of a version: appId → highest applied
+    * transaction version (Delta's txnAppId/txnVersion). Lives as a
+    * `_txn` sidecar INSIDE the version dir, so the ledger update and the
+    * data it describes publish in the SAME atomic pointer swap — the
+    * property that makes [[appendTxn]] exactly-once under replay. */
+  private def readTxns(vDir: Path): Map[String, Long] = {
+    val p = vDir.resolve("_txn")
+    if (!Files.isRegularFile(p)) Map.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      Files.readAllLines(p).asScala.filter(_.contains('\t')).map { l =>
+        val a = l.split("\t", 2); (a(0), a(1).toLong)
+      }.toMap
+    }
+  }
+
+  private def writeTxns(vDir: Path, txns: Map[String, Long]): Unit =
+    Files.writeString(vDir.resolve("_txn"),
+      txns.toSeq.sortBy(_._1).map { case (a, v) => s"$a\t$v" }
+        .mkString("", "\n", "\n"))
+
+  /** Idempotent append: apply the batch ONLY if `txnVersion` is newer
+    * than the last committed version for `appId` — the exactly-once
+    * contract a replaying streaming sink needs (foreachBatch re-delivers
+    * a batch whose checkpoint commit raced a crash). The duplicate check
+    * runs under the SAME commit lock that publishes the data, and the
+    * ledger rides inside the version dir, so a replay can never slip
+    * between check and publish. Returns false when skipped as a
+    * duplicate. Requires a schema-stable append (the evolution fallback
+    * is a rewrite that would reset the ledger — strict mode is the
+    * right posture for transactional streams). */
+  def appendTxn(df: DataFrame, name: String, appId: String,
+      txnVersion: Long): Boolean = {
+    if (!exists(name)) {
+      // first batch bootstraps the table — and its ledger
+      overwrite(df, name)
+      val cur = Paths.get(currentPath(name))
+      writeTxns(cur, Map(appId -> txnVersion))
+      true
+    } else appendInternal(df, name, Some((appId, txnVersion)))
+  }
+
   def append(df: DataFrame, name: String): Unit = {
+    appendInternal(df, name, None); ()
+  }
+
+  private def appendInternal(df: DataFrame, name: String,
+      txn: Option[(String, Long)]): Boolean = {
     val spark = df.sparkSession
-    if (!exists(name)) { overwrite(df, name); return }
+    if (!exists(name)) { overwrite(df, name); return true }
     def shape(s: org.apache.spark.sql.types.StructType) =
       s.fields.map(f => (f.name, f.dataType)).toSeq
     // Metadata sidecar dirs (_stats, _bloom) are NOT hive partitions:
@@ -582,6 +631,13 @@ final class TableCatalog(val root: String) extends Serializable {
       shape(read(spark, name).schema) == shape(df.schema) && !prevPartitioned
     }
     if (!fastPathApplicable()) {
+      if (txn.isDefined)
+        // the evolution fallback rewrites the whole table and would
+        // reset the _txn ledger — refusing loudly beats a silent
+        // duplicate window; transactional streams pair with strict mode
+        throw new IllegalStateException(
+          s"appendTxn to $name requires a schema-stable unpartitioned " +
+            "append (the evolution/partitioned fallback is a rewrite)")
       val cur = read(spark, name)
       if (shape(cur.schema) != shape(df.schema) &&
           properties(name).get("schema.mode").contains("strict"))
@@ -590,6 +646,7 @@ final class TableCatalog(val root: String) extends Serializable {
             s"schema (${df.schema.simpleString}) drifts from the table's " +
             s"(${cur.schema.simpleString})")
       overwrite(cur.unionByName(df, allowMissingColumns = true), name)
+      true
     } else {
       val dir = tableDir(name)
       val (guarded, guard) = guardConstraints(df, name)
@@ -637,12 +694,20 @@ final class TableCatalog(val root: String) extends Serializable {
       val batchNames = Option(stage.toFile.listFiles()).getOrElse(Array.empty)
         .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
         .map(_.getName).toSeq
-      val rebaseViaRewrite = withCommitLock(dir) {
+      // lock-block outcome: 0 = committed, 1 = rebase via rewrite path,
+      // 2 = skipped as a duplicate transaction
+      val outcome = withCommitLock(dir) {
         if (!fastPathApplicable()) {
           // a concurrent writer changed the table's shape under us:
           // restage through the union-rewrite path (outside the lock)
           deleteRecursively(stage)
-          true
+          1
+        } else if (txn.exists { case (app, v) =>
+            readTxns(Paths.get(currentPath(name))).get(app).exists(_ >= v) }) {
+          // replayed batch: its transaction version already committed —
+          // the exactly-once duplicate drop, decided under the lock
+          deleteRecursively(stage)
+          2
         } else {
           val prev = Paths.get(currentPath(name))
           val nextV = "v%06d".format(nextVersion(dir))
@@ -687,11 +752,16 @@ final class TableCatalog(val root: String) extends Serializable {
                 (pl.files ++ batchNames).toSeq.sorted)
             case _ => Files.copy(prevLayout, next.resolve("_layout"))
           }
+          // carry the stream-transaction ledger (merged with this
+          // commit's txn, if any) so a plain append between two
+          // transactional ones never opens a duplicate window
+          val txns = readTxns(prev) ++ txn.toMap
+          if (txns.nonEmpty) writeTxns(next, txns)
           repoint(dir, name, nextV)
-          false
+          0
         }
       }
-      if (rebaseViaRewrite) append(df, name)
+      if (outcome == 1) appendInternal(df, name, txn) else outcome == 0
     }
   }
 

@@ -370,11 +370,18 @@ object EventStreams {
     * clustered batch over batch — no separate maintenance tick between a
     * stream and good data skipping (StreamingSpec pins this). */
   def appendSink(source: DataFrame, catalog: graft.core.TableCatalog,
-                 table: String): org.apache.spark.sql.streaming.StreamingQuery =
+                 table: String, appId: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     source.writeStream
       .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        catalog.append(batch.toDF(), table)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        appId match {
+          // exactly-once: the micro-batch id is the transaction version;
+          // a batch foreachBatch re-delivers after a checkpoint-commit
+          // crash is dropped by the catalog's in-commit ledger check
+          case Some(a) => catalog.appendTxn(batch.toDF(), table, a, id); ()
+          case None    => catalog.append(batch.toDF(), table)
+        }
       }
       .start()
 }

@@ -64,6 +64,26 @@ class CatalogConcurrencySpec extends SparkSpec {
     assert(!Files.exists(lock))
   }
 
+  test("appendTxn drops replayed batches exactly-once, across plain appends") {
+    val cat = freshCatalog("txn")
+    val t = "main.silver.occ_txn"
+    assert(cat.appendTxn(Seq((1L, "b0")).toDF("id", "batch"), t, "streamA", 0L))
+    assert(cat.read(spark, t).count() == 1L)
+    // replay of batch 0 → dropped, no data change
+    assert(!cat.appendTxn(Seq((1L, "b0")).toDF("id", "batch"), t, "streamA", 0L))
+    assert(cat.read(spark, t).count() == 1L)
+    // next batch applies
+    assert(cat.appendTxn(Seq((2L, "b1")).toDF("id", "batch"), t, "streamA", 1L))
+    assert(cat.read(spark, t).count() == 2L)
+    // a PLAIN append between transactional ones must carry the ledger…
+    cat.append(Seq((3L, "manual")).toDF("id", "batch"), t)
+    // …so a late replay of batch 1 is still recognized as a duplicate
+    assert(!cat.appendTxn(Seq((2L, "b1")).toDF("id", "batch"), t, "streamA", 1L))
+    // and an independent app's versions don't collide with streamA's
+    assert(cat.appendTxn(Seq((4L, "other")).toDF("id", "batch"), t, "streamB", 0L))
+    assert(cat.read(spark, t).count() == 4L)
+  }
+
   test("concurrent overwrites each publish a complete version (last wins)") {
     val cat = freshCatalog("ow")
     val t = "main.silver.occ_ow"
