@@ -5,7 +5,8 @@ import java.util.{Map => JMap}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -26,6 +27,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * - `SupportsPushDownRequiredColumns`: the reader materializes only
   *   requested columns — column pruning reaches the source, like a
   *   columnar format's ReadSchema.
+  * - `SupportsPushDownAggregates` (COMPLETE pushdown): ungrouped
+  *   COUNT(*)/MIN(id)/MAX(id) are answered in CLOSED FORM from the
+  *   pushed [lo, hi] range — one constant row, zero rows scanned. This
+  *   is the aggregate analogue of manifest-level answers (a parquet
+  *   footer count, an index min/max): the scan operator disappears from
+  *   the work, which at 100 TB is the difference between a metadata
+  *   lookup and a full pass. Composes with filter pushdown — the range
+  *   filters narrow [lo, hi] first, then the aggregate reads off the
+  *   endpoints.
   *
   * Usage: `spark.read.format("graft.sources.SeqSource")
   *   .option("n", rows).option("slices", parts).load()`.
@@ -58,11 +68,39 @@ private[sources] class SeqTable(n: Long, slices: Int)
 
 private[sources] class SeqScanBuilder(n: Long, slices: Int)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
   private var lo = 0L
   private var hi = n - 1
   private var required: StructType = SeqSource.schema
   private var accepted: Array[Filter] = Array.empty
+  private var aggOps: Option[Seq[String]] = None
+
+  private def isId(e: org.apache.spark.sql.connector.expressions.Expression) =
+    e match {
+      case r: NamedReference => r.fieldNames.sameElements(Array("id"))
+      case _ => false
+    }
+
+  private def translate(agg: Aggregation): Option[Seq[String]] = {
+    if (agg.groupByExpressions.nonEmpty) return None
+    val ops = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some("count")
+      case m: Min if isId(m.column) => Some("min")
+      case m: Max if isId(m.column) => Some("max")
+      case _ => None
+    }
+    if (ops.forall(_.isDefined)) Some(ops.map(_.get)) else None
+  }
+
+  // COMPLETE pushdown: Spark consumes the single result row as the final
+  // answer — no partial/final aggregate pair is planned on top
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    translate(agg).isDefined
+  override def pushAggregation(agg: Aggregation): Boolean =
+    translate(agg) match {
+      case some @ Some(_) => aggOps = some; true
+      case None => false
+    }
 
   private def long(v: Any): Option[Long] = v match {
     case x: Number => Some(x.longValue())
@@ -99,7 +137,47 @@ private[sources] class SeqScanBuilder(n: Long, slices: Int)
   override def pushedFilters: Array[Filter] = accepted
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new SeqScan(lo, hi, slices, required)
+  override def build(): Scan = aggOps match {
+    case Some(ops) => new SeqAggScan(lo, hi, ops)
+    case None      => new SeqScan(lo, hi, slices, required)
+  }
+}
+
+/** Closed-form answer scan for a completely-pushed aggregate: one
+  * partition, one row — count = range length, min/max = the (possibly
+  * filter-narrowed) endpoints; empty range → count 0, null extremes
+  * (SQL's global-aggregate-over-empty semantics). */
+private[sources] class SeqAggScan(lo: Long, hi: Long, ops: Seq[String])
+    extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType(ops.zipWithIndex.map { case (op, i) =>
+      StructField(s"${op}_$i", LongType, nullable = op != "count")
+    })
+  override def toBatch: Batch = this
+  override def description: String =
+    s"graft-seq-agg[$lo..$hi] ops=[${ops.mkString(",")}]"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(SeqRange(0L, 1L))
+  override def createReaderFactory(): PartitionReaderFactory =
+    SeqAggReaderFactory(lo, hi, ops)
+}
+
+private[sources] case class SeqAggReaderFactory(lo: Long, hi: Long,
+    ops: Seq[String]) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val r = !emitted; emitted = true; r }
+      override def get(): InternalRow = {
+        val empty = hi < lo
+        new GenericInternalRow(ops.map {
+          case "count" => (if (empty) 0L else hi - lo + 1L): Any
+          case "min"   => if (empty) null else lo
+          case "max"   => if (empty) null else hi
+        }.toArray[Any])
+      }
+      override def close(): Unit = ()
+    }
 }
 
 private[sources] case class SeqRange(from: Long, until: Long) extends InputPartition

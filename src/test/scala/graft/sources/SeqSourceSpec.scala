@@ -53,4 +53,32 @@ class SeqSourceSpec extends SparkSpec {
     val residual = load(n = 100L).filter(col("doc").endsWith("-42"))
     assert(residual.collect().map(_.getLong(0)).toSeq == Seq(42L))
   }
+
+  test("ungrouped count/min/max push completely: one constant row, no scan") {
+    val q = load(n = 1000000L)
+      .agg(count(lit(1)).as("n"), min(col("id")).as("lo"), max(col("id")).as("hi"))
+    // the aggregate was answered by the source in closed form
+    assert(scanDesc(q).contains("graft-seq-agg"), scanDesc(q))
+    assert(q.collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      == Seq((1000000L, 0L, 999999L)))
+    // composes with filter pushdown: the narrowed range answers the agg
+    val f = load(n = 1000000L).filter(col("id") >= 10L && col("id") < 20L)
+      .agg(count(lit(1)), min(col("id")), max(col("id")))
+    assert(scanDesc(f).contains("graft-seq-agg[10..19]"), scanDesc(f))
+    assert(f.head() == org.apache.spark.sql.Row(10L, 10L, 19L))
+    // empty range: SQL global-agg-over-empty semantics (0, null, null)
+    val e = load(n = 100L).filter(col("id") > 1000L)
+      .agg(count(lit(1)), min(col("id")), max(col("id")))
+    val er = e.head()
+    assert(er.getLong(0) == 0L && er.isNullAt(1) && er.isNullAt(2))
+    // grouped aggregates do NOT push — the row scan still serves them
+    // (sparkPlan: the grouped query wraps in AdaptiveSparkPlan, which
+    // hides BatchScanExec from executedPlan until execution)
+    val g = load(n = 100L).groupBy((col("id") % 10).as("m")).count()
+    val gScan = g.queryExecution.sparkPlan.collect {
+      case b: BatchScanExec => b.scan.description()
+    }.mkString("; ")
+    assert(gScan.contains("graft-seq[") && !gScan.contains("graft-seq-agg"), gScan)
+    assert(g.collect().map(_.getLong(1)).forall(_ == 10L))
+  }
 }
