@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference,
 import org.apache.spark.sql.catalyst.parser.{ParameterContext, ParserInterface}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
-import org.apache.spark.sql.types.{BooleanType, LongType, StringType, StructType}
+import org.apache.spark.sql.types.{BooleanType, DoubleType, LongType, StringType, StructType}
 
 /** SQL surface for the catalog's maintenance operations — the
   * `injectParser` extension point, completing the engine's use of every
@@ -37,6 +37,7 @@ import org.apache.spark.sql.types.{BooleanType, LongType, StringType, StructType
   *   GRAFT CONSTRAINTS t                      -- list declared constraints
   *   GRAFT AUDIT t                            -- current version's dropped-row ledger
   *   GRAFT MAINTAIN t                         -- one maintenance pass: incr-OPTIMIZE + conditional compact + vacuum
+  *   GRAFT DRIFT t v000001 v000002            -- per-column profile drift between versions
   *   GRAFT ALTER TABLE t SET ('k' = 'v')      -- table property (e.g. 'schema.mode' = 'strict')
   * }}}
   *
@@ -100,6 +101,8 @@ object GraftSql {
     """(?is)\s*GRAFT\s+AUDIT\s+(\S+)\s*;?\s*""".r
   private val Maintain =
     """(?is)\s*GRAFT\s+MAINTAIN\s+(\S+)\s*;?\s*""".r
+  private val Drift =
+    """(?is)\s*GRAFT\s+DRIFT\s+(\S+)\s+(\S+)\s+(\S+)\s*;?\s*""".r
   private val Properties =
     """(?is)\s*GRAFT\s+PROPERTIES\s+(\S+)\s*;?\s*""".r
   private val SetProperty =
@@ -146,6 +149,7 @@ object GraftSql {
       case Constraints(t) => Some(GraftConstraintsCommand(t))
       case Audit(t) => Some(GraftAuditCommand(t))
       case Maintain(t) => Some(GraftMaintainCommand(t))
+      case Drift(t, v1, v2) => Some(GraftDriftCommand(t, v1, v2))
       case Export(t) => Some(GraftExportCommand(t))
       case SetProperty(t, k, v) => Some(GraftSetPropertyCommand(t, k, v))
       case Properties(t) => Some(GraftPropertiesCommand(t))
@@ -226,6 +230,22 @@ case class GraftDescribeCommand(table: String) extends LeafRunnableCommand {
     GraftSql.catalog.describe(table).map { case (v, cur, nf, b, sc) =>
       Row(v, cur, nf, b, sc.mkString(","))
     }
+}
+
+case class GraftDriftCommand(table: String, vFrom: String, vTo: String)
+    extends LeafRunnableCommand {
+  private val longs = Seq("rows_from", "nulls_from", "distinct_from",
+    "rows_to", "nulls_to", "distinct_to")
+  private val doubles = Seq("min_num_from", "max_num_from",
+    "min_num_to", "max_num_to")
+  override val output: Seq[Attribute] =
+    AttributeReference("column", StringType, nullable = false)() +:
+      (longs.map(n => AttributeReference(n, LongType, nullable = true)()) ++
+        doubles.map(n => AttributeReference(n, DoubleType, nullable = true)()))
+  override def run(spark: SparkSession): Seq[Row] =
+    GraftSql.catalog.profileDrift(spark, table, vFrom, vTo)
+      .selectExpr(("column" +: (longs ++ doubles)): _*)
+      .collect().toSeq // O(#columns) rows — driver-side by design
 }
 
 case class GraftRollbackCommand(table: String, version: String)

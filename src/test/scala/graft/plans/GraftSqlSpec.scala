@@ -283,4 +283,20 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     val e = intercept[IllegalArgumentException](sess.sql("GRAFT FROBNICATE t"))
     assert(e.getMessage.contains("Supported:"))
   }
+
+  test("GRAFT DRIFT reports per-column profile deltas between versions") {
+    val sp = sess; import sp.implicits._
+    val c = cat()
+    c.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "c.s.dr")
+    c.overwrite(Seq((1L, "a"), (2L, "b"), (9L, null: String))
+      .toDF("k", "v"), "c.s.dr")
+    val rows = sess.sql("GRAFT DRIFT c.s.dr v000001 v000002").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("k", "v"))
+    val k = rows("k")
+    assert(k.getLong(1) == 2L && k.getLong(4) == 3L) // rows_from -> rows_to
+    assert(k.getDouble(8) == 2.0 && k.getDouble(10) == 9.0) // max_num moved
+    val v = rows("v")
+    assert(v.getLong(2) == 0L && v.getLong(5) == 1L) // a null appeared
+  }
 }
