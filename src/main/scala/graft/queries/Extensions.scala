@@ -583,6 +583,30 @@ object Extensions {
     * the base rollup carries a distinct-agg) joined on the small
     * source dimension — at 100 TB the text-distinct becomes a
     * sha256-distinct but the shape is unchanged. */
+  /** First-order Markov transition matrix over event types — the path
+    * analysis behind "what do users do next" product questions and
+    * next-event baseline models: count prev→next transitions along each
+    * user's (ts, id)-ordered sequence, with the row-normalized share.
+    * One lag window on the user exchange, a (from,to) rollup whose
+    * cardinality is O(types²), and a broadcast row-total join; the
+    * share is one exact-integer IEEE division. */
+  def eventTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("tse"), col("event_id"))
+    val t = Parity.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("tse"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev").as("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = t.groupBy("from_type").agg(sum(col("n")).as("n_from"))
+    t.join(broadcast(tot), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+        (col("n").cast(DoubleType) / col("n_from").cast(DoubleType))
+          .as("share"))
+  }
+
   /** Deterministic per-group "reservoir" sample — k docs per source for
     * human inspection, reproducible across runs and engines: rank by the
     * md5 of the doc id (a uniform-but-deterministic stand-in for a
@@ -2243,6 +2267,7 @@ object Extensions {
     "x_session_features" -> sessionFeatures _,
     "x_mode" -> modePerGroup _,
     "x_growth_accounting" -> growthAccounting _,
+    "x_transitions" -> eventTransitions _,
     "x_reservoir" -> (reservoirSample(_, _)),
     "x_quantile_norm" -> quantileNorm _,
     "x_lift" -> coOccurrenceLift _,
@@ -3461,6 +3486,18 @@ object Extensions {
            CAST(date_diff('day', cohort_week, week) // 7 AS BIGINT) AS week_offset,
            count(*) AS n_users
          FROM w JOIN f USING (user_id) GROUP BY 1, 2""",
+    "x_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS tse FROM events),
+           s AS (SELECT event_type, LAG(event_type) OVER
+             (PARTITION BY user_id ORDER BY tse, event_id) AS prev FROM e),
+           t AS (SELECT prev AS from_type, event_type AS to_type,
+             count(*) AS n FROM s WHERE prev IS NOT NULL GROUP BY 1, 2),
+           f AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from
+             FROM t GROUP BY 1)
+         SELECT t.from_type, to_type, n, n_from,
+           CAST(n AS DOUBLE) / CAST(n_from AS DOUBLE) AS share
+         FROM t JOIN f USING (from_type)""",
     "x_reservoir" ->
       """WITH d AS (SELECT source, doc_id,
              md5(CAST(doc_id AS VARCHAR)) AS draw FROM documents),
