@@ -583,6 +583,47 @@ object Extensions {
     * the base rollup carries a distinct-agg) joined on the small
     * source dimension — at 100 TB the text-distinct becomes a
     * sha256-distinct but the shape is unchanged. */
+  /** Rolling 7-day distinct active users per day — the "rolling MAU/WAU"
+    * metric, computed the only way that scales: sliding-window DISTINCT
+    * doesn't decompose (window functions can't dedupe), so each (user,
+    * active day) CONTRIBUTES itself to the 7 window-end days it counts
+    * toward — one bounded explode (×7), one distinct, one count. The
+    * horizon cutoff broadcasts a single max-day row. At 100 TB this is
+    * |distinct user-days| × 7 shuffle rows, versus the unbounded state
+    * of a naive 7-day self-join. */
+  def rollingActives(spark: SparkSession, sfDir: String): DataFrame = {
+    val ud = Parity.events(spark, sfDir)
+      .select(col("user_id"),
+        date_trunc("day", col("ts")).cast(DateType).as("day"))
+      .distinct()
+    val contrib = ud
+      .select(col("user_id"),
+        explode(sequence(lit(0), lit(6))).as("off"), col("day"))
+      .select(col("user_id"), date_add(col("day"), col("off")).as("wday"))
+      .distinct()
+    val horizon = ud.agg(max(col("day")).as("max_day"))
+    contrib.crossJoin(broadcast(horizon))
+      .filter(col("wday") <= col("max_day"))
+      .groupBy(col("wday")).agg(count(lit(1)).as("mau7"))
+  }
+
+  /** Benford first-digit audit of order totals — the forensic
+    * data-quality screen for fabricated or truncated numeric feeds:
+    * exact counts per leading digit plus the observed share (one IEEE
+    * division of exact integers). A single scan + 9-row rollup. */
+  def benfordDigits(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Parity.table(spark, sfDir, "orders")
+      .filter(col("o_totalprice") > 0)
+      .select(substring(col("o_totalprice").cast("decimal(18,2)")
+        .cast(StringType), 1, 1).as("digit"))
+    val counts = t.groupBy("digit").agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("n_total"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        (col("n").cast(DoubleType) / col("n_total").cast(DoubleType))
+          .as("share"))
+  }
+
   /** First-order Markov transition matrix over event types — the path
     * analysis behind "what do users do next" product questions and
     * next-event baseline models: count prev→next transitions along each
@@ -2268,6 +2309,8 @@ object Extensions {
     "x_mode" -> modePerGroup _,
     "x_growth_accounting" -> growthAccounting _,
     "x_transitions" -> eventTransitions _,
+    "x_rolling_actives" -> rollingActives _,
+    "x_benford" -> benfordDigits _,
     "x_reservoir" -> (reservoirSample(_, _)),
     "x_quantile_norm" -> quantileNorm _,
     "x_lift" -> coOccurrenceLift _,
@@ -3486,6 +3529,22 @@ object Extensions {
            CAST(date_diff('day', cohort_week, week) // 7 AS BIGINT) AS week_offset,
            count(*) AS n_users
          FROM w JOIN f USING (user_id) GROUP BY 1, 2""",
+    "x_rolling_actives" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+             CAST(date_trunc('day', ts) AS DATE) AS day FROM events),
+           c AS (SELECT DISTINCT user_id, day + CAST(off AS INTEGER) AS wday
+             FROM ud, UNNEST(generate_series(0, 6)) AS t(off)),
+           h AS (SELECT MAX(day) AS max_day FROM ud)
+         SELECT wday, count(*) AS mau7 FROM c, h
+         WHERE wday <= max_day GROUP BY 1""",
+    "x_benford" ->
+      """WITH d AS (SELECT substr(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+             AS VARCHAR), 1, 1) AS digit
+           FROM orders WHERE o_totalprice > 0),
+           c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+           t AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM c)
+         SELECT digit, n, CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE) AS share
+         FROM c, t""",
     "x_transitions" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
              CAST(FLOOR(epoch(ts)) AS BIGINT) AS tse FROM events),

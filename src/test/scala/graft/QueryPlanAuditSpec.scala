@@ -35,7 +35,9 @@ class QueryPlanAuditSpec extends SparkSpec {
     "x_target_encode",  // category sums × broadcast global-prior singleton
     "x_eq_depth_hist",  // rows × broadcast quartile-cutpoints singleton
     "x_growth_accounting", // churn weeks × broadcast max-week horizon singleton
-    "x_lift"            // type pairs × broadcast distinct-user-count singleton
+    "x_lift",           // type pairs × broadcast distinct-user-count singleton
+    "x_rolling_actives", // window-day rows × broadcast max-day horizon singleton
+    "x_benford"         // digit counts × broadcast total-count singleton
   )
 
   test("no query plans an unintended cartesian or nested-loop join") {
