@@ -583,6 +583,40 @@ object Extensions {
     * the base rollup carries a distinct-agg) joined on the small
     * source dimension — at 100 TB the text-distinct becomes a
     * sha256-distinct but the shape is unchanged. */
+  /** Revenue concentration (Gini coefficient + top-decile share) over
+    * per-customer order totals — the inequality audit behind "how
+    * concentrated is our revenue / corpus" questions. Every moment is an
+    * EXACT decimal sum (per-customer totals, grand total, rank-weighted
+    * total via one ascending-rank window), cast to double once, and the
+    * Gini/Pareto ratios are then a fixed IEEE expression — the same
+    * exactness discipline as the OLS/z-score aggregates, so the oracle
+    * hashes bit-identically. Two exchanges: one customer rollup, one
+    * global rank window (ties broken by key), then a one-row reduce. */
+  def revenueConcentration(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = Parity.table(spark, sfDir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+    val w = Window.orderBy(col("rev").asc, col("o_custkey").asc)
+    val ranked = per
+      .withColumn("r", row_number().over(w).cast(LongType))
+      .withColumn("rw", col("rev") * col("r"))
+    val cnt = per.agg(count(lit(1)).as("n_cust"))
+    val m = ranked.crossJoin(broadcast(cnt))
+      .groupBy(col("n_cust"))
+      .agg(
+        sum(col("rev")).cast(DoubleType).as("total"),
+        sum(col("rw")).cast(DoubleType).as("rank_weighted"),
+        sum(when(col("r") > (col("n_cust") * 9) / 10, col("rev")))
+          .cast(DoubleType).as("top_decile_rev"))
+    m.select(col("n_cust"), col("total"),
+      ((lit(2.0) * col("rank_weighted")) /
+        (col("n_cust").cast(DoubleType) * col("total")) -
+        (col("n_cust").cast(DoubleType) + 1.0) /
+          col("n_cust").cast(DoubleType)).as("gini"),
+      (col("top_decile_rev") / col("total")).as("top_decile_share"))
+  }
+
   /** Rolling 7-day distinct active users per day — the "rolling MAU/WAU"
     * metric, computed the only way that scales: sliding-window DISTINCT
     * doesn't decompose (window functions can't dedupe), so each (user,
@@ -2311,6 +2345,7 @@ object Extensions {
     "x_transitions" -> eventTransitions _,
     "x_rolling_actives" -> rollingActives _,
     "x_benford" -> benfordDigits _,
+    "x_concentration" -> revenueConcentration _,
     "x_reservoir" -> (reservoirSample(_, _)),
     "x_quantile_norm" -> quantileNorm _,
     "x_lift" -> coOccurrenceLift _,
@@ -3529,6 +3564,21 @@ object Extensions {
            CAST(date_diff('day', cohort_week, week) // 7 AS BIGINT) AS week_offset,
            count(*) AS n_users
          FROM w JOIN f USING (user_id) GROUP BY 1, 2""",
+    "x_concentration" ->
+      """WITH per AS (SELECT o_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+           FROM orders GROUP BY 1),
+           r AS (SELECT *, CAST(ROW_NUMBER() OVER
+             (ORDER BY rev ASC, o_custkey ASC) AS BIGINT) AS rk FROM per),
+           c AS (SELECT count(*) AS n_cust FROM per)
+         SELECT n_cust,
+           CAST(SUM(rev) AS DOUBLE) AS total,
+           (2.0 * CAST(SUM(rev * rk) AS DOUBLE)) /
+             (CAST(n_cust AS DOUBLE) * CAST(SUM(rev) AS DOUBLE)) -
+             (CAST(n_cust AS DOUBLE) + 1.0) / CAST(n_cust AS DOUBLE) AS gini,
+           CAST(SUM(CASE WHEN rk > (n_cust * 9) // 10 THEN rev END) AS DOUBLE)
+             / CAST(SUM(rev) AS DOUBLE) AS top_decile_share
+         FROM r, c GROUP BY n_cust""",
     "x_rolling_actives" ->
       """WITH ud AS (SELECT DISTINCT user_id,
              CAST(date_trunc('day', ts) AS DATE) AS day FROM events),

@@ -37,7 +37,8 @@ class QueryPlanAuditSpec extends SparkSpec {
     "x_growth_accounting", // churn weeks × broadcast max-week horizon singleton
     "x_lift",           // type pairs × broadcast distinct-user-count singleton
     "x_rolling_actives", // window-day rows × broadcast max-day horizon singleton
-    "x_benford"         // digit counts × broadcast total-count singleton
+    "x_benford",        // digit counts × broadcast total-count singleton
+    "x_concentration"   // ranked revenues × broadcast customer-count singleton
   )
 
   test("no query plans an unintended cartesian or nested-loop join") {
