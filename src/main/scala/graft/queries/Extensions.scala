@@ -590,16 +590,21 @@ object Extensions {
     * total via one ascending-rank window), cast to double once, and the
     * Gini/Pareto ratios are then a fixed IEEE expression — the same
     * exactness discipline as the OLS/z-score aggregates, so the oracle
-    * hashes bit-identically. Two exchanges: one customer rollup, one
-    * global rank window (ties broken by key), then a one-row reduce. */
+    * hashes bit-identically.
+    *
+    * The global revenue rank uses [[graft.ops.GlobalOrder.rowNumbered]]
+    * (range-repartition + partition offsets), NOT an empty-PARTITION-BY
+    * window — `row_number() OVER (ORDER BY …)` plans a single-partition
+    * sort, the one shape that cannot run when the per-key rollup is
+    * itself large (ranking 10⁹ customers). Key tiebreak keeps the rank
+    * total and both engines' results identical. */
   def revenueConcentration(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val per = Parity.table(spark, sfDir, "orders")
       .groupBy(col("o_custkey"))
       .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
-    val w = Window.orderBy(col("rev").asc, col("o_custkey").asc)
-    val ranked = per
-      .withColumn("r", row_number().over(w).cast(LongType))
+    val ranked = graft.ops.GlobalOrder
+      .rowNumbered(per, "r", numPartitions = 8,
+        col("rev").asc, col("o_custkey").asc)
       .withColumn("rw", col("rev") * col("r"))
     val cnt = per.agg(count(lit(1)).as("n_cust"))
     val m = ranked.crossJoin(broadcast(cnt))
