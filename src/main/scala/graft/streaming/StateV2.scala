@@ -3,7 +3,8 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, MapState, OutputMode,
-  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+  StatefulProcessor, StatefulProcessorWithInitialState, TTLConfig, TimeMode,
+  TimerValues, ValueState}
 import org.apache.spark.sql.types.LongType
 
 /** Arbitrary stateful streaming via the Spark 4 `transformWithState` API
@@ -45,6 +46,13 @@ object StateV2 {
         Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
       typeCounts = getHandle.getMapState[String, Long]("types",
         Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    /** Load a batch-computed profile into this key's state (the
+      * initial-state bootstrap path — see [[UserStatsProcessorWithInit]]). */
+    private[streaming] def seedState(seed: UserSeed): Unit = {
+      totals.update((seed.n_events, seed.sum_cents))
+      seed.type_counts.foreach { case (t, n) => typeCounts.updateValue(t, n) }
     }
 
     override def handleInputRows(key: Long, rows: Iterator[(Long, String, Long)],
@@ -149,6 +157,63 @@ object StateV2 {
       open.clear()
       Iterator.single(SessionRow(user, st.seq, st.n, st.start, st.last))
     }
+  }
+
+  /** One user's bootstrap state: historical totals plus the per-type
+    * count breakdown (the MapState can't be rebuilt from totals alone). */
+  case class UserSeed(n_events: Long, sum_cents: Long,
+                      type_counts: Seq[(String, Long)])
+
+  /** [[UserStatsProcessor]] with batch-bootstrapped state — the
+    * backfill → stream handoff every production stateful job needs: the
+    * historical profile is computed ONCE as a batch aggregate, loaded
+    * into the state store through `handleInitialState` before the first
+    * micro-batch, and the stream continues incrementally from there —
+    * no replaying months of history through the stream path, and no
+    * torn window where the profile double- or under-counts. */
+  class UserStatsProcessorWithInit
+      extends StatefulProcessorWithInitialState[Long, (Long, String, Long),
+        UserStat, UserSeed] {
+    private val inner = new UserStatsProcessor
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      inner.setHandle(getHandle)
+      inner.init(outputMode, timeMode)
+    }
+    override def handleInitialState(key: Long, seed: UserSeed,
+        timerValues: TimerValues): Unit =
+      inner.seedState(seed)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, String, Long)],
+        timerValues: TimerValues): Iterator[UserStat] =
+      inner.handleInputRows(key, rows, timerValues)
+  }
+
+  /** [[userStatsStream]] bootstrapped from a batch-computed profile
+    * (`history`: the raw historical events frame — seeded per user with
+    * totals AND the per-type breakdown). */
+  def userStatsStreamFrom(events: DataFrame, history: DataFrame)
+                         (implicit spark: SparkSession): Dataset[UserStat] = {
+    import spark.implicits._
+    val seeds = history
+      .select(col("user_id").cast(LongType),
+        col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast(LongType).as("cents"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("c"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("n")).as("n_events"), sum(col("c")).as("sum_cents"),
+        collect_list(struct(col("event_type"), col("n"))).as("type_counts"))
+      .as[(Long, Long, Long, Seq[(String, Long)])]
+      .map { case (u, n, c, t) => (u, UserSeed(n, c, t)) }
+      .groupByKey(_._1)
+      .mapValues(_._2)
+    events
+      .select(col("user_id").cast(LongType),
+        col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast(LongType).as("cents"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new UserStatsProcessorWithInit, TimeMode.None(),
+        OutputMode.Update(), seeds)
   }
 
   /** Gap sessionization via [[SessionTimerProcessor]]. `events` must

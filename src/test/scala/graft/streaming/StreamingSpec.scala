@@ -603,6 +603,53 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("state-v2 initial state bootstraps the profile from a batch backfill") {
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val hist = Seq((1L, "click", 1.25), (1L, "view", 2.0), (2L, "click", 3.5))
+      val live = Seq((1L, "click", 0.75), (3L, "view", 9.99))
+      val mem = MemoryStream[(Long, String, Double)]
+      val q = StateV2.userStatsStreamFrom(
+          mem.toDF().toDF("user_id", "event_type", "value"),
+          hist.toDF("user_id", "event_type", "value"))
+        .writeStream.format("memory").queryName("user_state_init")
+        .outputMode("update").start()
+      try {
+        mem.addData(live: _*)
+        q.processAllAvailable()
+        val latest = spark.table("user_state_init").as[StateV2.UserStat]
+          .collect().groupBy(_.user_id).map { case (u, rows) =>
+            u -> rows.maxBy(_.n_events) }
+        // the stream only saw `live`, but profiles continue FROM the
+        // backfill: user 1 = 2 historical + 1 live event, types carried
+        assert(latest(1L) == StateV2.UserStat(1L, 3L, 400L, 2L),
+          s"got ${latest.get(1L)}")
+        // user 3 never had history — starts fresh
+        assert(latest(3L) == StateV2.UserStat(3L, 1L, 999L, 1L))
+        // user 2 had history but no live events: untouched state emits
+        // nothing in update mode — bootstrap must not fabricate output
+        assert(!latest.contains(2L))
+        // equivalence: profiles match the batch aggregate over hist+live
+        val batch = StateV2.userStatsBatch((hist ++ live)
+            .toDF("user_id", "event_type", "value"))
+          .collect().map(r => r.getLong(0) -> StateV2.UserStat(r.getLong(0),
+            r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+        assert(latest(1L) == batch(1L) && latest(3L) == batch(3L))
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("transformWithState user profile converges to the batch twin across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
