@@ -1287,6 +1287,13 @@ final class TableCatalog(val root: String) extends Serializable {
     val cur = Files.readString(currentPointer(name)).trim
     val doomed = versions(name).dropRight(keepLast).filterNot(_ == cur)
     doomed.foreach(v => deleteRecursively(dir.resolve(v)))
+    // crashed writers' staging dirs age out at write time opportunistically
+    // (newStageDir), but a table nobody writes again would keep them
+    // forever — vacuum is the terminal GC for write debris too
+    val cutoff = System.currentTimeMillis() - 3600000L
+    Option(dir.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith(".stage-") && f.lastModified < cutoff)
+      .foreach(f => scala.util.Try(deleteRecursively(f.toPath)))
     doomed
   }
 
