@@ -583,6 +583,32 @@ object Extensions {
     * the base rollup carries a distinct-agg) joined on the small
     * source dimension — at 100 TB the text-distinct becomes a
     * sha256-distinct but the shape is unchanged. */
+  /** Funnel stage latency — median and p90 seconds from signup to the
+    * first at-or-after click, by signup cohort week: the time-to-convert
+    * percentile report that turns the funnel's counts into "how long
+    * does conversion take". Same one-exchange window chain as the
+    * funnel (both stage timestamps from min-windows over user_id);
+    * exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`, the equivalence `x_percentiles` pins). */
+  def stageLatency(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id")
+    val per = Parity.events(spark, sfDir)
+      .withColumn("su",
+        min(when(col("event_type") === "signup", col("ts"))).over(byUser))
+      .withColumn("cl",
+        min(when(col("event_type") === "click" && col("ts") >= col("su"),
+          col("ts"))).over(byUser))
+      .select(col("user_id"), col("su"), col("cl")).distinct()
+      .filter(col("su").isNotNull && col("cl").isNotNull)
+      .select(date_trunc("week", col("su")).cast(DateType).as("cohort_week"),
+        (unix_timestamp(col("cl")) - unix_timestamp(col("su"))).as("delay_s"))
+    per.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("n_conv"),
+        expr("percentile(delay_s, 0.5)").as("p50_s"),
+        expr("percentile(delay_s, 0.9)").as("p90_s"))
+  }
+
   /** Revenue concentration (Gini coefficient + top-decile share) over
     * per-customer order totals — the inequality audit behind "how
     * concentrated is our revenue / corpus" questions. Every moment is an
@@ -2351,6 +2377,7 @@ object Extensions {
     "x_rolling_actives" -> rollingActives _,
     "x_benford" -> benfordDigits _,
     "x_concentration" -> revenueConcentration _,
+    "x_stage_latency" -> stageLatency _,
     "x_reservoir" -> (reservoirSample(_, _)),
     "x_quantile_norm" -> quantileNorm _,
     "x_lift" -> coOccurrenceLift _,
@@ -3569,6 +3596,20 @@ object Extensions {
            CAST(date_diff('day', cohort_week, week) // 7 AS BIGINT) AS week_offset,
            count(*) AS n_users
          FROM w JOIN f USING (user_id) GROUP BY 1, 2""",
+    "x_stage_latency" ->
+      """WITH su AS (SELECT user_id, MIN(ts) AS su FROM events
+             WHERE event_type = 'signup' GROUP BY 1),
+           cl AS (SELECT e.user_id, MIN(e.ts) AS cl
+             FROM events e JOIN su USING (user_id)
+             WHERE e.event_type = 'click' AND e.ts >= su.su GROUP BY 1),
+           d AS (SELECT CAST(date_trunc('week', su.su) AS DATE) AS cohort_week,
+             CAST(FLOOR(epoch(cl.cl)) AS BIGINT)
+               - CAST(FLOOR(epoch(su.su)) AS BIGINT) AS delay_s
+             FROM su JOIN cl USING (user_id))
+         SELECT cohort_week, count(*) AS n_conv,
+           quantile_cont(delay_s, 0.5) AS p50_s,
+           quantile_cont(delay_s, 0.9) AS p90_s
+         FROM d GROUP BY 1""",
     "x_concentration" ->
       """WITH per AS (SELECT o_custkey,
              SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
