@@ -47,7 +47,8 @@ class SeqSource extends TableProvider {
       properties: JMap[String, String]): Table =
     new SeqTable(
       Option(properties.get("n")).map(_.toLong).getOrElse(1000L),
-      Option(properties.get("slices")).map(_.toInt).getOrElse(8))
+      Option(properties.get("slices")).map(_.toInt).getOrElse(8),
+      Option(properties.get("columnar")).exists(_.toBoolean))
 }
 
 object SeqSource {
@@ -56,17 +57,18 @@ object SeqSource {
     StructField("doc", StringType, nullable = false)))
 }
 
-private[sources] class SeqTable(n: Long, slices: Int)
+private[sources] class SeqTable(n: Long, slices: Int, columnar: Boolean)
     extends Table with SupportsRead {
   override def name: String = s"graft_seq(n=$n)"
   override def schema: StructType = SeqSource.schema
   override def capabilities: java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SeqScanBuilder(n, slices)
+    new SeqScanBuilder(n, slices, columnar)
 }
 
-private[sources] class SeqScanBuilder(n: Long, slices: Int)
+private[sources] class SeqScanBuilder(n: Long, slices: Int,
+    columnar: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
   private var lo = 0L
@@ -139,7 +141,7 @@ private[sources] class SeqScanBuilder(n: Long, slices: Int)
     required = requiredSchema
   override def build(): Scan = aggOps match {
     case Some(ops) => new SeqAggScan(lo, hi, ops)
-    case None      => new SeqScan(lo, hi, slices, required)
+    case None      => new SeqScan(lo, hi, slices, required, columnar)
   }
 }
 
@@ -183,11 +185,15 @@ private[sources] case class SeqAggReaderFactory(lo: Long, hi: Long,
 private[sources] case class SeqRange(from: Long, until: Long) extends InputPartition
 
 private[sources] class SeqScan(lo: Long, hi: Long, slices: Int,
-    required: StructType) extends Scan with Batch {
+    required: StructType, columnar: Boolean = false) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description: String =
-    s"graft-seq[$lo..$hi] cols=[${required.fieldNames.mkString(",")}]"
+    s"graft-seq[$lo..$hi] cols=[${required.fieldNames.mkString(",")}]" +
+      (if (columnar) " columnar" else "")
+  override def columnarSupportMode(): Scan.ColumnarSupportMode =
+    if (columnar) Scan.ColumnarSupportMode.SUPPORTED
+    else Scan.ColumnarSupportMode.UNSUPPORTED
   override def planInputPartitions(): Array[InputPartition] = {
     if (hi < lo) return Array.empty
     val total = hi - lo + 1
@@ -201,11 +207,60 @@ private[sources] class SeqScan(lo: Long, hi: Long, slices: Int,
     }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new SeqReaderFactory(required.fieldNames)
+    new SeqReaderFactory(required.fieldNames, columnar)
 }
 
-private[sources] class SeqReaderFactory(cols: Array[String])
-    extends PartitionReaderFactory {
+/** Row- and COLUMNAR-capable reader: with `columnar=true` the source
+  * emits `ColumnarBatch`es of `OnHeapColumnVector`s (4k rows per batch,
+  * filled with one tight loop per column) and Spark plans the vectorized
+  * scan path — `ColumnarToRow` feeds whole-stage codegen exactly as the
+  * built-in parquet reader does. This is the V2 contract a columnar
+  * format implements; here the "format" is synthetic, so the spec can
+  * pin row/columnar result equality without fixture files. */
+private[sources] class SeqReaderFactory(cols: Array[String],
+    columnar: Boolean = false) extends PartitionReaderFactory {
+  override def supportColumnarReads(p: InputPartition): Boolean = columnar
+
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+    import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+    val r = p.asInstanceOf[SeqRange]
+    val schema = StructType(cols.map {
+      case "id"  => StructField("id", LongType, nullable = false)
+      case "doc" => StructField("doc", StringType, nullable = false)
+    })
+    new PartitionReader[ColumnarBatch] {
+      private val batchSize = 4096
+      private var cur = r.from
+      private var batch: ColumnarBatch = _
+      override def next(): Boolean = {
+        if (cur >= r.until) return false
+        val n = math.min(batchSize.toLong, r.until - cur).toInt
+        val vecs = OnHeapColumnVector.allocateColumns(n, schema)
+        cols.indices.foreach { ci =>
+          cols(ci) match {
+            case "id" =>
+              var i = 0
+              while (i < n) { vecs(ci).putLong(i, cur + i); i += 1 }
+            case "doc" =>
+              var i = 0
+              while (i < n) {
+                val b = s"doc-${cur + i}".getBytes("UTF-8")
+                vecs(ci).putByteArray(i, b, 0, b.length); i += 1
+              }
+          }
+        }
+        if (batch != null) batch.close()
+        batch = new ColumnarBatch(vecs.toArray[ColumnVector], n)
+        cur += n
+        true
+      }
+      override def get(): ColumnarBatch = batch
+      override def close(): Unit = if (batch != null) batch.close()
+    }
+  }
+
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val r = p.asInstanceOf[SeqRange]
     new PartitionReader[InternalRow] {
