@@ -5,8 +5,9 @@ import java.util.{Map => JMap}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -185,7 +186,14 @@ private[sources] case class SeqAggReaderFactory(lo: Long, hi: Long,
 private[sources] case class SeqRange(from: Long, until: Long) extends InputPartition
 
 private[sources] class SeqScan(lo: Long, hi: Long, slices: Int,
-    required: StructType, columnar: Boolean = false) extends Scan with Batch {
+    required: StructType, columnar: Boolean = false)
+    extends Scan with Batch with SupportsRuntimeV2Filtering {
+  // runtime-narrowed bounds: Spark calls filter() AFTER compile-time
+  // planning but BEFORE planInputPartitions() on the execution path
+  // (AQE / dynamic pruning), so a broadcast join's build-side keys can
+  // shrink the scan at run time — DPP for a V2 source.
+  private var rlo = lo
+  private var rhi = hi
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description: String =
@@ -194,13 +202,39 @@ private[sources] class SeqScan(lo: Long, hi: Long, slices: Int,
   override def columnarSupportMode(): Scan.ColumnarSupportMode =
     if (columnar) Scan.ColumnarSupportMode.SUPPORTED
     else Scan.ColumnarSupportMode.UNSUPPORTED
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("id"))
+  /** Best-effort runtime narrowing: an IN predicate over `id` clamps
+    * [lo, hi] to the value hull. Correctness never depends on this —
+    * the join above still evaluates exactly; rows outside the IN set
+    * but inside the hull just flow through — so hull-clamping (contiguous
+    * ranges are all this source can skip) is the honest reduction. */
+  override def filter(predicates: Array[Predicate]): Unit =
+    predicates.foreach { p =>
+      if (p.name() == "IN" && p.children().length > 1) {
+        val vals = p.children().toSeq.tail.flatMap {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            l.value() match {
+              case n: Number => Some(n.longValue())
+              case _ => None
+            }
+          case _ => None
+        }
+        if (vals.nonEmpty) {
+          rlo = math.max(rlo, vals.min)
+          rhi = math.min(rhi, vals.max)
+        }
+      }
+    }
+
   override def planInputPartitions(): Array[InputPartition] = {
-    if (hi < lo) return Array.empty
-    val total = hi - lo + 1
+    if (rhi < rlo) return Array.empty
+    val total = rhi - rlo + 1
     val k = math.min(math.max(1L, slices.toLong), total).toInt
     // contiguous ranges, remainder spread over the first partitions
     val base = total / k; val rem = total % k
-    var start = lo
+    var start = rlo
     (0 until k).map { i =>
       val len = base + (if (i < rem) 1 else 0)
       val p = SeqRange(start, start + len); start += len; p

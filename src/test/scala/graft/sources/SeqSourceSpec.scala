@@ -54,6 +54,36 @@ class SeqSourceSpec extends SparkSpec {
     assert(residual.collect().map(_.getLong(0)).toSeq == Seq(42L))
   }
 
+  test("runtime V2 filtering: a broadcast join's keys narrow the scan at execution") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    // dim keys: even multiples of 7 in [504, 588] — the modulo filter is
+    // "selective" (so dynamic pruning plans the runtime filter) but
+    // yields NO static range constraint on the join key, so only the
+    // runtime IN-hull clamp can narrow the fact scan
+    val dim = spark.range(72, 86).select((col("id") * 7).as("k"))
+      .filter(col("k") % 2 === 0)
+    val fact = load(n = 1000000L, slices = 8)
+    val j = fact.join(dim.hint("broadcast"), col("id") === col("k"))
+    assert(j.collect().length == 7)
+    // the planned runtime filter reached the V2 scan…
+    assert(j.queryExecution.executedPlan.toString.contains("dynamicpruning"),
+      j.queryExecution.executedPlan.toString)
+    // …and actually narrowed it: the scan emits the [504..588] hull
+    // (85 rows), not the full 1M (query stages hide the scan from
+    // collectLeaves, hence the manual recursion)
+    def scans(p: SparkPlan): Seq[BatchScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case b: BatchScanExec => Seq(b)
+      case other => other.children.flatMap(scans)
+    }
+    val scanned = scans(j.queryExecution.executedPlan)
+      .flatMap(_.metrics.get("numOutputRows").map(_.value))
+    assert(scanned.nonEmpty && scanned.min <= 85L,
+      s"scan not runtime-narrowed: emitted ${scanned.mkString(",")} rows")
+  }
+
   test("columnar read path: vectorized batches through ColumnarToRow, same results") {
     val colDf = spark.read.format("graft.sources.SeqSource")
       .option("n", "10000").option("slices", "4")
