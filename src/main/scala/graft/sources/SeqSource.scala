@@ -187,7 +187,21 @@ private[sources] case class SeqRange(from: Long, until: Long) extends InputParti
 
 private[sources] class SeqScan(lo: Long, hi: Long, slices: Int,
     required: StructType, columnar: Boolean = false)
-    extends Scan with Batch with SupportsRuntimeV2Filtering {
+    extends Scan with Batch with SupportsRuntimeV2Filtering
+    with SupportsReportStatistics {
+
+  /** Size/row estimates AFTER filter pushdown (the contract's point:
+    * estimates reflect the narrowed scan), so a filtered slice of a huge
+    * sequence still auto-broadcasts in joins — the planner-integration
+    * half of pushdown that purely row-producing sources leave on the
+    * table. ~16 bytes/row: one long + a short string. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val rows = math.max(0L, hi - lo + 1)
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(rows * 16L)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(rows)
+  }
   // runtime-narrowed bounds: Spark calls filter() AFTER compile-time
   // planning but BEFORE planInputPartitions() on the execution path
   // (AQE / dynamic pruning), so a broadcast join's build-side keys can

@@ -84,6 +84,20 @@ class SeqSourceSpec extends SparkSpec {
       s"scan not runtime-narrowed: emitted ${scanned.mkString(",")} rows")
   }
 
+  test("reported statistics reflect pushdown: a narrowed scan auto-broadcasts") {
+    // big × big would sort-merge; the filter narrows the right side to
+    // 100 rows and the REPORTED post-pushdown stats let the planner pick
+    // a broadcast join with no hint
+    val big = load(n = 1000000L)
+    val slice = load(n = 1000000L)
+      .filter(col("id") >= 10L && col("id") < 110L)
+      .select(col("id").as("k"))
+    val j = big.join(slice, col("id") === col("k"))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(j.count() == 100L)
+  }
+
   test("columnar read path: vectorized batches through ColumnarToRow, same results") {
     val colDf = spark.read.format("graft.sources.SeqSource")
       .option("n", "10000").option("slices", "4")
