@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GramHashes.registration)
     ext.injectFunction(SlidingMin.registration)
     ext.injectFunction(KmvSketch.registration)
+    ext.injectTableFunction(DateSpine.registration)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(graft.plans.MvRewriteRule)
     ext.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))
@@ -36,5 +37,8 @@ object GraftExtensions {
         KmvSketch.registration).foreach { r =>
       reg.registerFunction(r._1, r._2, r._3)
     }
+    val treg = spark.sessionState.tableFunctionRegistry
+    val t = DateSpine.registration
+    treg.registerFunction(t._1, t._2, t._3)
   }
 }

@@ -583,6 +583,22 @@ object Extensions {
     * the base rollup carries a distinct-agg) joined on the small
     * source dimension — at 100 TB the text-distinct becomes a
     * sha256-distinct but the shape is unchanged. */
+  /** Daily rollup over the `graft_dates` TVF spine — the zero-filled
+    * calendar report (days with no activity still appear): the date
+    * spine comes from the injected table-valued function (a Project
+    * over Spark's distributed Range node), left-joined to the fact.
+    * `register` is idempotent, so the query is session-independent. */
+  def dateSpineRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftExtensions.register(spark)
+    Parity.events(spark, sfDir).createOrReplaceTempView("graft_spine_events")
+    spark.sql(
+      """SELECT s.d, count(e.event_id) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM graft_dates('2023-12-25', '2024-02-05') s
+         LEFT JOIN graft_spine_events e ON CAST(e.ts AS DATE) = s.d
+         GROUP BY s.d""")
+  }
+
   /** Funnel stage latency — median and p90 seconds from signup to the
     * first at-or-after click, by signup cohort week: the time-to-convert
     * percentile report that turns the funnel's counts into "how long
@@ -2378,6 +2394,7 @@ object Extensions {
     "x_benford" -> benfordDigits _,
     "x_concentration" -> revenueConcentration _,
     "x_stage_latency" -> stageLatency _,
+    "x_date_spine" -> dateSpineRollup _,
     "x_reservoir" -> (reservoirSample(_, _)),
     "x_quantile_norm" -> quantileNorm _,
     "x_lift" -> coOccurrenceLift _,
@@ -3596,6 +3613,13 @@ object Extensions {
            CAST(date_diff('day', cohort_week, week) // 7 AS BIGINT) AS week_offset,
            count(*) AS n_users
          FROM w JOIN f USING (user_id) GROUP BY 1, 2""",
+    "x_date_spine" ->
+      """WITH s AS (SELECT CAST(unnest(generate_series(DATE '2023-12-25',
+             DATE '2024-02-05', INTERVAL 1 DAY)) AS DATE) AS d)
+         SELECT s.d, count(e.event_id) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM s LEFT JOIN events e ON CAST(e.ts AS DATE) = s.d
+         GROUP BY s.d""",
     "x_stage_latency" ->
       """WITH su AS (SELECT user_id, MIN(ts) AS su FROM events
              WHERE event_type = 'signup' GROUP BY 1),
