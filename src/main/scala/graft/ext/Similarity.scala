@@ -77,6 +77,27 @@ object Similarity {
       .select("q_id", "n_id", "rank", "cos")
   }
 
+  /** Hard-negative mining — for each query vector, the top-k most
+    * SIMILAR vectors carrying a DIFFERENT label: the contrastive-
+    * training data-prep step (the informative negatives live near the
+    * decision boundary, not in random draws). Same bounded shape as
+    * [[bruteForceTopK]] with the label-inequality residual in the join;
+    * at corpus scale the candidate side routes through the IVF/LSH
+    * bucketing exactly like the positive path. */
+  def hardNegatives(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val v = withNorm(emb)
+    val q = withNorm(queries)
+    val scored = q.as("q").join(v.as("v"),
+        col("q.vec_id") =!= col("v.vec_id") && col("q.label") =!= col("v.label"))
+      .select(col("q.vec_id").as("q_id"), col("v.vec_id").as("n_id"),
+        col("v.label").as("n_label"),
+        (dot(col("q.embedding"), col("v.embedding")) /
+          (col("q.nrm") * col("v.nrm"))).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("q_id", "n_id", "n_label", "rank", "cos")
+  }
+
   /** Brute-force cosine top-k via the typed [[graft.functions.TopKAggregator]]
     * instead of a window sort: same scored pairs, but selection runs as a
     * partial aggregate (≤ k rows per group survive each map task before

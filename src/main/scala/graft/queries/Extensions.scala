@@ -461,6 +461,13 @@ object Extensions {
     Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 20), 5)
   }
 
+  /** Hard negatives: top-3 nearest different-label vectors per query
+    * ([[Similarity.hardNegatives]]) — contrastive-training mining. */
+  def hardNegativesQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    Similarity.hardNegatives(e, e.filter(col("vec_id") < 20), 3)
+  }
+
   /** Same top-5, selected by the typed bounded-heap Aggregator (partial
     * aggregation; bounded shuffle) instead of a window sort. */
   def annTopKAgg(spark: SparkSession, sfDir: String): DataFrame = {
@@ -2333,6 +2340,7 @@ object Extensions {
     "d_simhash_pairs" -> simhashPairs _,
     "d_embed_neardup" -> embedNearDup _,
     "x_ann_topk" -> annTopK _,
+    "x_hard_negatives" -> hardNegativesQ _,
     "x_ann_topk_agg" -> annTopKAgg _,
     "x_ann_ivf" -> annIvf _,
     "x_ann_ivf_trained" -> annIvfTrained _,
@@ -2843,6 +2851,17 @@ object Extensions {
             SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
             FROM scored)
           WHERE rank <= 5""",
+    "x_hard_negatives" ->
+      s"""WITH $normCte,
+          scored AS (
+            SELECT q.vec_id AS q_id, v.vec_id AS n_id, v.label AS n_label,
+              ${dotD("q.embedding", "v.embedding")} / (q.nrm * v.nrm) AS cos
+            FROM ne q JOIN ne v ON q.vec_id != v.vec_id AND q.label != v.label
+            WHERE q.vec_id < 20)
+          SELECT q_id, n_id, n_label, rank, cos FROM (
+            SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+            FROM scored)
+          WHERE rank <= 3""",
     "x_ann_topk_agg" ->
       s"""WITH $normCte,
           scored AS (

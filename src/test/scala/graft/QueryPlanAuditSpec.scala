@@ -17,6 +17,7 @@ class QueryPlanAuditSpec extends SparkSpec {
   // "loop" is a map-side constant lookup, not a pair-space scan.
   private val broadcastLoopOk: Set[String] = Set(
     "x_ann_topk",      // query-vector singleton × corpus (broadcast)
+    "x_hard_negatives", // 20 broadcast query vectors × corpus, label residual
     "x_ann_topk_agg",  // same shape, typed aggregator variant
     "x_ann_lsh",       // hyperplane constants × corpus (broadcast)
     "x_outliers",      // global mean/stddev singleton × rows (broadcast)
