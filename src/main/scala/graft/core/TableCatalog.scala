@@ -614,6 +614,11 @@ final class TableCatalog(val root: String) extends Serializable {
     appendInternal(df, name, None); ()
   }
 
+  /** Current stream-transaction ledger (app → highest applied version),
+    * the ops view behind `GRAFT TXNS`. */
+  def txns(name: String): Seq[(String, Long)] =
+    readTxns(Paths.get(currentPath(name))).toSeq.sortBy(_._1)
+
   private def appendInternal(df: DataFrame, name: String,
       txn: Option[(String, Long)]): Boolean = {
     val spark = df.sparkSession

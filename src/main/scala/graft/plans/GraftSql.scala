@@ -38,6 +38,7 @@ import org.apache.spark.sql.types.{BooleanType, DoubleType, LongType, StringType
   *   GRAFT AUDIT t                            -- current version's dropped-row ledger
   *   GRAFT MAINTAIN t                         -- one maintenance pass: incr-OPTIMIZE + conditional compact + vacuum
   *   GRAFT DRIFT t v000001 v000002            -- per-column profile drift between versions
+  *   GRAFT TXNS t                             -- stream-transaction ledger (app -> last applied version)
   *   GRAFT ALTER TABLE t SET ('k' = 'v')      -- table property (e.g. 'schema.mode' = 'strict')
   * }}}
   *
@@ -103,6 +104,8 @@ object GraftSql {
     """(?is)\s*GRAFT\s+MAINTAIN\s+(\S+)\s*;?\s*""".r
   private val Drift =
     """(?is)\s*GRAFT\s+DRIFT\s+(\S+)\s+(\S+)\s+(\S+)\s*;?\s*""".r
+  private val Txns =
+    """(?is)\s*GRAFT\s+TXNS\s+(\S+)\s*;?\s*""".r
   private val Properties =
     """(?is)\s*GRAFT\s+PROPERTIES\s+(\S+)\s*;?\s*""".r
   private val SetProperty =
@@ -150,6 +153,7 @@ object GraftSql {
       case Audit(t) => Some(GraftAuditCommand(t))
       case Maintain(t) => Some(GraftMaintainCommand(t))
       case Drift(t, v1, v2) => Some(GraftDriftCommand(t, v1, v2))
+      case Txns(t) => Some(GraftTxnsCommand(t))
       case Export(t) => Some(GraftExportCommand(t))
       case SetProperty(t, k, v) => Some(GraftSetPropertyCommand(t, k, v))
       case Properties(t) => Some(GraftPropertiesCommand(t))
@@ -246,6 +250,14 @@ case class GraftDriftCommand(table: String, vFrom: String, vTo: String)
     GraftSql.catalog.profileDrift(spark, table, vFrom, vTo)
       .selectExpr(("column" +: (longs ++ doubles)): _*)
       .collect().toSeq // O(#columns) rows — driver-side by design
+}
+
+case class GraftTxnsCommand(table: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("app", StringType, nullable = false)(),
+    AttributeReference("last_version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    GraftSql.catalog.txns(table).map { case (a, v) => Row(a, v) }
 }
 
 case class GraftRollbackCommand(table: String, version: String)

@@ -671,6 +671,49 @@ object Extensions {
       (col("top_decile_rev") / col("total")).as("top_decile_share"))
   }
 
+  /** Inter-arrival burstiness per user — the temporal-regularity feature
+    * (bots fire metronomically, humans in bursts): coefficient of
+    * variation of the whole-second gaps between consecutive events.
+    * Gaps from one lag window on the user exchange; moments are EXACT
+    * integer sums folded to variance in one fixed IEEE expression (the
+    * z-score discipline), sqrt is correctly rounded — so the doc-level
+    * double hashes identically cross-engine. */
+  def burstiness(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("tse"), col("event_id"))
+    Parity.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("tse"))
+      .withColumn("gap", col("tse") - lag(col("tse"), 1).over(w))
+      .filter(col("gap").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap")).as("s1"),
+        sum(col("gap") * col("gap")).as("s2"))
+      .filter(col("s1") > 0)
+      .select(col("user_id"), col("n_gaps"),
+        (col("s1").cast(DoubleType) / col("n_gaps").cast(DoubleType))
+          .as("mean_gap_s"),
+        (sqrt(col("s2").cast(DoubleType) / col("n_gaps").cast(DoubleType) -
+          (col("s1").cast(DoubleType) / col("n_gaps").cast(DoubleType)) *
+            (col("s1").cast(DoubleType) / col("n_gaps").cast(DoubleType))) /
+          (col("s1").cast(DoubleType) / col("n_gaps").cast(DoubleType)))
+          .as("cv"))
+  }
+
+  /** Type-token ratio per document — the lexical-diversity quality
+    * signal (template/spam text repeats tokens; natural prose doesn't):
+    * distinct words over total words, both exact integers per row, one
+    * scan, no shuffle at all. */
+  def typeTokenRatio(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tokens"),
+        size(array_distinct(split(col("text"), " "))).cast(LongType)
+          .as("n_types"))
+      .withColumn("ttr",
+        col("n_types").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+
   /** Rolling 7-day distinct active users per day — the "rolling MAU/WAU"
     * metric, computed the only way that scales: sliding-window DISTINCT
     * doesn't decompose (window functions can't dedupe), so each (user,
@@ -2400,6 +2443,8 @@ object Extensions {
     "x_transitions" -> eventTransitions _,
     "x_rolling_actives" -> rollingActives _,
     "x_benford" -> benfordDigits _,
+    "x_burstiness" -> burstiness _,
+    "x_ttr" -> typeTokenRatio _,
     "x_concentration" -> revenueConcentration _,
     "x_stage_latency" -> stageLatency _,
     "x_date_spine" -> dateSpineRollup _,
@@ -3653,6 +3698,31 @@ object Extensions {
            quantile_cont(delay_s, 0.5) AS p50_s,
            quantile_cont(delay_s, 0.9) AS p90_s
          FROM d GROUP BY 1""",
+    "x_burstiness" ->
+      """WITH e AS (SELECT user_id, event_id,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS tse FROM events),
+           g AS (SELECT user_id,
+             tse - LAG(tse) OVER (PARTITION BY user_id
+               ORDER BY tse, event_id) AS gap FROM e),
+           m AS (SELECT user_id, count(*) AS n_gaps,
+             CAST(SUM(gap) AS BIGINT) AS s1,
+             CAST(SUM(gap * gap) AS BIGINT) AS s2
+             FROM g WHERE gap IS NOT NULL GROUP BY 1)
+         SELECT user_id, n_gaps,
+           CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean_gap_s,
+           sqrt(CAST(s2 AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+             - (CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+               * (CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE)))
+             / (CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE)) AS cv
+         FROM m WHERE s1 > 0""",
+    "x_ttr" ->
+      """SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+             AS n_types,
+           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / CAST(len(string_split(text, ' ')) AS DOUBLE) AS ttr
+         FROM documents""",
     "x_concentration" ->
       """WITH per AS (SELECT o_custkey,
              SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev

@@ -82,6 +82,8 @@ class CatalogConcurrencySpec extends SparkSpec {
     // and an independent app's versions don't collide with streamA's
     assert(cat.appendTxn(Seq((4L, "other")).toDF("id", "batch"), t, "streamB", 0L))
     assert(cat.read(spark, t).count() == 4L)
+    // the ledger surfaces through the ops API (and GRAFT TXNS)
+    assert(cat.txns(t) == Seq("streamA" -> 1L, "streamB" -> 0L))
   }
 
   test("concurrent overwrites each publish a complete version (last wins)") {
