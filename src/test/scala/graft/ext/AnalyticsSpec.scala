@@ -179,6 +179,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(r(20L) == ((1L, 1L, 0L, -1L)))
   }
 
+  test("revenue concentration: Gini matches the closed form on a hand case") {
+    // customers with revenues 10, 20, 30, 40 (one order each, keys 1..4):
+    // ranks asc = 1..4, Σrev=100, Σ(r·rev)=10+40+90+160=300
+    // gini = 2·300/(4·100) − 5/4 = 1.5 − 1.25 = 0.25
+    // top decile: r > 4·9/10 = 3 → rank-4 customer (rev 40) → share 0.4
+    val dir = java.nio.file.Files.createTempDirectory("gini").toString
+    Seq((1L, 1L, 10.0, "O"), (2L, 2L, 20.0, "O"),
+        (3L, 3L, 30.0, "O"), (4L, 4L, 40.0, "O"))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = graft.queries.Extensions.revenueConcentration(spark, dir).head()
+    assert(r.getLong(0) == 4L)
+    assert(r.getDouble(1) == 100.0)
+    assert(math.abs(r.getDouble(2) - 0.25) < 1e-12, s"gini=${r.getDouble(2)}")
+    assert(math.abs(r.getDouble(3) - 0.4) < 1e-12)
+  }
+
   test("intervalUnion: overlaps merge, touching intervals chain, gaps split") {
     val iv = Seq(
       // user 1: [0,10)+[5,15) merge (cover 15); gap; [20,25) (cover 5)
