@@ -86,6 +86,38 @@ class CatalogConcurrencySpec extends SparkSpec {
     assert(cat.txns(t) == Seq("streamA" -> 1L, "streamB" -> 0L))
   }
 
+  test("racing duplicate transactional appends apply exactly once") {
+    // two workers replay the SAME transaction sequence concurrently (the
+    // crash-recovery scenario: both a restarted stream and its zombie
+    // predecessor deliver batches 0..4) — every version must land
+    // exactly once, whichever worker wins each race
+    val cat = freshCatalog("txnrace")
+    val t = "main.silver.occ_txnrace"
+    cat.overwrite(Seq((0L, -1L)).toDF("id", "txn"), t)
+    val pool = Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val workers = (1 to 2).map { _ =>
+        Future {
+          (0 to 4).foreach { v =>
+            cat.appendTxn(
+              (1 to 5).map(i => (v * 100L + i, v.toLong)).toDF("id", "txn"),
+              t, "stream", v.toLong)
+          }
+        }
+      }
+      Await.result(Future.sequence(workers), 180.seconds)
+    } finally pool.shutdown()
+    val rows = cat.read(spark, t)
+    // seed + 5 versions x 5 rows, each exactly once despite the replays
+    assert(rows.count() == 26L, s"got ${rows.count()} rows")
+    assert(rows.select("id").distinct().count() == 26L)
+    val perTxn = rows.groupBy("txn").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L to 4L).foreach(v => assert(perTxn(v) == 5L, s"txn $v applied ${perTxn.get(v)}"))
+    assert(cat.txns(t) == Seq("stream" -> 4L))
+  }
+
   test("concurrent overwrites each publish a complete version (last wins)") {
     val cat = freshCatalog("ow")
     val t = "main.silver.occ_ow"
