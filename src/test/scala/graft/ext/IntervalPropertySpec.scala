@@ -72,6 +72,43 @@ class IntervalPropertySpec extends SparkSpec {
     }
   }
 
+  test("sessionFeatures agrees with a per-user sequential walk on random inputs") {
+    val gapSeconds = 10L
+    val caseG: Gen[Seq[(Long, Long, Long)]] = for {
+      n <- Gen.chooseNum(1, 30)
+      rows <- Gen.listOfN(n, for {
+        u <- Gen.chooseNum(0L, 2L)
+        t <- Gen.chooseNum(0L, 120L) // small domain → tied timestamps occur
+      } yield (u, t))
+    } yield rows.zipWithIndex.map { case ((u, t), i) => (u, i.toLong, t) }
+
+    def reference(rows: Seq[(Long, Long, Long)]) =
+      rows.groupBy(_._1).flatMap { case (_, g) =>
+        // same total order as the operator: (ts, event_id)
+        val sorted = g.sortBy(r => (r._3, r._2))
+        var seq = 0L; var idx = 0L; var start = 0L; var prev = Option.empty[Long]
+        sorted.map { case (_, id, t) =>
+          if (prev.isEmpty || t - prev.get > gapSeconds) {
+            seq += 1; idx = 1; start = t
+          } else idx += 1
+          val out = id -> (seq, idx, t - start,
+            prev.map(t - _).getOrElse(-1L))
+          prev = Some(t)
+          out
+        }
+      }
+
+    for (rows <- samples(caseG, 25)) {
+      val df = rows.map { case (u, id, t) =>
+        (u, id, new java.sql.Timestamp(t * 1000L))
+      }.toDF("user_id", "event_id", "ts")
+      val got = Analytics.sessionFeatures(df, gapSeconds).collect()
+        .map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) -1L else r.getLong(5))).toMap
+      assert(got == reference(rows), s"rows=$rows")
+    }
+  }
+
   test("intervalUnion agrees with the merge-walk reference on random inputs") {
     for (ivs <- samples(caseGen(nKeys = 3), 30)) {
       val withIds = ivs.zipWithIndex.map { case ((k, s, e), i) =>
