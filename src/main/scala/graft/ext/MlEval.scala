@@ -1,0 +1,225 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Model-evaluation and distribution-drift metrics over event logs — the
+  * audits an ML platform runs beside every training-data refresh: ROC
+  * AUC for "is this score still ranking the label", calibration bins for
+  * "do predicted rates match observed", KS / PSI for "did the feature
+  * distribution move between reference and current windows", and
+  * chi-square association for "are these two categoricals still
+  * dependent". The reference pipeline has no evaluation surface (it ends
+  * at gold marts); these extend the engine the way `x_drift`/`x_lift`
+  * do, as first-class oracle-checked queries.
+  *
+  * Numeric portability contract (the house rule from [[Analytics.olsFit]]
+  * and `x_lm_score`): every metric is derived from EXACT integer counts
+  * or decimal sums, with double arithmetic confined to a fixed per-row
+  * scalar expression order and at most one division chain per output —
+  * ln/exp never appear (not bit-portable across engines); sqrt is
+  * correctly-rounded IEEE and allowed. Scores enter as centi-units
+  * (`round(value*100)` as long) so ties and cumulative counts are
+  * integer-exact.
+  *
+  * Scale posture: every operator is one or two keyed hash aggregations
+  * whose partial states are mergeable counts (map-side combine carries
+  * the weight), followed by windows over per-group DISTINCT-score
+  * cardinality — orders of magnitude smaller than the event table. No
+  * operator materializes per-row pair spaces or collects data rows.
+  */
+object MlEval {
+
+  /** Centi-unit integer score: exact ties, exact cumulative counts. */
+  private def centi(c: String): org.apache.spark.sql.Column =
+    round(col(c) * lit(100.0), 0).cast(LongType)
+
+  /** One-vs-rest ROC AUC per class of `labelCol`, scored by `scoreCol`,
+    * with the standard tie correction (ties contribute half).
+    *
+    * Rank-free formulation: for positives P and negatives N of class t,
+    * AUC = [ Σ_s nPos_t(s)·(2·cumNeg_t(<s) + nNeg_t(s)) ] / (2·|P|·|N|)
+    * — the numerator is an exact integer (Mann-Whitney U doubled), so
+    * the whole metric is one integer-ratio division. All classes ride
+    * one (score)-keyed count aggregate: nNeg_t(s) = nTot(s) − nPos_t(s),
+    * so adding classes costs no extra scan — the per-class windows run
+    * over |distinct scores| rows only. */
+  def aucOneVsRest(df: DataFrame, labelCol: String, scoreCol: String): DataFrame = {
+    val counts = df
+      .select(col(labelCol).as("label"), centi(scoreCol).as("s"))
+      .groupBy("label", "s").agg(count(lit(1)).as("n_ls"))
+    val perScore = counts.groupBy("s").agg(sum("n_ls").as("n_s"))
+    // per class and score: positives at s, negatives at s (= total − pos)
+    val joined = counts.join(perScore, Seq("s"))
+      .select(col("label"), col("s"), col("n_ls").as("n_pos_s"),
+        (col("n_s") - col("n_ls")).as("n_neg_s"))
+    // a class with zero events at score s still owes cumNeg the total
+    // count there; handle by cumulating TOTAL minus class-positives:
+    // cumNeg_t(<s) = cumTot(<s) − cumPos_t(<s). Both cumulate within the
+    // class's own row set, so re-attach per-score totals seen by class t
+    // only — scores where t has no positives contribute no numerator
+    // term, and their negatives are captured through cumTot below.
+    val wAll = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    val totCum = perScore
+      .withColumn("cum_tot_below", coalesce(sum("n_s").over(wAll), lit(0L)))
+    val wCls = Window.partitionBy("label").orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val terms = joined.join(totCum.select("s", "cum_tot_below"), Seq("s"))
+      .withColumn("cum_pos_below",
+        coalesce(sum("n_pos_s").over(wCls), lit(0L)))
+      .withColumn("cum_neg_below", col("cum_tot_below") - col("cum_pos_below"))
+      .withColumn("u2_term",
+        col("n_pos_s") * (lit(2L) * col("cum_neg_below") + col("n_neg_s")))
+    terms.groupBy("label")
+      .agg(sum("n_pos_s").as("n_pos"), sum("u2_term").as("u2"))
+      .crossJoin(broadcast(df.groupBy().agg(count(lit(1)).as("n_all"))))
+      .select(col("label"), col("n_pos"),
+        (col("n_all") - col("n_pos")).as("n_neg"),
+        (col("u2").cast(DoubleType) /
+          (lit(2.0) * (col("n_pos") * (col("n_all") - col("n_pos")))
+            .cast(DoubleType))).as("auc"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov statistic per group: the max CDF gap
+    * between the reference and current samples of `scoreCol`, split by
+    * `isRef`. Integer-exact: D = max_s |cumRef(s)·nCur − cumCur(s)·nRef|
+    * / (nRef·nCur) — the numerator stays a long, one final division.
+    * The max runs over distinct scores within each group partition. */
+  def ksDrift(df: DataFrame, groupCol: String, scoreCol: String,
+      isRef: org.apache.spark.sql.Column): DataFrame = {
+    val counts = df
+      .select(col(groupCol).as("grp"), centi(scoreCol).as("s"), isRef.as("r"))
+      .groupBy("grp", "s")
+      .agg(sum(when(col("r"), 1L).otherwise(0L)).as("n_ref_s"),
+        sum(when(col("r"), 0L).otherwise(1L)).as("n_cur_s"))
+    // Running CDFs and group totals ride the SAME grp partitioning: the
+    // ordered window and the whole-partition total reuse one exchange.
+    val w = Window.partitionBy("grp").orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wGrp = Window.partitionBy("grp")
+    counts
+      .withColumn("cum_ref", sum("n_ref_s").over(w))
+      .withColumn("cum_cur", sum("n_cur_s").over(w))
+      .withColumn("tot_ref", sum("n_ref_s").over(wGrp))
+      .withColumn("tot_cur", sum("n_cur_s").over(wGrp))
+      .withColumn("gap_num",
+        abs(col("cum_ref") * col("tot_cur") - col("cum_cur") * col("tot_ref")))
+      .groupBy("grp")
+      .agg(max("tot_ref").as("n_ref"), max("tot_cur").as("n_cur"),
+        max("gap_num").as("d_num"))
+      .select(col("grp").as(groupCol), col("n_ref"), col("n_cur"),
+        (col("d_num").cast(DoubleType) /
+          (col("n_ref") * col("n_cur")).cast(DoubleType)).as("ks_stat"))
+  }
+
+  /** Reliability (calibration) bins: bucket the score, report per bin the
+    * observed positive rate and mean score — the curve a calibration
+    * monitor plots. frac_pos and mean_score are single divisions of
+    * exact longs. */
+  def calibrationBins(df: DataFrame, labelIsPos: org.apache.spark.sql.Column,
+      scoreCol: String, binWidthCenti: Long): DataFrame = {
+    df.select(centi(scoreCol).as("s"), labelIsPos.as("y"))
+      .groupBy(floor(col("s") / lit(binWidthCenti)).cast(LongType).as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("n_pos"),
+        sum("s").as("sum_s"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        (col("n_pos").cast(DoubleType) / col("n").cast(DoubleType)).as("frac_pos"),
+        (col("sum_s").cast(DoubleType) /
+          (lit(100.0) * col("n").cast(DoubleType))).as("mean_score"))
+  }
+
+  /** Population-stability-index inputs per (group, bin), in the RATIONAL
+    * form (the `x_bm25`/`x_tfidf` convention): PSI's per-bin term is
+    * (p_cur − p_ref)·ln(p_cur/p_ref), but ln is not bit-portable, so
+    * emit p_ref, p_cur, their difference, and the UN-logged ratio — the
+    * true PSI is one client-side log away, and each column is a single
+    * division of exact integer counts. Bins with a zero side keep their
+    * counts and null the ratio (the monitor's smoothing policy decides,
+    * not the engine). */
+  def psiBins(df: DataFrame, groupCol: String, scoreCol: String,
+      isRef: org.apache.spark.sql.Column, binWidthCenti: Long): DataFrame = {
+    val binned = df
+      .select(col(groupCol).as("grp"),
+        floor(centi(scoreCol) / lit(binWidthCenti)).cast(LongType).as("bin"),
+        isRef.as("r"))
+      .groupBy("grp", "bin")
+      .agg(sum(when(col("r"), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("r"), 0L).otherwise(1L)).as("n_cur"))
+    val totals = binned.groupBy("grp")
+      .agg(sum("n_ref").as("tot_ref"), sum("n_cur").as("tot_cur"))
+    binned.join(broadcast(totals), Seq("grp"))
+      .select(col("grp").as(groupCol), col("bin"), col("n_ref"), col("n_cur"),
+        (col("n_ref").cast(DoubleType) / col("tot_ref").cast(DoubleType))
+          .as("p_ref"),
+        (col("n_cur").cast(DoubleType) / col("tot_cur").cast(DoubleType))
+          .as("p_cur"),
+        (col("n_cur").cast(DoubleType) / col("tot_cur").cast(DoubleType) -
+          col("n_ref").cast(DoubleType) / col("tot_ref").cast(DoubleType))
+          .as("p_diff"),
+        when(col("n_ref") > 0 && col("n_cur") > 0,
+          (col("n_cur") * col("tot_ref")).cast(DoubleType) /
+            (col("n_ref") * col("tot_cur")).cast(DoubleType))
+          .as("ratio"))
+  }
+
+  /** Chi-square association between two categoricals + Cramér's V.
+    * Expected counts and per-cell components are fixed-order double
+    * arithmetic on exact longs; the component SUM goes through
+    * decimal(38,12) (order-independent, unlike a double sum), is cast
+    * back to double once, and V = sqrt(chi2 / (N·min(r−1, c−1))) uses
+    * only correctly-rounded IEEE ops. Output: one row per cell with its
+    * component, plus the table-level chi2/V on every row (a broadcast
+    * singleton join — the analyst slices either way). */
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val observed = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("n_obs"))
+    val aTot = observed.groupBy("a").agg(sum("n_obs").as("n_a"))
+    val bTot = observed.groupBy("b").agg(sum("n_obs").as("n_b"))
+    val n = observed.groupBy().agg(sum("n_obs").as("n"),
+      count_distinct(col("a")).as("r"), count_distinct(col("b")).as("c"))
+    // DENSIFY: chi-square sums over every r×c cell — a (a,b) combination
+    // with zero observations still contributes expected²/expected. The
+    // grid is marginal-cardinality sized (r×c rows, both sides already
+    // aggregated), so the cross join is a broadcast of two tiny frames,
+    // never a data-sized product.
+    val cells = broadcast(aTot).crossJoin(broadcast(bTot))
+      .join(observed, Seq("a", "b"), "left")
+      .withColumn("n_ab", coalesce(col("n_obs"), lit(0L))).drop("n_obs")
+    val withComp = cells
+      .crossJoin(broadcast(n))
+      .withColumn("expected",
+        (col("n_a") * col("n_b")).cast(DoubleType) / col("n").cast(DoubleType))
+      .withColumn("component",
+        (col("n_ab").cast(DoubleType) - col("expected")) *
+          (col("n_ab").cast(DoubleType) - col("expected")) / col("expected"))
+    val chi2 = withComp.groupBy()
+      .agg(sum(col("component").cast("decimal(38,12)")).as("chi2_dec"))
+      .select(col("chi2_dec").cast(DoubleType).as("chi2"))
+    withComp.crossJoin(broadcast(chi2))
+      .select(col("a").as(aCol), col("b").as(bCol), col("n_ab"),
+        col("expected"), col("component"), col("chi2"),
+        sqrt(col("chi2") / (col("n") * least(col("r") - 1, col("c") - 1))
+          .cast(DoubleType)).as("cramers_v"))
+  }
+
+  /** Per-entity Herfindahl concentration / Simpson diversity over a
+    * categorical: hhi = Σ_t n_t² / N² (one integer-ratio division),
+    * diversity = 1 − hhi. The per-user behavioral-mix feature a
+    * training pipeline derives from telemetry. Two keyed aggregations,
+    * both mergeable-count shaped. */
+  def categoricalConcentration(df: DataFrame, entity: String,
+      category: String): DataFrame = {
+    df.groupBy(col(entity), col(category)).agg(count(lit(1)).as("n_t"))
+      .groupBy(col(entity))
+      .agg(sum("n_t").as("n_events"),
+        count(lit(1)).as("n_types"),
+        sum(col("n_t") * col("n_t")).as("sum_sq"))
+      .select(col(entity), col("n_events"), col("n_types"),
+        (col("sum_sq").cast(DoubleType) /
+          (col("n_events") * col("n_events")).cast(DoubleType)).as("hhi"))
+      .withColumn("simpson_diversity", lit(1.0) - col("hhi"))
+  }
+}

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Analytics, AsOf, Dedup, DuckSql, Graph, Mixture, Multimodal, Par, RangeJoin, Similarity, TextKit}
+import graft.ext.{Analytics, AsOf, Dedup, DuckSql, Graph, Mixture, MlEval, Multimodal, Par, RangeJoin, Similarity, TextKit}
 import graft.ops.{Bucketing, GlobalOrder, Skew}
 import graft.streaming.EventStreams
 
@@ -2355,8 +2355,53 @@ object Extensions {
     first3.unionAll(metrics)
   }
 
+  // ------------------------------------------------- ML evaluation suite
+  /** One-vs-rest ROC AUC per event_type, scored by `value`
+    * ([[MlEval.aucOneVsRest]]): does the score still rank each class? */
+  def aucOvr(spark: SparkSession, sfDir: String): DataFrame =
+    MlEval.aucOneVsRest(Parity.events(spark, sfDir), "event_type", "value")
+
+  /** Two-sample KS drift per event_type between the even/odd event_id
+    * halves ([[MlEval.ksDrift]]) — the reference-vs-current split every
+    * drift monitor uses, made deterministic. */
+  def ksDriftQ(spark: SparkSession, sfDir: String): DataFrame =
+    MlEval.ksDrift(Parity.events(spark, sfDir), "event_type", "value",
+      pmod(col("event_id"), lit(2L)) === 0L)
+
+  /** Reliability bins for "did a purchase happen" against the value
+    * score, 50-unit bins ([[MlEval.calibrationBins]]). */
+  def calibrationQ(spark: SparkSession, sfDir: String): DataFrame =
+    MlEval.calibrationBins(Parity.events(spark, sfDir),
+      col("event_type") === "purchase", "value", binWidthCenti = 5000L)
+
+  /** PSI inputs (rational, un-logged) per event_type and 50-unit value
+    * bin over the even/odd split ([[MlEval.psiBins]]). */
+  def psiBinsQ(spark: SparkSession, sfDir: String): DataFrame =
+    MlEval.psiBins(Parity.events(spark, sfDir), "event_type", "value",
+      pmod(col("event_id"), lit(2L)) === 0L, binWidthCenti = 5000L)
+
+  /** Chi-square association + Cramér's V between event_type and the
+    * 50-unit value bucket ([[MlEval.chiSquare]]). */
+  def cramersVQ(spark: SparkSession, sfDir: String): DataFrame =
+    MlEval.chiSquare(
+      Parity.events(spark, sfDir).select(col("event_type"),
+        floor(col("value") / lit(50.0)).cast(LongType).as("value_bin")),
+      "event_type", "value_bin")
+
+  /** Per-user event-type concentration (HHI / Simpson diversity)
+    * ([[MlEval.categoricalConcentration]]) — a behavioral-mix feature. */
+  def simpsonQ(spark: SparkSession, sfDir: String): DataFrame =
+    MlEval.categoricalConcentration(Parity.events(spark, sfDir),
+      "user_id", "event_type")
+
   // ---------------------------------------------------------- queries map
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_auc" -> aucOvr _,
+    "x_ks_drift" -> ksDriftQ _,
+    "x_calibration" -> calibrationQ _,
+    "x_psi_bins" -> psiBinsQ _,
+    "x_cramers_v" -> cramersVQ _,
+    "x_simpson" -> simpsonQ _,
     "x_generators" -> generators _,
     "x_collection_suite" -> collectionSuite _,
     "s17_schema_evolution" -> s17SchemaEvolution _,
@@ -2654,6 +2699,132 @@ object Extensions {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "x_auc" ->
+      """WITH e AS (SELECT event_type AS label,
+             CAST(round(value * 100) AS BIGINT) AS s FROM events),
+           counts AS (SELECT label, s, count(*) AS n_ls FROM e GROUP BY 1, 2),
+           per_s AS (SELECT s, CAST(SUM(n_ls) AS BIGINT) AS n_s
+             FROM counts GROUP BY 1),
+           tot AS (SELECT s, n_s, CAST(COALESCE(SUM(n_s) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_tot_below
+             FROM per_s),
+           j AS (SELECT c.label, c.s, c.n_ls AS n_pos_s,
+               t.n_s - c.n_ls AS n_neg_s, t.cum_tot_below,
+               CAST(COALESCE(SUM(c.n_ls) OVER (PARTITION BY c.label
+                 ORDER BY c.s ROWS BETWEEN UNBOUNDED PRECEDING AND
+                 1 PRECEDING), 0) AS BIGINT) AS cum_pos_below
+             FROM counts c JOIN tot t USING (s)),
+           agg AS (SELECT label, CAST(SUM(n_pos_s) AS BIGINT) AS n_pos,
+               CAST(SUM(n_pos_s * (2 * (cum_tot_below - cum_pos_below)
+                 + n_neg_s)) AS BIGINT) AS u2
+             FROM j GROUP BY 1),
+           nall AS (SELECT count(*) AS n_all FROM events)
+         SELECT label, n_pos, CAST(n_all - n_pos AS BIGINT) AS n_neg,
+           CAST(u2 AS DOUBLE) /
+             CAST(2 * (n_pos * (n_all - n_pos)) AS DOUBLE) AS auc
+         FROM agg, nall""",
+    "x_ks_drift" ->
+      """WITH e AS (SELECT event_type AS grp,
+             CAST(round(value * 100) AS BIGINT) AS s,
+             (event_id % 2 = 0) AS r FROM events),
+           c AS (SELECT grp, s,
+               CAST(SUM(CASE WHEN r THEN 1 ELSE 0 END) AS BIGINT) AS n_ref_s,
+               CAST(SUM(CASE WHEN r THEN 0 ELSE 1 END) AS BIGINT) AS n_cur_s
+             FROM e GROUP BY 1, 2),
+           w AS (SELECT grp,
+               CAST(SUM(n_ref_s) OVER (PARTITION BY grp ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum_ref,
+               CAST(SUM(n_cur_s) OVER (PARTITION BY grp ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum_cur,
+               CAST(SUM(n_ref_s) OVER (PARTITION BY grp) AS BIGINT) AS tot_ref,
+               CAST(SUM(n_cur_s) OVER (PARTITION BY grp) AS BIGINT) AS tot_cur
+             FROM c)
+         SELECT grp AS event_type,
+           CAST(MAX(tot_ref) AS BIGINT) AS n_ref,
+           CAST(MAX(tot_cur) AS BIGINT) AS n_cur,
+           CAST(MAX(ABS(cum_ref * tot_cur - cum_cur * tot_ref)) AS DOUBLE)
+             / CAST(MAX(tot_ref) * MAX(tot_cur) AS DOUBLE) AS ks_stat
+         FROM w GROUP BY 1""",
+    "x_calibration" ->
+      """WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) AS s,
+             (event_type = 'purchase') AS y FROM events),
+           b AS (SELECT CAST(FLOOR(s / 5000.0) AS BIGINT) AS bin,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+               CAST(SUM(s) AS BIGINT) AS sum_s
+             FROM e GROUP BY 1)
+         SELECT bin, n, n_pos,
+           CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS frac_pos,
+           CAST(sum_s AS DOUBLE) / (100.0 * CAST(n AS DOUBLE)) AS mean_score
+         FROM b""",
+    "x_psi_bins" ->
+      """WITH e AS (SELECT event_type AS grp,
+             CAST(FLOOR(CAST(round(value * 100) AS BIGINT) / 5000.0)
+               AS BIGINT) AS bin,
+             (event_id % 2 = 0) AS r FROM events),
+           b AS (SELECT grp, bin,
+               CAST(SUM(CASE WHEN r THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+               CAST(SUM(CASE WHEN r THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
+             FROM e GROUP BY 1, 2),
+           t AS (SELECT grp, CAST(SUM(n_ref) AS BIGINT) AS tot_ref,
+               CAST(SUM(n_cur) AS BIGINT) AS tot_cur
+             FROM b GROUP BY 1)
+         SELECT grp AS event_type, bin, n_ref, n_cur,
+           CAST(n_ref AS DOUBLE) / CAST(tot_ref AS DOUBLE) AS p_ref,
+           CAST(n_cur AS DOUBLE) / CAST(tot_cur AS DOUBLE) AS p_cur,
+           CAST(n_cur AS DOUBLE) / CAST(tot_cur AS DOUBLE)
+             - CAST(n_ref AS DOUBLE) / CAST(tot_ref AS DOUBLE) AS p_diff,
+           CASE WHEN n_ref > 0 AND n_cur > 0 THEN
+             CAST(n_cur * tot_ref AS DOUBLE) / CAST(n_ref * tot_cur AS DOUBLE)
+             END AS ratio
+         FROM b JOIN t USING (grp)""",
+    "x_cramers_v" ->
+      """WITH src AS (SELECT event_type,
+             CAST(FLOOR(value / 50.0) AS BIGINT) AS value_bin FROM events),
+           observed AS (SELECT event_type AS a, value_bin AS b,
+               CAST(count(*) AS BIGINT) AS n_obs FROM src GROUP BY 1, 2),
+           at AS (SELECT a, CAST(SUM(n_obs) AS BIGINT) AS n_a
+             FROM observed GROUP BY 1),
+           bt AS (SELECT b, CAST(SUM(n_obs) AS BIGINT) AS n_b
+             FROM observed GROUP BY 1),
+           nn AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n,
+               CAST(count(DISTINCT a) AS BIGINT) AS r,
+               CAST(count(DISTINCT b) AS BIGINT) AS c
+             FROM observed),
+           cells AS (SELECT at.a, bt.b, at.n_a, bt.n_b,
+               CAST(COALESCE(n_obs, 0) AS BIGINT) AS n_ab
+             FROM at CROSS JOIN bt
+             LEFT JOIN observed ON observed.a = at.a AND observed.b = bt.b),
+           comp AS (SELECT cells.a, cells.b, cells.n_ab, nn.n, nn.r, nn.c,
+               CAST(n_a * n_b AS DOUBLE) / CAST(nn.n AS DOUBLE) AS expected,
+               (CAST(n_ab AS DOUBLE)
+                  - CAST(n_a * n_b AS DOUBLE) / CAST(nn.n AS DOUBLE))
+               * (CAST(n_ab AS DOUBLE)
+                  - CAST(n_a * n_b AS DOUBLE) / CAST(nn.n AS DOUBLE))
+               / (CAST(n_a * n_b AS DOUBLE) / CAST(nn.n AS DOUBLE))
+                 AS component
+             FROM cells, nn),
+           chi AS (SELECT CAST(SUM(CAST(component AS DECIMAL(38,12)))
+               AS DOUBLE) AS chi2 FROM comp)
+         SELECT a AS event_type, b AS value_bin, n_ab, expected, component,
+           chi2, SQRT(chi2 / CAST(n * LEAST(r - 1, c - 1) AS DOUBLE))
+             AS cramers_v
+         FROM comp, chi""",
+    "x_simpson" ->
+      """WITH t AS (SELECT user_id, event_type, count(*) AS n_t
+             FROM events GROUP BY 1, 2),
+           u AS (SELECT user_id, CAST(SUM(n_t) AS BIGINT) AS n_events,
+               CAST(count(*) AS BIGINT) AS n_types,
+               CAST(SUM(n_t * n_t) AS BIGINT) AS sum_sq
+             FROM t GROUP BY 1)
+         SELECT user_id, n_events, n_types,
+           CAST(sum_sq AS DOUBLE) / CAST(n_events * n_events AS DOUBLE) AS hhi,
+           1.0 - CAST(sum_sq AS DOUBLE) / CAST(n_events * n_events AS DOUBLE)
+             AS simpson_diversity
+         FROM u""",
     "x_token_stats" ->
       s"""SELECT doc_id,
             len($W)::BIGINT AS n_tokens,

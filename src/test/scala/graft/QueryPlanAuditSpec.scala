@@ -39,7 +39,10 @@ class QueryPlanAuditSpec extends SparkSpec {
     "x_lift",           // type pairs × broadcast distinct-user-count singleton
     "x_rolling_actives", // window-day rows × broadcast max-day horizon singleton
     "x_benford",        // digit counts × broadcast total-count singleton
-    "x_concentration"   // ranked revenues × broadcast customer-count singleton
+    "x_concentration",  // ranked revenues × broadcast customer-count singleton
+    "x_auc",            // per-class U terms × broadcast total-count singleton
+    "x_cramers_v"       // r×c marginal grid densify (two broadcast aggregated
+                        // marginals) + broadcast N / chi2 singletons
   )
 
   test("no query plans an unintended cartesian or nested-loop join") {

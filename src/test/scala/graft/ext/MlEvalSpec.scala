@@ -1,0 +1,110 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MlEvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Hand-computable score/label set (scores in units, centi() sees ×100):
+  //   pos scores: 3, 5, 5        neg scores: 1, 3, 4
+  // Pairs (pos, neg): pos wins when pos > neg, ties half.
+  //   3 vs (1,3,4) -> 1 + 0.5 + 0   = 1.5
+  //   5 vs (1,3,4) -> 3  (twice)    = 6.0
+  // AUC = 7.5 / 9
+  private def scored = Seq(
+    ("pos", 3.0), ("pos", 5.0), ("pos", 5.0),
+    ("neg", 1.0), ("neg", 3.0), ("neg", 4.0)
+  ).toDF("label", "score")
+
+  test("aucOneVsRest: tie-corrected AUC matches the pairwise count") {
+    val r = MlEval.aucOneVsRest(scored, "label", "score")
+      .collect().map(x => x.getString(0) -> (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    assert(r("pos") == ((3L, 3L, 7.5 / 9.0)))
+    // neg as positive class: wins 4>3 (1) + tie 3=3 (0.5) = 1.5 of 9
+    assert(r("neg") == ((3L, 3L, 1.5 / 9.0)))
+  }
+
+  test("aucOneVsRest: perfect separation gives 1.0, reversed gives 0.0") {
+    val df = Seq(("a", 10.0), ("a", 9.0), ("b", 1.0), ("b", 2.0))
+      .toDF("label", "score")
+    val r = MlEval.aucOneVsRest(df, "label", "score")
+      .collect().map(x => x.getString(0) -> x.getDouble(3)).toMap
+    assert(r("a") == 1.0 && r("b") == 0.0)
+  }
+
+  test("ksDrift: identical samples give 0, disjoint give 1") {
+    val same = Seq(("g", 1.0, true), ("g", 1.0, false),
+      ("g", 2.0, true), ("g", 2.0, false)).toDF("grp", "score", "is_ref")
+    val r0 = MlEval.ksDrift(same, "grp", "score", col("is_ref")).collect()
+    assert(r0.head.getDouble(3) == 0.0)
+    val disjoint = Seq(("g", 1.0, true), ("g", 2.0, true),
+      ("g", 10.0, false), ("g", 11.0, false)).toDF("grp", "score", "is_ref")
+    val r1 = MlEval.ksDrift(disjoint, "grp", "score", col("is_ref")).collect()
+    assert(r1.head.getDouble(3) == 1.0)
+  }
+
+  test("ksDrift: hand case — max CDF gap at the interleave point") {
+    // ref: 1,2,3,4   cur: 3,4,5,6 → max gap at score 2: |2/4 − 0/4| = 0.5
+    val df = (Seq(1, 2, 3, 4).map(v => ("g", v.toDouble, true)) ++
+      Seq(3, 4, 5, 6).map(v => ("g", v.toDouble, false)))
+      .toDF("grp", "score", "is_ref")
+    val r = MlEval.ksDrift(df, "grp", "score", col("is_ref")).collect().head
+    assert((r.getLong(1), r.getLong(2), r.getDouble(3)) == ((4L, 4L, 0.5)))
+  }
+
+  test("calibrationBins: per-bin counts, rate, and mean score") {
+    val df = Seq((10.0, true), (20.0, false), (60.0, true), (80.0, true))
+      .toDF("score", "y")
+    val r = MlEval.calibrationBins(df, col("y"), "score", binWidthCenti = 5000L)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getDouble(3), x.getDouble(4))).toMap
+    assert(r(0L) == ((2L, 1L, 0.5, 15.0)))   // scores 10, 20
+    assert(r(1L) == ((2L, 2L, 1.0, 70.0)))   // scores 60, 80
+  }
+
+  test("psiBins: probabilities and rational ratio; zero side nulls ratio") {
+    val df = Seq(("g", 10.0, true), ("g", 10.0, true), ("g", 60.0, true),
+      ("g", 10.0, false), ("g", 60.0, false), ("g", 60.0, false),
+      ("g", 120.0, false)).toDF("grp", "score", "is_ref")
+    val r = MlEval.psiBins(df, "grp", "score", col("is_ref"), 5000L)
+      .collect().map(x => x.getLong(1) ->
+        (x.getLong(2), x.getLong(3), x.getDouble(4), x.getDouble(5))).toMap
+    assert(r(0L) == ((2L, 1L, 2.0 / 3.0, 0.25)))
+    assert(r(1L) == ((1L, 2L, 1.0 / 3.0, 0.5)))
+    val zeroRef = MlEval.psiBins(df, "grp", "score", col("is_ref"), 5000L)
+      .filter(col("bin") === 2L).collect().head
+    assert(zeroRef.getLong(2) == 0L && zeroRef.isNullAt(7))
+  }
+
+  test("chiSquare: independent 2x2 gives chi2 = 0; V well-defined") {
+    // perfectly independent: every (a,b) cell = 25
+    val rows = for (a <- Seq("x", "y"); b <- Seq(0L, 1L); _ <- 1 to 25)
+      yield (a, b)
+    val r = MlEval.chiSquare(rows.toDF("a", "b"), "a", "b").collect()
+    assert(r.length == 4)
+    assert(r.forall(_.getAs[Double]("chi2") == 0.0))
+    assert(r.forall(_.getAs[Double]("cramers_v") == 0.0))
+    assert(r.forall(_.getAs[Double]("expected") == 25.0))
+  }
+
+  test("chiSquare: fully dependent 2x2 gives V = 1, zero cells included") {
+    val rows = (1 to 10).map(_ => ("x", 0L)) ++ (1 to 10).map(_ => ("y", 1L))
+    val r = MlEval.chiSquare(rows.toDF("a", "b"), "a", "b").collect()
+    // densified: the two never-observed cells appear with n_ab = 0
+    assert(r.length == 4)
+    assert(r.count(_.getAs[Long]("n_ab") == 0L) == 2)
+    // chi2 = N for a perfect 2x2 association; V = sqrt(N/(N·1)) = 1
+    assert(r.forall(x => math.abs(x.getAs[Double]("cramers_v") - 1.0) < 1e-12))
+  }
+
+  test("categoricalConcentration: uniform mix vs single-type user") {
+    val df = Seq((1L, "a"), (1L, "b"), (1L, "c"), (1L, "d"),
+      (2L, "a"), (2L, "a")).toDF("user_id", "event_type")
+    val r = MlEval.categoricalConcentration(df, "user_id", "event_type")
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getDouble(3), x.getDouble(4))).toMap
+    assert(r(1L) == ((4L, 4L, 0.25, 0.75)))  // uniform over 4 types
+    assert(r(2L) == ((2L, 1L, 1.0, 0.0)))    // all one type
+  }
+}
