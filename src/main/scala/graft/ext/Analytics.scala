@@ -305,4 +305,102 @@ object Analytics {
         col(s"n_${stages.last}").cast(DoubleType) /
           col(s"n_${stages.head}").cast(DoubleType))
   }
+
+  /** Consecutive k=3 event-type sequences per user (sequential-pattern
+    * support counting, the PrefixSpan-lite a product/behavior model
+    * features on): two lead windows over ONE user exchange (Spark reuses
+    * the partitioning across both), then a keyed rollup with occurrence
+    * and distinct-user support. Output is O(types³) patterns, data-size
+    * independent. */
+  def seqPatterns(events: DataFrame, ts: String = "ts",
+      user: String = "user_id", eventType: String = "event_type",
+      tieBreak: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(user).orderBy(col(ts), col(tieBreak))
+    events
+      .select(col(user), col(ts), col(tieBreak), col(eventType).as("t1"))
+      .withColumn("t2", lead(col("t1"), 1).over(w))
+      .withColumn("t3", lead(col("t1"), 2).over(w))
+      .filter(col("t3").isNotNull)
+      .groupBy("t1", "t2", "t3")
+      .agg(count(lit(1)).as("n_occurrences"),
+        count_distinct(col(user)).as("n_users"))
+  }
+
+  /** Rolling z-score anomaly gate over an ordered integer series: each
+    * row is judged against the exact moments of its `lookback` PRECEDING
+    * rows (exclusive — the row never judges itself). Integer-exact core:
+    * with s1 = Σx, s2 = Σx² over the frame, z = (x·n − s1) /
+    * sqrt(n·s2 − s1²) — the numerator and radicand stay longs, so the
+    * metric is one correctly-rounded sqrt + one division (the
+    * [[zOutliers]] portability argument, windowed). Rows with var = 0 or
+    * n < minN are never flagged. One partition exchange; the three frame
+    * sums share a single window spec. */
+  def rollingAnomaly(df: DataFrame, group: String, order: Seq[String],
+      xCol: String, lookback: Int = 100, minN: Int = 30,
+      zThresh: Double = 3.0): DataFrame = {
+    val w = Window.partitionBy(group).orderBy(order.map(col): _*)
+      .rowsBetween(-lookback, -1)
+    val x = col(xCol)
+    val framed = df
+      .withColumn("n_win", count(x).over(w))
+      .withColumn("s1", sum(x).over(w))
+      .withColumn("s2", sum(x * x).over(w))
+      .filter(col("n_win") >= minN &&
+        col("n_win") * col("s2") - col("s1") * col("s1") > 0L)
+      .withColumn("z",
+        (x * col("n_win") - col("s1")).cast(DoubleType) /
+          sqrt((col("n_win") * col("s2") - col("s1") * col("s1"))
+            .cast(DoubleType)))
+    framed.filter(abs(col("z")) > lit(zThresh))
+  }
+
+  /** Exponentially-weighted moving average (α = 1/2) folded serially
+    * over each group's ordered hourly series: s_t = x_t/2 + s_{t-1}/2,
+    * seeded with the first value. Halving is EXACT in IEEE doubles, and
+    * the fold order is pinned by sort_array, so the final level is
+    * bit-portable (the `x_seasonal` serial-fold convention). The series
+    * is collected per group — bounded by #hours, not #events (the hourly
+    * rollup holds the weight); thousands of independent series scale
+    * out across the group exchange. */
+  def ewmaLevels(events: DataFrame, ts: String = "ts",
+      group: String = "event_type", value: String = "value"): DataFrame = {
+    val hourly = events
+      .select(col(group), expr(s"unix_timestamp($ts) div 3600").as("hr"),
+        col(value).cast("decimal(18,2)").as("v"))
+      .groupBy(col(group), col("hr")).agg(sum("v").as("vd"))
+      .select(col(group), col("hr"), col("vd").cast(DoubleType).as("x"))
+    hourly.groupBy(col(group))
+      .agg(sort_array(collect_list(struct(col("hr"), col("x")))).as("s"))
+      .select(col(group), size(col("s")).cast(LongType).as("n_hours"),
+        expr("aggregate(s, CAST(NULL AS DOUBLE), (acc, p) -> " +
+          "CASE WHEN acc IS NULL THEN p.x " +
+          "ELSE 0.5 * p.x + 0.5 * acc END)").as("ewma"))
+  }
+
+  /** RFM (recency / frequency / monetary) quintile scoring per user —
+    * the classic CRM segmentation, deterministic across engines: each
+    * metric is exact (max epoch, count, decimal sum), and the quintile
+    * is NTILE(5) over a TOTALLY ordered ranking (user id breaks ties),
+    * so bucket boundaries can't drift with partitioning. The three
+    * global NTILE windows run over one row per user — #users rows, far
+    * below event cardinality; at extreme user counts the same scores
+    * would ride [[graft.ops.GlobalOrder]]'s range-partitioned ranks. */
+  def rfmScores(events: DataFrame, ts: String = "ts",
+      user: String = "user_id", value: String = "value"): DataFrame = {
+    val perUser = events.groupBy(col(user))
+      .agg(max(unix_timestamp(col(ts))).as("last_epoch"),
+        count(lit(1)).as("n_events"),
+        sum(col(value).cast("decimal(18,2)")).as("mon_dec"))
+      .select(col(user), col("last_epoch"), col("n_events"),
+        col("mon_dec").cast(DoubleType).as("monetary"))
+    val r = ntile(5).over(Window.orderBy(col("last_epoch").desc, col(user)))
+    val f = ntile(5).over(Window.orderBy(col("n_events").desc, col(user)))
+    val m = ntile(5).over(Window.orderBy(col("monetary").desc, col(user)))
+    perUser
+      .withColumn("r_score", r.cast(LongType))
+      .withColumn("f_score", f.cast(LongType))
+      .withColumn("m_score", m.cast(LongType))
+      .withColumn("rfm",
+        col("r_score") * 100L + col("f_score") * 10L + col("m_score"))
+  }
 }

@@ -301,6 +301,47 @@ object Graph {
     labels.select(col("node").as("v"), col("label").as("community"))
   }
 
+  /** Newman modularity of a vertex partition over an undirected edge
+    * list (a, b): per community i, Q_i = e_ii/m − (d_i/(2m))² where
+    * e_ii = internal edges, d_i = summed degree, m = total edges — the
+    * quality score a community-detection pass ([[labelPropagation]]) is
+    * judged by. `assign` maps vertex → (v, community); every community
+    * with a member appears (zero internal edges included via left join).
+    *
+    * Exactness: e_ii, d_i, m are integer counts; each Q_i is a fixed
+    * two-division IEEE expression; the total Q sums components through
+    * decimal(38,12) (order-independent) like [[MlEval.chiSquare]].
+    * Scale shape: one degree aggregation (O(E) keyed), one two-sided
+    * community tag join, community-cardinality rollups; the total is a
+    * broadcast singleton — never a driver collect. */
+  def modularity(edges: DataFrame, assign: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val m = edges.groupBy().agg(count(lit(1)).as("m"))
+    val tagged = edges
+      .join(assign.select(col("v").as("a"), col("community").as("ca")), Seq("a"))
+      .join(assign.select(col("v").as("b"), col("community").as("cb")), Seq("b"))
+    val eIn = tagged.filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community")).agg(count(lit(1)).as("e_in"))
+    val degSum = edges.select(col("a").as("v"))
+      .unionAll(edges.select(col("b").as("v")))
+      .join(assign, Seq("v"))
+      .groupBy(col("community"))
+      .agg(count(lit(1)).as("deg_sum"), count_distinct(col("v")).as("n_nodes"))
+    val comps = degSum.join(eIn, Seq("community"), "left")
+      .withColumn("e_in", coalesce(col("e_in"), lit(0L)).cast(LongType))
+      .crossJoin(broadcast(m))
+      .withColumn("q_component",
+        col("e_in").cast(DoubleType) / col("m").cast(DoubleType) -
+          (col("deg_sum").cast(DoubleType) / (lit(2L) * col("m")).cast(DoubleType)) *
+          (col("deg_sum").cast(DoubleType) / (lit(2L) * col("m")).cast(DoubleType)))
+    val qTot = comps.groupBy()
+      .agg(sum(col("q_component").cast("decimal(38,12)")).as("q_dec"))
+      .select(col("q_dec").cast(DoubleType).as("q_total"))
+    comps.crossJoin(broadcast(qTot))
+      .select(col("community"), col("n_nodes"), col("e_in"), col("deg_sum"),
+        col("q_component"), col("q_total"))
+  }
+
   /** Weighted single-source (multi-seed) shortest paths: min total edge
     * cost from any seed within `rounds` synchronous Bellman-Ford
     * relaxations — the weighted generalization of [[bfsDistances]] (which

@@ -2394,6 +2394,43 @@ object Extensions {
     MlEval.categoricalConcentration(Parity.events(spark, sfDir),
       "user_id", "event_type")
 
+  /** Consecutive 3-event behavioral patterns with occurrence and user
+    * support ([[Analytics.seqPatterns]]). */
+  def seqPatternsQ(spark: SparkSession, sfDir: String): DataFrame =
+    Analytics.seqPatterns(Parity.events(spark, sfDir))
+
+  /** Rolling z-score anomalies per event_type over the trailing 100
+    * events ([[Analytics.rollingAnomaly]]; centi-unit scores keep the
+    * moments integer-exact). z > 1.5 on roughly-uniform telemetry flags
+    * the tails — the threshold is the caller's dial. */
+  def rollingAnomalyQ(spark: SparkSession, sfDir: String): DataFrame =
+    Analytics.rollingAnomaly(
+      Parity.events(spark, sfDir).select(col("event_type"), col("event_id"),
+        unix_timestamp(col("ts")).as("tse"),
+        round(col("value") * 100.0, 0).cast(LongType).as("s")),
+      group = "event_type", order = Seq("tse", "event_id"), xCol = "s",
+      lookback = 100, minN = 30, zThresh = 1.5)
+
+  /** EWMA (α = ½) level per event_type over the hourly value series
+    * ([[Analytics.ewmaLevels]]) — serial-fold smoothing, bit-portable. */
+  def ewmaQ(spark: SparkSession, sfDir: String): DataFrame =
+    Analytics.ewmaLevels(Parity.events(spark, sfDir))
+
+  /** RFM quintile segmentation per user ([[Analytics.rfmScores]]). */
+  def rfmQ(spark: SparkSession, sfDir: String): DataFrame =
+    Analytics.rfmScores(Parity.events(spark, sfDir))
+
+  /** Newman modularity of the (user % 4) partition over the co-purchase
+    * graph ([[Graph.modularity]]) — the quality metric for a community
+    * assignment; the deterministic partition keeps the oracle exact. */
+  def modularityQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = coPurchaseEdges(spark, sfDir)
+    val nodes = edges.select(col("a").as("v"))
+      .unionAll(edges.select(col("b").as("v"))).distinct()
+    Graph.modularity(edges,
+      nodes.select(col("v"), pmod(col("v"), lit(4L)).as("community")))
+  }
+
   // ---------------------------------------------------------- queries map
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_auc" -> aucOvr _,
@@ -2402,6 +2439,11 @@ object Extensions {
     "x_psi_bins" -> psiBinsQ _,
     "x_cramers_v" -> cramersVQ _,
     "x_simpson" -> simpsonQ _,
+    "x_seq_patterns" -> seqPatternsQ _,
+    "x_rolling_anomaly" -> rollingAnomalyQ _,
+    "x_ewma" -> ewmaQ _,
+    "x_rfm" -> rfmQ _,
+    "x_modularity" -> modularityQ _,
     "x_generators" -> generators _,
     "x_collection_suite" -> collectionSuite _,
     "s17_schema_evolution" -> s17SchemaEvolution _,
@@ -2813,6 +2855,85 @@ object Extensions {
            chi2, SQRT(chi2 / CAST(n * LEAST(r - 1, c - 1) AS DOUBLE))
              AS cramers_v
          FROM comp, chi""",
+    "x_seq_patterns" ->
+      """WITH l AS (SELECT user_id, event_type AS t1,
+             LEAD(event_type, 1) OVER w AS t2,
+             LEAD(event_type, 2) OVER w AS t3
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM l WHERE t3 IS NOT NULL GROUP BY 1, 2, 3""",
+    "x_rolling_anomaly" ->
+      """WITH e AS (SELECT event_type, event_id,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS tse,
+             CAST(round(value * 100) AS BIGINT) AS s FROM events),
+           f AS (SELECT *, CAST(COUNT(s) OVER w AS BIGINT) AS n_win,
+               CAST(SUM(s) OVER w AS BIGINT) AS s1,
+               CAST(SUM(s * s) OVER w AS BIGINT) AS s2
+             FROM e WINDOW w AS (PARTITION BY event_type
+               ORDER BY tse, event_id
+               ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING)),
+           g AS (SELECT *, CAST(s * n_win - s1 AS DOUBLE)
+               / SQRT(CAST(n_win * s2 - s1 * s1 AS DOUBLE)) AS z
+             FROM f WHERE n_win >= 30 AND n_win * s2 - s1 * s1 > 0)
+         SELECT event_type, event_id, tse, s, n_win, s1, s2, z
+         FROM g WHERE ABS(z) > 1.5""",
+    "x_ewma" ->
+      """WITH e AS (SELECT event_type,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600 AS hr,
+             CAST(value AS DECIMAL(18,2)) AS v FROM events),
+           s AS (SELECT event_type, hr, CAST(SUM(v) AS DOUBLE) AS x
+             FROM e GROUP BY 1, 2)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+           list_reduce(list(x ORDER BY hr),
+             (acc, x) -> 0.5 * x + 0.5 * acc) AS ewma
+         FROM s GROUP BY 1""",
+    "x_rfm" ->
+      """WITH u AS (SELECT user_id,
+             CAST(MAX(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS BIGINT)
+               AS last_epoch,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+           FROM events GROUP BY 1),
+           q AS (SELECT user_id, last_epoch, n_events, monetary,
+             CAST(NTILE(5) OVER (ORDER BY last_epoch DESC, user_id)
+               AS BIGINT) AS r_score,
+             CAST(NTILE(5) OVER (ORDER BY n_events DESC, user_id)
+               AS BIGINT) AS f_score,
+             CAST(NTILE(5) OVER (ORDER BY monetary DESC, user_id)
+               AS BIGINT) AS m_score
+           FROM u)
+         SELECT user_id, last_epoch, n_events, monetary,
+           r_score, f_score, m_score,
+           r_score * 100 + f_score * 10 + m_score AS rfm
+         FROM q""",
+    "x_modularity" ->
+      s"""WITH $coPurchaseCte,
+           nodes AS (SELECT DISTINCT v FROM
+             (SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges)),
+           asg AS (SELECT v, v % 4 AS community FROM nodes),
+           mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM edges),
+           ein AS (SELECT x.community AS community,
+               CAST(count(*) AS BIGINT) AS e_in
+             FROM edges e JOIN asg x ON e.a = x.v JOIN asg y ON e.b = y.v
+             WHERE x.community = y.community GROUP BY 1),
+           degs AS (SELECT community, CAST(count(*) AS BIGINT) AS deg_sum,
+               CAST(count(DISTINCT v) AS BIGINT) AS n_nodes
+             FROM (SELECT a AS v FROM edges
+                   UNION ALL SELECT b AS v FROM edges) t
+             JOIN asg USING (v) GROUP BY 1),
+           comps AS (SELECT community, n_nodes,
+               CAST(COALESCE(e_in, 0) AS BIGINT) AS e_in, deg_sum,
+               CAST(COALESCE(e_in, 0) AS DOUBLE) / CAST(m AS DOUBLE)
+                 - (CAST(deg_sum AS DOUBLE) / CAST(2 * m AS DOUBLE))
+                 * (CAST(deg_sum AS DOUBLE) / CAST(2 * m AS DOUBLE))
+                 AS q_component
+             FROM degs LEFT JOIN ein USING (community), mm),
+           qt AS (SELECT CAST(SUM(CAST(q_component AS DECIMAL(38,12)))
+               AS DOUBLE) AS q_total FROM comps)
+         SELECT community, n_nodes, e_in, deg_sum, q_component, q_total
+         FROM comps, qt""",
     "x_simpson" ->
       """WITH t AS (SELECT user_id, event_type, count(*) AS n_t
              FROM events GROUP BY 1, 2),

@@ -41,8 +41,10 @@ class QueryPlanAuditSpec extends SparkSpec {
     "x_benford",        // digit counts × broadcast total-count singleton
     "x_concentration",  // ranked revenues × broadcast customer-count singleton
     "x_auc",            // per-class U terms × broadcast total-count singleton
-    "x_cramers_v"       // r×c marginal grid densify (two broadcast aggregated
+    "x_cramers_v",      // r×c marginal grid densify (two broadcast aggregated
                         // marginals) + broadcast N / chi2 singletons
+    "x_modularity"      // community rows × broadcast edge-count / total-Q
+                        // singletons
   )
 
   test("no query plans an unintended cartesian or nested-loop join") {

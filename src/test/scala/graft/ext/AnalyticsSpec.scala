@@ -211,4 +211,81 @@ class AnalyticsSpec extends SparkSpec {
     assert(r(2L) == ((2L, 1L, 20L)))
     assert(r(3L) == ((2L, 1L, 100L)))
   }
+
+  test("seqPatterns: trigram support counts occurrences and users") {
+    val e = Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "c"), (1L, 4L, "a"),
+      (2L, 5L, "a"), (2L, 6L, "b"), (2L, 7L, "c"),
+      (3L, 8L, "a"), (3L, 9L, "b")  // too short: no trigram
+    ).map { case (u, id, t) =>
+      (u, id, ts(f"2024-01-01 00:${id}%02d:00"), t)
+    }.toDF("user_id", "event_id", "ts", "event_type")
+    val r = Analytics.seqPatterns(e).collect()
+      .map(x => (x.getString(0), x.getString(1), x.getString(2)) ->
+        (x.getLong(3), x.getLong(4))).toMap
+    assert(r(("a", "b", "c")) == ((2L, 2L)))  // users 1 and 2
+    assert(r(("b", "c", "a")) == ((1L, 1L)))  // user 1 only
+    assert(r.size == 2)
+  }
+
+  test("rollingAnomaly: a spike after a stable run is flagged; warmup is not") {
+    // 40 stable values of 10, then a 1000 spike; minN=30 guards warmup
+    val rows = (1 to 40).map(i => ("g", i.toLong, i.toLong, 10L)) :+
+      ("g", 41L, 41L, 1000L)
+    val df = rows.toDF("event_type", "event_id", "tse", "s")
+    val flagged = Analytics.rollingAnomaly(df, "event_type",
+      Seq("tse", "event_id"), "s", lookback = 100, minN = 30, zThresh = 3.0)
+      .collect()
+    // variance of the all-10 window is 0 -> stable rows can't be judged,
+    // and the spike's own window is all 10s (var 0) too: no flag at all…
+    // so jitter one value to make the window variance non-zero
+    assert(flagged.isEmpty)
+    val rows2 = ((1 to 39).map(i => ("g", i.toLong, i.toLong, 10L)) :+
+      ("g", 40L, 40L, 12L)) :+ ("g", 41L, 41L, 1000L)
+    val f2 = Analytics.rollingAnomaly(rows2.toDF("event_type", "event_id", "tse", "s"),
+      "event_type", Seq("tse", "event_id"), "s",
+      lookback = 100, minN = 30, zThresh = 3.0).collect()
+    assert(f2.map(_.getLong(1)).toSeq == Seq(41L))
+    val z = f2.head.getAs[Double]("z")
+    assert(z > 100.0, s"spike z=$z")
+  }
+
+  test("ewmaLevels: half-alpha fold over the hourly series is exact") {
+    // one event per hour: 4, 8, 16 -> level 4 -> 6 -> 11
+    val e = Seq(
+      ("t", ts("2024-01-01 00:05:00"), 4.0),
+      ("t", ts("2024-01-01 01:05:00"), 8.0),
+      ("t", ts("2024-01-01 02:05:00"), 16.0)
+    ).toDF("event_type", "ts", "value")
+    val r = Analytics.ewmaLevels(e).collect().head
+    assert(r.getLong(1) == 3L && r.getDouble(2) == 11.0)
+  }
+
+  test("ewmaLevels: two events in one hour sum before the fold") {
+    val e = Seq(
+      ("t", ts("2024-01-01 00:05:00"), 1.5),
+      ("t", ts("2024-01-01 00:55:00"), 2.5),
+      ("t", ts("2024-01-01 01:05:00"), 8.0)
+    ).toDF("event_type", "ts", "value")
+    val r = Analytics.ewmaLevels(e).collect().head
+    assert(r.getLong(1) == 2L && r.getDouble(2) == 6.0) // (4)/1, then 4/2+8/2
+  }
+
+  test("rfmScores: five users with distinct metrics land in distinct quintiles") {
+    // user i: recency grows with i, frequency/monetary shrink with i
+    val e = (1 to 5).flatMap { i =>
+      (1 to (6 - i)).map { j =>
+        (i.toLong, ts(f"2024-01-0$i 00:0$j:00"), i * 10.0)
+      }
+    }.toDF("user_id", "ts", "value")
+    val r = Analytics.rfmScores(e).collect()
+      .map(x => x.getLong(0) -> (x.getLong(4), x.getLong(5), x.getLong(6))).toMap
+    // recency: user 5 most recent -> r=1; frequency: user 1 has most -> f=1
+    // monetary totals: u1=50, u2=80, u3=90, u4=80, u5=50 —
+    // desc order with user tie-break: u3(90),u2(80),u4(80),u1(50),u5(50)
+    assert(r(5L) == ((1L, 5L, 5L)))
+    assert(r(1L) == ((5L, 1L, 4L)))
+    assert(r(3L)._3 == 1L && r(2L)._3 == 2L && r(4L)._3 == 3L &&
+      r(1L)._3 == 4L && r(5L)._3 == 5L)
+  }
 }

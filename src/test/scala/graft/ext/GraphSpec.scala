@@ -207,4 +207,42 @@ class GraphSpec extends SparkSpec {
     // 3 reachable from seed 1 at 8 and from seed 5 at 2 — min wins
     assert(got === Map(1L -> 0L, 5L -> 0L, 2L -> 4L, 4L -> 1L, 3L -> 2L))
   }
+
+  test("modularity: hand case — two pairs with one bridge") {
+    import spark.implicits._
+    // edges 1-2, 3-4, bridge 1-3; communities {1,2}=0, {3,4}=1
+    // m=3; e_00=e_11=1; d_0=d_1=3 → Q_i = 1/3 − (3/6)² each, Q = 2·that
+    val e = edges((1L, 2L), (3L, 4L), (1L, 3L))
+    val asg = Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L))
+      .toDF("v", "community")
+    val r = Graph.modularity(e, asg).collect()
+      .map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getDouble(4))).toMap
+    val qi = 1.0 / 3.0 - 0.25
+    assert(r(0L) == ((2L, 1L, 3L, qi)))
+    assert(r(1L) == ((2L, 1L, 3L, qi)))
+  }
+
+  test("modularity: perfect split of two cliques beats a random split") {
+    import spark.implicits._
+    // two triangles, no bridge
+    val e = edges((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L))
+    val good = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 1L), (5L, 1L), (6L, 1L))
+      .toDF("v", "community")
+    val bad = Seq((1L, 0L), (2L, 1L), (3L, 0L), (4L, 1L), (5L, 0L), (6L, 1L))
+      .toDF("v", "community")
+    def q(asg: org.apache.spark.sql.DataFrame) =
+      Graph.modularity(e, asg).collect().head.getAs[Double]("q_total")
+    assert(q(good) == 0.5)  // disconnected cliques: max modularity 1/2
+    assert(q(bad) < q(good))
+  }
+
+  test("modularity: a community with zero internal edges still appears") {
+    import spark.implicits._
+    val e = edges((1L, 2L))
+    val asg = Seq((1L, 0L), (2L, 1L)).toDF("v", "community")
+    val r = Graph.modularity(e, asg).collect()
+      .map(x => x.getLong(0) -> x.getLong(2)).toMap
+    assert(r == Map(0L -> 0L, 1L -> 0L))
+  }
 }
