@@ -205,6 +205,45 @@ object MlEval {
           .cast(DoubleType)).as("cramers_v"))
   }
 
+  /** Per-class classification quality report from (actual, predicted)
+    * pairs: tp/fp/fn counts plus precision, recall, and F1 — each a
+    * SINGLE integer-ratio division (F1 = 2·tp / (2·tp + fp + fn), never
+    * the P/R chain, so no compounded rounding). Classes appearing only
+    * as predictions or only as actuals still get a row (full outer on
+    * the two marginals); undefined ratios (zero denominators) stay null
+    * rather than NaN. One (actual, predicted)-keyed count aggregate —
+    * cells are O(classes²) — then marginal joins on class cardinality. */
+  def classificationReport(df: DataFrame, actualCol: String,
+      predictedCol: String): DataFrame = {
+    val cells = df.groupBy(col(actualCol).as("actual"),
+        col(predictedCol).as("predicted"))
+      .agg(count(lit(1)).as("n"))
+    val tp = cells.filter(col("actual") === col("predicted"))
+      .select(col("actual").as("class"), col("n").as("tp"))
+    val actTot = cells.groupBy(col("actual").as("class"))
+      .agg(sum("n").as("n_actual"))
+    val predTot = cells.groupBy(col("predicted").as("class"))
+      .agg(sum("n").as("n_predicted"))
+    actTot.join(predTot, Seq("class"), "full_outer")
+      .join(tp, Seq("class"), "left")
+      .select(col("class"),
+        coalesce(col("n_actual"), lit(0L)).as("n_actual"),
+        coalesce(col("n_predicted"), lit(0L)).as("n_predicted"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .withColumn("fp", col("n_predicted") - col("tp"))
+      .withColumn("fn", col("n_actual") - col("tp"))
+      .withColumn("precision",
+        when(col("n_predicted") > 0,
+          col("tp").cast(DoubleType) / col("n_predicted").cast(DoubleType)))
+      .withColumn("recall",
+        when(col("n_actual") > 0,
+          col("tp").cast(DoubleType) / col("n_actual").cast(DoubleType)))
+      .withColumn("f1",
+        when(lit(2L) * col("tp") + col("fp") + col("fn") > 0,
+          (lit(2L) * col("tp")).cast(DoubleType) /
+            (lit(2L) * col("tp") + col("fp") + col("fn")).cast(DoubleType)))
+  }
+
   /** Per-entity Herfindahl concentration / Simpson diversity over a
     * categorical: hhi = Σ_t n_t² / N² (one integer-ratio division),
     * diversity = 1 − hhi. The per-user behavioral-mix feature a

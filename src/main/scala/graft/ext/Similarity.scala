@@ -241,19 +241,7 @@ object Similarity {
     * back to members — no pair space, no window over the corpus. */
   def labelCohesion(emb: DataFrame): DataFrame = {
     val nz = withNorm(emb).filter(col("nrm") > 0)
-    val perDim = nz
-      .select(col("label"), col("vec_id"),
-        posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "v")))
-      .groupBy("label", "pos")
-      .agg((aggregate(
-          transform(array_sort(collect_list(struct(col("vec_id"), col("v")))),
-            p => p("v")),
-          lit(0.0), (a, x) => a + x) / count(lit(1))).as("m"))
-    val cent = perDim.groupBy("label")
-      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
-      .select(col("label"), transform(col("ps"), p => p("m")).as("c_emb"))
-      .withColumn("c_nrm", norm(col("c_emb")))
-    nz.join(broadcast(cent), Seq("label"))
+    nz.join(broadcast(labelCentroids(nz)), Seq("label"))
       .withColumn("cos",
         dot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")))
       .groupBy("label")
@@ -264,6 +252,60 @@ object Similarity {
             p => p("cos")),
           lit(0.0), (a, x) => a + x) / count(lit(1))).as("mean_cos"),
         min(col("cos")).as("min_cos"))
+  }
+
+  /** Exact per-label centroid table (label, c_emb, c_nrm) over norm-
+    * filtered embeddings: per-dimension means folded in vec_id order so
+    * every double is reproducible (shared by [[labelCohesion]] and
+    * [[silhouetteMargin]]). */
+  private def labelCentroids(nz: DataFrame): DataFrame = {
+    val perDim = nz
+      .select(col("label"), col("vec_id"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg((aggregate(
+          transform(array_sort(collect_list(struct(col("vec_id"), col("v")))),
+            p => p("v")),
+          lit(0.0), (a, x) => a + x) / count(lit(1))).as("m"))
+    perDim.groupBy("label")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
+      .select(col("label"), transform(col("ps"), p => p("m")).as("c_emb"))
+      .withColumn("c_nrm", norm(col("c_emb")))
+  }
+
+  /** Centroid-based silhouette margin per label: each member's cosine to
+    * its OWN label centroid minus its best cosine to any OTHER label
+    * centroid — [[labelCohesion]] measures how tight a cluster is, this
+    * measures how SEPARATED it is from its neighbors (the full-silhouette
+    * a(i)/b(i) idea with centroids standing in for member averages,
+    * which keeps the cost O(N·labels) instead of O(N²)). A negative
+    * margin means the member sits closer to a foreign centroid — the
+    * mislabeled/boundary fraction `n_separated` exposes per label.
+    *
+    * Determinism: centroids and the per-label mean margin fold in vec_id
+    * order (the [[labelCohesion]] convention); max-over-centroids is
+    * order-free. Scale: one broadcast of the ≤|labels| centroid table
+    * against the corpus (the SAME broadcast serves own and best-other
+    * via a conditional max), one vec_id aggregation, one label rollup. */
+  def silhouetteMargin(emb: DataFrame): DataFrame = {
+    val nz = withNorm(emb).filter(col("nrm") > 0)
+    val cent = labelCentroids(nz)
+      .select(col("label").as("c_label"), col("c_emb"), col("c_nrm"))
+    val scored = nz.crossJoin(broadcast(cent))
+      .withColumn("cos",
+        dot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")))
+    val perVec = scored.groupBy(col("vec_id"), col("label"))
+      .agg(max(when(col("label") === col("c_label"), col("cos"))).as("own_cos"),
+        max(when(col("label") =!= col("c_label"), col("cos"))).as("best_other"))
+      .filter(col("best_other").isNotNull) // single-label corpus: no margin
+      .withColumn("margin", col("own_cos") - col("best_other"))
+    perVec.groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        (aggregate(
+          transform(array_sort(collect_list(struct(col("vec_id"), col("margin")))),
+            p => p("margin")),
+          lit(0.0), (a, x) => a + x) / count(lit(1))).as("mean_margin"),
+        sum(when(col("margin") > 0, 1L).otherwise(0L)).as("n_separated"))
   }
 
   /** Quantizer assignment table over TRAINED centroids: every vector's

@@ -2420,6 +2420,25 @@ object Extensions {
   def rfmQ(spark: SparkSession, sfDir: String): DataFrame =
     Analytics.rfmScores(Parity.events(spark, sfDir))
 
+  /** Per-class precision/recall/F1 against a deterministic value-bucket
+    * prediction rule ([[MlEval.classificationReport]]). */
+  def confusionQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val pred = expr(
+      "CASE CAST(FLOOR(value / 100.0) AS BIGINT) " +
+        "WHEN 0 THEN 'click' WHEN 1 THEN 'view' WHEN 2 THEN 'purchase' " +
+        "WHEN 3 THEN 'signup' ELSE 'error' END")
+    MlEval.classificationReport(
+      Parity.events(spark, sfDir)
+        .select(col("event_type").as("actual"), pred.as("predicted")),
+      "actual", "predicted")
+  }
+
+  /** Centroid-silhouette separation per label bucket
+    * ([[Similarity.silhouetteMargin]]) — the inter-cluster complement of
+    * `x_label_cohesion`. */
+  def silhouetteQ(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.silhouetteMargin(emb(spark, sfDir))
+
   /** Newman modularity of the (user % 4) partition over the co-purchase
     * graph ([[Graph.modularity]]) — the quality metric for a community
     * assignment; the deterministic partition keeps the oracle exact. */
@@ -2444,6 +2463,8 @@ object Extensions {
     "x_ewma" -> ewmaQ _,
     "x_rfm" -> rfmQ _,
     "x_modularity" -> modularityQ _,
+    "x_confusion" -> confusionQ _,
+    "x_silhouette" -> silhouetteQ _,
     "x_generators" -> generators _,
     "x_collection_suite" -> collectionSuite _,
     "s17_schema_evolution" -> s17SchemaEvolution _,
@@ -2934,6 +2955,70 @@ object Extensions {
                AS DOUBLE) AS q_total FROM comps)
          SELECT community, n_nodes, e_in, deg_sum, q_component, q_total
          FROM comps, qt""",
+    "x_confusion" ->
+      """WITH t AS (SELECT event_type AS actual,
+             CASE CAST(FLOOR(value / 100.0) AS BIGINT)
+               WHEN 0 THEN 'click' WHEN 1 THEN 'view'
+               WHEN 2 THEN 'purchase' WHEN 3 THEN 'signup'
+               ELSE 'error' END AS predicted
+           FROM events),
+           cells AS (SELECT actual, predicted, CAST(count(*) AS BIGINT) AS n
+             FROM t GROUP BY 1, 2),
+           tpx AS (SELECT actual AS class, n AS tp FROM cells
+             WHERE actual = predicted),
+           a AS (SELECT actual AS class, CAST(SUM(n) AS BIGINT) AS n_actual
+             FROM cells GROUP BY 1),
+           p AS (SELECT predicted AS class,
+               CAST(SUM(n) AS BIGINT) AS n_predicted
+             FROM cells GROUP BY 1),
+           j AS (SELECT class,
+               CAST(COALESCE(n_actual, 0) AS BIGINT) AS n_actual,
+               CAST(COALESCE(n_predicted, 0) AS BIGINT) AS n_predicted,
+               CAST(COALESCE(tp, 0) AS BIGINT) AS tp
+             FROM a FULL OUTER JOIN p USING (class)
+             LEFT JOIN tpx USING (class))
+         SELECT class, n_actual, n_predicted, tp,
+           n_predicted - tp AS fp, n_actual - tp AS fn,
+           CASE WHEN n_predicted > 0 THEN
+             CAST(tp AS DOUBLE) / CAST(n_predicted AS DOUBLE) END AS precision,
+           CASE WHEN n_actual > 0 THEN
+             CAST(tp AS DOUBLE) / CAST(n_actual AS DOUBLE) END AS recall,
+           CASE WHEN 2 * tp + (n_predicted - tp) + (n_actual - tp) > 0 THEN
+             CAST(2 * tp AS DOUBLE) /
+               CAST(2 * tp + (n_predicted - tp) + (n_actual - tp) AS DOUBLE)
+             END AS f1
+         FROM j""",
+    "x_silhouette" ->
+      s"""WITH $normCte,
+          nz AS (SELECT * FROM ne WHERE nrm > 0),
+          perdim AS (
+            SELECT label, i AS pos,
+              list_reduce(list_prepend(0.0::DOUBLE,
+                list(CAST(embedding[i] AS DOUBLE) ORDER BY vec_id)),
+                (a, b) -> a + b) / count(*) AS m
+            FROM nz CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) d
+            GROUP BY label, i),
+          cent AS (
+            SELECT label, c_emb,
+              sqrt(${dotD("c_emb", "c_emb")}) AS c_nrm
+            FROM (SELECT label, list(m ORDER BY pos) AS c_emb
+                  FROM perdim GROUP BY label) t),
+          scored AS (
+            SELECT v.label, v.vec_id, c.label AS c_label,
+              ${dotD("v.embedding", "c.c_emb")} / (v.nrm * c.c_nrm) AS cos
+            FROM nz v CROSS JOIN cent c),
+          pv AS (SELECT vec_id, label,
+              MAX(CASE WHEN label = c_label THEN cos END) AS own_cos,
+              MAX(CASE WHEN label <> c_label THEN cos END) AS best_other
+            FROM scored GROUP BY 1, 2),
+          m AS (SELECT label, vec_id, own_cos - best_other AS margin
+            FROM pv WHERE best_other IS NOT NULL)
+          SELECT label, CAST(count(*) AS BIGINT) AS n,
+            list_reduce(list_prepend(0.0::DOUBLE, list(margin ORDER BY vec_id)),
+              (a, b) -> a + b) / count(*) AS mean_margin,
+            CAST(SUM(CASE WHEN margin > 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_separated
+          FROM m GROUP BY 1""",
     "x_simpson" ->
       """WITH t AS (SELECT user_id, event_type, count(*) AS n_t
              FROM events GROUP BY 1, 2),

@@ -43,8 +43,9 @@ class QueryPlanAuditSpec extends SparkSpec {
     "x_auc",            // per-class U terms × broadcast total-count singleton
     "x_cramers_v",      // r×c marginal grid densify (two broadcast aggregated
                         // marginals) + broadcast N / chi2 singletons
-    "x_modularity"      // community rows × broadcast edge-count / total-Q
+    "x_modularity",     // community rows × broadcast edge-count / total-Q
                         // singletons
+    "x_silhouette"      // corpus × broadcast ≤|labels| centroid table
   )
 
   test("no query plans an unintended cartesian or nested-loop join") {

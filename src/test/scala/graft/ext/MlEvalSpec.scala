@@ -98,6 +98,37 @@ class MlEvalSpec extends SparkSpec {
     assert(r.forall(x => math.abs(x.getAs[Double]("cramers_v") - 1.0) < 1e-12))
   }
 
+  test("classificationReport: hand-counted tp/fp/fn and single-division ratios") {
+    val df = Seq(
+      ("a", "a"), ("a", "a"), ("a", "b"),   // a: tp=2, fn=1
+      ("b", "a"), ("b", "b"),               // b: tp=1, fn=1; a gains fp=1
+      ("c", "a")                            // c: never predicted
+    ).toDF("actual", "predicted")
+    val r = MlEval.classificationReport(df, "actual", "predicted")
+      .collect().map(x => x.getString(0) -> x).toMap
+    val a = r("a")
+    assert(a.getAs[Long]("tp") == 2L && a.getAs[Long]("fp") == 2L &&
+      a.getAs[Long]("fn") == 1L)
+    assert(a.getAs[Double]("precision") == 0.5)
+    assert(a.getAs[Double]("recall") == 2.0 / 3.0)
+    assert(a.getAs[Double]("f1") == 4.0 / 7.0)
+    // c was never predicted: precision null, recall 0
+    val c = r("c")
+    assert(c.isNullAt(c.fieldIndex("precision")))
+    assert(c.getAs[Double]("recall") == 0.0)
+    assert(c.getAs[Double]("f1") == 0.0)
+  }
+
+  test("classificationReport: a predicted-only class appears with zero actuals") {
+    val df = Seq(("a", "a"), ("a", "z")).toDF("actual", "predicted")
+    val r = MlEval.classificationReport(df, "actual", "predicted")
+      .collect().map(x => x.getString(0) -> x).toMap
+    val z = r("z")
+    assert(z.getAs[Long]("n_actual") == 0L && z.getAs[Long]("n_predicted") == 1L)
+    assert(z.getAs[Double]("precision") == 0.0)
+    assert(z.isNullAt(z.fieldIndex("recall")))
+  }
+
   test("categoricalConcentration: uniform mix vs single-type user") {
     val df = Seq((1L, "a"), (1L, "b"), (1L, "c"), (1L, "d"),
       (2L, "a"), (2L, "a")).toDF("user_id", "event_type")

@@ -161,4 +161,30 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(diffuse.getAs[Double]("mean_cos") - 1.0 / math.sqrt(2)) < 1e-9)
     assert(diffuse.getAs[Double]("min_cos") <= diffuse.getAs[Double]("mean_cos"))
   }
+
+  test("silhouetteMargin: well-separated labels positive, straddler negative") {
+    import spark.implicits._
+    val emb = Seq(
+      // label 0 along x, label 1 along y — cleanly separated
+      (1L, Array(1f, 0f, 0f), 0), (2L, Array(1f, 0.1f, 0f), 0),
+      // member 5 carries label 0 but points along y: mislabeled
+      (5L, Array(0f, 1f, 0f), 0),
+      (3L, Array(0f, 1f, 0f), 1), (4L, Array(0.1f, 1f, 0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val perVec = Similarity.silhouetteMargin(emb).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    // label 0: members 1,2 separate (+), member 5 sits on label 1's
+    // centroid (−) → 2 of 3 separated, mean pulled down but positive
+    assert(perVec(0)._1 == 3L && perVec(0)._3 == 2L)
+    // label 1: both members closer to their own centroid
+    // (margins ≈ 0.52 and 0.43 against the raw-mean centroids)
+    assert(perVec(1)._1 == 2L && perVec(1)._3 == 2L && perVec(1)._2 > 0.3)
+  }
+
+  test("silhouetteMargin: single-label corpus yields no rows (no other centroid)") {
+    import spark.implicits._
+    val emb = Seq((1L, Array(1f, 0f), 0), (2L, Array(0f, 1f), 0))
+      .toDF("vec_id", "embedding", "label")
+    assert(Similarity.silhouetteMargin(emb).collect().isEmpty)
+  }
 }
