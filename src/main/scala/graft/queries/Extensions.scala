@@ -2420,6 +2420,30 @@ object Extensions {
   def rfmQ(spark: SparkSession, sfDir: String): DataFrame =
     Analytics.rfmScores(Parity.events(spark, sfDir))
 
+  /** Count-Min frequency estimates vs exact counts over the purchase-key
+    * stream ([[graft.functions.CmsSketch]], depth 3 × width 64 — narrow
+    * enough that ~100 keys collide, so the overcount column is a live
+    * demonstration of the one-sided error bound). The estimate reads the
+    * sketch grid with the SAME hash arithmetic the aggregate used; the
+    * oracle rebuilds the grid from exact per-key counts. */
+  def cmsCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.CmsSketch
+    val P = lit(1000000007L)
+    val keys = Parity.events(spark, sfDir)
+      .select(get_json_object(col("props"), "$.k").cast(LongType).as("key"))
+      .filter(col("key").isNotNull)
+    val sk = keys.agg(CmsSketch(col("key"), 3, 64).as("cells"))
+    val exact = keys.groupBy("key").agg(count(lit(1)).as("exact"))
+    val est = (0 until 3).map { i =>
+      element_at(col("cells"),
+        (pmod(pmod(col("key"), P) * lit(2L * i + 1) + lit(i.toLong), P)
+          % lit(64L)).cast("int") + lit(i * 64 + 1))
+    }.reduce(least(_, _))
+    exact.crossJoin(broadcast(sk))
+      .select(col("key"), col("exact"), est.as("est"))
+      .withColumn("overcount", col("est") - col("exact"))
+  }
+
   /** Per-class precision/recall/F1 against a deterministic value-bucket
     * prediction rule ([[MlEval.classificationReport]]). */
   def confusionQ(spark: SparkSession, sfDir: String): DataFrame = {
@@ -2465,6 +2489,7 @@ object Extensions {
     "x_modularity" -> modularityQ _,
     "x_confusion" -> confusionQ _,
     "x_silhouette" -> silhouetteQ _,
+    "x_cms_counts" -> cmsCounts _,
     "x_generators" -> generators _,
     "x_collection_suite" -> collectionSuite _,
     "s17_schema_evolution" -> s17SchemaEvolution _,
@@ -2955,6 +2980,23 @@ object Extensions {
                AS DOUBLE) AS q_total FROM comps)
          SELECT community, n_nodes, e_in, deg_sum, q_component, q_total
          FROM comps, qt""",
+    "x_cms_counts" ->
+      """WITH k AS (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT)
+               AS key, CAST(count(*) AS BIGINT) AS exact
+             FROM events
+             WHERE json_extract_string(props, '$.k') IS NOT NULL
+             GROUP BY 1),
+           d AS (SELECT unnest(generate_series(0, 2)) AS i),
+           ke AS (SELECT key, exact, i,
+               ((key % 1000000007) * (2 * i + 1) + i) % 1000000007 % 64
+                 AS cell
+             FROM k CROSS JOIN d),
+           cells AS (SELECT i, cell, CAST(SUM(exact) AS BIGINT) AS cnt
+             FROM ke GROUP BY 1, 2),
+           est AS (SELECT key, CAST(MIN(cnt) AS BIGINT) AS est
+             FROM ke JOIN cells USING (i, cell) GROUP BY 1)
+         SELECT k.key, k.exact, est.est, est.est - k.exact AS overcount
+         FROM k JOIN est USING (key)""",
     "x_confusion" ->
       """WITH t AS (SELECT event_type AS actual,
              CASE CAST(FLOOR(value / 100.0) AS BIGINT)

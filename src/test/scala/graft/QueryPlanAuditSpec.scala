@@ -45,7 +45,8 @@ class QueryPlanAuditSpec extends SparkSpec {
                         // marginals) + broadcast N / chi2 singletons
     "x_modularity",     // community rows × broadcast edge-count / total-Q
                         // singletons
-    "x_silhouette"      // corpus × broadcast ≤|labels| centroid table
+    "x_silhouette",     // corpus × broadcast ≤|labels| centroid table
+    "x_cms_counts"      // exact counts × broadcast one-row sketch grid
   )
 
   test("no query plans an unintended cartesian or nested-loop join") {
