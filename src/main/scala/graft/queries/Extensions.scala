@@ -237,6 +237,12 @@ object Extensions {
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.jaccardPairs(docs(spark, sfDir), 0.5)
 
+  /** PPJoin prefix-filtered exact Jaccard — same result set as
+    * [[ngramJaccard]] (same threshold, same oracle) from a candidate
+    * space keyed on rare-prefix tokens only. */
+  def ppjoinJaccard(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.jaccardPairsPrefix(docs(spark, sfDir), 0.5)
+
   /** Exact Jaccard with the hot-shingle df cap — the corpus-scale form
     * (candidate generation skips shingles present in > 100 docs). */
   def jaccardCapped(spark: SparkSession, sfDir: String): DataFrame =
@@ -2490,6 +2496,7 @@ object Extensions {
     "x_confusion" -> confusionQ _,
     "x_silhouette" -> silhouetteQ _,
     "x_cms_counts" -> cmsCounts _,
+    "d_ppjoin" -> ppjoinJaccard _,
     "x_generators" -> generators _,
     "x_collection_suite" -> collectionSuite _,
     "s17_schema_evolution" -> s17SchemaEvolution _,
@@ -3134,6 +3141,10 @@ object Extensions {
            count(*) AS n_copies
          FROM all_docs GROUP BY 1 HAVING count(*) > 1""",
     "d_ngram_jaccard" -> jaccardSql("0.5"),
+    // PPJoin produces the SAME pair set as the full postings join — the
+    // prefix filter is lossless by the prefix lemma, so the oracle is
+    // shared verbatim.
+    "d_ppjoin" -> jaccardSql("0.5"),
     "m_video_probe" ->
       """SELECT doc_id,
            CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END AS brand,

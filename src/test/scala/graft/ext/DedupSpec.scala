@@ -29,6 +29,52 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keySet.exists { case (a, b) => a == 2L || b == 2L }) // unrelated
   }
 
+  test("jaccardPairsPrefix equals the full postings join on the fixture") {
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("a", "b", "inter", "na", "nb", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getInt(3), r.getInt(4), r.getDouble(5))).toSet
+    assert(canon(Dedup.jaccardPairsPrefix(docsDF, 0.5)) ==
+      canon(Dedup.jaccardPairs(docsDF, 0.5)))
+  }
+
+  test("jaccardPairsPrefix: lossless across thresholds on a seeded corpus") {
+    // overlapping sliding windows over a word stream: many partial
+    // overlaps at every similarity level, exercising the prefix bound
+    val words = (0 until 60).map(i => s"w${i % 23}")
+    val corpus = (0 until 18).map { d =>
+      (d.toLong, words.slice(d, d + 24).mkString(" "))
+    }.toDF("doc_id", "text")
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val full = Dedup.jaccardPairs(corpus, t)
+        .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val pref = Dedup.jaccardPairsPrefix(corpus, t)
+        .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pref == full, s"threshold $t: $pref vs $full")
+    }
+  }
+
+  test("prefix filter: shared boilerplate creates NO candidates") {
+    // every doc = unique content + the SAME boilerplate tail: the full
+    // postings join pairs all docs through the boilerplate shingles
+    // (k²/2 blowup); the rarest-first prefix excludes them entirely
+    // 8 unique words + 8 boilerplate words → 14 trigrams, of which the
+    // 8 containing a unique word have df=1 and the 6 all-boiler ones
+    // df=12; at t=0.5 the prefix keeps 14−7+1 = 8 shingles — exactly
+    // the rare ones, so boilerplate never reaches the join key space
+    val boiler = "all rights reserved contact us terms of service"
+    val corpus = (0 until 12).map { d =>
+      (d.toLong, s"u$d c$d b$d t$d w$d h$d x$d y$d $boiler")
+    }.toDF("doc_id", "text")
+    val full = Dedup.jaccardPairs(corpus, 0.0).count() // every sharing pair
+    val cand = Dedup.prefixCandidates(corpus, 0.5).count()
+    assert(full == 12L * 11 / 2, s"boilerplate pairs all docs: $full")
+    assert(cand == 0L, s"prefix candidates must skip boilerplate: $cand")
+    // and the verified output agrees with the full join at the threshold
+    assert(Dedup.jaccardPairsPrefix(corpus, 0.5).count() ==
+      Dedup.jaccardPairs(corpus, 0.5).count())
+  }
+
   test("minHashNearDups finds the same pairs as exact jaccard here") {
     val exact = Dedup.jaccardPairs(docsDF, 0.7).select("a", "b").collect().toSet
     val lsh = Dedup.minHashNearDups(docsDF, 0.7).select("a", "b").collect().toSet
