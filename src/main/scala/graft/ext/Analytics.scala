@@ -377,6 +377,43 @@ object Analytics {
           "ELSE 0.5 * p.x + 0.5 * acc END)").as("ewma"))
   }
 
+  /** One-sided upper CUSUM changepoint detector per group over the
+    * hourly centi-unit series — S_t = max(0, S_{t−1} + x_t − c) with c
+    * the group's floored mean hourly total. The recursion is rewritten
+    * CLOSED-FORM so no serial fold is needed: with prefix sums
+    * P_t = Σ_{i≤t}(x_i − c) (and virtual P_0 = 0),
+    * S_t = P_t − min(0, min_{j≤t} P_j) — two window aggregates on ONE
+    * ordered frame, ALL integer arithmetic (x and c are centi longs, c
+    * by integer division), so the detector is bit-portable with no
+    * float in sight. Rows with S above `threshold` flag a sustained
+    * upward shift (the change-detection monitor a pipeline runs on
+    * volume/price telemetry).
+    *
+    * Scale shape: one keyed hourly rollup (mergeable counts), a
+    * broadcast of per-group references, and one group exchange carrying
+    * both running windows; thousands of series scale out, one series is
+    * inherently sequential but streams through the frame. */
+  def cusum(events: DataFrame, ts: String = "ts",
+      group: String = "event_type", value: String = "value",
+      threshold: Long = 100000L): DataFrame = {
+    val hourly = events
+      .select(col(group), expr(s"unix_timestamp($ts) div 3600").as("hr"),
+        round(col(value) * lit(100.0), 0).cast(LongType).as("s"))
+      .groupBy(col(group), col("hr")).agg(sum("s").as("x"))
+    // integer division — a double-divide-then-cast would TRUNCATE here
+    // but ROUND in DuckDB, so the reference must never touch floats
+    val ref = hourly.groupBy(col(group))
+      .agg(expr("sum(x) div count(1)").as("c"))
+    val w = Window.partitionBy(group).orderBy("hr")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hourly.join(broadcast(ref), Seq(group))
+      .withColumn("p", sum(col("x") - col("c")).over(w))
+      .withColumn("s_cusum", col("p") - least(min(col("p")).over(w), lit(0L)))
+      .withColumn("flagged", col("s_cusum") > lit(threshold))
+      .select(col(group), col("hr"), col("x"), col("c"),
+        col("s_cusum"), col("flagged"))
+  }
+
   /** RFM (recency / frequency / monetary) quintile scoring per user —
     * the classic CRM segmentation, deterministic across engines: each
     * metric is exact (max epoch, count, decimal sum), and the quintile

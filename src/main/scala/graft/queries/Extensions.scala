@@ -2426,6 +2426,11 @@ object Extensions {
   def rfmQ(spark: SparkSession, sfDir: String): DataFrame =
     Analytics.rfmScores(Parity.events(spark, sfDir))
 
+  /** One-sided CUSUM changepoint line per event_type over hourly value
+    * totals ([[Analytics.cusum]] — closed-form, all-integer). */
+  def cusumQ(spark: SparkSession, sfDir: String): DataFrame =
+    Analytics.cusum(Parity.events(spark, sfDir))
+
   /** Count-Min frequency estimates vs exact counts over the purchase-key
     * stream ([[graft.functions.CmsSketch]], depth 3 × width 64 — narrow
     * enough that ~100 keys collide, so the overcount column is a live
@@ -2497,6 +2502,7 @@ object Extensions {
     "x_silhouette" -> silhouetteQ _,
     "x_cms_counts" -> cmsCounts _,
     "d_ppjoin" -> ppjoinJaccard _,
+    "x_cusum" -> cusumQ _,
     "x_generators" -> generators _,
     "x_collection_suite" -> collectionSuite _,
     "s17_schema_evolution" -> s17SchemaEvolution _,
@@ -2987,6 +2993,28 @@ object Extensions {
                AS DOUBLE) AS q_total FROM comps)
          SELECT community, n_nodes, e_in, deg_sum, q_component, q_total
          FROM comps, qt""",
+    "x_cusum" ->
+      """WITH e AS (SELECT event_type,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600 AS hr,
+             CAST(round(value * 100) AS BIGINT) AS s FROM events),
+           h AS (SELECT event_type, hr, CAST(SUM(s) AS BIGINT) AS x
+             FROM e GROUP BY 1, 2),
+           r AS (SELECT event_type,
+               CAST(SUM(x) // COUNT(*) AS BIGINT) AS c
+             FROM h GROUP BY 1),
+           p AS (SELECT h.event_type, hr, x, c,
+               CAST(SUM(x - c) OVER (PARTITION BY h.event_type ORDER BY hr
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS p
+             FROM h JOIN r USING (event_type)),
+           sline AS (SELECT event_type, hr, x, c,
+               CAST(p - LEAST(MIN(p) OVER (PARTITION BY event_type
+                 ORDER BY hr ROWS BETWEEN UNBOUNDED PRECEDING AND
+                 CURRENT ROW), 0) AS BIGINT) AS s_cusum
+             FROM p)
+         SELECT event_type, hr, x, c, s_cusum,
+           s_cusum > 100000 AS flagged
+         FROM sline""",
     "x_cms_counts" ->
       """WITH k AS (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT)
                AS key, CAST(count(*) AS BIGINT) AS exact

@@ -271,6 +271,35 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getLong(1) == 2L && r.getDouble(2) == 6.0) // (4)/1, then 4/2+8/2
   }
 
+  test("cusum: closed form matches the hand recursion on a step series") {
+    // hourly units 10,10,10,50 → centi x 1000×3, 5000; c = 8000/4 = 2000
+    // P: −1000,−2000,−3000,0 → S: 0,0,0,3000
+    val e = Seq(
+      ("g", ts("2024-01-01 00:10:00"), 10.0),
+      ("g", ts("2024-01-01 01:10:00"), 10.0),
+      ("g", ts("2024-01-01 02:10:00"), 10.0),
+      ("g", ts("2024-01-01 03:10:00"), 50.0)
+    ).toDF("event_type", "ts", "value")
+    val r = Analytics.cusum(e, threshold = 2500L).orderBy("hr").collect()
+      .map(x => (x.getLong(2), x.getLong(4), x.getBoolean(5)))
+    assert(r.map(_._1).toSeq == Seq(1000L, 1000L, 1000L, 5000L))
+    assert(r.map(_._2).toSeq == Seq(0L, 0L, 0L, 3000L))
+    assert(r.map(_._3).toSeq == Seq(false, false, false, true))
+  }
+
+  test("cusum: closed form equals the sequential max(0, s+x−c) walk") {
+    val rnd = new scala.util.Random(42)
+    val xs = (0 until 200).map(_ => rnd.nextInt(5000).toLong)
+    val e = xs.zipWithIndex.map { case (v, i) =>
+      ("g", ts(f"2024-01-${i / 24 + 1}%02d ${i % 24}%02d:30:00"), v / 100.0)
+    }.toDF("event_type", "ts", "value")
+    val got = Analytics.cusum(e).orderBy("hr").collect()
+      .map(x => x.getLong(4)).toSeq
+    val c = xs.sum / xs.length // same floored integer mean
+    val want = xs.scanLeft(0L)((s, x) => math.max(0L, s + x - c)).tail
+    assert(got == want)
+  }
+
   test("rfmScores: five users with distinct metrics land in distinct quintiles") {
     // user i: recency grows with i, frequency/monetary shrink with i
     val e = (1 to 5).flatMap { i =>
