@@ -192,7 +192,10 @@ object Extensions {
   /** Language ID: stopword-marker scoring, argmax with deterministic
     * lexicographic tiebreak, 'und' when nothing matches; reported as a
     * (true lang, predicted) contingency rollup. */
-  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Per-doc language prediction (marker-stopword argmax, 'und' on zero
+    * signal) — the stage both [[langId]]'s contingency rollup and
+    * [[langIdEval]]'s quality report consume. */
+  private def langPredicted(spark: SparkSession, sfDir: String): DataFrame = {
     val w = TextKit.words(col("text"))
     val scored = docs(spark, sfDir).select(Seq(col("doc_id"), col("lang")) ++
       langMarkers.map { case (l, ms) =>
@@ -201,9 +204,19 @@ object Extensions {
     val pred = langMarkers.foldLeft(when(m === 0, "und")) {
       case (acc, (l, _)) => acc.when(col(s"s_$l") === m, l) }
     scored.withColumn("predicted", pred)
+  }
+
+  def langId(spark: SparkSession, sfDir: String): DataFrame =
+    langPredicted(spark, sfDir)
       .groupBy("lang", "predicted")
       .agg(count(lit(1)).as("n"), sum(col("s_en")).as("sum_s_en"))
-  }
+
+  /** Precision/recall/F1 of the lang-id stage against the corpus's true
+    * lang column ([[MlEval.classificationReport]] composed over
+    * [[langPredicted]]) — the eval suite applied to one of the engine's
+    * own pipeline stages rather than a synthetic rule. */
+  def langIdEval(spark: SparkSession, sfDir: String): DataFrame =
+    MlEval.classificationReport(langPredicted(spark, sfDir), "lang", "predicted")
 
   /** Document fingerprinting: full-text rolling hash + winnowing-style
     * min of char-5-gram hashes. */
@@ -2503,6 +2516,7 @@ object Extensions {
     "x_cms_counts" -> cmsCounts _,
     "d_ppjoin" -> ppjoinJaccard _,
     "x_cusum" -> cusumQ _,
+    "x_langid_eval" -> langIdEval _,
     "x_generators" -> generators _,
     "x_collection_suite" -> collectionSuite _,
     "s17_schema_evolution" -> s17SchemaEvolution _,
@@ -3144,6 +3158,48 @@ object Extensions {
             CASE WHEN $m = 0 THEN 'und' $pred END AS predicted,
             count(*) AS n, CAST(SUM(s_en) AS BIGINT) AS sum_s_en
           FROM scored GROUP BY 1, 2"""
+    },
+    "x_langid_eval" -> {
+      val score = langMarkers.map { case (l, ms) =>
+        val set = ms.map(m => s"'$m'").mkString(", ")
+        s"len(list_filter(w, x -> x IN ($set)))::BIGINT AS s_$l"
+      }.mkString(",\n            ")
+      val m = "greatest(s_de, s_en, s_es, s_fr)"
+      val pred = langMarkers.map { case (l, _) => s"WHEN s_$l = $m THEN '$l'" }
+        .mkString(" ")
+      s"""WITH scored AS (
+            SELECT doc_id, lang,
+            $score
+            FROM (SELECT doc_id, lang, $W AS w FROM documents)),
+          t AS (SELECT lang AS actual,
+              CASE WHEN $m = 0 THEN 'und' $pred END AS predicted
+            FROM scored),
+          cells AS (SELECT actual, predicted, CAST(count(*) AS BIGINT) AS n
+            FROM t GROUP BY 1, 2),
+          tpx AS (SELECT actual AS class, n AS tp FROM cells
+            WHERE actual = predicted),
+          a AS (SELECT actual AS class, CAST(SUM(n) AS BIGINT) AS n_actual
+            FROM cells GROUP BY 1),
+          p AS (SELECT predicted AS class,
+              CAST(SUM(n) AS BIGINT) AS n_predicted
+            FROM cells GROUP BY 1),
+          j AS (SELECT class,
+              CAST(COALESCE(n_actual, 0) AS BIGINT) AS n_actual,
+              CAST(COALESCE(n_predicted, 0) AS BIGINT) AS n_predicted,
+              CAST(COALESCE(tp, 0) AS BIGINT) AS tp
+            FROM a FULL OUTER JOIN p USING (class)
+            LEFT JOIN tpx USING (class))
+          SELECT class, n_actual, n_predicted, tp,
+            n_predicted - tp AS fp, n_actual - tp AS fn,
+            CASE WHEN n_predicted > 0 THEN
+              CAST(tp AS DOUBLE) / CAST(n_predicted AS DOUBLE) END AS precision,
+            CASE WHEN n_actual > 0 THEN
+              CAST(tp AS DOUBLE) / CAST(n_actual AS DOUBLE) END AS recall,
+            CASE WHEN 2 * tp + (n_predicted - tp) + (n_actual - tp) > 0 THEN
+              CAST(2 * tp AS DOUBLE) /
+                CAST(2 * tp + (n_predicted - tp) + (n_actual - tp) AS DOUBLE)
+              END AS f1
+          FROM j"""
     },
     "x_fingerprint" -> {
       val gram = (1 to 4).foldLeft("c[i]") { (acc, j) => s"($acc*31 + c[i+$j])" }
