@@ -402,6 +402,43 @@ final class TableCatalog(val root: String) extends Serializable {
     expr(sqlExpr) <=> lit(false)
   }
 
+  // --------------------------------------------- generated columns
+  /** Declared generated columns (`generate.<col>` table properties →
+    * (col, sqlExpr)), name-sorted so multi-column application order is
+    * deterministic. The Delta GENERATED ALWAYS AS analogue: a batch
+    * that OMITS the column gets it computed at write time; a batch that
+    * SUPPLIES it is validated cell-by-cell against the formula and
+    * rejected whole on any mismatch (silently diverging materialized
+    * values are the failure mode this exists to prevent). */
+  def generatedColumns(name: String): Seq[(String, String)] =
+    properties(name).toSeq.collect {
+      case (k, v) if k.startsWith("generate.") => k.stripPrefix("generate.") -> v
+    }.sortBy(_._1)
+
+  /** Declare `col` as generated from `sqlExpr` (new batches only —
+    * existing versions are not re-judged, matching constraint
+    * semantics). The expression is parse-checked here so a typo fails
+    * at declaration, not at the next write. */
+  def setGeneratedColumn(spark: SparkSession, name: String, col: String,
+      sqlExpr: String): Unit = {
+    spark.sessionState.sqlParser.parseExpression(sqlExpr)
+    setProperty(name, s"generate.$col", sqlExpr)
+  }
+
+  /** Write-side entry: compute ABSENT generated columns, and return the
+    * equality checks for the PRESENT ones (validated through the same
+    * zero-extra-scan observe guard as CHECK constraints — a supplied
+    * value must match its formula null-safely). */
+  private def applyGenerated(df: DataFrame,
+      name: String): (DataFrame, Seq[(String, String)]) = {
+    import org.apache.spark.sql.functions.expr
+    val gens = generatedColumns(name)
+    val (present, absent) = gens.partition { case (c, _) => df.columns.contains(c) }
+    val computed = absent.foldLeft(df) { case (d, (c, e)) => d.withColumn(c, expr(e)) }
+    val checks = present.map { case (c, e) => (s"_generated_$c", s"`$c` <=> ($e)") }
+    (computed, checks)
+  }
+
   /** In-flight enforcement state: the Observation resolves after the
     * staged write's action completes, the audit rows describe per-
     * constraint violation counts. */
@@ -418,12 +455,13 @@ final class TableCatalog(val root: String) extends Serializable {
     * table is untouched — the versioned-pointer protocol is what makes
     * validate-after-write safe, where an in-place writer would need a
     * full pre-pass over the batch instead. */
-  private def guardConstraints(df: DataFrame, name: String)
+  private def guardConstraints(df: DataFrame, name: String,
+      extraChecks: Seq[(String, String)] = Nil)
       : (DataFrame, Option[ConstraintGuard]) = {
     val cons = constraints(name)
-    if (cons.isEmpty) return (df, None)
+    if (cons.isEmpty && extraChecks.isEmpty) return (df, None)
     import org.apache.spark.sql.functions._
-    val checks = cons.collect { case (n, "CHECK", e) => (n, e) }
+    val checks = cons.collect { case (n, "CHECK", e) => (n, e) } ++ extraChecks
     val drops = cons.collect { case (n, "EXPECT_DROP", e) => (n, e) }
     val metrics = (checks ++ drops).map { case (n, e) =>
       sum(when(violationPredicate(e), 1L).otherwise(0L)).as(n)
@@ -522,7 +560,8 @@ final class TableCatalog(val root: String) extends Serializable {
   def overwrite(df: DataFrame, name: String, partitionBy: Seq[String] = Nil): Unit = {
     val dir = tableDir(name)
     Files.createDirectories(dir)
-    val (guarded, guard) = guardConstraints(df, name)
+    val (dfGen, genChecks) = applyGenerated(df, name)
+    val (guarded, guard) = guardConstraints(dfGen, name, genChecks)
     val stage = newStageDir(dir)
     val w = guarded.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
@@ -619,10 +658,15 @@ final class TableCatalog(val root: String) extends Serializable {
   def txns(name: String): Seq[(String, Long)] =
     readTxns(Paths.get(currentPath(name))).toSeq.sortBy(_._1)
 
-  private def appendInternal(df: DataFrame, name: String,
+  private def appendInternal(df0: DataFrame, name: String,
       txn: Option[(String, Long)]): Boolean = {
-    val spark = df.sparkSession
-    if (!exists(name)) { overwrite(df, name); return true }
+    val spark = df0.sparkSession
+    if (!exists(name)) { overwrite(df0, name); return true }
+    // Generated columns materialize BEFORE the schema-shape decision: a
+    // batch omitting a generated column still takes the O(batch) fast
+    // path (the compute restores the table's shape), and the evolution
+    // union below never null-pads a column the formula can produce.
+    val (df, genChecks) = applyGenerated(df0, name)
     def shape(s: org.apache.spark.sql.types.StructType) =
       s.fields.map(f => (f.name, f.dataType)).toSeq
     // Metadata sidecar dirs (_stats, _bloom) are NOT hive partitions:
@@ -654,7 +698,7 @@ final class TableCatalog(val root: String) extends Serializable {
       true
     } else {
       val dir = tableDir(name)
-      val (guarded, guard) = guardConstraints(df, name)
+      val (guarded, guard) = guardConstraints(df, name, genChecks)
       // Stage the batch write OUTSIDE the commit lock (appended rows are
       // state-independent), then commit under the lock: re-resolve the
       // base version there, so a batch another writer published between
@@ -852,7 +896,8 @@ final class TableCatalog(val root: String) extends Serializable {
       touched: Seq[Any]): Unit = {
     require(exists(name), s"overwritePartitions: $name does not exist")
     val dir = tableDir(name)
-    val (guarded, guard) = guardConstraints(df, name)
+    val (dfGen, genChecks) = applyGenerated(df, name)
+    val (guarded, guard) = guardConstraints(dfGen, name, genChecks)
     // Stage outside the commit lock; under the lock, carry untouched
     // partitions from the LATEST committed version — so a concurrent
     // append/merge to other partitions isn't lost. (Writes racing on the

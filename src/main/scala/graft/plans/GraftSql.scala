@@ -34,6 +34,7 @@ import org.apache.spark.sql.types.{BooleanType, DoubleType, LongType, StringType
   *   GRAFT ALTER TABLE t ADD CHECK n (expr)   -- write-time CHECK (batch rejected on violation)
   *   GRAFT ALTER TABLE t ADD EXPECT n (expr) OR DROP  -- drop+count violating rows
   *   GRAFT ALTER TABLE t DROP CONSTRAINT n    -- remove a constraint
+  *   GRAFT ALTER TABLE t ADD GENERATED c AS (expr) -- generated column (computed when absent, validated when supplied)
   *   GRAFT CONSTRAINTS t                      -- list declared constraints
   *   GRAFT AUDIT t                            -- current version's dropped-row ledger
   *   GRAFT MAINTAIN t                         -- one maintenance pass: incr-OPTIMIZE + conditional compact + vacuum
@@ -96,6 +97,8 @@ object GraftSql {
     """(?is)\s*GRAFT\s+ALTER\s+TABLE\s+(\S+)\s+ADD\s+EXPECT\s+(\w+)\s*\((.+)\)\s+OR\s+DROP\s*;?\s*""".r
   private val DropConstraint =
     """(?is)\s*GRAFT\s+ALTER\s+TABLE\s+(\S+)\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*""".r
+  private val AddGenerated =
+    """(?is)\s*GRAFT\s+ALTER\s+TABLE\s+(\S+)\s+ADD\s+GENERATED\s+(\w+)\s+AS\s*\((.+)\)\s*;?\s*""".r
   private val Constraints =
     """(?is)\s*GRAFT\s+CONSTRAINTS\s+(\S+)\s*;?\s*""".r
   private val Audit =
@@ -148,6 +151,8 @@ object GraftSql {
         Some(GraftAddConstraintCommand(t, n, "EXPECT_DROP", e.trim))
       case AddCheck(t, n, e) =>
         Some(GraftAddConstraintCommand(t, n, "CHECK", e.trim))
+      case AddGenerated(t, c, e) =>
+        Some(GraftAddGeneratedCommand(t, c, e.trim))
       case DropConstraint(t, n) => Some(GraftDropConstraintCommand(t, n))
       case Constraints(t) => Some(GraftConstraintsCommand(t))
       case Audit(t) => Some(GraftAuditCommand(t))
@@ -169,6 +174,7 @@ object GraftSql {
            |GRAFT ALTER TABLE t ADD CHECK name (expr) |
            |GRAFT ALTER TABLE t ADD EXPECT name (expr) OR DROP |
            |GRAFT ALTER TABLE t DROP CONSTRAINT name |
+           |GRAFT ALTER TABLE t ADD GENERATED col AS (expr) |
            |GRAFT CONSTRAINTS t | GRAFT AUDIT t | GRAFT MAINTAIN t |
            |GRAFT ALTER TABLE t SET ('key' = 'value') | GRAFT PROPERTIES t |
            |GRAFT EXPORT t""".stripMargin)
@@ -348,6 +354,14 @@ case class GraftAddConstraintCommand(table: String, cname: String,
   override def run(spark: SparkSession): Seq[Row] = {
     if (kind == "CHECK") GraftSql.catalog.addCheck(spark, table, cname, expr)
     else GraftSql.catalog.addExpectDrop(spark, table, cname, expr)
+    Seq.empty
+  }
+}
+
+case class GraftAddGeneratedCommand(table: String, col: String,
+    expr: String) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftSql.catalog.setGeneratedColumn(spark, table, col, expr)
     Seq.empty
   }
 }

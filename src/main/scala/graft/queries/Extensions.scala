@@ -2288,6 +2288,30 @@ object Extensions {
           lit(0L), (acc, v) => acc + v).as("dot"))
   }
 
+  /** MapType surface: per-doc token→count maps built with
+    * `map_from_entries`, then interrogated with the map function family
+    * (size, element_at, map_filter, map_values + array folds) — reduced
+    * to SCALAR columns so the oracle compares engine-neutral values
+    * rather than map renderings. The map stays inside one row's
+    * projection (codegen'd); only the token-count aggregation shuffles. */
+  def mapSuite(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = filter(split(col("text"), " "), t => t =!= lit(""))
+    val counts = docs(spark, sfDir)
+      .select(col("doc_id"), explode(toks).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("n"))
+    counts.groupBy("doc_id")
+      .agg(map_from_entries(sort_array(collect_list(struct(col("t"), col("n")))))
+        .as("m"))
+      .select(col("doc_id"),
+        size(col("m")).cast(LongType).as("n_distinct_tokens"),
+        coalesce(element_at(col("m"), "the"), lit(0L)).as("the_count"),
+        size(map_filter(col("m"), (_, v) => v >= 2L)).cast(LongType)
+          .as("n_repeated"),
+        aggregate(map_values(col("m")), lit(0L), (a, v) => a + v)
+          .as("n_tokens_total"),
+        array_max(map_values(col("m"))).as("max_count"))
+  }
+
   /** Schema evolution on read (`mergeSchema`): two parquet batches with
     * different schemas — the later one added `n_chars` — union into one
     * frame with the old rows null-padded, the lakehouse ALTER-ADD-COLUMN
@@ -2519,6 +2543,7 @@ object Extensions {
     "x_langid_eval" -> langIdEval _,
     "x_generators" -> generators _,
     "x_collection_suite" -> collectionSuite _,
+    "x_map_suite" -> mapSuite _,
     "s17_schema_evolution" -> s17SchemaEvolution _,
     "x_variant_json" -> variantJson _,
     "x_recursive_cte" -> recursiveCte _,
@@ -3046,6 +3071,20 @@ object Extensions {
              FROM ke JOIN cells USING (i, cell) GROUP BY 1)
          SELECT k.key, k.exact, est.est, est.est - k.exact AS overcount
          FROM k JOIN est USING (key)""",
+    "x_map_suite" ->
+      s"""WITH tk AS (SELECT doc_id,
+             unnest(list_filter($W, t -> t <> '')) AS t FROM documents),
+           c AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS n
+             FROM tk GROUP BY 1, 2)
+         SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+           CAST(COALESCE(SUM(CASE WHEN t = 'the' THEN n END), 0) AS BIGINT)
+             AS the_count,
+           CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_repeated,
+           CAST(SUM(n) AS BIGINT) AS n_tokens_total,
+           CAST(MAX(n) AS BIGINT) AS max_count
+         FROM c GROUP BY 1""",
     "x_confusion" ->
       """WITH t AS (SELECT event_type AS actual,
              CASE CAST(FLOOR(value / 100.0) AS BIGINT)

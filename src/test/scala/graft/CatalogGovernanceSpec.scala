@@ -151,4 +151,40 @@ class CatalogGovernanceSpec extends SparkSpec {
     Files.write(f, Array[Byte](0), java.nio.file.StandardOpenOption.APPEND)
     intercept[IllegalArgumentException](cat.readManifest(spark, mf))
   }
+
+  test("generated column: computed when absent — on create, append, and evolution") {
+    val cat = freshCat("gen")
+    cat.setGeneratedColumn(spark, "gov.g", "age_band", "age div 10")
+    cat.overwrite(people.select("id", "age"), "gov.g")
+    val r0 = cat.read(spark, "gov.g").orderBy("id").collect()
+    assert(r0.map(_.getAs[Long]("age_band")).toSeq == Seq(3L, 4L))
+    // append WITHOUT the generated column: computed, fast path preserved
+    cat.append(Seq((3L, 55L)).toDF("id", "age"), "gov.g")
+    val r1 = cat.read(spark, "gov.g").orderBy("id").collect()
+    assert(r1.length == 3 && r1(2).getAs[Long]("age_band") == 5L)
+    // append carried previous files by hardlink (O(batch), not rewrite)
+    val files = Paths.get(cat.currentPath("gov.g")).toFile.listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(files > 1, "hardlink carry expected, found a rewrite")
+  }
+
+  test("generated column: supplied values validated; mismatching batch rejected whole") {
+    val cat = freshCat("genval")
+    cat.setGeneratedColumn(spark, "gov.gv", "age_band", "age div 10")
+    cat.overwrite(people.select("id", "age"), "gov.gv")
+    // correct supplied values pass
+    cat.append(Seq((3L, 55L, 5L)).toDF("id", "age", "age_band"), "gov.gv")
+    assert(cat.read(spark, "gov.gv").count() == 3)
+    // wrong supplied value: batch rejected, table untouched
+    val e = intercept[IllegalStateException](
+      cat.append(Seq((4L, 60L, 99L)).toDF("id", "age", "age_band"), "gov.gv"))
+    assert(e.getMessage.contains("_generated_age_band"))
+    assert(cat.read(spark, "gov.gv").count() == 3)
+  }
+
+  test("generated column declaration parse-checks the expression") {
+    val cat = freshCat("genparse")
+    intercept[Exception](
+      cat.setGeneratedColumn(spark, "gov.s", "bad", "age divv 10"))
+  }
 }

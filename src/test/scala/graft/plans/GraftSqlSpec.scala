@@ -299,4 +299,14 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     val v = rows("v")
     assert(v.getLong(2) == 0L && v.getLong(5) == 1L) // a null appeared
   }
+
+  test("GRAFT ADD GENERATED declares a computed column applied at write") {
+    val sp = sess; import sp.implicits._
+    val c = cat()
+    sess.sql("GRAFT ALTER TABLE c.s.g ADD GENERATED age_band AS (age div 10)")
+    c.overwrite(Seq((1L, 34L), (2L, 41L)).toDF("id", "age"), "c.s.g")
+    val r = c.read(sess, "c.s.g").orderBy("id").collect()
+    assert(r.map(_.getAs[Long]("age_band")).toSeq == Seq(3L, 4L))
+    assert(c.generatedColumns("c.s.g") == Seq("age_band" -> "age div 10"))
+  }
 }
