@@ -548,6 +548,36 @@ class StreamingSpec extends SparkSpec {
     assert(cat.read(spark, t).filter(col("y") >= 997L).count() == 3L)
   }
 
+  test("streaming sink composes governance: generated column + EXPECT_DROP + exactly-once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val cat = new graft.core.TableCatalog(
+      java.nio.file.Files.createTempDirectory("graft_stream_gov").toString)
+    val t = "main.silver.stream_gov"
+    // governance declared BEFORE any data: the first micro-batch
+    // bootstraps the table already conforming
+    cat.setGeneratedColumn(spark, t, "age_band", "age div 10")
+    cat.overwrite(Seq((0L, 1L)).toDF("id", "age"), t)
+    cat.addExpectDrop(spark, t, "age_pos", "age > 0")
+    val mem = MemoryStream[(Long, Long)]
+    val q = EventStreams.appendSink(mem.toDF().toDF("id", "age"), cat, t,
+      appId = Some("gov-app"))
+    try {
+      mem.addData((1L, 34L), (2L, -5L)) // -5 violates the expectation
+      q.processAllAvailable()
+      mem.addData((3L, 41L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = cat.read(spark, t).orderBy("id").collect()
+    // violating row dropped and ledgered; generated column computed on
+    // every micro-batch (the stream never supplied age_band)
+    assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 1L, 3L))
+    assert(rows.map(_.getAs[Long]("age_band")).toSeq == Seq(0L, 3L, 4L))
+    assert(cat.audit(t).toMap.get("age_pos").contains(0L)) // last batch clean
+    // exactly-once ledger advanced to the last micro-batch id
+    assert(cat.txns(t).toMap.get("gov-app").exists(_ >= 1L))
+  }
+
   test("state-v2 timer sessionization matches the GroupState form exactly") {
     import spark.implicits._
     implicit val s = spark
