@@ -414,6 +414,52 @@ object Analytics {
         col("s_cusum"), col("flagged"))
   }
 
+  /** Kaplan–Meier survival estimator over (duration, isEvent) subjects:
+    * at each distinct duration t with ≥1 observed event,
+    * S(t) = Π_{t' ≤ t} (1 − d(t')/n(t')) with d = events AT t' and
+    * n = subjects still at risk (duration ≥ t'; censored subjects leave
+    * the risk set without an event) — the churn/retention curve.
+    *
+    * The running product has no log-free window form, so the per-time
+    * table (cardinality = distinct event times, inherently small — a
+    * survival curve is read by humans and can be time-bucketed first)
+    * collapses to one sorted factor array and each row folds its own
+    * prefix slice: deterministic order, O(T²) scalar multiplies on
+    * T = #times, bit-replayable via list_reduce. The subject-level
+    * aggregation (building durations and risk counts) stays fully
+    * distributed; only the T-row curve is single-group. */
+  def kaplanMeier(subjects: DataFrame, durationCol: String,
+      isEventCol: String): DataFrame = {
+    val t = subjects.select(col(durationCol).as("t"),
+      col(isEventCol).as("ev"))
+    val byTime = t.groupBy("t")
+      .agg(sum(when(col("ev"), 1L).otherwise(0L)).as("d"),
+        count(lit(1)).as("leaving"))
+    // n at risk at t = total − subjects with duration < t; both ride the
+    // same single-partition window over the T-row curve table (no
+    // driver action, no second scan)
+    val w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val curve = byTime
+      .withColumn("n_risk",
+        sum("leaving").over(wAll) - coalesce(sum("leaving").over(w), lit(0L)))
+      .filter(col("d") > 0)
+      .select(col("t"), col("d"), col("n_risk"),
+        (lit(1.0) - col("d").cast(DoubleType) / col("n_risk").cast(DoubleType))
+          .as("factor"))
+    curve.groupBy()
+      .agg(sort_array(collect_list(struct(col("t"), col("d"),
+        col("n_risk"), col("factor")))).as("rows"))
+      .select(posexplode(col("rows")).as(Seq("i", "r")), col("rows"))
+      .select(col("r.t").as("t"), col("r.d").as("d"),
+        col("r.n_risk").as("n_risk"),
+        aggregate(
+          transform(slice(col("rows"), lit(1), col("i") + lit(1)),
+            x => x("factor")),
+          lit(1.0), (a, x) => a * x).as("survival"))
+  }
+
   /** RFM (recency / frequency / monetary) quintile scoring per user —
     * the classic CRM segmentation, deterministic across engines: each
     * metric is exact (max epoch, count, decimal sum), and the quintile

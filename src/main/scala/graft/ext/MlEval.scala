@@ -244,6 +244,40 @@ object MlEval {
             (lit(2L) * col("tp") + col("fp") + col("fn")).cast(DoubleType)))
   }
 
+  /** Two-proportion A/B z-test: conversion rates per variant plus the
+    * pooled-variance z statistic — the experiment-readout primitive.
+    * Counts are exact longs; the z expression is one fixed-order scalar
+    * chain (divisions, one sqrt — all correctly-rounded IEEE, mirrored
+    * op-for-op in the oracle). Input: one row per subject with a
+    * variant column and a boolean conversion. One keyed count
+    * aggregation; the two variant rows then meet in a broadcast-sized
+    * self-join keyed by nothing (2 rows). */
+  def abTest(df: DataFrame, variantCol: String,
+      converted: org.apache.spark.sql.Column,
+      variantA: String, variantB: String): DataFrame = {
+    val counts = df
+      .select(col(variantCol).as("v"), converted.as("y"))
+      .filter(col("v").isin(variantA, variantB))
+      .groupBy("v")
+      .agg(count(lit(1)).as("n"), sum(when(col("y"), 1L).otherwise(0L)).as("c"))
+    val a = counts.filter(col("v") === variantA)
+      .select(col("n").as("n_a"), col("c").as("conv_a"))
+    val b = counts.filter(col("v") === variantB)
+      .select(col("n").as("n_b"), col("c").as("conv_b"))
+    a.crossJoin(broadcast(b))
+      .withColumn("rate_a", col("conv_a").cast(DoubleType) / col("n_a").cast(DoubleType))
+      .withColumn("rate_b", col("conv_b").cast(DoubleType) / col("n_b").cast(DoubleType))
+      .withColumn("diff", col("rate_a") - col("rate_b"))
+      .withColumn("pooled",
+        (col("conv_a") + col("conv_b")).cast(DoubleType) /
+          (col("n_a") + col("n_b")).cast(DoubleType))
+      .withColumn("z",
+        col("diff") / sqrt(col("pooled") * (lit(1.0) - col("pooled")) *
+          (lit(1.0) / col("n_a").cast(DoubleType) +
+            lit(1.0) / col("n_b").cast(DoubleType))))
+      .drop("pooled")
+  }
+
   /** Per-entity Herfindahl concentration / Simpson diversity over a
     * categorical: hhi = Σ_t n_t² / N² (one integer-ratio division),
     * diversity = 1 − hhi. The per-user behavioral-mix feature a
