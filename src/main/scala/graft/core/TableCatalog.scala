@@ -231,6 +231,13 @@ final class TableCatalog(val root: String) extends Serializable {
         .mkString("", "\n", "\n"))
   }
 
+  def removeProperty(name: String, key: String): Unit = {
+    val next = properties(name) - key
+    Files.writeString(propertiesFile(name),
+      next.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
+        .mkString("", "\n", "\n"))
+  }
+
   // --------------------------------------------- column masking policies
   /** Read the table with `mask.<col>` property policies applied — the
     * dynamic-masking governance layer (Databricks column masks / Snowflake
@@ -422,8 +429,22 @@ final class TableCatalog(val root: String) extends Serializable {
   def setGeneratedColumn(spark: SparkSession, name: String, col: String,
       sqlExpr: String): Unit = {
     spark.sessionState.sqlParser.parseExpression(sqlExpr)
+    // A formula, once declared, is immutable: historical versions were
+    // materialized under it and are never re-judged, so a silent
+    // redefinition would leave old and new rows answering to different
+    // formulas under one name. Drop + re-declare is the explicit path.
+    properties(name).get(s"generate.$col").filter(_ != sqlExpr).foreach { old =>
+      throw new IllegalArgumentException(
+        s"generated column $col on $name is already defined as ($old); " +
+          "call dropGeneratedColumn first to redefine it")
+    }
     setProperty(name, s"generate.$col", sqlExpr)
   }
+
+  /** Remove a generated-column declaration: future batches must supply
+    * the column themselves and are no longer formula-checked. */
+  def dropGeneratedColumn(name: String, col: String): Unit =
+    removeProperty(name, s"generate.$col")
 
   /** Write-side entry: compute ABSENT generated columns, and return the
     * equality checks for the PRESENT ones (validated through the same
@@ -557,10 +578,22 @@ final class TableCatalog(val root: String) extends Serializable {
     * commit lock serializes slot claim + pointer swap, so simultaneous
     * writers each publish a distinct complete version (last swap wins —
     * overwrite is state-independent, so no rebase is needed). */
-  def overwrite(df: DataFrame, name: String, partitionBy: Seq[String] = Nil): Unit = {
+  def overwrite(df: DataFrame, name: String, partitionBy: Seq[String] = Nil): Unit =
+    overwriteInternal(df, name, partitionBy, validateGenerated = true)
+
+  /** `validateGenerated = false` skips the generated-column equality
+    * checks (absent columns are still computed). Only the evolution
+    * append path uses it: there the written frame is old-rows ∪ batch,
+    * and generated formulas judge NEW batches only — re-judging
+    * historical rows would let a formula declared (or batch written)
+    * after data existed veto every future append to the table. The
+    * batch's own rows are validated by the caller before the union. */
+  private def overwriteInternal(df: DataFrame, name: String,
+      partitionBy: Seq[String], validateGenerated: Boolean): Unit = {
     val dir = tableDir(name)
     Files.createDirectories(dir)
-    val (dfGen, genChecks) = applyGenerated(df, name)
+    val (dfGen, genChecks0) = applyGenerated(df, name)
+    val genChecks = if (validateGenerated) genChecks0 else Nil
     val (guarded, guard) = guardConstraints(dfGen, name, genChecks)
     val stage = newStageDir(dir)
     val w = guarded.write.mode("overwrite")
@@ -694,7 +727,23 @@ final class TableCatalog(val root: String) extends Serializable {
           s"append to $name rejected: schema.mode=strict and the batch " +
             s"schema (${df.schema.simpleString}) drifts from the table's " +
             s"(${cur.schema.simpleString})")
-      overwrite(cur.unionByName(df, allowMissingColumns = true), name)
+      // Generated-column equality is judged on the NEW batch only, with
+      // one eager O(batch) probe (negligible next to the O(table) union
+      // rewrite this path already pays). The union overwrite below must
+      // NOT re-run the checks: it would judge historical rows, and a
+      // formula declared after data existed would then block every
+      // evolution append to the table wholesale.
+      genChecks.map { case (n, e) => (n, e,
+          df.filter(violationPredicate(e)).limit(1).count()) }
+        .filter(_._3 > 0) match {
+        case Nil =>
+        case bad => throw new IllegalStateException(
+          s"append to $name rejected: supplied generated column(s) " +
+            s"diverge from their formula in the batch: " +
+            bad.map { case (n, e, _) => s"$n ($e)" }.mkString("; "))
+      }
+      overwriteInternal(cur.unionByName(df, allowMissingColumns = true),
+        name, Nil, validateGenerated = false)
       true
     } else {
       val dir = tableDir(name)

@@ -397,13 +397,19 @@ object Analytics {
       group: String = "event_type", value: String = "value",
       threshold: Long = 100000L): DataFrame = {
     val hourly = events
-      .select(col(group), expr(s"unix_timestamp($ts) div 3600").as("hr"),
+      .select(col(group),
+        expr(s"(unix_timestamp($ts) - pmod(unix_timestamp($ts), 3600)) " +
+          "div 3600").as("hr"),
         round(col(value) * lit(100.0), 0).cast(LongType).as("s"))
       .groupBy(col(group), col("hr")).agg(sum("s").as("x"))
-    // integer division — a double-divide-then-cast would TRUNCATE here
-    // but ROUND in DuckDB, so the reference must never touch floats
+    // integer FLOOR division on both bucketing and the reference mean:
+    // Spark `div` truncates toward zero while DuckDB `//` floors, so a
+    // negative sum (refund/credit-heavy group) or pre-epoch timestamp
+    // would put the two engines one apart. (a - pmod(a, b)) div b is
+    // exact floor division for b > 0 in pure long arithmetic — no
+    // doubles anywhere, so the result is bit-portable by construction.
     val ref = hourly.groupBy(col(group))
-      .agg(expr("sum(x) div count(1)").as("c"))
+      .agg(expr("(sum(x) - pmod(sum(x), count(1))) div count(1)").as("c"))
     val w = Window.partitionBy(group).orderBy("hr")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     hourly.join(broadcast(ref), Seq(group))

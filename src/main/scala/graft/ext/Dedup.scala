@@ -95,8 +95,15 @@ object Dedup {
     val w = Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))
     val prefix = ex.join(dfreq, Seq("shingle"))
       .withColumn("rk", row_number().over(w))
+      // ⌈t·nsh⌉ with an epsilon guard (the standard PPJoin trick): when
+      // t·nsh is exactly integral its double product can round a hair
+      // HIGH (0.7·10 = 7.000000000000001), ceil would overshoot by 1 and
+      // the prefix lemma's "identical result set" guarantee breaks by a
+      // silently dropped token. Subtracting ε « 1 ulp-of-any-real-
+      // fraction before ceil errs only toward a one-token LONGER prefix
+      // — extra candidates, never a missed pair.
       .filter(col("rk") <=
-        col("nsh") - ceil(lit(threshold) * col("nsh")) + lit(1))
+        col("nsh") - ceil(lit(threshold) * col("nsh") - lit(1e-7)) + lit(1))
       .select("doc_id", "shingle")
     prefix.as("x").join(prefix.as("y"),
         col("x.shingle") === col("y.shingle") &&

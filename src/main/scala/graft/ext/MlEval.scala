@@ -77,9 +77,13 @@ object MlEval {
       .crossJoin(broadcast(df.groupBy().agg(count(lit(1)).as("n_all"))))
       .select(col("label"), col("n_pos"),
         (col("n_all") - col("n_pos")).as("n_neg"),
-        (col("u2").cast(DoubleType) /
-          (lit(2.0) * (col("n_pos") * (col("n_all") - col("n_pos")))
-            .cast(DoubleType))).as("auc"))
+        // a class covering all (or no) rows has no pos/neg pair to rank
+        // — AUC is undefined there; null, never NaN (the
+        // classificationReport convention for vacuous ratios)
+        when(col("n_pos") > 0 && col("n_all") - col("n_pos") > 0,
+          col("u2").cast(DoubleType) /
+            (lit(2.0) * (col("n_pos") * (col("n_all") - col("n_pos")))
+              .cast(DoubleType))).as("auc"))
   }
 
   /** Two-sample Kolmogorov–Smirnov statistic per group: the max CDF gap
@@ -201,8 +205,12 @@ object MlEval {
     withComp.crossJoin(broadcast(chi2))
       .select(col("a").as(aCol), col("b").as(bCol), col("n_ab"),
         col("expected"), col("component"), col("chi2"),
-        sqrt(col("chi2") / (col("n") * least(col("r") - 1, col("c") - 1))
-          .cast(DoubleType)).as("cramers_v"))
+        // a single-valued column ⇒ least(r−1, c−1) = 0: association is
+        // undefined (there is nothing to vary against) — null, not the
+        // NaN/Infinity the raw divide would emit
+        when(least(col("r") - 1, col("c") - 1) > 0,
+          sqrt(col("chi2") / (col("n") * least(col("r") - 1, col("c") - 1))
+            .cast(DoubleType))).as("cramers_v"))
   }
 
   /** Per-class classification quality report from (actual, predicted)

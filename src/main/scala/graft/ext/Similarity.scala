@@ -318,7 +318,10 @@ object Similarity {
     withNorm(emb).filter(col("nrm") > 0)
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast(DoubleType) / col("nrm")).as("u"))
-      .crossJoin(centroids)
+      // hint at the join site too (not just on the val): re-planning
+      // through an intermediate reference must never demote this to a
+      // shuffled cartesian at 100× centroid counts
+      .crossJoin(broadcast(centroids))
       .withColumn("c_cos", dot(col("u"), col("c_emb")))
       .withColumn("c_rank", row_number().over(w))
       .filter(col("c_rank") === 1)
@@ -340,7 +343,7 @@ object Similarity {
           col("nrm").as("c_nrm"))))
     def nearestCells(vecs: DataFrame, keep: Int): DataFrame = {
       val w = Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("c_id"))
-      withNorm(vecs).crossJoin(centroids)
+      withNorm(vecs).crossJoin(broadcast(centroids))
         .withColumn("c_cos",
           dot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")))
         .withColumn("c_rank", row_number().over(w))

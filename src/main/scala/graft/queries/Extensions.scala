@@ -2468,6 +2468,31 @@ object Extensions {
   def cusumQ(spark: SparkSession, sfDir: String): DataFrame =
     Analytics.cusum(Parity.events(spark, sfDir))
 
+  /** Kaplan–Meier churn-survival curve over user activity spans
+    * ([[Analytics.kaplanMeier]]): a user whose last event precedes the
+    * corpus end by ≥ 7 days is an observed churn at their last active
+    * day (duration = first→last activity); later-active users are
+    * right-censored at observation end. Durations are integer days so
+    * the risk-set arithmetic is exact; the survival product folds the
+    * sorted factor list left-to-right on both engines (DuckDB
+    * list_reduce mirrors the Spark `aggregate` fold order), making the
+    * double column bit-comparable. */
+  def kaplanMeierQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val ev = Parity.events(spark, sfDir)
+    val end = ev.groupBy().agg(to_date(max("ts")).as("obs_end"))
+    val subj = ev.groupBy("user_id")
+      .agg(to_date(min("ts")).as("first_d"), to_date(max("ts")).as("last_d"))
+      .crossJoin(broadcast(end))
+      .select(
+        when(datediff(col("obs_end"), col("last_d")) >= 7,
+          datediff(col("last_d"), col("first_d")))
+          .otherwise(datediff(col("obs_end"), col("first_d")))
+          .cast(LongType).as("dur"),
+        (datediff(col("obs_end"), col("last_d")) >= 7).as("churned"))
+    Analytics.kaplanMeier(subj, "dur", "churned")
+  }
+
   /** Count-Min frequency estimates vs exact counts over the purchase-key
     * stream ([[graft.functions.CmsSketch]], depth 3 × width 64 — narrow
     * enough that ~100 keys collide, so the overcount column is a live
@@ -2540,6 +2565,7 @@ object Extensions {
     "x_cms_counts" -> cmsCounts _,
     "d_ppjoin" -> ppjoinJaccard _,
     "x_cusum" -> cusumQ _,
+    "x_kaplan_meier" -> kaplanMeierQ _,
     "x_langid_eval" -> langIdEval _,
     "x_generators" -> generators _,
     "x_collection_suite" -> collectionSuite _,
@@ -3054,6 +3080,38 @@ object Extensions {
          SELECT event_type, hr, x, c, s_cusum,
            s_cusum > 100000 AS flagged
          FROM sline""",
+    "x_kaplan_meier" ->
+      """WITH ed AS (SELECT user_id, CAST(ts AS DATE) AS dd FROM events),
+           oe AS (SELECT MAX(dd) AS obs_end FROM ed),
+           subj AS (SELECT user_id,
+               CASE WHEN date_diff('day', MAX(dd),
+                   (SELECT obs_end FROM oe)) >= 7
+                 THEN date_diff('day', MIN(dd), MAX(dd))
+                 ELSE date_diff('day', MIN(dd), (SELECT obs_end FROM oe))
+                 END AS dur,
+               date_diff('day', MAX(dd), (SELECT obs_end FROM oe)) >= 7
+                 AS churned
+             FROM ed GROUP BY user_id),
+           bytime AS (SELECT CAST(dur AS BIGINT) AS t,
+               CAST(SUM(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT)
+                 AS d,
+               CAST(COUNT(*) AS BIGINT) AS leaving
+             FROM subj GROUP BY 1),
+           curve AS (SELECT t, d,
+               CAST(SUM(leaving) OVER ()
+                 - COALESCE(SUM(leaving) OVER (ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS n_risk
+             FROM bytime),
+           f AS (SELECT t, d, n_risk,
+               1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE) AS factor
+             FROM curve WHERE d > 0),
+           fi AS (SELECT t, d, n_risk,
+               ROW_NUMBER() OVER (ORDER BY t) AS i FROM f),
+           packed AS (SELECT list(factor ORDER BY t) AS fs FROM f)
+         SELECT t, d, n_risk,
+           list_reduce(fs[1:i], (a, x) -> a * x) AS survival
+         FROM fi, packed""",
     "x_cms_counts" ->
       """WITH k AS (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT)
                AS key, CAST(count(*) AS BIGINT) AS exact

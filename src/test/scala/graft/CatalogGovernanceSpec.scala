@@ -187,4 +187,41 @@ class CatalogGovernanceSpec extends SparkSpec {
     intercept[Exception](
       cat.setGeneratedColumn(spark, "gov.s", "bad", "age divv 10"))
   }
+
+  test("generated column declared AFTER data exists judges new batches only") {
+    val cat = freshCat("genlate")
+    cat.overwrite(people.select("id", "age"), "gov.gl")
+    // declare once rows already exist; historical rows are never re-judged
+    cat.setGeneratedColumn(spark, "gov.gl", "age_band", "age div 10")
+    // evolution append (extra column → union-rewrite path): must succeed —
+    // the pre-fix behavior re-ran the formula check over ALL rows and a
+    // late-declared column permanently blocked every evolution append
+    cat.append(Seq((3L, 55L, "x")).toDF("id", "age", "note"), "gov.gl")
+    val r = cat.read(spark, "gov.gl").orderBy("id").collect()
+    assert(r.length == 3)
+    // the new batch got the computed column; old rows are null-padded
+    assert(r(2).getAs[Long]("age_band") == 5L)
+    // a DIVERGING supplied value in the batch is still rejected on the
+    // evolution path (batch-scoped check, not dropped with the fix)
+    val e = intercept[IllegalStateException](cat.append(
+      Seq((4L, 60L, "y", 99L)).toDF("id", "age", "note2", "age_band"),
+      "gov.gl"))
+    assert(e.getMessage.contains("_generated_age_band"))
+    assert(cat.read(spark, "gov.gl").count() == 3)
+  }
+
+  test("generated column redefinition is rejected; drop + re-declare works") {
+    val cat = freshCat("genredef")
+    cat.setGeneratedColumn(spark, "gov.gr", "age_band", "age div 10")
+    // idempotent re-declaration of the SAME formula is fine
+    cat.setGeneratedColumn(spark, "gov.gr", "age_band", "age div 10")
+    val e = intercept[IllegalArgumentException](
+      cat.setGeneratedColumn(spark, "gov.gr", "age_band", "age div 20"))
+    assert(e.getMessage.contains("already defined"))
+    cat.dropGeneratedColumn("gov.gr", "age_band")
+    cat.setGeneratedColumn(spark, "gov.gr", "age_band", "age div 20")
+    cat.overwrite(people.select("id", "age"), "gov.gr")
+    assert(cat.read(spark, "gov.gr").orderBy("id").collect()
+      .map(_.getAs[Long]("age_band")).toSeq == Seq(1L, 2L))
+  }
 }

@@ -317,4 +317,33 @@ class AnalyticsSpec extends SparkSpec {
     assert(r(3L)._3 == 1L && r(2L)._3 == 2L && r(4L)._3 == 3L &&
       r(1L)._3 == 4L && r(5L)._3 == 5L)
   }
+
+  test("kaplanMeier: hand-computed censored 6-subject curve") {
+    // events at t=1,2,4,6; censored leave at t=3 and t=5 — they shrink
+    // the risk set but emit no curve row
+    val subj = Seq((1L, true), (2L, true), (3L, false),
+      (4L, true), (5L, false), (6L, true)).toDF("dur", "ev")
+    val r = Analytics.kaplanMeier(subj, "dur", "ev").orderBy("t").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getDouble(3)))
+    assert(r.map(t => (t._1, t._2, t._3)).toSeq ==
+      Seq((1L, 1L, 6L), (2L, 1L, 5L), (4L, 1L, 3L), (6L, 1L, 1L)))
+    val s = r.map(_._4)
+    assert(math.abs(s(0) - 5.0 / 6) < 1e-12)
+    assert(math.abs(s(1) - 2.0 / 3) < 1e-12)  // 5/6 · 4/5
+    assert(math.abs(s(2) - 4.0 / 9) < 1e-12)  // 2/3 · 2/3
+    assert(s(3) == 0.0)                        // last subject churns
+    // survival is monotone non-increasing by construction
+    assert(s.zip(s.tail).forall { case (a, b) => b <= a })
+  }
+
+  test("kaplanMeier: ties at one time are one row; all-censored is empty") {
+    val tied = Seq((2L, true), (2L, true), (2L, false),
+      (5L, true)).toDF("dur", "ev")
+    val r = Analytics.kaplanMeier(tied, "dur", "ev").orderBy("t").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getDouble(3)))
+    // t=2: d=2 of n=4 at risk → S=1/2; t=5: the 1 survivor churns → 0
+    assert(r.toSeq == Seq((2L, 2L, 4L, 0.5), (5L, 1L, 1L, 0.0)))
+    val none = Seq((1L, false), (3L, false)).toDF("dur", "ev")
+    assert(Analytics.kaplanMeier(none, "dur", "ev").count() == 0L)
+  }
 }
