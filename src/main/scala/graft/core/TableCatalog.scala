@@ -57,9 +57,116 @@ final class TableCatalog(val root: String) extends Serializable {
   }
 
   def currentPath(name: String): String = {
-    val v = Files.readString(currentPointer(name)).trim
-    tableDir(name).resolve(v).toString
+    val cur = Files.readString(currentPointer(name)).trim
+    // Effective version = max(per-table pointer, multi-table commit
+    // entry): in the window between [[publishAtomic]]'s single commit
+    // file swap and its per-table pointer convergence, readers AND
+    // writers (append base resolution!) must already see the committed
+    // version — otherwise a racing append would base on stale data and
+    // publish a higher version without the committed rows (lost update).
+    // v%06d tags compare correctly as strings. A rolled-back table never
+    // resolves through a stale entry: [[swapPointer]] deletes any
+    // differing entry on every single-table publish.
+    val eff = multiCurrent().get(name)
+      .filter(v => v > cur && Files.isDirectory(tableDir(name).resolve(v)))
+      .getOrElse(cur)
+    tableDir(name).resolve(eff).toString
   }
+
+  // --------------------------------------- multi-table atomic commit
+  /** The catalog-level commit file behind [[publishAtomic]]: one file of
+    * `table\tversion` lines, replaced only by ATOMIC_MOVE — the single
+    * object whose swap makes an N-table publish all-or-nothing. The
+    * medallion pipeline's sequential silver→gold publish (reference
+    * main.py:32-38) exposes new silver with stale gold between the two
+    * swaps; one commit file closes that window for snapshot readers. */
+  private def multiCurrentFile: Path = Paths.get(root).resolve("_MULTI_CURRENT")
+
+  private[core] def multiCurrent(): Map[String, String] = {
+    if (!Files.isRegularFile(multiCurrentFile)) return Map.empty
+    import scala.jdk.CollectionConverters._
+    scala.util.Try {
+      Files.readAllLines(multiCurrentFile).asScala.filter(_.contains('\t'))
+        .map { l => val a = l.split("\t", 2); (a(0), a(1)) }.toMap
+    }.getOrElse(Map.empty)
+  }
+
+  private def writeMultiCurrent(entries: Map[String, String]): Unit = {
+    val tmp = Paths.get(root).resolve("_MULTI_CURRENT.tmp")
+    Files.writeString(tmp, entries.toSeq.sortBy(_._1)
+      .map { case (t, v) => s"$t\t$v" }.mkString("", "\n", "\n"))
+    Files.move(tmp, multiCurrentFile, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Publish N tables in ONE atomic commit. Data for every table stages
+    * and claims its version slot first (per-table commit locks — the
+    * same slot protocol as single-table writes, so concurrent writers
+    * never collide), with nothing published; then a single ATOMIC_MOVE
+    * of [[multiCurrentFile]] commits the whole set at once. A
+    * [[snapshot]] reader resolves every table through ONE read of that
+    * file, so it observes either the complete old set or the complete
+    * new set — never new silver with stale gold. Per-table `_CURRENT`
+    * pointers converge right after (a semantic no-op: [[currentPath]]
+    * already resolves committed entries), keeping plain readers and
+    * external tools on the ordinary pointer protocol. Partial failure
+    * before the commit swap leaves only unreferenced version dirs —
+    * nothing published, nothing torn. */
+  def publishAtomic(batches: Seq[(String, DataFrame)]): Map[String, String] = {
+    require(batches.map(_._1).distinct.size == batches.size,
+      "publishAtomic: duplicate table names in one transaction")
+    // Phase 1 — stage every batch OUTSIDE any lock (the expensive part).
+    val staged = batches.map { case (name, df) =>
+      val dir = tableDir(name)
+      Files.createDirectories(dir)
+      val (dfGen, genChecks) = applyGenerated(df, name)
+      val (guarded, guard) = guardConstraints(dfGen, name, genChecks)
+      val stage = newStageDir(dir)
+      guarded.write.mode("overwrite").parquet(stage.toString)
+      enforceConstraints(guard, name, stage)
+      (name, dir, stage)
+    }
+    // Phase 2 — claim version slots (short per-table critical sections).
+    val claimed = staged.map { case (name, dir, stage) =>
+      withCommitLock(dir) {
+        val v = "v%06d".format(nextVersion(dir))
+        Files.move(stage, dir.resolve(v), StandardCopyOption.ATOMIC_MOVE)
+        val ts = dir.resolve(v).resolve("_commit_ts")
+        if (!Files.exists(ts))
+          Files.writeString(ts, System.currentTimeMillis().toString)
+        name -> v
+      }
+    }
+    // Phase 3 — THE commit: one file swap under the catalog-root lock.
+    withCommitLock(Paths.get(root)) {
+      writeMultiCurrent(multiCurrent() ++ claimed)
+    }
+    // Phase 4 — converge per-table pointers (+ bounded version pruning).
+    claimed.foreach { case (name, v) =>
+      val dir = tableDir(name)
+      withCommitLock(dir) { repoint(dir, name, v) }
+    }
+    claimed.toMap
+  }
+
+  /** Consistent multi-table read handle: pins the table→version map from
+    * ONE atomic read of the commit file, so every table read through it
+    * comes from the same [[publishAtomic]] transaction. Tables never
+    * published atomically fall back to their live pointer. Version dirs
+    * it pins are protected from pruning (see [[pruneOldVersions]]) for
+    * as long as they remain in the commit file. */
+  final class Snapshot private[TableCatalog] (pins: Map[String, String]) {
+    def version(name: String): Option[String] = pins.get(name)
+    def read(spark: SparkSession, name: String): DataFrame =
+      pins.get(name).filter(v =>
+          Files.isDirectory(tableDir(name).resolve(v))) match {
+        case Some(v) => applyTombstones(
+          spark.read.parquet(tableDir(name).resolve(v).toString), name)
+        case None => TableCatalog.this.read(spark, name)
+      }
+  }
+
+  def snapshot(): Snapshot = new Snapshot(multiCurrent())
 
   def read(spark: SparkSession, name: String): DataFrame =
     applyTombstones(spark.read.parquet(currentPath(name)), name)
@@ -620,12 +727,23 @@ final class TableCatalog(val root: String) extends Serializable {
     Files.writeString(tmp, version)
     Files.move(tmp, currentPointer(name), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+    // Every single-table publish supersedes the table's multi-commit
+    // entry: without this, a ROLLBACK below a pinned version would be
+    // silently undone by [[currentPath]]'s max rule. Equal entries (the
+    // convergence step of publishAtomic itself) skip the catalog lock.
+    // Lock order is always table → catalog root, never the reverse, so
+    // holding the table lock here cannot deadlock with publishAtomic.
+    if (multiCurrent().get(name).exists(_ != version))
+      withCommitLock(Paths.get(root)) {
+        val cur = multiCurrent()
+        if (cur.get(name).exists(_ != version)) writeMultiCurrent(cur - name)
+      }
   }
 
   /** Atomically swap `_CURRENT` to `nextV` and prune old versions. */
   private def repoint(dir: Path, name: String, nextV: String): Unit = {
     swapPointer(dir, name, nextV)
-    pruneOldVersions(dir, keep = 2)
+    pruneOldVersions(dir, keep = 2, pinned = multiCurrent().get(name))
   }
 
   /** Append: write ONLY the new batch's files into the next version and
@@ -1384,7 +1502,9 @@ final class TableCatalog(val root: String) extends Serializable {
     require(keepLast >= 1, "vacuum: keepLast must be >= 1")
     val dir = tableDir(name)
     val cur = Files.readString(currentPointer(name)).trim
-    val doomed = versions(name).dropRight(keepLast).filterNot(_ == cur)
+    val pinned = multiCurrent().get(name)
+    val doomed = versions(name).dropRight(keepLast)
+      .filterNot(v => v == cur || pinned.contains(v))
     doomed.foreach(v => deleteRecursively(dir.resolve(v)))
     // crashed writers' staging dirs age out at write time opportunistically
     // (newStageDir), but a table nobody writes again would keep them
@@ -1743,17 +1863,19 @@ final class TableCatalog(val root: String) extends Serializable {
     if (existing.isEmpty) 1 else existing.max + 1
   }
 
-  private def pruneOldVersions(dir: Path, keep: Int): Unit = {
+  private def pruneOldVersions(dir: Path, keep: Int,
+      pinned: Option[String] = None): Unit = {
     // Never delete the pointed-to version: after a rollback the pointer
     // can sit below the newest tags, and automatic pruning must not pull
-    // the serving data out from under the table.
+    // the serving data out from under the table. Likewise never delete a
+    // version pinned by the multi-table commit file — an in-flight
+    // Snapshot resolves through it.
     val cur = scala.util.Try(Files.readString(dir.resolve("_CURRENT")).trim)
       .getOrElse("")
     val versions = Option(dir.toFile.list()).getOrElse(Array.empty[String])
       .filter(isVersionTag).sorted
-    versions.dropRight(keep).filterNot(_ == cur).foreach { v =>
-      deleteRecursively(dir.resolve(v))
-    }
+    versions.dropRight(keep).filterNot(v => v == cur || pinned.contains(v))
+      .foreach { v => deleteRecursively(dir.resolve(v)) }
   }
 
   private def deleteRecursively(p: Path): Unit = {

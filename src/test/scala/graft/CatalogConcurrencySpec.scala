@@ -136,4 +136,73 @@ class CatalogConcurrencySpec extends SparkSpec {
     assert(rows.map(_._2).distinct.length == 1, s"torn version: ${rows.toSeq}")
     assert(rows.map(_._1).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
   }
+
+  test("publishAtomic: a snapshot reader never sees new silver with stale gold") {
+    val cat = freshCatalog("atomic")
+    val (sT, gT) = ("main.silver.pairs", "main.gold.pairs")
+    cat.publishAtomic(Seq(
+      sT -> Seq((1L, 0L)).toDF("id", "run"),
+      gT -> Seq((1L, 0L)).toDF("id", "run")))
+    val pool = Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val torn = new java.util.concurrent.atomic.AtomicReference[String](null)
+    try {
+      // the racing pipeline: 8 sequential runs, silver+gold per run,
+      // published through ONE commit each
+      val writer = Future {
+        (1 to 8).foreach { run =>
+          cat.publishAtomic(Seq(
+            sT -> (1 to 5).map(i => (i.toLong, run.toLong)).toDF("id", "run"),
+            gT -> (1 to 3).map(i => (i.toLong, run.toLong)).toDF("id", "run")))
+        }
+        stop.set(true)
+      }
+      // the reader: resolve BOTH tables through one snapshot, every time;
+      // run stamps must always agree — the sequential-publish bug this
+      // closes is exactly silver at run N with gold still at run N−1
+      val reader = Future {
+        while (!stop.get() && torn.get() == null) {
+          val snap = cat.snapshot()
+          val sRun = snap.read(spark, sT).select("run").head().getLong(0)
+          val gRun = snap.read(spark, gT).select("run").head().getLong(0)
+          if (sRun != gRun) torn.set(s"silver run=$sRun, gold run=$gRun")
+        }
+      }
+      Await.result(Future.sequence(Seq(writer, reader)), 300.seconds)
+    } finally pool.shutdown()
+    assert(torn.get() == null, s"torn multi-table read: ${torn.get()}")
+    // final state: both tables at run 8, via snapshot AND plain reads
+    assert(cat.read(spark, sT).select("run").distinct().head().getLong(0) == 8L)
+    assert(cat.read(spark, gT).select("run").distinct().head().getLong(0) == 8L)
+    // debris-free: no catalog-root lock left behind
+    assert(!Files.exists(Paths.get(cat.root, "_COMMIT_LOCK")))
+  }
+
+  test("publishAtomic interoperates with single-table writes and rollback") {
+    val cat = freshCatalog("mix")
+    val (sT, gT) = ("main.silver.mix", "main.gold.mix")
+    cat.publishAtomic(Seq(
+      sT -> Seq((1L, 1L)).toDF("id", "run"),
+      gT -> Seq((1L, 1L)).toDF("id", "run")))
+    // a single-table append AFTER the atomic publish must base on the
+    // committed version (currentPath max rule), not lose its rows
+    cat.append(Seq((2L, 1L)).toDF("id", "run"), sT)
+    assert(cat.read(spark, sT).count() == 2L)
+    // the single-table append supersedes silver's multi-commit pin
+    assert(cat.snapshot().version(sT).isEmpty)
+    // roll silver back to the original atomic version
+    val v1 = cat.versions(sT).head
+    cat.rollback(sT, v1)
+    // rollback must STICK: the multi entry may not resurrect the newer
+    // version through the max rule
+    assert(cat.read(spark, sT).count() == 1L)
+    assert(cat.snapshot().version(sT).forall(_ == v1))
+    // and a later atomic publish picks up from the rolled-back base
+    cat.publishAtomic(Seq(
+      sT -> Seq((9L, 2L)).toDF("id", "run"),
+      gT -> Seq((9L, 2L)).toDF("id", "run")))
+    assert(cat.read(spark, sT).select("run").head().getLong(0) == 2L)
+    assert(cat.snapshot().read(spark, gT).select("run").head().getLong(0) == 2L)
+  }
 }
