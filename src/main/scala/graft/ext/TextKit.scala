@@ -207,31 +207,90 @@ object TextKit {
       .select(col("w"), transform(sequence(lit(1), length(col("w"))),
         i => col("w").substr(i, lit(1))).as("syms"), col("freq"))
       .localCheckpoint()
-    val merges = (1 to k).map { rank =>
-      val Array(l, r, cnt) = words.filter(size(col("syms")) > 1)
+    // Batched rounds: ONE pair-count job collects the top-`horizon`
+    // candidates, and the maximal SAFE batch of them applies in one
+    // rewrite — k sequential driver round-trips (the r6-flagged latency
+    // bound) drop to ~k/batch jobs, with a provably identical merge
+    // table. Safety argument, pinned by TextKitSpec's equivalence test:
+    //  * take candidates in global order (cnt desc, lex) and keep a
+    //    PREFIX of pairwise symbol-DISJOINT pairs, stopping at the
+    //    first candidate sharing a symbol with an earlier prefix member
+    //    — merging disjoint pairs neither creates nor destroys each
+    //    other's occurrences, so every batched pair's count (and thus
+    //    its recorded cnt) is exactly what the sequential trainer would
+    //    recompute;
+    //  * any pair a merge (l,r) NEWLY creates, e.g. (x, lr), has count
+    //    ≤ the OLD overlapping pair (x, l) — which, overlapping the
+    //    prefix, sits at/after the stop candidate, so its count is
+    //    ≤ stopCnt; trimming the batch to members with cnt STRICTLY >
+    //    stopCnt means no created (or count-decreased) pair can win —
+    //    or tie-then-win lexicographically — any batched round.
+    val horizon = 64
+    val maxBatch = 16 // bounds the codegen'd when-chain in the rewrite
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, Long)]
+    while (merges.size < k) {
+      val top = words.filter(size(col("syms")) > 1)
         .select(col("freq"), explode(transform(
           sequence(lit(1), size(col("syms")) - 1), j =>
             struct(element_at(col("syms"), j).as("l"),
               element_at(col("syms"), j + 1).as("r")))).as("p"))
         .groupBy(col("p.l"), col("p.r")).agg(sum(col("freq")).as("cnt"))
-        .orderBy(col("cnt").desc, col("l"), col("r")).limit(1)
-        .collect()(0).toSeq.toArray
-      val (lS, rS) = (l.asInstanceOf[String], r.asInstanceOf[String])
-      // greedy leftmost non-overlapping merge: fold symbols, gluing
-      // (lhs, rhs) whenever rhs follows an unconsumed lhs.
+        .orderBy(col("cnt").desc, col("l"), col("r")).limit(horizon)
+        .collect()
+        .map(row => (row.getString(0), row.getString(1), row.getLong(2)))
+      if (top.isEmpty) {
+        // corpus fully merged before k rounds — nothing left to learn
+        return (merges.toSeq, words)
+      }
+      val used = scala.collection.mutable.Set.empty[String]
+      var batch = Vector.empty[(String, String, Long)]
+      var stopCnt = -1L // count bound on everything NOT safely batched
+      var i = 0
+      while (stopCnt < 0 && i < top.length &&
+          batch.size < math.min(maxBatch, k - merges.size)) {
+        val (l, r, c) = top(i)
+        if (used(l) || used(r)) stopCnt = c
+        else { batch :+= ((l, r, c)); used += l; used += r; i += 1 }
+      }
+      // The cap and the horizon are cuts too: unprocessed candidates
+      // (count ≤ the next/last seen count) may overlap the batch, so
+      // trim as if the first of them had stopped us. Only the complete-
+      // universe, no-overlap case (fewer than `horizon` pairs exist and
+      // the loop consumed them all) needs no trim: there, an old pair
+      // overlapping a batched one would itself have stopped the loop,
+      // and with none present a merge cannot create ANY new pair.
+      if (stopCnt < 0) {
+        if (i < top.length) stopCnt = top(i)._3            // cap cut
+        else if (top.length == horizon) stopCnt = top.last._3 // horizon cut
+      }
+      val safe = if (stopCnt < 0) batch else batch.filter(_._3 > stopCnt)
+      // degenerate guard: ties all the way down the horizon — fall back
+      // to the plain sequential step for this round
+      val applied = if (safe.nonEmpty) safe else batch.take(1)
+      // greedy leftmost non-overlapping merge, all batched rules in one
+      // fold: rules are symbol-disjoint, so at most one can fire at any
+      // position — the when-chain order is immaterial and the result
+      // equals applying the rules in separate sequential passes.
       words = words.withColumn("syms",
           when(size(col("syms")) > 1,
             aggregate(slice(col("syms"), lit(2), size(col("syms")) - 1),
               array(element_at(col("syms"), 1)),
-              (acc, x) => when(
-                element_at(acc, -1) === lit(lS) && x === lit(rS),
-                concat(slice(acc, lit(1), size(acc) - 1), array(lit(lS + rS))))
-                .otherwise(concat(acc, array(x)))))
+              (acc, x) => applied.foldRight(
+                concat(acc, array(x))) { case ((lS, rS, _), els) =>
+                  when(
+                    element_at(acc, -1) === lit(lS) && x === lit(rS),
+                    concat(slice(acc, lit(1), size(acc) - 1),
+                      array(lit(lS + rS))))
+                    .otherwise(els)
+                }))
             .otherwise(col("syms")))
         .localCheckpoint()
-      (rank.toLong, lS, rS, cnt.asInstanceOf[Long])
+      applied.foreach { case (l, r, c) =>
+        merges += (((merges.size + 1).toLong, l, r, c))
+      }
     }
-    (merges, words)
+    (merges.toSeq, words)
   }
 
   /** Encode the corpus with a freshly trained k-merge BPE vocabulary:

@@ -64,6 +64,57 @@ class TextKitSpec extends SparkSpec {
     assert(m.toSeq == Seq((1L, "a", "a", 8L), (2L, "a", "b", 3L)))
   }
 
+  /** Naive driver-side SEQUENTIAL BPE (one merge per round, full count
+    * recomputation between rounds) — the semantics the batched trainer
+    * must reproduce exactly. */
+  private def bpeSequentialRef(freqs: Map[String, Long],
+      k: Int): Seq[(Long, String, String, Long)] = {
+    var words = freqs.toVector.map { case (w, f) =>
+      (w.map(_.toString).toVector, f) }
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, Long)]
+    var rank = 1L
+    while (rank <= k) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (syms, f) =>
+        syms.sliding(2).foreach {
+          case Vector(a, b) =>
+            counts((a, b)) = counts.getOrElse((a, b), 0L) + f
+          case _ =>
+        }
+      }
+      if (counts.isEmpty) return out.toSeq
+      val ((l, r), c) = counts.toSeq
+        .minBy { case ((l, r), c) => (-c, l, r) }
+      words = words.map { case (syms, f) =>
+        val acc = scala.collection.mutable.Buffer(syms.head)
+        syms.tail.foreach { x =>
+          if (acc.last == l && x == r) acc(acc.length - 1) = l + r
+          else acc += x
+        }
+        (acc.toVector, f)
+      }
+      out += ((rank, l, r, c))
+      rank += 1
+    }
+    out.toSeq
+  }
+
+  test("bpeTrainMerges: batched rounds equal the sequential reference") {
+    // several mutually disjoint hot pairs → a real multi-merge batch
+    // forms (4 merges in round one), plus overlap/tie tails that force
+    // the strict-count trim and the single-merge fallback
+    val freqs = Map("abcd" -> 9L, "efgh" -> 7L, "ijkl" -> 5L,
+      "abef" -> 4L, "cdgh" -> 3L, "mnop" -> 2L)
+    val corpus = freqs.toSeq.sortBy(_._1)
+      .flatMap { case (w, f) => Seq.fill(f.toInt)(w) }.mkString(" ")
+    val got = TextKit.bpeTrainMerges(Seq(corpus).toDF("text"), k = 8)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == bpeSequentialRef(freqs, 8),
+      s"batched ${got.toSeq} != sequential ${bpeSequentialRef(freqs, 8)}")
+  }
+
   test("bpeEncode: doc token counts under the trained segmentation") {
     // After the two merges above: aaab → [aa, a, b] → [aa, ab] (2 tokens);
     // aab → [aa, b] (round-2 pair (a,b) can't fire: 'aa' != 'a').
