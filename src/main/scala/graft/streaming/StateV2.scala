@@ -36,16 +36,16 @@ object StateV2 {
   /** State-v2 processor: one ValueState for the (count, cents) totals +
     * one MapState for per-type counts. Emits the refreshed profile for
     * every key touched in the batch (Update-mode semantics). */
-  class UserStatsProcessor
+  class UserStatsProcessor(ttl: TTLConfig = TTLConfig.NONE)
       extends StatefulProcessor[Long, (Long, String, Long), UserStat] {
     @transient private var totals: ValueState[(Long, Long)] = _
     @transient private var typeCounts: MapState[String, Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       totals = getHandle.getValueState[(Long, Long)]("totals",
-        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), ttl)
       typeCounts = getHandle.getMapState[String, Long]("types",
-        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+        Encoders.STRING, Encoders.scalaLong, ttl)
     }
 
     /** Load a batch-computed profile into this key's state (the
@@ -83,6 +83,29 @@ object StateV2 {
       .groupByKey(_._1)
       .transformWithState(new UserStatsProcessor, TimeMode.None(),
         OutputMode.Update())
+  }
+
+  /** [[userStatsStream]] with per-key state TTL (processing-time): a
+    * user idle longer than `ttl` has their profile EVICTED from the
+    * RocksDB store — the bounded-state posture for a 100 TB stream whose
+    * key space grows without end (most user IDs go quiet forever; state
+    * for them is rent with no income). TTL requires
+    * TimeMode.ProcessingTime — expiry is judged against the store's
+    * clock at batch time, value-state reads of an expired entry return
+    * "absent", so a returning user simply starts a fresh profile. The
+    * trade is explicit: profiles are exact only within a TTL window;
+    * the unbounded-exact form is [[userStatsStream]]. */
+  def userStatsStreamTtl(events: DataFrame, ttl: java.time.Duration)
+                        (implicit spark: SparkSession): Dataset[UserStat] = {
+    import spark.implicits._
+    events
+      .select(col("user_id").cast(LongType),
+        col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast(LongType).as("cents"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new UserStatsProcessor(new TTLConfig(ttl)),
+        TimeMode.ProcessingTime(), OutputMode.Update())
   }
 
   /** Batch twin of [[userStatsStream]] — the same profile as one exact

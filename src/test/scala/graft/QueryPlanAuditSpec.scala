@@ -46,7 +46,9 @@ class QueryPlanAuditSpec extends SparkSpec {
     "x_modularity",     // community rows × broadcast edge-count / total-Q
                         // singletons
     "x_silhouette",     // corpus × broadcast ≤|labels| centroid table
-    "x_cms_counts"      // exact counts × broadcast one-row sketch grid
+    "x_cms_counts",     // exact counts × broadcast one-row sketch grid
+    "x_kaplan_meier"    // per-user spans × broadcast observation-end
+                        // singleton (censoring horizon)
   )
 
   test("no query plans an unintended cartesian or nested-loop join") {

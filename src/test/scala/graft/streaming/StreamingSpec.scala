@@ -727,4 +727,126 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("state-v2 TTL evicts idle profiles; a returning user starts fresh") {
+    // TimeMode.ProcessingTime makes the query SELF-TRIGGER empty
+    // micro-batches to advance the state clock — noNewData never
+    // latches, so BOTH processAllAvailable() and Trigger.AvailableNow
+    // spin forever (observed: >600 state versions in one run). An
+    // always-on TTL query is awaited the way its deployment would be:
+    // poll the sink for the expected profile, then stop the query.
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[StateV2.UserStat]
+    def awaitProfile(what: String)(p: StateV2.UserStat => Boolean)
+        : Seq[StateV2.UserStat] = {
+      val deadline = System.currentTimeMillis() + 120000
+      while (System.currentTimeMillis() < deadline &&
+          !got.toArray(Array.empty[StateV2.UserStat]).exists(p))
+        Thread.sleep(200)
+      val rows = got.toArray(Array.empty[StateV2.UserStat]).toSeq
+      assert(rows.exists(p), s"$what: never appeared in ${rows}")
+      rows
+    }
+    try {
+      val mem = MemoryStream[(Long, String, Double)]
+      val q = StateV2.userStatsStreamTtl(
+          mem.toDF().toDF("user_id", "event_type", "value"),
+          java.time.Duration.ofSeconds(6))
+        .writeStream
+        .foreachBatch { (ds: org.apache.spark.sql.Dataset[StateV2.UserStat],
+            _: Long) => ds.collect().foreach(got.add) }
+        .outputMode("update").start()
+      try {
+        // two quick batches well inside the TTL: state accumulates
+        mem.addData((1L, "click", 1.00))
+        awaitProfile("first event")(r => r.n_events == 1L &&
+          r.sum_cents == 100L)
+        mem.addData((1L, "view", 2.00))
+        awaitProfile("within-TTL accumulation")(r =>
+          r.n_events == 2L && r.sum_cents == 300L)
+        // idle past the TTL: the profile is evicted from the store and
+        // the returning user starts a FRESH profile (absent state, not
+        // a stale continuation) — the bounded-state contract
+        Thread.sleep(8000)
+        got.clear()
+        mem.addData((1L, "click", 4.00))
+        val after = awaitProfile("fresh post-TTL profile")(r =>
+          r.n_events == 1L && r.sum_cents == 400L && r.n_types == 1L)
+        assert(!after.exists(_.sum_cents == 700L),
+          s"state survived past its TTL: $after")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
+  test("state-v2 profile survives checkpoint restart across a shuffle-partition change") {
+    import spark.implicits._
+    import java.nio.file.Files
+    implicit val s = spark
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(key)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val src = Files.createTempDirectory("graft-resc-src")
+    val ckpt = Files.createTempDirectory("graft-resc-ckpt")
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[StateV2.UserStat]
+    def writeBatch(name: String, rows: Seq[(Long, String, Double)]): Unit = {
+      val stage = Files.createTempDirectory(s"graft-resc-$name")
+      rows.toDF("user_id", "event_type", "value")
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = stage.toFile.listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, src.resolve(s"$name.parquet"))
+    }
+    // the operator pins its state partitioning in the checkpoint at
+    // FIRST start; a restart under a different session
+    // spark.sql.shuffle.partitions must keep reading/writing the
+    // checkpointed layout (not re-shard and orphan RocksDB state) —
+    // the recovery semantics a re-tuned cluster depends on
+    def runOnce(parts: String): Unit = {
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      val stream = spark.readStream
+        .schema("user_id LONG, event_type STRING, value DOUBLE")
+        .parquet(src.toString)
+      val q = StateV2.userStatsStream(stream)
+        .writeStream
+        .foreachBatch { (ds: org.apache.spark.sql.Dataset[StateV2.UserStat],
+            _: Long) => ds.collect().foreach(got.add) }
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("update").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    try {
+      writeBatch("b1", Seq((1L, "click", 1.25), (1L, "view", 2.00),
+        (2L, "click", 3.50)))
+      runOnce(parts = "3")
+      writeBatch("b2", Seq((1L, "click", 0.75), (2L, "buy", 1.00)))
+      runOnce(parts = "7") // restart, different session partitioning
+      import scala.jdk.CollectionConverters._
+      val latest = got.asScala.toSeq.groupBy(_.user_id)
+        .map { case (u, rows) => u -> rows.maxBy(_.n_events) }
+      // profiles CONTINUE across the restart: counts/cents/types carry
+      assert(latest(1L) == StateV2.UserStat(1L, 3L, 400L, 2L),
+        s"user 1 state lost across rescale restart: $latest")
+      assert(latest(2L) == StateV2.UserStat(2L, 2L, 450L, 2L),
+        s"user 2 state lost across rescale restart: $latest")
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prevProv match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
 }
