@@ -122,7 +122,12 @@ object Bench {
       n -> (if (good.nonEmpty) good.min else runs.map(_._1).min)
     }
     val twoPass =
-      if (pass1.map(_._2).sum <= 300.0)
+      // SPARK_GRAFT_TWO_PASS=1 forces the full second pass regardless of
+      // pass-1 wall — the sf1 scaling probe wants min-of-2 over ALL
+      // queries, where the driver's per-round budget only affords the
+      // bounded-rerun arbitration below.
+      if (sys.env.get("SPARK_GRAFT_TWO_PASS").contains("1") ||
+          pass1.map(_._2).sum <= 300.0)
         pass1.zip(pass()).map { case ((n, a, ao, _), (_, b, bo, _)) =>
           best(n, Seq((a, ao), (b, bo))) }
       else {
@@ -192,6 +197,19 @@ object Bench {
     // bounded line below must be the final output on every stream.
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_local.json"), fullLine + "\n")
     catch { case _: Throwable => () }
+    // Round-over-round provenance: bench_local.json is overwritten per
+    // run, so r5's full per-query record was lost by r6 and only the ~25
+    // queries that fit the driver's bounded line stayed comparable.
+    // APPEND every run (date-stamped) to a committed history file — the
+    // next reviewer diffs all ~240 queries, not the truncated capture.
+    try {
+      val stamped = fullLine.dropRight(1) +
+        s""","date":"${java.time.LocalDateTime.now}"}"""
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("bench_history.jsonl"), stamped + "\n",
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    } catch { case _: Throwable => () }
     spark.stop()
     System.err.flush()
     println(line)

@@ -25,7 +25,7 @@ object Extensions {
     * the expression-heavy per-row stages (hashing, folds) across all
     * cores. At real scale the scan arrives pre-split and this spread is a
     * no-op to remove. */
-  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+  private[graft] def docs(spark: SparkSession, sfDir: String): DataFrame =
     Par.spread(table(spark, sfDir, "documents"), col("doc_id"))
   private def emb(spark: SparkSession, sfDir: String): DataFrame =
     Par.spread(table(spark, sfDir, "embeddings"), col("vec_id"))
@@ -2076,7 +2076,7 @@ object Extensions {
     * tight cohorts are all-triangles). Edge build is one distinct + one
     * key-equality self-join + keyed count; the count itself is the
     * degree-ordered wedge join — no step is quadratic in the vertex set. */
-  private def coPurchaseEdges(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def coPurchaseEdges(spark: SparkSession, sfDir: String): DataFrame = {
     val uk = Parity.events(spark, sfDir)
       .filter(col("event_type") === "purchase")
       .select(col("user_id"),

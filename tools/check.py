@@ -3,12 +3,19 @@
 runs each oracle SQL in DuckDB over the testdata tables and compares it
 with the parquet output of `graft.Verify` (column-name-sorted, row-sorted,
 exact values). Usage: python3 tools/check.py [sfDir] [outDir]
+
+Env knobs (for the sf1 scale-correctness campaign):
+  SKIP_MISSING=1   queries with no spark dump are skipped, not failed
+                   (used with Verify's subset arg)
+  OUT_JSON=path    also write a driver-style per-query verdict JSON
 """
-import sys, os, json, glob, math
+import sys, os, json, glob, math, time
 import duckdb
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/target/verify_out"
+SKIP_MISSING = os.environ.get("SKIP_MISSING") == "1"
+OUT_JSON = os.environ.get("OUT_JSON")
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -16,7 +23,9 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 con = duckdb.connect()
 for t in TABLES:
     p = f"{SF}/{t}.parquet"
-    if os.path.exists(p):
+    if os.path.isdir(p):  # ScaleUp output: a directory of part files
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
+    elif os.path.exists(p):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
@@ -35,28 +44,43 @@ def norm(x):
     return x
 
 ok, bad = 0, 0
+verdicts = {}
+def record(name, **kw):
+    v = {"rows_match": False, "schema_match": False, "hash_match": False,
+         "spark_rows": None, "oracle_rows": None, "err": None}
+    v.update(kw)
+    verdicts[name] = v
+
 for name, sql in sorted(oracle.items()):
     spark_dir = f"{OUT}/{name}"
     if not os.path.isdir(spark_dir):
+        if SKIP_MISSING:
+            continue
         print(f"  MISSING spark output: {name}")
+        record(name, err="missing spark output")
         bad += 1
         continue
+    t0 = time.time()
     try:
         sdf = con.execute(
             f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')").fetchdf()
         odf = con.execute(sql).fetchdf()
     except Exception as e:
         print(f"  ERROR {name}: {e}")
+        record(name, err=str(e)[:300])
         bad += 1
         continue
     scols, srows = canon(sdf)
     ocols, orows = canon(odf)
     if scols != ocols:
         print(f"  FAIL {name}: columns spark={scols} oracle={ocols}")
+        record(name, spark_rows=len(srows), oracle_rows=len(orows))
         bad += 1
         continue
     if len(srows) != len(orows):
         print(f"  FAIL {name}: rowcount spark={len(srows)} oracle={len(orows)}")
+        record(name, schema_match=True,
+               spark_rows=len(srows), oracle_rows=len(orows))
         bad += 1
         continue
     mism = None
@@ -67,6 +91,8 @@ for name, sql in sorted(oracle.items()):
             break
     if mism:
         print(f"  FAIL {name}: row {mism[0]} spark={mism[1]} oracle={mism[2]}")
+        record(name, schema_match=True, rows_match=True,
+               spark_rows=len(srows), oracle_rows=len(orows))
         bad += 1
         continue
     # The driver hashes *stringified* values, so an int on one side and a
@@ -81,11 +107,15 @@ for name, sql in sorted(oracle.items()):
              if c in od and {fam(sd[c]), fam(od[c])} == {"int", "float"}}
     if cross:
         print(f"  FAIL {name}: int/float dtype crossing {cross}")
+        record(name, rows_match=True,
+               spark_rows=len(srows), oracle_rows=len(orows))
         bad += 1
         continue
     dmism = {c: (sd[c], od[c]) for c in sd if sd[c] != od.get(c)}
     note = f"  [dtype diff: {dmism}]" if dmism else ""
-    print(f"  ok   {name} ({len(srows)} rows){note}")
+    print(f"  ok   {name} ({len(srows)} rows){note}  [{time.time()-t0:.1f}s]")
+    record(name, rows_match=True, schema_match=True, hash_match=True,
+           spark_rows=len(srows), oracle_rows=len(orows))
     ok += 1
 
 # queries without oracle → rows-only check
@@ -97,6 +127,11 @@ for d in sorted(glob.glob(f"{OUT}/*/")):
             print(f"  rows-only {name}: {n} rows")
         except Exception as e:
             print(f"  rows-only {name}: ERROR {e}")
+
+if OUT_JSON:
+    with open(OUT_JSON, "w") as f:
+        json.dump(verdicts, f, indent=0, sort_keys=True)
+    print(f"wrote {OUT_JSON} ({len(verdicts)} verdicts)")
 
 print(f"\n{ok} ok, {bad} fail")
 sys.exit(1 if bad else 0)
