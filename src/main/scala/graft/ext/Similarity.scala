@@ -427,4 +427,29 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select("q_id", "n_id", "rank", "adc")
   }
+
+  /** Recall@k of an ANN result against the exact top-k — the number an
+    * ANN deployment is TUNED by (nProbe / nPlanes / nList trade recall
+    * for scan fraction; without this readout the tuning is blind). Both
+    * inputs are (q_id, n_id, ...) rank tables; a query the approx method
+    * returns nothing for counts as zero hits, not a missing row. One
+    * semi-join on (q_id, n_id) + two tiny aggregates; doubles come from
+    * a single integer division each, so the value is bit-stable across
+    * engines. Emits one row: (method, n_queries, hits, mean_recall,
+    * min_recall). */
+  def recallAtK(exact: DataFrame, approx: DataFrame, method: String,
+      k: Int): DataFrame = {
+    val hits = exact.select("q_id", "n_id")
+      .join(approx.select("q_id", "n_id"), Seq("q_id", "n_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("h"))
+    exact.select("q_id").distinct()
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("h"), lit(0L)).as("h"))
+      .agg(count(lit(1)).as("n_queries"), sum(col("h")).as("hits"),
+        min(col("h")).as("min_h"))
+      .select(lit(method).as("method"), col("n_queries"), col("hits"),
+        (col("hits").cast("double") / (col("n_queries") * lit(k))
+          .cast("double")).as("mean_recall"),
+        (col("min_h").cast("double") / lit(k.toDouble)).as("min_recall"))
+  }
 }

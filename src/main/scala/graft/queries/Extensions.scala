@@ -549,6 +549,25 @@ object Extensions {
     Similarity.lshTopK(e, e.filter(col("vec_id") < 20), nPlanes = 8, k = 5)
   }
 
+  /** Recall@5 of every approximate ANN method against the brute-force
+    * ground truth ([[Similarity.recallAtK]]) — the tuning readout an ANN
+    * deployment lives by: nProbe / nPlanes / codebook size each trade
+    * recall for scan fraction, and this query is the measured side of
+    * that trade. One row per method (ivf / lsh / pq). At corpus scale
+    * the ground truth comes from a brute-force pass over a small query
+    * SAMPLE — recall estimation never needs exact top-k for all queries. */
+  def annRecallQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    val q = e.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(e, q, 5)
+    Similarity.recallAtK(exact,
+        Similarity.ivfTopK(e, q, nList = 10, nProbe = 2, k = 5), "ivf", 5)
+      .unionByName(Similarity.recallAtK(exact,
+        Similarity.lshTopK(e, q, nPlanes = 8, k = 5), "lsh", 5))
+      .unionByName(Similarity.recallAtK(exact,
+        Similarity.pqTopK(e, nQueries = 20, k = 5), "pq", 5))
+  }
+
   /** Composed curation pipeline — the flagship training-data flow:
     * quality gate → language gate → near-dup removal (drop the higher
     * doc_id of each trigram-Jaccard >= 0.8 pair) → surviving-corpus
@@ -2607,6 +2626,7 @@ object Extensions {
     "x_ngram_freq" -> ngramFreq _,
     "x_percentiles" -> percentiles _,
     "x_ann_lsh" -> annLsh _,
+    "x_ann_recall" -> annRecallQ _,
     "x_curation_pipeline" -> curationPipeline _,
     "x_quality_funnel" -> qualityFunnel _,
     "x_curation_cc" -> curationCc _,
@@ -2864,7 +2884,7 @@ object Extensions {
         ${(1 to k).map(step).mkString(",\n")}"""
   }
 
-  val oracleSql: Map[String, String] = Map(
+  private val oracleBase: Map[String, String] = Map(
     "x_auc" ->
       """WITH e AS (SELECT event_type AS label,
              CAST(round(value * 100) AS BIGINT) AS s FROM events),
@@ -5138,4 +5158,32 @@ object Extensions {
            FROM walk)
          SELECT u AS user_id, cur AS root, d AS depth
          FROM resolved WHERE rn = 1""")
+
+  /** Recall@5 oracle COMPOSED from the exact/IVF/LSH/PQ rank-table
+    * oracles already in [[oracleBase]] (each embeds as a nested-WITH
+    * subquery), so the ground truth and every approximate method are
+    * replayed by the same SQL the driver already trusts — one UNION ALL
+    * branch per method, hits counted through the identical
+    * (q_id, n_id) semi-join as the Spark side. */
+  private def recallOracle(base: Map[String, String]): String = {
+    def branch(name: String, sub: String) =
+      s"""SELECT '$name' AS method, count(*) AS n_queries,
+            CAST(sum(h) AS BIGINT) AS hits,
+            CAST(sum(h) AS DOUBLE) / (count(*) * 5) AS mean_recall,
+            CAST(min(h) AS DOUBLE) / 5 AS min_recall
+          FROM (
+            SELECT q.q_id, count(m.n_id) AS h
+            FROM (SELECT DISTINCT q_id FROM (${base("x_ann_topk")}) e0) q
+            LEFT JOIN (SELECT e.q_id, e.n_id
+                       FROM (${base("x_ann_topk")}) e JOIN ($sub) a
+                       ON e.q_id = a.q_id AND e.n_id = a.n_id) m
+              ON q.q_id = m.q_id
+            GROUP BY q.q_id) per_q"""
+    Seq("ivf" -> base("x_ann_ivf"), "lsh" -> base("x_ann_lsh"),
+        "pq" -> base("x_ann_pq"))
+      .map { case (n, s) => branch(n, s) }.mkString("\nUNION ALL\n")
+  }
+
+  val oracleSql: Map[String, String] =
+    oracleBase + ("x_ann_recall" -> recallOracle(oracleBase))
 }

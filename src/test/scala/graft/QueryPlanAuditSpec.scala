@@ -47,8 +47,10 @@ class QueryPlanAuditSpec extends SparkSpec {
                         // singletons
     "x_silhouette",     // corpus × broadcast ≤|labels| centroid table
     "x_cms_counts",     // exact counts × broadcast one-row sketch grid
-    "x_kaplan_meier"    // per-user spans × broadcast observation-end
+    "x_kaplan_meier",   // per-user spans × broadcast observation-end
                         // singleton (censoring horizon)
+    "x_ann_recall"      // composes brute-force/IVF/PQ rank tables, so it
+                        // inherits their pinned broadcast-singleton loops
   )
 
   test("no query plans an unintended cartesian or nested-loop join") {
