@@ -1332,6 +1332,78 @@ final class TableCatalog(val root: String) extends Serializable {
     base.filter(col(c).isin(values: _*))
   }
 
+  // ---------------------------------------------- NDV statistics sidecar
+  /** Collect per-file HyperLogLog register arrays for `cols` and persist
+    * them as a `_ndv` sidecar in the current version dir — ANALYZE-style
+    * distinct-count statistics ([[graft.functions.HllSketch]]). The
+    * payoff over a plain `approx_count_distinct` at write time: HLL
+    * merge is elementwise max, which is EXACT (the merged registers
+    * equal a one-pass sketch of the union, bit for bit), so table-,
+    * partition-, or version-level NDV is answered later from metadata
+    * alone — no re-scan — and stays exact-sketch under any regrouping
+    * of files. That is the statistic a cost-based join planner needs
+    * (broadcast or shuffle? estimate output cardinality?) kept fresh at
+    * O(#files × 1 KiB) instead of O(data).
+    *
+    * Same lifecycle as `_stats`/`_bloom`: the sidecar lives and dies
+    * with its version; appends don't carry it (stale statistics are
+    * never consulted). Null values don't count toward NDV. */
+  def analyzeNdv(spark: SparkSession, name: String, cols: Seq[String],
+      p: Int = 10, w: Int = 20): Unit = {
+    import org.apache.spark.sql.functions._
+    require(cols.nonEmpty, "analyzeNdv: cols must be non-empty")
+    val cur = currentPath(name)
+    val d = spark.read.parquet(cur)
+    // xxhash64 → [0, 2^(p+w)) nonneg window the sketch requires; null
+    // input propagates null, which the aggregate skips.
+    def h(c: String) =
+      when(col(c).isNotNull, pmod(xxhash64(col(c)), lit(1L << (p + w))))
+    val aggs = cols.map(c =>
+      graft.functions.HllSketch(h(c), p, w).as(s"hll_$c"))
+    d.select(input_file_name().as("_file") +: cols.map(col): _*)
+      .groupBy("_file")
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("_file", element_at(split(col("_file"), "/"), -1))
+      .withColumn("_p", lit(p)).withColumn("_w", lit(w))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(Paths.get(cur, "_ndv").toString)
+  }
+
+  /** Distinct-count estimates for `cols` from the `_ndv` sidecar alone —
+    * zero data I/O: per-column registers are max-merged across the
+    * file rows (posexplode + grouped max, O(#files × m) sidecar rows),
+    * then the standard HLL estimator with small-range linear-counting
+    * correction runs on the m merged registers driver-side (metadata
+    * plane, m ≤ 16 Ki values per column). Returns (column → estimate);
+    * columns the sidecar doesn't cover are absent. */
+  def ndvEstimate(spark: SparkSession, name: String,
+      cols: Seq[String]): Map[String, Double] = {
+    import org.apache.spark.sql.functions._
+    val dir = Paths.get(currentPath(name), "_ndv")
+    if (!Files.isDirectory(dir)) return Map.empty
+    val sc = spark.read.parquet(dir.toString)
+    val covered = cols.filter(c => sc.columns.contains(s"hll_$c"))
+    if (covered.isEmpty) return Map.empty
+    val first = sc.select("_p", "_w").head()
+    val (p, w) = (first.getInt(0), first.getInt(1))
+    val m = 1 << p
+    covered.map { c =>
+      val regs = sc.select(posexplode(col(s"hll_$c")).as(Seq("pos", "r")))
+        .groupBy("pos").agg(max(col("r")).as("r"))
+        .collect().map(row => row.getAs[Int]("pos") ->
+          row.getAs[Long]("r")).toMap
+      val full = (0 until m).map(i => regs.getOrElse(i, 0L))
+      val s = full.map(r => math.pow(2.0, -r.toDouble)).sum
+      val raw = graft.functions.HllSketch.alphaNumerator(p, w) /
+        (s * math.pow(2.0, (w + 1).toDouble))
+      val zeros = full.count(_ == 0L)
+      val est =
+        if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros)
+        else raw
+      c -> est
+    }.toMap
+  }
+
   // ------------------------------------------ exact value-index sidecar
   /** Build an EXACT inverted index for a low-cardinality column: a
     * `_index/<col>` sidecar of distinct (value, file) postings — the

@@ -46,6 +46,44 @@ object Mixture {
       .select("doc_id", "source", "n_tokens", "priority", "cum_tokens")
   }
 
+  /** Temperature-scaled source mixture (the mT5/CCNet re-balancing):
+    * source d with tok_d tokens gets share s_d = tok_d^α / Σ_k tok_k^α,
+    * so α < 1 up-samples small sources relative to their natural
+    * proportion (α = 1 is proportional, α = 0 is uniform); each doc is
+    * then kept by a deterministic Bernoulli draw at rate
+    * min(1, B·s_d / tok_d) against its priority hash.
+    *
+    * The oracle-contract α is 0.5: sqrt is an exactly-rounded IEEE op
+    * on both engines, where a general pow(x, α) is libm-approximated
+    * and may differ in the last ulp. The cross-source denominator is a
+    * source-name-ordered fold (sum order pinned — the x_seasonal
+    * pattern), every other step is a single mirrored expression.
+    *
+    * Scale shape: one grouped rollup to source level (dimension-sized),
+    * a broadcast of the per-source rate table back onto the corpus, and
+    * a scan-only filter — no window, no global sort; the selection is
+    * reproducible run-over-run and resumable per shard. */
+  def temperatureMix(docs: DataFrame, budgetTokens: Long): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val base = docs.select(col("doc_id"), col("source"),
+      size(TextKit.words(col("text"))).cast(LongType).as("n_tokens"))
+    val src = base.groupBy("source")
+      .agg(sum(col("n_tokens")).as("tok"))
+      .withColumn("sq", sqrt(col("tok").cast(DoubleType)))
+    val denom = src.agg(
+      aggregate(array_sort(collect_list(struct(col("source"), col("sq")))),
+        lit(0.0), (a, x) => a + x.getField("sq")).as("denom"))
+    val rates = src.crossJoin(broadcast(denom))
+      .withColumn("share", col("sq") / col("denom"))
+      .withColumn("rate", least(lit(1.0),
+        lit(budgetTokens.toDouble) * col("share") / col("tok").cast(DoubleType)))
+      .select("source", "share", "rate")
+    base.join(broadcast(rates), Seq("source"))
+      .filter(priority(col("doc_id")).cast(DoubleType) <
+        col("rate") * lit(TextKit.P.toDouble))
+      .select("doc_id", "source", "n_tokens", "share", "rate")
+  }
+
   /** The scan-only scale path: selection by a precomputed per-source
     * priority cutoff (no window). Used with a cutoff estimated from a
     * sample; exactness at the boundary is traded for a plan that is pure

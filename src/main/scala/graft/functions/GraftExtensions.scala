@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(SlidingMin.registration)
     ext.injectFunction(KmvSketch.registration)
     ext.injectFunction(CmsSketch.registration)
+    ext.injectFunction(HllSketch.registration)
     ext.injectTableFunction(DateSpine.registration)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(graft.plans.MvRewriteRule)
@@ -35,7 +36,8 @@ object GraftExtensions {
         InterleaveBits.registration, HilbertIndex.registration,
         MinHashSig.registration, SimHashSig.registration,
         GramHashes.registration, SlidingMin.registration,
-        KmvSketch.registration, CmsSketch.registration).foreach { r =>
+        KmvSketch.registration, CmsSketch.registration,
+        HllSketch.registration).foreach { r =>
       reg.registerFunction(r._1, r._2, r._3)
     }
     val treg = spark.sessionState.tableFunctionRegistry

@@ -1191,6 +1191,9 @@ object Extensions {
   def tokenBudgetMix(spark: SparkSession, sfDir: String): DataFrame =
     Mixture.tokenBudgetMix(docs(spark, sfDir), budgetPerSource = 600L)
 
+  def temperatureMix(spark: SparkSession, sfDir: String): DataFrame =
+    Mixture.temperatureMix(docs(spark, sfDir), budgetTokens = 2000L)
+
   /** SemDeDup-style semantic keeper selection: embedding-cosine near-dup
     * pairs (label-bucketed candidate space) → connected components →
     * keep exactly the min-id member of each semantic cluster. Emits a
@@ -1648,6 +1651,42 @@ object Extensions {
         when(size(col("mins")) < 32, size(col("mins")).cast(DoubleType))
           .otherwise(lit(31.0) * lit(1000000007.0) /
             element_at(col("mins"), lit(32)).cast(DoubleType)).as("est_distinct"))
+  }
+
+  /** HyperLogLog distinct-count per language
+    * ([[graft.functions.HllSketch]], p = 10 → 1024 registers, w = 20)
+    * over portable text hashes — the fixed-size mergeable sibling of
+    * `x_kmv_distinct`: KMV state grows with k, HLL state is a constant
+    * 1 KiB per group regardless of cardinality, and merge is register
+    * max (order-free, so partial aggregation is exact).
+    *
+    * Oracle surface: the registers reduce to two INTEGER scalars —
+    * `n_zero` (empty registers) and `s_scaled` = Σ_j 2^(21−M_j), the
+    * harmonic-sum denominator held exactly in BIGINT (every addend is a
+    * power of two; no float accumulation order to disagree on) — plus
+    * `est_raw` = α_m·m²·2^21/s_scaled, a single mirrored IEEE division.
+    * The ln-based small-range correction is NOT in the oracle contract
+    * (libm `log` is not exactly rounded across engines);
+    * HllSketchSpec applies it and checks realized accuracy vs exact.
+    *
+    * At scale the register array persists per shard and corpus-distinct
+    * is an elementwise-max union — no re-scan, O(1 KiB) per group. */
+  def hllDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.HllSketch
+    docs(spark, sfDir)
+      .select(col("lang"), TextKit.polyHash(col("text")).as("h"))
+      .groupBy("lang")
+      .agg(HllSketch(col("h"), 10, 20).as("regs"),
+        countDistinct(col("h")).as("exact_distinct"))
+      .select(col("lang"), col("exact_distinct"),
+        aggregate(col("regs"), lit(0L),
+          (a, r) => a + when(r === 0L, 1L).otherwise(0L)).as("n_zero"),
+        aggregate(col("regs"), lit(0L),
+          (a, r) => a + pow(lit(2.0), lit(21.0) - r.cast(DoubleType))
+            .cast(LongType)).as("s_scaled"))
+      .withColumn("est_raw",
+        lit(HllSketch.alphaNumerator(10, 20)) /
+          col("s_scaled").cast(DoubleType))
   }
 
   /** Smoothed target encoding (the ML feature-prep categorical encoder):
@@ -2642,6 +2681,7 @@ object Extensions {
     "d_span_coverage" -> spanCoverageQ _,
     "d_semantic_keep" -> semanticKeep _,
     "x_token_budget_mix" -> tokenBudgetMix _,
+    "x_temperature_mix" -> temperatureMix _,
     "x_label_cohesion" -> labelCohesion _,
     "x_salted_agg" -> saltedAgg _,
     "x_salted_join" -> saltedJoinQ _,
@@ -2701,6 +2741,7 @@ object Extensions {
     "x_target_encode" -> targetEncode _,
     "x_seasonal" -> seasonalDecompose _,
     "x_kmv_distinct" -> kmvDistinct _,
+    "x_hll_distinct" -> hllDistinct _,
     "x_eq_depth_hist" -> eqDepthHist _,
     "x_session_window" -> sessionWindow _,
     "x_heavy_hitters" -> heavyHitters _,
@@ -4159,6 +4200,29 @@ object Extensions {
             FROM t)
           SELECT doc_id, source, n_tokens, priority, cum_tokens
           FROM c WHERE cum_tokens <= 600""",
+    // Temperature-mix mirror: α = 0.5 via sqrt (exactly rounded on both
+    // engines), source-name-ordered fold for the cross-source
+    // denominator, then single mirrored share/rate expressions and the
+    // deterministic priority-hash Bernoulli filter.
+    "x_temperature_mix" ->
+      s"""WITH b AS (
+            SELECT doc_id, source, CAST(len($W) AS BIGINT) AS n_tokens
+            FROM documents),
+          s AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS tok,
+                  sqrt(CAST(CAST(SUM(n_tokens) AS BIGINT) AS DOUBLE)) AS sq
+                FROM b GROUP BY 1),
+          d AS (SELECT list_reduce(list_prepend(0.0::DOUBLE,
+                    list(sq ORDER BY source)), (a, x) -> a + x) AS denom
+                FROM s),
+          r AS (SELECT source, tok, sq / denom AS share
+                FROM s CROSS JOIN d),
+          rr AS (SELECT source, share,
+                   LEAST(1.0, 2000.0 * share / CAST(tok AS DOUBLE)) AS rate
+                 FROM r)
+          SELECT b.doc_id, b.source, b.n_tokens, rr.share, rr.rate
+          FROM b JOIN rr USING (source)
+          WHERE CAST((b.doc_id * 2654435761) % ${DuckSql.P} AS DOUBLE)
+            < rr.rate * 1000000007.0""",
     "x_range_native" ->
       // Plain inequality-join mirror of the native merge sweep,
       // overlapping bands included.
@@ -4890,6 +4954,32 @@ object Extensions {
                  ELSE 31.0 * 1000000007.0 / CAST(mins[32] AS DOUBLE)
             END AS est_distinct
           FROM m"""
+    },
+    // HLL mirror: replay bucket/ρ from the same polyHash, MAX per
+    // register, then the two integer scalars + one mirrored division.
+    // ρ is a generated comparison ladder (no log2 — floats near powers
+    // of two round unreliably); missing registers contribute 2^21 each.
+    "x_hll_distinct" -> {
+      val ph = DuckSql.polyHash("text")
+      val whens = (1 to 20)
+        .map(k => s"WHEN v >= ${1L << (20 - k)} THEN $k").mkString(" ")
+      val cNum = graft.functions.HllSketch.alphaNumerator(10, 20)
+      s"""WITH h AS (SELECT lang, $ph AS h FROM documents),
+          r AS (SELECT lang, h, h % 1024 AS bucket, h // 1024 AS v FROM h),
+          rr AS (SELECT lang, h, bucket,
+                   CASE WHEN v = 0 THEN 21 $whens END AS rho FROM r),
+          m AS (SELECT lang, bucket, MAX(rho) AS mj FROM rr GROUP BY 1, 2),
+          s AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_present,
+                  CAST(SUM(CAST(POW(2.0, 21 - mj) AS BIGINT)) AS BIGINT) AS sp
+                FROM m GROUP BY 1),
+          e AS (SELECT lang, COUNT(DISTINCT h) AS exact_distinct
+                FROM h GROUP BY 1)
+          SELECT s.lang, e.exact_distinct,
+            1024 - n_present AS n_zero,
+            sp + (1024 - n_present) * 2097152 AS s_scaled,
+            $cNum / CAST(sp + (1024 - n_present) * 2097152 AS DOUBLE)
+              AS est_raw
+          FROM s JOIN e ON s.lang = e.lang"""
     },
     // Target-encoding mirror: decimal sums, one double smoothing ratio.
     "x_target_encode" ->

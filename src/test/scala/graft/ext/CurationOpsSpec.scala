@@ -90,6 +90,40 @@ class CurationOpsSpec extends SparkSpec {
     assert(viaThreshold.select("doc_id").except(exact.select("doc_id")).isEmpty)
   }
 
+  test("temperatureMix up-samples small sources at alpha=0.5 and stays deterministic") {
+    // Source token masses 640:160:40 (ratio 16:4:1). sqrt-temperature
+    // shares are sqrt-proportional -> exactly 4:2:1 in the reals.
+    val docs =
+      ((0 until 64).map(i => (i.toLong, "src0")) ++
+        (100 until 116).map(i => (i.toLong, "src1")) ++
+        (200 until 204).map(i => (i.toLong, "src2")))
+        .map { case (id, s) => (id, s, Seq.fill(10)("w").mkString(" ")) }
+        .toDF("doc_id", "source", "text")
+    val out = Mixture.temperatureMix(docs, budgetTokens = 280L)
+    val bySrc = out.collect().groupBy(_.getAs[String]("source"))
+    val share = bySrc.view.mapValues(_.head.getAs[Double]("share")).toMap
+    assert(math.abs(share("src0") - 4.0 / 7) < 1e-9)
+    assert(math.abs(share("src1") - 2.0 / 7) < 1e-9)
+    assert(math.abs(share("src2") - 1.0 / 7) < 1e-9)
+    // Rates: budget*share/tok = 0.25 / 0.5 / ~1.0 — monotone in favor of
+    // the small source (the whole point of temperature < 1).
+    val rate = bySrc.view.mapValues(_.head.getAs[Double]("rate")).toMap
+    assert(math.abs(rate("src0") - 0.25) < 1e-9)
+    assert(math.abs(rate("src1") - 0.5) < 1e-9)
+    assert(rate("src2") > 0.999) // LEAST(1, ~1±ulp)
+    // Realized keep-counts track n*rate (deterministic hash Bernoulli —
+    // no distributional guarantee at n=64, just sanity bands).
+    val kept = bySrc.view.mapValues(_.length).toMap
+    assert(kept("src0") >= 8 && kept("src0") <= 26, s"src0 kept ${kept("src0")}")
+    assert(kept("src1") >= 3 && kept("src1") <= 13, s"src1 kept ${kept("src1")}")
+    assert(kept.getOrElse("src2", 0) >= 3) // rate ~1: nearly all 4 kept
+    // Reproducible run-over-run.
+    val again = Mixture.temperatureMix(docs, budgetTokens = 280L)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(out.select("doc_id").collect().map(_.getLong(0)).sorted
+      .sameElements(again))
+  }
+
   test("semantic keeper selection keeps exactly one doc per near-dup cluster") {
     // Two clusters of identical vectors (cosine 1.0 within, orthogonal
     // across) plus a singleton; labels force all into one bucket.
