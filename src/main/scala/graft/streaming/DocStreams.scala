@@ -72,6 +72,65 @@ object DocStreams {
       .select("doc_id", "dup_of", "jaccard")
   }
 
+  /** Self-maintaining streaming dedup ingest — the full production loop
+    * [[graft.ext.Dedup.minHashNearDupsIncrementalIndexed]]'s doc
+    * describes, closed over a [[graft.core.TableCatalog]]: per
+    * micro-batch, (1) the batch dedups against the PERSISTED signature
+    * index (corpus×batch ∪ batch×batch candidates — never corpus×corpus),
+    * (2) novel docs append to `docsTable`, (3) exactly their signatures
+    * append to `indexTable` — so batch N+1 automatically dedups against
+    * batch N without any re-shingling of the standing corpus. Intra-batch
+    * duplicate chains keep the min-id member (the CC-canonical choice).
+    *
+    * Exactly-once: both appends are [[graft.core.TableCatalog.appendTxn]]
+    * with the stream's `appId` and the batch epoch, so a foreachBatch
+    * replay after a crash re-applies NEITHER table. A crash BETWEEN the
+    * two appends converges on replay: the docs append skips as a
+    * duplicate transaction, the index append applies — the index is
+    * always ≤ one batch behind its docs table mid-recovery and equal
+    * after it. (A multi-table [[graft.core.TableCatalog.publishAtomic]]
+    * would close even that window, but it carries overwrite semantics —
+    * O(corpus) per batch where this loop is O(batch).)
+    *
+    * Per-batch cost: signature work on the batch + an LSH bucket probe
+    * of the index restricted to the batch's bands — the O(batch ×
+    * index-probe) ingest shape a 100 TB corpus needs. */
+  def dedupIngestSink(docStream: DataFrame, catalog: graft.core.TableCatalog,
+      docsTable: String, indexTable: String, appId: String,
+      threshold: Double = 0.8, k: Int = 64, bands: Int = 16)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docStream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epoch: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.toDF()
+        val idx =
+          if (catalog.exists(indexTable)) catalog.read(spark, indexTable)
+          else Dedup.signatureIndex(b.limit(0), k)
+        val dups = Dedup.minHashNearDupsIncrementalIndexed(
+          idx, b, threshold, k, bands)
+        // Every dup pair's `b` side is a batch doc and (for intra-batch
+        // pairs) the larger id — dropping all `b`s keeps exactly the
+        // min-id representative of each within-batch duplicate chain.
+        val novel = b.join(dups.select(col("b").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+        catalog.appendTxn(novel, docsTable, appId, epoch)
+        // Align the computed signature schema to the stored one: parquet
+        // round-trips arrays as containsNull=true, while the freshly
+        // computed arrays are containsNull=false — a no-op cast, but the
+        // transactional append's schema-stability gate compares shapes
+        // exactly (loosening it would mask real drift).
+        val sigs = Dedup.signatureIndex(novel, k)
+        val aligned =
+          if (catalog.exists(indexTable)) {
+            val want = catalog.read(spark, indexTable).schema
+            sigs.select(want.fields.toSeq.map(f => col(f.name).cast(f.dataType)): _*)
+          } else sigs
+        catalog.appendTxn(aligned, indexTable, appId, epoch)
+        ()
+      }
+      .start()
+
   /** A doc admitted by [[budgetAdmission]], with its selection
     * bookkeeping (cum_tokens = the source's running admitted total AFTER
     * this doc). */

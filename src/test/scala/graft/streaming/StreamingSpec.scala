@@ -275,6 +275,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupIngestSink keeps novel docs and grows its own index across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val cat = new graft.core.TableCatalog(
+      java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("target"), "dedup-ingest-").toString)
+    val a = "the quick brown fox jumps over the lazy dog again and again today"
+    val b = "completely different words appear within this other sentence entirely now ok"
+    val c = "a third wholly original document with its very own particular vocabulary set"
+    val mem = MemoryStream[(Long, String)]
+    val q = DocStreams.dedupIngestSink(mem.toDF().toDF("doc_id", "text"),
+      cat, "ing.docs", "ing.index", appId = "dedup-ingest-spec", threshold = 0.7)
+    try {
+      // batch 0: two novel docs + an intra-batch near-dup of doc 1
+      mem.addData((1L, a), (2L, b), (3L, a.replace("today", "tomorrow")))
+      q.processAllAvailable()
+      assert(cat.read(spark, "ing.docs").select("doc_id").collect()
+        .map(_.getLong(0)).toSet == Set(1L, 2L),
+        "intra-batch chain must keep only the min-id member")
+      // batch 1: cross-batch near-dup of doc 2 (caught via the index the
+      // sink itself appended) + one novel doc
+      mem.addData((10L, b.replace("ok", "yes")), (11L, c))
+      q.processAllAvailable()
+      val docs = cat.read(spark, "ing.docs").select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      assert(docs == Set(1L, 2L, 11L), s"got $docs")
+      // index covers exactly the admitted docs — batch N+1 dedups
+      // against batch N with no corpus re-shingling
+      val idx = cat.read(spark, "ing.index").select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      assert(idx == Set(1L, 2L, 11L), s"index $idx")
+      // exactly-once ledger: both tables carry the stream's app id
+      assert(cat.txns("ing.docs").exists(_._1 == "dedup-ingest-spec"))
+      assert(cat.txns("ing.index").exists(_._1 == "dedup-ingest-spec"))
+    } finally q.stop()
+  }
+
   test("mvRefreshSink maintains a summary across micro-batches (streaming IVM)") {
     import graft.plans.MaterializedViews
     import spark.implicits._
