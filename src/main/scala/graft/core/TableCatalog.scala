@@ -358,12 +358,62 @@ final class TableCatalog(val root: String) extends Serializable {
     * unknown policy or a policy on a missing column fails LOUDLY at read
     * time — silently returning unmasked data is the one wrong behavior.
     * Masks are per-row projection expressions (codegen'd, zero shuffle). */
-  def readMasked(spark: SparkSession, name: String): DataFrame = {
+  def readMasked(spark: SparkSession, name: String): DataFrame =
+    readMaskedFrom(read(spark, name), properties(name).toSeq.collect {
+      case (k, v) if k.startsWith("mask.") => k.stripPrefix("mask.") -> v
+    })
+
+  /** Governed read for a principal: [[readMasked]]'s column policies
+    * PLUS a row-level-security predicate — the row-filter half of the
+    * governance plane (Unity/Snowflake-style row access policies,
+    * rebuilt as table properties). Resolution order: `rls.<principal>`
+    * if set, else `rls.default` if set, else no row filter. The
+    * predicate is a SQL boolean over table columns with `${principal}`
+    * substituted (per-tenant isolation in one shared policy:
+    * `tenant = '${principal}'`). A predicate referencing a missing
+    * column fails LOUDLY at read time, same posture as masks — and it
+    * is applied BEFORE masking, so a policy may filter on a column the
+    * same principal only sees masked.
+    *
+    * Scale shape: the filter is a per-row predicate pushed into the
+    * scan like any user filter (partition pruning and file skipping
+    * apply to it); zero shuffle, zero data rewrite — policy changes are
+    * metadata-only. */
+  def readAs(spark: SparkSession, name: String, principal: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val df = read(spark, name)
-    val masks = properties(name).toSeq.collect {
+    val props = properties(name)
+    val policy = props.get(s"rls.$principal").orElse(props.get("rls.default"))
+    val base = read(spark, name)
+    val filtered = policy match {
+      case Some(p) =>
+        val sql = p.replace("${principal}", principal)
+        // parse eagerly (classic `expr` defers to a lazy SqlExpression
+        // node) so a policy referencing columns the table lacks fails
+        // loudly HERE, not as a generic analysis error downstream
+        val parsed = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+          .sessionState.sqlParser.parseExpression(sql)
+        parsed.collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            a.name
+        }.foreach { c =>
+          require(base.columns.exists(_.equalsIgnoreCase(c)),
+            s"rls policy on $name references unknown column: $c")
+        }
+        base.filter(org.apache.spark.sql.graft.Bridge.column(parsed))
+      case None => base
+    }
+    val masks = props.toSeq.collect {
       case (k, v) if k.startsWith("mask.") => k.stripPrefix("mask.") -> v
     }
+    if (masks.isEmpty) filtered
+    else readMaskedFrom(filtered, masks)
+  }
+
+  /** Apply mask policies to an already-resolved frame (shared by
+    * [[readMasked]]-style flows that start from a governed base). */
+  private def readMaskedFrom(df: DataFrame,
+      masks: Seq[(String, String)]): DataFrame = {
+    import org.apache.spark.sql.functions._
     masks.foldLeft(df) { case (d, (c, policy)) =>
       require(d.columns.contains(c), s"mask policy on unknown column: $c")
       val masked = policy match {

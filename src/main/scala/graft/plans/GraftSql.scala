@@ -28,6 +28,8 @@ import org.apache.spark.sql.types.{BooleanType, DoubleType, LongType, StringType
   *   GRAFT EXPORT <table>                     -- snapshot manifest for external engines
   *   GRAFT ANALYZE <table> COLUMNS (a, b)     -- per-file min/max sidecar
   *   GRAFT ANALYZE BLOOM <table> COLUMN <c>   -- per-file bloom sidecar
+  *   GRAFT ANALYZE NDV <table> COLUMNS (a, b) -- per-file HLL-register sidecar
+  *   GRAFT NDV <table> COLUMNS (a, b)         -- distinct estimates from metadata
   *   GRAFT OPTIMIZE <t> HILBERT BY (a, b)     -- full curve recluster + layout note
   *   GRAFT OPTIMIZE <t> ZORDER BY (a, b)      -- (same, Morton curve)
   *   GRAFT OPTIMIZE <t>                       -- incremental: recluster appended files only
@@ -82,6 +84,11 @@ object GraftSql {
     """(?is)\s*GRAFT\s+TABLES\s*;?\s*""".r
   private val AnalyzeBloom =
     """(?is)\s*GRAFT\s+ANALYZE\s+BLOOM\s+(\S+)\s+COLUMN\s+(\w+)\s*;?\s*""".r
+  // NDV form before the bare form: both start with ANALYZE
+  private val AnalyzeNdv =
+    """(?is)\s*GRAFT\s+ANALYZE\s+NDV\s+(\S+)\s+COLUMNS\s*\(([^)]*)\)\s*;?\s*""".r
+  private val Ndv =
+    """(?is)\s*GRAFT\s+NDV\s+(\S+)\s+COLUMNS\s*\(([^)]*)\)\s*;?\s*""".r
   private val Analyze =
     """(?is)\s*GRAFT\s+ANALYZE\s+(\S+)\s+COLUMNS\s*\(([^)]*)\)\s*;?\s*""".r
   // curve form before the bare form: both start with OPTIMIZE
@@ -140,6 +147,12 @@ object GraftSql {
       case Describe(t) => Some(GraftDescribeCommand(t))
       case Tables() => Some(GraftTablesCommand())
       case AnalyzeBloom(t, c) => Some(GraftAnalyzeBloomCommand(t, c))
+      case AnalyzeNdv(t, cs) =>
+        Some(GraftAnalyzeNdvCommand(t,
+          cs.split(',').map(_.trim).filter(_.nonEmpty).toSeq))
+      case Ndv(t, cs) =>
+        Some(GraftNdvCommand(t,
+          cs.split(',').map(_.trim).filter(_.nonEmpty).toSeq))
       case Analyze(t, cs) =>
         Some(GraftAnalyzeCommand(t,
           cs.split(',').map(_.trim).filter(_.nonEmpty).toSeq))
@@ -170,6 +183,7 @@ object GraftSql {
            |GRAFT CLONE src TO dst | GRAFT DESCRIBE t | GRAFT TABLES |
            |GRAFT ANALYZE t COLUMNS (a, b) |
            |GRAFT ANALYZE BLOOM t COLUMN c |
+           |GRAFT ANALYZE NDV t COLUMNS (a, b) | GRAFT NDV t COLUMNS (a, b) |
            |GRAFT OPTIMIZE t [ZORDER|HILBERT BY (a, b)] |
            |GRAFT ALTER TABLE t ADD CHECK name (expr) |
            |GRAFT ALTER TABLE t ADD EXPECT name (expr) OR DROP |
@@ -328,6 +342,27 @@ case class GraftAnalyzeBloomCommand(table: String, column: String)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     GraftSql.catalog.analyzeBloom(spark, table, column); Seq.empty
+  }
+}
+
+/** Build the `_ndv` HLL-register sidecar (ANALYZE ... COMPUTE NDV). */
+case class GraftAnalyzeNdvCommand(table: String, cols: Seq[String])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftSql.catalog.analyzeNdv(spark, table, cols); Seq.empty
+  }
+}
+
+/** Read distinct-count estimates from the `_ndv` sidecar — metadata
+  * only, no data scan; columns without statistics are omitted. */
+case class GraftNdvCommand(table: String, cols: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("column", StringType, nullable = false)(),
+    AttributeReference("ndv_estimate", DoubleType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val est = GraftSql.catalog.ndvEstimate(spark, table, cols)
+    cols.flatMap(c => est.get(c).map(e => Row(c, e)))
   }
 }
 

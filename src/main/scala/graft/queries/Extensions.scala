@@ -1689,6 +1689,33 @@ object Extensions {
           col("s_scaled").cast(DoubleType))
   }
 
+  /** Sketch-table union rollup — the persisted-sketch deployment run as
+    * a contract query: per-(lang, source) HLL register arrays (the
+    * "one sketch per shard" artifact a 100 TB nightly would store)
+    * merge to language level by register-wise max (posexplode + grouped
+    * max, the same metadata-plane union `TableCatalog.ndvEstimate`
+    * runs), then reduce to the scalar oracle surface. The oracle
+    * builds the per-lang registers DIRECTLY from the value set — hash
+    * equality against it is a live end-to-end proof that shard-sketch
+    * union is lossless (max-merge ≡ one-pass over the union), not just
+    * a spec assertion. */
+  def hllUnionRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.HllSketch
+    docs(spark, sfDir)
+      .select(col("lang"), col("source"), TextKit.polyHash(col("text")).as("h"))
+      .groupBy("lang", "source")
+      .agg(HllSketch(col("h"), 10, 20).as("regs"))
+      .select(col("lang"), posexplode(col("regs")).as(Seq("pos", "r")))
+      .groupBy("lang", "pos").agg(max(col("r")).as("r"))
+      .groupBy("lang")
+      .agg(sum(when(col("r") === 0L, 1L).otherwise(0L)).as("n_zero"),
+        sum(pow(lit(2.0), lit(21.0) - col("r").cast(DoubleType))
+          .cast(LongType)).as("s_scaled"))
+      .select(col("lang"), col("n_zero"), col("s_scaled"),
+        (lit(HllSketch.alphaNumerator(10, 20)) /
+          col("s_scaled").cast(DoubleType)).as("est_raw"))
+  }
+
   /** Smoothed target encoding (the ML feature-prep categorical encoder):
     * enc(category) = (Σ_cat target + m·prior) / (n_cat + m) with m = 100
     * and prior = the global target mean — high-count categories keep
@@ -2742,6 +2769,7 @@ object Extensions {
     "x_seasonal" -> seasonalDecompose _,
     "x_kmv_distinct" -> kmvDistinct _,
     "x_hll_distinct" -> hllDistinct _,
+    "x_hll_union" -> hllUnionRollup _,
     "x_eq_depth_hist" -> eqDepthHist _,
     "x_session_window" -> sessionWindow _,
     "x_heavy_hitters" -> heavyHitters _,
@@ -4980,6 +5008,28 @@ object Extensions {
             $cNum / CAST(sp + (1024 - n_present) * 2097152 AS DOUBLE)
               AS est_raw
           FROM s JOIN e ON s.lang = e.lang"""
+    },
+    // HLL union-rollup mirror: the oracle builds per-lang registers
+    // DIRECTLY (no shard level at all) — hash equality proves the
+    // query's shard-sketch max-merge is lossless end-to-end.
+    "x_hll_union" -> {
+      val ph = DuckSql.polyHash("text")
+      val whens = (1 to 20)
+        .map(k => s"WHEN v >= ${1L << (20 - k)} THEN $k").mkString(" ")
+      val cNum = graft.functions.HllSketch.alphaNumerator(10, 20)
+      s"""WITH h AS (SELECT lang, $ph AS h FROM documents),
+          r AS (SELECT lang, h % 1024 AS bucket, h // 1024 AS v FROM h),
+          rr AS (SELECT lang, bucket,
+                   CASE WHEN v = 0 THEN 21 $whens END AS rho FROM r),
+          m AS (SELECT lang, bucket, MAX(rho) AS mj FROM rr GROUP BY 1, 2),
+          s AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_present,
+                  CAST(SUM(CAST(POW(2.0, 21 - mj) AS BIGINT)) AS BIGINT) AS sp
+                FROM m GROUP BY 1)
+          SELECT lang, 1024 - n_present AS n_zero,
+            sp + (1024 - n_present) * 2097152 AS s_scaled,
+            $cNum / CAST(sp + (1024 - n_present) * 2097152 AS DOUBLE)
+              AS est_raw
+          FROM s"""
     },
     // Target-encoding mirror: decimal sums, one double smoothing ratio.
     "x_target_encode" ->

@@ -59,6 +59,41 @@ class CatalogGovernanceSpec extends SparkSpec {
     intercept[IllegalArgumentException](cat2.readMasked(spark, "gov.u"))
   }
 
+  test("row-level security: principal-resolved filters compose with masks") {
+    val cat = freshCat("rls")
+    val rows = Seq(
+      (1L, "acme", "alice@example.com", 100L),
+      (2L, "acme", "a2@example.com", 70L),
+      (3L, "globex", "bob@test.org", 50L)).toDF("id", "tenant", "email", "amount")
+    cat.overwrite(rows, "gov.sales")
+    // shared per-tenant policy via ${principal}; an auditor override
+    cat.setProperty("gov.sales", "rls.default", "tenant = '${principal}'")
+    cat.setProperty("gov.sales", "rls.auditor", "amount >= 0")
+    assert(cat.readAs(spark, "gov.sales", "acme")
+      .select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    assert(cat.readAs(spark, "gov.sales", "globex")
+      .select("id").collect().map(_.getLong(0)).toSet == Set(3L))
+    assert(cat.readAs(spark, "gov.sales", "auditor").count() === 3)
+    // masks still apply on top, and the row filter sees the PRE-mask
+    // value (filter-then-mask): tenant itself can be masked while the
+    // policy filters on it
+    cat.setProperty("gov.sales", "mask.email", "sha256")
+    cat.setProperty("gov.sales", "mask.tenant", "sha256")
+    val m = cat.readAs(spark, "gov.sales", "acme").orderBy("id").collect()
+    assert(m.length == 2)
+    assert(m(0).getAs[String]("email") === sha256Hex("alice@example.com"))
+    assert(m(0).getAs[String]("tenant") === sha256Hex("acme"))
+    // policy over a missing column fails loudly, never silently over-shares
+    cat.setProperty("gov.sales", "rls.default", "no_such_col = 1")
+    intercept[IllegalArgumentException] {
+      cat.readAs(spark, "gov.sales", "acme").collect()
+    }
+    // no policy at all -> unfiltered governed read
+    val cat2 = freshCat("rls2")
+    cat2.overwrite(rows, "gov.sales")
+    assert(cat2.readAs(spark, "gov.sales", "anyone").count() === 3)
+  }
+
   test("export manifest: pins the version's files; read survives later writes") {
     val cat = freshCat("manifest")
     val v1 = spark.range(0, 100).select(col("id"),

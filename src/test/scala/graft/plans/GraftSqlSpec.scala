@@ -121,6 +121,23 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(c.scanPoints(sess, "c.s.a", "k", Seq(150L)).count() == 1L)
   }
 
+  test("GRAFT ANALYZE NDV / GRAFT NDV answer distinct counts from metadata") {
+    val c = cat()
+    c.overwrite(
+      sess.range(0, 3000).select(
+        org.apache.spark.sql.functions.col("id").as("k"),
+        (org.apache.spark.sql.functions.col("id") % 40).as("m"))
+        .repartition(3),
+      "c.s.ndv")
+    sess.sql("GRAFT ANALYZE NDV c.s.ndv COLUMNS (k, m)")
+    val got = sess.sql("GRAFT NDV c.s.ndv COLUMNS (k, m)")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got("k") - 3000.0) / 3000.0 <= 0.15, s"k -> ${got("k")}")
+    assert(math.abs(got("m") - 40.0) / 40.0 <= 0.15, s"m -> ${got("m")}")
+    // un-analyzed column is omitted, not guessed
+    assert(sess.sql("GRAFT NDV c.s.ndv COLUMNS (nope)").count() === 0)
+  }
+
   test("GRAFT CLONE hardlinks the current version into a new table") {
     val sp = sess; import sp.implicits._
     val c = cat()

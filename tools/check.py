@@ -8,6 +8,8 @@ Env knobs (for the sf1 scale-correctness campaign):
   SKIP_MISSING=1   queries with no spark dump are skipped, not failed
                    (used with Verify's subset arg)
   OUT_JSON=path    also write a driver-style per-query verdict JSON
+  EXCLUDE=a,b      skip these query names (oracles too slow at the
+                   probed SF get excluded EXPLICITLY, never silently)
 """
 import sys, os, json, glob, math, time
 import duckdb
@@ -16,6 +18,7 @@ SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/target/verify_out"
 SKIP_MISSING = os.environ.get("SKIP_MISSING") == "1"
 OUT_JSON = os.environ.get("OUT_JSON")
+EXCLUDE = set(x for x in os.environ.get("EXCLUDE", "").split(",") if x)
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -52,6 +55,9 @@ def record(name, **kw):
     verdicts[name] = v
 
 for name, sql in sorted(oracle.items()):
+    if name in EXCLUDE:
+        print(f"  SKIP {name} (EXCLUDE)")
+        continue
     spark_dir = f"{OUT}/{name}"
     if not os.path.isdir(spark_dir):
         if SKIP_MISSING:
