@@ -96,4 +96,66 @@ object Mixture {
       .join(broadcast(cutoffs), Seq("source"))
       .filter(col("priority") <= col("cutoff"))
       .select("doc_id", "source", "n_tokens", "priority")
+
+  // ------------------------------------------------------ shard planning
+
+  /** Canonical per-doc ordering for shard assignment: a deterministic
+    * hash shuffle (so shards are an unbiased slice of the source, not a
+    * crawl-order run), bucketed for the distributed prefix sum. The
+    * order key is (bucket, h, doc_id) — IDENTICAL in the windowed twin
+    * and the two-phase plan, which is what makes them bit-equal. */
+  private def shardBase(docs: DataFrame): DataFrame = {
+    val h = TextKit.polyHash(
+      concat(lit("shard-v1:"), col("doc_id").cast("string")))
+    docs.select(col("doc_id"), col("source"),
+      size(TextKit.words(col("text"))).cast(LongType).as("n_tokens"),
+      h.as("h"), (h % 256).as("b"))
+  }
+
+  /** Training-shard planner, single-window reference form: walk each
+    * source's docs in canonical hash order, running token sum, shard =
+    * tokens-before `div` budget — the "pack the dataloader's shards to
+    * ~N tokens each" step between curation and training. One window
+    * per source; the serial dimension is a whole source. */
+  def shardPlanWindow(docs: DataFrame, budget: Long): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("b", "h", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    shardBase(docs)
+      .withColumn("start", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("shard_id", expr(s"start div ${budget}L"))
+  }
+
+  /** Training-shard planner, two-phase distributed prefix sum — the
+    * 100 TB form. A source's docs never pass through one sort: phase 1
+    * computes per-(source, bucket) token totals (256 rows per source),
+    * phase 2 turns them into bucket offsets with a window over that
+    * TINY table, phase 3 adds within-bucket running sums (window
+    * partitioned source×bucket — 256× the parallelism of the reference
+    * form) plus the broadcast offset. Same (bucket, h, doc_id) order ⇒
+    * bit-identical `start`/`shard_id` to [[shardPlanWindow]] (pinned by
+    * CurationOpsSpec; the contract oracle IS the windowed form). */
+  def shardPlan(docs: DataFrame, budget: Long): DataFrame = {
+    val base = shardBase(docs)
+    val offsets = base.groupBy("source", "b")
+      .agg(sum(col("n_tokens")).as("btot"))
+      .withColumn("off", coalesce(
+        sum(col("btot")).over(Window.partitionBy("source").orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("source", "b", "off")
+    val wIn = Window.partitionBy("source", "b").orderBy("h", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .withColumn("cum_in", sum(col("n_tokens")).over(wIn))
+      .join(broadcast(offsets), Seq("source", "b"))
+      .withColumn("start", col("off") + col("cum_in") - col("n_tokens"))
+      .withColumn("shard_id", expr(s"start div ${budget}L"))
+  }
+
+  /** Shard manifest rollup: the artifact a training job reads — one row
+    * per (source, shard) with its doc count and token payload. */
+  def shardManifest(docs: DataFrame, budget: Long): DataFrame =
+    shardPlan(docs, budget)
+      .groupBy("source", "shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("shard_tokens"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
 }

@@ -543,6 +543,27 @@ object Extensions {
       min(col("n_chars")).as("min_chars"),
       max(col("n_chars")).as("max_chars"))
 
+  /** Quantiles from a DETERMINISTIC hash sample — the approximate-
+    * quantile plan that survives 100 TB: exact interpolated quantiles
+    * are a global sort per group, but exact quantiles OF A SAMPLE whose
+    * membership is a set function of the data (keep iff
+    * polyHash(doc_id) ≡ 0 mod 4) cost one scan + a small-group sort,
+    * are mergeable (the sample of a union is the union of samples —
+    * unlike GK/KLL sketches, no order-sensitive compaction), and
+    * reproduce bit-for-bit on any engine with the hash. The oracle runs
+    * the same sample: the check pins the DETERMINISM claim, the
+    * accuracy claim is standard Bernoulli-sample rank error. */
+  def sampledQuantiles(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .filter(TextKit.polyHash(
+        concat(lit("qsamp-v1:"), col("doc_id").cast("string"))) % 4 === 0)
+      .groupBy("lang").agg(
+        count(lit(1)).as("n_sample"),
+        expr("percentile(n_chars, 0.5)").as("p50_s"),
+        expr("percentile(n_chars, 0.9)").as("p90_s"),
+        min(col("n_chars")).as("min_s"),
+        max(col("n_chars")).as("max_s"))
+
   /** Random-hyperplane LSH ANN top-5 for query vectors vec_id < 20. */
   def annLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val e = emb(spark, sfDir)
@@ -1194,6 +1215,14 @@ object Extensions {
   def temperatureMix(spark: SparkSession, sfDir: String): DataFrame =
     Mixture.temperatureMix(docs(spark, sfDir), budgetTokens = 2000L)
 
+  /** Token-budget shard manifest ([[Mixture.shardManifest]]): pack each
+    * source's docs into ~200-token training shards in deterministic
+    * hash order. Runs the TWO-PHASE distributed prefix-sum plan; the
+    * oracle is the single-window reference form — the hash match is a
+    * live proof the scale path computes the identical shard layout. */
+  def shardPlanQ(spark: SparkSession, sfDir: String): DataFrame =
+    Mixture.shardManifest(docs(spark, sfDir), budget = 200L)
+
   /** SemDeDup-style semantic keeper selection: embedding-cosine near-dup
     * pairs (label-bucketed candidate space) → connected components →
     * keep exactly the min-id member of each semantic cluster. Emits a
@@ -1515,6 +1544,61 @@ object Extensions {
             array_sort(collect_list(struct(col("term"), col("idf_ratio"), col("tf_part")))),
             s => s("idf_ratio") * s("tf_part")),
           lit(0.0), (acc, x) => acc + x).as("bm25"))
+  }
+
+  /** Reciprocal-rank fusion of two retrieval rankings (Cormack et al.
+    * 2009): fuse the BM25 list with a query-TF-IDF list by
+    * rrf = Σ_lists 1/(60 + rank) over each list's top-50 — the standard
+    * hybrid-retrieval ensembling step (lexical ∪ vector candidates in a
+    * RAG pipeline; here both rankers are lexical so the oracle stays
+    * engine-exact, but the fusion is ranker-agnostic by construction).
+    * Docs on one list only get that list's contribution — the
+    * full-outer join IS the semantics, not a convenience.
+    *
+    * Scale shape: ranks come from per-list top-k selection, so the
+    * row_number window's input is candidate-set-sized (|hits|), never
+    * corpus-sized — at 100 TB the candidate lists arrive from the
+    * bounded-heap top-k aggregator and this op fuses k+k rows. Every
+    * double op (one divide per list, one add) is mirrored in the
+    * oracle. */
+  def rrfFusion(spark: SparkSession, sfDir: String): DataFrame =
+    rrfDf(docs(spark, sfDir), Seq("hash", "join", "vector"))
+
+  /** [[rrfFusion]] over an explicit (doc_id, text) frame (spec fixture). */
+  def rrfDf(d: DataFrame, qTerms: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = bm25Df(d, qTerms)
+    val tf = d.select(col("doc_id"), explode(TextKit.words(col("text"))).as("term"))
+      .filter(col("term").isin(qTerms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = d.agg(count(lit(1)).as("n_docs"))
+    // rational query TF-IDF (same log-free form as tfidfTop), per-doc
+    // sum folded in term order for bit-stable double addition
+    val tsc = tf.join(broadcast(dfq), Seq("term")).crossJoin(broadcast(n))
+      .groupBy("doc_id")
+      .agg(aggregate(
+        transform(
+          array_sort(collect_list(struct(col("term"), col("tf"), col("df"), col("n_docs")))),
+          s => s("tf").cast(DoubleType) * s("n_docs").cast(DoubleType) /
+            s("df").cast(DoubleType)),
+        lit(0.0), (a, x) => a + x).as("tfidf"))
+    val ra = lex
+      .withColumn("r_bm25",
+        row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))))
+      .filter(col("r_bm25") <= 50).select("doc_id", "r_bm25")
+    val rb = tsc
+      .withColumn("r_tfidf",
+        row_number().over(Window.orderBy(col("tfidf").desc, col("doc_id"))))
+      .filter(col("r_tfidf") <= 50).select("doc_id", "r_tfidf")
+    ra.join(rb, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60.0) + col("r_bm25").cast(DoubleType)), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(60.0) + col("r_tfidf").cast(DoubleType)), lit(0.0)))
+      .withColumn("fused_rank",
+        row_number().over(Window.orderBy(col("rrf").desc, col("doc_id"))))
+      .filter(col("fused_rank") <= 20)
+      .select("doc_id", "r_bm25", "r_tfidf", "rrf", "fused_rank")
   }
 
   /** MAD robust outlier report per language: median / median-absolute-
@@ -2709,6 +2793,9 @@ object Extensions {
     "d_semantic_keep" -> semanticKeep _,
     "x_token_budget_mix" -> tokenBudgetMix _,
     "x_temperature_mix" -> temperatureMix _,
+    "x_shard_plan" -> shardPlanQ _,
+    "x_sampled_quantiles" -> sampledQuantiles _,
+    "x_rrf_fusion" -> rrfFusion _,
     "x_label_cohesion" -> labelCohesion _,
     "x_salted_agg" -> saltedAgg _,
     "x_salted_join" -> saltedJoinQ _,
@@ -4251,6 +4338,88 @@ object Extensions {
           FROM b JOIN rr USING (source)
           WHERE CAST((b.doc_id * 2654435761) % ${DuckSql.P} AS DOUBLE)
             < rr.rate * 1000000007.0""",
+    // Shard-plan mirror: the SINGLE-WINDOW reference form — the Spark
+    // side runs the two-phase distributed prefix sum, so hash equality
+    // here proves the scale path computes the identical shard layout.
+    "x_shard_plan" -> {
+      val ph = DuckSql.polyHash("('shard-v1:' || CAST(doc_id AS VARCHAR))")
+      s"""WITH t AS (SELECT doc_id, source,
+                CAST(len($W) AS BIGINT) AS n_tokens, $ph AS h
+              FROM documents),
+          o AS (SELECT *, h % 256 AS b FROM t),
+          c AS (SELECT *, CAST(SUM(n_tokens) OVER (
+                  PARTITION BY source ORDER BY b, h, doc_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS start
+                FROM o)
+          SELECT source, start // 200 AS shard_id,
+            count(*) AS n_docs,
+            CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+            MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+          FROM c GROUP BY 1, 2"""
+    },
+    // Sampled-quantiles mirror: the same deterministic hash sample
+    // (membership is a set function of the data), exact interpolated
+    // quantiles over it (quantile_cont ≡ percentile, x_percentiles).
+    "x_sampled_quantiles" -> {
+      val ph = DuckSql.polyHash("('qsamp-v1:' || CAST(doc_id AS VARCHAR))")
+      s"""SELECT lang, count(*) AS n_sample,
+            quantile_cont(n_chars, 0.5) AS p50_s,
+            quantile_cont(n_chars, 0.9) AS p90_s,
+            MIN(n_chars) AS min_s, MAX(n_chars) AS max_s
+          FROM documents WHERE $ph % 4 = 0 GROUP BY lang"""
+    },
+    // RRF mirror: bm25 CTEs verbatim from x_bm25, rational query TF-IDF
+    // with term-ordered fold, top-50 per list, one divide per list +
+    // one add — every double op mirrored.
+    "x_rrf_fusion" ->
+      s"""WITH dls AS (SELECT doc_id,
+                  CAST(len($W) AS BIGINT) AS dl FROM documents),
+          st AS (SELECT CAST(SUM(dl) AS BIGINT) AS tot,
+                   count(*) AS n_docs FROM dls),
+          t AS (SELECT doc_id, unnest($W) AS term FROM documents),
+          tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+                 WHERE term IN ('hash', 'join', 'vector') GROUP BY 1, 2),
+          dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+          sc AS (SELECT tf.doc_id, tf.term,
+                   (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                     / (CAST(df AS DOUBLE) + 0.5) AS idf_ratio,
+                   (CAST(tf AS DOUBLE) * 2.2)
+                     / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+                         (CAST(dl AS DOUBLE)
+                           / (CAST(tot AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+                     AS tf_part
+                 FROM tf JOIN dfq USING (term) JOIN dls USING (doc_id)
+                 CROSS JOIN st),
+          bm AS (SELECT doc_id,
+                   list_reduce(list_prepend(0.0::DOUBLE,
+                       list(idf_ratio * tf_part ORDER BY term)),
+                     (a, b) -> a + b) AS bm25
+                 FROM sc GROUP BY doc_id),
+          nn AS (SELECT count(*) AS n_docs FROM documents),
+          ts AS (SELECT doc_id,
+                   list_reduce(list_prepend(0.0::DOUBLE,
+                       list(CAST(tf AS DOUBLE) * CAST(n_docs AS DOUBLE)
+                            / CAST(df AS DOUBLE) ORDER BY term)),
+                     (a, b) -> a + b) AS tfidf
+                 FROM tf JOIN dfq USING (term) CROSS JOIN nn
+                 GROUP BY doc_id),
+          ra AS (SELECT doc_id, r_bm25 FROM (
+                   SELECT doc_id, row_number() OVER (
+                     ORDER BY bm25 DESC, doc_id) AS r_bm25 FROM bm)
+                 WHERE r_bm25 <= 50),
+          rb AS (SELECT doc_id, r_tfidf FROM (
+                   SELECT doc_id, row_number() OVER (
+                     ORDER BY tfidf DESC, doc_id) AS r_tfidf FROM ts)
+                 WHERE r_tfidf <= 50),
+          f AS (SELECT doc_id, r_bm25, r_tfidf,
+                  COALESCE(1.0 / (60.0 + CAST(r_bm25 AS DOUBLE)), 0.0)
+                    + COALESCE(1.0 / (60.0 + CAST(r_tfidf AS DOUBLE)), 0.0)
+                    AS rrf
+                FROM ra FULL OUTER JOIN rb USING (doc_id))
+          SELECT doc_id, r_bm25, r_tfidf, rrf, fused_rank FROM (
+            SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id)
+              AS fused_rank FROM f)
+          WHERE fused_rank <= 20""",
     "x_range_native" ->
       // Plain inequality-join mirror of the native merge sweep,
       // overlapping bands included.

@@ -147,4 +147,35 @@ class CurationOpsSpec extends SparkSpec {
       assert(r.getAs[Long]("cluster") <= r.getAs[Long]("vec_id"))
     }
   }
+
+  test("shardPlan two-phase prefix sum is bit-equal to the window reference") {
+    // 2 sources x 40 docs, 3-9 tokens each (token count varies with id
+    // so shard boundaries land mid-bucket and off-bucket alike).
+    val docs = (0 until 80).map { i =>
+      val src = if (i % 2 == 0) "web" else "code"
+      (i.toLong, src, Seq.fill(3 + i % 7)(s"w$i").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+
+    val ref = Mixture.shardPlanWindow(docs, budget = 25L)
+      .select("doc_id", "start", "shard_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val got = Mixture.shardPlan(docs.repartition(7), budget = 25L)
+      .select("doc_id", "start", "shard_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === ref, "two-phase must equal the single-window form exactly")
+
+    // Shard invariants: within a source, shard ids are dense from 0 and
+    // every shard except the last is filled past the budget boundary
+    // (a doc never splits, so a shard holds >= budget - (max doc) + 1
+    // tokens once the next shard exists).
+    val m = Mixture.shardManifest(docs, budget = 25L).collect()
+    m.groupBy(_.getAs[String]("source")).foreach { case (_, rows) =>
+      val ids = rows.map(_.getAs[Long]("shard_id")).sorted
+      assert(ids.head === 0L && ids === (0L until ids.length).toArray,
+        "shard ids dense from 0")
+    }
+    // Determinism: same input, different physical layout, same manifest.
+    val m2 = Mixture.shardManifest(docs.repartition(13), budget = 25L).collect()
+    assert(m.map(_.toString).sorted.sameElements(m2.map(_.toString).sorted))
+  }
 }
