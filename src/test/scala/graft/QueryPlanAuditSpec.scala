@@ -49,8 +49,12 @@ class QueryPlanAuditSpec extends SparkSpec {
     "x_cms_counts",     // exact counts × broadcast one-row sketch grid
     "x_kaplan_meier",   // per-user spans × broadcast observation-end
                         // singleton (censoring horizon)
-    "x_ann_recall"      // composes brute-force/IVF/PQ rank tables, so it
+    "x_ann_recall",     // composes brute-force/IVF/PQ rank tables, so it
                         // inherits their pinned broadcast-singleton loops
+    "x_rrf_fusion",     // inherits x_bm25's corpus-stats singleton plus its
+                        // own broadcast corpus-size singleton (tf-idf N)
+    "x_temperature_mix" // per-source rows × broadcast cross-source
+                        // sqrt-denominator singleton (one row)
   )
 
   test("no query plans an unintended cartesian or nested-loop join") {
