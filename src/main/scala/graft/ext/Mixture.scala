@@ -27,9 +27,13 @@ import org.apache.spark.sql.types.LongType
 object Mixture {
 
   /** Knuth's multiplicative-hash constant mod the TextKit prime — cheap,
-    * order-destroying, and identical arithmetic in DuckDB. */
+    * order-destroying, and identical arithmetic in DuckDB. The id is
+    * reduced mod P BEFORE the multiply: (P−1)·C ≈ 2.7e18 stays inside
+    * Long, while a raw 100 TB-range id times C overflows ANSI
+    * arithmetic (the x_overlap_join sf1 lesson). Identical values for
+    * every id < P, so all existing oracles are unchanged. */
   def priority(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    (id * lit(2654435761L)) % lit(TextKit.P)
+    (id % lit(TextKit.P)) * lit(2654435761L) % lit(TextKit.P)
 
   /** Per-source token-budget sample: walk each source's docs in
     * (priority, doc_id) order, keep docs while the running token total

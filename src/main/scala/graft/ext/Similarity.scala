@@ -68,7 +68,7 @@ object Similarity {
   def bruteForceTopK(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val v = withNorm(emb)
     val q = withNorm(queries)
-    val scored = q.as("q").join(v.as("v"), col("q.vec_id") =!= col("v.vec_id"))
+    val scored = broadcast(q.as("q")).join(v.as("v"), col("q.vec_id") =!= col("v.vec_id"))
       .select(col("q.vec_id").as("q_id"), col("v.vec_id").as("n_id"),
         (dot(col("q.embedding"), col("v.embedding")) /
           (col("q.nrm") * col("v.nrm"))).as("cos"))
@@ -87,7 +87,7 @@ object Similarity {
   def hardNegatives(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val v = withNorm(emb)
     val q = withNorm(queries)
-    val scored = q.as("q").join(v.as("v"),
+    val scored = broadcast(q.as("q")).join(v.as("v"),
         col("q.vec_id") =!= col("v.vec_id") && col("q.label") =!= col("v.label"))
       .select(col("q.vec_id").as("q_id"), col("v.vec_id").as("n_id"),
         col("v.label").as("n_label"),
@@ -108,7 +108,7 @@ object Similarity {
     import spark.implicits._
     val v = withNorm(emb)
     val q = withNorm(queries)
-    val scored = q.as("q").join(v.as("v"), col("q.vec_id") =!= col("v.vec_id"))
+    val scored = broadcast(q.as("q")).join(v.as("v"), col("q.vec_id") =!= col("v.vec_id"))
       .select(col("q.vec_id").cast("long").as("q_id"),
         col("v.vec_id").cast("long").as("n_id"),
         (dot(col("q.embedding"), col("v.embedding")) /
@@ -387,23 +387,23 @@ object Similarity {
     * serial left-fold (`zip_with` + `aggregate`, subspaces in order), so
     * the DuckDB oracle reproduces each ADC score bit-for-bit; codeword
     * argmin is array_min + first-position, deterministic under ties. */
-  def pqTopK(emb: DataFrame, nQueries: Int = 20, k: Int = 5,
-             m: Int = 8, subDim: Int = 8, nCode: Int = 16): DataFrame = {
-    val un = withNorm(emb).filter(col("nrm") > 0)
-      .select(col("vec_id"),
-        transform(col("embedding"), x => x.cast(DoubleType) / col("nrm")).as("u"))
-    // Codebook singleton: cb[s][c] = sub-vector s of seed vector c —
-    // [m][nCode][subDim] nested arrays in one broadcast row.
-    val cb = un.filter(col("vec_id") < nCode)
+  /** Codebook singleton: cb[s][c] = sub-vector s of seed vector c —
+    * [m][nCode][subDim] nested arrays in one broadcast row. */
+  private[graft] def pqCodebook(un: DataFrame, m: Int = 8, subDim: Int = 8,
+      nCode: Int = 16): DataFrame =
+    un.filter(col("vec_id") < nCode)
       .agg(array_sort(collect_list(struct(col("vec_id"), col("u")))).as("seeds"))
       .select(transform(sequence(lit(0), lit(m - 1)), s =>
         transform(col("seeds"), v =>
           slice(v.getField("u"), s * lit(subDim) + 1, lit(subDim)))).as("cb"))
+
+  /** Encode: per subspace, distances to all codewords, keep the argmin
+    * (first index of the exact min — ties resolve to the lowest c_id). */
+  private[graft] def pqEncode(un: DataFrame, cb: DataFrame, m: Int = 8,
+      subDim: Int = 8): DataFrame = {
     def fold1(terms: Column): Column =
       aggregate(terms, lit(0.0), (a, v) => a + v)
-    // Encode: per subspace, distances to all codewords, keep the argmin
-    // (first index of the exact min — ties resolve to the lowest c_id).
-    val coded = un.crossJoin(broadcast(cb))
+    un.crossJoin(broadcast(cb))
       .select(col("vec_id").as("n_id"),
         transform(sequence(lit(0), lit(m - 1)), s => {
           val sub = slice(col("u"), s * lit(subDim) + 1, lit(subDim))
@@ -411,6 +411,33 @@ object Similarity {
             fold1(zip_with(sub, cvec, (x, y) => (x - y) * (x - y))))
           (array_position(dists, array_min(dists)) - 1).cast("int")
         }).as("codes"))
+  }
+
+  /** The persisted code table alone ([[pqEncode]] from raw embeddings) —
+    * the stage a 100 TB deployment materializes once per corpus. */
+  private[graft] def pqCodes(emb: DataFrame, m: Int = 8, subDim: Int = 8,
+      nCode: Int = 16): DataFrame = {
+    val un = withNorm(emb).filter(col("nrm") > 0)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast(DoubleType) / col("nrm")).as("u"))
+    pqEncode(un, pqCodebook(un, m, subDim, nCode), m, subDim)
+  }
+
+  def pqTopK(emb: DataFrame, nQueries: Int = 20, k: Int = 5,
+             m: Int = 8, subDim: Int = 8, nCode: Int = 16): DataFrame = {
+    val un = withNorm(emb).filter(col("nrm") > 0)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast(DoubleType) / col("nrm")).as("u"))
+    val cb = pqCodebook(un, m, subDim, nCode)
+    def fold1(terms: Column): Column =
+      aggregate(terms, lit(0.0), (a, v) => a + v)
+    // The exchange pins the encode to ONE evaluation per corpus vector:
+    // without a boundary, CollapseProject inlines the [m]×[nCode]
+    // argmin expression into the ADC join's output projection and the
+    // encode re-runs once per (query, vector) PAIR — nQueries× the
+    // work. (In the 100 TB deployment `coded` is a persisted table and
+    // the boundary is the parquet scan itself.)
+    val coded = pqEncode(un, cb, m, subDim).repartition(col("n_id"))
     // Per-query ADC lookup table: lut[s][c] = dot(q_sub_s, cb[s][c]).
     val qlut = un.filter(col("vec_id") < nQueries).crossJoin(broadcast(cb))
       .select(col("vec_id").as("q_id"),
@@ -418,7 +445,13 @@ object Similarity {
           transform(element_at(col("cb"), s), cvec =>
             fold1(zip_with(slice(col("u"), (s - lit(1)) * subDim + 1, lit(subDim)),
               cvec, (x, y) => x * y)))).as("lut"))
-    val scored = qlut.join(coded, col("q_id") =!= col("n_id"))
+    // The nQueries-row LUT side MUST carry an explicit broadcast hint:
+    // without it the non-equi join falls back to CartesianProduct once
+    // size stats exceed the broadcast threshold, and CartesianRDD
+    // re-evaluates the RIGHT side per left partition — re-running the
+    // whole corpus ENCODE ~#partitions times (measured 70 s vs 1 s at
+    // the 10× probe; the r7 sf1 bench caught it as a 64× ratio).
+    val scored = broadcast(qlut).join(coded, col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
         aggregate(sequence(lit(1), lit(m)), lit(0.0), (acc, s) =>
           acc + element_at(element_at(col("lut"), s),

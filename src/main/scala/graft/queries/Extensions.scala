@@ -27,7 +27,7 @@ object Extensions {
     * no-op to remove. */
   private[graft] def docs(spark: SparkSession, sfDir: String): DataFrame =
     Par.spread(table(spark, sfDir, "documents"), col("doc_id"))
-  private def emb(spark: SparkSession, sfDir: String): DataFrame =
+  private[graft] def emb(spark: SparkSession, sfDir: String): DataFrame =
     Par.spread(table(spark, sfDir, "embeddings"), col("vec_id"))
 
   // ------------------------------------------------------- text analysis
@@ -368,28 +368,31 @@ object Extensions {
     val hashes = Multimodal.imageHashes(media).toDF()
       .select(col("doc_id"), col("ahash_hi"), col("ahash_lo"))
     // band identity includes POSITION (posexplode ordinal): equal values
-    // in different band slots are not a candidate signal
-    val bands = hashes.select(col("doc_id"),
+    // in different band slots are not a candidate signal. The full hash
+    // RIDES ALONG into the band join so the Hamming gate runs map-side
+    // on the raw join output: flat-image bands (all-0/all-1 gray blocks)
+    // are degenerate buckets whose pair volume grows quadratically with
+    // the corpus, and the r7 sf1 probe showed the old
+    // distinct-then-join-back shape shuffling that whole pair space
+    // (40 s at 10× rows). bit_count is a codegen intrinsic — evaluating
+    // it on every raw band pair costs less than one wide shuffle, only
+    // survivors reach the dedup, and the result set is IDENTICAL.
+    val bands = hashes.select(col("doc_id"), col("ahash_hi"), col("ahash_lo"),
       posexplode(array(
         col("ahash_lo") % 65536,
         expr("shiftright(ahash_lo, 16) % 65536"),
         col("ahash_hi") % 65536,
         expr("shiftright(ahash_hi, 16) % 65536"))))
-      .toDF("doc_id", "band_idx", "band_val")
-    val cands = bands.as("x").join(bands.as("y"),
+      .toDF("doc_id", "hi", "lo", "band_idx", "band_val")
+    bands.as("x").join(bands.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
           col("x.band_val") === col("y.band_val") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
-    cands
-      .join(hashes.select(col("doc_id").as("a"), col("ahash_hi").as("ha"),
-        col("ahash_lo").as("la")), Seq("a"))
-      .join(hashes.select(col("doc_id").as("b"), col("ahash_hi").as("hb"),
-        col("ahash_lo").as("lb")), Seq("b"))
-      .select(col("a"), col("b"),
-        (expr("bit_count(ha ^ hb)") + expr("bit_count(la ^ lb)"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        (expr("bit_count(x.hi ^ y.hi)") + expr("bit_count(x.lo ^ y.lo)"))
           .cast(LongType).as("hamming"))
       .filter(col("hamming") <= 6)
+      .distinct()
   }
 
   /** MP4 sample-table statistics ([[graft.ext.Multimodal
@@ -1392,9 +1395,14 @@ object Extensions {
     val b = o.filter(col("o_orderkey") % 89 === 0).select(
       col("o_orderkey").cast("long").as("bk"),
       col("o_totalprice").as("blo"), (col("o_totalprice") + 30000).as("bhi"))
+    // checksum folds each pair to < 2^30 BEFORE the sum: ak·1000003
+    // alone overflows Long once orderkeys reach the sf1 key range
+    // (caught by the sf1 bench run — exactly the drift-only-at-scale
+    // class), and the mod-P term sum is overflow-free to ~9e9 pairs
     RangeJoin.overlapJoin(a, "alo", "ahi", b, "blo", "bhi", binWidth = 25000L)
       .agg(count(lit(1)).as("n_pairs"),
-        sum(col("ak") * 1000003L + col("bk")).as("key_sum"))
+        sum((col("ak") % lit(1000000007L) * 1000003L % lit(1000000007L)
+          + col("bk") % lit(1000000007L)) % lit(1000000007L)).as("key_sum"))
   }
 
   // ------------------------------------------------------------- reshape
@@ -1435,7 +1443,8 @@ object Extensions {
   def aqpSample(spark: SparkSession, sfDir: String): DataFrame = {
     val price = col("o_totalprice").cast("decimal(18,2)")
     Parity.table(spark, sfDir, "orders")
-      .filter((col("o_orderkey") * lit(2654435761L) % lit(1000000007L)) % 100 < 1)
+      .filter((col("o_orderkey") % lit(1000000007L) * lit(2654435761L)
+        % lit(1000000007L)) % 100 < 1)
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_sample"),
         sum(price).as("sum_dec"),
@@ -4306,7 +4315,7 @@ object Extensions {
       s"""WITH t AS (
             SELECT doc_id, source,
               CAST(len($W) AS BIGINT) AS n_tokens,
-              (doc_id * 2654435761) % ${DuckSql.P} AS priority
+              (doc_id % ${DuckSql.P} * 2654435761) % ${DuckSql.P} AS priority
             FROM documents),
           c AS (
             SELECT *, CAST(SUM(n_tokens) OVER (
@@ -4336,7 +4345,7 @@ object Extensions {
                  FROM r)
           SELECT b.doc_id, b.source, b.n_tokens, rr.share, rr.rate
           FROM b JOIN rr USING (source)
-          WHERE CAST((b.doc_id * 2654435761) % ${DuckSql.P} AS DOUBLE)
+          WHERE CAST((b.doc_id % ${DuckSql.P} * 2654435761) % ${DuckSql.P} AS DOUBLE)
             < rr.rate * 1000000007.0""",
     // Shard-plan mirror: the SINGLE-WINDOW reference form — the Spark
     // side runs the two-phase distributed prefix sum, so hash equality
@@ -4450,7 +4459,8 @@ object Extensions {
                 o_totalprice AS blo, o_totalprice + 30000 AS bhi
               FROM orders WHERE o_orderkey % 89 = 0)
          SELECT count(*) AS n_pairs,
-           CAST(SUM(ak * 1000003 + bk) AS BIGINT) AS key_sum
+           CAST(SUM((ak % 1000000007 * 1000003 % 1000000007
+                     + bk % 1000000007) % 1000000007) AS BIGINT) AS key_sum
          FROM a JOIN b ON alo < bhi AND blo < ahi""",
     "x_pivot" -> {
       def cell(s: String) =
@@ -4465,7 +4475,7 @@ object Extensions {
            SELECT o_orderpriority,
              CAST(o_totalprice AS DECIMAL(18,2)) AS p
            FROM orders
-           WHERE (o_orderkey * 2654435761 % 1000000007) % 100 < 1),
+           WHERE (o_orderkey % 1000000007 * 2654435761 % 1000000007) % 100 < 1),
          g AS (
            SELECT o_orderpriority, count(*) AS n_sample,
              SUM(p) AS sum_dec, SUM(p * p) AS sum2_dec

@@ -171,7 +171,7 @@ object DocStreams {
         (source: String, rows: Iterator[(Long, String, Long)], state: GroupState[Long]) =>
           var used = state.getOption.getOrElse(0L)
           val admitted = rows.toSeq
-            .sortBy { case (id, _, _) => ((id * 2654435761L) % TextKit.P, id) }
+            .sortBy { case (id, _, _) => (id % TextKit.P * 2654435761L % TextKit.P, id) }
             .flatMap { case (id, _, n) =>
               if (used + n <= budgetPerSource) {
                 used += n

@@ -102,6 +102,54 @@ object ScaleDiag {
       probe("x_hierarchy", "2_parent_forest", sf)(Graph.parentPointers(edges))
       probe("x_hierarchy", "3_full_doubling", sf)(
         Graph.rootsAndDepths(Graph.parentPointers(edges)))
+
+      // ---- round-7 sf1 tail: x_ann_pq / d_edit_distance / m_image_neardup
+      // (x_ann_recall inherits pq). Stages replicate the query internals.
+      import graft.ext.Similarity
+      val emb = graft.queries.Extensions.emb(spark, dir)
+      probe("x_ann_pq", "1_norm", sf)(Similarity.withNorm(emb))
+      probe("x_ann_pq", "2_encode", sf)(Similarity.pqCodes(emb))
+      probe("x_ann_pq", "3_full", sf)(Similarity.pqTopK(emb, 20, 5))
+
+      val dEd = docs.select(col("doc_id"), col("lang"),
+        substring(col("text"), 1, 64).as("prefix"),
+        expr("n_chars div 40").as("blk"))
+      probe("d_edit_distance", "1_block_prep", sf)(dEd)
+      probe("d_edit_distance", "2_pair_count", sf)(
+        dEd.as("x").join(dEd.as("y"),
+          col("x.lang") === col("y.lang") && col("x.blk") === col("y.blk") &&
+            col("x.doc_id") < col("y.doc_id"))
+          .groupBy(col("x.lang")).agg(count(lit(1))))
+      probe("d_edit_distance", "3_full", sf)(Dedup.editDistancePairs(docs))
+
+      {
+        implicit val s: SparkSession = spark
+        import spark.implicits._
+        import graft.ext.Multimodal
+        def media = docs.select(col("doc_id")).as[Long].map { id =>
+          val pert = (id % 5).toInt
+          graft.ext.MediaRow(id, "png", Multimodal.synthesizePngFull(
+            id / 5, if (pert == 0) -1 else ((pert * 11) % 64), 96))
+        }
+        def hashes = Multimodal.imageHashes(media).toDF()
+          .select(col("doc_id"), col("ahash_hi"), col("ahash_lo"))
+        probe("m_image_neardup", "1_hashes", sf)(hashes)
+        def bands = hashes.select(col("doc_id"),
+          posexplode(array(
+            col("ahash_lo") % 65536,
+            expr("shiftright(ahash_lo, 16) % 65536"),
+            col("ahash_hi") % 65536,
+            expr("shiftright(ahash_hi, 16) % 65536"))))
+          .toDF("doc_id", "band_idx", "band_val")
+        probe("m_image_neardup", "2_band_cands", sf)(
+          bands.as("x").join(bands.as("y"),
+            col("x.band_idx") === col("y.band_idx") &&
+              col("x.band_val") === col("y.band_val") &&
+              col("x.doc_id") < col("y.doc_id"))
+            .groupBy(col("x.band_idx")).agg(count(lit(1))))
+        probe("m_image_neardup", "3_full", sf)(
+          graft.queries.Extensions.imageNearDup(spark, dir))
+      }
     }
 
     println(results.mkString("[", ",\n", "]"))

@@ -93,6 +93,45 @@ class AnalyticsSpec extends SparkSpec {
     assert(pairs((0L, 1L)) <= 5L && pairs((0L, 1L)) > 0L)
   }
 
+  test("editDistancePairs segment filter is lossless vs the plain block join") {
+    // 60 full-length docs: 20 base strings (>= 64 chars), each with two
+    // edited variants — edits planted at the START, MIDDLE and END of
+    // the 64-char prefix so every segment slot has to carry a match
+    // somewhere — plus short docs and a cross short/full near-pair.
+    val base = (0 until 20).map { i =>
+      s"doc $i starts here with a distinctive and long enough prefix body tail $i"
+    }
+    val rows = base.zipWithIndex.flatMap { case (t, i) =>
+      val early = t.updated(2 + (i % 6), 'Q')                 // 1 edit, early
+      val late = t.take(58) + "XYZAB" + t.drop(63)            // 5 edits, late
+      Seq((i * 10L, t), (i * 10L + 1, early), (i * 10L + 2, late))
+    } ++ Seq((900L, "tiny doc"), (901L, "tiny dog"),
+      (902L, "x" * 60), (903L, "x" * 60 + "yyyyyyy"))          // short + cross
+    val docs = rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1)) -> r.getLong(3)
+    val got = Dedup.editDistancePairs(docs, maxDist = 5)
+      .collect().map(key).toMap
+    // plain quadratic reference, same blocking + prefix semantics
+    val d = docs.select(col("doc_id"), col("lang"),
+      substring(col("text"), 1, 64).as("prefix"),
+      expr("n_chars div 40").as("blk"))
+    val ref = d.as("x").join(d.as("y"),
+        col("x.lang") === col("y.lang") && col("x.blk") === col("y.blk") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.lang").as("lang"),
+        levenshtein(col("x.prefix"), col("y.prefix")).cast("long").as("dist"))
+      .filter(col("dist") <= 5)
+      .collect().map(key).toMap
+    assert(got === ref, "segment-filtered result must equal the plain join")
+    assert(ref.nonEmpty && ref.keySet.exists(_._1 >= 900L),
+      "fixture must exercise both the full-prefix and short paths")
+  }
+
   test("lengthOutliers flags only >2-sigma lengths, z matches a hand calc") {
     // nine docs at length 100, one at 1000: mean=190, var=72900, sd=270
     // z(1000) = (1000-190)/270 = 3.0; z(100) = -1/3
