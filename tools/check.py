@@ -10,8 +10,12 @@ Env knobs (for the sf1 scale-correctness campaign):
   OUT_JSON=path    also write a driver-style per-query verdict JSON
   EXCLUDE=a,b      skip these query names (oracles too slow at the
                    probed SF get excluded EXPLICITLY, never silently)
+  ORACLE_TIMEOUT=N interrupt any single DuckDB oracle after N seconds
+                   and record it as "oracle timeout" (the sf1 campaign
+                   guard: a quadratic oracle must not hang the gate,
+                   and the record says exactly which ones were cut)
 """
-import sys, os, json, glob, math, time
+import sys, os, json, glob, math, time, threading
 import duckdb
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -67,15 +71,31 @@ for name, sql in sorted(oracle.items()):
         bad += 1
         continue
     t0 = time.time()
+    timeout = float(os.environ.get("ORACLE_TIMEOUT", "0") or 0)
+    timer = None
+    timed_out = []
+    if timeout > 0:
+        def _cut():
+            timed_out.append(True)
+            con.interrupt()
+        timer = threading.Timer(timeout, _cut)
+        timer.start()
     try:
         sdf = con.execute(
             f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')").fetchdf()
         odf = con.execute(sql).fetchdf()
     except Exception as e:
-        print(f"  ERROR {name}: {e}")
-        record(name, err=str(e)[:300])
-        bad += 1
+        if timed_out:
+            print(f"  SKIP {name} (oracle timeout > {timeout:.0f}s)")
+            record(name, err=f"oracle timeout > {timeout:.0f}s")
+        else:
+            print(f"  ERROR {name}: {e}")
+            record(name, err=str(e)[:300])
+            bad += 1
         continue
+    finally:
+        if timer is not None:
+            timer.cancel()
     scols, srows = canon(sdf)
     ocols, orows = canon(odf)
     if scols != ocols:
