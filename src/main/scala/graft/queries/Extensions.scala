@@ -567,6 +567,45 @@ object Extensions {
         min(col("n_chars")).as("min_s"),
         max(col("n_chars")).as("max_s"))
 
+  /** Lag-1 autocorrelation of the hourly event-count series per type —
+    * the seasonality/persistence readout next to [[seasonalDecompose]]
+    * and the drift family: r ≈ 1 flags a sticky series (load follows
+    * load), r ≈ 0 noise, r < 0 alternation. Consecutive-hour pairs come
+    * from a self-equi-join on (type, hr−3600) — hours with no events
+    * form no pair, a defined and engine-portable gap rule. All Pearson
+    * sums are EXACT (long counts; decimal(28) for the integer
+    * products, immune to double merge order), the final r is a handful
+    * of mirrored IEEE ops, and zero-variance series emit null, not NaN.
+    *
+    * Scale shape: one keyed rollup to (type, hour) — dimension-sized —
+    * then a self-join and aggregate on the tiny hourly table; nothing
+    * downstream of the first rollup scales with event volume. */
+  def autocorrQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val hc = Parity.events(spark, sfDir)
+      .groupBy(col("event_type"),
+        unix_timestamp(date_trunc("hour", col("ts"))).as("hr"))
+      .agg(count(lit(1)).as("x"))
+    val pairs = hc.as("c").join(hc.as("p"),
+        col("c.event_type") === col("p.event_type") &&
+          col("c.hr") === col("p.hr") + 3600)
+      .select(col("c.event_type").as("event_type"),
+        col("c.x").as("x"), col("p.x").as("y"))
+    val sums = pairs.groupBy("event_type").agg(
+      count(lit(1)).as("n_pairs"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum((col("x") * col("y")).cast("decimal(28,0)")).as("sxy"),
+      sum((col("x") * col("x")).cast("decimal(28,0)")).as("sxx"),
+      sum((col("y") * col("y")).cast("decimal(28,0)")).as("syy"))
+    val nd = col("n_pairs").cast(DoubleType)
+    val (sxd, syd) = (col("sx").cast(DoubleType), col("sy").cast(DoubleType))
+    val vx = nd * col("sxx").cast(DoubleType) - sxd * sxd
+    val vy = nd * col("syy").cast(DoubleType) - syd * syd
+    sums.select(col("event_type"), col("n_pairs"),
+      when(vx > 0 && vy > 0,
+        (nd * col("sxy").cast(DoubleType) - sxd * syd) / sqrt(vx * vy))
+        .as("r_lag1"))
+  }
+
   /** Random-hyperplane LSH ANN top-5 for query vectors vec_id < 20. */
   def annLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val e = emb(spark, sfDir)
@@ -2805,6 +2844,7 @@ object Extensions {
     "x_shard_plan" -> shardPlanQ _,
     "x_sampled_quantiles" -> sampledQuantiles _,
     "x_rrf_fusion" -> rrfFusion _,
+    "x_autocorr" -> autocorrQ _,
     "x_label_cohesion" -> labelCohesion _,
     "x_salted_agg" -> saltedAgg _,
     "x_salted_join" -> saltedJoinQ _,
@@ -4377,6 +4417,33 @@ object Extensions {
             MIN(n_chars) AS min_s, MAX(n_chars) AS max_s
           FROM documents WHERE $ph % 4 = 0 GROUP BY lang"""
     },
+    // Autocorr mirror: exact integer/decimal Pearson sums on the hourly
+    // self-join, identical IEEE op order for r, null on zero variance.
+    "x_autocorr" ->
+      """WITH hc AS (SELECT event_type,
+               CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hr,
+               count(*) AS x
+             FROM events GROUP BY 1, 2),
+          pr AS (SELECT c.event_type, c.x AS x, p.x AS y
+                 FROM hc c JOIN hc p ON c.event_type = p.event_type
+                   AND c.hr = p.hr + 3600),
+          s AS (SELECT event_type, count(*) AS n_pairs,
+                  CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                  SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+                FROM pr GROUP BY 1)
+          SELECT event_type, n_pairs,
+            CASE WHEN CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                  AND CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+              THEN (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / sqrt((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+              ELSE NULL END AS r_lag1
+          FROM s""",
     // RRF mirror: bm25 CTEs verbatim from x_bm25, rational query TF-IDF
     // with term-ordered fold, top-50 per list, one divide per list +
     // one add — every double op mirrored.
