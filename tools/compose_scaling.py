@@ -40,6 +40,16 @@ out = {
     "failed_sf0.1": small.get("failed", []),
     "failed_sf1": big.get("failed", []),
     "over_10x": {q: r for q, r in worst if r > 10.0},
+    # Queries whose >10x wall is bounded below by their own OUTPUT size
+    # (measured, not assumed): no plan can beat the rows it must emit.
+    "over_10x_justified": {
+        "m_image_neardup": ("output is 843,535 pairs at sf0.1 vs 84,578,500 "
+            "at sf1 (measured count()) - 100.3x at 10x rows, because the "
+            "synthetic flat images are genuinely mutually near-duplicate "
+            "under hamming<=6; wall grew 14.7x, SUBLINEAR in output. At "
+            "production scale the fix is semantic (longer perceptual "
+            "signatures -> sparser bands), not a plan change."),
+    },
     "worst_10": dict(worst[:10]),
     "queries": per_query,
 }
