@@ -21,12 +21,21 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // coalesce(1) keeps the driver's sf0.01 dumps single-file, but it
+    // also folds each query's FINAL stage into one task — at the sf1
+    // campaign scale that serializes whole queries, so the scaled run
+    // sets SPARK_GRAFT_NO_COALESCE=1 and writes plain multi-part
+    // parquet (check.py reads the dir with a glob either way).
+    val noCoalesce = sys.env.get("SPARK_GRAFT_NO_COALESCE").contains("1")
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        (if (noCoalesce) df else df.coalesce(1))
+          .write.mode("overwrite").parquet(s"$outDir/$name")
+        System.err.println(s"[verify] $name ok")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -1700,11 +1700,15 @@ object Extensions {
     * the windowed self-pairing is a bucket equi-join (each row joins its
     * own ⌊(rn−1)/w⌋ bucket and, as left side, the next — any pair closer
     * than w shares a bucket exactly once), never a band join. */
-  def sortedBlocking(spark: SparkSession, sfDir: String): DataFrame = {
-    val numbered = GlobalOrder.rowNumbered(
-      docs(spark, sfDir)
-        .select(col("doc_id"), substring(col("text"), 1, 12).as("k")),
-      "rn", 32, col("k"), col("doc_id"))
+  def sortedBlocking(spark: SparkSession, sfDir: String): DataFrame =
+    snmCandidates(docs(spark, sfDir)
+      .select(col("doc_id"), substring(col("text"), 1, 12).as("k")))
+
+  /** Sorted-neighborhood candidates over a (doc_id, k) frame: global
+    * rank by (k, doc_id) via the partition-offset numbering, then the
+    * windowed self-pairing as a bucket equi-join (window w=4). */
+  private def snmCandidates(d: DataFrame): DataFrame = {
+    val numbered = GlobalOrder.rowNumbered(d, "rn", 32, col("k"), col("doc_id"))
     val right = numbered.select(expr("(rn - 1) div 4").as("bucket"),
       col("doc_id").as("b"), col("rn").as("rnb"))
     val left = numbered.select(
@@ -1714,6 +1718,45 @@ object Extensions {
     left.join(right, Seq("bucket"))
       .filter(col("rnb") - col("rna") > 0 && col("rnb") - col("rna") < 4)
       .select(col("a"), col("b"), (col("rnb") - col("rna")).as("gap"))
+  }
+
+  /** Blocking-quality audit — the entity-resolution tuning readout
+    * (Christen 2012): run the sorted-neighborhood blocker over the
+    * dup-bearing universe and score it against the exact-duplicate
+    * ground truth. `pairs_completeness` = captured / true dup pairs
+    * (recall of the blocker); `reduction_ratio` = 1 − candidates / all
+    * possible pairs (how much of the quadratic pair space the blocker
+    * refuses to generate). An ER pipeline tunes window size and key
+    * against exactly these two numbers.
+    *
+    * Scale shape: true pairs come from a hash equi-join (groups =
+    * duplicate clusters), candidates from the bucketed SNM join, the
+    * capture check is one left-semi join on (a, b); the four counters
+    * are 1-row aggregates crossed as broadcast singletons — nothing
+    * here materializes the N² pair space the metric is ABOUT. */
+  def blockingAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val u = docsWithDups(spark, sfDir)
+    val hashed = u.select(sha2(col("text"), 256).as("h"), col("doc_id"))
+    val truePairs = hashed.as("x").join(hashed.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+    val cands = snmCandidates(
+      u.select(col("doc_id"), substring(col("text"), 1, 12).as("k")))
+      .select("a", "b")
+    val nDocs = u.agg(count(lit(1)).as("n_docs"))
+    val nTrue = truePairs.agg(count(lit(1)).as("n_true"))
+    val nCand = cands.agg(count(lit(1)).as("n_cand"))
+    val nCap = truePairs.join(cands, Seq("a", "b"), "left_semi")
+      .agg(count(lit(1)).as("n_captured"))
+    val ndd = col("n_docs").cast(DoubleType)
+    nDocs.crossJoin(broadcast(nTrue)).crossJoin(broadcast(nCand))
+      .crossJoin(broadcast(nCap))
+      .select(col("n_docs"), col("n_true"), col("n_cand"), col("n_captured"),
+        when(col("n_true") > 0,
+          col("n_captured").cast(DoubleType) / col("n_true").cast(DoubleType))
+          .as("pairs_completeness"),
+        (lit(1.0) - col("n_cand").cast(DoubleType)
+          / (ndd * (ndd - lit(1.0)) / lit(2.0))).as("reduction_ratio"))
   }
 
   /** Keyed point-in-interval join through the NATIVE merge-sweep
@@ -2898,6 +2941,7 @@ object Extensions {
     "x_drift" -> drift _,
     "x_row_number" -> rowNumberShards _,
     "x_sorted_blocking" -> sortedBlocking _,
+    "x_blocking_audit" -> blockingAudit _,
     "x_golden_record" -> goldenRecord _,
     "x_label_prop" -> labelProp _,
     "x_integrity_audit" -> integrityAudit _,
@@ -4952,6 +4996,37 @@ object Extensions {
                  ROW_NUMBER() OVER (ORDER BY k, doc_id) AS rn FROM n)
          SELECT r1.doc_id AS a, r2.doc_id AS b, r2.rn - r1.rn AS gap
          FROM r r1 JOIN r r2 ON r2.rn - r1.rn BETWEEN 1 AND 3""",
+    // Blocking-audit mirror: same dup-bearing universe as d_exact_dedup,
+    // same SNM candidate construction as x_sorted_blocking, EXISTS for
+    // the capture semi-join, two mirrored IEEE divisions at the end.
+    "x_blocking_audit" ->
+      """WITH all_docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0),
+         t AS (SELECT x.doc_id AS a, y.doc_id AS b
+               FROM all_docs x JOIN all_docs y
+                 ON sha256(x.text) = sha256(y.text) AND x.doc_id < y.doc_id),
+         n AS (SELECT doc_id, substr(text, 1, 12) AS k FROM all_docs),
+         r AS (SELECT doc_id,
+                 ROW_NUMBER() OVER (ORDER BY k, doc_id) AS rn FROM n),
+         c AS (SELECT r1.doc_id AS a, r2.doc_id AS b
+               FROM r r1 JOIN r r2 ON r2.rn - r1.rn BETWEEN 1 AND 3),
+         s AS (SELECT
+                 (SELECT count(*) FROM all_docs) AS n_docs,
+                 (SELECT count(*) FROM t) AS n_true,
+                 (SELECT count(*) FROM c) AS n_cand,
+                 (SELECT count(*) FROM t
+                  WHERE EXISTS (SELECT 1 FROM c
+                                WHERE c.a = t.a AND c.b = t.b)) AS n_captured)
+         SELECT n_docs, n_true, n_cand, n_captured,
+           CASE WHEN n_true > 0
+             THEN CAST(n_captured AS DOUBLE) / CAST(n_true AS DOUBLE)
+           END AS pairs_completeness,
+           1.0 - CAST(n_cand AS DOUBLE)
+             / (CAST(n_docs AS DOUBLE) * (CAST(n_docs AS DOUBLE) - 1.0) / 2.0)
+             AS reduction_ratio
+         FROM s""",
     // Golden-record mirror: same SNM candidates and prefix-Levenshtein
     // match, transitive closure by recursive reachability (min label =
     // entity id — CC's fixed point is iteration-order independent), and

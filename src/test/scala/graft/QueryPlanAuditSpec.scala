@@ -53,8 +53,10 @@ class QueryPlanAuditSpec extends SparkSpec {
                         // inherits their pinned broadcast-singleton loops
     "x_rrf_fusion",     // inherits x_bm25's corpus-stats singleton plus its
                         // own broadcast corpus-size singleton (tf-idf N)
-    "x_temperature_mix" // per-source rows × broadcast cross-source
+    "x_temperature_mix", // per-source rows × broadcast cross-source
                         // sqrt-denominator singleton (one row)
+    "x_blocking_audit"  // four 1-row counter singletons crossed into the
+                        // single-row audit readout (all broadcast)
   )
 
   test("no query plans an unintended cartesian or nested-loop join") {

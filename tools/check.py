@@ -14,6 +14,12 @@ Env knobs (for the sf1 scale-correctness campaign):
                    and record it as "oracle timeout" (the sf1 campaign
                    guard: a quadratic oracle must not hang the gate,
                    and the record says exactly which ones were cut)
+  BIG_ROWS=N       outputs larger than N rows compare INSIDE DuckDB
+                   (count + order-independent sum-of-row-hashes over
+                   name-sorted stringified columns) instead of pulling
+                   rows into Python — the sf1 campaign path for pair-
+                   emitting queries whose results are tens of millions
+                   of rows. Default 2000000.
 """
 import sys, os, json, glob, math, time, threading
 import duckdb
@@ -81,8 +87,45 @@ for name, sql in sorted(oracle.items()):
         timer = threading.Timer(timeout, _cut)
         timer.start()
     try:
-        sdf = con.execute(
-            f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')").fetchdf()
+        BIG = int(os.environ.get("BIG_ROWS", "2000000"))
+        src = f"read_parquet('{spark_dir}/*.parquet')"
+        n_spark = con.execute(f"SELECT count(*) FROM {src}").fetchone()[0]
+        if n_spark > BIG:
+            # DuckDB-side aggregate compare: row counts + an order-
+            # independent SUM of per-row hashes over the name-sorted,
+            # stringified columns (both sides stringify through DuckDB's
+            # one formatter, so int32/int64 width differences and float
+            # rendering cannot diverge).
+            scols = [r[0] for r in con.execute(f"DESCRIBE SELECT * FROM {src}").fetchall()]
+            ocols = [r[0] for r in con.execute(f"DESCRIBE {sql}").fetchall()]
+            if sorted(scols) != sorted(ocols):
+                print(f"  FAIL {name}: columns spark={sorted(scols)} oracle={sorted(ocols)}")
+                record(name, spark_rows=n_spark)
+                bad += 1
+                continue
+            expr = " || '|' || ".join(
+                f"COALESCE(CAST(\"{c}\" AS VARCHAR), chr(1))" for c in sorted(scols))
+            sh = con.execute(
+                f"SELECT count(*), SUM(hash({expr})) FROM {src}").fetchone()
+            oh = con.execute(
+                f"SELECT count(*), SUM(hash({expr})) FROM ({sql})").fetchone()
+            if sh == oh:
+                print(f"  ok   {name} ({n_spark} rows, duckdb aggregate hash)"
+                      f"  [{time.time()-t0:.1f}s]")
+                record(name, rows_match=True, schema_match=True,
+                       hash_match=True, spark_rows=sh[0], oracle_rows=oh[0],
+                       err=None, mode="aggregate-hash")
+                ok += 1
+            else:
+                print(f"  FAIL {name}: aggregate spark={sh} oracle={oh}")
+                record(name, spark_rows=sh[0], oracle_rows=oh[0],
+                       rows_match=sh[0] == oh[0], schema_match=True,
+                       mode="aggregate-hash")
+                bad += 1
+            if timer is not None:
+                timer.cancel()
+            continue
+        sdf = con.execute(f"SELECT * FROM {src}").fetchdf()
         odf = con.execute(sql).fetchdf()
     except Exception as e:
         if timed_out:
