@@ -701,7 +701,7 @@ object Extensions {
     Parity.events(spark, sfDir).createOrReplaceTempView("graft_spine_events")
     spark.sql(
       """SELECT s.d, count(e.event_id) AS n_events,
-           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           CAST(CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
          FROM graft_dates('2023-12-25', '2024-02-05') s
          LEFT JOIN graft_spine_events e ON CAST(e.ts AS DATE) = s.d
          GROUP BY s.d""")
@@ -3242,8 +3242,7 @@ object Extensions {
                / (CAST(n_a * n_b AS DOUBLE) / CAST(nn.n AS DOUBLE))
                  AS component
              FROM cells, nn),
-           chi AS (SELECT CAST(SUM(CAST(component AS DECIMAL(38,12)))
-               AS DOUBLE) AS chi2 FROM comp)
+           chi AS (SELECT CAST(CAST(SUM(CAST(component AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS chi2 FROM comp)
          SELECT a AS event_type, b AS value_bin, n_ab, expected, component,
            chi2, SQRT(chi2 / CAST(n * LEAST(r - 1, c - 1) AS DOUBLE))
              AS cramers_v
@@ -3276,7 +3275,7 @@ object Extensions {
       """WITH e AS (SELECT event_type,
              CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600 AS hr,
              CAST(value AS DECIMAL(18,2)) AS v FROM events),
-           s AS (SELECT event_type, hr, CAST(SUM(v) AS DOUBLE) AS x
+           s AS (SELECT event_type, hr, CAST(CAST(SUM(v) AS VARCHAR) AS DOUBLE) AS x
              FROM e GROUP BY 1, 2)
          SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
            list_reduce(list(x ORDER BY hr),
@@ -3287,7 +3286,7 @@ object Extensions {
              CAST(MAX(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS BIGINT)
                AS last_epoch,
              CAST(count(*) AS BIGINT) AS n_events,
-             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+             CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS monetary
            FROM events GROUP BY 1),
            q AS (SELECT user_id, last_epoch, n_events, monetary,
              CAST(NTILE(5) OVER (ORDER BY last_epoch DESC, user_id)
@@ -3323,8 +3322,7 @@ object Extensions {
                  * (CAST(deg_sum AS DOUBLE) / CAST(2 * m AS DOUBLE))
                  AS q_component
              FROM degs LEFT JOIN ein USING (community), mm),
-           qt AS (SELECT CAST(SUM(CAST(q_component AS DECIMAL(38,12)))
-               AS DOUBLE) AS q_total FROM comps)
+           qt AS (SELECT CAST(CAST(SUM(CAST(q_component AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS q_total FROM comps)
          SELECT community, n_nodes, e_in, deg_sum, q_component, q_total
          FROM comps, qt""",
     "x_cusum" ->
@@ -3900,7 +3898,7 @@ object Extensions {
       """SELECT event_type,
            CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
            count(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value,
            CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
          FROM events GROUP BY 1, 2""",
     "x_ohlc_bars" ->
@@ -3921,7 +3919,7 @@ object Extensions {
            MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
            MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
            MAX(value) AS high, MIN(value) AS low,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS volume
          FROM r GROUP BY 1, 2""",
     "x_sessionize" ->
       """WITH e AS (
@@ -4081,12 +4079,12 @@ object Extensions {
     "x_asof_forward" -> asofOracle.replace("p.ts >= c.ts", "p.ts <= c.ts"),
     "x_bucketed_join" ->
       """SELECT o_orderstatus, count(*) AS n,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderstatus""",
     "x_orc_scan" ->
       """SELECT s_nationkey, count(*) AS n,
-           CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+           CAST(CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_bal
          FROM supplier GROUP BY s_nationkey""",
     "x_bpe_tokens" ->
       """SELECT doc_id,
@@ -4207,7 +4205,7 @@ object Extensions {
       """WITH daily AS (
            SELECT o_custkey,
              datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS d_day,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS spend
            FROM orders WHERE o_custkey % 50 = 0
            GROUP BY 1, 2),
          cal AS (
@@ -4224,7 +4222,7 @@ object Extensions {
       """WITH daily AS (
            SELECT o_orderpriority,
              datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS d_day,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS rev
            FROM orders WHERE o_totalprice > 450000
            GROUP BY 1, 2),
          cal AS (
@@ -4259,7 +4257,7 @@ object Extensions {
          FROM anch""",
     "x_salted_join" ->
       """SELECT d.flag_label, count(*) AS n,
-           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+           CAST(CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty
          FROM lineitem l
          JOIN (VALUES ('A', 'accepted'), ('N', 'none'), ('R', 'returned'))
            AS d(l_returnflag, flag_label)
@@ -4267,7 +4265,7 @@ object Extensions {
          GROUP BY d.flag_label""",
     "x_salted_agg" ->
       """SELECT l_returnflag,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
            count(*) AS n,
            CAST(MAX(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price
          FROM lineitem GROUP BY l_returnflag""",
@@ -4350,7 +4348,7 @@ object Extensions {
            count(*) AS n_spans,
            CAST(SUM(CASE WHEN m.is_shared THEN 1 ELSE 0 END) AS BIGINT)
              AS n_shared,
-           CAST(SUM(CASE WHEN m.is_shared THEN 1 ELSE 0 END) AS DOUBLE) /
+           CAST(CAST(SUM(CASE WHEN m.is_shared THEN 1 ELSE 0 END) AS VARCHAR) AS DOUBLE) /
              CAST(count(*) AS DOUBLE) AS dup_ratio
          FROM grams g JOIN marks m USING (gram)
          GROUP BY g.doc_id""",
@@ -4558,7 +4556,7 @@ object Extensions {
              CAST(i * 50000 AS DOUBLE) AS lo, CAST((i+1) * 50000 AS DOUBLE) AS hi
            FROM generate_series(0, 9) t(i))
          SELECT band, count(*) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_price
          FROM orders JOIN bands
            ON o_totalprice >= lo AND o_totalprice < hi
          GROUP BY band""",
@@ -4576,8 +4574,8 @@ object Extensions {
     "x_pivot" -> {
       def cell(s: String) =
         s"""coalesce(count(*) FILTER (o_orderstatus = '$s'), 0) AS "${s}_n",
-            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
-              FILTER (o_orderstatus = '$s') AS DOUBLE) AS "${s}_sum\""""
+            CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+              FILTER (o_orderstatus = '$s') AS VARCHAR) AS DOUBLE) AS "${s}_sum\""""
       s"""SELECT o_orderpriority, ${Seq("F", "O", "P").map(cell).mkString(", ")}
           FROM orders GROUP BY o_orderpriority"""
     },
@@ -4593,10 +4591,10 @@ object Extensions {
            FROM s GROUP BY 1)
          SELECT o_orderpriority, n_sample,
            n_sample * 100 AS est_count,
-           CAST(sum_dec AS DOUBLE) * 100.0 AS est_sum,
-           sqrt(9900.0 * CAST(sum2_dec AS DOUBLE)) AS se_sum,
-           sqrt(9900.0 * CAST(sum2_dec AS DOUBLE))
-             / (CAST(sum_dec AS DOUBLE) * 100.0) AS rel_se
+           CAST(CAST(sum_dec AS VARCHAR) AS DOUBLE) * 100.0 AS est_sum,
+           sqrt(9900.0 * CAST(CAST(sum2_dec AS VARCHAR) AS DOUBLE)) AS se_sum,
+           sqrt(9900.0 * CAST(CAST(sum2_dec AS VARCHAR) AS DOUBLE))
+             / (CAST(CAST(sum_dec AS VARCHAR) AS DOUBLE) * 100.0) AS rel_se
          FROM g""",
     "x_stratified_sample" -> {
       val h = DuckSql.polyHash("CAST(doc_id AS VARCHAR) || ':' || lang")
@@ -4643,7 +4641,7 @@ object Extensions {
            count(*) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            count(*) - count(DISTINCT text) AS dup_copies,
-           CAST(SUM(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+           CAST(CAST(SUM(n_chars) AS VARCHAR) AS DOUBLE) / CAST(count(*) AS DOUBLE)
              AS mean_chars,
            any_value(h.lang_hist) AS lang_hist
          FROM documents d JOIN h ON d.source = h.source
@@ -4652,14 +4650,14 @@ object Extensions {
       """WITH m AS (
            SELECT l_returnflag,
              CAST(count(*) AS DOUBLE) AS n,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) *
-               CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
-               CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) *
-               CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) *
+               CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+               CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS syy,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) *
+               CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sxy
            FROM lineitem GROUP BY l_returnflag),
          s AS (
            SELECT *, (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
@@ -4694,7 +4692,7 @@ object Extensions {
       """WITH s AS (SELECT CAST(unnest(generate_series(DATE '2023-12-25',
              DATE '2024-02-05', INTERVAL 1 DAY)) AS DATE) AS d)
          SELECT s.d, count(e.event_id) AS n_events,
-           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           CAST(CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
          FROM s LEFT JOIN events e ON CAST(e.ts AS DATE) = s.d
          GROUP BY s.d""",
     "x_stage_latency" ->
@@ -4744,12 +4742,12 @@ object Extensions {
              (ORDER BY rev ASC, o_custkey ASC) AS BIGINT) AS rk FROM per),
            c AS (SELECT count(*) AS n_cust FROM per)
          SELECT n_cust,
-           CAST(SUM(rev) AS DOUBLE) AS total,
-           (2.0 * CAST(SUM(rev * rk) AS DOUBLE)) /
-             (CAST(n_cust AS DOUBLE) * CAST(SUM(rev) AS DOUBLE)) -
+           CAST(CAST(SUM(rev) AS VARCHAR) AS DOUBLE) AS total,
+           (2.0 * CAST(CAST(SUM(rev * rk) AS VARCHAR) AS DOUBLE)) /
+             (CAST(n_cust AS DOUBLE) * CAST(CAST(SUM(rev) AS VARCHAR) AS DOUBLE)) -
              (CAST(n_cust AS DOUBLE) + 1.0) / CAST(n_cust AS DOUBLE) AS gini,
-           CAST(SUM(CASE WHEN rk > (n_cust * 9) // 10 THEN rev END) AS DOUBLE)
-             / CAST(SUM(rev) AS DOUBLE) AS top_decile_share
+           CAST(CAST(SUM(CASE WHEN rk > (n_cust * 9) // 10 THEN rev END) AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(SUM(rev) AS VARCHAR) AS DOUBLE) AS top_decile_share
          FROM r, c GROUP BY n_cust""",
     "x_rolling_actives" ->
       """WITH ud AS (SELECT DISTINCT user_id,
@@ -5107,7 +5105,7 @@ object Extensions {
          SELECT user_id,
            MIN(tse) AS start_epoch, MAX(tse) + 1800 AS end_epoch,
            count(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
          FROM s GROUP BY user_id, seq""",
     "x_heavy_hitters" -> {
       val G = "list_transform(generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1])"
@@ -5174,7 +5172,7 @@ object Extensions {
     },
     "x_bloom_prune" ->
       """SELECT l_returnflag, count(*) AS n,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty
          FROM lineitem
          WHERE l_orderkey IN (SELECT o_orderkey FROM orders
            WHERE o_orderstatus = 'F' AND o_orderpriority = '1-URGENT')
@@ -5358,7 +5356,7 @@ object Extensions {
                   CAST(value AS DECIMAL(18,2)) AS v FROM events),
          g AS (SELECT SUM(v) AS gsum, count(*) AS gn FROM e)
          SELECT event_type, count(*) AS n,
-           (CAST(SUM(v) AS DOUBLE) + 100.0 *
+           (CAST(CAST(SUM(v) AS VARCHAR) AS DOUBLE) + 100.0 *
              (CAST(gsum AS DOUBLE) / CAST(gn AS DOUBLE)))
              / (CAST(count(*) AS DOUBLE) + 100.0) AS enc
          FROM e CROSS JOIN g GROUP BY event_type, gsum, gn""",

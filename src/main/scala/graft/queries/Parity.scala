@@ -136,7 +136,11 @@ object Parity {
   def s3FileIdentity(spark: SparkSession, sfDir: String): DataFrame =
     Ingest.withPathIdentity(
         Ingest.withFilePath(table(spark, sfDir, "lineitem")),
-        as = "src_table", pattern = "/([a-z]+)\\.parquet$")
+        // `name.parquet` may be a FILE (testdata layout) or a DIRECTORY
+        // of part files (every real lake layout, incl. the ScaleUp sf1
+        // fixture) — identity comes from whichever path segment carries
+        // the `.parquet` name, not from an end-of-path anchor
+        as = "src_table", pattern = "/([a-z]+)\\.parquet(?:/|$)")
       .groupBy("src_table").agg(count(lit(1)).as("n"))
 
   // --------------------------------------------------------------- S15
@@ -1793,32 +1797,32 @@ object Parity {
       "SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY o_orderstatus",
     "s10_clustering" ->
       """SELECT count(*) AS n,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
          MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key FROM lineitem""",
     "s10_zorder" ->
       """SELECT count(*) AS n,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
          MIN(l_orderkey) AS min_okey, MAX(l_orderkey) AS max_okey,
          MIN(l_partkey) AS min_pkey, MAX(l_partkey) AS max_pkey FROM lineitem""",
     "s10_hilbert" ->
       """SELECT count(*) AS n,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
          MIN(l_orderkey) AS min_okey, MAX(l_orderkey) AS max_okey,
          MIN(l_partkey) AS min_pkey, MAX(l_partkey) AS max_pkey FROM lineitem""",
     "s10_hilbert3" ->
       """SELECT count(*) AS n,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
          MIN(l_orderkey) AS min_okey, MAX(l_orderkey) AS max_okey,
          MIN(l_partkey) AS min_pkey, MAX(l_partkey) AS max_pkey,
          MIN(l_suppkey) AS min_skey, MAX(l_suppkey) AS max_skey FROM lineitem""",
     "s10_optimize" ->
       """SELECT count(*) AS n,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
          MIN(l_orderkey) AS min_okey, MAX(l_orderkey) AS max_okey,
          MIN(l_partkey) AS min_pkey, MAX(l_partkey) AS max_pkey FROM lineitem""",
     "s10_skipping" ->
       """SELECT l_returnflag, count(*) AS n,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty
          FROM lineitem
          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
            AND l_shipdate <= TIMESTAMP '1996-03-31 00:00:00'
@@ -1882,7 +1886,7 @@ object Parity {
            o.order_count, o.total_spent, o.last_order_date
          FROM customer c
          LEFT JOIN (SELECT o_custkey AS c_custkey, count(*) AS order_count,
-                      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent,
+                      CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_spent,
                       MAX(CAST(o_orderdate AS DATE)) AS last_order_date
                     FROM orders GROUP BY o_custkey) o USING (c_custkey)
          LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey""",
@@ -1914,7 +1918,7 @@ object Parity {
          FROM region CROSS JOIN nation""",
     "j8_dpp_join" ->
       """SELECT 'finished' AS label, count(*) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_price
          FROM orders WHERE o_orderstatus = 'F'""",
     "j7_null_safe" ->
       """WITH c AS (SELECT c_custkey,
@@ -1944,8 +1948,8 @@ object Parity {
          FROM (SELECT l_returnflag, l_linestatus, count(*) AS n,
                  count(DISTINCT l_orderkey) AS n_orders,
                  MAX(CAST(l_shipdate AS DATE)) AS last_ship,
-                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+                 CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+                 CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_price
                FROM lineitem GROUP BY l_returnflag, l_linestatus)""",
     "w1_lag_growth" ->
       """SELECT o_custkey, o_orderkey,
@@ -1970,7 +1974,7 @@ object Parity {
     "w6_median_window" ->
       """WITH daily AS (
            SELECT CAST(o_orderdate AS DATE) AS d,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS rev
            FROM orders GROUP BY 1)
          SELECT d, rev,
            median(rev) OVER (ORDER BY d
@@ -2038,9 +2042,9 @@ object Parity {
     "p14_unpivot" ->
       """WITH g AS (
            SELECT l_returnflag,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price,
-             CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS discount
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS qty,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS price,
+             CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS discount
            FROM lineitem GROUP BY 1)
          SELECT l_returnflag, 'qty' AS measure, qty AS value FROM g
          UNION ALL
@@ -2051,18 +2055,18 @@ object Parity {
       """SELECT o_orderstatus,
            CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bucket,
            count(*) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
              AS sum_price
          FROM orders GROUP BY 1, 2""",
     "a4_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_price,
            GROUPING(o_orderstatus) AS g_status,
            GROUPING(o_orderpriority) AS g_priority
          FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
     "a5_cube" ->
       """SELECT o_orderstatus, o_year, count(*) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_price,
            GROUPING(o_orderstatus) AS g_status,
            GROUPING(o_year) AS g_year
          FROM (SELECT o_orderstatus, year(CAST(o_orderdate AS DATE)) AS o_year,
@@ -2070,7 +2074,7 @@ object Parity {
          GROUP BY CUBE (o_orderstatus, o_year)""",
     "a6_grouping_sets" ->
       """SELECT o_orderstatus, o_year, count(*) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_price
          FROM (SELECT o_orderstatus, year(CAST(o_orderdate AS DATE)) AS o_year,
                  o_totalprice FROM orders)
          GROUP BY GROUPING SETS ((o_orderstatus, o_year), (o_year), ())""",
@@ -2085,8 +2089,8 @@ object Parity {
       """SELECT year(CAST(o_orderdate AS DATE)) AS o_year,
            count(*) FILTER (o_orderstatus = 'F') AS n_finished,
            count(*) FILTER (o_orderstatus = 'O') AS n_open,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
-             FILTER (o_orderpriority LIKE '1%') AS DOUBLE) AS urgent_price,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+             FILTER (o_orderpriority LIKE '1%') AS VARCHAR) AS DOUBLE) AS urgent_price,
            count(*) AS n
          FROM orders GROUP BY 1""",
     "q_top_spenders" ->
@@ -2095,24 +2099,24 @@ object Parity {
          FROM orders ORDER BY price DESC, o_orderkey LIMIT 25""",
     "tpch_q1" ->
       """SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
-             (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+           CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+           CAST(CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
              (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) *
-             (1 + CAST(l_tax AS DECIMAL(18,2))) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_price,
-           CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_disc,
+             (1 + CAST(l_tax AS DECIMAL(18,2))) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_qty,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_price,
+           CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_disc,
            count(*) AS count_order
          FROM lineitem
          WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
          GROUP BY l_returnflag, l_linestatus""",
     "tpch_q3" ->
       """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date, o_orderpriority,
-           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
-             (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+           CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS revenue
          FROM customer
          JOIN orders ON c_custkey = o_custkey
          JOIN lineitem ON l_orderkey = o_orderkey
@@ -2123,8 +2127,8 @@ object Parity {
          ORDER BY revenue DESC, l_orderkey LIMIT 10""",
     "tpch_q5" ->
       """SELECT n_name,
-           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
-             (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+           CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS revenue
          FROM customer
          JOIN orders ON c_custkey = o_custkey
          JOIN lineitem ON l_orderkey = o_orderkey
@@ -2142,8 +2146,8 @@ object Parity {
          FROM nation JOIN region ON n_regionkey = r_regionkey
          GROUP BY r_name""",
     "tpch_q6" ->
-      """SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
-             CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      """SELECT CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS revenue
          FROM lineitem
          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
            AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -2151,8 +2155,8 @@ object Parity {
            AND l_quantity < 24""",
     "tpch_q10" ->
       """SELECT c_custkey, c_name, n_name,
-           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
-             (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+           CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS revenue
          FROM customer
          JOIN orders   ON c_custkey = o_custkey
          JOIN lineitem ON l_orderkey = o_orderkey
@@ -2163,19 +2167,19 @@ object Parity {
          GROUP BY 1, 2, 3
          ORDER BY revenue DESC, c_custkey LIMIT 20""",
     "tpch_q14" ->
-      """SELECT (CAST(SUM(CASE WHEN p_type = 'PROMO'
+      """SELECT (CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
                THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
                  (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))
-               ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) * 100.0) /
-           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
-             (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE)
+               ELSE CAST(0 AS DECIMAL(18,4)) END) AS VARCHAR) AS DOUBLE) * 100.0) /
+           CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
              AS promo_revenue_pct
          FROM lineitem JOIN part ON l_partkey = p_partkey
          WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
            AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'""",
     "tpch_q19" ->
-      """SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
-             (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      """SELECT CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS revenue
          FROM lineitem JOIN part ON p_partkey = l_partkey
          WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
                 AND l_quantity BETWEEN 1 AND 15)
@@ -2194,7 +2198,7 @@ object Parity {
            GROUP BY l_partkey)
          SELECT l_partkey, CAST(value_dec AS DOUBLE) AS value FROM g
          WHERE CAST(value_dec AS DOUBLE) >
-           (SELECT CAST(SUM(value_dec) AS DOUBLE) * 0.0001 FROM g)""",
+           (SELECT CAST(CAST(SUM(value_dec) AS VARCHAR) AS DOUBLE) * 0.0001 FROM g)""",
     "tpch_q16" ->
       """SELECT p_brand, p_type, p_size,
            COUNT(DISTINCT l_suppkey) AS supplier_cnt
@@ -2246,18 +2250,18 @@ object Parity {
                GROUP BY c_custkey)
          GROUP BY c_count""",
     "tpch_q17" ->
-      """SELECT CAST(SUM(CAST(l1.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      """SELECT CAST(CAST(SUM(CAST(l1.l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
              / 7.0 AS avg_yearly
          FROM lineitem l1 JOIN part ON p_partkey = l1.l_partkey
          WHERE p_brand = 'Brand#12' AND p_size <= 10
            AND l1.l_quantity < 0.2 * (
-             SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             SELECT CAST(CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
                / count(*)
              FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)""",
     "tpch_q18" ->
       """SELECT c_name, c_custkey, o_orderkey,
            CAST(o_orderdate AS DATE) AS order_date, o_totalprice,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty
          FROM customer
          JOIN orders ON c_custkey = o_custkey
          JOIN lineitem ON o_orderkey = l_orderkey
@@ -2268,10 +2272,10 @@ object Parity {
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""",
     "tpch_q22" ->
       """SELECT c_mktsegment, count(*) AS numcust,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+           CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS totacctbal
          FROM customer
          WHERE c_acctbal > (
-             SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             SELECT CAST(CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
                / count(*)
              FROM customer c2 WHERE c2.c_acctbal > 0)
            AND NOT EXISTS (
@@ -2288,7 +2292,7 @@ object Parity {
            WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
            GROUP BY l_partkey, l_suppkey),
          pp AS (
-           SELECT l_partkey, CAST(SUM(qty_all) AS DOUBLE) * 0.05 AS part_thr
+           SELECT l_partkey, CAST(CAST(SUM(qty_all) AS VARCHAR) AS DOUBLE) * 0.05 AS part_thr
            FROM sp GROUP BY l_partkey)
          SELECT s_suppkey, s_name
          FROM supplier JOIN nation ON s_nationkey = n_nationkey
@@ -2311,9 +2315,8 @@ object Parity {
     "tpch_q15" ->
       """WITH revenue AS (
            SELECT l_suppkey,
-             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
-               (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)))
-               AS DOUBLE) AS total_revenue
+             CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+               (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total_revenue
            FROM lineitem
            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
              AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
@@ -2343,8 +2346,8 @@ object Parity {
     "tpch_q7" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
            year(l_shipdate) AS l_year,
-           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
-             (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+           CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS revenue
          FROM supplier
          JOIN lineitem ON s_suppkey = l_suppkey
          JOIN orders   ON o_orderkey = l_orderkey
@@ -2356,12 +2359,12 @@ object Parity {
          GROUP BY 1, 2, 3""",
     "tpch_q8" ->
       """SELECT year(o_orderdate) AS o_year,
-           CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'
+           CAST(CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'
                THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
                  (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))
-               ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) /
-           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
-             (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE)
+               ELSE CAST(0 AS DECIMAL(18,4)) END) AS VARCHAR) AS DOUBLE) /
+           CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
              AS mkt_share
          FROM part
          JOIN lineitem ON p_partkey = l_partkey
@@ -2375,12 +2378,12 @@ object Parity {
          GROUP BY 1""",
     "tpch_q9" ->
       """SELECT n_name AS nation, year(o_orderdate) AS o_year,
-           CAST(SUM(CAST(
+           CAST(CAST(SUM(CAST(
              CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
                (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) -
              CAST(CAST(p_retailprice AS DECIMAL(18,2)) *
                CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(18,4))
-             AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
+             AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_profit
          FROM part
          JOIN lineitem ON p_partkey = l_partkey
          JOIN orders   ON l_orderkey = o_orderkey

@@ -49,7 +49,7 @@ object Views {
   def oracleSql: Map[String, String] = Map(
     "mv_rollup_rewrite" ->
       """SELECT o_orderstatus,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_price,
            count(*) AS n_orders,
            min(o_orderdate) AS first_order,
            max(o_orderdate) AS last_order
