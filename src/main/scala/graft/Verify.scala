@@ -27,6 +27,11 @@ object Verify {
     // sets SPARK_GRAFT_NO_COALESCE=1 and writes plain multi-part
     // parquet (check.py reads the dir with a glob either way).
     val noCoalesce = sys.env.get("SPARK_GRAFT_NO_COALESCE").contains("1")
+    // Per-query failures are RECORDED, not just logged: a Spark-side
+    // throw lands in _errors.json next to the dumps, and check.py merges
+    // it as a red row. (Round-7 lesson: a parse error that only reached
+    // stderr shrank the correctness denominator silently.)
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -37,6 +42,8 @@ object Verify {
         System.err.println(s"[verify] $name ok")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors(name) =
+          s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}".take(300)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -54,6 +61,16 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Always written (even when empty) so the checker can tell "no
+    // failures" apart from "a Verify that predates failure recording".
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} FAILED: ${errors.keys.mkString(", ")}")
+    // Exit 0 even on per-query failures: the driver must still run the
+    // DuckDB compare over the dumps that DID land; _errors.json is how
+    // the failures become red rows (check.py merges it).
     spark.stop()
   }
 }

@@ -701,7 +701,7 @@ object Extensions {
     Parity.events(spark, sfDir).createOrReplaceTempView("graft_spine_events")
     spark.sql(
       """SELECT s.d, count(e.event_id) AS n_events,
-           CAST(CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
+           CAST(CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS sum_value
          FROM graft_dates('2023-12-25', '2024-02-05') s
          LEFT JOIN graft_spine_events e ON CAST(e.ts AS DATE) = s.d
          GROUP BY s.d""")

@@ -60,12 +60,12 @@ object Subqueries {
   def q17CorrelatedScalar(spark: SparkSession, sfDir: String): DataFrame = {
     view(spark, sfDir, "lineitem", "part")
     spark.sql("""
-      SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / 7.0
+      SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE) / 7.0
                AS avg_yearly
       FROM lineitem JOIN part ON p_partkey = l_partkey
       WHERE p_brand = 'Brand#11'
         AND l_quantity < (
-          SELECT 0.2 * (CAST(CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+          SELECT 0.2 * (CAST(CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS STRING) AS DOUBLE)
                         / count(*))
           FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""")
   }
@@ -81,7 +81,7 @@ object Subqueries {
       SELECT c_name, c_custkey, o_orderkey,
              CAST(o_orderdate AS DATE) AS order_date,
              CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price,
-             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS sum_qty
       FROM customer
       JOIN orders   ON c_custkey = o_custkey
       JOIN lineitem ON o_orderkey = l_orderkey
@@ -101,10 +101,10 @@ object Subqueries {
     view(spark, sfDir, "customer", "orders")
     spark.sql("""
       SELECT c_nationkey, count(*) AS numcust,
-             CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS totacctbal
+             CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS totacctbal
       FROM customer
       WHERE c_acctbal > (
-          SELECT CAST(CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / count(*)
+          SELECT CAST(CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS STRING) AS DOUBLE) / count(*)
           FROM customer c2 WHERE c2.c_acctbal > 0.0)
         AND NOT EXISTS (
           SELECT 1 FROM orders

@@ -5,8 +5,11 @@ with the parquet output of `graft.Verify` (column-name-sorted, row-sorted,
 exact values). Usage: python3 tools/check.py [sfDir] [outDir]
 
 Env knobs (for the sf1 scale-correctness campaign):
-  SKIP_MISSING=1   queries with no spark dump are skipped, not failed
-                   (used with Verify's subset arg)
+  ONLY=a,b         the explicit subset Verify was run with; names outside
+                   it are skipped, names INSIDE it with no dump still FAIL
+  SKIP_MISSING=1   legacy alias: only honored together with ONLY (a
+                   registered query with no dump and no subset is a FAIL
+                   — a Spark-side throw must never shrink the denominator)
   OUT_JSON=path    also write a driver-style per-query verdict JSON
   EXCLUDE=a,b      skip these query names (oracles too slow at the
                    probed SF get excluded EXPLICITLY, never silently)
@@ -41,7 +44,17 @@ for t in TABLES:
     elif os.path.exists(p):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
+ONLY = set(x for x in os.environ.get("ONLY", "").split(",") if x)
+
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+
+# Verify records per-query Spark-side failures here; each one is a red
+# row regardless of any skip knob (round-7 lesson: stderr-only failures
+# plus SKIP_MISSING reported "250 ok" while 4 queries could not parse).
+spark_errors = {}
+err_path = f"{OUT}/_errors.json"
+if os.path.exists(err_path):
+    spark_errors = json.load(open(err_path))
 
 def canon(df):
     cols = sorted(df.columns)
@@ -68,10 +81,18 @@ for name, sql in sorted(oracle.items()):
     if name in EXCLUDE:
         print(f"  SKIP {name} (EXCLUDE)")
         continue
+    if ONLY and name not in ONLY and name not in spark_errors:
+        continue
+    if name in spark_errors:
+        print(f"  FAIL {name}: spark-side error: {spark_errors[name]}")
+        record(name, err=f"spark error: {spark_errors[name]}"[:300])
+        bad += 1
+        continue
     spark_dir = f"{OUT}/{name}"
     if not os.path.isdir(spark_dir):
-        if SKIP_MISSING:
-            continue
+        if SKIP_MISSING and not ONLY:
+            print(f"  WARN {name}: SKIP_MISSING without ONLY is ignored"
+                  " — missing dump is a FAIL")
         print(f"  MISSING spark output: {name}")
         record(name, err="missing spark output")
         bad += 1
@@ -80,12 +101,24 @@ for name, sql in sorted(oracle.items()):
     timeout = float(os.environ.get("ORACLE_TIMEOUT", "0") or 0)
     timer = None
     timed_out = []
-    if timeout > 0:
-        def _cut():
-            timed_out.append(True)
-            con.interrupt()
-        timer = threading.Timer(timeout, _cut)
-        timer.start()
+
+    def arm():
+        # Timer is armed only around ORACLE statements — an interrupt
+        # during the spark-dump scan must surface as an error, not be
+        # misrecorded as "oracle timeout".
+        global timer
+        if timeout > 0:
+            def _cut():
+                timed_out.append(True)
+                con.interrupt()
+            timer = threading.Timer(timeout, _cut)
+            timer.start()
+
+    def disarm():
+        global timer
+        if timer is not None:
+            timer.cancel()
+            timer = None
     try:
         BIG = int(os.environ.get("BIG_ROWS", "2000000"))
         src = f"read_parquet('{spark_dir}/*.parquet')"
@@ -97,18 +130,26 @@ for name, sql in sorted(oracle.items()):
             # one formatter, so int32/int64 width differences and float
             # rendering cannot diverge).
             scols = [r[0] for r in con.execute(f"DESCRIBE SELECT * FROM {src}").fetchall()]
+            arm()
             ocols = [r[0] for r in con.execute(f"DESCRIBE {sql}").fetchall()]
+            disarm()
             if sorted(scols) != sorted(ocols):
                 print(f"  FAIL {name}: columns spark={sorted(scols)} oracle={sorted(ocols)}")
                 record(name, spark_rows=n_spark)
                 bad += 1
                 continue
-            expr = " || '|' || ".join(
-                f"COALESCE(CAST(\"{c}\" AS VARCHAR), chr(1))" for c in sorted(scols))
+            # Multi-argument hash keeps the row encoding injective across
+            # column boundaries (a '|' or chr(1) INSIDE a value cannot
+            # collide with the delimiter); stringify each column through
+            # DuckDB's one formatter so int widths / float rendering agree.
+            expr = ", ".join(
+                f"CAST(\"{c}\" AS VARCHAR)" for c in sorted(scols))
             sh = con.execute(
                 f"SELECT count(*), SUM(hash({expr})) FROM {src}").fetchone()
+            arm()
             oh = con.execute(
                 f"SELECT count(*), SUM(hash({expr})) FROM ({sql})").fetchone()
+            disarm()
             if sh == oh:
                 print(f"  ok   {name} ({n_spark} rows, duckdb aggregate hash)"
                       f"  [{time.time()-t0:.1f}s]")
@@ -122,11 +163,11 @@ for name, sql in sorted(oracle.items()):
                        rows_match=sh[0] == oh[0], schema_match=True,
                        mode="aggregate-hash")
                 bad += 1
-            if timer is not None:
-                timer.cancel()
             continue
         sdf = con.execute(f"SELECT * FROM {src}").fetchdf()
+        arm()
         odf = con.execute(sql).fetchdf()
+        disarm()
     except Exception as e:
         if timed_out:
             print(f"  SKIP {name} (oracle timeout > {timeout:.0f}s)")
@@ -137,8 +178,7 @@ for name, sql in sorted(oracle.items()):
             bad += 1
         continue
     finally:
-        if timer is not None:
-            timer.cancel()
+        disarm()
     scols, srows = canon(sdf)
     ocols, orows = canon(odf)
     if scols != ocols:
@@ -186,6 +226,14 @@ for name, sql in sorted(oracle.items()):
     record(name, rows_match=True, schema_match=True, hash_match=True,
            spark_rows=len(srows), oracle_rows=len(orows))
     ok += 1
+
+# Spark-side failures on queries with no oracle entry (rows-only class)
+# are still red rows — _errors.json is authoritative for the whole map.
+for name, msg in sorted(spark_errors.items()):
+    if name not in oracle:
+        print(f"  FAIL {name}: spark-side error (rows-only query): {msg}")
+        record(name, err=f"spark error: {msg}"[:300])
+        bad += 1
 
 # queries without oracle → rows-only check
 for d in sorted(glob.glob(f"{OUT}/*/")):
