@@ -173,7 +173,16 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}"""
     }
-    val fullLine = render(results.sortBy(_._1).map { case (k, v) => k -> ms3(v) })
+    // Per-query executor task seconds (pass 1) ride along in the FULL
+    // record (bench_local.json + bench_history.jsonl) so a reader can
+    // arbitrate stalls (wall ≫ task/parallelism = host contention, not a
+    // plan regression) from the committed record without re-running
+    // TimeQ. The driver's bounded stdout line stays wall-only — the
+    // task dict would double its length and risk clipping.
+    val taskDict = taskSecOf.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + ms3(v) }.mkString("{", ",", "}")
+    val fullLine0 = render(results.sortBy(_._1).map { case (k, v) => k -> ms3(v) })
+    val fullLine = fullLine0.dropRight(1) + s""","task_sec":$taskDict}"""
     val line =
       if (fullLine.length <= 1800) fullLine
       else {

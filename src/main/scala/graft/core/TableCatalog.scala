@@ -149,6 +149,67 @@ final class TableCatalog(val root: String) extends Serializable {
     claimed.toMap
   }
 
+  /** Chained variant of [[publishAtomic]] for DERIVED layers (the
+    * medallion silver→gold dependency): each batch is a function of a
+    * resolver that reads tables staged EARLIER in the same transaction
+    * from their staged parquet — so gold is computed from the exact
+    * silver bytes this commit will publish, without publishing silver
+    * early and without recomputing the silver lineage. Tables not staged
+    * in this transaction resolve through the live catalog (e.g. an SCD2
+    * merge base = pre-transaction state). Commit semantics are identical:
+    * one ATOMIC_MOVE of the commit file publishes the whole chain;
+    * failure while staging leaves nothing published.
+    *
+    * Scale shape: staging IS the full write cost (same as committing
+    * each layer separately); the added cost is only metadata. Each
+    * staged layer is a materialization barrier, so a 1000-executor run
+    * writes silver once and reads it back for gold — no double compute,
+    * and the commit swap is a single rename regardless of data size. */
+  def publishAtomicChained(spark: SparkSession,
+      batches: Seq[TableCatalog.ChainedBatch]): Map[String, String] = {
+    require(batches.map(_.name).distinct.size == batches.size,
+      "publishAtomicChained: duplicate table names in one transaction")
+    val stagedSoFar = scala.collection.mutable.LinkedHashMap.empty[String, Path]
+    def resolver(n: String): DataFrame = stagedSoFar.get(n) match {
+      case Some(stage) => spark.read.parquet(stage.toString)
+      case None => read(spark, n)
+    }
+    // Phase 1 — stage each batch in dependency order, outside any lock.
+    val staged = batches.map { b =>
+      val dir = tableDir(b.name)
+      Files.createDirectories(dir)
+      val (dfGen, genChecks) = applyGenerated(b.build(resolver), b.name)
+      val (guarded, guard) = guardConstraints(dfGen, b.name, genChecks)
+      val stage = newStageDir(dir)
+      val w = guarded.write.mode("overwrite")
+      (if (b.partitionBy.nonEmpty) w.partitionBy(b.partitionBy: _*) else w)
+        .parquet(stage.toString)
+      enforceConstraints(guard, b.name, stage)
+      stagedSoFar(b.name) = stage
+      (b.name, dir, stage)
+    }
+    // Phases 2-4 — identical to publishAtomic: claim slots, one commit
+    // swap, pointer convergence.
+    val claimed = staged.map { case (name, dir, stage) =>
+      withCommitLock(dir) {
+        val v = "v%06d".format(nextVersion(dir))
+        Files.move(stage, dir.resolve(v), StandardCopyOption.ATOMIC_MOVE)
+        val ts = dir.resolve(v).resolve("_commit_ts")
+        if (!Files.exists(ts))
+          Files.writeString(ts, System.currentTimeMillis().toString)
+        name -> v
+      }
+    }
+    withCommitLock(Paths.get(root)) {
+      writeMultiCurrent(multiCurrent() ++ claimed)
+    }
+    claimed.foreach { case (name, v) =>
+      val dir = tableDir(name)
+      withCommitLock(dir) { repoint(dir, name, v) }
+    }
+    claimed.toMap
+  }
+
   /** Consistent multi-table read handle: pins the table→version map from
     * ONE atomic read of the commit file, so every table read through it
     * comes from the same [[publishAtomic]] transaction. Tables never
@@ -386,12 +447,26 @@ final class TableCatalog(val root: String) extends Serializable {
     val base = read(spark, name)
     val filtered = policy match {
       case Some(p) =>
-        val sql = p.replace("${principal}", principal)
+        // The principal is NEVER spliced into the SQL text: the policy is
+        // parsed with `${principal}` rewritten to a reserved string
+        // literal, and the principal value lands post-parse as a Literal
+        // node — so a principal like `x' OR '1'='1` is data, not syntax,
+        // and cannot rewrite the policy predicate.
+        val marker = "graft.rls.principal"
+        val sql = p
+          .replace("'${principal}'", s"'$marker'")
+          .replace("${principal}", s"'$marker'")
         // parse eagerly (classic `expr` defers to a lazy SqlExpression
         // node) so a policy referencing columns the table lacks fails
         // loudly HERE, not as a generic analysis error downstream
-        val parsed = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        val parsed0 = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
           .sessionState.sqlParser.parseExpression(sql)
+        val parsed = parsed0.transform {
+          case lit @ org.apache.spark.sql.catalyst.expressions.Literal(v, _)
+              if v != null && v.toString.contains(marker) =>
+            org.apache.spark.sql.catalyst.expressions.Literal(
+              v.toString.replace(marker, principal))
+        }
         parsed.collect {
           case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
             a.name
@@ -2006,4 +2081,14 @@ final class TableCatalog(val root: String) extends Serializable {
     try walk.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
     finally walk.close()
   }
+}
+
+object TableCatalog {
+  /** One table in a [[TableCatalog.publishAtomicChained]] transaction:
+    * `build` receives a resolver that reads same-transaction tables
+    * staged before this one (else the live catalog). */
+  final case class ChainedBatch(
+      name: String,
+      build: (String => org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame,
+      partitionBy: Seq[String] = Nil)
 }

@@ -47,69 +47,90 @@ object Pipeline {
   /** Silver company master (`medallion/silver/b2s_company_house.py:55-136`). */
   def silverCompanyMaster(spark: SparkSession, catalog: String, cat: TableCatalog,
       clock: Clock = Clock.Wall): Unit = {
-    val overview = cat.read(spark, s"$catalog.bronze.overview")
-    val officers = cat.read(spark, s"$catalog.bronze.officers")
-    val filings = cat.read(spark, s"$catalog.bronze.filing_history")
-    val master = Master.companyMaster(
-      Master.cleanOverview(overview),
-      Master.officerSummary(officers),
-      Master.filingSummary(filings),
-      clock)
-    cat.overwrite(master, s"$catalog.silver.company_master", partitionBy = Seq("company_status"))
+    val b = silverCompanyMasterBatch(catalog, clock)
+    cat.overwrite(b.build(n => cat.read(spark, n)), b.name, b.partitionBy)
   }
+
+  private def silverCompanyMasterBatch(catalog: String, clock: Clock) =
+    TableCatalog.ChainedBatch(s"$catalog.silver.company_master", read => {
+      Master.companyMaster(
+        Master.cleanOverview(read(s"$catalog.bronze.overview")),
+        Master.officerSummary(read(s"$catalog.bronze.officers")),
+        Master.filingSummary(read(s"$catalog.bronze.filing_history")),
+        clock)
+    }, partitionBy = Seq("company_status"))
 
   /** Silver SCD2 for YFinance tables (`medallion/silver/b2s_yfinance.py:66-190`). */
   def silverScd2(spark: SparkSession, conf: SilverConf, cat: TableCatalog,
-      clock: Clock = Clock.Wall): Unit = {
-    conf.tables.foreach { t =>
-      val src0 = cat.read(spark, s"${conf.catalog}.${conf.sourceSchema}.${t.name}")
-      val src = Quality.nonNegativeNumerics(Quality.requireKeys(src0, t.businessKeys))
-      val scd = new Scd2(t.businessKeys, t.trackedColumns,
-        ScdColumns(hash = t.hashColumn), clock)
-      val targetName = s"${conf.catalog}.${conf.targetSchema}.${t.name}"
-      val target = if (cat.exists(targetName)) Some(cat.read(spark, targetName)) else None
-      cat.overwrite(scd(target, src), targetName)
+      clock: Clock = Clock.Wall): Unit =
+    silverScd2Batches(spark, conf, cat, clock).foreach { b =>
+      cat.overwrite(b.build(n => cat.read(spark, n)), b.name, b.partitionBy)
     }
-  }
+
+  private def silverScd2Batches(spark: SparkSession, conf: SilverConf,
+      cat: TableCatalog, clock: Clock): Seq[TableCatalog.ChainedBatch] =
+    conf.tables.map { t =>
+      val targetName = s"${conf.catalog}.${conf.targetSchema}.${t.name}"
+      TableCatalog.ChainedBatch(targetName, read => {
+        val src0 = read(s"${conf.catalog}.${conf.sourceSchema}.${t.name}")
+        val src = Quality.nonNegativeNumerics(Quality.requireKeys(src0, t.businessKeys))
+        val scd = new Scd2(t.businessKeys, t.trackedColumns,
+          ScdColumns(hash = t.hashColumn), clock)
+        // merge base = pre-transaction state (the live catalog, never a
+        // same-transaction staging — SCD2 folds onto published history)
+        val target = if (cat.exists(targetName)) Some(cat.read(spark, targetName)) else None
+        scd(target, src)
+      })
+    }
 
   /** Gold: promote + dimensions (current snapshot, clustered) + facts
     * with KPIs (`medallion/gold/s2g.py:58-156`). */
-  def gold(spark: SparkSession, conf: GoldConf, cat: TableCatalog): Unit = {
-    def silverTable(n: String): DataFrame =
-      cat.read(spark, s"${conf.catalog}.${conf.sourceSchema}.$n")
+  def gold(spark: SparkSession, conf: GoldConf, cat: TableCatalog): Unit =
+    goldBatches(conf).foreach { b =>
+      cat.overwrite(b.build(n => cat.read(spark, n)), b.name, b.partitionBy)
+    }
 
-    conf.promoteTables.foreach { t =>
-      cat.overwrite(Gold.dropTechnical(silverTable(t)), s"${conf.catalog}.${conf.targetSchema}.$t")
+  private def goldBatches(conf: GoldConf): Seq[TableCatalog.ChainedBatch] = {
+    def silverName(n: String) = s"${conf.catalog}.${conf.sourceSchema}.$n"
+    def cluster(df: DataFrame): DataFrame =
+      if (df.columns.contains("company_number")) Gold.clusterBy(df, Seq("company_number"))
+      else df
+    val promoted = conf.promoteTables.map { t =>
+      TableCatalog.ChainedBatch(s"${conf.catalog}.${conf.targetSchema}.$t",
+        read => Gold.dropTechnical(read(silverName(t))))
     }
-    conf.dimensions.foreach { d =>
-      val df = Gold.dropTechnical(Gold.currentOnly(silverTable(d)))
-      val clustered =
-        if (df.columns.contains("company_number")) Gold.clusterBy(df, Seq("company_number"))
-        else df
-      cat.overwrite(clustered, s"${conf.catalog}.${conf.targetSchema}.dim_$d")
+    val dims = conf.dimensions.map { d =>
+      TableCatalog.ChainedBatch(s"${conf.catalog}.${conf.targetSchema}.dim_$d",
+        read => cluster(Gold.dropTechnical(Gold.currentOnly(read(silverName(d))))))
     }
-    conf.facts.foreach { f =>
-      var df = Gold.dropTechnical(Gold.currentOnly(silverTable(f.sourceTable)))
-      if (f.name == "fact_fundamentals")
-        df = Gold.fundamentalsKpis(df, orderCols = Seq(f.dateColumn))
-      val clustered =
-        if (df.columns.contains("company_number")) Gold.clusterBy(df, Seq("company_number"))
-        else df
-      cat.overwrite(clustered, s"${conf.catalog}.${conf.targetSchema}.${f.name}",
-        partitionBy = f.partitionBy)
+    val facts = conf.facts.map { f =>
+      TableCatalog.ChainedBatch(s"${conf.catalog}.${conf.targetSchema}.${f.name}",
+        read => {
+          var df = Gold.dropTechnical(Gold.currentOnly(read(silverName(f.sourceTable))))
+          if (f.name == "fact_fundamentals")
+            df = Gold.fundamentalsKpis(df, orderCols = Seq(f.dateColumn))
+          cluster(df)
+        }, partitionBy = f.partitionBy)
     }
+    promoted ++ dims ++ facts
   }
 
-  /** Sequential fail-fast orchestration (`main.py:29-40`): any layer
-    * exception aborts the remainder. */
+  /** Fail-fast orchestration (`main.py:29-40`): bronze lands per-table
+    * (raw ingest, no cross-table invariant), then silver AND gold stage
+    * in dependency order and publish in ONE multi-table atomic commit
+    * ([[TableCatalog.publishAtomicChained]]) — a [[TableCatalog.snapshot]]
+    * reader never observes new silver with stale gold, which the
+    * reference's sequential Delta writes cannot guarantee. Gold builds
+    * from the exact staged silver bytes (no early publish, no double
+    * compute); any layer exception aborts with nothing published. */
   def run(spark: SparkSession,
       bronzeCh: BronzeConf, bronzeYf: BronzeConf,
       silverYf: SilverConf, goldConf: GoldConf,
       cat: TableCatalog, clock: Clock = Clock.Wall): Unit = {
     bronzeCompanyHouse(spark, bronzeCh, cat)
     bronzeYFinance(spark, bronzeYf, cat)
-    silverCompanyMaster(spark, bronzeCh.catalog, cat, clock)
-    silverScd2(spark, silverYf, cat, clock)
-    gold(spark, goldConf, cat)
+    cat.publishAtomicChained(spark,
+      silverCompanyMasterBatch(bronzeCh.catalog, clock) +:
+        (silverScd2Batches(spark, silverYf, cat, clock) ++ goldBatches(goldConf)))
   }
 }

@@ -2730,8 +2730,11 @@ object Extensions {
 
   /** Kaplan–Meier churn-survival curve over user activity spans
     * ([[Analytics.kaplanMeier]]): a user whose last event precedes the
-    * corpus end by ≥ 7 days is an observed churn at their last active
-    * day (duration = first→last activity); later-active users are
+    * corpus end by ≥ 1 day is an observed churn at their last active
+    * day (duration = first→last activity; the 1-day horizon keeps the
+    * curve non-empty at every probed SF — the events corpus spans ~30
+    * days, so a ≥7-day horizon censored EVERY sf0.01 user and the
+    * oracle gate was vacuous); later-active users are
     * right-censored at observation end. Durations are integer days so
     * the risk-set arithmetic is exact; the survival product folds the
     * sorted factor list left-to-right on both engines (DuckDB
@@ -2745,11 +2748,11 @@ object Extensions {
       .agg(to_date(min("ts")).as("first_d"), to_date(max("ts")).as("last_d"))
       .crossJoin(broadcast(end))
       .select(
-        when(datediff(col("obs_end"), col("last_d")) >= 7,
+        when(datediff(col("obs_end"), col("last_d")) >= 1,
           datediff(col("last_d"), col("first_d")))
           .otherwise(datediff(col("obs_end"), col("first_d")))
           .cast(LongType).as("dur"),
-        (datediff(col("obs_end"), col("last_d")) >= 7).as("churned"))
+        (datediff(col("obs_end"), col("last_d")) >= 1).as("churned"))
     Analytics.kaplanMeier(subj, "dur", "churned")
   }
 
@@ -2997,12 +3000,17 @@ object Extensions {
   /** CTE computing per-doc distinct trigram shingles + counts. */
   /** Co-purchase graph shared by x_triangles / x_pagerank: users joined
     * by ≥5 common purchase keys; `edges` has (a, b) with a < b. */
+  // MATERIALIZED: DuckDB inlines a CTE at every reference, and the
+  // unrolled graph rounds reference their predecessor twice — without
+  // materialization the edge build re-inlines once per reference per
+  // round (exponential; the r7 sf1 campaign timed five of these oracles
+  // out at >240 s; materialized they run in seconds).
   private val coPurchaseCte =
-    """uk AS (
+    """uk AS MATERIALIZED (
          SELECT DISTINCT user_id,
            CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
          FROM events WHERE event_type = 'purchase'),
-       edges AS (
+       edges AS MATERIALIZED (
          SELECT x.user_id AS a, y.user_id AS b, count(*) AS shared
          FROM uk x JOIN uk y ON x.k = y.k AND x.user_id < y.user_id
          GROUP BY 1, 2 HAVING count(*) >= 5)"""
@@ -3035,7 +3043,7 @@ object Extensions {
         WHERE CAST(inter AS DOUBLE) / CAST(ca.nsh + cb.nsh - inter AS DOUBLE) >= $threshold"""
   /** CTE with embeddings + serial-fold norms. */
   private val normCte =
-    s"""ne AS (SELECT vec_id, label, embedding,
+    s"""ne AS MATERIALIZED (SELECT vec_id, label, embedding,
           sqrt(${dotD("embedding", "embedding")}) AS nrm
         FROM embeddings)"""
 
@@ -3302,10 +3310,10 @@ object Extensions {
          FROM q""",
     "x_modularity" ->
       s"""WITH $coPurchaseCte,
-           nodes AS (SELECT DISTINCT v FROM
+           nodes AS MATERIALIZED (SELECT DISTINCT v FROM
              (SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges)),
-           asg AS (SELECT v, v % 4 AS community FROM nodes),
-           mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM edges),
+           asg AS MATERIALIZED (SELECT v, v % 4 AS community FROM nodes),
+           mm AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS m FROM edges),
            ein AS (SELECT x.community AS community,
                CAST(count(*) AS BIGINT) AS e_in
              FROM edges e JOIN asg x ON e.a = x.v JOIN asg y ON e.b = y.v
@@ -3352,11 +3360,11 @@ object Extensions {
            oe AS (SELECT MAX(dd) AS obs_end FROM ed),
            subj AS (SELECT user_id,
                CASE WHEN date_diff('day', MAX(dd),
-                   (SELECT obs_end FROM oe)) >= 7
+                   (SELECT obs_end FROM oe)) >= 1
                  THEN date_diff('day', MIN(dd), MAX(dd))
                  ELSE date_diff('day', MIN(dd), (SELECT obs_end FROM oe))
                  END AS dur,
-               date_diff('day', MAX(dd), (SELECT obs_end FROM oe)) >= 7
+               date_diff('day', MAX(dd), (SELECT obs_end FROM oe)) >= 1
                  AS churned
              FROM ed GROUP BY user_id),
            bytime AS (SELECT CAST(dur AS BIGINT) AS t,
@@ -4354,17 +4362,17 @@ object Extensions {
          GROUP BY g.doc_id""",
     "d_semantic_keep" ->
       s"""WITH RECURSIVE $normCte,
-          p AS (
+          p AS MATERIALIZED (
             SELECT x.vec_id AS a, y.vec_id AS b
             FROM ne x JOIN ne y ON x.label = y.label AND x.vec_id < y.vec_id
             WHERE ${dotD("x.embedding", "y.embedding")} / (x.nrm * y.nrm) >= 0.4),
-          edges AS (SELECT a AS src, b AS dst FROM p
+          edges AS MATERIALIZED (SELECT a AS src, b AS dst FROM p
                     UNION SELECT b, a FROM p),
           reach(node, r) AS (
             SELECT DISTINCT src, src FROM edges
             UNION
             SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node),
-          cc AS (SELECT node, MIN(r) AS label FROM reach GROUP BY node)
+          cc AS MATERIALIZED (SELECT node, MIN(r) AS label FROM reach GROUP BY node)
           SELECT v.vec_id,
             coalesce(cc.label, v.vec_id) AS cluster,
             coalesce(cc.label, v.vec_id) = v.vec_id AS keep
@@ -5182,7 +5190,7 @@ object Extensions {
       // side's degree-ordered orientation finds the same triangle set
       // (orientation only changes WHERE each triangle is discovered).
       s"""WITH $coPurchaseCte,
-         tri AS (
+         tri AS MATERIALIZED (
            SELECT e1.a AS x, e1.b AS y, e2.b AS z
            FROM edges e1 JOIN edges e2 ON e1.b = e2.a
            JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b)
@@ -5196,19 +5204,19 @@ object Extensions {
       // the same two points (per-source share, damping) makes every
       // intermediate a bit-exact BIGINT in both engines.
       s"""WITH $coPurchaseCte,
-         und AS (SELECT a AS u, b AS v FROM edges
+         und AS MATERIALIZED (SELECT a AS u, b AS v FROM edges
                  UNION ALL SELECT b, a FROM edges),
-         deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY 1),
-         p0 AS (SELECT u, CAST(1000000000000 AS BIGINT) AS pr FROM deg),
-         c1 AS (SELECT und.v AS u, CAST(SUM(p0.pr // d.deg) AS BIGINT) AS s
+         deg AS MATERIALIZED (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY 1),
+         p0 AS MATERIALIZED (SELECT u, CAST(1000000000000 AS BIGINT) AS pr FROM deg),
+         c1 AS MATERIALIZED (SELECT und.v AS u, CAST(SUM(p0.pr // d.deg) AS BIGINT) AS s
                 FROM und JOIN deg d USING (u) JOIN p0 USING (u) GROUP BY 1),
-         p1 AS (SELECT u, CAST(150000000000 + 85 * (s // 100)
+         p1 AS MATERIALIZED (SELECT u, CAST(150000000000 + 85 * (s // 100)
                   + (85 * (s % 100)) // 100 AS BIGINT) AS pr FROM c1),
-         c2 AS (SELECT und.v AS u, CAST(SUM(p1.pr // d.deg) AS BIGINT) AS s
+         c2 AS MATERIALIZED (SELECT und.v AS u, CAST(SUM(p1.pr // d.deg) AS BIGINT) AS s
                 FROM und JOIN deg d USING (u) JOIN p1 USING (u) GROUP BY 1),
-         p2 AS (SELECT u, CAST(150000000000 + 85 * (s // 100)
+         p2 AS MATERIALIZED (SELECT u, CAST(150000000000 + 85 * (s // 100)
                   + (85 * (s % 100)) // 100 AS BIGINT) AS pr FROM c2),
-         c3 AS (SELECT und.v AS u, CAST(SUM(p2.pr // d.deg) AS BIGINT) AS s
+         c3 AS MATERIALIZED (SELECT und.v AS u, CAST(SUM(p2.pr // d.deg) AS BIGINT) AS s
                 FROM und JOIN deg d USING (u) JOIN p2 USING (u) GROUP BY 1),
          p3 AS (SELECT u, CAST(150000000000 + 85 * (s // 100)
                   + (85 * (s % 100)) // 100 AS BIGINT) AS pr FROM c3)
@@ -5218,19 +5226,19 @@ object Extensions {
       // integer hops, min-merge per round — every intermediate is a
       // BIGINT in both engines.
       s"""WITH $coPurchaseCte,
-         und AS (SELECT a AS u, b AS v FROM edges
+         und AS MATERIALIZED (SELECT a AS u, b AS v FROM edges
                  UNION ALL SELECT b, a FROM edges),
-         d0 AS (SELECT DISTINCT u AS v, CAST(0 AS BIGINT) AS dist
+         d0 AS MATERIALIZED (SELECT DISTINCT u AS v, CAST(0 AS BIGINT) AS dist
                 FROM und WHERE u % 97 = 0),
-         d1 AS (SELECT v, MIN(dist) AS dist FROM (
+         d1 AS MATERIALIZED (SELECT v, MIN(dist) AS dist FROM (
                   SELECT * FROM d0 UNION ALL
                   SELECT und.v, d0.dist + 1 FROM d0 JOIN und ON d0.v = und.u)
                 GROUP BY 1),
-         d2 AS (SELECT v, MIN(dist) AS dist FROM (
+         d2 AS MATERIALIZED (SELECT v, MIN(dist) AS dist FROM (
                   SELECT * FROM d1 UNION ALL
                   SELECT und.v, d1.dist + 1 FROM d1 JOIN und ON d1.v = und.u)
                 GROUP BY 1),
-         d3 AS (SELECT v, MIN(dist) AS dist FROM (
+         d3 AS MATERIALIZED (SELECT v, MIN(dist) AS dist FROM (
                   SELECT * FROM d2 UNION ALL
                   SELECT und.v, d2.dist + 1 FROM d2 JOIN und ON d2.v = und.u)
                 GROUP BY 1),
@@ -5245,25 +5253,25 @@ object Extensions {
       // vertices with zero remaining edges (absent from the count) peel
       // via COALESCE — all-integer, so the hash matches bit-for-bit.
       s"""WITH $coPurchaseCte,
-         und AS (SELECT a AS u, b AS v FROM edges
+         und AS MATERIALIZED (SELECT a AS u, b AS v FROM edges
                  UNION ALL SELECT b, a FROM edges),
-         v0 AS (SELECT DISTINCT u FROM und),
-         d1 AS (SELECT u, count(*) AS deg FROM und GROUP BY 1),
-         p1 AS (SELECT v0.u FROM v0 LEFT JOIN d1 USING (u)
+         v0 AS MATERIALIZED (SELECT DISTINCT u FROM und),
+         d1 AS MATERIALIZED (SELECT u, count(*) AS deg FROM und GROUP BY 1),
+         p1 AS MATERIALIZED (SELECT v0.u FROM v0 LEFT JOIN d1 USING (u)
                 WHERE COALESCE(deg, 0) < 3),
-         r1 AS (SELECT u FROM v0 EXCEPT SELECT u FROM p1),
-         d2 AS (SELECT und.u, count(*) AS deg FROM und
+         r1 AS MATERIALIZED (SELECT u FROM v0 EXCEPT SELECT u FROM p1),
+         d2 AS MATERIALIZED (SELECT und.u, count(*) AS deg FROM und
                 JOIN r1 ra ON und.u = ra.u JOIN r1 rb ON und.v = rb.u
                 GROUP BY 1),
-         p2 AS (SELECT r1.u FROM r1 LEFT JOIN d2 USING (u)
+         p2 AS MATERIALIZED (SELECT r1.u FROM r1 LEFT JOIN d2 USING (u)
                 WHERE COALESCE(deg, 0) < 3),
-         r2 AS (SELECT u FROM r1 EXCEPT SELECT u FROM p2),
-         d3 AS (SELECT und.u, count(*) AS deg FROM und
+         r2 AS MATERIALIZED (SELECT u FROM r1 EXCEPT SELECT u FROM p2),
+         d3 AS MATERIALIZED (SELECT und.u, count(*) AS deg FROM und
                 JOIN r2 ra ON und.u = ra.u JOIN r2 rb ON und.v = rb.u
                 GROUP BY 1),
-         p3 AS (SELECT r2.u FROM r2 LEFT JOIN d3 USING (u)
+         p3 AS MATERIALIZED (SELECT r2.u FROM r2 LEFT JOIN d3 USING (u)
                 WHERE COALESCE(deg, 0) < 3),
-         r3 AS (SELECT u FROM r2 EXCEPT SELECT u FROM p3),
+         r3 AS MATERIALIZED (SELECT u FROM r2 EXCEPT SELECT u FROM p3),
          d4 AS (SELECT und.u, count(*) AS deg FROM und
                 JOIN r3 ra ON und.u = ra.u JOIN r3 rb ON und.v = rb.u
                 GROUP BY 1),
@@ -5417,22 +5425,22 @@ object Extensions {
       // label counts, argmax with (count DESC, label) tie-break, own
       // label kept when no neighbor messages arrive.
       s"""WITH $coPurchaseCte,
-         und AS (SELECT a AS u, b AS v FROM edges
+         und AS MATERIALIZED (SELECT a AS u, b AS v FROM edges
                  UNION ALL SELECT b, a FROM edges),
-         l0 AS (SELECT DISTINCT u AS node, u AS label FROM und),
+         l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label FROM und),
          c1 AS (SELECT und.v, l0.label, count(*) AS cnt
                 FROM und JOIN l0 ON und.u = l0.node GROUP BY 1, 2),
          p1 AS (SELECT v AS node, label AS nlabel FROM (
                   SELECT *, ROW_NUMBER() OVER (PARTITION BY v
                     ORDER BY cnt DESC, label) AS rn FROM c1) WHERE rn = 1),
-         l1 AS (SELECT l0.node, COALESCE(nlabel, label) AS label
+         l1 AS MATERIALIZED (SELECT l0.node, COALESCE(nlabel, label) AS label
                 FROM l0 LEFT JOIN p1 USING (node)),
          c2 AS (SELECT und.v, l1.label, count(*) AS cnt
                 FROM und JOIN l1 ON und.u = l1.node GROUP BY 1, 2),
          p2 AS (SELECT v AS node, label AS nlabel FROM (
                   SELECT *, ROW_NUMBER() OVER (PARTITION BY v
                     ORDER BY cnt DESC, label) AS rn FROM c2) WHERE rn = 1),
-         l2 AS (SELECT l1.node, COALESCE(nlabel, label) AS label
+         l2 AS MATERIALIZED (SELECT l1.node, COALESCE(nlabel, label) AS label
                 FROM l1 LEFT JOIN p2 USING (node)),
          c3 AS (SELECT und.v, l2.label, count(*) AS cnt
                 FROM und JOIN l2 ON und.u = l2.node GROUP BY 1, 2),
@@ -5446,21 +5454,21 @@ object Extensions {
       // Exact replay of the four weighted relaxations: integer costs
       // (w = max(1, 10 - shared)), min-merge per round.
       s"""WITH $coPurchaseCte,
-         ew AS (SELECT a, b,
+         ew AS MATERIALIZED (SELECT a, b,
                   GREATEST(CAST(1 AS BIGINT), 10 - shared) AS w FROM edges),
-         und AS (SELECT a AS u, b AS v, w FROM ew
+         und AS MATERIALIZED (SELECT a AS u, b AS v, w FROM ew
                  UNION ALL SELECT b, a, w FROM ew),
-         c0 AS (SELECT DISTINCT u AS v, CAST(0 AS BIGINT) AS cost
+         c0 AS MATERIALIZED (SELECT DISTINCT u AS v, CAST(0 AS BIGINT) AS cost
                 FROM und WHERE u % 97 = 0),
-         c1 AS (SELECT v, MIN(cost) AS cost FROM (
+         c1 AS MATERIALIZED (SELECT v, MIN(cost) AS cost FROM (
                   SELECT * FROM c0 UNION ALL
                   SELECT und.v, c0.cost + und.w FROM c0 JOIN und ON c0.v = und.u)
                 GROUP BY 1),
-         c2 AS (SELECT v, MIN(cost) AS cost FROM (
+         c2 AS MATERIALIZED (SELECT v, MIN(cost) AS cost FROM (
                   SELECT * FROM c1 UNION ALL
                   SELECT und.v, c1.cost + und.w FROM c1 JOIN und ON c1.v = und.u)
                 GROUP BY 1),
-         c3 AS (SELECT v, MIN(cost) AS cost FROM (
+         c3 AS MATERIALIZED (SELECT v, MIN(cost) AS cost FROM (
                   SELECT * FROM c2 UNION ALL
                   SELECT und.v, c2.cost + und.w FROM c2 JOIN und ON c2.v = und.u)
                 GROUP BY 1),
@@ -5508,25 +5516,34 @@ object Extensions {
           FROM fpt LEFT JOIN rolled ON fpt.doc_id = rolled.doc_id"""
     },
     "x_skyline" ->
-      // literal dominance definition; the Spark side's windowed two-phase
-      // plan must produce exactly this set (ties included)
+      // Dominance resolved by the O(n log n) sweep, not the literal
+      // O(n^2) NOT EXISTS (which timed out at sf1): a point survives iff
+      // its odate is its price-group maximum AND strictly above the max
+      // odate over all strictly-higher prices (m1). Equivalence to the
+      // pairwise definition is exact, ties included: equal (price,odate)
+      // duplicates never strictly dominate each other, and any dominator
+      // is accounted by either m1 (higher price) or the group max (same
+      // price, higher odate). ISO date strings compare chronologically.
       """WITH o AS (
            SELECT o_orderkey,
              CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
              CAST(o_orderdate AS VARCHAR) AS odate
-           FROM orders)
-         SELECT o_orderkey, price, odate FROM o
-         WHERE NOT EXISTS (
-           SELECT 1 FROM o o2
-           WHERE o2.price >= o.price AND o2.odate >= o.odate
-             AND (o2.price > o.price OR o2.odate > o.odate))""",
+           FROM orders),
+         g AS (SELECT price, max(odate) AS gmax FROM o GROUP BY price),
+         s AS (SELECT price, gmax,
+             MAX(gmax) OVER (ORDER BY price DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m1
+           FROM g)
+         SELECT o.o_orderkey, o.price, o.odate
+         FROM o JOIN s ON o.price = s.price AND o.odate = s.gmax
+         WHERE s.m1 IS NULL OR s.m1 < s.gmax""",
     "x_hierarchy" ->
       // Recursive CTE walks each pointer chain one step per level; the
       // Spark side covers the same chains in log-many doubling rounds.
       s"""WITH RECURSIVE $coPurchaseCte,
-         und AS (SELECT a AS u, b AS v FROM edges
+         und AS MATERIALIZED (SELECT a AS u, b AS v FROM edges
                  UNION ALL SELECT b, a FROM edges),
-         parents AS (
+         parents AS MATERIALIZED (
            SELECT u, coalesce(MIN(CASE WHEN v < u THEN v END), u) AS p
            FROM und GROUP BY u),
          walk(u, cur, d) AS (

@@ -94,6 +94,30 @@ class CatalogGovernanceSpec extends SparkSpec {
     assert(cat2.readAs(spark, "gov.sales", "anyone").count() === 3)
   }
 
+  test("row-level security: a hostile principal is data, not SQL") {
+    val cat = freshCat("rlsinj")
+    val rows = Seq(
+      (1L, "acme", 100L), (2L, "acme", 70L), (3L, "globex", 50L))
+      .toDF("id", "tenant", "amount")
+    cat.overwrite(rows, "gov.sales")
+    cat.setProperty("gov.sales", "rls.default", "tenant = '${principal}'")
+    // classic injection: would rewrite the predicate to TRUE if the
+    // principal were spliced into the SQL text
+    assert(cat.readAs(spark, "gov.sales", "x' OR '1'='1").count() === 0)
+    assert(cat.readAs(spark, "gov.sales", "acme' OR tenant = 'globex")
+      .count() === 0)
+    // a principal that IS a legitimate tenant still resolves normally
+    assert(cat.readAs(spark, "gov.sales", "globex").count() === 1)
+    // unquoted placeholder form: still literal-substituted, not spliced
+    cat.setProperty("gov.sales", "rls.default", "tenant = ${principal}")
+    assert(cat.readAs(spark, "gov.sales", "1 OR 1=1").count() === 0)
+    assert(cat.readAs(spark, "gov.sales", "acme").count() === 2)
+    // composed-literal form keeps substring substitution
+    cat.setProperty("gov.sales", "rls.default",
+      "tenant = concat('ac', '${principal}')")
+    assert(cat.readAs(spark, "gov.sales", "me").count() === 2)
+  }
+
   test("export manifest: pins the version's files; read survives later writes") {
     val cat = freshCat("manifest")
     val v1 = spark.range(0, 100).select(col("id"),

@@ -221,6 +221,99 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("silver+gold publish atomically: a racing snapshot reader never sees a torn layer pair") {
+    // The derivation invariant gold ≡ dropTechnical(currentOnly(silver))
+    // must hold under EVERY snapshot a racing reader takes while the
+    // pipeline republishes both layers — the guarantee sequential
+    // per-table publishes (reference main.py:32-38) cannot give, and the
+    // reason run() routes silver+gold through publishAtomicChained.
+    import graft.ops.Gold
+    val root = Files.createTempDirectory("graft-atomic")
+    val yf = root.resolve("raw/yfinance")
+    def tradingCsv(rows: Seq[String]): Unit = write(
+      yf.resolve("trading_data/part0.csv"),
+      ("company_number,ticker,date,open,high,low,close,adj_close,volume,ingestion_date"
+        +: rows).mkString("", "\n", "\n"))
+    tradingCsv(Seq("00000001,ALP,2026-01-05,10.0,11.0,9.5,10.5,10.5,1000,2026-01-06"))
+
+    val cat = new TableCatalog(root.resolve("warehouse").toString)
+    val bronzeYf = BronzeConf("companies", "bronze", yf.toString, "csv",
+      Seq(BronzeTableConf("trading_data", "trading_data/*.csv")))
+    val silverYf = SilverConf("companies", "bronze", "silver", Seq(
+      ScdTableConf("trading_data", Seq("company_number", "date"),
+        Seq("open", "high", "low", "close", "adj_close", "volume"))))
+    val goldConf = GoldConf("companies", "silver", "gold",
+      promoteTables = Nil, dimensions = Nil,
+      facts = Seq(FactConf("fact_trading", "trading_data", "date", Nil)))
+    def runOnce(day: String): Unit = {
+      Pipeline.bronzeYFinance(spark, bronzeYf, cat)
+      cat.publishAtomicChained(spark, Seq(
+        TableCatalog.ChainedBatch("companies.silver.trading_data", read => {
+          val src0 = read("companies.bronze.trading_data")
+          val src = graft.ops.Quality.nonNegativeNumerics(
+            graft.ops.Quality.requireKeys(src0, Seq("company_number", "date")))
+          val scd = new graft.scd.Scd2(Seq("company_number", "date"),
+            Seq("open", "high", "low", "close", "adj_close", "volume"),
+            graft.scd.ScdColumns(), Clock.fixed(day))
+          val target =
+            if (cat.exists("companies.silver.trading_data"))
+              Some(cat.read(spark, "companies.silver.trading_data"))
+            else None
+          scd(target, src)
+        }),
+        TableCatalog.ChainedBatch("companies.gold.fact_trading", read =>
+          Gold.dropTechnical(Gold.currentOnly(
+            read("companies.silver.trading_data"))))))
+    }
+    runOnce("2026-01-10")
+
+    def canon(df: org.apache.spark.sql.DataFrame): Set[String] = {
+      val cols = df.columns.sorted.toSeq
+      df.select(cols.map(col): _*).collect().map(_.toSeq.map {
+        case null => "<null>"; case v => v.toString }.mkString("")).toSet
+    }
+    val torn = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val samples = new java.util.concurrent.atomic.AtomicInteger(0)
+    val reader = new Thread(() => {
+      while (!stop.get() && torn.get() == null) {
+        val snap = cat.snapshot()
+        val silver = snap.read(spark, "companies.silver.trading_data")
+        val gold = snap.read(spark, "companies.gold.fact_trading")
+        val want = canon(Gold.dropTechnical(Gold.currentOnly(silver)))
+        val got = canon(gold)
+        if (got != want)
+          torn.set(s"snapshot tore: gold=${got.size} rows vs derived=${want.size}"
+            + s"\n  gold-only: ${(got -- want).take(3)}"
+            + s"\n  derived-only: ${(want -- got).take(3)}")
+        samples.incrementAndGet()
+      }
+    })
+    reader.start()
+    try {
+      // republish repeatedly with data that changes the row sets so any
+      // mixed-generation pair is observable
+      var close = 20.0
+      for (i <- 2 to 5) {
+        tradingCsv(Seq(
+          "00000001,ALP,2026-01-05,10.0,11.0,9.5,10.5,10.5,1000,2026-01-06",
+          s"00000001,ALP,2026-01-0$i,10.5,12.0,10.0,$close,$close,1500,2026-02-01"))
+        close += 1.0
+        runOnce(s"2026-02-0$i")
+      }
+    } finally {
+      stop.set(true)
+      reader.join(30000)
+    }
+    assert(torn.get() == null, String.valueOf(torn.get()))
+    assert(samples.get() > 0, "racing reader never sampled")
+    // final state sanity: the last commit is visible and consistent
+    val snap = cat.snapshot()
+    assert(canon(snap.read(spark, "companies.gold.fact_trading")) ==
+      canon(Gold.dropTechnical(Gold.currentOnly(
+        snap.read(spark, "companies.silver.trading_data")))))
+  }
+
   test("compaction rewrites many small files into few, content intact") {
     import spark.implicits._
     val cat = new TableCatalog(
