@@ -250,6 +250,102 @@ object Extensions {
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.jaccardPairs(docs(spark, sfDir), 0.5)
 
+  /** MinHash estimator fidelity — "measure, don't guess" for the LSH
+    * stack: on every TRUE near-dup pair (exact Jaccard ≥ 0.5, the
+    * [[ngramJaccard]] ground truth), compare the k=64 signature-agreement
+    * estimate (agree/k — the unbiased estimator [[Dedup.minHashNearDups]]
+    * gates on) against the exact similarity. The per-pair |error| is the
+    * empirical check of the ±1/√k sampling bound that justifies the
+    * production two-stage verify. Integer agree counts + two mirrored
+    * divisions keep the doubles bit-identical cross-engine; the oracle
+    * replays shingle→polyHash→64 affine permutations→minima in SQL, so
+    * one wrong constant anywhere in the signature path breaks the hash.
+    * Scale shape: pair set is the (already-bounded) exact near-dup
+    * relation; signatures join by doc key — two broadcastable-or-keyed
+    * joins, no new pair space. */
+  def minhashFidelity(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val sigs = Dedup.signatureIndex(d).select(col("doc_id"), col("sig"))
+    Dedup.jaccardPairs(d, 0.5)
+      .join(sigs.select(col("doc_id").as("a"), col("sig").as("siga")), Seq("a"))
+      .join(sigs.select(col("doc_id").as("b"), col("sig").as("sigb")), Seq("b"))
+      .withColumn("agree", aggregate(
+        zip_with(col("siga"), col("sigb"),
+          (x, y) => when(x === y, 1L).otherwise(0L)),
+        lit(0L), (acc, v) => acc + v))
+      .select(col("a"), col("b"), col("inter"),
+        col("jaccard").as("exact_j"), col("agree"),
+        (col("agree").cast(DoubleType) / lit(64.0)).as("est_j"),
+        abs(col("agree").cast(DoubleType) / lit(64.0) - col("jaccard"))
+          .as("abs_err"))
+  }
+
+  /** Dedup impact report per source — the "what did dedup buy us" line
+    * every curation run reads before training: over the planted-copy
+    * corpus ([[docsWithDups]]), docs/tokens before vs after exact dedup
+    * (keeper = min doc_id per identical text — the [[exactDedup]]
+    * convention) and the kept-token fraction. One text-keyed aggregate +
+    * one source-keyed rollup; at 100 TB the text key becomes sha256 but
+    * the shape is unchanged. */
+  def dedupImpact(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docsWithDups(spark, sfDir).select(col("doc_id"), col("source"),
+      col("text"), size(TextKit.words(col("text"))).cast(LongType).as("t"))
+    val keep = d.groupBy("text").agg(min("doc_id").as("keeper"))
+    d.join(keep, Seq("text"))
+      .groupBy("source").agg(
+        count(lit(1)).as("docs_before"),
+        sum(col("t")).as("tokens_before"),
+        sum(when(col("doc_id") === col("keeper"), 1L).otherwise(0L))
+          .as("docs_after"),
+        sum(when(col("doc_id") === col("keeper"), col("t")).otherwise(0L))
+          .as("tokens_after"))
+      .withColumn("pct_tokens_kept",
+        col("tokens_after").cast(DoubleType)
+          / col("tokens_before").cast(DoubleType))
+  }
+
+  /** Cross-source duplicate matrix — inter-source contamination: for
+    * every unordered source pair, how many distinct texts appear in
+    * BOTH (the governance readout behind "source B is a scrape of
+    * source A"). Distinct (text, source) first (one keyed dedup), then
+    * a text-keyed self-join that only pairs sources, never documents —
+    * output is bounded by distinct-text × source-pair structure, not
+    * corpus copy counts. */
+  def crossSourceDup(spark: SparkSession, sfDir: String): DataFrame = {
+    // Planted "mirror" source (every 3rd doc re-hosted verbatim) — the
+    // corpus itself has no cross-source byte dups, and a vacuously empty
+    // gate proves nothing (the kaplan-meier lesson).
+    val d = docs(spark, sfDir)
+    val ts = d.select(col("text"), col("source"))
+      .unionByName(d.filter(col("doc_id") % 3 === 0)
+        .select(col("text"), lit("mirror").as("source")))
+      .distinct()
+    ts.as("x").join(ts.as("y"),
+        col("x.text") === col("y.text") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("source_a"), col("y.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared_texts"))
+  }
+
+  /** Per-doc n-gram novelty — curriculum/quality signal: the fraction of
+    * a doc's distinct 3-gram shingles whose FIRST corpus occurrence
+    * (min doc_id over the posting) is this doc. High novelty = new
+    * content; near-zero = recombination of seen text. Same postings
+    * table as the Jaccard family (shingle-keyed min + one doc-keyed
+    * join); integer counts + one division. */
+  def ngramNovelty(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = Dedup.shingled(docs(spark, sfDir)).filter(col("nsh") > 0)
+    val ex = sh.select(col("doc_id"), col("nsh"),
+      explode(col("shingles")).as("shingle"))
+    val firsts = ex.groupBy("shingle").agg(min("doc_id").as("first_doc"))
+    ex.join(firsts, Seq("shingle"))
+      .groupBy(col("doc_id"), col("nsh"))
+      .agg(sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+        .as("n_first"))
+      .select(col("doc_id"), col("nsh").cast(LongType).as("nsh"), col("n_first"),
+        (col("n_first").cast(DoubleType) / col("nsh").cast(DoubleType))
+          .as("novelty"))
+  }
+
   /** PPJoin prefix-filtered exact Jaccard — same result set as
     * [[ngramJaccard]] (same threshold, same oracle) from a candidate
     * space keyed on rare-prefix tokens only. */
@@ -346,15 +442,26 @@ object Extensions {
       .select("doc_id", "ahash_hi", "ahash_lo", "mean_gray", "ok")
   }
 
-  /** Image NEAR-DUP pairs — SimHash-style banding over the perceptual
+  /** Image NEAR-DUP relation — SimHash-style banding over the perceptual
     * hash ([[imageHash]]'s pipeline, completed to dedup): every 5 docs
     * share a base image (seed = doc_id div 5), four of them with one
     * 8×8 block's gray shifted — visually "the same photo, small edit".
-    * The 64-bit aHash splits into 4×16-bit bands; a candidate pair must
-    * agree on ≥1 band (bucket equi-join — never all-pairs), then the
-    * exact Hamming distance (bit_count of xor, both halves) gates at
-    * ≤ 6. The oracle replays hash formula, banding, and verify in SQL —
-    * decode, hashing, and the pairing algebra all pinned at once. */
+    *
+    * Output-bound by construction (the r7 sf1 lesson: a corpus heavy in
+    * EXACT copies made the doc-level pair listing ~N² — 84.6M rows at
+    * 10× rows): docs collapse to DISTINCT signatures first (one keyed
+    * agg, O(N)), banding and Hamming verification run over signatures
+    * only, and exact-copy multiplicity surfaces as `docs_a`/`docs_b`
+    * counts instead of materialized pairs. Rows:
+    *   - (a, b, hamming, docs_a, docs_b), a<b: near-dup signature pair
+    *     (representative = min doc_id per signature), Hamming ≤ 6;
+    *   - (a, a, 0, n, n), n>1: an exact-duplicate group.
+    * Every doc-level duplicate pair is recoverable by expansion, but the
+    * result size scales with DISTINCT-signature near-dup structure, not
+    * with corpus copy count. The 64-bit aHash splits into 4×16-bit
+    * bands; candidates must agree on ≥1 (positional) band — never
+    * all-pairs. The oracle replays hash formula, collapse, banding, and
+    * verify in SQL — decode, hashing, and pairing algebra pinned. */
   def imageNearDup(spark: SparkSession, sfDir: String): DataFrame = {
     implicit val s: SparkSession = spark
     import spark.implicits._
@@ -365,34 +472,38 @@ object Extensions {
         if (pert == 0) -1 else ((pert * 11) % 64),
         96))
     }
-    val hashes = Multimodal.imageHashes(media).toDF()
-      .select(col("doc_id"), col("ahash_hi"), col("ahash_lo"))
+    val sigs = Multimodal.imageHashes(media).toDF()
+      .groupBy(col("ahash_hi").as("hi"), col("ahash_lo").as("lo"))
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n_docs"))
     // band identity includes POSITION (posexplode ordinal): equal values
     // in different band slots are not a candidate signal. The full hash
-    // RIDES ALONG into the band join so the Hamming gate runs map-side
-    // on the raw join output: flat-image bands (all-0/all-1 gray blocks)
-    // are degenerate buckets whose pair volume grows quadratically with
-    // the corpus, and the r7 sf1 probe showed the old
-    // distinct-then-join-back shape shuffling that whole pair space
-    // (40 s at 10× rows). bit_count is a codegen intrinsic — evaluating
-    // it on every raw band pair costs less than one wide shuffle, only
-    // survivors reach the dedup, and the result set is IDENTICAL.
-    val bands = hashes.select(col("doc_id"), col("ahash_hi"), col("ahash_lo"),
+    // rides along so the Hamming gate runs map-side on the raw band-join
+    // output (bit_count is a codegen intrinsic; only survivors reach the
+    // dedup).
+    val bands = sigs.select(col("rep"), col("hi"), col("lo"),
       posexplode(array(
-        col("ahash_lo") % 65536,
-        expr("shiftright(ahash_lo, 16) % 65536"),
-        col("ahash_hi") % 65536,
-        expr("shiftright(ahash_hi, 16) % 65536"))))
-      .toDF("doc_id", "hi", "lo", "band_idx", "band_val")
-    bands.as("x").join(bands.as("y"),
+        col("lo") % 65536,
+        expr("shiftright(lo, 16) % 65536"),
+        col("hi") % 65536,
+        expr("shiftright(hi, 16) % 65536"))))
+      .toDF("rep", "hi", "lo", "band_idx", "band_val")
+    val pairs = bands.as("x").join(bands.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
           col("x.band_val") === col("y.band_val") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          col("x.rep") < col("y.rep"))
+      .select(col("x.rep").as("a"), col("y.rep").as("b"),
         (expr("bit_count(x.hi ^ y.hi)") + expr("bit_count(x.lo ^ y.lo)"))
           .cast(LongType).as("hamming"))
       .filter(col("hamming") <= 6)
       .distinct()
+      .join(sigs.select(col("rep").as("a"), col("n_docs").as("docs_a")), "a")
+      .join(sigs.select(col("rep").as("b"), col("n_docs").as("docs_b")), "b")
+      .select("a", "b", "hamming", "docs_a", "docs_b")
+    val groups = sigs.filter(col("n_docs") > 1)
+      .select(col("rep").as("a"), col("rep").as("b"),
+        lit(0L).as("hamming"), col("n_docs").as("docs_a"),
+        col("n_docs").as("docs_b"))
+    pairs.unionByName(groups)
   }
 
   /** MP4 sample-table statistics ([[graft.ext.Multimodal
@@ -556,16 +667,45 @@ object Extensions {
     * reproduce bit-for-bit on any engine with the hash. The oracle runs
     * the same sample: the check pins the DETERMINISM claim, the
     * accuracy claim is standard Bernoulli-sample rank error. */
-  def sampledQuantiles(spark: SparkSession, sfDir: String): DataFrame =
-    docs(spark, sfDir)
+  def sampledQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // Interpolated quantiles computed from ONE pinned expression rather
+    // than engine built-ins (Spark `percentile` vs DuckDB `quantile_cont`
+    // interpolate with different op orders — last-ulp divergence under
+    // the exact string compare): rank the sample per group, pick the two
+    // integer endpoints at floor/ceil((n-1)q), and interpolate with the
+    // same literal arithmetic on both engines. The rank fractions are
+    // exact integer numerators ((n-1) mod 2 over 2; 9(n-1) mod 10 over
+    // 10), so every input to the one double expression is an integer.
+    val s = docs(spark, sfDir)
       .filter(TextKit.polyHash(
         concat(lit("qsamp-v1:"), col("doc_id").cast("string"))) % 4 === 0)
-      .groupBy("lang").agg(
+    val ranked = s
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("lang").orderBy("n_chars")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+    def at(rank: org.apache.spark.sql.Column) =
+      min(when(col("rn") === rank, col("n_chars")))
+    val lo50r = expr("(n - 1) DIV 2 + 1")
+    val hi50r = expr("n DIV 2 + 1")
+    val lo90r = expr("((n - 1) * 9) DIV 10 + 1")
+    val hi90r = expr("((n - 1) * 9 + 9) DIV 10 + 1")
+    def interp(lo: org.apache.spark.sql.Column, hi: org.apache.spark.sql.Column,
+        fnum: org.apache.spark.sql.Column, fden: Double) =
+      lo.cast("double") + (hi - lo).cast("double") * (fnum.cast("double") / lit(fden))
+    ranked.groupBy("lang").agg(
         count(lit(1)).as("n_sample"),
-        expr("percentile(n_chars, 0.5)").as("p50_s"),
-        expr("percentile(n_chars, 0.9)").as("p90_s"),
+        at(lo50r).as("lo50"), at(hi50r).as("hi50"),
+        at(lo90r).as("lo90"), at(hi90r).as("hi90"),
         min(col("n_chars")).as("min_s"),
         max(col("n_chars")).as("max_s"))
+      .select(col("lang"), col("n_sample"),
+        interp(col("lo50"), col("hi50"),
+          (col("n_sample") - 1) % 2, 2.0).as("p50_s"),
+        interp(col("lo90"), col("hi90"),
+          ((col("n_sample") - 1) * 9) % 10, 10.0).as("p90_s"),
+        col("min_s"), col("max_s"))
+  }
 
   /** Lag-1 autocorrelation of the hourly event-count series per type —
     * the seasonality/persistence readout next to [[seasonalDecompose]]
@@ -1264,6 +1404,33 @@ object Extensions {
     * live proof the scale path computes the identical shard layout. */
   def shardPlanQ(spark: SparkSession, sfDir: String): DataFrame =
     Mixture.shardManifest(docs(spark, sfDir), budget = 200L)
+
+  /** Per-source epoch plan — the repetition schedule a token-budget
+    * training run derives when a source is smaller than its allocation
+    * (the "how many times do we see each corpus" table next to the
+    * mixture draws): every source gets an equal integer share of the
+    * global budget; epochs = ceil(share / tokens) capped at 4 (the
+    * standard repetition-harms knee); tokens_drawn = what the cap
+    * actually yields; shortfall = unfilled allocation the mixer must
+    * cover from elsewhere. All-integer arithmetic (DIV/MOD), so the
+    * plan is bit-identical on any engine — one tiny aggregate + one
+    * broadcast count, nothing scales with corpus size but the token
+    * sum. */
+  def epochPlan(spark: SparkSession, sfDir: String): DataFrame = {
+    val per = docs(spark, sfDir)
+      .select(col("source"),
+        size(TextKit.words(col("text"))).cast(LongType).as("t"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("tokens"))
+    per.crossJoin(broadcast(per.agg(count(lit(1)).as("n_sources"))))
+      .withColumn("share", expr("60000 DIV n_sources"))
+      .withColumn("epochs",
+        least(lit(4L), expr("(share + tokens - 1) DIV tokens")))
+      .withColumn("tokens_drawn", least(col("share"), col("epochs") * col("tokens")))
+      .withColumn("shortfall", col("share") - col("tokens_drawn"))
+      .select("source", "n_docs", "tokens", "share", "epochs",
+        "tokens_drawn", "shortfall")
+  }
 
   /** SemDeDup-style semantic keeper selection: embedding-cosine near-dup
     * pairs (label-bucketed candidate space) → connected components →
@@ -2846,6 +3013,11 @@ object Extensions {
     "d_jaccard_capped" -> jaccardCapped _,
     "d_containment" -> containmentDup _,
     "d_minhash_lsh" -> minhashLsh _,
+    "d_minhash_fidelity" -> minhashFidelity _,
+    "x_dedup_impact" -> dedupImpact _,
+    "x_cross_source_dup" -> crossSourceDup _,
+    "x_ngram_novelty" -> ngramNovelty _,
+    "x_epoch_plan" -> epochPlan _,
     "x_decontaminate" -> decontaminate _,
     "m_image_probe" -> imageProbe _,
     "m_image_hash" -> imageHash _,
@@ -3597,6 +3769,103 @@ object Extensions {
            count(*) AS n_copies
          FROM all_docs GROUP BY 1 HAVING count(*) > 1""",
     "d_ngram_jaccard" -> jaccardSql("0.5"),
+    // Fidelity mirror: the exact-pair CTE (same text as jaccardSql) plus
+    // a FULL signature replay — shingle polyHash, the 64 affine
+    // permutations ((2k+1)·h + (k+1)·C mod P), per-permutation minima —
+    // then agreement counted permutation-by-permutation. One wrong
+    // constant in MinHashSig breaks the hash match.
+    "d_minhash_fidelity" ->
+      s"""WITH $shingleCte,
+          pairs AS (
+            SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+            FROM ex x JOIN ex y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+            GROUP BY 1, 2),
+          jp AS MATERIALIZED (
+            SELECT a, b, inter,
+              CAST(inter AS DOUBLE) / CAST(ca.nsh + cb.nsh - inter AS DOUBLE) AS jaccard
+            FROM pairs
+            JOIN shc ca ON pairs.a = ca.doc_id
+            JOIN shc cb ON pairs.b = cb.doc_id
+            WHERE CAST(inter AS DOUBLE) / CAST(ca.nsh + cb.nsh - inter AS DOUBLE) >= 0.5),
+          hx AS MATERIALIZED (
+            SELECT doc_id, ${DuckSql.polyHash("shingle")} AS h FROM ex),
+          perm AS MATERIALIZED (
+            SELECT doc_id, kk,
+              MIN(((2 * kk + 1) * h + (kk + 1) * 2654435761) % ${DuckSql.P}) AS m
+            FROM hx CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS kk) t
+            GROUP BY 1, 2),
+          ag AS (
+            SELECT jp.a, jp.b,
+              CAST(SUM(CASE WHEN px.m = py.m THEN 1 ELSE 0 END) AS BIGINT) AS agree
+            FROM jp
+            JOIN perm px ON px.doc_id = jp.a
+            JOIN perm py ON py.doc_id = jp.b AND px.kk = py.kk
+            GROUP BY 1, 2)
+          SELECT jp.a, jp.b, inter, jaccard AS exact_j, agree,
+            CAST(agree AS DOUBLE) / 64.0 AS est_j,
+            ABS(CAST(agree AS DOUBLE) / 64.0 - jaccard) AS abs_err
+          FROM jp JOIN ag ON jp.a = ag.a AND jp.b = ag.b""",
+    // Impact mirror: planted-copy union (the d_exact_dedup fixture),
+    // min-doc keeper, per-source integer rollup + one division.
+    "x_dedup_impact" ->
+      s"""WITH all_docs AS (
+            SELECT doc_id, source, text FROM documents
+            UNION ALL
+            SELECT doc_id + 100000, source, text FROM documents
+            WHERE doc_id % 7 = 0),
+          tk AS (SELECT doc_id, source, text,
+                   CAST(len($W) AS BIGINT) AS t FROM all_docs),
+          keep AS (SELECT text, MIN(doc_id) AS keeper FROM tk GROUP BY 1)
+          SELECT source,
+            CAST(count(*) AS BIGINT) AS docs_before,
+            CAST(SUM(t) AS BIGINT) AS tokens_before,
+            CAST(SUM(CASE WHEN doc_id = keeper THEN 1 ELSE 0 END) AS BIGINT)
+              AS docs_after,
+            CAST(SUM(CASE WHEN doc_id = keeper THEN t ELSE 0 END) AS BIGINT)
+              AS tokens_after,
+            CAST(SUM(CASE WHEN doc_id = keeper THEN t ELSE 0 END) AS DOUBLE)
+              / CAST(SUM(t) AS DOUBLE) AS pct_tokens_kept
+          FROM tk JOIN keep USING (text)
+          GROUP BY source""",
+    "x_cross_source_dup" ->
+      """WITH ts AS (
+           SELECT DISTINCT text, source FROM (
+             SELECT text, source FROM documents
+             UNION ALL
+             SELECT text, 'mirror' AS source FROM documents
+             WHERE doc_id % 3 = 0))
+         SELECT x.source AS source_a, y.source AS source_b,
+           CAST(count(*) AS BIGINT) AS n_shared_texts
+         FROM ts x JOIN ts y ON x.text = y.text AND x.source < y.source
+         GROUP BY 1, 2""",
+    "x_ngram_novelty" ->
+      s"""WITH $shingleCte,
+          firsts AS (SELECT shingle, MIN(doc_id) AS first_doc
+                     FROM ex GROUP BY 1)
+          SELECT ex.doc_id, shc.nsh,
+            CAST(SUM(CASE WHEN first_doc = ex.doc_id THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_first,
+            CAST(SUM(CASE WHEN first_doc = ex.doc_id THEN 1 ELSE 0 END)
+              AS DOUBLE) / CAST(shc.nsh AS DOUBLE) AS novelty
+          FROM ex JOIN firsts USING (shingle)
+          JOIN shc ON shc.doc_id = ex.doc_id
+          WHERE shc.nsh > 0
+          GROUP BY 1, 2""",
+    "x_epoch_plan" ->
+      s"""WITH per AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(SUM(len($W)) AS BIGINT) AS tokens
+            FROM documents GROUP BY 1),
+          n AS (SELECT CAST(count(*) AS BIGINT) AS n_sources FROM per),
+          pl AS (SELECT source, n_docs, tokens,
+                   60000 // n_sources AS share FROM per, n),
+          ep AS (SELECT *, LEAST(CAST(4 AS BIGINT),
+                   (share + tokens - 1) // tokens) AS epochs FROM pl),
+          dr AS (SELECT *, LEAST(share, epochs * tokens) AS tokens_drawn
+                 FROM ep)
+          SELECT source, n_docs, tokens, share, epochs, tokens_drawn,
+            share - tokens_drawn AS shortfall
+          FROM dr""",
     // PPJoin produces the SAME pair set as the full postings join — the
     // prefix filter is lossless by the prefix lemma, so the oracle is
     // shared verbatim.
@@ -3651,37 +3920,47 @@ object Extensions {
            n_crossings, fp_hash, TRUE AS ok
          FROM documents d JOIN agg USING (doc_id)""",
     "m_image_neardup" ->
-      // Full replay: perturbed block formula → hash → 4×16 banding →
-      // candidate join → exact Hamming gate, all in SQL.
-      """WITH blocks AS (
+      // Full replay: perturbed block formula → hash → distinct-signature
+      // collapse (exact-copy multiplicity becomes a count, never a pair
+      // listing) → 4×16 banding over signatures → candidate join →
+      // exact Hamming gate, all in SQL.
+      """WITH blocks AS MATERIALIZED (
            SELECT doc_id, b,
              ((doc_id // 5) * 31 + b * 7 +
                CASE WHEN doc_id % 5 > 0 AND b = ((doc_id % 5) * 11) % 64
                     THEN 96 ELSE 0 END) % 256 AS g
            FROM documents, unnest(generate_series(0, 63)) t(b)),
-         m AS (SELECT doc_id, CAST(SUM(g) // 64 AS BIGINT) AS gmean
+         m AS MATERIALIZED (SELECT doc_id, CAST(SUM(g) // 64 AS BIGINT) AS gmean
                FROM blocks GROUP BY 1),
-         h AS (SELECT blocks.doc_id,
+         h AS MATERIALIZED (SELECT blocks.doc_id,
                  CAST(SUM(CASE WHEN g > gmean AND b >= 32
                    THEN (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END) AS BIGINT) AS hi,
                  CAST(SUM(CASE WHEN g > gmean AND b < 32
                    THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS lo
                FROM blocks JOIN m USING (doc_id) GROUP BY 1),
+         sig AS MATERIALIZED (
+           SELECT hi, lo, CAST(MIN(doc_id) AS BIGINT) AS rep,
+             CAST(count(*) AS BIGINT) AS n_docs
+           FROM h GROUP BY 1, 2),
          bands AS (
-           SELECT doc_id, i AS band_idx,
+           SELECT rep, i AS band_idx,
              CASE i WHEN 0 THEN lo % 65536 WHEN 1 THEN (lo >> 16) % 65536
                     WHEN 2 THEN hi % 65536 ELSE (hi >> 16) % 65536 END AS band_val
-           FROM h, unnest(generate_series(0, 3)) t(i)),
-         cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+           FROM sig, unnest(generate_series(0, 3)) t(i)),
+         cand AS (SELECT DISTINCT x.rep AS a, y.rep AS b
                   FROM bands x JOIN bands y
                   ON x.band_idx = y.band_idx AND x.band_val = y.band_val
-                    AND x.doc_id < y.doc_id),
+                    AND x.rep < y.rep),
          v AS (SELECT a, b,
-                 CAST(bit_count(xor(ha.hi, hb.hi))
-                   + bit_count(xor(ha.lo, hb.lo)) AS BIGINT) AS hamming
-               FROM cand JOIN h ha ON cand.a = ha.doc_id
-               JOIN h hb ON cand.b = hb.doc_id)
-         SELECT a, b, hamming FROM v WHERE hamming <= 6""",
+                 CAST(bit_count(xor(sa.hi, sb.hi))
+                   + bit_count(xor(sa.lo, sb.lo)) AS BIGINT) AS hamming,
+                 sa.n_docs AS docs_a, sb.n_docs AS docs_b
+               FROM cand JOIN sig sa ON cand.a = sa.rep
+               JOIN sig sb ON cand.b = sb.rep)
+         SELECT a, b, hamming, docs_a, docs_b FROM v WHERE hamming <= 6
+         UNION ALL
+         SELECT rep, rep, CAST(0 AS BIGINT), n_docs, n_docs
+         FROM sig WHERE n_docs > 1""",
     "m_image_hash" ->
       // Closed-form replay of the block-constant synthesis: block b's
       // gray is (id*31 + b*7) % 256, block averages equal it exactly,
@@ -4459,13 +4738,31 @@ object Extensions {
     // Sampled-quantiles mirror: the same deterministic hash sample
     // (membership is a set function of the data), exact interpolated
     // quantiles over it (quantile_cont ≡ percentile, x_percentiles).
+    // Sampled-quantile mirror: same ranked-endpoint construction and the
+    // SAME literal interpolation expression (lo + (hi-lo)*(fnum/den)) —
+    // no engine quantile built-in on either side, so the double output
+    // is bit-identical by shared IEEE op order, not by luck.
     "x_sampled_quantiles" -> {
       val ph = DuckSql.polyHash("('qsamp-v1:' || CAST(doc_id AS VARCHAR))")
-      s"""SELECT lang, count(*) AS n_sample,
-            quantile_cont(n_chars, 0.5) AS p50_s,
-            quantile_cont(n_chars, 0.9) AS p90_s,
-            MIN(n_chars) AS min_s, MAX(n_chars) AS max_s
-          FROM documents WHERE $ph % 4 = 0 GROUP BY lang"""
+      s"""WITH smp AS (SELECT lang, n_chars FROM documents WHERE $ph % 4 = 0),
+          r AS (SELECT lang, n_chars,
+                  row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+                  count(*) OVER (PARTITION BY lang) AS n
+                FROM smp),
+          a AS (SELECT lang, CAST(MAX(n) AS BIGINT) AS n_sample,
+                  MIN(CASE WHEN rn = (n - 1) // 2 + 1 THEN n_chars END) AS lo50,
+                  MIN(CASE WHEN rn = n // 2 + 1 THEN n_chars END) AS hi50,
+                  MIN(CASE WHEN rn = ((n - 1) * 9) // 10 + 1 THEN n_chars END) AS lo90,
+                  MIN(CASE WHEN rn = ((n - 1) * 9 + 9) // 10 + 1 THEN n_chars END) AS hi90,
+                  MIN(n_chars) AS min_s, MAX(n_chars) AS max_s
+                FROM r GROUP BY lang)
+          SELECT lang, n_sample,
+            CAST(lo50 AS DOUBLE) + CAST(hi50 - lo50 AS DOUBLE)
+              * (CAST((n_sample - 1) % 2 AS DOUBLE) / 2.0) AS p50_s,
+            CAST(lo90 AS DOUBLE) + CAST(hi90 - lo90 AS DOUBLE)
+              * (CAST(((n_sample - 1) * 9) % 10 AS DOUBLE) / 10.0) AS p90_s,
+            min_s, max_s
+          FROM a"""
     },
     // Autocorr mirror: exact integer/decimal Pearson sums on the hourly
     // self-join, identical IEEE op order for r, null on zero variance.

@@ -55,8 +55,10 @@ class QueryPlanAuditSpec extends SparkSpec {
                         // own broadcast corpus-size singleton (tf-idf N)
     "x_temperature_mix", // per-source rows × broadcast cross-source
                         // sqrt-denominator singleton (one row)
-    "x_blocking_audit"  // four 1-row counter singletons crossed into the
+    "x_blocking_audit", // four 1-row counter singletons crossed into the
                         // single-row audit readout (all broadcast)
+    "x_epoch_plan"      // per-source rollup × broadcast source-count
+                        // singleton (the budget divisor)
   )
 
   test("no query plans an unintended cartesian or nested-loop join") {

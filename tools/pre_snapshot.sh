@@ -1,0 +1,36 @@
+#!/usr/bin/env bash
+# Pre-snapshot gate (round-8 discipline, after the r7 breakage: a commit
+# landed 80 minutes before snapshot without re-running any gate, and a
+# Spark-side parse error shipped). Run this on the EXACT tree you are
+# about to snapshot; it must end with "PRE-SNAPSHOT GATE: GREEN".
+#
+#   bash tools/pre_snapshot.sh            # full: sbt test + Verify + check
+#   FAST=1 bash tools/pre_snapshot.sh     # skip sbt test (plan-audit only)
+set -uo pipefail
+cd "$(dirname "$0")/.."
+
+fail() { echo "PRE-SNAPSHOT GATE: RED — $1" >&2; exit 1; }
+
+echo "== 1/3 scalatest =="
+if [ "${FAST:-0}" = "1" ]; then
+  # QueryPlanAuditSpec alone plans every contract query (~2 min) and
+  # catches the whole unparseable-SQL class.
+  sbt -batch "testOnly graft.QueryPlanAuditSpec" 2>&1 | tail -5 \
+    | tee /tmp/gate_test.out
+else
+  sbt -batch test 2>&1 | tail -8 | tee /tmp/gate_test.out
+fi
+grep -q "All tests passed." /tmp/gate_test.out || fail "sbt test not green"
+
+echo "== 2/3 Verify (sf0.01, full contract) =="
+sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /root/repo/target/verify_out" \
+  > /tmp/gate_verify.out 2>&1 || fail "Verify crashed (see /tmp/gate_verify.out)"
+ERRS=$(python3 -c "import json;print(len(json.load(open('target/verify_out/_errors.json'))))" 2>/dev/null || echo "?")
+[ "$ERRS" = "0" ] || fail "Verify recorded $ERRS per-query failures (_errors.json)"
+
+echo "== 3/3 DuckDB oracle compare =="
+python3 tools/check.py /root/testdata/sf0.01 /root/repo/target/verify_out \
+  2>&1 | tail -3 | tee /tmp/gate_check.out
+grep -qE ", 0 fail$" /tmp/gate_check.out || fail "check.py reported failures"
+
+echo "PRE-SNAPSHOT GATE: GREEN"
