@@ -1,14 +1,14 @@
 #!/usr/bin/env python3
 """Compose SCALING_sf1.json (v2: full contract, min-of-2 passes) from two
 full-coverage Bench records taken back-to-back on the same host:
-  tools/bench_sf01_r7.json  (SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1)
-  tools/bench_sf1_r7.json   (SPARK_GRAFT_SF_DIR=target/sf1, 10x rows)
+  tools/bench_sf01_r8.json  (SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1)
+  tools/bench_sf1_r8.json   (SPARK_GRAFT_SF_DIR=target/sf1, 10x rows)
 Both runs used SPARK_GRAFT_TWO_PASS=1, so every per-query number is the
 min over two full passes plus Bench's stall arbitration."""
 import json, sys
 
-small = json.load(open("tools/bench_sf01_r7.json"))
-big = json.load(open("tools/bench_sf1_r7.json"))
+small = json.load(open("tools/bench_sf01_r8.json"))
+big = json.load(open("tools/bench_sf1_r8.json"))
 qs_s, qs_b = small["queries"], big["queries"]
 common = sorted(set(qs_s) & set(qs_b))
 
@@ -40,16 +40,12 @@ out = {
     "failed_sf0.1": small.get("failed", []),
     "failed_sf1": big.get("failed", []),
     "over_10x": {q: r for q, r in worst if r > 10.0},
-    # Queries whose >10x wall is bounded below by their own OUTPUT size
-    # (measured, not assumed): no plan can beat the rows it must emit.
-    "over_10x_justified": {
-        "m_image_neardup": ("output is 843,535 pairs at sf0.1 vs 84,578,500 "
-            "at sf1 (measured count()) - 100.3x at 10x rows, because the "
-            "synthetic flat images are genuinely mutually near-duplicate "
-            "under hamming<=6; wall grew 14.7x, SUBLINEAR in output. At "
-            "production scale the fix is semantic (longer perceptual "
-            "signatures -> sparser bands), not a plan change."),
-    },
+    # r8: the one r7 justification (m_image_neardup, 14.7x wall on 100x
+    # output) is RESOLVED, not re-justified - the operator now collapses
+    # to distinct perceptual signatures before banding, so exact-copy
+    # multiplicity is a count, not a pair listing (sf1 output 84.6M ->
+    # 2,549 rows; ratio 2.7x). over_10x must stay empty.
+    "over_10x_justified": {},
     "worst_10": dict(worst[:10]),
     "queries": per_query,
 }
