@@ -62,10 +62,21 @@ object ScaleUp {
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val alpha = "abcdefghijklmnopqrstuvwxyz"
     (0 until copies).map { i =>
+      // Per-copy alphabet PERMUTATION, not just rotation: a bare
+      // 26-rotation cycles at copy 26, making copies i and i+26
+      // byte-identical (cross-copy exact dups that quadratically
+      // contaminate a >26-copy probe). Compose the full rotation
+      // (i % 26) with a sub-rotation of the first 13 letters (i / 26):
+      // identical to the old scheme for < 26 copies (sf1 fixtures
+      // unchanged), 338 distinct permutations beyond it; still a
+      // bijection, so intra-copy dup structure is exact.
       val rot = alpha.drop(i % 26) + alpha.take(i % 26)
+      val sub = i / 26 % 13
+      val half = alpha.take(13)
+      val subRot = half.drop(sub) + half.take(sub)
       docs.select(
         (col("doc_id") + lit(i * off)).as("doc_id"),
-        translate(col("text"), alpha, rot).as("text"),
+        translate(translate(col("text"), alpha, rot), half, subRot).as("text"),
         col("lang"), col("source"), col("n_chars"))
     }.reduce(_ unionAll _)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
@@ -78,12 +89,23 @@ object ScaleUp {
     // twins, turning a perf probe into a degenerate-duplicate stress).
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     (0 until copies).map { i =>
+      // Rotation cycles at the embedding dim (64), so copies i and i+64
+      // would be identical; compose with a whole-copy sign flip every
+      // 64 copies — negation preserves norms AND all pairwise cosines
+      // (cos(-a,-b) = cos(a,b)), so intra-copy ANN structure stays
+      // exact while cross-copy vectors remain genuinely different.
+      val r = i % 64
+      val rotated =
+        if (r == 0) col("embedding")
+        else concat(
+          slice(col("embedding"), r + 1, 10000),
+          slice(col("embedding"), 1, r))
+      val flipped =
+        if ((i / 64) % 2 == 0) rotated
+        else transform(rotated, x => -x)
       emb.select(
         (col("vec_id") + lit(i * off)).as("vec_id"),
-        (if (i == 0) col("embedding")
-         else concat(
-           slice(col("embedding"), i + 1, 10000),
-           slice(col("embedding"), 1, i))).as("embedding"),
+        flipped.as("embedding"),
         col("label"))
     }.reduce(_ unionAll _)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
