@@ -492,4 +492,46 @@ object Analytics {
       .withColumn("rfm",
         col("r_score") * 100L + col("f_score") * 10L + col("m_score"))
   }
+
+  /** U-shaped (position-based) multi-touch attribution: every
+    * conversion distributes an integer credit of 100 over its preceding
+    * touch events inside the lookback window — 100 to a lone touch,
+    * 50/50 for a pair, else 40 first / 40 last / 20 split across the
+    * middles by integer division with the remainder going to the
+    * EARLIEST middles (deterministic, no fractional credit ever). Rows
+    * are (conversion, touch, channel, rank, credit); the per-conversion
+    * credits always sum to exactly 100 (AnalyticsSpec pins it).
+    *
+    * Scale shape: conversions ⋈ touches is a user-keyed equi-join with
+    * a time-range residual — fanout is bounded by per-user activity in
+    * the lookback, never a pair space across users; the rank/count
+    * windows ride one conversion-keyed exchange. Ties on touch time
+    * break by touch id (portable total order). */
+  def attributionUShaped(events: DataFrame, touchTypes: Seq[String],
+      convType: String = "purchase", lookbackDays: Int = 3,
+      ts: String = "ts", user: String = "user_id",
+      id: String = "event_id"): DataFrame = {
+    val conv = events.filter(col("event_type") === convType)
+      .select(col(user).as("u"), col(id).as("conv_id"), col(ts).as("cts"))
+    val touch = events.filter(col("event_type").isin(touchTypes: _*))
+      .select(col(user).as("u"), col(id).as("touch_id"),
+        col("event_type").as("channel"), col(ts).as("tts"))
+    val joined = conv.join(touch, Seq("u"))
+      .filter(col("tts") < col("cts") &&
+        col("tts") >= col("cts") - expr(s"INTERVAL $lookbackDays DAYS"))
+    val wOrd = Window.partitionBy("conv_id").orderBy(col("tts"), col("touch_id"))
+    val wAll = Window.partitionBy("conv_id")
+    joined
+      .withColumn("rnk", row_number().over(wOrd).cast(LongType))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("credit",
+        when(col("n") === 1L, 100L)
+          .when(col("n") === 2L, 50L)
+          .when(col("rnk") === 1L || col("rnk") === col("n"), 40L)
+          .otherwise(expr("CAST(20 AS BIGINT) div (n - 2)") +
+            when(col("rnk") - 1L <= pmod(lit(20L), col("n") - 2L), 1L)
+              .otherwise(0L)))
+      .select(col("u").as(user), col("conv_id"), col("touch_id"),
+        col("channel"), col("rnk"), col("n").as("n_touches"), col("credit"))
+  }
 }

@@ -162,4 +162,39 @@ object Mixture {
       .groupBy("source", "shard_id")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("shard_tokens"),
         min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+
+  /** Token-weighted (PPS) systematic sample: lay all docs on one token
+    * axis in the canonical hash order (the [[shardBase]] key, so the
+    * axis order is an unbiased shuffle, not crawl order) and keep every
+    * doc whose token interval crosses a `stride` boundary — each doc is
+    * picked with probability ∝ its token mass, exactly one pick per
+    * stride of corpus tokens, zero randomness. The eval-set / held-out
+    * draw that complements [[tokenBudgetMix]] (which takes a PREFIX per
+    * source; this takes an even comb across the whole corpus).
+    *
+    * All-integer: selection is `end div stride > start div stride`, and
+    * `tick` (the 1-based boundary index a doc crosses) is start div
+    * stride + 1. Two-phase distributed prefix sum exactly as
+    * [[shardPlan]] — per-bucket totals (256 rows) → window over the tiny
+    * offset table → within-bucket running sums; no global sort ever. */
+  def systematicSample(docs: DataFrame, stride: Long): DataFrame = {
+    val base = shardBase(docs)
+    val offsets = base.groupBy("b").agg(sum(col("n_tokens")).as("btot"))
+      .withColumn("off", coalesce(
+        sum(col("btot")).over(Window.orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("b", "off")
+    val wIn = Window.partitionBy("b").orderBy("h", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .withColumn("cum_in", sum(col("n_tokens")).over(wIn))
+      .join(broadcast(offsets), Seq("b"))
+      .withColumn("end_tok", col("off") + col("cum_in"))
+      .withColumn("start_tok", col("end_tok") - col("n_tokens"))
+      .filter(expr(s"end_tok div ${stride}L") >
+        expr(s"start_tok div ${stride}L"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("start_tok"),
+        expr(s"start_tok div ${stride}L + 1L").as("tick"))
+  }
 }

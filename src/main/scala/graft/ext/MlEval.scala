@@ -86,6 +86,113 @@ object MlEval {
               .cast(DoubleType))).as("auc"))
   }
 
+  /** Precision–recall curve: one point per distinct score threshold s
+    * (predict positive when score ≥ s), descending-score cumulative
+    * counts giving exact-integer tp / fp / fn at every operating point —
+    * the threshold-picking artifact AUC alone can't provide (AUC ranks;
+    * the curve tells you WHERE to cut). `prec`/`rec` are each a single
+    * bigint-ratio division (the portability contract above).
+    *
+    * Scale shape: one hash aggregate to distinct centi-scores (mergeable
+    * counts), then a window over |distinct scores| rows only — the
+    * score domain is bounded (centi-units of a bounded metric), so the
+    * single-partition window is over a tiny table, never the events. */
+  def prCurve(df: DataFrame, positive: org.apache.spark.sql.Column,
+      scoreCol: String): DataFrame = {
+    val counts = df
+      .select(centi(scoreCol).as("s"),
+        when(positive, 1L).otherwise(0L).as("pos"))
+      .groupBy("s").agg(sum("pos").as("n_pos_s"), count(lit(1)).as("n_s"))
+    val wDesc = Window.orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = df.groupBy()
+      .agg(sum(when(positive, 1L).otherwise(0L)).as("n_pos_all"))
+    counts
+      .withColumn("tp", sum("n_pos_s").over(wDesc))
+      .withColumn("pp", sum("n_s").over(wDesc))
+      .crossJoin(broadcast(tot))
+      .select(col("s").as("threshold"), col("tp"),
+        (col("pp") - col("tp")).as("fp"),
+        (col("n_pos_all") - col("tp")).as("fn"),
+        (col("tp").cast(DoubleType) / col("pp").cast(DoubleType)).as("prec"),
+        when(col("n_pos_all") > 0, col("tp").cast(DoubleType) /
+          col("n_pos_all").cast(DoubleType)).as("rec"))
+  }
+
+  /** Split-conformal prediction threshold per group: the k-th smallest
+    * nonconformity score (here |centi-score − group lower median|) with
+    * k = ceil((n+1)·α) for coverage α — the distribution-free "how wide
+    * must the interval be to cover 90%" readout. Everything is integer
+    * rank selection: the lower median is the rank-((n−1) div 2 + 1)
+    * value, residuals are integer differences, and q_hat is the value
+    * at integer rank k (null when k > n — coverage unattainable at this
+    * n, never silently clamped).
+    *
+    * Scale shape: two rank windows over the group partition (score
+    * order, then residual order) riding one group exchange each, plus a
+    * broadcast ≤|groups| median table. */
+  def conformalThreshold(df: DataFrame, groupCol: String, scoreCol: String,
+      alphaNum: Int = 9, alphaDen: Int = 10): DataFrame = {
+    val scored = df.select(col(groupCol).as("grp"), centi(scoreCol).as("s"))
+    val wOrd = Window.partitionBy("grp").orderBy(col("s"))
+    val med = scored
+      .withColumn("rn", row_number().over(wOrd).cast(LongType))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("grp")))
+      .groupBy("grp")
+      .agg(max("n").as("n"),
+        min(when(col("rn") === expr("(n - 1) div 2 + 1"), col("s")))
+          .as("med"))
+    val res = scored.join(broadcast(med), Seq("grp"))
+      .withColumn("r", abs(col("s") - col("med")))
+    val wRes = Window.partitionBy("grp").orderBy(col("r"), col("s"))
+    res
+      .withColumn("rr", row_number().over(wRes).cast(LongType))
+      .groupBy("grp")
+      .agg(max("n").as("n"), max("med").as("med_centi"),
+        min(when(col("rr") ===
+            expr(s"((n + 1) * $alphaNum + ${alphaDen - 1}) div $alphaDen"),
+          col("r"))).as("qhat_centi"))
+      .select(col("grp").as(groupCol), col("n"),
+        expr(s"((n + 1) * $alphaNum + ${alphaDen - 1}) div $alphaDen")
+          .as("k"),
+        col("med_centi"), col("qhat_centi"))
+  }
+
+  /** Pairwise Pearson correlation of per-group hourly activity — the
+    * feature-correlation matrix over event-type count series. Series
+    * value = events per (group, hour); pairs correlate over their
+    * CO-ACTIVE hours (hours where both series have at least one event —
+    * a defined discrete semantic; zero-filling a global spine is the
+    * caller's variant). Numerator and both variance terms are exact
+    * integer cross-moments (counts are small enough that n·Σxy stays a
+    * long at any realistic per-hour activity); the final r is the house
+    * sqrt·sqrt division in one mirrored expression, null for constant
+    * series. One (group, hour) aggregate, one hour-keyed pair join over
+    * per-hour group rows. */
+  def corrMatrix(df: DataFrame, groupCol: String, ts: String = "ts"): DataFrame = {
+    val h = df
+      .select(col(groupCol).as("g"), date_trunc("hour", col(ts)).as("hr"))
+      .groupBy("g", "hr").agg(count(lit(1)).as("x"))
+    val pairs = h.as("a")
+      .join(h.as("b"),
+        col("a.hr") === col("b.hr") && col("a.g") < col("b.g"))
+      .select(col("a.g").as("g_a"), col("b.g").as("g_b"),
+        col("a.x").as("x"), col("b.x").as("y"))
+    pairs.groupBy("g_a", "g_b")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .withColumn("vx", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("vy", col("n") * col("syy") - col("sy") * col("sy"))
+      .select(col("g_a"), col("g_b"), col("n"), col("sx"), col("sy"),
+        col("sxy"), col("vx"), col("vy"),
+        when(col("vx") > 0 && col("vy") > 0,
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType) /
+            (sqrt(col("vx").cast(DoubleType)) *
+              sqrt(col("vy").cast(DoubleType)))).as("r"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov statistic per group: the max CDF gap
     * between the reference and current samples of `scoreCol`, split by
     * `isRef`. Integer-exact: D = max_s |cumRef(s)·nCur − cumCur(s)·nRef|

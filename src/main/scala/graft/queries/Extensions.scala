@@ -5,6 +5,7 @@ import graft.ops.{Bucketing, GlobalOrder, Skew}
 import graft.streaming.EventStreams
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DateType, DoubleType, LongType, StringType}
 
@@ -43,6 +44,51 @@ object Extensions {
         .as("sum_token_len"))
       .withColumn("avg_token_len",
         col("sum_token_len").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+  }
+
+  /** Heaps-law vocabulary growth curve: distinct-token count at every
+    * power-of-two corpus-token checkpoint, walking docs in doc_id
+    * (ingest) order — the "is the corpus still contributing new
+    * vocabulary" health readout a crawl pipeline watches to decide when
+    * a source is mined out. Each token's FIRST global position comes
+    * from a two-phase prefix sum (order-PRESERVING `doc_id div 65536`
+    * buckets — per-bucket totals, a window over that tiny table, then
+    * within-bucket windows, the [[graft.ext.Mixture.shardPlan]] shape)
+    * plus the posexplode ordinal; the checkpoint ladder derives from
+    * the corpus total via shiftleft, no floats. Count-per-checkpoint is
+    * a ≤26-row broadcast against first positions. TTR at each
+    * checkpoint is the house single mirrored division. */
+  def vocabGrowth(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = docs(spark, sfDir)
+      .select(col("doc_id"), TextKit.words(col("text")).as("ws"))
+      .withColumn("n_tok", size(col("ws")).cast(LongType))
+      .withColumn("bk", expr("doc_id div 65536L"))
+    val offsets = base.groupBy("bk").agg(sum("n_tok").as("btot"))
+      .withColumn("off", coalesce(
+        sum("btot").over(Window.orderBy("bk")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bk", "off")
+    val wIn = Window.partitionBy("bk").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val positioned = base
+      .withColumn("cum_in", sum("n_tok").over(wIn))
+      .join(broadcast(offsets), Seq("bk"))
+      .withColumn("start", col("off") + col("cum_in") - col("n_tok"))
+    val firsts = positioned
+      .select(col("start"), posexplode(col("ws")).as(Seq("p", "w")))
+      .groupBy("w").agg(min(col("start") + col("p") + 1L).as("first_pos"))
+    val cps = base.groupBy().agg(sum("n_tok").as("total"))
+      .select(col("total"), explode(sequence(lit(6), lit(40))).as("j"))
+      .select(col("total"),
+        expr("shiftleft(CAST(1 AS BIGINT), j)").as("checkpoint"))
+      .filter(col("checkpoint") <= col("total"))
+      .select(col("checkpoint"))
+    firsts.join(broadcast(cps), col("first_pos") <= col("checkpoint"))
+      .groupBy("checkpoint")
+      .agg(count(lit(1)).as("n_distinct"))
+      .select(col("checkpoint"), col("n_distinct"),
+        (col("n_distinct").cast(DoubleType) /
+          col("checkpoint").cast(DoubleType)).as("ttr"))
   }
 
   /** BPE-ish regex token counting — the sub-word-style segmentation a
@@ -705,6 +751,35 @@ object Extensions {
         interp(col("lo90"), col("hi90"),
           ((col("n_sample") - 1) * 9) % 10, 10.0).as("p90_s"),
         col("min_s"), col("max_s"))
+  }
+
+  /** Token-WEIGHTED length quantiles per language — "the median TOKEN
+    * lives in a doc this long", the budget-centric twin of the
+    * row-centric percentiles (one mega-doc moves these; it barely moves
+    * row quantiles). Discrete weighted quantile, all-integer: rank docs
+    * by (n_chars, doc_id), cumulate token weights, and pick the doc
+    * whose cumulative interval contains the target mass
+    * t_q = (W·q) div 1 + 1 — no interpolation between discrete docs, so
+    * there is no double anywhere. Zero-token docs can never be picked
+    * (their cum interval is empty), which is the right semantics for a
+    * token-mass quantile. One lang-partitioned window pair. */
+  def weightedQuantile(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = docs(spark, sfDir).select(col("lang"), col("n_chars"),
+      col("doc_id"), size(TextKit.words(col("text"))).cast(LongType).as("w"))
+    val wOrd = Window.partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("lang")
+    val c = base
+      .withColumn("cum", sum("w").over(wOrd))
+      .withColumn("wt", sum("w").over(wAll))
+    def pick(target: org.apache.spark.sql.Column) =
+      min(when(col("cum") - col("w") < target && target <= col("cum"),
+        col("n_chars")))
+    c.groupBy("lang").agg(
+      max("wt").as("w_total"),
+      count(lit(1)).as("n_docs"),
+      pick(expr("wt div 2 + 1")).as("q50_w"),
+      pick(expr("(wt * 9) div 10 + 1")).as("q90_w"))
   }
 
   /** Lag-1 autocorrelation of the hourly event-count series per type —
@@ -1405,6 +1480,13 @@ object Extensions {
   def shardPlanQ(spark: SparkSession, sfDir: String): DataFrame =
     Mixture.shardManifest(docs(spark, sfDir), budget = 200L)
 
+  /** Token-weighted systematic sample ([[Mixture.systematicSample]]):
+    * one deterministic pick per 4096 corpus tokens along the canonical
+    * hash axis — the even-comb eval-set draw beside the per-source
+    * prefix draws. */
+  def systematicSampleQ(spark: SparkSession, sfDir: String): DataFrame =
+    Mixture.systematicSample(docs(spark, sfDir), stride = 4096L)
+
   /** Per-source epoch plan — the repetition schedule a token-budget
     * training run derives when a source is smaller than its allocation
     * (the "how many times do we see each corpus" table next to the
@@ -1995,6 +2077,63 @@ object Extensions {
             element_at(col("mins"), lit(32)).cast(DoubleType)).as("est_distinct"))
   }
 
+  /** Cross-source distinct-overlap estimation from KMV sketch SET
+    * OPERATIONS ([[graft.functions.KmvSketch]], k = 64) — "how much of
+    * source A's distinct text is also in source B" WITHOUT any
+    * text-level join: the k union minima are the k smallest of the two
+    * sketches' union (exact, because each sketch holds its own k
+    * smallest), the pair's Jaccard estimate is the both-sides fraction
+    * of those minima, and intersection ≈ Jaccard · union-size. Beside
+    * [[crossSourceDup]] (the exact join) this is the sketch path: at
+    * 100 TB every source keeps one O(k) sketch row and any pair's
+    * overlap is array arithmetic on two 64-long arrays — no re-scan,
+    * no shuffle. All integers except the three mirrored estimator
+    * expressions (single IEEE division chains, the house contract).
+    * The sketch self-join is a broadcast of #sources rows (pinned in
+    * QueryPlanAuditSpec's singleton-cross allowlist). Same planted
+    * "mirror" source as [[crossSourceDup]] (every 3rd doc re-hosted):
+    * the corpus has no organic cross-source byte dups and an all-zero
+    * overlap gate would prove nothing. */
+  def kmvOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.KmvSketch
+    val k = 64
+    val d = docs(spark, sfDir)
+    val withMirror = d.select(col("source"), col("text"))
+      .unionByName(d.filter(col("doc_id") % 3 === 0)
+        .select(lit("mirror").as("source"), col("text")))
+    val sk = withMirror
+      .select(col("source"), TextKit.polyHash(col("text")).as("h"))
+      .groupBy("source").agg(KmvSketch(col("h"), k).as("mins"))
+    val paired = sk.as("x")
+      .join(broadcast(sk.as("y")), col("x.source") < col("y.source"))
+      .select(col("x.source").as("source_a"), col("y.source").as("source_b"),
+        col("x.mins").as("am"), col("y.mins").as("bm"))
+      .withColumn("um",
+        slice(array_sort(array_distinct(concat(col("am"), col("bm")))), 1, k))
+      .withColumn("n_union_mins", size(col("um")).cast(LongType))
+      .withColumn("n_both",
+        size(filter(col("um"), v =>
+          array_contains(col("am"), v) && array_contains(col("bm"), v)))
+          .cast(LongType))
+    paired.select(col("source_a"), col("source_b"),
+      col("n_union_mins"),
+      element_at(col("um"), size(col("um"))).as("kth_union_min"),
+      col("n_both"),
+      TextKit.let(
+        when(col("n_union_mins") < k, col("n_union_mins").cast(DoubleType))
+          .otherwise(lit((k - 1).toDouble) * lit(1000000007.0) /
+            element_at(col("um"), lit(k)).cast(DoubleType))) { unionEst =>
+        TextKit.let(col("n_both").cast(DoubleType) /
+            col("n_union_mins").cast(DoubleType)) { jacc =>
+          struct(unionEst.as("est_union"), jacc.as("est_jaccard"),
+            (jacc * unionEst).as("est_intersect"))
+        }
+      }.as("e"))
+      .select(col("source_a"), col("source_b"), col("n_union_mins"),
+        col("kth_union_min"), col("n_both"), col("e.est_union"),
+        col("e.est_jaccard"), col("e.est_intersect"))
+  }
+
   /** HyperLogLog distinct-count per language
     * ([[graft.functions.HllSketch]], p = 10 → 1024 registers, w = 20)
     * over portable text hashes — the fixed-size mergeable sibling of
@@ -2345,6 +2484,14 @@ object Extensions {
   def eventFunnel(spark: SparkSession, sfDir: String): DataFrame =
     Analytics.funnel(Parity.events(spark, sfDir))
 
+  /** U-shaped multi-touch attribution ([[Analytics.attributionUShaped]]):
+    * each purchase splits an integer credit of 100 over the click/view
+    * touches in its 3-day lookback — the marketing-mix readout next to
+    * the funnel; per-conversion credits sum to exactly 100. */
+  def attributionQ(spark: SparkSession, sfDir: String): DataFrame =
+    Analytics.attributionUShaped(Parity.events(spark, sfDir),
+      touchTypes = Seq("click", "view"))
+
   /** Events as deterministic half-open intervals: start = event epoch,
     * duration = 60 + (event_id mod 240) seconds — a synthetic but
     * reproducible "session length" both engines derive identically. */
@@ -2539,6 +2686,20 @@ object Extensions {
   def triangles(spark: SparkSession, sfDir: String): DataFrame =
     Graph.triangleCounts(coPurchaseEdges(spark, sfDir))
       .select(col("v").as("user_id"), col("n_triangles"))
+
+  /** Link prediction over the co-purchase graph
+    * ([[graft.ext.Graph.linkPredict]]): non-adjacent user pairs with
+    * ≥2 common neighbors, with the integer similarity signals
+    * (common-neighbor count, preferential attachment, Jaccard
+    * denominator) — "who would this recommender connect next". */
+  def linkPredictQ(spark: SparkSession, sfDir: String): DataFrame =
+    // The edge table feeds FOUR consumers (both wedge sides, the
+    // anti-join, the degree table); checkpoint it once so the events
+    // self-join+agg derivation isn't re-inlined per consumer (measured
+    // 6.4 s → ~4 s at sf0.1, and the re-derivation multiple would only
+    // grow with scale).
+    Graph.linkPredict(coPurchaseEdges(spark, sfDir).localCheckpoint(),
+      maxMiddleDeg = 1024, minCommon = 2)
 
   /** Fixed-point PageRank ([[graft.ext.Graph.pageRank]]) over the same
     * co-purchase graph — influence centrality where triangle counting
@@ -2831,6 +2992,25 @@ object Extensions {
   def aucOvr(spark: SparkSession, sfDir: String): DataFrame =
     MlEval.aucOneVsRest(Parity.events(spark, sfDir), "event_type", "value")
 
+  /** Precision–recall operating points for "is this a purchase" scored
+    * by `value` ([[MlEval.prCurve]]) — integer-exact tp/fp/fn per
+    * distinct threshold; the companion artifact to [[aucOvr]]. */
+  def prCurveQ(spark: SparkSession, sfDir: String): DataFrame =
+    MlEval.prCurve(Parity.events(spark, sfDir),
+      col("event_type") === "purchase", "value")
+
+  /** Split-conformal 90% nonconformity threshold per event type
+    * ([[MlEval.conformalThreshold]]) — integer rank selection only. */
+  def conformalQ(spark: SparkSession, sfDir: String): DataFrame =
+    MlEval.conformalThreshold(Parity.events(spark, sfDir),
+      "event_type", "value")
+
+  /** Pairwise Pearson correlation of hourly activity between event
+    * types ([[MlEval.corrMatrix]]) — integer cross-moments, one
+    * mirrored sqrt·sqrt division. */
+  def corrMatrixQ(spark: SparkSession, sfDir: String): DataFrame =
+    MlEval.corrMatrix(Parity.events(spark, sfDir), "event_type")
+
   /** Two-sample KS drift per event_type between the even/odd event_id
     * halves ([[MlEval.ksDrift]]) — the reference-vs-current split every
     * drift monitor uses, made deterministic. */
@@ -2979,6 +3159,15 @@ object Extensions {
 
   // ---------------------------------------------------------- queries map
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_pr_curve" -> prCurveQ _,
+    "x_conformal" -> conformalQ _,
+    "x_corr_matrix" -> corrMatrixQ _,
+    "x_weighted_quantile" -> weightedQuantile _,
+    "x_attribution" -> attributionQ _,
+    "x_vocab_growth" -> vocabGrowth _,
+    "x_link_predict" -> linkPredictQ _,
+    "x_kmv_overlap" -> kmvOverlap _,
+    "x_systematic_sample" -> systematicSampleQ _,
     "x_auc" -> aucOvr _,
     "x_ks_drift" -> ksDriftQ _,
     "x_calibration" -> calibrationQ _,
@@ -3314,6 +3503,215 @@ object Extensions {
   }
 
   private val oracleBase: Map[String, String] = Map(
+    // PR-curve mirror: same centi-score distinct aggregate, same
+    // descending cumulative window, same two bigint-ratio divisions.
+    "x_pr_curve" ->
+      """WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) AS s,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+           FROM events),
+         c AS (SELECT s, CAST(SUM(pos) AS BIGINT) AS n_pos_s,
+             count(*) AS n_s FROM e GROUP BY 1),
+         w AS (SELECT s,
+             CAST(SUM(n_pos_s) OVER (ORDER BY s DESC
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tp,
+             CAST(SUM(n_s) OVER (ORDER BY s DESC
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pp
+           FROM c),
+         t AS (SELECT CAST(SUM(pos) AS BIGINT) AS n_pos_all FROM e)
+         SELECT s AS threshold, tp, pp - tp AS fp, n_pos_all - tp AS fn,
+           CAST(tp AS DOUBLE) / CAST(pp AS DOUBLE) AS prec,
+           CASE WHEN n_pos_all > 0
+             THEN CAST(tp AS DOUBLE) / CAST(n_pos_all AS DOUBLE) END AS rec
+         FROM w, t""",
+    // Conformal mirror: same two integer rank selections (median by
+    // score order, q_hat by residual order) — value-at-rank is
+    // deterministic under ties because the rank order sorts by the
+    // selected value first.
+    "x_conformal" ->
+      """WITH e AS (SELECT event_type AS grp,
+             CAST(round(value * 100) AS BIGINT) AS s FROM events),
+         r1 AS (SELECT grp, s,
+             CAST(row_number() OVER (PARTITION BY grp ORDER BY s)
+               AS BIGINT) AS rn,
+             CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS n
+           FROM e),
+         med AS (SELECT grp, MAX(n) AS n,
+             MIN(CASE WHEN rn = (n - 1) // 2 + 1 THEN s END) AS med
+           FROM r1 GROUP BY 1),
+         res AS (SELECT e.grp, e.s, abs(e.s - med.med) AS r,
+             med.n, med.med
+           FROM e JOIN med USING (grp)),
+         r2 AS (SELECT *, CAST(row_number() OVER (PARTITION BY grp
+             ORDER BY r, s) AS BIGINT) AS rr FROM res)
+         SELECT grp AS event_type, MAX(n) AS n,
+           ((MAX(n) + 1) * 9 + 9) // 10 AS k,
+           MAX(med) AS med_centi,
+           MIN(CASE WHEN rr = ((n + 1) * 9 + 9) // 10 THEN r END)
+             AS qhat_centi
+         FROM r2 GROUP BY 1""",
+    // Corr-matrix mirror: same co-active-hour pair join, exact integer
+    // cross-moments, the same literal sqrt·sqrt division.
+    "x_corr_matrix" ->
+      """WITH h AS (SELECT event_type AS g, date_trunc('hour', ts) AS hr,
+             CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1, 2),
+         p AS (SELECT a.g AS g_a, b.g AS g_b, a.x AS x, b.x AS y
+           FROM h a JOIN h b ON a.hr = b.hr AND a.g < b.g),
+         m AS (SELECT g_a, g_b, CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+           FROM p GROUP BY 1, 2)
+         SELECT g_a, g_b, n, sx, sy, sxy,
+           n * sxx - sx * sx AS vx, n * syy - sy * sy AS vy,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+             THEN CAST(n * sxy - sx * sy AS DOUBLE) /
+               (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+                sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+           END AS r
+         FROM m""",
+    // Weighted-quantile mirror: same (n_chars, doc_id) order, same
+    // cumulative token masses, same integer target-containment picks.
+    "x_weighted_quantile" ->
+      """WITH b AS (SELECT lang, n_chars, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS w
+           FROM documents),
+         c AS (SELECT *, CAST(SUM(w) OVER (PARTITION BY lang
+               ORDER BY n_chars, doc_id ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS cum,
+             CAST(SUM(w) OVER (PARTITION BY lang) AS BIGINT) AS wt
+           FROM b)
+         SELECT lang, MAX(wt) AS w_total, count(*) AS n_docs,
+           MIN(CASE WHEN cum - w < wt // 2 + 1 AND wt // 2 + 1 <= cum
+             THEN n_chars END) AS q50_w,
+           MIN(CASE WHEN cum - w < (wt * 9) // 10 + 1
+             AND (wt * 9) // 10 + 1 <= cum THEN n_chars END) AS q90_w
+         FROM c GROUP BY 1""",
+    // Attribution mirror: same user-keyed range join, same (tts, id)
+    // rank order, same integer credit split with remainder-to-earliest.
+    "x_attribution" ->
+      """WITH c AS (SELECT user_id AS u, event_id AS conv_id, ts AS cts
+           FROM events WHERE event_type = 'purchase'),
+         t AS (SELECT user_id AS u, event_id AS touch_id,
+             event_type AS channel, ts AS tts
+           FROM events WHERE event_type IN ('click', 'view')),
+         j AS (SELECT c.u, c.conv_id, t.touch_id, t.channel, t.tts
+           FROM c JOIN t ON c.u = t.u
+           AND t.tts < c.cts AND t.tts >= c.cts - INTERVAL 3 DAY),
+         r AS (SELECT *,
+             CAST(row_number() OVER (PARTITION BY conv_id
+               ORDER BY tts, touch_id) AS BIGINT) AS rnk,
+             CAST(count(*) OVER (PARTITION BY conv_id) AS BIGINT) AS n
+           FROM j)
+         SELECT u AS user_id, conv_id, touch_id, channel, rnk,
+           n AS n_touches,
+           CAST(CASE WHEN n = 1 THEN 100
+                WHEN n = 2 THEN 50
+                WHEN rnk = 1 OR rnk = n THEN 40
+                ELSE 20 // (n - 2)
+                  + (CASE WHEN rnk - 1 <= 20 % (n - 2) THEN 1 ELSE 0 END)
+           END AS BIGINT) AS credit
+         FROM r""",
+    // Vocab-growth mirror: same doc_id-ordered global token positions
+    // (window prefix sum ≡ the engine's two-phase form), same min-pos
+    // firsts, same shiftleft checkpoint ladder, one mirrored division.
+    "x_vocab_growth" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+           FROM documents),
+         c AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n_tok FROM d),
+         p AS (SELECT doc_id, ws, CAST(SUM(n_tok) OVER (ORDER BY doc_id
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tok AS start
+           FROM c),
+         t AS (SELECT ws[i] AS w, start + i AS gpos
+           FROM (SELECT *, unnest(generate_series(1, len(ws))) AS i
+                 FROM p)),
+         f AS (SELECT w, MIN(gpos) AS first_pos FROM t GROUP BY 1),
+         tot AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS total FROM c),
+         cp AS (SELECT (1::BIGINT << j) AS checkpoint
+           FROM (SELECT unnest(generate_series(6, 40)) AS j), tot
+           WHERE (1::BIGINT << j) <= total)
+         SELECT checkpoint, CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(count(*) AS DOUBLE) / CAST(checkpoint AS DOUBLE) AS ttr
+         FROM f JOIN cp ON f.first_pos <= cp.checkpoint
+         GROUP BY 1""",
+    // Link-prediction mirror: same degree cap on the wedge middles,
+    // same min-common floor, integer outputs only.
+    "x_link_predict" ->
+      s"""WITH $coPurchaseCte,
+         und AS MATERIALIZED (SELECT a AS u, b AS v FROM edges
+                 UNION ALL SELECT b, a FROM edges),
+         deg AS MATERIALIZED (SELECT u, CAST(count(*) AS BIGINT) AS deg
+                 FROM und GROUP BY 1),
+         mid AS MATERIALIZED (SELECT und.u, und.v FROM und
+                 JOIN deg USING (u) WHERE deg <= 1024),
+         cn AS MATERIALIZED (
+           SELECT m1.v AS a, m2.v AS b, CAST(count(*) AS BIGINT) AS common
+           FROM mid m1 JOIN mid m2 ON m1.u = m2.u AND m1.v < m2.v
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         ne AS (SELECT cn.a, cn.b, cn.common FROM cn
+           LEFT JOIN edges e ON cn.a = e.a AND cn.b = e.b
+           WHERE e.a IS NULL)
+         SELECT ne.a, ne.b, ne.common,
+           da.deg * db.deg AS pref_attach,
+           da.deg + db.deg - ne.common AS jacc_den
+         FROM ne JOIN deg da ON ne.a = da.u
+           JOIN deg db ON ne.b = db.u""",
+    // KMV-overlap mirror: per-source min-k is a pure set function
+    // (x_kmv_distinct), union minima / both-sides membership are list
+    // arithmetic, estimators are the same literal IEEE expressions.
+    "x_kmv_overlap" -> {
+      val ph = DuckSql.polyHash("text")
+      s"""WITH d AS (SELECT source, text FROM documents
+           UNION ALL
+           SELECT 'mirror' AS source, text FROM documents
+           WHERE doc_id % 3 = 0),
+         h AS (SELECT DISTINCT source, $ph AS h FROM d),
+         s AS (SELECT source, list_slice(list_sort(list(h)), 1, 64) AS mins
+           FROM h GROUP BY 1),
+         p AS (SELECT x.source AS source_a, y.source AS source_b,
+             x.mins AS am, y.mins AS bm
+           FROM s x JOIN s y ON x.source < y.source),
+         u AS (SELECT source_a, source_b, am, bm,
+             list_slice(list_sort(list_distinct(list_concat(am, bm))),
+               1, 64) AS um
+           FROM p),
+         c AS (SELECT source_a, source_b,
+             CAST(len(um) AS BIGINT) AS n_union_mins,
+             um[len(um)] AS kth_union_min,
+             CAST(len(list_filter(um, v ->
+               list_contains(am, v) AND list_contains(bm, v)))
+               AS BIGINT) AS n_both,
+             CASE WHEN len(um) < 64 THEN CAST(len(um) AS DOUBLE)
+                  ELSE 63.0 * 1000000007.0 / CAST(um[64] AS DOUBLE)
+             END AS est_union
+           FROM u)
+         SELECT source_a, source_b, n_union_mins, kth_union_min, n_both,
+           est_union,
+           CAST(n_both AS DOUBLE) / CAST(n_union_mins AS DOUBLE)
+             AS est_jaccard,
+           (CAST(n_both AS DOUBLE) / CAST(n_union_mins AS DOUBLE))
+             * est_union AS est_intersect
+         FROM c"""
+    },
+    // Systematic-sample mirror: the x_shard_plan axis (same hash, same
+    // bucket/hash/id order) cumulated GLOBALLY, integer stride test.
+    "x_systematic_sample" -> {
+      val ph = DuckSql.polyHash("('shard-v1:' || CAST(doc_id AS VARCHAR))")
+      s"""WITH t AS (SELECT doc_id, source,
+              CAST(len($W) AS BIGINT) AS n_tokens, $ph AS h
+            FROM documents),
+          o AS (SELECT *, h % 256 AS b FROM t),
+          c AS (SELECT *, CAST(SUM(n_tokens) OVER (
+                  ORDER BY b, h, doc_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_tok
+                FROM o)
+          SELECT doc_id, source, n_tokens,
+            end_tok - n_tokens AS start_tok,
+            (end_tok - n_tokens) // 4096 + 1 AS tick
+          FROM c
+          WHERE end_tok // 4096 > (end_tok - n_tokens) // 4096"""
+    },
     "x_auc" ->
       """WITH e AS (SELECT event_type AS label,
              CAST(round(value * 100) AS BIGINT) AS s FROM events),

@@ -57,8 +57,14 @@ class QueryPlanAuditSpec extends SparkSpec {
                         // sqrt-denominator singleton (one row)
     "x_blocking_audit", // four 1-row counter singletons crossed into the
                         // single-row audit readout (all broadcast)
-    "x_epoch_plan"      // per-source rollup × broadcast source-count
+    "x_epoch_plan",     // per-source rollup × broadcast source-count
                         // singleton (the budget divisor)
+    "x_pr_curve",       // threshold rows × broadcast total-positives
+                        // singleton
+    "x_kmv_overlap",    // #sources sketch rows × broadcast sketch rows
+                        // (O(k)-payload pair table, structurally tiny)
+    "x_vocab_growth"    // token first-positions × broadcast ≤26-row
+                        // checkpoint ladder
   )
 
   test("no query plans an unintended cartesian or nested-loop join") {

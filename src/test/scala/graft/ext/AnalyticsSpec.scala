@@ -385,4 +385,45 @@ class AnalyticsSpec extends SparkSpec {
     val none = Seq((1L, false), (3L, false)).toDF("dur", "ev")
     assert(Analytics.kaplanMeier(none, "dur", "ev").count() == 0L)
   }
+
+  private def attrEvents(rows: (Long, Long, String, String)*) =
+    rows.map { case (id, u, t, at) => (id, u, t, ts(at)) }
+      .toDF("event_id", "user_id", "event_type", "ts")
+
+  test("attributionUShaped: U-split credit, remainder to earliest middles") {
+    // 5 touches before one purchase: 40 first, 40 last, middles get
+    // 20 div 3 = 6 each plus remainder 2 to the two EARLIEST middles.
+    val df = attrEvents(
+      (1L, 7L, "click", "2026-01-01 10:00:00"),
+      (2L, 7L, "view", "2026-01-01 11:00:00"),
+      (3L, 7L, "click", "2026-01-01 12:00:00"),
+      (4L, 7L, "view", "2026-01-01 13:00:00"),
+      (5L, 7L, "click", "2026-01-01 14:00:00"),
+      (9L, 7L, "purchase", "2026-01-02 09:00:00"))
+    val r = Analytics.attributionUShaped(df, Seq("click", "view"))
+      .collect().map(x => x.getAs[Long]("touch_id") ->
+        x.getAs[Long]("credit")).toMap
+    assert(r == Map(1L -> 40L, 2L -> 7L, 3L -> 7L, 4L -> 6L, 5L -> 40L))
+  }
+
+  test("attributionUShaped: credits sum to 100 per conversion; window respected") {
+    val df = attrEvents(
+      (1L, 1L, "click", "2026-01-01 10:00:00"),   // lone touch -> 100
+      (9L, 1L, "purchase", "2026-01-01 12:00:00"),
+      (2L, 2L, "view", "2026-01-03 10:00:00"),
+      (3L, 2L, "click", "2026-01-03 11:00:00"),   // pair -> 50/50
+      (8L, 2L, "purchase", "2026-01-04 09:00:00"),
+      (4L, 3L, "click", "2025-12-20 10:00:00"),   // outside 3-day lookback
+      (7L, 3L, "purchase", "2026-01-01 09:00:00"),
+      (5L, 4L, "click", "2026-01-05 10:00:00"))   // touch, no conversion
+    val rows = Analytics.attributionUShaped(df, Seq("click", "view")).collect()
+    val byConv = rows.groupBy(_.getAs[Long]("conv_id"))
+      .view.mapValues(_.map(_.getAs[Long]("credit")).sum).toMap
+    assert(byConv == Map(9L -> 100L, 8L -> 100L))
+    assert(rows.filter(_.getAs[Long]("conv_id") == 8L)
+      .forall(_.getAs[Long]("credit") == 50L))
+    // user 3's purchase has no in-window touch; user 4 never converts
+    assert(!rows.exists(_.getAs[Long]("conv_id") == 7L))
+    assert(!rows.exists(_.getAs[Long]("touch_id") == 5L))
+  }
 }

@@ -178,4 +178,31 @@ class CurationOpsSpec extends SparkSpec {
     val m2 = Mixture.shardManifest(docs.repartition(13), budget = 25L).collect()
     assert(m.map(_.toString).sorted.sameElements(m2.map(_.toString).sorted))
   }
+
+  test("systematicSample: one pick per stride, tick-exact, layout-proof") {
+    val docs = (0 until 80).map { i =>
+      val src = if (i % 2 == 0) "web" else "code"
+      (i.toLong, src, Seq.fill(3 + i % 7)(s"w$i").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val total = (0 until 80).map(i => 3 + i % 7).sum // 480 tokens
+    val stride = 50L
+
+    val picks = Mixture.systematicSample(docs, stride).collect()
+    // Exactly one pick per crossed boundary: ticks are 1..floor(total/stride),
+    // each exactly once (no doc here spans two boundaries).
+    val ticks = picks.map(_.getAs[Long]("tick")).sorted.toSeq
+    assert(ticks == (1L to total / stride).toSeq,
+      s"ticks must enumerate every stride boundary once, got $ticks")
+    // The crossed boundary really falls inside each pick's interval.
+    picks.foreach { r =>
+      val start = r.getAs[Long]("start_tok")
+      val end = start + r.getAs[Long]("n_tokens")
+      val b = r.getAs[Long]("tick") * stride
+      assert(start < b && b <= end, s"boundary $b outside ($start, $end]")
+    }
+    // Deterministic under physical layout changes.
+    val again = Mixture.systematicSample(docs.repartition(13), stride)
+      .collect().map(_.toString).sorted
+    assert(again.sameElements(picks.map(_.toString).sorted))
+  }
 }

@@ -245,4 +245,38 @@ class GraphSpec extends SparkSpec {
       .map(x => x.getLong(0) -> x.getLong(2)).toMap
     assert(r == Map(0L -> 0L, 1L -> 0L))
   }
+
+  test("linkPredict: path endpoints predicted, existing edges excluded") {
+    // path 1-2-3 plus 3-4: pairs at distance 2 are (1,3) via 2, (2,4)
+    // via 3; with minCommon=1 both appear with common=1; edge pairs
+    // never appear. deg: 1->1, 2->2, 3->2, 4->1.
+    val r = Graph.linkPredict(
+        edges((1L, 2L), (2L, 3L), (3L, 4L)), minCommon = 1)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) ->
+        (x.getLong(2), x.getLong(3), x.getLong(4))).toMap
+    assert(r === Map(
+      (1L, 3L) -> (1L, 2L, 2L),   // common=1, 1*2, 1+2-1
+      (2L, 4L) -> (1L, 2L, 2L)))  // common=1, 2*1, 2+1-1
+  }
+
+  test("linkPredict: common count and Jaccard denominator on K4 minus an edge") {
+    // K4 without edge (1,4): 1 and 4 share neighbors {2,3} → common=2;
+    // deg(1)=deg(4)=2, deg(2)=deg(3)=3 → pref=4, jacc_den=2+2-2=2.
+    val r = Graph.linkPredict(
+        edges((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L)))
+      .collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert((row.getLong(0), row.getLong(1)) === (1L, 4L))
+    assert(row.getLong(2) === 2L && row.getLong(3) === 4L &&
+      row.getLong(4) === 2L)
+  }
+
+  test("linkPredict: middle-degree cap drops hub-mediated pairs") {
+    // star hub 9 with leaves 1..4: every leaf pair shares only the hub.
+    val star = edges((1L, 9L), (2L, 9L), (3L, 9L), (4L, 9L))
+    assert(Graph.linkPredict(star, minCommon = 1).count() === 6L)
+    assert(Graph.linkPredict(star, maxMiddleDeg = 3, minCommon = 1)
+      .count() === 0L)
+  }
 }

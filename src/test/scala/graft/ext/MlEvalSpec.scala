@@ -129,6 +129,62 @@ class MlEvalSpec extends SparkSpec {
     assert(z.isNullAt(z.fieldIndex("recall")))
   }
 
+  test("prCurve: tp/fp/fn and ratios at every distinct threshold") {
+    // scored: pos at 3,5,5; neg at 1,3,4 (same hand set as AUC above).
+    // Descending thresholds (centi): 500 -> tp=2 pp=2; 400 -> tp=2 pp=3;
+    // 300 -> tp=3 pp=5; 100 -> tp=3 pp=6. P=3.
+    val r = MlEval.prCurve(scored, col("label") === "pos", "score")
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3),
+          x.getDouble(4), x.getDouble(5))).toMap
+    assert(r(500L) == ((2L, 0L, 1L, 1.0, 2.0 / 3.0)))
+    assert(r(400L) == ((2L, 1L, 1L, 2.0 / 3.0, 2.0 / 3.0)))
+    assert(r(300L) == ((3L, 2L, 0L, 3.0 / 5.0, 1.0)))
+    assert(r(100L) == ((3L, 3L, 0L, 0.5, 1.0)))
+    assert(r.size == 4)
+  }
+
+  test("prCurve: no positives leaves recall null, precision 0") {
+    val df = Seq(("neg", 1.0), ("neg", 2.0)).toDF("label", "score")
+    val rows = MlEval.prCurve(df, col("label") === "pos", "score").collect()
+    assert(rows.forall(x => x.getLong(1) == 0L && x.isNullAt(5)))
+    assert(rows.forall(x => x.getDouble(4) == 0.0))
+  }
+
+  test("conformalThreshold: rank-selected median and 90% residual") {
+    // scores 0.01..0.10: n=10, lower median = rank 5 -> 5 centi;
+    // residuals sorted: 0,1,1,2,2,3,3,4,4,5; k = ceil(11*0.9) = 10 -> 5.
+    val g = (1 to 10).map(i => ("g", i / 100.0))
+    // n=3: k = ceil(4*0.9) = 4 > 3 -> qhat null (coverage unattainable)
+    val h = Seq(("h", 0.01), ("h", 0.02), ("h", 0.03))
+    val r = MlEval.conformalThreshold((g ++ h).toDF("grp", "score"),
+        "grp", "score")
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3),
+          if (x.isNullAt(4)) -1L else x.getLong(4))).toMap
+    assert(r("g") == ((10L, 10L, 5L, 5L)))
+    assert(r("h") == ((3L, 4L, 2L, -1L)))
+  }
+
+  test("corrMatrix: proportional series r=1, constant series r null") {
+    val h1 = ts("2026-01-01 10:00:00")
+    val h2 = ts("2026-01-01 11:00:00")
+    val h3 = ts("2026-01-01 12:00:00")
+    def rows(g: String, counts: Seq[Int]) =
+      Seq(h1, h2, h3).zip(counts).flatMap { case (t, c) =>
+        Seq.fill(c)((g, t))
+      }
+    val df = (rows("a", Seq(1, 2, 3)) ++ rows("b", Seq(2, 4, 6)) ++
+      rows("c", Seq(1, 1, 1))).toDF("grp", "ts")
+    val r = MlEval.corrMatrix(df, "grp")
+      .collect().map(x => (x.getString(0), x.getString(1)) ->
+        (if (x.isNullAt(8)) Double.NaN else x.getDouble(8))).toMap
+    assert(math.abs(r(("a", "b")) - 1.0) < 1e-12)
+    assert(r(("a", "c")).isNaN && r(("b", "c")).isNaN)
+  }
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
   test("categoricalConcentration: uniform mix vs single-type user") {
     val df = Seq((1L, "a"), (1L, "b"), (1L, "c"), (1L, "d"),
       (2L, "a"), (2L, "a")).toDF("user_id", "event_type")
