@@ -128,34 +128,39 @@ object MlEval {
     * at integer rank k (null when k > n — coverage unattainable at this
     * n, never silently clamped).
     *
-    * Scale shape: two rank windows over the group partition (score
-    * order, then residual order) riding one group exchange each, plus a
-    * broadcast ≤|groups| median table. */
+    * Scale shape: everything rides DISTINCT-value masses — one hash
+    * aggregate to (group, centi-score) counts, cumulative windows over
+    * distinct scores / distinct residuals only (the AUC convention; a
+    * row-level rank window would make a whole group the serial
+    * dimension at 100 TB). Value-at-rank-k over masses ≡ the row form:
+    * the k-th smallest value is the least value whose cumulative count
+    * reaches k — the oracle IS the row-level reference form, so the
+    * hash match proves the mass form computes the identical ranks. */
   def conformalThreshold(df: DataFrame, groupCol: String, scoreCol: String,
       alphaNum: Int = 9, alphaDen: Int = 10): DataFrame = {
-    val scored = df.select(col(groupCol).as("grp"), centi(scoreCol).as("s"))
-    val wOrd = Window.partitionBy("grp").orderBy(col("s"))
-    val med = scored
-      .withColumn("rn", row_number().over(wOrd).cast(LongType))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("grp")))
-      .groupBy("grp")
-      .agg(max("n").as("n"),
-        min(when(col("rn") === expr("(n - 1) div 2 + 1"), col("s")))
-          .as("med"))
-    val res = scored.join(broadcast(med), Seq("grp"))
-      .withColumn("r", abs(col("s") - col("med")))
-    val wRes = Window.partitionBy("grp").orderBy(col("r"), col("s"))
-    res
-      .withColumn("rr", row_number().over(wRes).cast(LongType))
-      .groupBy("grp")
-      .agg(max("n").as("n"), max("med").as("med_centi"),
-        min(when(col("rr") ===
-            expr(s"((n + 1) * $alphaNum + ${alphaDen - 1}) div $alphaDen"),
-          col("r"))).as("qhat_centi"))
-      .select(col("grp").as(groupCol), col("n"),
-        expr(s"((n + 1) * $alphaNum + ${alphaDen - 1}) div $alphaDen")
-          .as("k"),
-        col("med_centi"), col("qhat_centi"))
+    val counts = df.select(col(groupCol).as("grp"), centi(scoreCol).as("s"))
+      .groupBy("grp", "s").agg(count(lit(1)).as("c"))
+    val wS = Window.partitionBy("grp").orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val med = counts
+      .withColumn("cum", sum("c").over(wS))
+      .withColumn("n", sum("c").over(Window.partitionBy("grp")))
+      .filter(col("cum") >= expr("(n - 1) div 2 + 1"))
+      .groupBy("grp").agg(max("n").as("n"), min("s").as("med"))
+    val kExpr = s"((n + 1) * $alphaNum + ${alphaDen - 1}) div $alphaDen"
+    val resMass = counts.join(broadcast(med), Seq("grp"))
+      .groupBy(col("grp"), abs(col("s") - col("med")).as("r"))
+      .agg(sum("c").as("c"))
+    val wR = Window.partitionBy("grp").orderBy("r")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val qhat = resMass
+      .withColumn("cum", sum("c").over(wR))
+      .join(broadcast(med), Seq("grp"))
+      .filter(col("cum") >= expr(kExpr))
+      .groupBy("grp").agg(min("r").as("qhat_centi"))
+    med.join(qhat, Seq("grp"), "left")
+      .select(col("grp").as(groupCol), col("n"), expr(kExpr).as("k"),
+        col("med").as("med_centi"), col("qhat_centi"))
   }
 
   /** Pairwise Pearson correlation of per-group hourly activity — the

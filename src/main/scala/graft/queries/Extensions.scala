@@ -762,14 +762,23 @@ object Extensions {
     * t_q = (W·q) div 1 + 1 — no interpolation between discrete docs, so
     * there is no double anywhere. Zero-token docs can never be picked
     * (their cum interval is empty), which is the right semantics for a
-    * token-mass quantile. One lang-partitioned window pair. */
+    * token-mass quantile.
+    *
+    * Scale shape: cumulates DISTINCT-length masses, not docs — docs at
+    * one length are contiguous in the (n_chars, doc_id) order, so the
+    * target-containment pick over length masses selects the same
+    * n_chars as the per-doc reference form (which is what the oracle
+    * replays); the window runs over |distinct lengths| rows only. */
   def weightedQuantile(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = docs(spark, sfDir).select(col("lang"), col("n_chars"),
-      col("doc_id"), size(TextKit.words(col("text"))).cast(LongType).as("w"))
-    val wOrd = Window.partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
+    val masses = docs(spark, sfDir)
+      .select(col("lang"), col("n_chars"),
+        size(TextKit.words(col("text"))).cast(LongType).as("w"))
+      .groupBy("lang", "n_chars")
+      .agg(sum("w").as("w"), count(lit(1)).as("nd"))
+    val wOrd = Window.partitionBy("lang").orderBy(col("n_chars"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy("lang")
-    val c = base
+    val c = masses
       .withColumn("cum", sum("w").over(wOrd))
       .withColumn("wt", sum("w").over(wAll))
     def pick(target: org.apache.spark.sql.Column) =
@@ -777,7 +786,7 @@ object Extensions {
         col("n_chars")))
     c.groupBy("lang").agg(
       max("wt").as("w_total"),
-      count(lit(1)).as("n_docs"),
+      sum("nd").as("n_docs"),
       pick(expr("wt div 2 + 1")).as("q50_w"),
       pick(expr("(wt * 9) div 10 + 1")).as("q90_w"))
   }
