@@ -120,4 +120,40 @@ class MlEvalPropertySpec extends SparkSpec {
       assert(byClass("c").isNullAt(byClass("c").fieldIndex("precision")))
     }
   }
+
+  test("prCurve: matches brute-force counts at every threshold") {
+    for (seed <- 1L to 5L) {
+      val rows = scoredSet(seed * 173)
+      val got = MlEval.prCurve(rows.toDF("label", "score"),
+          col("label") === "pos", "score")
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      val centi = rows.map { case (l, s) => (l, math.round(s * 100)) }
+      val p = centi.count(_._1 == "pos").toLong
+      for ((t, (tp, fp, fn)) <- got) {
+        val predPos = centi.filter(_._2 >= t)
+        assert(tp == predPos.count(_._1 == "pos").toLong)
+        assert(fp == predPos.count(_._1 != "pos").toLong)
+        assert(fn == p - tp)
+      }
+      assert(got.size == centi.map(_._2).distinct.size)
+    }
+  }
+
+  test("conformalThreshold: q_hat covers >= ceil((n+1)a)-1 of n residuals") {
+    for (seed <- 1L to 5L) {
+      val rows = scoredSet(seed * 211).map { case (_, s) => ("g", s) }
+      val r = MlEval.conformalThreshold(rows.toDF("grp", "score"),
+        "grp", "score").collect().head
+      val (n, k) = (r.getAs[Long]("n"), r.getAs[Long]("k"))
+      val med = r.getAs[Long]("med_centi")
+      val qhat = r.getAs[Long]("qhat_centi")
+      val centi = rows.map(x => math.round(x._2 * 100))
+      // the engine's median is the rank-((n-1) div 2 + 1) value
+      assert(med == centi.sorted.apply((((n - 1) / 2) + 1 - 1).toInt))
+      val res = centi.map(s => math.abs(s - med)).sorted
+      assert(qhat == res((k - 1).toInt), "q_hat is the k-th smallest residual")
+      assert(res.count(_ <= qhat) >= k)
+    }
+  }
 }
