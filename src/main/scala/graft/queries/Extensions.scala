@@ -2017,6 +2017,54 @@ object Extensions {
           / (ndd * (ndd - lit(1.0)) / lit(2.0))).as("reduction_ratio"))
   }
 
+  /** Fellegi–Sunter agreement-weight estimation — the parameter-fitting
+    * step between blocking ([[blockingAudit]]) and survivorship
+    * ([[goldenRecord]]): over the SNM candidate pair space, label each
+    * pair match/non-match by exact text identity (the planted-dup
+    * ground truth) and estimate, per comparison attribute (lang,
+    * source, length±5), m = P(agree | match) and u = P(agree | match̄)
+    * as raw integer counts. The attribute's agreement weight m/u is
+    * emitted as an exact bigint ratio (odds_num = agree_m · n_unmatch,
+    * odds_den = n_match · agree_u) plus ONE mirrored division — the
+    * un-logged convention of x_bm25/x_psi_bins (true log-weight is a
+    * client-side log away).
+    *
+    * Scale shape: candidates are the bucketed SNM join (≤w per doc,
+    * never N²); attribute flags ride two doc-keyed hash joins; `stack`
+    * unpivots inside the scan (no shuffle); one 3-group aggregate. */
+  def fsWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    val u = docsWithDups(spark, sfDir)
+    val cands = snmCandidates(
+      u.select(col("doc_id"), substring(col("text"), 1, 12).as("k")))
+    def side(p: String) = u.select(col("doc_id").as(p),
+      sha2(col("text"), 256).as(s"h$p"), col("lang").as(s"l$p"),
+      col("source").as(s"s$p"), col("n_chars").as(s"c$p"))
+    val pairs = cands.join(side("a"), Seq("a")).join(side("b"), Seq("b"))
+      .select((col("ha") === col("hb")).as("is_match"),
+        (col("la") === col("lb")).as("ag_lang"),
+        (col("sa") === col("sb")).as("ag_source"),
+        (abs(col("ca") - col("cb")) <= 5).as("ag_len"))
+    pairs
+      .select(col("is_match"),
+        expr("stack(3, 'lang', ag_lang, 'source', ag_source, " +
+          "'len5', ag_len) AS (attr, agree)"))
+      .groupBy("attr")
+      .agg(
+        sum(when(col("is_match"), 1L).otherwise(0L)).as("n_match"),
+        sum(when(col("is_match") && col("agree"), 1L).otherwise(0L))
+          .as("n_agree_match"),
+        sum(when(!col("is_match"), 1L).otherwise(0L)).as("n_unmatch"),
+        sum(when(!col("is_match") && col("agree"), 1L).otherwise(0L))
+          .as("n_agree_unmatch"))
+      .select(col("attr"), col("n_match"), col("n_agree_match"),
+        col("n_unmatch"), col("n_agree_unmatch"),
+        (col("n_agree_match") * col("n_unmatch")).as("odds_num"),
+        (col("n_match") * col("n_agree_unmatch")).as("odds_den"))
+      .withColumn("agreement_odds",
+        when(col("odds_den") > 0,
+          col("odds_num").cast(DoubleType) / col("odds_den").cast(DoubleType)))
+  }
+
   /** Keyed point-in-interval join through the NATIVE merge-sweep
     * operator ([[graft.ext.RangeJoin.nativeJoin]] →
     * [[graft.plans.RangeJoinExec]]): per (custkey mod 100) pricing
@@ -3314,6 +3362,7 @@ object Extensions {
     "x_drift" -> drift _,
     "x_row_number" -> rowNumberShards _,
     "x_sorted_blocking" -> sortedBlocking _,
+    "x_fs_weights" -> fsWeights _,
     "x_blocking_audit" -> blockingAudit _,
     "x_golden_record" -> goldenRecord _,
     "x_label_prop" -> labelProp _,
@@ -5737,6 +5786,49 @@ object Extensions {
              / (CAST(n_docs AS DOUBLE) * (CAST(n_docs AS DOUBLE) - 1.0) / 2.0)
              AS reduction_ratio
          FROM s""",
+    // Fellegi–Sunter mirror: same dup-bearing universe and SNM
+    // candidates, same three agreement attributes, UNION-ALL unpivot,
+    // integer odds products, one mirrored division.
+    "x_fs_weights" ->
+      """WITH all_docs AS (
+           SELECT doc_id, text, lang, source, n_chars FROM documents
+           UNION ALL
+           SELECT doc_id + 100000, text, lang, source, n_chars
+           FROM documents WHERE doc_id % 7 = 0),
+         n AS (SELECT doc_id, substr(text, 1, 12) AS k FROM all_docs),
+         r AS (SELECT doc_id,
+                 ROW_NUMBER() OVER (ORDER BY k, doc_id) AS rn FROM n),
+         cand AS (SELECT r1.doc_id AS a, r2.doc_id AS b
+                  FROM r r1 JOIN r r2 ON r2.rn - r1.rn BETWEEN 1 AND 3),
+         p AS (SELECT (da.text = db.text) AS is_match,
+                 (da.lang = db.lang) AS ag_lang,
+                 (da.source = db.source) AS ag_source,
+                 (abs(da.n_chars - db.n_chars) <= 5) AS ag_len
+               FROM cand JOIN all_docs da ON cand.a = da.doc_id
+                         JOIN all_docs db ON cand.b = db.doc_id),
+         l AS (SELECT is_match, 'lang' AS attr, ag_lang AS agree FROM p
+               UNION ALL
+               SELECT is_match, 'source', ag_source FROM p
+               UNION ALL
+               SELECT is_match, 'len5', ag_len FROM p),
+         agg AS (SELECT attr,
+             CAST(SUM(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_match,
+             CAST(SUM(CASE WHEN is_match AND agree THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_agree_match,
+             CAST(SUM(CASE WHEN NOT is_match THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_unmatch,
+             CAST(SUM(CASE WHEN NOT is_match AND agree THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_agree_unmatch
+           FROM l GROUP BY 1)
+         SELECT attr, n_match, n_agree_match, n_unmatch, n_agree_unmatch,
+           n_agree_match * n_unmatch AS odds_num,
+           n_match * n_agree_unmatch AS odds_den,
+           CASE WHEN n_match * n_agree_unmatch > 0
+             THEN CAST(n_agree_match * n_unmatch AS DOUBLE)
+               / CAST(n_match * n_agree_unmatch AS DOUBLE)
+           END AS agreement_odds
+         FROM agg""",
     // Golden-record mirror: same SNM candidates and prefix-Levenshtein
     // match, transitive closure by recursive reachability (min label =
     // entity id — CC's fixed point is iteration-order independent), and
