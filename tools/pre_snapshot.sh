@@ -12,14 +12,19 @@ cd "$(dirname "$0")/.."
 fail() { echo "PRE-SNAPSHOT GATE: RED — $1" >&2; exit 1; }
 
 echo "== 1/3 scalatest =="
+# Run the gate ALONE: a concurrent bench/TimeQ JVM on the same 32
+# threads flakes the wall-clock-sensitive streaming tests. Full output
+# goes to /tmp/gate_test_full.log so a failing SUITE NAME survives the
+# tail (a red gate that can't say which test failed costs a rerun).
 if [ "${FAST:-0}" = "1" ]; then
   # QueryPlanAuditSpec alone plans every contract query (~2 min) and
   # catches the whole unparseable-SQL class.
-  sbt -batch "testOnly graft.QueryPlanAuditSpec" 2>&1 | tail -5 \
-    | tee /tmp/gate_test.out
+  sbt -batch "testOnly graft.QueryPlanAuditSpec" > /tmp/gate_test_full.log 2>&1
 else
-  sbt -batch test 2>&1 | tail -8 | tee /tmp/gate_test.out
+  sbt -batch test > /tmp/gate_test_full.log 2>&1
 fi
+tail -8 /tmp/gate_test_full.log | tee /tmp/gate_test.out
+grep -E "\*\*\* FAILED \*\*\*|Failed tests:" -A 3 /tmp/gate_test_full.log | head -12 || true
 grep -q "All tests passed." /tmp/gate_test.out || fail "sbt test not green"
 
 echo "== 2/3 Verify (sf0.01, full contract) =="
