@@ -426,4 +426,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(!rows.exists(_.getAs[Long]("conv_id") == 7L))
     assert(!rows.exists(_.getAs[Long]("touch_id") == 5L))
   }
+
+  test("attributionUShaped: credit conservation on pseudo-random logs") {
+    // Deterministic pseudo-random event log: 40 users, 300 events over
+    // ~6 days; every attributed conversion must distribute EXACTLY 100
+    // regardless of its touch count, and rnk must be dense 1..n.
+    val types = Array("click", "view", "purchase", "error")
+    val df = (1 to 300).map { i =>
+      val h = (i * 2654435761L) % 1000000007L
+      (i.toLong, (h % 40).toLong, types(((h / 40) % 4).toInt),
+        ts("2026-02-01 00:00:00").toLocalDateTime
+          .plusMinutes((h % 8640).toInt).toString.replace('T', ' ') + ":00")
+    }.map { case (id, u, t, at) => (id, u, t, ts(at)) }
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val rows = Analytics.attributionUShaped(df, Seq("click", "view")).collect()
+    assert(rows.nonEmpty, "pseudo-random log must attribute something")
+    rows.groupBy(_.getAs[Long]("conv_id")).foreach { case (conv, rs) =>
+      assert(rs.map(_.getAs[Long]("credit")).sum == 100L,
+        s"conversion $conv credits must sum to 100")
+      val ranks = rs.map(_.getAs[Long]("rnk")).sorted.toSeq
+      assert(ranks == (1L to rs.length).toSeq, s"ranks dense for $conv")
+      assert(rs.map(_.getAs[Long]("n_touches")).distinct.length == 1)
+    }
+  }
 }
