@@ -45,6 +45,11 @@ object Verify {
         errors(name) =
           s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}".take(300)
       }
+      // Drop blocks a query left persisted (final localCheckpoints of the
+      // iterative ops) — same hygiene as Bench: queries are self-contained
+      // and 265 of them would otherwise accumulate block-manager memory.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -389,13 +389,21 @@ object Dedup {
     */
   def duplicateClusters(pairs: DataFrame, a: String = "a", b: String = "b",
                         maxIters: Int = 30): DataFrame = {
-    val edges = pairs.select(col(a).as("src"), col(b).as("dst"))
-      .union(pairs.select(col(b).as("src"), col(a).as("dst")))
-      .distinct().localCheckpoint()
+    // Post-distinct, re-key the layout on src — the loop's probe key.
+    // localCheckpoint preserves the partitioning, and every round's label
+    // table is hash-partitioned on the node key by its own aggregation,
+    // so both per-round joins plan exchange-free; the per-node min merge
+    // is each round's only shuffle. Explicit partition count keeps AQE
+    // from coalescing the layout away from the state side's.
+    val p = pairs.sparkSession.sessionState.conf.numShufflePartitions
+    val edges = Graph.checkpointKeyed(
+      pairs.select(col(a).as("src"), col(b).as("dst"))
+        .union(pairs.select(col(b).as("src"), col(a).as("dst")))
+        .distinct().repartition(p, col("src")), "src")
     // Seed with min(self, neighbors) — the first propagation round for
     // free out of the same edge aggregation that defines the node set.
-    var ckpt = edges.groupBy(col("dst").as("node"))
-      .agg(least(col("dst"), min(col("src"))).as("label")).localCheckpoint()
+    var ckpt = Graph.checkpointKeyed(edges.groupBy(col("dst").as("node"))
+      .agg(least(col("dst"), min(col("src"))).as("label")), "node")
     var labels = ckpt
     var converged = false
     var i = 0
@@ -405,11 +413,12 @@ object Dedup {
       // The changed flag rides along in the propagation pass itself, so
       // convergence detection is a scan of the checkpointed result — no
       // extra join per round.
-      val next = labels.join(nbrMin, col("node") === col("dst"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
-          (coalesce(col("nmin"), col("label")) < col("label")).as("__changed"))
-        .localCheckpoint()
+      val next = Graph.checkpointKeyed(
+        labels.join(nbrMin, col("node") === col("dst"), "left")
+          .select(col("node"),
+            least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+            (coalesce(col("nmin"), col("label")) < col("label")).as("__changed")),
+        "node")
       converged = next.filter(col("__changed")).limit(1).isEmpty
       // next is eagerly materialized, so the previous round's checkpoint
       // blocks are dead weight — free them now instead of pinning

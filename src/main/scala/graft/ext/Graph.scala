@@ -166,12 +166,19 @@ object Graph {
     * (1.0 per vertex). Every vertex of an undirected edge has degree ≥ 1,
     * so there are no dangling-mass corrections.
     *
-    * Scale design: each iteration is one join of the edge list with the
-    * rank table on the source key plus one keyed sum — the classic
-    * message-passing shuffle pair, state strictly O(V) + O(E), nothing on
-    * the driver. Lineage grows linearly in `iters`; callers running many
-    * iterations should checkpoint every ~10 (the dup-clusters loop shows
-    * the pattern). Damping uses the exact split identity
+    * Scale design: the degree-annotated edge table is hash-partitioned on
+    * the source key ONCE and localCheckpoint'd — checkpoint preserves the
+    * physical plan's output partitioning, and each round's rank aggregate
+    * comes out hash-partitioned on the same key with the same partition
+    * count, so the per-round message join is EXCHANGE-FREE on both sides
+    * (GraphLoopShapeSpec pins it). The only per-round shuffle is the
+    * message min/sum aggregation itself — map-side partial aggregation
+    * first — so iteration cost is rounds × (map-side join + one reduced
+    * exchange), never rounds × edge-list shuffle. State strictly O(V) +
+    * O(E), nothing on the driver. EAGER: the edge/degree checkpoints run
+    * jobs at call time. Lineage across rounds stays lazy (linear in
+    * `iters`; callers running many iterations should checkpoint every
+    * ~10). Damping uses the exact split identity
     * ⌊85s/100⌋ = 85·⌊s/100⌋ + ⌊85·(s mod 100)/100⌋ so no intermediate
     * exceeds the running sum itself; total mass is ≤ V·scale, so pick
     * `scale` such that V·scale stays inside Long (default 1e12 covers
@@ -179,10 +186,23 @@ object Graph {
     * decimal digits). Returns (v, pr_fixed = rank·scale, floored). */
   def pageRank(edges: DataFrame, iters: Int = 3,
                scale: Long = 1000000000000L): DataFrame = {
-    val und = edges.select(col("a").as("u"), col("b").as("v"))
-      .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
-    val deg = und.groupBy("u").agg(count(lit(1)).as("deg"))
-    val undD = und.join(deg, Seq("u"))
+    // One evaluation of the (possibly expensive) edge derivation: deg and
+    // undD below would otherwise each replay it.
+    val e = edges.select(col("a"), col("b")).localCheckpoint()
+    val und = e.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+    // deg is consumed twice (undD build + rank init) — checkpoint it too;
+    // its groupBy leaves it hash-partitioned on u, which the rank-init
+    // projection inherits, so round 1's join is already co-partitioned.
+    val deg = checkpointKeyed(und.groupBy("u").agg(count(lit(1)).as("deg")), "u")
+    // Explicit repartition, not the join's own layout: when deg is small
+    // the join plans BROADCAST and its output partitioning is the
+    // (unpartitioned) streamed side — scale-dependent. The repartition
+    // pins hash(u) at any size for one build-time O(E) exchange.
+    val p = edges.sparkSession.sessionState.conf.numShufflePartitions
+    val undD = checkpointKeyed(
+      und.join(deg, Seq("u")).repartition(p, col("u")), "u")
+    freeCheckpoint(e)
     var pr = deg.select(col("u"), lit(scale).as("pr"))
     val base = 15L * scale / 100 // (1 - d) exactly, scale % 100 == 0
     for (_ <- 1 to iters) {
@@ -202,37 +222,109 @@ object Graph {
     * the output — the k-hop-neighborhood contract (reach/expansion
     * features, blast-radius queries), not full-graph SSSP.
     *
-    * Scale design: each round is one join of the CURRENT distance table
-    * with the edge list on the source key plus one min-merge aggregation
-    * — the same O(E) message-passing shuffle pair as [[pageRank]], state
-    * strictly O(reached vertices), nothing on the driver. Fixed `rounds`
-    * (not converge-probe) keeps the round count — and therefore the
-    * oracle — deterministic. localCheckpoint per round truncates the
-    * exponential self-referencing lineage; freed eagerly like the
-    * dup-clusters loop. EAGER: runs jobs at call time.
+    * Scale design: the undirected edge table is hash-partitioned on the
+    * source key once and localCheckpoint'd (checkpoint preserves the
+    * partitioning), and each round's min-merge aggregate leaves the
+    * distance table hash-partitioned on the vertex key with the same
+    * partition count — so the per-round frontier join is exchange-free
+    * on BOTH sides and the only per-round shuffle is the min-merge
+    * itself (map-side partial min first). State strictly O(reached
+    * vertices), nothing on the driver. Fixed `rounds` (not
+    * converge-probe) keeps the round count — and therefore the oracle —
+    * deterministic. localCheckpoint per round truncates the exponential
+    * self-referencing lineage; freed eagerly like the dup-clusters loop.
+    * EAGER: runs jobs at call time.
     *
     * All-integer arithmetic (hop counts), so a DuckDB replay of the same
     * chained relaxations is bit-exact. */
   def bfsDistances(edges: DataFrame, seeds: DataFrame,
                    rounds: Int = 4): DataFrame = {
-    val und = edges.select(col("a").as("u"), col("b").as("v"))
-      .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
-      .localCheckpoint()
-    var ckpt = seeds.select(col("v"), lit(0L).as("dist")).localCheckpoint()
+    val und = undBySrc(edges)
+    val p = seeds.sparkSession.sessionState.conf.numShufflePartitions
+    // Repartition, not trust: seeds are caller-shaped; one tiny O(seeds)
+    // shuffle guarantees round 1 joins co-partitioned like every later
+    // round.
+    var ckpt = checkpointKeyed(
+      seeds.select(col("v"), lit(0L).as("dist")).repartition(p, col("v")), "v")
     var dist = ckpt
     for (_ <- 1 to rounds) {
-      val prop = dist.join(und.select(col("u"), col("v").as("nbr")),
-          dist("v") === col("u"))
-        .select(col("nbr").as("v"), (col("dist") + lit(1L)).as("dist"))
-      val next = dist.unionAll(prop)
-        .groupBy("v").agg(min(col("dist")).as("dist"))
-        .localCheckpoint()
+      val next = checkpointKeyed(bfsRound(dist, und), "v")
       freeCheckpoint(ckpt)
       ckpt = next
       dist = next
     }
     freeCheckpoint(und)
     dist
+  }
+
+  /** The [[bfsDistances]] loop body: one frontier relaxation. With `und`
+    * from [[undBySrc]] and `dist` hash-partitioned on v (every round's
+    * own output is), the join plans exchange-free — the min-merge is the
+    * round's only shuffle (PlanShapeSpec pins it). */
+  private[graft] def bfsRound(dist: DataFrame, und: DataFrame): DataFrame = {
+    val prop = dist.join(und.select(col("u"), col("v").as("nbr")),
+        dist("v") === col("u"))
+      .select(col("nbr").as("v"), (col("dist") + lit(1L)).as("dist"))
+    dist.unionAll(prop).groupBy("v").agg(min(col("dist")).as("dist"))
+  }
+
+  /** Undirected (u, v [, extra…]) edge table hash-partitioned on u with
+    * the session shuffle-partition count and localCheckpoint'd —
+    * checkpoint preserves the partitioning, so every later join keyed on
+    * u (or co-partitioned state keyed the same way) plans exchange-free
+    * against it. The explicit partition count keeps AQE from coalescing
+    * the layout out from under the loop's co-partitioning contract. */
+  private[graft] def undBySrc(edges: DataFrame,
+      extra: Seq[String] = Nil, key: String = "u"): DataFrame = {
+    val p = edges.sparkSession.sessionState.conf.numShufflePartitions
+    val cols = Seq(col("a").as("u"), col("b").as("v")) ++ extra.map(col)
+    val rev = Seq(col("b").as("u"), col("a").as("v")) ++ extra.map(col)
+    checkpointKeyed(edges.select(cols: _*).unionAll(edges.select(rev: _*))
+      .repartition(p, col(key)), key)
+  }
+
+  /** localCheckpoint that KEEPS the plan's hash partitioning on `key` —
+    * and VERIFIES it did. Two Spark 4.1 facts make the verification
+    * load-bearing:
+    *
+    *  1. Under AQE, `Dataset.localCheckpoint` records UnknownPartitioning
+    *     (the adaptive wrapper hides the final plan's layout) — which
+    *     silently re-inserts a per-round edge-list exchange into every
+    *     iterative loop here. So the checkpointed subtree is planned and
+    *     executed with AQE off: the recorded layout is then honest (the
+    *     exchange really is hash(key, numShufflePartitions), never
+    *     runtime-coalesced), while every consumer still plans adaptively.
+    *     The plans routed through this are shallow (a repartition, or one
+    *     join/agg over already-checkpointed inputs), so losing AQE for
+    *     their own execution costs nothing.
+    *  2. A projection that aliases one attribute N ways can pin the
+    *     preserved layout to an alias the loop never joins on — the
+    *     `require` below turns that silent O(E)-per-round regression
+    *     into an immediate failure naming the layout it actually got.
+    *
+    * Conf toggle is driver-side and scoped; the engine's runners are
+    * single-threaded per session. */
+  private[graft] def checkpointKeyed(df: DataFrame, key: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.Attribute
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    val spark = df.sparkSession
+    val k = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(k)
+    spark.conf.set(k, "false")
+    val out =
+      try df.localCheckpoint() finally spark.conf.set(k, prev)
+    val part = out.queryExecution.executedPlan.outputPartitioning
+    val ok = part match {
+      case h: HashPartitioning => h.expressions.nonEmpty &&
+        h.expressions.forall {
+          case a: Attribute => a.name == key
+          case _ => false
+        }
+      case _ => false
+    }
+    require(ok, s"checkpointKeyed: expected a preserved hash layout on " +
+      s"'$key', got $part — the consumer loop would re-shuffle O(E) per round")
+    out
   }
 
   /** k-core peeling: `rounds` synchronous rounds of "delete every vertex
@@ -256,36 +348,29 @@ object Graph {
     * localCheckpoint truncates the self-referencing lineage. EAGER: runs
     * jobs at call time. */
   def kCorePeel(edges: DataFrame, k: Int, rounds: Int = 4): DataFrame = {
-    val und = edges.select(col("a").as("u"), col("b").as("v"))
-      .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
-      .localCheckpoint()
+    // Partition on v — the key the per-round peel-decrement join probes
+    // (nowPeeled arrives hash-partitioned on the same key via the deg
+    // checkpoint's preserved layout), so the edge list never re-shuffles
+    // inside the loop.
+    val und = undBySrc(edges, key = "v")
     // DECREMENTAL degree maintenance instead of a per-round recount: the
     // `deg` table (remaining vertices only) is the state; peeling is a
     // pure FILTER on it, and each peeled vertex decrements its surviving
-    // neighbors by one edge-list pass against the SMALL peel set (AQE
-    // broadcasts it — no per-round recount shuffle of the full edge
-    // list). Correctness invariant: deg(u) counts u's edges to remaining
+    // neighbors by one edge-list pass against the SMALL peel set — a
+    // co-partitioned probe (und hash(v) ⋈ nowPeeled hash(v), both from
+    // preserved checkpoint layouts), never a per-round shuffle of the
+    // full edge list. Correctness invariant: deg(u) counts u's edges to remaining
     // vertices, because every removed neighbor decremented u exactly once
     // in the round it peeled — edges to long-gone vertices never recount
     // since their endpoints left the deg table. The measured effect at
     // sf0.1: 4.7 s (two semi joins + recount per round) → the BFS-query
     // cost envelope (the edge build dominates).
-    var deg = und.groupBy("u").agg(count(lit(1)).as("deg")).localCheckpoint()
+    var deg = checkpointKeyed(und.groupBy("u").agg(count(lit(1)).as("deg")), "u")
     var peeled = deg.filter(lit(false))
       .select(col("u"), lit(0L).as("peeled_round")).localCheckpoint()
     for (r <- 1 to rounds) {
       val nowPeeled = deg.filter(col("deg") < k).select("u")
-      // decrements toward surviving endpoints: count u's neighbors peeled
-      // THIS round (symmetric und covers both directions; an edge whose
-      // both endpoints peel now decrements two vertices that are leaving
-      // anyway — the anti join below discards them).
-      val lost = und.join(nowPeeled.select(col("u").as("v")), Seq("v"))
-        .groupBy("u").agg(count(lit(1)).as("lost"))
-      val nextDeg = deg.join(nowPeeled, Seq("u"), "left_anti")
-        .join(lost, Seq("u"), "left")
-        .select(col("u"),
-          (col("deg") - coalesce(col("lost"), lit(0L))).as("deg"))
-        .localCheckpoint()
+      val nextDeg = checkpointKeyed(kcoreNextDeg(deg, und, k), "u")
       val nextPeeled = peeled.unionAll(
         nowPeeled.select(col("u"), lit(r.toLong).as("peeled_round")))
         .localCheckpoint()
@@ -299,6 +384,28 @@ object Graph {
     out.select(col("u").as("v"), col("peeled_round"))
   }
 
+  /** The [[kCorePeel]] loop body's degree update: drop this round's peel
+    * set and decrement survivors by their edges into it. With `und` from
+    * [[undBySrc]] keyed on v and `deg` carrying its aggregation's hash
+    * layout on u, the decrement probe and both bookkeeping joins plan
+    * exchange-free — the lost-count merge is the round's only shuffle
+    * (PlanShapeSpec pins it). Peel-set derivation is inlined (a filter
+    * on `deg`), so the caller's `nowPeeled` and this one share layout. */
+  private[graft] def kcoreNextDeg(deg: DataFrame, und: DataFrame,
+      k: Int): DataFrame = {
+    val nowPeeled = deg.filter(col("deg") < k).select("u")
+    // decrements toward surviving endpoints: count u's neighbors peeled
+    // THIS round (symmetric und covers both directions; an edge whose
+    // both endpoints peel now decrements two vertices that are leaving
+    // anyway — the anti join below discards them).
+    val lost = und.join(nowPeeled.select(col("u").as("v")), Seq("v"))
+      .groupBy("u").agg(count(lit(1)).as("lost"))
+    deg.join(nowPeeled, Seq("u"), "left_anti")
+      .join(lost, Seq("u"), "left")
+      .select(col("u"),
+        (col("deg") - coalesce(col("lost"), lit(0L))).as("deg"))
+  }
+
   /** Synchronous label-propagation community detection, DETERMINISTIC
     * variant: every vertex starts as its own label; each round it adopts
     * the most frequent label among its NEIGHBORS, ties broken by the
@@ -310,34 +417,48 @@ object Graph {
     * community: one bridge edge merges two CC components but LPA keeps
     * the two dense sides apart).
     *
-    * Scale design: each round is one message join (labels × edges, O(E))
-    * + one (v, label)-keyed count + one per-v argmax window — the window
-    * partitions by vertex, so it rides the count's exchange; nothing on
-    * the driver; per-round localCheckpoint. EAGER: runs jobs at call
-    * time. Returns (v, community). */
+    * Scale design: the edge table is hash-partitioned on the source key
+    * once and localCheckpoint'd, and both the label table and the
+    * per-round pick come out hash-partitioned on the vertex key — so the
+    * message join AND the adopt join are exchange-free; the per-round
+    * shuffles are the two aggregations only ((v, label) message counts,
+    * then the per-v argmax over the much smaller distinct-label rows).
+    * The argmax is a struct-min AGGREGATE, not a rank window — plurality
+    * with smallest-label tie-break is min over (−cnt, label), which keeps
+    * map-side partial aggregation and drops the per-partition sort.
+    * Nothing on the driver; per-round localCheckpoint. EAGER: runs jobs
+    * at call time. Returns (v, community). */
   def labelPropagation(edges: DataFrame, rounds: Int = 3): DataFrame = {
-    val und = edges.select(col("a").as("u"), col("b").as("v"))
-      .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
-      .localCheckpoint()
-    var ckpt = und.select("u").distinct()
-      .select(col("u").as("node"), col("u").as("label")).localCheckpoint()
-    var labels = ckpt
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("v").orderBy(col("cnt").desc, col("label"))
+    val und = undBySrc(edges)
+    // Checkpoint the single-column node set (the aggregate pins the hash
+    // layout to `node`); the self-label projection stays LAZY — alias
+    // tracking then lets round 1's message count even skip its exchange
+    // (label ≡ node clusters (v, label) by itself).
+    var ckpt = checkpointKeyed(
+      und.select(col("u").as("node")).distinct(), "node")
+    var labels = ckpt.select(col("node"), col("node").as("label"))
     for (_ <- 1 to rounds) {
-      val pick = und.join(labels, und("u") === labels("node"))
-        .groupBy(col("v"), col("label")).agg(count(lit(1)).as("cnt"))
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("v").as("node"), col("label").as("nlabel"))
-      val next = labels.join(pick, Seq("node"), "left")
-        .select(col("node"), coalesce(col("nlabel"), col("label")).as("label"))
-        .localCheckpoint()
+      val next = checkpointKeyed(lpRound(labels, und), "node")
       freeCheckpoint(ckpt)
       ckpt = next
       labels = next
     }
     freeCheckpoint(und)
     labels.select(col("node").as("v"), col("label").as("community"))
+  }
+
+  /** The [[labelPropagation]] loop body: message join (exchange-free per
+    * the [[undBySrc]] contract), (v, label) plurality counts, struct-min
+    * argmax, adopt join (exchange-free — labels and pick are both
+    * hash-partitioned on the node key). */
+  private[graft] def lpRound(labels: DataFrame, und: DataFrame): DataFrame = {
+    val pick = und.join(labels, und("u") === labels("node"))
+      .groupBy(col("v"), col("label")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("v"))
+      .agg(min(struct((-col("cnt")).as("nc"), col("label").as("l"))).as("m"))
+      .select(col("v").as("node"), col("m.l").as("nlabel"))
+    labels.join(pick, Seq("node"), "left")
+      .select(col("node"), coalesce(col("nlabel"), col("label")).as("label"))
   }
 
   /** Newman modularity of a vertex partition over an undirected edge
@@ -392,29 +513,35 @@ object Graph {
     * ≤ r-edge path, converged to true shortest cost when r ≥ the longest
     * minimal-cost path's edge count.
     *
-    * Same per-round shape as [[bfsDistances]]: one join of the current
-    * cost table with the edge list + one min-merge, O(E) shuffle per
-    * round, per-round checkpoint, eager. */
+    * Same per-round shape as [[bfsDistances]]: edges hash-partitioned on
+    * the source key once (checkpoint preserves the layout), the cost
+    * table arrives co-partitioned from its own min-merge — so the
+    * relaxation join is exchange-free and the min-merge is the only
+    * per-round shuffle; per-round checkpoint, eager. */
   def ssspDistances(edges: DataFrame, seeds: DataFrame,
                     rounds: Int = 4): DataFrame = {
-    val und = edges.select(col("a").as("u"), col("b").as("v"), col("w"))
-      .unionAll(edges.select(col("b").as("u"), col("a").as("v"), col("w")))
-      .localCheckpoint()
-    var ckpt = seeds.select(col("v"), lit(0L).as("cost")).localCheckpoint()
+    val und = undBySrc(edges, extra = Seq("w"))
+    val p = seeds.sparkSession.sessionState.conf.numShufflePartitions
+    var ckpt = checkpointKeyed(
+      seeds.select(col("v"), lit(0L).as("cost")).repartition(p, col("v")), "v")
     var cost = ckpt
     for (_ <- 1 to rounds) {
-      val prop = cost.join(und.select(col("u"), col("v").as("nbr"), col("w")),
-          cost("v") === col("u"))
-        .select(col("nbr").as("v"), (col("cost") + col("w")).as("cost"))
-      val next = cost.unionAll(prop)
-        .groupBy("v").agg(min(col("cost")).as("cost"))
-        .localCheckpoint()
+      val next = checkpointKeyed(ssspRound(cost, und), "v")
       freeCheckpoint(ckpt)
       ckpt = next
       cost = next
     }
     freeCheckpoint(und)
     cost
+  }
+
+  /** The [[ssspDistances]] loop body: one weighted relaxation — same
+    * exchange-free join contract as [[bfsRound]]. */
+  private[graft] def ssspRound(cost: DataFrame, und: DataFrame): DataFrame = {
+    val prop = cost.join(und.select(col("u"), col("v").as("nbr"), col("w")),
+        cost("v") === col("u"))
+      .select(col("nbr").as("v"), (col("cost") + col("w")).as("cost"))
+    cost.unionAll(prop).groupBy("v").agg(min(col("cost")).as("cost"))
   }
 
   /** Unpersist the block-manager storage behind a localCheckpoint'd frame

@@ -266,6 +266,108 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.split('\n').count(_.contains("Exchange")) == 1, plan)
   }
 
+  // ---- iterative graph loop bodies: the edge list never re-shuffles ----
+  // The contract all iterative graph ops rely on: localCheckpoint
+  // preserves the checkpointed plan's hash partitioning, and every
+  // round's state aggregate comes out hash-partitioned on the join key
+  // with the same partition count — so the per-round message join plans
+  // with NO Exchange on either side, and the only per-round shuffle is
+  // the message-merge aggregation itself. A regression here (losing the
+  // repartition, a checkpoint that forgets partitioning, a join key
+  // rename that breaks alias tracking) re-shuffles O(E) per round at
+  // 100 TB; these pins catch it at plan time.
+
+  /** Shuffle exchanges only — BroadcastExchange of the O(V) state is
+    * legitimate at any scale (the edge list still never moves). */
+  private def nShuffles(df: DataFrame): Int =
+    df.queryExecution.executedPlan.toString
+      .split('\n').count(_.contains("Exchange hashpartitioning"))
+
+  /** Disable auto-broadcast so the pins exercise the 100 TB path: with a
+    * state table too big to broadcast, the loop joins must plan as
+    * CO-PARTITIONED joins (zero exchanges), not fall back to reshuffling
+    * the edge list every round. */
+  private def noBroadcast[T](f: => T): T = {
+    val k = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(k)
+    spark.conf.set(k, "-1")
+    try f finally spark.conf.set(k, prev)
+  }
+
+  private def graphEdges =
+    spark.createDataFrame(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (2L, 6L))).toDF("a", "b")
+
+  test("bfs loop body shuffles only the min-merge, never the edges") {
+    import graft.ext.Graph
+    noBroadcast {
+      val und = Graph.undBySrc(graphEdges)
+      // state as every round ≥ 2 sees it: hash-partitioned on v by its own
+      // aggregation, layout preserved through the checkpoint
+      val dist = Graph.checkpointKeyed(und.select(col("u").as("v"))
+        .distinct().select(col("v"), lit(0L).as("dist")), "v")
+      val round = Graph.bfsRound(dist, und)
+      assert(nShuffles(round) == 1,
+        s"bfs round must have exactly the min-merge exchange:\n${round.queryExecution.executedPlan}")
+      Graph.freeCheckpoint(und); Graph.freeCheckpoint(dist)
+    }
+  }
+
+  test("sssp loop body shuffles only the min-merge, never the edges") {
+    import graft.ext.Graph
+    noBroadcast {
+      val und = Graph.undBySrc(graphEdges.withColumn("w", lit(2L)),
+        extra = Seq("w"))
+      val cost = Graph.checkpointKeyed(und.select(col("u").as("v"))
+        .distinct().select(col("v"), lit(0L).as("cost")), "v")
+      val round = Graph.ssspRound(cost, und)
+      assert(nShuffles(round) == 1,
+        s"sssp round must have exactly the min-merge exchange:\n${round.queryExecution.executedPlan}")
+      Graph.freeCheckpoint(und); Graph.freeCheckpoint(cost)
+    }
+  }
+
+  test("label-propagation loop body shuffles only its two aggregations") {
+    import graft.ext.Graph
+    noBroadcast {
+      val und = Graph.undBySrc(graphEdges)
+      // steady-state round shape: label is its own attribute (round ≥ 2);
+      // round 1's label ≡ node aliasing even skips the message-count
+      // exchange, so it is not the shape to pin
+      val labels = Graph.checkpointKeyed(
+        und.groupBy(col("u").as("node")).agg(min(col("v")).as("label")),
+        "node")
+      val round = Graph.lpRound(labels, und)
+      // (v, label) plurality counts + per-v argmax; message join and adopt
+      // join are both co-partitioned
+      assert(nShuffles(round) == 2,
+        s"lp round must have exactly its two aggregation exchanges:\n${round.queryExecution.executedPlan}")
+      Graph.freeCheckpoint(und); Graph.freeCheckpoint(labels)
+    }
+  }
+
+  test("k-core degree update shuffles only the lost-count merge") {
+    import graft.ext.Graph
+    noBroadcast {
+      val und = Graph.undBySrc(graphEdges, key = "v")
+      val deg = Graph.checkpointKeyed(
+        und.groupBy("u").agg(count(lit(1)).as("deg")), "u")
+      val next = Graph.kcoreNextDeg(deg, und, k = 3)
+      assert(nShuffles(next) == 1,
+        s"k-core round must have exactly the lost-count exchange:\n${next.queryExecution.executedPlan}")
+      Graph.freeCheckpoint(und); Graph.freeCheckpoint(deg)
+    }
+  }
+
+  test("pageRank plans iters message-merge exchanges and nothing else") {
+    import graft.ext.Graph
+    noBroadcast {
+      val pr = Graph.pageRank(graphEdges, iters = 3)
+      assert(nShuffles(pr) == 3,
+        s"pageRank loop must shuffle only the per-round rank merge:\n${pr.queryExecution.executedPlan}")
+    }
+  }
+
   test("partition-pruned read scans only the selected partition") {
     val dir = Parity.tmp("planshape-part", sf)
     Parity.table(spark, sf, "orders")
