@@ -99,6 +99,82 @@ object Multimodal {
     }
   }
 
+  /** Index row for a packfile corpus: where `doc_id`'s bytes live. */
+  case class PackIndexRow(doc_id: Long, pack: String, offset: Long,
+                          length: Long)
+
+  /** Land a media corpus as size-targeted PACKFILES — `docsPerFile`
+    * payloads concatenated per `.pack` plus a parquet
+    * (doc_id, pack, offset, length) index — the media layout that
+    * survives 100 TB. One-file-per-record ([[landBinaryDir]]) is the
+    * layout a crawler delivers but a metadata DoS at scale: 10× rows =
+    * 10× file opens/listings, measured 7.08× wall at 10× rows on the
+    * binary-scan probe, and a real 100 TB crawl would be billions of
+    * inodes. Packing is the standard fix (tar/WebDataset-style): byte
+    * payloads stay byte-identical, random access is an (offset, length)
+    * seek, and file count drops by `docsPerFile`.
+    *
+    * Executor-side writes, no driver collect; pack names are
+    * task-deterministic (`pack_<partition>_<seq>.bin`), so a task retry
+    * overwrites its own files instead of duplicating. */
+  def landPackfiles(media: Dataset[MediaRow], dir: String,
+      docsPerFile: Int = 64): Unit = {
+    import media.sparkSession.implicits._
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val idx = media.mapPartitions { rows =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      rows.grouped(docsPerFile).zipWithIndex.flatMap { case (batch, seq) =>
+        val name = f"pack_$pid%05d_$seq%04d.pack"
+        val out = new java.io.BufferedOutputStream(
+          java.nio.file.Files.newOutputStream(
+            java.nio.file.Paths.get(dir, name)))
+        try {
+          var off = 0L
+          batch.map { m =>
+            out.write(m.payload)
+            val r = PackIndexRow(m.doc_id, name, off, m.payload.length.toLong)
+            off += m.payload.length
+            r
+          }
+        } finally out.close()
+      }
+    }
+    idx.write.mode("overwrite").parquet(s"$dir/_index")
+  }
+
+  /** Read a packfile corpus back as (doc_id, pack, content): shuffle the
+    * O(#docs) INDEX rows so each pack's spans land in one task, sort by
+    * (pack, offset), then stream each pack through one sequential-ish
+    * reader — file opens are O(#packs), not O(#docs), and the payload
+    * bytes never shuffle (they are read executor-side after the index
+    * shuffle places the work). The reader closes via the task-completion
+    * listener, covering the last-open pack and early termination. */
+  def readPackfiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = spark.sessionState.conf.numShufflePartitions
+    spark.read.parquet(s"$dir/_index").as[PackIndexRow]
+      .repartition(p, col("pack"))
+      .sortWithinPartitions("pack", "offset")
+      .mapPartitions { rows =>
+        var cur: String = null
+        var raf: java.io.RandomAccessFile = null
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => if (raf != null) raf.close()))
+        rows.map { r =>
+          if (r.pack != cur) {
+            if (raf != null) raf.close()
+            raf = new java.io.RandomAccessFile(
+              new java.io.File(dir, r.pack), "r")
+            cur = r.pack
+          }
+          raf.seek(r.offset)
+          val buf = new Array[Byte](r.length.toInt)
+          raf.readFully(buf)
+          (r.doc_id, r.pack, buf)
+        }
+      }.toDF("doc_id", "pack", "content")
+  }
+
   /** Ingest a directory of raw media files via Spark's `binaryFile`
     * source — the multimodal ingestion entry point (one file = one row:
     * path, length, opaque `content` bytes). Pushdown note: `binaryFile`

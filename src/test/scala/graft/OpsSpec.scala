@@ -253,4 +253,38 @@ class OpsSpec extends SparkSpec {
       .filter(col("length") < 20).collect()
     assert(pruned.map(_.getString(0)).toSet == Set("doc_1.bin", "doc_2.bin"))
   }
+
+  test("packfile landing: byte-identical round trip, file count bounded by docsPerFile") {
+    import graft.ext.Multimodal
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    // 10 docs, 3 per pack, multi-partition: packs must never mix bytes
+    // up, and the pack count must track ceil(docs/perFile) per task —
+    // not the doc count (the one-file-per-doc scale cliff).
+    val docs = (1 to 10).map(i => (i.toLong, s"payload-$i-" + ("x" * i)))
+      .toDF("doc_id", "text").repartition(2)
+    val dir = java.nio.file.Files.createTempDirectory("packscan").toString
+    Multimodal.landPackfiles(Multimodal.toMedia(docs), dir, docsPerFile = 3)
+    val back = Multimodal.readPackfiles(spark, dir)
+      .select(col("doc_id"), col("content")).collect()
+      .map(r => r.getLong(0) -> new String(r.getAs[Array[Byte]](1), "UTF-8"))
+      .toMap
+    assert(back.size == 10)
+    (1 to 10).foreach { i =>
+      assert(back(i.toLong) == s"payload-$i-" + ("x" * i), s"doc $i bytes")
+    }
+    val packs = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".pack"))
+    assert(packs.length <= 2 * 4 && packs.length < 10,
+      s"pack count ${packs.length} must be bounded by batches, not docs")
+    // index carries contiguous spans per pack (offset = running sum)
+    val idx = spark.read.parquet(s"$dir/_index")
+      .orderBy("pack", "offset").collect()
+    idx.groupBy(_.getAs[String]("pack")).foreach { case (_, rows) =>
+      var expect = 0L
+      rows.sortBy(_.getAs[Long]("offset")).foreach { r =>
+        assert(r.getAs[Long]("offset") == expect, "spans must be contiguous")
+        expect += r.getAs[Long]("length")
+      }
+    }
+  }
 }
