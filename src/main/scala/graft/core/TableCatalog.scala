@@ -1487,11 +1487,23 @@ final class TableCatalog(val root: String) extends Serializable {
       graft.functions.HllSketch(h(c), p, w).as(s"hll_$c"))
     d.select(input_file_name().as("_file") +: cols.map(col): _*)
       .groupBy("_file")
-      .agg(aggs.head, aggs.tail: _*)
+      .agg(count(lit(1)).as("_n"), aggs: _*)
       .withColumn("_file", element_at(split(col("_file"), "/"), -1))
       .withColumn("_p", lit(p)).withColumn("_w", lit(w))
       .coalesce(1).write.mode("overwrite")
       .parquet(Paths.get(cur, "_ndv").toString)
+    // Plan-time summary beside the register sidecar: merged NDV per
+    // column + exact row count as one tiny JSON the optimizer
+    // ([[graft.plans.NdvBroadcastRule]]) can read driver-side with zero
+    // Spark jobs at plan time. Underscore-prefixed, so table scans skip
+    // it; same lifecycle as `_ndv` (dies with the version).
+    val est = ndvEstimate(spark, name, cols)
+    val nRows = spark.read.parquet(Paths.get(cur, "_ndv").toString)
+      .agg(sum("_n")).head().getLong(0)
+    val body = est.toSeq.sortBy(_._1)
+      .map { case (c, v) => s""""${c}": ${v}""" }.mkString(",")
+    Files.writeString(Paths.get(cur, "_ndv_summary.json"),
+      s"""{"n_rows": $nRows, "ndv": {$body}}""")
   }
 
   /** Distinct-count estimates for `cols` from the `_ndv` sidecar alone —

@@ -24,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(DateSpine.registration)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(graft.plans.MvRewriteRule)
+    ext.injectOptimizerRule(graft.plans.NdvBroadcastRule)
     ext.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))
   }
 }

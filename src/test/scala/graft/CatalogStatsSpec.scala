@@ -65,5 +65,61 @@ class CatalogStatsSpec extends SparkSpec {
     assert(cat.ndvEstimate(spark, "stat.t", Seq("key")).contains("key"))
     cat.overwrite(fixture.limit(10), "stat.t")
     assert(cat.ndvEstimate(spark, "stat.t", Seq("key")).isEmpty)
+    // the plan-time summary shares the lifecycle
+    assert(!Files.isRegularFile(
+      Paths.get(cat.currentPath("stat.t"), "_ndv_summary.json")))
+  }
+
+  test("NdvBroadcastRule: sidecar statistics alone flip a filtered-dim join to broadcast") {
+    import graft.plans.NdvBroadcastRule
+    val cat = freshCat("cbo")
+    cat.overwrite(fixture.repartition(3), "stat.dim")
+    cat.analyzeNdv(spark, "stat.dim", Seq("key"))
+    // a fact too big for either side to look tiny by file size
+    val fact = spark.range(200000)
+      .select((col("id") % 5000L + 1L).as("fid"), (col("id") * 7L).as("m"))
+    def plan(withRule: Boolean): String = {
+      val saved = spark.experimental.extraOptimizations
+      val savedThresh = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        // size-based broadcast OFF — any BroadcastHashJoin below can only
+        // come from the statistics hint
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.experimental.extraOptimizations =
+          if (withRule) saved :+ NdvBroadcastRule(spark) else saved
+        val dim = cat.read(spark, "stat.dim").filter(col("key") === "k13")
+        fact.join(dim, col("fid") === col("id"))
+          .groupBy("key").agg(count(lit(1)).as("n"))
+          .queryExecution.executedPlan.toString
+      } finally {
+        spark.experimental.extraOptimizations = saved
+        savedThresh match {
+          case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+          case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        }
+      }
+    }
+    // without the rule: no size info admits a broadcast → shuffle join
+    assert(!plan(withRule = false).contains("BroadcastHashJoin"),
+      "control: with auto-broadcast off and no rule the join must shuffle")
+    // with the rule: n_rows/ndv(key) ≈ 5000/700 rows → well under the
+    // threshold → broadcast, from the sidecar alone
+    assert(plan(withRule = true).contains("BroadcastHashJoin"),
+      "sidecar statistics must flip the filtered dim to broadcast")
+    // equality on an UNcovered column stays silent (no stats, no hint)
+    val saved = spark.experimental.extraOptimizations
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.experimental.extraOptimizations = saved :+ NdvBroadcastRule(spark)
+      val dim = cat.read(spark, "stat.dim").filter(col("sparse") === "v7")
+      val p = fact.join(dim, col("fid") === col("id"))
+        .groupBy("sparse").agg(count(lit(1)).as("n"))
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastHashJoin"),
+        "no sidecar coverage for the filter column → no hint")
+    } finally {
+      spark.experimental.extraOptimizations = saved
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
   }
 }
