@@ -172,9 +172,16 @@ object Mixture {
     * draw that complements [[tokenBudgetMix]] (which takes a PREFIX per
     * source; this takes an even comb across the whole corpus).
     *
-    * All-integer: selection is `end div stride > start div stride`, and
-    * `tick` (the 1-based boundary index a doc crosses) is start div
-    * stride + 1. Two-phase distributed prefix sum exactly as
+    * A doc heavier than `stride` can cross SEVERAL boundaries; it still
+    * emits one row, with `n_ticks` = boundaries crossed as its sampling
+    * multiplicity (PPS weight) and `tick` = the FIRST crossed boundary
+    * — so Σ n_ticks = ⌊total/stride⌋ exactly, while tick values after a
+    * mega-doc skip the boundaries it absorbed.
+    *
+    * All-integer: selection is `end div stride > start div stride`,
+    * `tick` (1-based index of the first crossed boundary) is start div
+    * stride + 1, and `n_ticks` is the div difference itself.
+    * Two-phase distributed prefix sum exactly as
     * [[shardPlan]] — per-bucket totals (256 rows) → window over the tiny
     * offset table → within-bucket running sums; no global sort ever. */
   def systematicSample(docs: DataFrame, stride: Long): DataFrame = {
@@ -195,6 +202,8 @@ object Mixture {
         expr(s"start_tok div ${stride}L"))
       .select(col("doc_id"), col("source"), col("n_tokens"),
         col("start_tok"),
-        expr(s"start_tok div ${stride}L + 1L").as("tick"))
+        expr(s"start_tok div ${stride}L + 1L").as("tick"),
+        expr(s"end_tok div ${stride}L - start_tok div ${stride}L")
+          .as("n_ticks"))
   }
 }

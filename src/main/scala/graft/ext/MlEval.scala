@@ -169,11 +169,17 @@ object MlEval {
     * CO-ACTIVE hours (hours where both series have at least one event —
     * a defined discrete semantic; zero-filling a global spine is the
     * caller's variant). Numerator and both variance terms are exact
-    * integer cross-moments (counts are small enough that n·Σxy stays a
-    * long at any realistic per-hour activity); the final r is the house
-    * sqrt·sqrt division in one mirrored expression, null for constant
-    * series. One (group, hour) aggregate, one hour-keyed pair join over
-    * per-hour group rows. */
+    * integer cross-moments, accumulated through decimal(38,0) so hot
+    * series (n·Σxy past Long) can never WRAP silently — the emitted
+    * BIGINT columns go through a checked cast that raises exactly where
+    * DuckDB's overflow-checked BIGINT arithmetic raises, so the two
+    * engines fail the same way instead of a wraparound surfacing as a
+    * confusing hash mismatch. (The r numerator n·sxy can still exceed
+    * BIGINT range in the oracle while decimal absorbs it here — that
+    * divergence surfaces as a loud oracle ERROR, never a silent drift.)
+    * The final r is the house sqrt·sqrt division in one mirrored
+    * expression, null for constant series. One (group, hour) aggregate,
+    * one hour-keyed pair join over per-hour group rows. */
   def corrMatrix(df: DataFrame, groupCol: String, ts: String = "ts"): DataFrame = {
     val h = df
       .select(col(groupCol).as("g"), date_trunc("hour", col(ts)).as("hr"))
@@ -182,20 +188,33 @@ object MlEval {
       .join(h.as("b"),
         col("a.hr") === col("b.hr") && col("a.g") < col("b.g"))
       .select(col("a.g").as("g_a"), col("b.g").as("g_b"),
-        col("a.x").as("x"), col("b.x").as("y"))
+        col("a.x").cast("decimal(38,0)").as("x"),
+        col("b.x").cast("decimal(38,0)").as("y"))
+    // BIGINT-range-checked cast: exact decimal in, raise (like DuckDB's
+    // checked BIGINT ops) instead of wrapping when a moment leaves range.
+    def asLong(c: org.apache.spark.sql.Column, nm: String) = {
+      val lim = lit(Long.MaxValue).cast("decimal(38,0)")
+      when(c <= lim && c >= -lim, c.cast(LongType))
+        .otherwise(raise_error(concat(
+          lit(s"corrMatrix: $nm overflows BIGINT: "), c.cast("string")))
+          .cast(LongType)).as(nm)
+    }
     pairs.groupBy("g_a", "g_b")
-      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
-        sum(col("x") * col("y")).as("sxy"),
-        sum(col("x") * col("x")).as("sxx"),
-        sum(col("y") * col("y")).as("syy"))
-      .withColumn("vx", col("n") * col("sxx") - col("sx") * col("sx"))
-      .withColumn("vy", col("n") * col("syy") - col("sy") * col("sy"))
-      .select(col("g_a"), col("g_b"), col("n"), col("sx"), col("sy"),
-        col("sxy"), col("vx"), col("vy"),
-        when(col("vx") > 0 && col("vy") > 0,
-          (col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType) /
-            (sqrt(col("vx").cast(DoubleType)) *
-              sqrt(col("vy").cast(DoubleType)))).as("r"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n_dec"),
+        sum("x").as("sx_dec"), sum("y").as("sy_dec"),
+        sum(col("x") * col("y")).as("sxy_dec"),
+        sum(col("x") * col("x")).as("sxx_dec"),
+        sum(col("y") * col("y")).as("syy_dec"))
+      .withColumn("vx_dec", col("n_dec") * col("sxx_dec") - col("sx_dec") * col("sx_dec"))
+      .withColumn("vy_dec", col("n_dec") * col("syy_dec") - col("sy_dec") * col("sy_dec"))
+      .select(col("g_a"), col("g_b"), col("n_dec").cast(LongType).as("n"),
+        asLong(col("sx_dec"), "sx"), asLong(col("sy_dec"), "sy"),
+        asLong(col("sxy_dec"), "sxy"),
+        asLong(col("vx_dec"), "vx"), asLong(col("vy_dec"), "vy"),
+        when(col("vx_dec") > 0 && col("vy_dec") > 0,
+          (col("n_dec") * col("sxy_dec") - col("sx_dec") * col("sy_dec")).cast(DoubleType) /
+            (sqrt(col("vx_dec").cast(DoubleType)) *
+              sqrt(col("vy_dec").cast(DoubleType)))).as("r"))
   }
 
   /** Two-sample Kolmogorov–Smirnov statistic per group: the max CDF gap

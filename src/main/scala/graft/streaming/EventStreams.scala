@@ -192,13 +192,23 @@ object EventStreams {
     source.writeStream
       .outputMode(OutputMode.Update)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val spark = batch.sparkSession
-        val merged =
-          if (catalog.exists(table)) scd.merge(catalog.read(spark, table), batch.toDF())
-          else scd.initialize(batch.toDF())
-        catalog.overwrite(merged, table)
+        scd2Apply(batch.toDF(), scd, catalog, table)
       }
       .start()
+
+  /** The exact read-merge-overwrite fold [[scd2Sink]] runs per
+    * micro-batch — extracted so the deterministic batch twin
+    * (`st_scd2_sink`) drives the IDENTICAL code under the DuckDB gate:
+    * the stream and the twin cannot drift apart, because there is one
+    * body. */
+  def scd2Apply(batch: DataFrame, scd: graft.scd.Scd2,
+      catalog: graft.core.TableCatalog, table: String): Unit = {
+    val spark = batch.sparkSession
+    val merged =
+      if (catalog.exists(table)) scd.merge(catalog.read(spark, table), batch)
+      else scd.initialize(batch)
+    catalog.overwrite(merged, table)
+  }
 
   /** Streaming incremental view maintenance: fold each micro-batch into
     * a registered summary table ([[graft.plans.MaterializedViews]]) with

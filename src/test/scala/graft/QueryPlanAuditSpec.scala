@@ -63,8 +63,12 @@ class QueryPlanAuditSpec extends SparkSpec {
                         // singleton
     "x_kmv_overlap",    // #sources sketch rows × broadcast sketch rows
                         // (O(k)-payload pair table, structurally tiny)
-    "x_vocab_growth"    // token first-positions × broadcast ≤26-row
+    "x_vocab_growth",   // token first-positions × broadcast ≤26-row
                         // checkpoint ladder
+    "x_fs_em",          // ≤8 pattern rows × broadcast 1-row EM parameter
+                        // table, once per unrolled round
+    "st_drift_stream"   // reference bins × broadcast distinct-hours
+                        // singleton (the hourly-average divisor)
   )
 
   test("no query plans an unintended cartesian or nested-loop join") {

@@ -204,5 +204,31 @@ class CurationOpsSpec extends SparkSpec {
     val again = Mixture.systematicSample(docs.repartition(13), stride)
       .collect().map(_.toString).sorted
     assert(again.sameElements(picks.map(_.toString).sorted))
+    // In the no-span corpus every pick carries multiplicity 1.
+    assert(picks.forall(_.getAs[Long]("n_ticks") == 1L))
+  }
+
+  test("systematicSample: a mega-doc spanning boundaries carries its multiplicity") {
+    // One doc heavier than two strides among small ones: it must emit a
+    // single row whose n_ticks counts every boundary inside its interval,
+    // and total multiplicity must still enumerate every corpus boundary.
+    val docs = ((0 until 20).map { i =>
+      (i.toLong, "web", Seq.fill(5)(s"w$i").mkString(" "))
+    } :+ (99L, "web", Seq.fill(120)("big").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val stride = 50L
+    val total = 20 * 5 + 120 // 220 tokens → boundaries 50,100,150,200
+    val picks = Mixture.systematicSample(docs, stride).collect()
+    // Multiplicity conservation: Σ n_ticks == floor(total / stride).
+    assert(picks.map(_.getAs[Long]("n_ticks")).sum == total / stride)
+    // The mega-doc's row counts exactly the boundaries in (start, end].
+    val big = picks.find(_.getAs[Long]("doc_id") == 99L).get
+    val s = big.getAs[Long]("start_tok")
+    val e = s + big.getAs[Long]("n_tokens")
+    val inside = (1L to total / stride).count(t => s < t * stride && t * stride <= e)
+    assert(big.getAs[Long]("n_ticks") == inside && inside >= 2,
+      s"mega-doc spans $inside boundaries, row says ${big.getAs[Long]("n_ticks")}")
+    // tick is the FIRST crossed boundary.
+    assert(big.getAs[Long]("tick") == s / stride + 1)
   }
 }
