@@ -7,8 +7,11 @@ Both runs used SPARK_GRAFT_TWO_PASS=1, so every per-query number is the
 min over two full passes plus Bench's stall arbitration."""
 import json, sys
 
-small = json.load(open("tools/bench_sf01_r8.json"))
-big = json.load(open("tools/bench_sf1_r8.json"))
+# args: [small_json] [big_json] (defaults: the r9 records)
+SMALL = sys.argv[1] if len(sys.argv) > 1 else "tools/bench_sf01_r9.json"
+BIG = sys.argv[2] if len(sys.argv) > 2 else "tools/bench_sf1_r9.json"
+small = json.load(open(SMALL))
+big = json.load(open(BIG))
 qs_s, qs_b = small["queries"], big["queries"]
 common = sorted(set(qs_s) & set(qs_b))
 
