@@ -417,6 +417,87 @@ object MlEval {
       .drop("pooled")
   }
 
+  /** Pair-counting evaluation of a predicted clustering against gold
+    * labels — pairwise precision/recall/F1 plus the adjusted Rand index
+    * (Rand 1971; Hubert & Arabie 1985), the standard dedup/ER quality
+    * readout. Integer-exact by construction: every building block is a
+    * sum of C(n, 2) binomials over the (pred, gold) contingency cells
+    * (order-free integer aggregation), and each metric is one fixed IEEE
+    * expression over those four integers. Scale shape: one group-by to
+    * cells (≤ #items rows), three re-aggregations of the cell table,
+    * then 1-row broadcast crosses into the single-row readout. */
+  def pairwiseClusterMetrics(items: DataFrame, predCol: String,
+      goldCol: String): DataFrame = {
+    val cells = items.groupBy(col(predCol).as("pred"), col(goldCol).as("gold"))
+      .agg(count(lit(1)).as("n")).localCheckpoint()
+    val tp = cells.agg(sum(expr("n * (n - 1) div 2")).as("tp_pairs"))
+    val pp = cells.groupBy("pred").agg(sum(col("n")).as("np"))
+      .agg(sum(expr("np * (np - 1) div 2")).as("pred_pairs"))
+    val gp = cells.groupBy("gold").agg(sum(col("n")).as("ng"))
+      .agg(sum(expr("ng * (ng - 1) div 2")).as("gold_pairs"))
+    val tot = cells.agg(sum(col("n")).as("nn"))
+      .select(expr("nn * (nn - 1) div 2").as("total_pairs"))
+    def d(c: String) = col(c).cast(DoubleType)
+    tp.join(broadcast(pp)).join(broadcast(gp)).join(broadcast(tot))
+      .withColumn("precision", d("tp_pairs") / d("pred_pairs"))
+      .withColumn("recall", d("tp_pairs") / d("gold_pairs"))
+      .withColumn("f1",
+        lit(2.0) * d("tp_pairs") / (d("pred_pairs") + d("gold_pairs")))
+      .withColumn("exp_idx",
+        d("pred_pairs") * d("gold_pairs") / d("total_pairs"))
+      .withColumn("ari", (d("tp_pairs") - col("exp_idx")) /
+        ((d("pred_pairs") + d("gold_pairs")) / lit(2.0) - col("exp_idx")))
+  }
+
+  /** Per-cluster B-cubed decomposition — the item-averaged metric that
+    * global B-cubed needs a cross-row double sum for, kept hash-exact by
+    * emitting it at CLUSTER grain: a pred cluster's B-cubed precision is
+    * Σ_g n_pg² / n_p² (its items' average within-cluster purity), a gold
+    * cluster's B-cubed recall the mirror; integer moments (sz, ssq) plus
+    * ONE division per row. Both sides ride one pass with a `side` tag.
+    * Gold keys are stringified so the two sides union on one type. */
+  def bcubedPerCluster(items: DataFrame, predCol: String,
+      goldCol: String): DataFrame = {
+    val cells = items.groupBy(col(predCol).as("pred"), col(goldCol).as("gold"))
+      .agg(count(lit(1)).as("n")).localCheckpoint()
+    def roll(side: String, key: org.apache.spark.sql.Column) =
+      cells.groupBy(key.as("key"))
+        .agg(sum(col("n")).as("sz"), sum(col("n") * col("n")).as("ssq"))
+        .select(lit(side).as("side"), col("key"), col("sz"), col("ssq"),
+          (col("ssq").cast(DoubleType) /
+            (col("sz") * col("sz")).cast(DoubleType)).as("bcubed"))
+    roll("pred", col("pred"))
+      .unionByName(roll("gold", col("gold").cast("string")))
+  }
+
+  /** NDCG with binary relevance over a pre-ranked retrieval table
+    * (q_id, rank ∈ 1..k, rel ∈ {0, 1}). The discount table arrives as
+    * DECIMAL-LITERAL strings (weights 1/log2(rank+1) and their cumulative
+    * sums): both engines parse the same strings into identical doubles,
+    * so no libm log enters either plan. DCG is a serial fold over the
+    * rank-sorted gains; IDCG a literal lookup on the relevant count
+    * (ideal ranking puts all hits first); NDCG one mirrored division.
+    * Output is one row per query. */
+  def ndcgBinary(ranked: DataFrame, weights: Seq[String],
+      cumWeights: Seq[String]): DataFrame = {
+    val gain = weights.zipWithIndex.foldLeft(lit(0.0)) { case (acc, (w, i)) =>
+      when(col("rel") === 1L && col("rank") === (i + 1), lit(w.toDouble))
+        .otherwise(acc)
+    }
+    val idcg = cumWeights.zipWithIndex.foldLeft(
+        lit(null).cast(DoubleType): org.apache.spark.sql.Column) {
+      case (acc, (c, i)) =>
+        when(col("n_rel") === (i + 1), lit(c.toDouble)).otherwise(acc)
+    }
+    ranked.withColumn("gain", gain)
+      .groupBy("q_id")
+      .agg(sum(col("rel")).as("n_rel"),
+        aggregate(sort_array(collect_list(struct(col("rank"), col("gain")))),
+          lit(0.0), (a, x) => a + x.getField("gain")).as("dcg"))
+      .withColumn("idcg", idcg)
+      .withColumn("ndcg", when(col("n_rel") > 0, col("dcg") / col("idcg")))
+  }
+
   /** Per-entity Herfindahl concentration / Simpson diversity over a
     * categorical: hhi = Σ_t n_t² / N² (one integer-ratio division),
     * diversity = 1 − hhi. The per-user behavioral-mix feature a

@@ -3424,8 +3424,78 @@ object Extensions {
   private val ndvCatalogs =
     new java.util.concurrent.ConcurrentHashMap[String, graft.core.TableCatalog]()
 
+  // -------------------------------------------- clustering-quality eval
+  /** Items with (pred, gold) cluster keys for entity-resolution
+    * evaluation: gold clusters are the planted-copy identity
+    * (doc_id % 100000 — a mirror doc and its source share it), predicted
+    * clusters a deliberately IMPERFECT 16-char-prefix blocking key
+    * (copies always agree on it, but unrelated docs sharing a prefix
+    * collide), so both precision and recall have something to measure. */
+  private def erItems(spark: SparkSession, sfDir: String): DataFrame =
+    docsWithDups(spark, sfDir)
+      .select(substring(col("text"), 1, 16).as("pred"),
+        (col("doc_id") % 100000).as("gold"))
+
+  /** SQL mirror of [[erItems]]'s input + cells (shared by the two ER
+    * evaluation oracles). */
+  private val erCellsCte =
+    """all_docs AS (
+         SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0),
+       cells AS MATERIALIZED (
+         SELECT substr(text, 1, 16) AS pred, doc_id % 100000 AS gold,
+           count(*) AS n
+         FROM all_docs GROUP BY 1, 2)"""
+
+  /** Pairwise precision/recall/F1 + ARI of the prefix-blocking
+    * prediction against the planted-copy gold
+    * ([[MlEval.pairwiseClusterMetrics]] — see there for the
+    * integer-exactness argument). */
+  def erPairwise(spark: SparkSession, sfDir: String): DataFrame =
+    MlEval.pairwiseClusterMetrics(erItems(spark, sfDir), "pred", "gold")
+
+  /** Per-cluster B-cubed decomposition over the same (pred, gold) items
+    * ([[MlEval.bcubedPerCluster]]). */
+  def bcubedClusters(spark: SparkSession, sfDir: String): DataFrame =
+    MlEval.bcubedPerCluster(erItems(spark, sfDir), "pred", "gold")
+
+  // ------------------------------------------------------ retrieval eval
+  // NDCG@5 discount weights 1/log2(rank+1) and their cumulative sums as
+  // SHARED decimal literals: both engines parse the same strings into
+  // identical doubles, so no libm log enters either plan (the oracle
+  // contract bans last-ulp-divergent transcendentals).
+  private val ndcgW = Seq("1.0", "0.6309297535714574", "0.5",
+    "0.43067655807339306", "0.38685280723454163")
+  private val ndcgCum = Seq("1.0", "1.6309297535714573",
+    "2.1309297535714573", "2.56160631164485", "2.948459118879392")
+
+  /** NDCG@5 of the brute-force cosine retrieval ([[Similarity
+    * .bruteForceTopK]]) with same-label as binary relevance — the
+    * retrieval-quality complement of `x_ann_recall` (which scores the
+    * ANN approximation against brute force; this scores brute force
+    * against labels). DCG is a serial fold over the rank-sorted gains,
+    * IDCG a literal-table lookup on the relevant count (ideal ranking
+    * puts all hits first), NDCG one mirrored division. 20 query rows. */
+  def ndcgQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    val lab = e.select(col("vec_id"), col("label"))
+    val ranked = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 20), 5)
+    val rel = ranked
+      .join(lab.select(col("vec_id").as("q_id"), col("label").as("q_label")),
+        Seq("q_id"))
+      .join(lab.select(col("vec_id").as("n_id"), col("label").as("n_label")),
+        Seq("n_id"))
+      .select(col("q_id"), col("rank"),
+        when(col("q_label") === col("n_label"), 1L).otherwise(0L).as("rel"))
+    MlEval.ndcgBinary(rel, ndcgW, ndcgCum)
+  }
+
   // ---------------------------------------------------------- queries map
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_er_pairwise" -> erPairwise _,
+    "x_bcubed_clusters" -> bcubedClusters _,
+    "x_ndcg" -> ndcgQ _,
     "x_ndv_broadcast" -> ndvBroadcast _,
     "x_pr_curve" -> prCurveQ _,
     "x_conformal" -> conformalQ _,
@@ -3852,6 +3922,73 @@ object Extensions {
   }
 
   private val oracleBase: Map[String, String] = Map(
+    "x_er_pairwise" ->
+      s"""WITH $erCellsCte,
+          tp AS (SELECT CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS tp_pairs FROM cells),
+          pp AS (SELECT CAST(SUM(np * (np - 1) // 2) AS BIGINT) AS pred_pairs FROM
+                   (SELECT SUM(n) AS np FROM cells GROUP BY pred)),
+          gp AS (SELECT CAST(SUM(ng * (ng - 1) // 2) AS BIGINT) AS gold_pairs FROM
+                   (SELECT SUM(n) AS ng FROM cells GROUP BY gold)),
+          tt AS (SELECT CAST(nn * (nn - 1) // 2 AS BIGINT) AS total_pairs FROM
+                   (SELECT SUM(n) AS nn FROM cells)),
+          base AS (SELECT * FROM tp CROSS JOIN pp CROSS JOIN gp CROSS JOIN tt),
+          m AS (SELECT *,
+              CAST(tp_pairs AS DOUBLE) / CAST(pred_pairs AS DOUBLE) AS precision,
+              CAST(tp_pairs AS DOUBLE) / CAST(gold_pairs AS DOUBLE) AS recall,
+              2.0 * CAST(tp_pairs AS DOUBLE) /
+                (CAST(pred_pairs AS DOUBLE) + CAST(gold_pairs AS DOUBLE)) AS f1,
+              CAST(pred_pairs AS DOUBLE) * CAST(gold_pairs AS DOUBLE) /
+                CAST(total_pairs AS DOUBLE) AS exp_idx
+            FROM base)
+          SELECT tp_pairs, pred_pairs, gold_pairs, total_pairs, precision,
+            recall, f1, exp_idx,
+            (CAST(tp_pairs AS DOUBLE) - exp_idx) /
+              ((CAST(pred_pairs AS DOUBLE) + CAST(gold_pairs AS DOUBLE)) / 2.0
+                - exp_idx) AS ari
+          FROM m""",
+    "x_bcubed_clusters" ->
+      s"""WITH $erCellsCte
+          SELECT 'pred' AS side, pred AS key, CAST(SUM(n) AS BIGINT) AS sz,
+            CAST(SUM(n * n) AS BIGINT) AS ssq,
+            CAST(SUM(n * n) AS DOUBLE) /
+              CAST(SUM(n) * SUM(n) AS DOUBLE) AS bcubed
+          FROM cells GROUP BY pred
+          UNION ALL
+          SELECT 'gold' AS side, CAST(gold AS VARCHAR) AS key, CAST(SUM(n) AS BIGINT) AS sz,
+            CAST(SUM(n * n) AS BIGINT) AS ssq,
+            CAST(SUM(n * n) AS DOUBLE) /
+              CAST(SUM(n) * SUM(n) AS DOUBLE) AS bcubed
+          FROM cells GROUP BY gold""",
+    "x_ndcg" -> {
+      val gainCase = "CASE rank " + ndcgW.zipWithIndex.map { case (w, i) =>
+        s"WHEN ${i + 1} THEN CAST('$w' AS DOUBLE)" }.mkString(" ") + " END"
+      val idcgCase = "CASE n_rel " + ndcgCum.zipWithIndex.map { case (c, i) =>
+        s"WHEN ${i + 1} THEN CAST('$c' AS DOUBLE)" }.mkString(" ") + " END"
+      s"""WITH $normCte,
+          ranked AS (
+            SELECT q_id, n_id, rank FROM (
+              SELECT q.vec_id AS q_id, v.vec_id AS n_id,
+                row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                  ${dotD("q.embedding", "v.embedding")} / (q.nrm * v.nrm)
+                    DESC, v.vec_id) AS rank
+              FROM ne q JOIN ne v ON q.vec_id != v.vec_id
+              WHERE q.vec_id < 20)
+            WHERE rank <= 5),
+          j AS (SELECT r.q_id, r.rank,
+              CASE WHEN lq.label = ln.label THEN 1 ELSE 0 END AS rel
+            FROM ranked r JOIN ne lq ON r.q_id = lq.vec_id
+                          JOIN ne ln ON r.n_id = ln.vec_id),
+          per AS (SELECT q_id,
+              CAST(SUM(rel) AS BIGINT) AS n_rel,
+              list_reduce(list_prepend(0.0::DOUBLE,
+                list(CASE WHEN rel = 1 THEN $gainCase ELSE 0.0 END
+                  ORDER BY rank)), (a, b) -> a + b) AS dcg
+            FROM j GROUP BY q_id),
+          pi AS (SELECT q_id, n_rel, dcg, $idcgCase AS idcg FROM per)
+          SELECT q_id, n_rel, dcg, idcg,
+            CASE WHEN n_rel > 0 THEN dcg / idcg END AS ndcg
+          FROM pi"""
+    },
     "x_fs_em" -> fsEmSql(2),
     // The sink twin's final catalog table IS the two-batch SCD2 merge —
     // one oracle, verbatim, gates both paths (they share the merge code).

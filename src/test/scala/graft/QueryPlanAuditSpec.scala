@@ -67,6 +67,10 @@ class QueryPlanAuditSpec extends SparkSpec {
                         // checkpoint ladder
     "x_fs_em",          // ≤8 pattern rows × broadcast 1-row EM parameter
                         // table, once per unrolled round
+    "x_er_pairwise",    // four 1-row pair-count singletons crossed into
+                        // the single-row metric readout (all broadcast)
+    "x_ndcg",           // inherits x_ann_topk's broadcast query-vector
+                        // singleton × corpus shape
     "st_drift_stream"   // reference bins × broadcast distinct-hours
                         // singleton (the hourly-average divisor)
   )

@@ -98,6 +98,72 @@ class MlEvalSpec extends SparkSpec {
     assert(r.forall(x => math.abs(x.getAs[Double]("cramers_v") - 1.0) < 1e-12))
   }
 
+  test("pairwiseClusterMetrics: hand-counted pair table and ARI") {
+    // items: pred clusters {p1: a,a,b}, {p2: b}  (gold a×2, b×2)
+    //   cells: (p1,a)=2 (p1,b)=1 (p2,b)=1
+    //   tp = C(2,2)=1; pred pairs = C(3,2)=3; gold pairs = 1+1 = 2
+    //   total pairs = C(4,2) = 6
+    val items = Seq(("p1", "a"), ("p1", "a"), ("p1", "b"), ("p2", "b"))
+      .toDF("pred", "gold")
+    val r = MlEval.pairwiseClusterMetrics(items, "pred", "gold").collect().head
+    assert(r.getAs[Long]("tp_pairs") == 1L)
+    assert(r.getAs[Long]("pred_pairs") == 3L)
+    assert(r.getAs[Long]("gold_pairs") == 2L)
+    assert(r.getAs[Long]("total_pairs") == 6L)
+    assert(r.getAs[Double]("precision") == 1.0 / 3.0)
+    assert(r.getAs[Double]("recall") == 0.5)
+    assert(r.getAs[Double]("f1") == 2.0 / 5.0)
+    // ARI = (1 − 3·2/6) / ((3+2)/2 − 3·2/6) = 0 / 1.5 = 0
+    assert(r.getAs[Double]("ari") == 0.0)
+  }
+
+  test("pairwiseClusterMetrics: perfect clustering gives P=R=F1=ARI=1") {
+    val items = Seq(("x", 1L), ("x", 1L), ("y", 2L), ("y", 2L), ("z", 3L))
+      .toDF("pred", "gold")
+    val r = MlEval.pairwiseClusterMetrics(items, "pred", "gold").collect().head
+    assert(r.getAs[Double]("precision") == 1.0 &&
+      r.getAs[Double]("recall") == 1.0 && r.getAs[Double]("f1") == 1.0 &&
+      r.getAs[Double]("ari") == 1.0)
+  }
+
+  test("bcubedPerCluster: per-cluster purity moments") {
+    // pred p1 = {a,a,b}: ssq = 4+1 = 5, sz = 3 → bcubed = 5/9
+    val items = Seq(("p1", "a"), ("p1", "a"), ("p1", "b"), ("p2", "b"))
+      .toDF("pred", "gold")
+    val r = MlEval.bcubedPerCluster(items, "pred", "gold")
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x).toMap
+    val p1 = r(("pred", "p1"))
+    assert(p1.getAs[Long]("sz") == 3L && p1.getAs[Long]("ssq") == 5L)
+    assert(p1.getAs[Double]("bcubed") == 5.0 / 9.0)
+    // gold b = {p1:1, p2:1}: ssq = 2, sz = 2 → bcubed recall = 0.5
+    val gb = r(("gold", "b"))
+    assert(gb.getAs[Long]("sz") == 2L && gb.getAs[Double]("bcubed") == 0.5)
+  }
+
+  private val ndcgW = Seq("1.0", "0.6309297535714574", "0.5",
+    "0.43067655807339306", "0.38685280723454163")
+  private val ndcgCum = Seq("1.0", "1.6309297535714573",
+    "2.1309297535714573", "2.56160631164485", "2.948459118879392")
+
+  test("ndcgBinary: perfect ranking gives 1.0; miss-at-top discounts") {
+    // q1: hits at ranks 1,2 of 5 → dcg = 1 + w2 = cum2 → ndcg = 1
+    // q2: hits at ranks 2,3     → dcg = w2 + 0.5, idcg = cum2
+    // q3: no hits               → ndcg null
+    val ranked = Seq(
+      (1L, 1, 1L), (1L, 2, 1L), (1L, 3, 0L), (1L, 4, 0L), (1L, 5, 0L),
+      (2L, 1, 0L), (2L, 2, 1L), (2L, 3, 1L), (2L, 4, 0L), (2L, 5, 0L),
+      (3L, 1, 0L), (3L, 2, 0L), (3L, 3, 0L), (3L, 4, 0L), (3L, 5, 0L)
+    ).toDF("q_id", "rank", "rel")
+    val r = MlEval.ndcgBinary(ranked, ndcgW, ndcgCum)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getAs[Double]("ndcg") == 1.0)
+    val q2dcg = 0.0 + 0.6309297535714574 + 0.5
+    assert(r(2L).getAs[Double]("dcg") == q2dcg)
+    assert(r(2L).getAs[Double]("ndcg") == q2dcg / 1.6309297535714573)
+    assert(r(3L).isNullAt(r(3L).fieldIndex("ndcg")))
+    assert(r(3L).getAs[Double]("dcg") == 0.0)
+  }
+
   test("classificationReport: hand-counted tp/fp/fn and single-division ratios") {
     val df = Seq(
       ("a", "a"), ("a", "a"), ("a", "b"),   // a: tp=2, fn=1
