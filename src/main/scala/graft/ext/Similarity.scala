@@ -485,4 +485,56 @@ object Similarity {
           .cast("double")).as("mean_recall"),
         (col("min_h").cast("double") / lit(k.toDouble)).as("min_recall"))
   }
+
+  /** Serial-fold squared L2 distance over two DOUBLE arrays — the
+    * [[dotHof]] convention ((a_i − b_i)² in position order), so DuckDB's
+    * `list_reduce` over `generate_series` reproduces it bit-for-bit.
+    * Callers cast `array<float>` embeddings to `array<double>` ONCE
+    * before pairing (float→double is exact; doing the cast inside the
+    * fold would change the rounding site). */
+  def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Greedy k-center (farthest-point / Gonzalez 1985) coreset selection —
+    * the DIVERSITY side of training-data curation (dedup removes copies;
+    * k-center picks a subset whose coverage radius over the corpus is
+    * ≤ 2× optimal). Seed = lowest id; each round picks the point farthest
+    * from the chosen set (max-min d², ties → lowest id) and emits the
+    * coverage radius at pick time — the classic non-increasing radius
+    * sequence.
+    *
+    * Scale shape: the chosen set lives on the driver (k ≤ a few hundred)
+    * and enters each round as an ARRAY LITERAL — every round is one
+    * embarrassingly-parallel scan computing d²(x, new_center) and a
+    * running `least` against the previous round's column (incremental:
+    * rounds cost O(N·d) each, not O(N·k·d)), then a TakeOrdered(1)
+    * argmax. localCheckpoint per round keeps lineage flat (the
+    * iterative-loop house rule). Collects are k single rows — bounded
+    * driver traffic, like the BPE trainer's candidate horizon.
+    *
+    * `points` must carry (vec_id: long, v: array<double>). Output: one
+    * row per selection round — (round, vec_id, radius), radius null for
+    * the seed. */
+  def kCenterSelect(points: DataFrame, k: Int): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val pts = points.select(col("vec_id"), col("v")).localCheckpoint()
+    val seed = pts.orderBy(col("vec_id")).limit(1).collect().head
+    var centerVec: Seq[Double] = seed.getSeq[Double](1)
+    val picks = scala.collection.mutable.ListBuffer(
+      (0L, seed.getLong(0), Option.empty[Double]))
+    var cur: DataFrame = null
+    for (r <- 1 to k) {
+      val dNew = sqDist(col("v"), typedLit(centerVec))
+      cur = (if (r == 1) pts.withColumn("d", dNew)
+             else cur.withColumn("d", least(col("d"), dNew)))
+        .localCheckpoint()
+      val pick = cur.orderBy(col("d").desc, col("vec_id")).limit(1)
+        .select("vec_id", "d", "v").collect().head
+      picks += ((r.toLong, pick.getLong(0), Some(pick.getDouble(1))))
+      centerVec = pick.getSeq[Double](2)
+    }
+    picks.toSeq.toDF("round", "vec_id", "radius")
+  }
 }

@@ -3491,11 +3491,102 @@ object Extensions {
     MlEval.ndcgBinary(rel, ndcgW, ndcgCum)
   }
 
+  // ------------------------------------------------- data selection (r9)
+  /** DSIR-style importance selection (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every doc by
+    * how target-like its hashed n-gram feature distribution is, keep the
+    * top-N. Features are hashed BIGRAM occurrences (64 buckets); the
+    * target is the `lang = 'en'` slice, the raw distribution the whole
+    * corpus. Where the paper uses the log-likelihood ratio
+    * Σ c_b·log(p_t/p_r), this emits the UN-LOGGED linear form
+    * Σ c_b·(p̂_t[b]/p̂_r[b]) with Laplace(+1) smoothing — the house
+    * no-libm contract (`x_bm25` convention): each bucket ratio is
+    * integer-products + ONE mirrored division, the per-doc score a
+    * serial fold over its bucket-sorted terms.
+    *
+    * Scale shape: the 64-row ratio table is an aggregate + broadcast;
+    * per-doc scoring is one groupBy(doc, bucket) + map-side fold; the
+    * top-N runs as TakeOrderedAndProject (per-partition heaps), never a
+    * global window. At 100 TB only the ratio table is shared state. */
+  def dsirSelect(spark: SparkSession, sfDir: String): DataFrame = {
+    val B = 64
+    val occ = docs(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        explode(TextKit.wordNgrams(col("text"), 2)).as("g"))
+      .select(col("doc_id"), col("lang"),
+        (TextKit.polyHash(col("g")) % B).as("b"))
+      .localCheckpoint()
+    val ratios = occ.groupBy("b").agg(
+      count(lit(1)).as("nr"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nt"))
+    val tot = ratios.agg(sum("nr").as("dr"), sum("nt").as("dt"))
+    val rt = ratios.join(broadcast(tot))
+      .select(col("b"),
+        (((col("nt") + 1) * (col("dr") + B)).cast(DoubleType) /
+          ((col("nr") + 1) * (col("dt") + B)).cast(DoubleType)).as("ratio"))
+    val scored = occ.groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("c"))
+      .join(broadcast(rt), Seq("b"))
+      .withColumn("term", col("c").cast(DoubleType) * col("ratio"))
+      .groupBy("doc_id", "lang")
+      .agg(aggregate(sort_array(collect_list(struct(col("b"), col("term")))),
+        lit(0.0), (a, x) => a + x.getField("term")).as("score"))
+    scored.orderBy(col("score").desc, col("doc_id")).limit(100)
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+  }
+
+  /** Greedy k-center coreset over the embeddings
+    * ([[Similarity.kCenterSelect]], k = 6): the diversity-selection
+    * complement of the dedup family — 7 rows (seed + 6 picks) with the
+    * non-increasing coverage-radius sequence. The oracle replays the
+    * identical incremental-min rounds as unrolled CTE layers (the
+    * `x_ann_ivf_trained` convention). */
+  def kcenterSelect(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.kCenterSelect(
+      emb(spark, sfDir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+      6)
+
+  /** Unrolled-round mirror of [[Similarity.kCenterSelect]]. */
+  private def kcenterSql(k: Int): String = {
+    def d2(a: String, b: String) =
+      s"""list_reduce(list_prepend(0.0::DOUBLE,
+            list_transform(generate_series(1, len($a)), i ->
+              (($a[i] - $b[i]) * ($a[i] - $b[i])))),
+          (acc, v) -> acc + v)"""
+    val rounds = (1 to k).map { r =>
+      val dist =
+        if (r == 1)
+          s"""d1 AS MATERIALIZED (
+                SELECT p.vec_id, p.v, ${d2("p.v", "c.v")} AS d
+                FROM p CROSS JOIN c0 c)"""
+        else
+          s"""d$r AS MATERIALIZED (
+                SELECT x.vec_id, x.v, LEAST(x.d, ${d2("x.v", "c.v")}) AS d
+                FROM d${r - 1} x CROSS JOIN p${r - 1} c)"""
+      s"""$dist,
+          p$r AS MATERIALIZED (
+            SELECT vec_id, v, d FROM d$r ORDER BY d DESC, vec_id LIMIT 1)"""
+    }.mkString(",\n        ")
+    val unions = (1 to k).map { r =>
+      s"UNION ALL SELECT CAST($r AS BIGINT), vec_id, d FROM p$r"
+    }.mkString("\n        ")
+    s"""WITH p AS MATERIALIZED (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        c0 AS MATERIALIZED (SELECT vec_id, v FROM p ORDER BY vec_id LIMIT 1),
+        $rounds
+        SELECT CAST(0 AS BIGINT) AS round, vec_id, CAST(NULL AS DOUBLE) AS radius
+        FROM c0
+        $unions"""
+  }
+
   // ---------------------------------------------------------- queries map
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_er_pairwise" -> erPairwise _,
     "x_bcubed_clusters" -> bcubedClusters _,
     "x_ndcg" -> ndcgQ _,
+    "x_dsir_select" -> dsirSelect _,
+    "x_kcenter_select" -> kcenterSelect _,
     "x_ndv_broadcast" -> ndvBroadcast _,
     "x_pr_curve" -> prCurveQ _,
     "x_conformal" -> conformalQ _,
@@ -3989,6 +4080,37 @@ object Extensions {
             CASE WHEN n_rel > 0 THEN dcg / idcg END AS ndcg
           FROM pi"""
     },
+    "x_dsir_select" -> {
+      val bigrams = """CASE WHEN len(w) >= 2
+            THEN list_transform(generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1])
+            ELSE [] END"""
+      s"""WITH occ AS MATERIALIZED (
+            SELECT doc_id, lang, ${DuckSql.polyHash("g")} % 64 AS b FROM (
+              SELECT doc_id, lang, unnest($bigrams) AS g
+              FROM (SELECT doc_id, lang, $W AS w FROM documents))),
+          ratios AS (
+            SELECT b, count(*) AS nr,
+              CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS nt
+            FROM occ GROUP BY b),
+          tot AS (SELECT CAST(SUM(nr) AS BIGINT) AS dr,
+                    CAST(SUM(nt) AS BIGINT) AS dt FROM ratios),
+          rt AS (SELECT b,
+              CAST((nt + 1) * (dr + 64) AS DOUBLE) /
+                CAST((nr + 1) * (dt + 64) AS DOUBLE) AS ratio
+            FROM ratios CROSS JOIN tot),
+          per AS (SELECT doc_id, lang, b, count(*) AS c
+                  FROM occ GROUP BY 1, 2, 3),
+          sc AS (SELECT doc_id, lang,
+              list_reduce(list_prepend(0.0::DOUBLE,
+                list(CAST(c AS DOUBLE) * ratio ORDER BY b)),
+                (a, x) -> a + x) AS score
+            FROM per JOIN rt USING (b) GROUP BY doc_id, lang)
+          SELECT doc_id, lang, score, rnk FROM (
+            SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+            FROM sc)
+          WHERE rnk <= 100"""
+    },
+    "x_kcenter_select" -> kcenterSql(6),
     "x_fs_em" -> fsEmSql(2),
     // The sink twin's final catalog table IS the two-batch SCD2 merge —
     // one oracle, verbatim, gates both paths (they share the merge code).

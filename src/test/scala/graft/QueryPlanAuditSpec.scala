@@ -71,6 +71,8 @@ class QueryPlanAuditSpec extends SparkSpec {
                         // the single-row metric readout (all broadcast)
     "x_ndcg",           // inherits x_ann_topk's broadcast query-vector
                         // singleton × corpus shape
+    "x_dsir_select",    // 64 bucket rows × broadcast corpus-totals
+                        // singleton (the smoothing denominators)
     "st_drift_stream"   // reference bins × broadcast distinct-hours
                         // singleton (the hourly-average divisor)
   )

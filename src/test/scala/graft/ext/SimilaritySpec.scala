@@ -187,4 +187,32 @@ class SimilaritySpec extends SparkSpec {
       .toDF("vec_id", "embedding", "label")
     assert(Similarity.silhouetteMargin(emb).collect().isEmpty)
   }
+
+  test("kCenterSelect: farthest-point sequence with min-id tie-break") {
+    import spark.implicits._
+    // 1-d line: 0, 10, 3, 7 — seed is lowest id (vec 0)
+    //   r1: farthest from {0} is 10 (d² = 100)
+    //   r2: min-dists to {0,10} are 9 (id 3) and 9 (id 4) → tie → id 3
+    //   r3: id 4's min-dist stays 9 (already within 3² of the seed side)
+    val pts = Seq(
+      (1L, Seq(0.0)), (2L, Seq(10.0)), (3L, Seq(3.0)), (4L, Seq(7.0))
+    ).toDF("vec_id", "v")
+    val r = Similarity.kCenterSelect(pts, 3).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1),
+        if (x.isNullAt(2)) None else Some(x.getDouble(2)))).toMap
+    assert(r(0L) == ((1L, None)))
+    assert(r(1L) == ((2L, Some(100.0))))
+    assert(r(2L) == ((3L, Some(9.0))))
+    assert(r(3L) == ((4L, Some(9.0))))
+  }
+
+  test("kCenterSelect: radius sequence is non-increasing") {
+    import spark.implicits._
+    val pts = (1L to 40L).map(i =>
+      (i, Seq((i * 37 % 11).toDouble, (i * 17 % 7).toDouble)))
+      .toDF("vec_id", "v")
+    val radii = Similarity.kCenterSelect(pts, 5).collect()
+      .filter(!_.isNullAt(2)).sortBy(_.getLong(0)).map(_.getDouble(2))
+    assert(radii.zip(radii.tail).forall { case (a, b) => a >= b })
+  }
 }
