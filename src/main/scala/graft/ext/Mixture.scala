@@ -206,4 +206,44 @@ object Mixture {
         expr(s"end_tok div ${stride}L - start_tok div ${stride}L")
           .as("n_ticks"))
   }
+
+  /** DoReMi-style domain reweighting (Xie et al. 2023, "Doremi:
+    * Optimizing Data Mixtures Speeds Up Language Model Pretraining"):
+    * iterated multiplicative-weights updates driven by a per-domain
+    * excess-loss signal, with clipping and per-round renormalization.
+    * Where the paper's Hedge step is w·exp(η·loss), this uses the
+    * LINEAR Hedge variant w·(1 + η·(loss − 1)) — same fixed point,
+    * no libm exp (the oracle contract). Clipping to [floorW, capW]
+    * before renormalizing is what makes the rounds genuinely interact:
+    * a domain pinned at the cap redistributes mass to the others
+    * through the normalizer.
+    *
+    * `domains` carries one row per domain (domainCol, lossCol, …) —
+    * tiny by construction, so each round is a broadcast of the 1-row
+    * normalizer into the ≤ |domains|-row table; the heavy lifting
+    * (computing the loss signal) happens upstream at corpus scale.
+    * The normalizer sum is a SERIAL LEFT-FOLD over the domain-sorted
+    * rows (the fsEm convention), so no summation-order drift can reach
+    * the division. */
+  def multiplicativeWeights(domains: DataFrame, domainCol: String,
+      lossCol: String, rounds: Int, eta: Double, floorW: Double,
+      capW: Double): DataFrame = {
+    val s = domains.agg(count(lit(1)).as("s"))
+    var cur = domains.join(broadcast(s))
+      .withColumn("w", lit(1.0) / col("s").cast("double"))
+      .drop("s")
+    for (_ <- 1 to rounds) {
+      val raw = cur.withColumn("raw",
+        least(greatest(col("w") * (lit(1.0) + lit(eta) * (col(lossCol) - lit(1.0))),
+          lit(floorW)), lit(capW)))
+      val z = raw.agg(
+        aggregate(sort_array(collect_list(struct(col(domainCol), col("raw")))),
+          lit(0.0), (a, x) => a + x.getField("raw")).as("z"))
+      cur = raw.join(broadcast(z))
+        .withColumn("w", col("raw") / col("z"))
+        .drop("raw", "z")
+        .localCheckpoint()
+    }
+    cur
+  }
 }

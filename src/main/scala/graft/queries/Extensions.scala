@@ -3547,6 +3547,94 @@ object Extensions {
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
       6)
 
+  /** DoReMi-style mixture reweighting over sources
+    * ([[Mixture.multiplicativeWeights]], 3 rounds, η = 0.5, clip to
+    * [0.01, 0.2]): the excess-loss proxy is each source's
+    * tokens-per-doc relative to the corpus mean (two mirrored
+    * divisions) — at real scale this column would come from a proxy
+    * model's per-domain loss; the REWEIGHTING machinery is what's
+    * under test. Output: one row per source with the loss signal and
+    * the round-3 normalized weight. */
+  def doremiMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val st = docs(spark, sfDir)
+      .select(col("source"),
+        size(TextKit.words(col("text"))).cast(LongType).as("tok"))
+      .groupBy("source")
+      .agg(sum(col("tok")).as("n_tokens"), count(lit(1)).as("n_docs"))
+    val tot = st.agg(sum("n_tokens").as("ttok"), sum("n_docs").as("tnd"))
+    val lam = st.join(broadcast(tot))
+      .withColumn("lam",
+        (col("n_tokens").cast(DoubleType) / col("n_docs").cast(DoubleType)) /
+          (col("ttok").cast(DoubleType) / col("tnd").cast(DoubleType)))
+      .drop("ttok", "tnd")
+    Mixture.multiplicativeWeights(lam, "source", "lam", 3, 0.5, 0.01, 0.2)
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("lam"),
+        col("w").as("weight"))
+  }
+
+  /** Unrolled-round mirror of [[doremiMix]]. */
+  private def doremiSql(rounds: Int): String = {
+    val upd = """LEAST(GREATEST(w * (1.0 + CAST('0.5' AS DOUBLE) * (lam - 1.0)),
+          CAST('0.01' AS DOUBLE)), CAST('0.2' AS DOUBLE))"""
+    val roundCtes = (1 to rounds).map { r =>
+      s"""r$r AS (SELECT *, $upd AS raw FROM w${r - 1}),
+          z$r AS (SELECT list_reduce(list_prepend(0.0::DOUBLE,
+              list(raw ORDER BY source)), (a, b) -> a + b) AS z FROM r$r),
+          w$r AS (SELECT source, n_tokens, n_docs, lam, raw / z AS w
+                  FROM r$r CROSS JOIN z$r)"""
+    }.mkString(",\n        ")
+    s"""WITH st AS MATERIALIZED (
+          SELECT source,
+            CAST(SUM(len($W)) AS BIGINT) AS n_tokens,
+            count(*) AS n_docs
+          FROM documents GROUP BY source),
+        tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS ttok,
+                  CAST(SUM(n_docs) AS BIGINT) AS tnd FROM st),
+        lam AS MATERIALIZED (
+          SELECT source, n_tokens, n_docs,
+            (CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)) /
+              (CAST(ttok AS DOUBLE) / CAST(tnd AS DOUBLE)) AS lam
+          FROM st CROSS JOIN tot),
+        cnt AS (SELECT count(*) AS s FROM lam),
+        w0 AS (SELECT source, n_tokens, n_docs, lam,
+            1.0 / CAST(s AS DOUBLE) AS w
+          FROM lam CROSS JOIN cnt),
+        $roundCtes
+        SELECT source, n_docs, n_tokens, lam, w AS weight FROM w$rounds"""
+  }
+
+  /** Phrase search through a POSITIONAL inverted index: tokenize to
+    * (term, doc_id, pos) postings, then match an n-word phrase as a
+    * chain of (doc_id, pos + i) adjacency self-joins — the classic
+    * positional-index query plan (Manning et al., IR ch. 2), which
+    * scales to any phrase length without materializing n-grams. The
+    * phrase under test is data-derived (the corpus's top trigram, ties
+    * → lexicographic), broadcast into the postings scan so only
+    * matching postings enter the adjacency joins; each join is
+    * equi-keyed on (doc_id, pos), so the pair space is the phrase's
+    * own postings, never the corpus. */
+  def phraseSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val parts = d.select(explode(TextKit.wordNgrams(col("text"), 3)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("g")).limit(1)
+      .select(split(col("g"), " ").as("ps"))
+      .select(element_at(col("ps"), 1).as("w1"),
+        element_at(col("ps"), 2).as("w2"),
+        element_at(col("ps"), 3).as("w3"))
+    val tk = d.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+    def idx(p: String) = tk.select(col("doc_id").as(s"d$p"),
+      col("pos").as(s"p$p"), col("term").as(s"t$p"))
+    tk.join(broadcast(parts), col("term") === col("w1"))
+      .join(idx("b"), col("db") === col("doc_id") &&
+        col("pb") === col("pos") + 1 && col("tb") === col("w2"))
+      .join(idx("c"), col("dc") === col("doc_id") &&
+        col("pc") === col("pos") + 2 && col("tc") === col("w3"))
+      .select(col("doc_id"), col("pos"),
+        concat_ws(" ", col("w1"), col("w2"), col("w3")).as("phrase"))
+  }
+
   /** Unrolled-round mirror of [[Similarity.kCenterSelect]]. */
   private def kcenterSql(k: Int): String = {
     def d2(a: String, b: String) =
@@ -3587,6 +3675,8 @@ object Extensions {
     "x_ndcg" -> ndcgQ _,
     "x_dsir_select" -> dsirSelect _,
     "x_kcenter_select" -> kcenterSelect _,
+    "x_doremi_mix" -> doremiMix _,
+    "x_phrase_search" -> phraseSearch _,
     "x_ndv_broadcast" -> ndvBroadcast _,
     "x_pr_curve" -> prCurveQ _,
     "x_conformal" -> conformalQ _,
@@ -4111,6 +4201,35 @@ object Extensions {
           WHERE rnk <= 100"""
     },
     "x_kcenter_select" -> kcenterSql(6),
+    "x_doremi_mix" -> doremiSql(3),
+    "x_phrase_search" ->
+      s"""WITH w AS MATERIALIZED (
+            SELECT doc_id, $W AS ws FROM documents),
+          tri AS (SELECT unnest(CASE WHEN len(ws) >= 3
+              THEN list_transform(generate_series(1, len(ws) - 2),
+                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+              ELSE [] END) AS g
+            FROM w),
+          top AS (SELECT g FROM (
+              SELECT g, count(*) AS n FROM tri GROUP BY g)
+            ORDER BY n DESC, g LIMIT 1),
+          parts AS (SELECT string_split(g, ' ')[1] AS w1,
+              string_split(g, ' ')[2] AS w2,
+              string_split(g, ' ')[3] AS w3
+            FROM top),
+          tk AS MATERIALIZED (
+            SELECT doc_id, unnest(generate_series(1, len(ws))) - 1 AS pos,
+              unnest(ws) AS term
+            FROM w),
+          t1 AS (SELECT tk.doc_id, tk.pos, p.w1, p.w2, p.w3
+            FROM tk JOIN parts p ON tk.term = p.w1),
+          t2 AS (SELECT t1.doc_id, t1.pos, t1.w1, t1.w2, t1.w3
+            FROM t1 JOIN tk b ON b.doc_id = t1.doc_id
+              AND b.pos = t1.pos + 1 AND b.term = t1.w2)
+          SELECT t2.doc_id, t2.pos,
+            t2.w1 || ' ' || t2.w2 || ' ' || t2.w3 AS phrase
+          FROM t2 JOIN tk c ON c.doc_id = t2.doc_id
+            AND c.pos = t2.pos + 2 AND c.term = t2.w3""",
     "x_fs_em" -> fsEmSql(2),
     // The sink twin's final catalog table IS the two-batch SCD2 merge —
     // one oracle, verbatim, gates both paths (they share the merge code).

@@ -73,6 +73,8 @@ class QueryPlanAuditSpec extends SparkSpec {
                         // singleton × corpus shape
     "x_dsir_select",    // 64 bucket rows × broadcast corpus-totals
                         // singleton (the smoothing denominators)
+    "x_doremi_mix",     // ≤ #sources rows × broadcast 1-row normalizer,
+                        // once per multiplicative-weights round
     "st_drift_stream"   // reference bins × broadcast distinct-hours
                         // singleton (the hourly-average divisor)
   )

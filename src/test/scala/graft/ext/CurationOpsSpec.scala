@@ -231,4 +231,28 @@ class CurationOpsSpec extends SparkSpec {
     // tick is the FIRST crossed boundary.
     assert(big.getAs[Long]("tick") == s / stride + 1)
   }
+
+  test("multiplicativeWeights: one hand round — cap binds, normalizer redistributes") {
+    import spark.implicits._
+    // lam 2.0 / 0.5, eta 0.5, clip [0.1, 0.6], start 0.5 each:
+    //   raw_a = 0.5·(1 + 0.5·1.0)  = 0.75 → capped 0.6
+    //   raw_b = 0.5·(1 + 0.5·(−0.5)) = 0.375
+    val dom = Seq(("a", 2.0), ("b", 0.5)).toDF("domain", "lam")
+    val r = Mixture.multiplicativeWeights(dom, "domain", "lam", 1, 0.5, 0.1, 0.6)
+      .collect().map(x => x.getString(0) -> x.getAs[Double]("w")).toMap
+    assert(r("a") == 0.6 / (0.6 + 0.375))
+    assert(r("b") == 0.375 / (0.6 + 0.375))
+  }
+
+  test("multiplicativeWeights: floor binds for a starved domain; rounds keep sum 1") {
+    import spark.implicits._
+    val dom = Seq(("a", 3.0), ("b", 1.0), ("c", 0.0)).toDF("domain", "lam")
+    val out = Mixture.multiplicativeWeights(dom, "domain", "lam", 3, 0.5, 0.2, 0.9)
+      .collect().map(x => x.getString(0) -> x.getAs[Double]("w")).toMap
+    // c's raw update is w·0.5 each round but the 0.2 floor catches it
+    // before normalization, so it never collapses to 0
+    assert(out("c") > 0.1)
+    assert(out("a") > out("b") && out("b") > out("c"))
+    assert(math.abs(out.values.sum - 1.0) < 1e-12)
+  }
 }
