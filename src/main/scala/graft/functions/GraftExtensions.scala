@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(KmvSketch.registration)
     ext.injectFunction(CmsSketch.registration)
     ext.injectFunction(HllSketch.registration)
+    ext.injectFunction(JaroWinkler.registration)
     ext.injectTableFunction(DateSpine.registration)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(graft.plans.MvRewriteRule)
@@ -38,7 +39,7 @@ object GraftExtensions {
         MinHashSig.registration, SimHashSig.registration,
         GramHashes.registration, SlidingMin.registration,
         KmvSketch.registration, CmsSketch.registration,
-        HllSketch.registration).foreach { r =>
+        HllSketch.registration, JaroWinkler.registration).foreach { r =>
       reg.registerFunction(r._1, r._2, r._3)
     }
     val treg = spark.sessionState.tableFunctionRegistry

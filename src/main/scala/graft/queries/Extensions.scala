@@ -3547,6 +3547,28 @@ object Extensions {
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
       6)
 
+  /** Jaro-Winkler scoring of the SNM candidate pairs through the NATIVE
+    * codegen expression ([[graft.functions.JaroWinkler]]) — the
+    * approximate-string comparator the ER stack uses where edit distance
+    * over-penalizes transpositions. The oracle runs DuckDB's OWN
+    * `jaro_winkler_similarity` builtin, so two independent
+    * implementations of the algorithm cross-validate bit-for-bit (the
+    * strongest oracle form in the contract — not a mirrored formula but
+    * a second engine's native code). Candidates come from the
+    * sorted-neighborhood blocker (O(N·w), never N²); the comparator is
+    * a per-row scalar inside whole-stage codegen. */
+  def jaroWinklerQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val u = docsWithDups(spark, sfDir)
+    val cands = snmCandidates(
+      u.select(col("doc_id"), substring(col("text"), 1, 12).as("k")))
+    def side(p: String) = u.select(col("doc_id").as(p),
+      substring(col("text"), 1, 32).as(s"s$p"))
+    cands.join(side("a"), Seq("a")).join(side("b"), Seq("b"))
+      .select(col("a"), col("b"),
+        graft.functions.JaroWinkler(col("sa"), col("sb")).as("jw"))
+      .filter(col("jw") >= lit("0.85").cast(DoubleType))
+  }
+
   /** DoReMi-style mixture reweighting over sources
     * ([[Mixture.multiplicativeWeights]], 3 rounds, η = 0.5, clip to
     * [0.01, 0.2]): the excess-loss proxy is each source's
@@ -3677,6 +3699,7 @@ object Extensions {
     "x_kcenter_select" -> kcenterSelect _,
     "x_doremi_mix" -> doremiMix _,
     "x_phrase_search" -> phraseSearch _,
+    "x_jaro_winkler" -> jaroWinklerQ _,
     "x_ndv_broadcast" -> ndvBroadcast _,
     "x_pr_curve" -> prCurveQ _,
     "x_conformal" -> conformalQ _,
@@ -4202,6 +4225,22 @@ object Extensions {
     },
     "x_kcenter_select" -> kcenterSql(6),
     "x_doremi_mix" -> doremiSql(3),
+    "x_jaro_winkler" ->
+      """WITH all_docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0),
+         nm AS (SELECT doc_id, substr(text, 1, 12) AS k FROM all_docs),
+         r AS (SELECT doc_id,
+                 ROW_NUMBER() OVER (ORDER BY k, doc_id) AS rn FROM nm),
+         cand AS (SELECT r1.doc_id AS a, r2.doc_id AS b
+                  FROM r r1 JOIN r r2 ON r2.rn - r1.rn BETWEEN 1 AND 3),
+         p AS (SELECT cand.a, cand.b,
+                 jaro_winkler_similarity(substr(da.text, 1, 32),
+                   substr(db.text, 1, 32)) AS jw
+               FROM cand JOIN all_docs da ON cand.a = da.doc_id
+                         JOIN all_docs db ON cand.b = db.doc_id)
+         SELECT a, b, jw FROM p WHERE jw >= CAST('0.85' AS DOUBLE)""",
     "x_phrase_search" ->
       s"""WITH w AS MATERIALIZED (
             SELECT doc_id, $W AS ws FROM documents),
