@@ -498,6 +498,29 @@ object MlEval {
       .withColumn("ndcg", when(col("n_rel") > 0, col("dcg") / col("idcg")))
   }
 
+  /** Average precision (the MAP building block) with binary relevance
+    * over the same pre-ranked table [[ndcgBinary]] takes: AP = (Σ over
+    * hit positions of precision@i) / n_rel. precision@i is an integer
+    * ratio (cumulative hits / rank) — ONE division per hit row; the sum
+    * over a query's ≤ k rows is a serial fold in rank order; the final
+    * normalization one more division. The cumulative-hit window is
+    * per-query (≤ k rows), never global. */
+  def avgPrecisionBinary(ranked: DataFrame): DataFrame = {
+    val w = Window.partitionBy("q_id").orderBy("rank")
+    ranked.withColumn("cum", sum(col("rel")).over(w))
+      .withColumn("p_at_i",
+        when(col("rel") === 1L,
+          col("cum").cast(DoubleType) / col("rank").cast(DoubleType))
+          .otherwise(lit(0.0)))
+      .groupBy("q_id")
+      .agg(sum(col("rel")).as("n_rel"),
+        aggregate(
+          sort_array(collect_list(struct(col("rank"), col("p_at_i")))),
+          lit(0.0), (a, x) => a + x.getField("p_at_i")).as("sum_p"))
+      .withColumn("ap",
+        when(col("n_rel") > 0, col("sum_p") / col("n_rel").cast(DoubleType)))
+  }
+
   /** Per-entity Herfindahl concentration / Simpson diversity over a
     * categorical: hhi = Σ_t n_t² / N² (one integer-ratio division),
     * diversity = 1 − hhi. The per-user behavioral-mix feature a

@@ -3477,19 +3477,28 @@ object Extensions {
     * against labels). DCG is a serial fold over the rank-sorted gains,
     * IDCG a literal-table lookup on the relevant count (ideal ranking
     * puts all hits first), NDCG one mirrored division. 20 query rows. */
-  def ndcgQ(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Shared ranked-relevance table for the retrieval-eval pair: the
+    * brute-force cosine top-5 per query, rel = same-label. */
+  private def relRanked(spark: SparkSession, sfDir: String): DataFrame = {
     val e = emb(spark, sfDir)
     val lab = e.select(col("vec_id"), col("label"))
-    val ranked = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 20), 5)
-    val rel = ranked
+    Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 20), 5)
       .join(lab.select(col("vec_id").as("q_id"), col("label").as("q_label")),
         Seq("q_id"))
       .join(lab.select(col("vec_id").as("n_id"), col("label").as("n_label")),
         Seq("n_id"))
       .select(col("q_id"), col("rank"),
         when(col("q_label") === col("n_label"), 1L).otherwise(0L).as("rel"))
-    MlEval.ndcgBinary(rel, ndcgW, ndcgCum)
   }
+
+  def ndcgQ(spark: SparkSession, sfDir: String): DataFrame =
+    MlEval.ndcgBinary(relRanked(spark, sfDir), ndcgW, ndcgCum)
+
+  /** MAP@5 companion of [[ndcgQ]] over the same ranked-relevance table
+    * ([[MlEval.avgPrecisionBinary]]) — with x_auc, x_pr_curve,
+    * x_ann_recall and x_ndcg this completes the retrieval-eval suite. */
+  def mapEvalQ(spark: SparkSession, sfDir: String): DataFrame =
+    MlEval.avgPrecisionBinary(relRanked(spark, sfDir))
 
   // ------------------------------------------------- data selection (r9)
   /** DSIR-style importance selection (Xie et al. 2023, "Data Selection
@@ -3700,6 +3709,7 @@ object Extensions {
     "x_doremi_mix" -> doremiMix _,
     "x_phrase_search" -> phraseSearch _,
     "x_jaro_winkler" -> jaroWinklerQ _,
+    "x_map_eval" -> mapEvalQ _,
     "x_ndv_broadcast" -> ndvBroadcast _,
     "x_pr_curve" -> prCurveQ _,
     "x_conformal" -> conformalQ _,
@@ -3949,6 +3959,24 @@ object Extensions {
         JOIN shc ca ON pairs.a = ca.doc_id
         JOIN shc cb ON pairs.b = cb.doc_id
         WHERE CAST(inter AS DOUBLE) / CAST(ca.nsh + cb.nsh - inter AS DOUBLE) >= $threshold"""
+  /** Shared mirror of [[relRanked]]: brute-force top-5 ranking + binary
+    * same-label relevance (consumed by the x_ndcg / x_map_eval pair). */
+  private lazy val retrievalRelCte =
+    s"""$normCte,
+        ranked AS (
+          SELECT q_id, n_id, rank FROM (
+            SELECT q.vec_id AS q_id, v.vec_id AS n_id,
+              row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                ${dotD("q.embedding", "v.embedding")} / (q.nrm * v.nrm)
+                  DESC, v.vec_id) AS rank
+            FROM ne q JOIN ne v ON q.vec_id != v.vec_id
+            WHERE q.vec_id < 20)
+          WHERE rank <= 5),
+        j AS (SELECT r.q_id, r.rank,
+            CASE WHEN lq.label = ln.label THEN 1 ELSE 0 END AS rel
+          FROM ranked r JOIN ne lq ON r.q_id = lq.vec_id
+                        JOIN ne ln ON r.n_id = ln.vec_id)"""
+
   /** CTE with embeddings + serial-fold norms. */
   private val normCte =
     s"""ne AS MATERIALIZED (SELECT vec_id, label, embedding,
@@ -4168,20 +4196,7 @@ object Extensions {
         s"WHEN ${i + 1} THEN CAST('$w' AS DOUBLE)" }.mkString(" ") + " END"
       val idcgCase = "CASE n_rel " + ndcgCum.zipWithIndex.map { case (c, i) =>
         s"WHEN ${i + 1} THEN CAST('$c' AS DOUBLE)" }.mkString(" ") + " END"
-      s"""WITH $normCte,
-          ranked AS (
-            SELECT q_id, n_id, rank FROM (
-              SELECT q.vec_id AS q_id, v.vec_id AS n_id,
-                row_number() OVER (PARTITION BY q.vec_id ORDER BY
-                  ${dotD("q.embedding", "v.embedding")} / (q.nrm * v.nrm)
-                    DESC, v.vec_id) AS rank
-              FROM ne q JOIN ne v ON q.vec_id != v.vec_id
-              WHERE q.vec_id < 20)
-            WHERE rank <= 5),
-          j AS (SELECT r.q_id, r.rank,
-              CASE WHEN lq.label = ln.label THEN 1 ELSE 0 END AS rel
-            FROM ranked r JOIN ne lq ON r.q_id = lq.vec_id
-                          JOIN ne ln ON r.n_id = ln.vec_id),
+      s"""WITH $retrievalRelCte,
           per AS (SELECT q_id,
               CAST(SUM(rel) AS BIGINT) AS n_rel,
               list_reduce(list_prepend(0.0::DOUBLE,
@@ -4193,6 +4208,24 @@ object Extensions {
             CASE WHEN n_rel > 0 THEN dcg / idcg END AS ndcg
           FROM pi"""
     },
+    "x_map_eval" ->
+      s"""WITH $retrievalRelCte,
+          t AS (SELECT q_id, rank, rel,
+              SUM(rel) OVER (PARTITION BY q_id ORDER BY rank) AS cum
+            FROM j),
+          t2 AS (SELECT q_id, rank, rel,
+              CASE WHEN rel = 1
+                THEN CAST(cum AS DOUBLE) / CAST(rank AS DOUBLE)
+                ELSE 0.0 END AS p_at_i
+            FROM t),
+          per AS (SELECT q_id,
+              CAST(SUM(rel) AS BIGINT) AS n_rel,
+              list_reduce(list_prepend(0.0::DOUBLE,
+                list(p_at_i ORDER BY rank)), (a, b) -> a + b) AS sum_p
+            FROM t2 GROUP BY q_id)
+          SELECT q_id, n_rel, sum_p,
+            CASE WHEN n_rel > 0 THEN sum_p / CAST(n_rel AS DOUBLE) END AS ap
+          FROM per""",
     "x_dsir_select" -> {
       val bigrams = """CASE WHEN len(w) >= 2
             THEN list_transform(generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1])

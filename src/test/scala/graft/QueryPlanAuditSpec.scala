@@ -71,6 +71,7 @@ class QueryPlanAuditSpec extends SparkSpec {
                         // the single-row metric readout (all broadcast)
     "x_ndcg",           // inherits x_ann_topk's broadcast query-vector
                         // singleton × corpus shape
+    "x_map_eval",       // same inherited brute-force ranking shape
     "x_dsir_select",    // 64 bucket rows × broadcast corpus-totals
                         // singleton (the smoothing denominators)
     "x_doremi_mix",     // ≤ #sources rows × broadcast 1-row normalizer,

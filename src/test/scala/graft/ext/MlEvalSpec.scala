@@ -164,6 +164,20 @@ class MlEvalSpec extends SparkSpec {
     assert(r(3L).getAs[Double]("dcg") == 0.0)
   }
 
+  test("avgPrecisionBinary: textbook AP — precision at each hit, averaged") {
+    // q1 hits at ranks 1,3: AP = (1/1 + 2/3) / 2
+    // q2 no hits: ap null, sum_p 0
+    val ranked = Seq(
+      (1L, 1, 1L), (1L, 2, 0L), (1L, 3, 1L), (1L, 4, 0L), (1L, 5, 0L),
+      (2L, 1, 0L), (2L, 2, 0L), (2L, 3, 0L), (2L, 4, 0L), (2L, 5, 0L)
+    ).toDF("q_id", "rank", "rel")
+    val r = MlEval.avgPrecisionBinary(ranked)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getAs[Double]("ap") == (1.0 / 1.0 + 2.0 / 3.0) / 2.0)
+    assert(r(2L).isNullAt(r(2L).fieldIndex("ap")))
+    assert(r(2L).getAs[Double]("sum_p") == 0.0)
+  }
+
   test("classificationReport: hand-counted tp/fp/fn and single-division ratios") {
     val df = Seq(
       ("a", "a"), ("a", "a"), ("a", "b"),   // a: tp=2, fn=1
