@@ -534,4 +534,41 @@ object Analytics {
       .select(col("u").as(user), col("conv_id"), col("touch_id"),
         col("channel"), col("rnk"), col("n").as("n_touches"), col("credit"))
   }
+
+  /** Mann–Kendall trend test per group (Mann 1945; Kendall 1975): the
+    * nonparametric "is this series trending" statistic over a keyed
+    * series `(group, order, value)`. S = Σ_{i<j} sign(x_j − x_i) and the
+    * tie-corrected var18 = n(n−1)(2n+5) − Σ t(t−1)(2t+5) are pure
+    * integers (order-immune); the continuity-corrected z is one
+    * sqrt+division chain, null when var18 = 0 (constant series or
+    * n < 2). Pair space is per-group O(T²) over the ORDER axis — use on
+    * time-bucketed series where T is bounded by span, not data volume. */
+  def mannKendall(series: DataFrame, group: String, order: String,
+      value: String): DataFrame = {
+    val hc = series.select(col(group).as("g"), col(order).as("o"),
+      col(value).as("x")).localCheckpoint()
+    val s = hc.as("a").join(hc.as("b"),
+        col("a.g") === col("b.g") && col("a.o") < col("b.o"))
+      .select(col("a.g").as("g"),
+        when(col("b.x") > col("a.x"), 1L)
+          .when(col("b.x") < col("a.x"), -1L).otherwise(0L).as("sgn"))
+      .groupBy("g").agg(sum(col("sgn")).as("s_stat"))
+    val n = hc.groupBy("g").agg(count(lit(1)).as("n_points"))
+    val ties = hc.groupBy("g", "x").agg(count(lit(1)).as("t"))
+      .groupBy("g")
+      .agg(sum(expr("t * (t - 1) * (2 * t + 5)")).as("tie_term"))
+    val sigma = sqrt(col("var18").cast(DoubleType) / lit(18.0))
+    s.join(n, "g").join(ties, "g")
+      .withColumn("var18",
+        expr("n_points * (n_points - 1) * (2 * n_points + 5)")
+          - col("tie_term"))
+      .withColumn("z",
+        when(col("var18") <= 0, lit(null).cast(DoubleType))
+          .when(col("s_stat") > 0,
+            (col("s_stat").cast(DoubleType) - lit(1.0)) / sigma)
+          .when(col("s_stat") < 0,
+            (col("s_stat").cast(DoubleType) + lit(1.0)) / sigma)
+          .otherwise(lit(0.0)))
+      .withColumnRenamed("g", group)
+  }
 }

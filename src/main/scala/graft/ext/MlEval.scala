@@ -521,6 +521,33 @@ object MlEval {
         when(col("n_rel") > 0, col("sum_p") / col("n_rel").cast(DoubleType)))
   }
 
+  /** Fleiss' kappa for exactly THREE raters (Fleiss 1971) — chance-
+    * corrected agreement over `labels` rows carrying columns r1, r2, r3.
+    * Integer until three mirrored divisions: with R = 3, the per-item
+    * Σ_j n_ij² collapses CLOSED-FORM to 3 + 2·#equal-pairs (no unpivot
+    * needed for the numerator), so P̄ = (Σssq − 3N)/(6N); the chance
+    * term P_e = Σ_j c_j²/(9N²) comes from one label-marginal rollup;
+    * kappa = (P̄ − P_e)/(1 − P_e). One scan + a |labels|-row marginal,
+    * broadcast 1-row cross into the readout. */
+  def fleissKappa3(labels: DataFrame): DataFrame = {
+    val lbl = labels.localCheckpoint()
+    def eq(a: String, b: String) = when(col(a) === col(b), 1L).otherwise(0L)
+    val tot = lbl
+      .withColumn("ssq",
+        lit(3L) + lit(2L) * (eq("r1", "r2") + eq("r1", "r3") + eq("r2", "r3")))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ssq")).as("s_sq"))
+    val c2 = lbl.select(explode(array(col("r1"), col("r2"), col("r3"))).as("l"))
+      .groupBy("l").agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * col("c")).as("c2"))
+    tot.join(broadcast(c2))
+      .withColumn("pbar",
+        (col("s_sq") - lit(3L) * col("n_docs")).cast(DoubleType) /
+          (lit(6L) * col("n_docs")).cast(DoubleType))
+      .withColumn("pe", col("c2").cast(DoubleType) /
+        (lit(9L) * col("n_docs") * col("n_docs")).cast(DoubleType))
+      .withColumn("kappa", (col("pbar") - col("pe")) / (lit(1.0) - col("pe")))
+  }
+
   /** Per-entity Herfindahl concentration / Simpson diversity over a
     * categorical: hhi = Σ_t n_t² / N² (one integer-ratio division),
     * diversity = 1 − hhi. The per-user behavioral-mix feature a

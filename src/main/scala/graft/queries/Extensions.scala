@@ -3500,6 +3500,79 @@ object Extensions {
   def mapEvalQ(spark: SparkSession, sfDir: String): DataFrame =
     MlEval.avgPrecisionBinary(relRanked(spark, sfDir))
 
+  /** Mann–Kendall trend test per event-type hourly series (Mann 1945;
+    * Kendall 1975) — the nonparametric "is this series trending" gate a
+    * monitoring stack runs beside CUSUM's changepoint detector. S is the
+    * signed pair count Σ_{i<j} sign(x_j − x_i) — pure integers, immune
+    * to summation order; the tie-corrected variance stays integer as
+    * var18 = n(n−1)(2n+5) − Σ t(t−1)(2t+5); the continuity-corrected
+    * z-statistic is ONE mirrored sqrt+division chain. Pair space is
+    * per-group O(T²) over the HOUR axis — bounded by time span, not data
+    * volume, so the quadratic never meets corpus scale. */
+  def mannKendallQ(spark: SparkSession, sfDir: String): DataFrame =
+    Analytics.mannKendall(
+      Parity.events(spark, sfDir)
+        .groupBy(col("event_type"),
+          unix_timestamp(date_trunc("hour", col("ts"))).as("hr"))
+        .agg(count(lit(1)).as("x")),
+      "event_type", "hr", "x")
+      .withColumnRenamed("n_points", "n_hours")
+
+  /** Fleiss' kappa (Fleiss 1971) — chance-corrected agreement across
+    * THREE deterministic raters per doc: the metadata lang, the
+    * marker-stopword lang-id ([[langId]]'s stage), and the same
+    * predictor over only the FIRST HALF of the tokens (the
+    * truncated-evidence rater) — the weak-supervision health check
+    * "do my labeling functions agree beyond chance". Everything is
+    * integer until three mirrored divisions: per-doc Σ_j n_ij² collapses
+    * CLOSED-FORM to 3 + 2·#equal-pairs (R = 3), so P̄ =
+    * (Σssq − 3N)/(6N); P_e = Σ_j c_j²/(9N²) from the label marginals;
+    * kappa = (P̄ − P_e)/(1 − P_e). One doc scan + a 6-row marginal. */
+  def fleissKappa(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = TextKit.words(col("text"))
+    val base = docs(spark, sfDir).select(col("doc_id"),
+      col("lang").as("r1"), w.as("w"))
+      .withColumn("h",
+        slice(col("w"), lit(1), expr("size(w) div 2").cast("int")))
+    def scores(c: String, sfx: String) = langMarkers.map { case (l, ms) =>
+      size(filter(col(c), x => x.isin(ms: _*))).cast(LongType).as(s"s_$l$sfx")
+    }
+    val scored = base.select(
+      Seq(col("doc_id"), col("r1")) ++ scores("w", "") ++ scores("h", "_h"): _*)
+    def pred(sfx: String) = {
+      val m = greatest(langMarkers.map { case (l, _) => col(s"s_$l$sfx") }: _*)
+      langMarkers.foldLeft(when(m === 0, "und")) {
+        case (acc, (l, _)) => acc.when(col(s"s_$l$sfx") === m, l)
+      }
+    }
+    MlEval.fleissKappa3(scored.select(col("doc_id"), col("r1"),
+      pred("").as("r2"), pred("_h").as("r3")))
+  }
+
+  /** k-NN label-noise audit (Confident-Learning-lite): for each query
+    * vector, the fraction of its 5 nearest neighbors carrying a
+    * DIFFERENT label — aggregated per label as an integer ratio. High
+    * noise_rate flags labels whose embedding neighborhoods disagree
+    * with the annotation (mislabeled or genuinely ambiguous regions).
+    * Brute-force ranking on the ≤100-query audit sample here; the
+    * corpus-scale path routes candidates through the IVF cells like the
+    * rest of the ANN family. */
+  def knnLabelNoise(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    val lab = e.select(col("vec_id"), col("label"))
+    Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 100), 5)
+      .join(lab.select(col("vec_id").as("q_id"), col("label").as("q_label")),
+        Seq("q_id"))
+      .join(lab.select(col("vec_id").as("n_id"), col("label").as("n_label")),
+        Seq("n_id"))
+      .groupBy(col("q_label").as("label"))
+      .agg(countDistinct(col("q_id")).as("n_queries"),
+        sum(when(col("n_label") =!= col("q_label"), 1L).otherwise(0L))
+          .as("n_foreign"))
+      .withColumn("noise_rate", col("n_foreign").cast(DoubleType) /
+        (col("n_queries") * lit(5L)).cast(DoubleType))
+  }
+
   // ------------------------------------------------- data selection (r9)
   /** DSIR-style importance selection (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): score every doc by
@@ -3710,6 +3783,9 @@ object Extensions {
     "x_phrase_search" -> phraseSearch _,
     "x_jaro_winkler" -> jaroWinklerQ _,
     "x_map_eval" -> mapEvalQ _,
+    "x_mann_kendall" -> mannKendallQ _,
+    "x_fleiss_kappa" -> fleissKappa _,
+    "x_knn_label_noise" -> knnLabelNoise _,
     "x_ndv_broadcast" -> ndvBroadcast _,
     "x_pr_curve" -> prCurveQ _,
     "x_conformal" -> conformalQ _,
@@ -4258,6 +4334,94 @@ object Extensions {
     },
     "x_kcenter_select" -> kcenterSql(6),
     "x_doremi_mix" -> doremiSql(3),
+    "x_mann_kendall" ->
+      """WITH hc AS MATERIALIZED (
+           SELECT event_type,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hr,
+             count(*) AS x
+           FROM events GROUP BY 1, 2),
+         s AS (SELECT a.event_type,
+             CAST(SUM(CASE WHEN b.x > a.x THEN 1
+               WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+           FROM hc a JOIN hc b
+             ON a.event_type = b.event_type AND a.hr < b.hr
+           GROUP BY 1),
+         n AS (SELECT event_type, count(*) AS n_hours FROM hc GROUP BY 1),
+         ties AS (SELECT event_type,
+             CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+           FROM (SELECT event_type, x, count(*) AS t FROM hc GROUP BY 1, 2)
+           GROUP BY 1),
+         m AS (SELECT s.event_type, s.s_stat, n.n_hours, ties.tie_term,
+             n.n_hours * (n.n_hours - 1) * (2 * n.n_hours + 5) - ties.tie_term
+               AS var18
+           FROM s JOIN n USING (event_type) JOIN ties USING (event_type))
+         SELECT event_type, s_stat, n_hours, tie_term, var18,
+           CASE WHEN var18 <= 0 THEN NULL
+             WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1.0) /
+               sqrt(CAST(var18 AS DOUBLE) / 18.0)
+             WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1.0) /
+               sqrt(CAST(var18 AS DOUBLE) / 18.0)
+             ELSE 0.0 END AS z
+         FROM m""",
+    "x_fleiss_kappa" -> {
+      def score(c: String, sfx: String) = langMarkers.map { case (l, ms) =>
+        val set = ms.map(m => s"'$m'").mkString(", ")
+        s"len(list_filter($c, x -> x IN ($set)))::BIGINT AS s_$l$sfx"
+      }.mkString(",\n            ")
+      def pred(sfx: String) = {
+        val m = langMarkers.map { case (l, _) => s"s_$l$sfx" }
+          .mkString("greatest(", ", ", ")")
+        val whens = langMarkers.map { case (l, _) =>
+          s"WHEN s_$l$sfx = $m THEN '$l'" }.mkString(" ")
+        s"CASE WHEN $m = 0 THEN 'und' $whens END"
+      }
+      s"""WITH base AS (
+            SELECT doc_id, lang AS r1, ws AS w, ws[1:len(ws) // 2] AS h
+            FROM (SELECT doc_id, lang, $W AS ws FROM documents)),
+          scored AS (SELECT doc_id, r1,
+            ${score("w", "")},
+            ${score("h", "_h")}
+            FROM base),
+          lbl AS MATERIALIZED (SELECT doc_id, r1,
+              ${pred("")} AS r2, ${pred("_h")} AS r3
+            FROM scored),
+          tot AS (SELECT count(*) AS n_docs,
+              CAST(SUM(3 + 2 * ((CASE WHEN r1 = r2 THEN 1 ELSE 0 END) +
+                (CASE WHEN r1 = r3 THEN 1 ELSE 0 END) +
+                (CASE WHEN r2 = r3 THEN 1 ELSE 0 END))) AS BIGINT) AS s_sq
+            FROM lbl),
+          c2 AS (SELECT CAST(SUM(c * c) AS BIGINT) AS c2 FROM (
+            SELECT l, count(*) AS c FROM (
+              SELECT unnest([r1, r2, r3]) AS l FROM lbl) GROUP BY l)),
+          m AS (SELECT n_docs, s_sq, c2,
+              CAST(s_sq - 3 * n_docs AS DOUBLE) /
+                CAST(6 * n_docs AS DOUBLE) AS pbar,
+              CAST(c2 AS DOUBLE) /
+                CAST(9 * n_docs * n_docs AS DOUBLE) AS pe
+            FROM tot CROSS JOIN c2)
+          SELECT n_docs, s_sq, c2, pbar, pe,
+            (pbar - pe) / (1.0 - pe) AS kappa
+          FROM m"""
+    },
+    "x_knn_label_noise" ->
+      s"""WITH $normCte,
+          ranked AS (SELECT q_id, q_label, n_label FROM (
+            SELECT q.vec_id AS q_id, q.label AS q_label, v.label AS n_label,
+              row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                ${dotD("q.embedding", "v.embedding")} / (q.nrm * v.nrm)
+                  DESC, v.vec_id) AS rank
+            FROM ne q JOIN ne v ON q.vec_id != v.vec_id
+            WHERE q.vec_id < 100)
+          WHERE rank <= 5),
+          agg AS (SELECT q_label AS label,
+              CAST(count(DISTINCT q_id) AS BIGINT) AS n_queries,
+              CAST(SUM(CASE WHEN n_label != q_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_foreign
+            FROM ranked GROUP BY 1)
+          SELECT label, n_queries, n_foreign,
+            CAST(n_foreign AS DOUBLE) /
+              CAST(n_queries * 5 AS DOUBLE) AS noise_rate
+          FROM agg""",
     "x_jaro_winkler" ->
       """WITH all_docs AS (
            SELECT doc_id, text FROM documents

@@ -72,6 +72,9 @@ class QueryPlanAuditSpec extends SparkSpec {
     "x_ndcg",           // inherits x_ann_topk's broadcast query-vector
                         // singleton × corpus shape
     "x_map_eval",       // same inherited brute-force ranking shape
+    "x_knn_label_noise", // same inherited brute-force ranking shape
+    "x_fleiss_kappa",   // 1-row moment singleton × broadcast 1-row
+                        // label-marginal singleton
     "x_dsir_select",    // 64 bucket rows × broadcast corpus-totals
                         // singleton (the smoothing denominators)
     "x_doremi_mix",     // ≤ #sources rows × broadcast 1-row normalizer,

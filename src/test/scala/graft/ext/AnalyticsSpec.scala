@@ -449,4 +449,32 @@ class AnalyticsSpec extends SparkSpec {
       assert(rs.map(_.getAs[Long]("n_touches")).distinct.length == 1)
     }
   }
+
+  test("mannKendall: monotone series maxes S, constant series nulls z") {
+    import spark.implicits._
+    // up: strictly increasing over 5 points → S = C(5,2) = 10, no ties
+    //   var18 = 5·4·15 = 300 → z = 9 / sqrt(300/18)
+    // flat: all equal → S = 0, tie_term = var18's base → var18 = 0 → null
+    val series = (1 to 5).map(i => ("up", i.toLong, (10 + i).toLong)) ++
+      (1 to 5).map(i => ("flat", i.toLong, 7L))
+    val r = Analytics.mannKendall(series.toDF("g", "o", "x"), "g", "o", "x")
+      .collect().map(x => x.getString(0) -> x).toMap
+    val up = r("up")
+    assert(up.getAs[Long]("s_stat") == 10L && up.getAs[Long]("var18") == 300L)
+    assert(up.getAs[Double]("z") == 9.0 / math.sqrt(300.0 / 18.0))
+    val flat = r("flat")
+    assert(flat.getAs[Long]("s_stat") == 0L && flat.getAs[Long]("var18") == 0L)
+    assert(flat.isNullAt(flat.fieldIndex("z")))
+  }
+
+  test("mannKendall: S is the signed pair count on a mixed series") {
+    import spark.implicits._
+    // series 3, 1, 2: pairs (3,1)−1, (3,2)−1, (1,2)+1 → S = −1
+    val df = Seq(("g", 1L, 3L), ("g", 2L, 1L), ("g", 3L, 2L)).toDF("g", "o", "x")
+    val r = Analytics.mannKendall(df, "g", "o", "x").collect().head
+    assert(r.getAs[Long]("s_stat") == -1L)
+    // no ties: var18 = 3·2·11 = 66; z = (−1+1)/σ = 0? no — s<0 branch:
+    // z = (−1 + 1)/sqrt(66/18) = 0.0
+    assert(r.getAs[Double]("z") == 0.0)
+  }
 }

@@ -178,6 +178,24 @@ class MlEvalSpec extends SparkSpec {
     assert(r(2L).getAs[Double]("sum_p") == 0.0)
   }
 
+  test("fleissKappa3: perfect agreement gives kappa 1; hand case matches") {
+    val perfect = Seq(("a", "a", "a"), ("b", "b", "b"))
+      .toDF("r1", "r2", "r3")
+    val p = MlEval.fleissKappa3(perfect).collect().head
+    assert(p.getAs[Double]("pbar") == 1.0 && p.getAs[Double]("kappa") == 1.0)
+    // hand case: 2 docs, raters (a,a,b) and (a,b,b)
+    //   ssq per doc = 3 + 2·1 = 5 → S = 10, N = 2
+    //   pbar = (10 − 6) / 12 = 1/3
+    //   marginals: a×3, b×3 → C2 = 18; pe = 18 / 36 = 0.5
+    //   kappa = (1/3 − 1/2) / (1 − 1/2) = −1/3
+    val mixed = Seq(("a", "a", "b"), ("a", "b", "b")).toDF("r1", "r2", "r3")
+    val m = MlEval.fleissKappa3(mixed).collect().head
+    assert(m.getAs[Long]("s_sq") == 10L && m.getAs[Long]("c2") == 18L)
+    assert(m.getAs[Double]("pbar") == 4.0 / 12.0)
+    assert(m.getAs[Double]("pe") == 0.5)
+    assert(m.getAs[Double]("kappa") == (4.0 / 12.0 - 0.5) / (1.0 - 0.5))
+  }
+
   test("classificationReport: hand-counted tp/fp/fn and single-division ratios") {
     val df = Seq(
       ("a", "a"), ("a", "a"), ("a", "b"),   // a: tp=2, fn=1
