@@ -571,4 +571,36 @@ object Analytics {
           .otherwise(lit(0.0)))
       .withColumnRenamed("g", group)
   }
+
+  /** Theil–Sen slope per group — the robust trend ESTIMATE beside
+    * [[mannKendall]]'s trend TEST: the median of all pairwise slopes
+    * (x_j − x_i)/(o_j − o_i) over a keyed integer series. Median is
+    * pinned as explicit ORDER STATISTICS, not an engine quantile
+    * built-in (Spark `percentile` and DuckDB `quantile_cont` interpolate
+    * with different op orders — the sampled-quantiles lesson): ranks
+    * k = (m+1) div 2 and (m+2) div 2 under a total (slope, o_i, o_j)
+    * order, median = (low + high)/2.0 — exact when m is odd because
+    * (a + a)/2 = a in IEEE. Pair space is per-group O(T²) over the
+    * order axis, bounded by span like [[mannKendall]]. */
+  def theilSen(series: DataFrame, group: String, order: String,
+      value: String): DataFrame = {
+    val hc = series.select(col(group).as("g"), col(order).as("o"),
+      col(value).as("x"))
+    val slopes = hc.as("a").join(hc.as("b"),
+        col("a.g") === col("b.g") && col("a.o") < col("b.o"))
+      .select(col("a.g").as("g"), col("a.o").as("oi"), col("b.o").as("oj"),
+        ((col("b.x") - col("a.x")).cast(DoubleType) /
+          (col("b.o") - col("a.o")).cast(DoubleType)).as("slope"))
+    val w = Window.partitionBy("g").orderBy(col("slope"), col("oi"), col("oj"))
+    val wg = Window.partitionBy("g")
+    slopes
+      .withColumn("rk", row_number().over(w))
+      .withColumn("m", count(lit(1)).over(wg))
+      .filter(col("rk") === expr("(m + 1) div 2") ||
+        col("rk") === expr("(m + 2) div 2"))
+      .groupBy("g")
+      .agg(max(col("m")).as("n_pairs"),
+        ((min(col("slope")) + max(col("slope"))) / lit(2.0)).as("slope_med"))
+      .withColumnRenamed("g", group)
+  }
 }

@@ -417,6 +417,49 @@ object MlEval {
       .drop("pooled")
   }
 
+  /** CUPED variance-reduction readout (Deng et al. 2013, "Improving the
+    * Sensitivity of Online Controlled Experiments") over per-unit
+    * (covariate x, metric y) pairs — "how much experiment variance does
+    * this pre-period covariate remove". Pure moment algebra, no per-unit
+    * adjusted values: θ = cov/var(x) and the adjusted variance is
+    * var(y)·(1 − ρ²) closed-form, so one scan of integer (centi) pairs →
+    * exact decimal moments → two mirrored IEEE chains. Moments are
+    * BIGINT-range-checked on output (the [[corrMatrix]] convention —
+    * raise like DuckDB's checked int128, never wrap). */
+  def cuped(units: DataFrame): DataFrame = {
+    val d = units.select(col("x").cast("decimal(38,0)").as("x"),
+      col("y").cast("decimal(38,0)").as("y"))
+    def asLong(c: org.apache.spark.sql.Column, nm: String) = {
+      val lim = lit(Long.MaxValue).cast("decimal(38,0)")
+      when(c <= lim && c >= -lim, c.cast(LongType))
+        .otherwise(raise_error(concat(
+          lit(s"cuped: $nm overflows BIGINT: "), c.cast("string")))
+          .cast(LongType)).as(nm)
+    }
+    d.agg(count(lit(1)).cast("decimal(38,0)").as("n_dec"),
+        sum("x").as("sx_dec"), sum("y").as("sy_dec"),
+        sum(col("x") * col("y")).as("sxy_dec"),
+        sum(col("x") * col("x")).as("sxx_dec"),
+        sum(col("y") * col("y")).as("syy_dec"))
+      .withColumn("vx_dec",
+        col("n_dec") * col("sxx_dec") - col("sx_dec") * col("sx_dec"))
+      .withColumn("vy_dec",
+        col("n_dec") * col("syy_dec") - col("sy_dec") * col("sy_dec"))
+      .withColumn("cov_dec",
+        col("n_dec") * col("sxy_dec") - col("sx_dec") * col("sy_dec"))
+      .select(col("n_dec").cast(LongType).as("n_units"),
+        asLong(col("vx_dec"), "vx"), asLong(col("vy_dec"), "vy"),
+        asLong(col("cov_dec"), "cov"),
+        when(col("vx_dec") > 0,
+          col("cov_dec").cast(DoubleType) / col("vx_dec").cast(DoubleType))
+          .as("theta"),
+        when(col("vx_dec") > 0 && col("vy_dec") > 0,
+          (col("cov_dec").cast(DoubleType) * col("cov_dec").cast(DoubleType)) /
+            (col("vx_dec").cast(DoubleType) * col("vy_dec").cast(DoubleType)))
+          .as("rho2"))
+      .withColumn("var_ratio", lit(1.0) - col("rho2"))
+  }
+
   /** Pair-counting evaluation of a predicted clustering against gold
     * labels — pairwise precision/recall/F1 plus the adjusted Rand index
     * (Rand 1971; Hubert & Arabie 1985), the standard dedup/ER quality

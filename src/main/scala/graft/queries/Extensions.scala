@@ -3518,6 +3518,35 @@ object Extensions {
       "event_type", "hr", "x")
       .withColumnRenamed("n_points", "n_hours")
 
+  /** Theil–Sen robust slope per event-type hourly series — the trend
+    * ESTIMATE companion of [[mannKendallQ]]'s trend TEST
+    * ([[Analytics.theilSen]]; median-of-pairwise-slopes is insensitive
+    * to ~29% outliers where OLS is not). */
+  def theilSenQ(spark: SparkSession, sfDir: String): DataFrame =
+    Analytics.theilSen(
+      Parity.events(spark, sfDir)
+        .groupBy(col("event_type"),
+          unix_timestamp(date_trunc("hour", col("ts"))).as("hr"))
+        .agg(count(lit(1)).as("x")),
+      "event_type", "hr", "x")
+
+  /** CUPED variance-reduction readout ([[MlEval.cuped]]): each user's
+    * activity value split into interleaved even/odd-hour halves — the
+    * even half plays the pre-period covariate, the odd half the
+    * experiment metric (same user-level drives both, so ρ² is the
+    * genuine variance a real covariate would remove). Centi-unit
+    * integer sums per the house score convention. */
+  def cupedQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Parity.events(spark, sfDir)
+      .select(col("user_id"),
+        (expr("unix_timestamp(date_trunc('hour', ts)) div 3600") % 2)
+          .as("half"),
+        round(col("value") * lit(100.0), 0).cast(LongType).as("v"))
+    MlEval.cuped(e.groupBy("user_id").agg(
+      sum(when(col("half") === 0, col("v")).otherwise(0L)).as("x"),
+      sum(when(col("half") === 1, col("v")).otherwise(0L)).as("y")))
+  }
+
   /** Fleiss' kappa (Fleiss 1971) — chance-corrected agreement across
     * THREE deterministic raters per doc: the metadata lang, the
     * marker-stopword lang-id ([[langId]]'s stage), and the same
@@ -3786,6 +3815,8 @@ object Extensions {
     "x_mann_kendall" -> mannKendallQ _,
     "x_fleiss_kappa" -> fleissKappa _,
     "x_knn_label_noise" -> knnLabelNoise _,
+    "x_theil_sen" -> theilSenQ _,
+    "x_cuped" -> cupedQ _,
     "x_ndv_broadcast" -> ndvBroadcast _,
     "x_pr_curve" -> prCurveQ _,
     "x_conformal" -> conformalQ _,
@@ -4363,6 +4394,55 @@ object Extensions {
                sqrt(CAST(var18 AS DOUBLE) / 18.0)
              ELSE 0.0 END AS z
          FROM m""",
+    "x_theil_sen" ->
+      """WITH hc AS MATERIALIZED (
+           SELECT event_type AS g,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS o,
+             count(*) AS x
+           FROM events GROUP BY 1, 2),
+         slopes AS (SELECT a.g, a.o AS oi, b.o AS oj,
+             CAST(b.x - a.x AS DOUBLE) / CAST(b.o - a.o AS DOUBLE) AS slope
+           FROM hc a JOIN hc b ON a.g = b.g AND a.o < b.o),
+         r AS (SELECT *,
+             row_number() OVER (PARTITION BY g ORDER BY slope, oi, oj) AS rk,
+             count(*) OVER (PARTITION BY g) AS m
+           FROM slopes)
+         SELECT g AS event_type, CAST(MAX(m) AS BIGINT) AS n_pairs,
+           (MIN(slope) + MAX(slope)) / 2.0 AS slope_med
+         FROM r WHERE rk = (m + 1) // 2 OR rk = (m + 2) // 2
+         GROUP BY g""",
+    "x_cuped" ->
+      """WITH e AS (SELECT user_id,
+             (CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600) % 2
+               AS half,
+             CAST(round(value * 100) AS BIGINT) AS v
+           FROM events),
+         u AS (SELECT user_id,
+             CAST(SUM(CASE WHEN half = 0 THEN v ELSE 0 END) AS HUGEINT) AS x,
+             CAST(SUM(CASE WHEN half = 1 THEN v ELSE 0 END) AS HUGEINT) AS y
+           FROM e GROUP BY 1),
+         m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy
+           FROM u),
+         v AS (SELECT n, sx, sy,
+             n * sxx - sx * sx AS vx_h,
+             n * syy - sy * sy AS vy_h,
+             n * sxy - sx * sy AS cov_h
+           FROM m)
+         SELECT CAST(n AS BIGINT) AS n_units,
+           CAST(vx_h AS BIGINT) AS vx, CAST(vy_h AS BIGINT) AS vy,
+           CAST(cov_h AS BIGINT) AS cov,
+           CASE WHEN vx_h > 0 THEN
+             CAST(cov_h AS DOUBLE) / CAST(vx_h AS DOUBLE) END AS theta,
+           CASE WHEN vx_h > 0 AND vy_h > 0 THEN
+             (CAST(cov_h AS DOUBLE) * CAST(cov_h AS DOUBLE)) /
+               (CAST(vx_h AS DOUBLE) * CAST(vy_h AS DOUBLE)) END AS rho2,
+           1.0 - (CASE WHEN vx_h > 0 AND vy_h > 0 THEN
+             (CAST(cov_h AS DOUBLE) * CAST(cov_h AS DOUBLE)) /
+               (CAST(vx_h AS DOUBLE) * CAST(vy_h AS DOUBLE)) END)
+             AS var_ratio
+         FROM v""",
     "x_fleiss_kappa" -> {
       def score(c: String, sfx: String) = langMarkers.map { case (l, ms) =>
         val set = ms.map(m => s"'$m'").mkString(", ")

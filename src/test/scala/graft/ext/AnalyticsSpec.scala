@@ -467,6 +467,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(flat.isNullAt(flat.fieldIndex("z")))
   }
 
+  test("theilSen: median pairwise slope, odd and even pair counts") {
+    import spark.implicits._
+    // odd: series (0,0) (1,1) (2,4) → slopes 1, 2, 3 → median 2
+    val odd = Seq(("a", 0L, 0L), ("a", 1L, 1L), ("a", 2L, 4L))
+      .toDF("g", "o", "x")
+    val ra = Analytics.theilSen(odd, "g", "o", "x").collect().head
+    assert(ra.getAs[Long]("n_pairs") == 3L)
+    assert(ra.getAs[Double]("slope_med") == 2.0)
+    // even: 2 points → 1 slope; 4 points on a line + outlier-free:
+    // series 0,2,4,6 → all slopes 2 → median 2 (6 pairs)
+    val line = Seq(("b", 0L, 0L), ("b", 1L, 2L), ("b", 2L, 4L), ("b", 3L, 6L))
+      .toDF("g", "o", "x")
+    val rb = Analytics.theilSen(line, "g", "o", "x").collect().head
+    assert(rb.getAs[Long]("n_pairs") == 6L && rb.getAs[Double]("slope_med") == 2.0)
+    // outlier robustness: 0,1,2,3 trend with one wild point at the end
+    // OLS slope would blow up; Theil–Sen stays near 1
+    val wild = Seq(("c", 0L, 0L), ("c", 1L, 1L), ("c", 2L, 2L),
+      ("c", 3L, 3L), ("c", 4L, 100L)).toDF("g", "o", "x")
+    val rc = Analytics.theilSen(wild, "g", "o", "x").collect().head
+    assert(rc.getAs[Double]("slope_med") == 1.0)
+  }
+
   test("mannKendall: S is the signed pair count on a mixed series") {
     import spark.implicits._
     // series 3, 1, 2: pairs (3,1)−1, (3,2)−1, (1,2)+1 → S = −1

@@ -178,6 +178,29 @@ class MlEvalSpec extends SparkSpec {
     assert(r(2L).getAs[Double]("sum_p") == 0.0)
   }
 
+  test("cuped: perfectly correlated covariate removes all variance") {
+    // y = 2x exactly → rho2 = 1, var_ratio = 0, theta = 2
+    val units = Seq((1L, 2L), (2L, 4L), (3L, 6L), (4L, 8L)).toDF("x", "y")
+    val r = MlEval.cuped(units).collect().head
+    assert(r.getAs[Double]("theta") == 2.0)
+    assert(r.getAs[Double]("rho2") == 1.0)
+    assert(r.getAs[Double]("var_ratio") == 0.0)
+  }
+
+  test("cuped: independent covariate — hand moments, theta from cov/var") {
+    // x: 0,0,10,10  y: 0,10,0,10 → cov = n·sxy − sx·sy = 4·100 − 20·20 = 0
+    val units = Seq((0L, 0L), (0L, 10L), (10L, 0L), (10L, 10L)).toDF("x", "y")
+    val r = MlEval.cuped(units).collect().head
+    assert(r.getAs[Long]("cov") == 0L)
+    assert(r.getAs[Double]("theta") == 0.0)
+    assert(r.getAs[Double]("var_ratio") == 1.0)
+    // constant x → vx = 0 → theta/rho2 null
+    val const = Seq((5L, 1L), (5L, 2L)).toDF("x", "y")
+    val rc = MlEval.cuped(const).collect().head
+    assert(rc.isNullAt(rc.fieldIndex("theta")) &&
+      rc.isNullAt(rc.fieldIndex("var_ratio")))
+  }
+
   test("fleissKappa3: perfect agreement gives kappa 1; hand case matches") {
     val perfect = Seq(("a", "a", "a"), ("b", "b", "b"))
       .toDF("r1", "r2", "r3")
