@@ -3547,6 +3547,52 @@ object Extensions {
       sum(when(col("half") === 1, col("v")).otherwise(0L)).as("y")))
   }
 
+  /** Gini expression over the six split counts — ONE fixed arithmetic
+    * string shared VERBATIM by both engines (Spark `expr` and DuckDB
+    * parse the same CAST/arithmetic syntax, so the IEEE op order is
+    * shared by construction, not by careful mirroring). */
+  private val giniSql: String = {
+    def side(nl: String, pl: String, n: String) =
+      s"""(CAST($nl AS DOUBLE) / CAST($n AS DOUBLE)) *
+          (1.0 - (CAST($pl AS DOUBLE) / CAST($nl AS DOUBLE)) *
+                 (CAST($pl AS DOUBLE) / CAST($nl AS DOUBLE))
+               - (CAST($nl - $pl AS DOUBLE) / CAST($nl AS DOUBLE)) *
+                 (CAST($nl - $pl AS DOUBLE) / CAST($nl AS DOUBLE)))"""
+    side("nl", "pl", "n") + " + " + side("nr", "pr", "n")
+  }
+
+  /** Best decision-stump split (CART-style weighted Gini impurity over
+    * every candidate threshold) for "is this a purchase event" against
+    * the centi-value feature — the simplest TRAINABLE model as an
+    * engine primitive, and the feature-quality readout a feature store
+    * runs per column. Cumulative class counts ride one window over
+    * DISTINCT feature values (the prCurve shape — bounded by the value
+    * domain, not the event count); each candidate's impurity is the
+    * shared [[giniSql]] chain; the report is the 5 best splits by
+    * (gini asc, threshold) via TakeOrdered. */
+  def bestSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Parity.events(spark, sfDir).select(
+      round(col("value") * lit(100.0), 0).cast(LongType).as("v"),
+      when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+    val per = e.groupBy("v").agg(count(lit(1)).as("c"), sum(col("pos")).as("p"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = per.agg(sum(col("c")).as("n"), sum(col("p")).as("pp"))
+    val cand = per
+      .withColumn("nl", sum(col("c")).over(w))
+      .withColumn("pl", sum(col("p")).over(w))
+      .join(broadcast(tot))
+      .filter(col("nl") < col("n"))
+      .withColumn("nr", col("n") - col("nl"))
+      .withColumn("pr", col("pp") - col("pl"))
+      .withColumn("gini", expr(giniSql))
+      .select(col("v").as("threshold"), col("nl"), col("pl"), col("nr"),
+        col("pr"), col("gini"))
+    cand.orderBy(col("gini"), col("threshold")).limit(5)
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("gini"), col("threshold"))))
+  }
+
   /** Fleiss' kappa (Fleiss 1971) — chance-corrected agreement across
     * THREE deterministic raters per doc: the metadata lang, the
     * marker-stopword lang-id ([[langId]]'s stage), and the same
@@ -3817,6 +3863,7 @@ object Extensions {
     "x_knn_label_noise" -> knnLabelNoise _,
     "x_theil_sen" -> theilSenQ _,
     "x_cuped" -> cupedQ _,
+    "x_best_split" -> bestSplit _,
     "x_ndv_broadcast" -> ndvBroadcast _,
     "x_pr_curve" -> prCurveQ _,
     "x_conformal" -> conformalQ _,
@@ -4394,6 +4441,33 @@ object Extensions {
                sqrt(CAST(var18 AS DOUBLE) / 18.0)
              ELSE 0.0 END AS z
          FROM m""",
+    "x_best_split" ->
+      s"""WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) AS v,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+           FROM events),
+         per AS (SELECT v, count(*) AS c, CAST(SUM(pos) AS BIGINT) AS p
+           FROM e GROUP BY 1),
+         tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(p) AS BIGINT) AS pp FROM per),
+         cum AS (SELECT v,
+             CAST(SUM(c) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS nl,
+             CAST(SUM(p) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS pl
+           FROM per),
+         cand AS (SELECT v AS threshold, nl, pl, n - nl AS nr,
+             pp - pl AS pr, n
+           FROM cum CROSS JOIN tot
+           WHERE nl < n),
+         scored AS (SELECT threshold, nl, pl, nr, pr,
+             $giniSql AS gini
+           FROM cand)
+         SELECT threshold, nl, pl, nr, pr, gini, rnk FROM (
+           SELECT *, row_number() OVER (ORDER BY gini, threshold) AS rnk
+           FROM scored)
+         WHERE rnk <= 5""",
     "x_theil_sen" ->
       """WITH hc AS MATERIALIZED (
            SELECT event_type AS g,

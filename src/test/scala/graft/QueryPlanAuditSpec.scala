@@ -75,6 +75,8 @@ class QueryPlanAuditSpec extends SparkSpec {
     "x_knn_label_noise", // same inherited brute-force ranking shape
     "x_fleiss_kappa",   // 1-row moment singleton × broadcast 1-row
                         // label-marginal singleton
+    "x_best_split",     // distinct-value candidates × broadcast 1-row
+                        // class-totals singleton
     "x_dsir_select",    // 64 bucket rows × broadcast corpus-totals
                         // singleton (the smoothing denominators)
     "x_doremi_mix",     // ≤ #sources rows × broadcast 1-row normalizer,
