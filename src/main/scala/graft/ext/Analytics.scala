@@ -585,7 +585,7 @@ object Analytics {
   def theilSen(series: DataFrame, group: String, order: String,
       value: String): DataFrame = {
     val hc = series.select(col(group).as("g"), col(order).as("o"),
-      col(value).as("x"))
+      col(value).as("x")).localCheckpoint()
     val slopes = hc.as("a").join(hc.as("b"),
         col("a.g") === col("b.g") && col("a.o") < col("b.o"))
       .select(col("a.g").as("g"), col("a.o").as("oi"), col("b.o").as("oj"),

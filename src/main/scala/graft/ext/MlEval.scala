@@ -481,15 +481,23 @@ object MlEval {
     val tot = cells.agg(sum(col("n")).as("nn"))
       .select(expr("nn * (nn - 1) div 2").as("total_pairs"))
     def d(c: String) = col(c).cast(DoubleType)
+    // Degenerate clusterings (all-singleton pred or gold → 0 pairs) yield
+    // null, not 0/0 = NaN — the cuped/ndcgBinary denominator convention.
     tp.join(broadcast(pp)).join(broadcast(gp)).join(broadcast(tot))
-      .withColumn("precision", d("tp_pairs") / d("pred_pairs"))
-      .withColumn("recall", d("tp_pairs") / d("gold_pairs"))
+      .withColumn("precision",
+        when(col("pred_pairs") > 0, d("tp_pairs") / d("pred_pairs")))
+      .withColumn("recall",
+        when(col("gold_pairs") > 0, d("tp_pairs") / d("gold_pairs")))
       .withColumn("f1",
-        lit(2.0) * d("tp_pairs") / (d("pred_pairs") + d("gold_pairs")))
+        when(col("pred_pairs") + col("gold_pairs") > 0,
+          lit(2.0) * d("tp_pairs") / (d("pred_pairs") + d("gold_pairs"))))
       .withColumn("exp_idx",
-        d("pred_pairs") * d("gold_pairs") / d("total_pairs"))
-      .withColumn("ari", (d("tp_pairs") - col("exp_idx")) /
-        ((d("pred_pairs") + d("gold_pairs")) / lit(2.0) - col("exp_idx")))
+        when(col("total_pairs") > 0,
+          d("pred_pairs") * d("gold_pairs") / d("total_pairs")))
+      .withColumn("ari",
+        when((d("pred_pairs") + d("gold_pairs")) / lit(2.0) =!= col("exp_idx"),
+          (d("tp_pairs") - col("exp_idx")) /
+            ((d("pred_pairs") + d("gold_pairs")) / lit(2.0) - col("exp_idx"))))
   }
 
   /** Per-cluster B-cubed decomposition — the item-averaged metric that

@@ -63,6 +63,87 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Dynamic-width random-hyperplane LSH bucket: like [[lshBucket]] but
+    * the number of sign bits is a COLUMN (computed from corpus size at
+    * plan time) and the hyperplane index is offset per hash table.
+    * `nPlanes <= 0` yields bucket 0 (one cell — the small-corpus
+    * degenerate case where no subdivision is needed). Guarded because
+    * Spark's `sequence(0, -1)` counts DOWN instead of returning empty. */
+  def lshBucketDyn(emb: Column, nPlanes: Column, planeOffset: Column): Column =
+    when(nPlanes > 0,
+      aggregate(
+        transform(sequence(lit(0), nPlanes - 1), j => {
+          val d = aggregate(
+            transform(sequence(lit(1), size(emb)), i =>
+              element_at(emb, i).cast(DoubleType) *
+                hyperplaneComponent(j + planeOffset, i)),
+            lit(0.0), (acc, v) => acc + v)
+          when(d >= 0, pow(lit(2.0), j).cast("long")).otherwise(lit(0L))
+        }),
+        lit(0L), (a, b) => a + b)).otherwise(lit(0L))
+
+  /** SemDeDup-scale embedding near-dup pairs: the linear-pair-space form
+    * of [[nearDupPairs]]. The label bucket alone leaves per-bucket pair
+    * space O((N/L)²) — quadratic in corpus size, the one growth term the
+    * 10×-rows campaign flagged. Here each label bucket is subdivided by
+    * random-hyperplane LSH cells whose BIT COUNT ADAPTS to corpus size
+    * (b = ⌈log₂⌈N/(L·targetCell)⌉⌉, computed with integer doubling
+    * counts — no libm — so the oracle reproduces it exactly): expected
+    * cell size stays ≈ targetCell whatever N is, so the candidate space
+    * is O(N · targetCell · tables) — linear, the published SemDeDup shape
+    * (cluster count scales with corpus; pairs only within a cell).
+    *
+    * `tables` independent hyperplane sets (plane index offset 37·t) are
+    * unioned to recover recall lost at cell boundaries — the standard
+    * multi-table LSH dial. At the tight thresholds semantic dedup
+    * actually runs (cos ≥ ~0.95, θ ≤ ~18°) a same-cell collision is
+    * near-certain per table and the union is near-exhaustive; at loose
+    * thresholds recall degrades gracefully and `tables` is the dial.
+    * When b = 0 (corpus fits the per-cell target) every table is the
+    * single label cell and the output is IDENTICAL to [[nearDupPairs]].
+    * Output: distinct (a, b) candidate pairs with cos ≥ threshold. */
+  def semanticNearDupPairs(emb: DataFrame, threshold: Double,
+      targetCell: Int = 50, tables: Int = 4): DataFrame = {
+    val e = withNorm(emb)
+    val params = e.agg(count(lit(1)).as("nn"),
+        countDistinct(col("label")).as("ll"))
+      .select((expr(s"(nn + ll * $targetCell - 1) div (ll * $targetCell)"))
+        .as("r"))
+      .select(size(filter(sequence(lit(0), lit(29)),
+        j => pow(lit(2.0), j).cast("long") < col("r"))).as("b"))
+    // All T table buckets in ONE pass over the vectors (generate, not T
+    // scans), then one narrow self-join on (table, label, cell) — ids
+    // only, no embeddings through the exchange. The cosine verify runs
+    // ONCE per DISTINCT candidate pair (a pair colliding in several
+    // tables is deduped before the O(d) dot product), via two id-keyed
+    // embedding fetch joins — broadcast at small N, hash at scale,
+    // linear either way.
+    val bkts = e.crossJoin(broadcast(params))
+      .transform(Par.spread(_, col("vec_id")))
+      .select(col("vec_id"), col("label"),
+        explode(array((0 until tables).map(t =>
+          struct(lit(t).as("tbl"),
+            lshBucketDyn(col("embedding"), col("b"), lit(t * 37))
+              .as("bkt"))): _*)).as("tb"))
+      .select(col("vec_id"), col("label"),
+        col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+    val cand = bkts.as("x").join(bkts.as("y"),
+        col("x.tbl") === col("y.tbl") &&
+          col("x.label") === col("y.label") &&
+          col("x.bkt") === col("y.bkt") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+      .distinct()
+    val ea = e.select(col("vec_id").as("a"),
+      col("embedding").as("e_a"), col("nrm").as("n_a"))
+    val eb = e.select(col("vec_id").as("b"),
+      col("embedding").as("e_b"), col("nrm").as("n_b"))
+    cand.join(ea, Seq("a")).join(eb, Seq("b"))
+      .filter((dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")))
+        >= threshold)
+      .select(col("a"), col("b"))
+  }
+
   /** Brute-force cosine top-k: every query vector against the full
     * corpus (minus itself); rank by (cos desc, vec_id) for determinism. */
   def bruteForceTopK(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
@@ -525,15 +606,22 @@ object Similarity {
     val picks = scala.collection.mutable.ListBuffer(
       (0L, seed.getLong(0), Option.empty[Double]))
     var cur: DataFrame = null
-    for (r <- 1 to k) {
+    var exhausted = false
+    for (r <- 1 to k if !exhausted) {
       val dNew = sqDist(col("v"), typedLit(centerVec))
       cur = (if (r == 1) pts.withColumn("d", dNew)
              else cur.withColumn("d", least(col("d"), dNew)))
         .localCheckpoint()
       val pick = cur.orderBy(col("d").desc, col("vec_id")).limit(1)
         .select("vec_id", "d", "v").collect().head
-      picks += ((r.toLong, pick.getLong(0), Some(pick.getDouble(1))))
-      centerVec = pick.getSeq[Double](2)
+      // Early exit: max-min distance 0 means every point is already a
+      // chosen center (k ≥ #distinct points) — continuing would re-pick
+      // existing centers and emit duplicate vec_ids with radius 0.
+      if (pick.getDouble(1) == 0.0) exhausted = true
+      else {
+        picks += ((r.toLong, pick.getLong(0), Some(pick.getDouble(1))))
+        centerVec = pick.getSeq[Double](2)
+      }
     }
     picks.toSeq.toDF("round", "vec_id", "radius")
   }

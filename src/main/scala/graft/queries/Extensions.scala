@@ -1524,14 +1524,20 @@ object Extensions {
   }
 
   /** SemDeDup-style semantic keeper selection: embedding-cosine near-dup
-    * pairs (label-bucketed candidate space) → connected components →
-    * keep exactly the min-id member of each semantic cluster. Emits a
-    * decision row for EVERY vector (keep = not a non-canonical cluster
-    * member) — the drop list a curation pass applies. */
+    * pairs → connected components → keep exactly the min-id member of
+    * each semantic cluster. Emits a decision row for EVERY vector (keep =
+    * not a non-canonical cluster member) — the drop list a curation pass
+    * applies. r10: candidates route through
+    * [[Similarity.semanticNearDupPairs]] — label cells subdivided by
+    * corpus-size-adaptive LSH (4 tables), so the candidate space is
+    * LINEAR in corpus size instead of the label-bucket quadratic the
+    * 10×-rows campaign flagged (5.98× wall growth); at the driver SF the
+    * adaptive bit count is 0 and the pair set is bit-identical to the
+    * label-bucket form. */
   def semanticKeep(spark: SparkSession, sfDir: String): DataFrame = {
     val e = emb(spark, sfDir)
     val clusters = Dedup.duplicateClusters(
-      Similarity.nearDupPairs(e, 0.4).select(col("a"), col("b")))
+      Similarity.semanticNearDupPairs(e, 0.4))
     e.select(col("vec_id")).join(clusters, col("vec_id") === col("node"), "left")
       .select(col("vec_id"),
         coalesce(col("label"), col("vec_id")).as("cluster"),
@@ -3677,10 +3683,15 @@ object Extensions {
       count(lit(1)).as("nr"),
       sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nt"))
     val tot = ratios.agg(sum("nr").as("dr"), sum("nt").as("dt"))
+    // Factors cast to double BEFORE the product (identical IEEE order in
+    // the oracle): (nt+1)*(dr+64) as unchecked BIGINT would wrap silently
+    // in Spark while DuckDB raises — a latent parity break at extreme
+    // corpus scale when total bigram occurrences approach ~9e18/nt.
     val rt = ratios.join(broadcast(tot))
       .select(col("b"),
-        (((col("nt") + 1) * (col("dr") + B)).cast(DoubleType) /
-          ((col("nr") + 1) * (col("dt") + B)).cast(DoubleType)).as("ratio"))
+        ((col("nt") + 1).cast(DoubleType) * (col("dr") + B).cast(DoubleType) /
+          ((col("nr") + 1).cast(DoubleType) *
+            (col("dt") + B).cast(DoubleType))).as("ratio"))
     val scored = occ.groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("c"))
       .join(broadcast(rt), Seq("b"))
       .withColumn("term", col("c").cast(DoubleType) * col("ratio"))
@@ -4319,18 +4330,29 @@ object Extensions {
                    (SELECT SUM(n) AS nn FROM cells)),
           base AS (SELECT * FROM tp CROSS JOIN pp CROSS JOIN gp CROSS JOIN tt),
           m AS (SELECT *,
-              CAST(tp_pairs AS DOUBLE) / CAST(pred_pairs AS DOUBLE) AS precision,
-              CAST(tp_pairs AS DOUBLE) / CAST(gold_pairs AS DOUBLE) AS recall,
-              2.0 * CAST(tp_pairs AS DOUBLE) /
-                (CAST(pred_pairs AS DOUBLE) + CAST(gold_pairs AS DOUBLE)) AS f1,
-              CAST(pred_pairs AS DOUBLE) * CAST(gold_pairs AS DOUBLE) /
-                CAST(total_pairs AS DOUBLE) AS exp_idx
+              CASE WHEN pred_pairs > 0 THEN
+                CAST(tp_pairs AS DOUBLE) / CAST(pred_pairs AS DOUBLE)
+              END AS precision,
+              CASE WHEN gold_pairs > 0 THEN
+                CAST(tp_pairs AS DOUBLE) / CAST(gold_pairs AS DOUBLE)
+              END AS recall,
+              CASE WHEN pred_pairs + gold_pairs > 0 THEN
+                2.0 * CAST(tp_pairs AS DOUBLE) /
+                  (CAST(pred_pairs AS DOUBLE) + CAST(gold_pairs AS DOUBLE))
+              END AS f1,
+              CASE WHEN total_pairs > 0 THEN
+                CAST(pred_pairs AS DOUBLE) * CAST(gold_pairs AS DOUBLE) /
+                  CAST(total_pairs AS DOUBLE)
+              END AS exp_idx
             FROM base)
           SELECT tp_pairs, pred_pairs, gold_pairs, total_pairs, precision,
             recall, f1, exp_idx,
-            (CAST(tp_pairs AS DOUBLE) - exp_idx) /
-              ((CAST(pred_pairs AS DOUBLE) + CAST(gold_pairs AS DOUBLE)) / 2.0
-                - exp_idx) AS ari
+            CASE WHEN (CAST(pred_pairs AS DOUBLE) + CAST(gold_pairs AS DOUBLE))
+                / 2.0 IS DISTINCT FROM exp_idx THEN
+              (CAST(tp_pairs AS DOUBLE) - exp_idx) /
+                ((CAST(pred_pairs AS DOUBLE) + CAST(gold_pairs AS DOUBLE)) / 2.0
+                  - exp_idx)
+            END AS ari
           FROM m""",
     "x_bcubed_clusters" ->
       s"""WITH $erCellsCte
@@ -4395,8 +4417,8 @@ object Extensions {
           tot AS (SELECT CAST(SUM(nr) AS BIGINT) AS dr,
                     CAST(SUM(nt) AS BIGINT) AS dt FROM ratios),
           rt AS (SELECT b,
-              CAST((nt + 1) * (dr + 64) AS DOUBLE) /
-                CAST((nr + 1) * (dt + 64) AS DOUBLE) AS ratio
+              CAST(nt + 1 AS DOUBLE) * CAST(dr + 64 AS DOUBLE) /
+                (CAST(nr + 1 AS DOUBLE) * CAST(dt + 64 AS DOUBLE)) AS ratio
             FROM ratios CROSS JOIN tot),
           per AS (SELECT doc_id, lang, b, count(*) AS c
                   FROM occ GROUP BY 1, 2, 3),
@@ -6204,11 +6226,35 @@ object Extensions {
              CAST(count(*) AS DOUBLE) AS dup_ratio
          FROM grams g JOIN marks m USING (gram)
          GROUP BY g.doc_id""",
-    "d_semantic_keep" ->
+    "d_semantic_keep" -> {
+      // Mirror of Similarity.semanticNearDupPairs: adaptive LSH bit count
+      // b from corpus size (integer doubling count, no libm), 4 hash
+      // tables at plane offset 37·t, pairs within (table, label, cell).
+      def comp(p: String, i: String) =
+        s"(CAST((($p*64 + $i) * 2654435761) % 1000000007 AS DOUBLE) / 1000000007.0 - 0.5)"
+      val planeDot =
+        s"""list_reduce(list_prepend(0.0::DOUBLE,
+              list_transform(generate_series(1, len(embedding)), i ->
+                CAST(embedding[i] AS DOUBLE) * ${comp("(j + tbl*37)", "i")})),
+            (acc, v) -> acc + v)"""
+      val bucket =
+        s"""list_reduce(list_prepend(0::BIGINT,
+              list_transform(generate_series(0, b - 1), j ->
+                CASE WHEN $planeDot >= 0 THEN CAST(POW(2.0, j) AS BIGINT) ELSE 0 END)),
+            (a, v) -> a + v)"""
       s"""WITH RECURSIVE $normCte,
+          bb AS (SELECT len(list_filter(generate_series(0, 29), j ->
+                   CAST(POW(2.0, j) AS BIGINT) < r)) AS b
+                 FROM (SELECT (nn + ll*50 - 1) // (ll*50) AS r FROM
+                   (SELECT count(*) AS nn, count(DISTINCT label) AS ll FROM ne))),
+          bk AS MATERIALIZED (
+            SELECT tbl, vec_id, label, embedding, nrm, $bucket AS bkt
+            FROM ne CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS tbl)
+                    CROSS JOIN bb),
           p AS MATERIALIZED (
-            SELECT x.vec_id AS a, y.vec_id AS b
-            FROM ne x JOIN ne y ON x.label = y.label AND x.vec_id < y.vec_id
+            SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+            FROM bk x JOIN bk y ON x.tbl = y.tbl AND x.label = y.label
+              AND x.bkt = y.bkt AND x.vec_id < y.vec_id
             WHERE ${dotD("x.embedding", "y.embedding")} / (x.nrm * y.nrm) >= 0.4),
           edges AS MATERIALIZED (SELECT a AS src, b AS dst FROM p
                     UNION SELECT b, a FROM p),
@@ -6220,7 +6266,8 @@ object Extensions {
           SELECT v.vec_id,
             coalesce(cc.label, v.vec_id) AS cluster,
             coalesce(cc.label, v.vec_id) = v.vec_id AS keep
-          FROM embeddings v LEFT JOIN cc ON v.vec_id = cc.node""",
+          FROM embeddings v LEFT JOIN cc ON v.vec_id = cc.node"""
+    },
     "x_label_cohesion" ->
       s"""WITH $normCte,
           nz AS (SELECT * FROM ne WHERE nrm > 0),
