@@ -392,6 +392,62 @@ object Multimodal {
     })
   }
 
+  /** Banded aHash signature index over a media corpus — the PERSISTED
+    * side of incremental image dedup (the image twin of
+    * [[Dedup.signatureIndex]]). Docs collapse to DISTINCT signatures
+    * (rep = min doc_id, multiplicity as `n_docs`), then each signature
+    * emits its 4 positional 16-bit bands. Schema:
+    * (rep, hi, lo, n_docs, band_idx, band_val). Build cost is one decode
+    * pass over the corpus — paid ONCE at index-build time; after that,
+    * batches never re-decode corpus bytes. */
+  def imageSignatureIndex(media: Dataset[MediaRow])(
+      implicit spark: SparkSession): DataFrame =
+    imageHashes(media).toDF()
+      .groupBy(col("ahash_hi").as("hi"), col("ahash_lo").as("lo"))
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n_docs"))
+      .select(col("rep"), col("hi"), col("lo"), col("n_docs"),
+        posexplode(array(
+          col("lo") % 65536,
+          expr("shiftright(lo, 16) % 65536"),
+          col("hi") % 65536,
+          expr("shiftright(hi, 16) % 65536")))
+          .as(Seq("band_idx", "band_val")))
+
+  /** Incremental image near-dup: a NEW batch of images against a
+    * standing [[imageSignatureIndex]] — batch bytes decode, corpus bytes
+    * do not (batch cost O(batch bytes) + one keyed join against the
+    * index, never a corpus re-decode; the m_image_hash 30×-probe showed
+    * decode is the genuinely per-byte stage worth amortizing). Batch
+    * docs collapse to distinct signatures, band-join against the index
+    * (positional band identity), and survive an exact Hamming ≤ `maxHam`
+    * gate. Output one row per (batch signature, corpus signature) match:
+    * (bat, cor, hamming, docs_bat, docs_cor) with rep = min doc_id per
+    * side. Batch-internal pairing is not emitted (the
+    * [[Dedup.minHashNearDupsIncremental]] convention: the standing
+    * corpus is the dedup authority; a follow-up append makes the batch's
+    * own signatures the next batch's corpus). */
+  def imageNearDupsIncremental(index: DataFrame, batch: Dataset[MediaRow],
+      maxHam: Int = 6)(implicit spark: SparkSession): DataFrame = {
+    val bsig = imageHashes(batch).toDF()
+      .groupBy(col("ahash_hi").as("bhi"), col("ahash_lo").as("blo"))
+      .agg(min(col("doc_id")).as("bat"), count(lit(1)).as("docs_bat"))
+    val bband = bsig.select(col("bat"), col("bhi"), col("blo"),
+      col("docs_bat"),
+      posexplode(array(
+        col("blo") % 65536,
+        expr("shiftright(blo, 16) % 65536"),
+        col("bhi") % 65536,
+        expr("shiftright(bhi, 16) % 65536")))
+        .as(Seq("band_idx", "band_val")))
+    bband.join(index, Seq("band_idx", "band_val"))
+      .select(col("bat"), col("rep").as("cor"),
+        (expr("bit_count(bhi ^ hi)") + expr("bit_count(blo ^ lo)"))
+          .cast("long").as("hamming"),
+        col("docs_bat"), col("n_docs").as("docs_cor"))
+      .filter(col("hamming") <= maxHam)
+      .distinct()
+  }
+
   /** Parsed WAV header: channel layout, rate, depth, payload size. */
   case class AudioInfo(doc_id: Long, channels: Long, sample_rate: Long,
                        bits: Long, data_bytes: Long, ok: Boolean)

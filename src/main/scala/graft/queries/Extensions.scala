@@ -4,7 +4,7 @@ import graft.ext.{Analytics, AsOf, Dedup, DuckSql, Graph, Mixture, MlEval, Multi
 import graft.ops.{Bucketing, GlobalOrder, Skew}
 import graft.streaming.EventStreams
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DateType, DoubleType, LongType, StringType}
@@ -550,6 +550,41 @@ object Extensions {
         lit(0L).as("hamming"), col("n_docs").as("docs_a"),
         col("n_docs").as("docs_b"))
     pairs.unionByName(groups)
+  }
+
+  /** Incremental image near-dup ([[graft.ext.Multimodal
+    * .imageNearDupsIncremental]]): the batch-vs-standing-corpus form of
+    * [[imageNearDup]]. The corpus's aHash signature index (decode +
+    * hash + distinct-signature collapse + 4×16-bit banding) is built
+    * ONCE and persisted as a catalog table; the timed query decodes
+    * ONLY the new batch's bytes and band-joins against the read-back
+    * index — batch cost O(batch bytes), never a corpus re-decode (the
+    * text-side `d_incremental` pattern applied to the genuinely
+    * per-byte image stage). Corpus = doc_id % 7 ≠ 0, batch = the
+    * multiples of 7, over the same shared-base perturbation scheme as
+    * [[imageNearDup]] so real cross-set near-dups exist. */
+  def imageIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    def mediaFor(ids: DataFrame): Dataset[graft.ext.MediaRow] =
+      ids.select(col("doc_id")).as[Long].map { id =>
+        val pert = (id % 5).toInt
+        graft.ext.MediaRow(id, "png", Multimodal.synthesizePngFull(
+          id / 5,
+          if (pert == 0) -1 else ((pert * 11) % 64),
+          96))
+      }
+    val d = docs(spark, sfDir)
+    val cat = new graft.core.TableCatalog(Parity.tmp("imgidx", sfDir))
+    Parity.setupOnce("imgidx", sfDir) {
+      cat.overwrite(
+        Multimodal.imageSignatureIndex(
+          mediaFor(d.filter(col("doc_id") % 7 =!= 0))),
+        "img.sigidx")
+    }
+    Multimodal.imageNearDupsIncremental(
+      cat.read(spark, "img.sigidx"),
+      mediaFor(d.filter(col("doc_id") % 7 === 0)))
   }
 
   /** MP4 sample-table statistics ([[graft.ext.Multimodal
@@ -3928,6 +3963,7 @@ object Extensions {
     "m_image_probe" -> imageProbe _,
     "m_image_hash" -> imageHash _,
     "m_image_neardup" -> imageNearDup _,
+    "m_image_incremental" -> imageIncremental _,
     "m_audio_fp" -> audioFp _,
     "m_video_stats" -> videoStatsQ _,
     "m_audio_probe" -> audioProbe _,
@@ -5548,6 +5584,49 @@ object Extensions {
          UNION ALL
          SELECT rep, rep, CAST(0 AS BIGINT), n_docs, n_docs
          FROM sig WHERE n_docs > 1""",
+    "m_image_incremental" ->
+      // Replay of the incremental path: same perturbed-block hash formula
+      // as m_image_neardup, corpus/batch split on doc_id % 7, both sides
+      // collapsed to distinct signatures, positional band join, exact
+      // Hamming gate — index persistence is invisible to the result.
+      """WITH blocks AS MATERIALIZED (
+           SELECT doc_id, b,
+             ((doc_id // 5) * 31 + b * 7 +
+               CASE WHEN doc_id % 5 > 0 AND b = ((doc_id % 5) * 11) % 64
+                    THEN 96 ELSE 0 END) % 256 AS g
+           FROM documents, unnest(generate_series(0, 63)) t(b)),
+         m AS MATERIALIZED (SELECT doc_id, CAST(SUM(g) // 64 AS BIGINT) AS gmean
+               FROM blocks GROUP BY 1),
+         h AS MATERIALIZED (SELECT blocks.doc_id,
+                 CAST(SUM(CASE WHEN g > gmean AND b >= 32
+                   THEN (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END) AS BIGINT) AS hi,
+                 CAST(SUM(CASE WHEN g > gmean AND b < 32
+                   THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS lo
+               FROM blocks JOIN m USING (doc_id) GROUP BY 1),
+         csig AS (SELECT hi, lo, CAST(MIN(doc_id) AS BIGINT) AS rep,
+                 CAST(count(*) AS BIGINT) AS n_docs
+               FROM h WHERE doc_id % 7 <> 0 GROUP BY 1, 2),
+         bsig AS (SELECT hi AS bhi, lo AS blo,
+                 CAST(MIN(doc_id) AS BIGINT) AS bat,
+                 CAST(count(*) AS BIGINT) AS docs_bat
+               FROM h WHERE doc_id % 7 = 0 GROUP BY 1, 2),
+         cband AS (
+           SELECT rep, hi, lo, n_docs, i AS band_idx,
+             CASE i WHEN 0 THEN lo % 65536 WHEN 1 THEN (lo >> 16) % 65536
+                    WHEN 2 THEN hi % 65536 ELSE (hi >> 16) % 65536 END AS band_val
+           FROM csig, unnest(generate_series(0, 3)) t(i)),
+         bband AS (
+           SELECT bat, bhi, blo, docs_bat, i AS band_idx,
+             CASE i WHEN 0 THEN blo % 65536 WHEN 1 THEN (blo >> 16) % 65536
+                    WHEN 2 THEN bhi % 65536 ELSE (bhi >> 16) % 65536 END AS band_val
+           FROM bsig, unnest(generate_series(0, 3)) t(i))
+         SELECT DISTINCT bat, rep AS cor,
+           CAST(bit_count(xor(bhi, hi)) + bit_count(xor(blo, lo)) AS BIGINT)
+             AS hamming,
+           docs_bat, n_docs AS docs_cor
+         FROM bband x JOIN cband y
+           ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+         WHERE bit_count(xor(bhi, hi)) + bit_count(xor(blo, lo)) <= 6""",
     "m_image_hash" ->
       // Closed-form replay of the block-constant synthesis: block b's
       // gray is (id*31 + b*7) % 256, block averages equal it exactly,

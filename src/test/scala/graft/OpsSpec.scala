@@ -155,6 +155,41 @@ class OpsSpec extends SparkSpec {
     assert(aHash64(Array.empty[Byte]).isEmpty)
   }
 
+  test("incremental image near-dup: batch vs persisted index matches brute force") {
+    import graft.ext.{MediaRow, Multimodal}
+    import Multimodal.{aHash64, imageNearDupsIncremental, imageSignatureIndex, synthesizePngFull}
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import spark.implicits._
+    def mk(id: Long, seed: Long, blk: Int = -1, delta: Int = 0) =
+      MediaRow(id, "png", synthesizePngFull(seed, blk, delta))
+    // corpus: exact-dup group (10, 11), two distinct singletons
+    val corpus = Seq(mk(10, 3), mk(11, 3), mk(12, 4), mk(13, 99))
+    // batch: exact copy of corpus seed 3, a one-block perturbation of it,
+    // and an unrelated image
+    val batch = Seq(mk(100, 3), mk(101, 3, 5, 96), mk(102, 777))
+    val out = imageNearDupsIncremental(
+      imageSignatureIndex(corpus.toDS()), batch.toDS())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    // brute-force reference from the hashes alone: distinct-signature
+    // collapse both sides, any shared positional 16-bit band, Hamming <= 6
+    def collapse(rows: Seq[MediaRow]): Map[(Long, Long), (Long, Long)] =
+      rows.groupBy(m => { val (hi, lo, _) = aHash64(m.payload).get; (hi, lo) })
+        .map { case (k, ms) => k -> (ms.map(_.doc_id).min, ms.size.toLong) }
+    def bands(hi: Long, lo: Long): Seq[Long] =
+      Seq(lo & 0xffffL, (lo >>> 16) & 0xffffL, hi & 0xffffL, (hi >>> 16) & 0xffffL)
+    val expected = (for {
+      ((bhi, blo), (bat, nb)) <- collapse(batch)
+      ((chi, clo), (cor, nc)) <- collapse(corpus)
+      if bands(bhi, blo).zip(bands(chi, clo)).exists { case (a, b) => a == b }
+      ham = java.lang.Long.bitCount(bhi ^ chi) + java.lang.Long.bitCount(blo ^ clo)
+      if ham <= 6
+    } yield (bat, cor, ham.toLong, nb, nc)).toSet
+    assert(out == expected)
+    // the exact copy surfaces as a Hamming-0 match against the dup group
+    assert(out.contains((100L, 10L, 0L, 1L, 2L)))
+  }
+
   test("pcm16Mono decodes real samples; fingerprint matches hand math") {
     import graft.ext.Multimodal.{audioFingerprint, pcm16Mono, synthesizeWavPcm}
     // seed 1: period 21, amplitude 1500 — decode must round-trip signs
