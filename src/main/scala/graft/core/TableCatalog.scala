@@ -1493,17 +1493,47 @@ final class TableCatalog(val root: String) extends Serializable {
       .coalesce(1).write.mode("overwrite")
       .parquet(Paths.get(cur, "_ndv").toString)
     // Plan-time summary beside the register sidecar: merged NDV per
-    // column + exact row count as one tiny JSON the optimizer
-    // ([[graft.plans.NdvBroadcastRule]]) can read driver-side with zero
+    // column + exact row count + global min/max ranges as one tiny JSON
+    // the optimizer ([[graft.plans.NdvStats]] for [[graft.plans.NdvBroadcastRule]]
+    // / [[graft.plans.NdvJoinOrderRule]]) can read driver-side with zero
     // Spark jobs at plan time. Underscore-prefixed, so table scans skip
     // it; same lifecycle as `_ndv` (dies with the version).
     val est = ndvEstimate(spark, name, cols)
     val nRows = spark.read.parquet(Paths.get(cur, "_ndv").toString)
       .agg(sum("_n")).head().getLong(0)
+    // min/max for RANGE selectivity, on the numeric scale the plan-time
+    // reader expects: numerics as doubles, dates as epoch DAYS (the same
+    // integer a Catalyst DateType literal carries). Strings/timestamps
+    // are skipped — a range estimate over them has no defensible scale.
+    val rangeCols = d.schema.fields.toSeq
+      .filter(f => cols.contains(f.name))
+      .filter(f => f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+        || f.dataType == org.apache.spark.sql.types.DateType)
+    val ranges: Seq[(String, Double, Double)] =
+      if (rangeCols.isEmpty) Nil
+      else {
+        def onScale(f: org.apache.spark.sql.types.StructField) =
+          if (f.dataType == org.apache.spark.sql.types.DateType)
+            unix_date(col(f.name)).cast("double")
+          else col(f.name).cast("double")
+        val aggs = rangeCols.flatMap(f => Seq(
+          min(onScale(f)).as(s"lo_${f.name}"), max(onScale(f)).as(s"hi_${f.name}")))
+        val row = d.agg(aggs.head, aggs.tail: _*).head()
+        rangeCols.flatMap { f =>
+          val lo = row.getAs[Any](s"lo_${f.name}")
+          val hi = row.getAs[Any](s"hi_${f.name}")
+          if (lo == null || hi == null) None
+          else Some((f.name, lo.asInstanceOf[Double], hi.asInstanceOf[Double]))
+        }
+      }
     val body = est.toSeq.sortBy(_._1)
       .map { case (c, v) => s""""${c}": ${v}""" }.mkString(",")
+    val loBody = ranges.sortBy(_._1)
+      .map { case (c, lo, _) => s""""${c}": ${lo}""" }.mkString(",")
+    val hiBody = ranges.sortBy(_._1)
+      .map { case (c, _, hi) => s""""${c}": ${hi}""" }.mkString(",")
     Files.writeString(Paths.get(cur, "_ndv_summary.json"),
-      s"""{"n_rows": $nRows, "ndv": {$body}}""")
+      s"""{"n_rows": $nRows, "ndv": {$body}, "lo": {$loBody}, "hi": {$hiBody}}""")
   }
 
   /** Distinct-count estimates for `cols` from the `_ndv` sidecar alone —

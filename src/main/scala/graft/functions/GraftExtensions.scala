@@ -25,6 +25,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(DateSpine.registration)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(graft.plans.MvRewriteRule)
+    // Order matters: the reorder rule matches hint-free joins, so it
+    // must see the plan before NdvBroadcastRule decorates it — in one
+    // fixed-point pass the swap happens first, then the hint lands on
+    // the (possibly reordered) shape, and both rules are stable from
+    // iteration two on.
+    ext.injectOptimizerRule(graft.plans.NdvJoinOrderRule)
     ext.injectOptimizerRule(graft.plans.NdvBroadcastRule)
     ext.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))
   }

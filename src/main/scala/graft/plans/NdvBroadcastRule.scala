@@ -1,10 +1,8 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
 /** Statistics-driven broadcast planning from the catalog's `_ndv`
   * sidecar ([[graft.core.TableCatalog.analyzeNdv]]) — the missing half
@@ -16,22 +14,22 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * the dim's FULL file size in the estimate, and a dim bigger than the
   * broadcast threshold shuffle-joins even when the filter keeps 1/NDV
   * of it. ANALYZE-style statistics fix exactly this: with the sidecar's
-  * exact row count and merged-HLL distinct counts, an equality
-  * conjunct's selectivity is 1/ndv(col), the filtered size is
-  * sizeInBytes × Π selectivities, and a side that fits under the
-  * threshold gets a BROADCAST join hint — at 100 TB the difference
-  * between shuffling the fact and not moving it at all.
+  * exact row count, merged-HLL distinct counts, and min/max ranges
+  * ([[NdvStats]]), the filtered size is sizeInBytes × Π selectivities
+  * (1/ndv per equality conjunct, interval fraction per range conjunct),
+  * and a side that fits under the threshold gets a BROADCAST join
+  * hint — at 100 TB the difference between shuffling the fact and not
+  * moving it at all.
   *
   * Scope and safety: fires only on [Project*] → Filter → parquet
   * relation chains whose scan root carries `_ndv_summary.json` (written
   * by `analyzeNdv`, version-scoped — a stale layout simply has no file
-  * and the rule stays silent), only for `col = literal` conjuncts over
+  * and the rule stays silent), only for equality/range conjuncts over
   * sidecar-covered columns, and never overrides an existing user hint.
-  * The estimate errs conservative: non-equality conjuncts contribute no
-  * selectivity. The summary is parsed driver-side (tiny JSON, cached by
-  * (path, mtime)) — zero Spark jobs at plan time. Join-side legality
-  * stays the planner's call: a BROADCAST hint on an ineligible side is
-  * ignored by JoinSelection, never forced.
+  * The estimate errs conservative: conjuncts the sidecar cannot see
+  * contribute no selectivity. Join-side legality stays the planner's
+  * call: a BROADCAST hint on an ineligible side is ignored by
+  * JoinSelection, never forced.
   *
   * Threshold: `spark.graft.ndv.broadcastThreshold` bytes (default 10 MB;
   * ≤ 0 disables) — deliberately independent of
@@ -64,96 +62,20 @@ case class NdvBroadcastRule(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   /** Post-filter size estimate from the sidecar, when the side is a
-    * filtered scan of an analyzed table and at least one equality
-    * conjunct is sidecar-covered. */
+    * filtered scan of an analyzed table and at least one conjunct is
+    * sidecar-covered (equality via ndv, range via lo/hi). */
   private def fitsBroadcast(side: LogicalPlan, threshold: Long): Boolean = {
-    val (rel, conjuncts) = collect(side, Nil) match {
+    val (rel, conjuncts) = NdvStats.collect(side) match {
       case (Some(lr), cs) if cs.nonEmpty => (lr, cs)
       case _ => return false
     }
-    val root = rel.relation match {
-      case fs: HadoopFsRelation => fs.location.rootPaths.headOption match {
-        case Some(p) => p
-        case None => return false
-      }
+    val summary = NdvStats.summaryFor(rel) match {
+      case Some(s) if s.nRows > 0 => s
       case _ => return false
     }
-    val summary = NdvBroadcastRule.summaryFor(root, spark) match {
-      case Some(s) => s
-      case None => return false
-    }
-    val sels = conjuncts.flatMap {
-      case EqualTo(a: AttributeReference, _: Literal) => summary.ndv.get(a.name)
-      case EqualTo(_: Literal, a: AttributeReference) => summary.ndv.get(a.name)
-      case _ => None
-    }.filter(_ > 1.0)
-    if (sels.isEmpty || summary.nRows <= 0) return false
-    val sel = sels.map(1.0 / _).product
+    val (sel, covered) = NdvStats.selectivity(conjuncts, summary)
+    if (covered == 0) return false
     val estBytes = rel.stats.sizeInBytes.toDouble * sel
     estBytes <= threshold
   }
-
-  /** Strip column-pruning projects, gather filter conjuncts, land on the
-    * relation. Any other node means the side is not a plain filtered
-    * scan — stay silent. */
-  @scala.annotation.tailrec
-  private def collect(p: LogicalPlan,
-      acc: Seq[Expression]): (Option[LogicalRelation], Seq[Expression]) =
-    p match {
-      case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
-        collect(child, acc)
-      case Filter(cond, child) =>
-        collect(child, acc ++ splitConjuncts(cond))
-      case lr: LogicalRelation => (Some(lr), acc)
-      case _ => (None, acc)
-    }
-
-  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
-    case And(a, b) => splitConjuncts(a) ++ splitConjuncts(b)
-    case other => Seq(other)
-  }
-}
-
-object NdvBroadcastRule {
-  private case class Summary(nRows: Long, ndv: Map[String, Double])
-
-  // (summary path, mtime) → parsed summary; mtime keying makes a new
-  // version's sidecar take effect without session restart.
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long), Summary]()
-
-  private def summaryFor(root: org.apache.hadoop.fs.Path,
-      spark: SparkSession): Option[Summary] = {
-    // Local-path fast check first (the engine's catalog is path-based);
-    // fall back through the Hadoop FS API for non-local roots.
-    val f = new java.io.File(root.toUri.getPath, "_ndv_summary.json")
-    if (!f.isFile) return None
-    val key = (f.getAbsolutePath, f.lastModified())
-    Option(cache.get(key)).orElse {
-      val parsed = parse(new String(
-        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
-      parsed.foreach(cache.put(key, _))
-      parsed
-    }
-  }
-
-  /** Parse {"n_rows": N, "ndv": {"col": x, ...}} — json4s ships with
-    * Spark, no extra dependency. */
-  private def parse(s: String): Option[Summary] =
-    try {
-      import org.json4s._
-      import org.json4s.jackson.JsonMethods
-      implicit val fmt: Formats = DefaultFormats
-      val j = JsonMethods.parse(s)
-      val n = (j \ "n_rows").extract[Long]
-      val ndv = (j \ "ndv") match {
-        case JObject(fields) => fields.collect {
-          case (k, JDouble(v)) => k -> v
-          case (k, JInt(v)) => k -> v.toDouble
-          case (k, JDecimal(v)) => k -> v.toDouble
-        }.toMap
-        case _ => Map.empty[String, Double]
-      }
-      Some(Summary(n, ndv))
-    } catch { case scala.util.control.NonFatal(_) => None }
 }

@@ -3465,6 +3465,47 @@ object Extensions {
   private val ndvCatalogs =
     new java.util.concurrent.ConcurrentHashMap[String, graft.core.TableCatalog]()
 
+  /** Sidecar-statistics-driven join ORDERING — the second CBO read path
+    * ([[graft.plans.NdvJoinOrderRule]]), on top of [[ndvBroadcast]]'s
+    * broadcast decision: a fact ⋈ dim ⋈ dim chain written with the
+    * UNSELECTIVE dim first (orders: PK join, fan-out 1.0 — shrinks
+    * nothing) and the selective one second (part filtered by a
+    * `p_retailprice` RANGE predicate the `_ndv_summary` min/max costs at
+    * ~5%, fan-out ≈ 0.05). With both dims ANALYZEd, the rule reads row
+    * count + HLL NDV + min/max from metadata alone and swaps the two
+    * joins, so the 5% part filter prunes the fact stream BEFORE the
+    * orders join instead of after — at 100 TB the difference between
+    * joining 6B rows twice and joining 300M twice. The ORDER is a plan
+    * property (pinned with its control in PlanShapeSpec); this row pins
+    * that the reordered join computes exactly the declared semantics. */
+  def statsJoinOrder(spark: SparkSession, sfDir: String): DataFrame = {
+    val cat = joinOrderCatalogs.computeIfAbsent(sfDir, _ => {
+      val c0 = new graft.core.TableCatalog(
+        java.nio.file.Files.createTempDirectory("graft-jo").toString)
+      c0.overwrite(Parity.table(spark, sfDir, "orders")
+        .select("o_orderkey", "o_orderstatus"), "tmp.jo.orders")
+      c0.analyzeNdv(spark, "tmp.jo.orders", Seq("o_orderkey"))
+      c0.overwrite(Parity.table(spark, sfDir, "part")
+        .select("p_partkey", "p_brand", "p_retailprice"), "tmp.jo.part")
+      c0.analyzeNdv(spark, "tmp.jo.part", Seq("p_partkey", "p_retailprice"))
+      c0
+    })
+    val ord = cat.read(spark, "tmp.jo.orders")
+    val prt = cat.read(spark, "tmp.jo.part")
+      .filter(col("p_retailprice") < 905.0)
+    Parity.table(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(prt, col("l_partkey") === col("p_partkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast(DoubleType)
+          .as("sum_qty"))
+  }
+
+  private val joinOrderCatalogs =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.core.TableCatalog]()
+
   // -------------------------------------------- clustering-quality eval
   /** Items with (pred, gold) cluster keys for entity-resolution
     * evaluation: gold clusters are the planted-copy identity
@@ -3911,6 +3952,7 @@ object Extensions {
     "x_cuped" -> cupedQ _,
     "x_best_split" -> bestSplit _,
     "x_ndv_broadcast" -> ndvBroadcast _,
+    "x_stats_join_order" -> statsJoinOrder _,
     "x_pr_curve" -> prCurveQ _,
     "x_conformal" -> conformalQ _,
     "x_corr_matrix" -> corrMatrixQ _,
@@ -4727,6 +4769,16 @@ object Extensions {
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          WHERE o_orderstatus = 'F' GROUP BY 1""",
+    // The join ORDER is a plan property (pinned with a rule-off control
+    // in PlanShapeSpec); this row pins that the statistics-reordered
+    // chain computes exactly the declared inner-join semantics.
+    "x_stats_join_order" ->
+      """SELECT o_orderstatus, count(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN part ON l_partkey = p_partkey
+         WHERE p_retailprice < 905.0 GROUP BY 1""",
     // PR-curve mirror: same centi-score distinct aggregate, same
     // descending cumulative window, same two bigint-ratio divisions.
     "x_pr_curve" ->

@@ -15,6 +15,10 @@ object Explain {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // the production session's extensions — without them the dumped
+      // plans omit the injected optimizer rules (join reorder, ndv
+      // broadcast, MV rewrite) and misstate what Verify/Bench execute
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -51,8 +51,12 @@ object ScaleDiag {
         (System.nanoTime() - t0) / 1e9
       }.min
 
+    // optional 3rd arg: comma-separated query-name filter (run only those)
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").toSet) else None
     val results = scala.collection.mutable.ArrayBuffer.empty[String]
     def probe(query: String, stage: String, sf: String)(mk: => DataFrame): Unit = {
+      if (!only.forall(_.contains(query))) return
       val t = time(mk)
       val line = f"""{"query":"$query","stage":"$stage","sf":"$sf","sec":$t%.2f}"""
       System.err.println(s"[diag] $line")
@@ -149,6 +153,42 @@ object ScaleDiag {
             .groupBy(col("x.band_idx")).agg(count(lit(1))))
         probe("m_image_neardup", "3_full", sf)(
           graft.queries.Extensions.imageNearDup(spark, dir))
+      }
+
+      // ---- round-10 verdict item 7: tpch_q3 (3.65× at 10×) and
+      // x_rolling_actives (3.25×) — which stage carries the growth?
+      {
+        import org.apache.spark.sql.types.DateType
+        val cust = graft.queries.Parity.table(spark, dir, "customer")
+          .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+        def ord = graft.queries.Parity.table(spark, dir, "orders")
+          .filter(col("o_orderdate").cast(DateType) <
+            lit("1997-01-01").cast(DateType))
+          .select(col("o_orderkey"), col("o_custkey"))
+        def li = graft.queries.Parity.table(spark, dir, "lineitem")
+          .filter(col("l_shipdate") > lit("1997-01-01 00:00:00"))
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        probe("tpch_q3", "1_lineitem_scan", sf)(li)
+        probe("tpch_q3", "2_li_ord_join", sf)(
+          li.join(ord, col("l_orderkey") === col("o_orderkey")))
+        probe("tpch_q3", "3_plus_cust", sf)(
+          li.join(ord, col("l_orderkey") === col("o_orderkey"))
+            .join(broadcast(cust), col("o_custkey") === col("c_custkey")))
+        probe("tpch_q3", "4_full", sf)(
+          graft.queries.Parity.tpchQ3(spark, dir))
+
+        val ud = graft.queries.Parity.events(spark, dir)
+          .select(col("user_id"),
+            date_trunc("day", col("ts")).cast(DateType).as("day"))
+          .distinct()
+        probe("x_rolling_actives", "1_user_days", sf)(ud)
+        probe("x_rolling_actives", "2_explode7_distinct", sf)(
+          ud.select(col("user_id"),
+              explode(sequence(lit(0), lit(6))).as("off"), col("day"))
+            .select(col("user_id"), date_add(col("day"), col("off")).as("wday"))
+            .distinct())
+        probe("x_rolling_actives", "3_full", sf)(
+          graft.queries.Extensions.rollingActives(spark, dir))
       }
     }
 

@@ -25,15 +25,41 @@ import org.apache.spark.sql.functions._
   *    pass slightly MORE docs than the original — the probe errs on
   *    the heavy side.
   *
-  * Usage: `sbt "runMain graft.tools.ScaleUp [srcDir] [outDir] [copies]"`.
+  * Usage: `sbt "runMain graft.tools.ScaleUp [srcDir] [outDir] [copies] [zipf]"`.
   * Output defaults under target/ (gitignored scratch, never touches
   * the read-only driver testdata).
+  *
+  * `zipf` mode (round-10 skew probe): identical row counts to the
+  * uniform layout, but a zipf HEAD of global hot keys — tiers of
+  * 10% / 5% / 2.5% of ALL rows remapped onto keys 0 / 1 / 2 (hash-of-
+  * row-id chosen, deterministic) for `o_custkey`, `l_suppkey`, and
+  * NON-purchase `user_id`. Per-operator WORK is layout-invariant (a
+  * hot FK changes where rows land in a key-hashed shuffle, not how
+  * many rows pass each operator), so wall(skew)/wall(uniform) isolates
+  * shuffle-skew handling (AQE skew-join, salted aggregation paths).
+  * Purchase-event user_id is deliberately NOT skewed: the co-purchase
+  * graph's shared≥5 edge threshold sits at ~3× the mean per-user key
+  * coverage, so any hot purchaser becomes a near-complete hub and
+  * triangle/common-neighbor work grows QUADRATICALLY in hub degree — a
+  * workload change that would contaminate a layout probe.
   */
 object ScaleUp {
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = if (args.length > 1) args(1) else "/root/repo/target/sfscaled"
     val copies = if (args.length > 2) args(2).toInt else 10
+    val zipf = args.length > 3 && args(3) == "zipf"
+
+    // 10% / 5% / 2.5% of rows onto keys 0 / 1 / 2, decided by a hash of
+    // the row's own id (deterministic, key-independent — hot rows are a
+    // uniform sample of the table, so value distributions within the
+    // hot groups match the global ones).
+    def zipfHead(rowId: org.apache.spark.sql.Column,
+        base: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val bucket = pmod(xxhash64(rowId), lit(1000L))
+      when(bucket < 100, lit(0L)).when(bucket < 150, lit(1L))
+        .when(bucket < 175, lit(2L)).otherwise(base)
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -47,10 +73,15 @@ object ScaleUp {
     val off = 100000000L // beyond any real id/key in the source tables
     val ev = graft.queries.Parity.events(spark, src)
     (0 until copies).map { i =>
+      val uid = col("user_id") + lit(i * off)
       ev.select(
         (col("event_id") + lit(i * off)).as("event_id"),
         col("ts"),
-        (col("user_id") + lit(i * off)).as("user_id"),
+        (if (zipf)
+          // hot session/window keys, purchase rows excluded (see scaladoc)
+          when(col("event_type") =!= "purchase",
+            zipfHead(col("event_id") + lit(i * off), uid)).otherwise(uid)
+        else uid).as("user_id"),
         col("event_type"),
         col("value"),
         concat(lit("{\"k\": "),
@@ -124,12 +155,22 @@ object ScaleUp {
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
     val ord = spark.read.parquet(s"$src/orders.parquet")
     (0 until copies).map { i =>
-      ord.withColumn("o_orderkey", col("o_orderkey") + lit(i * off))
+      val o = ord.withColumn("o_orderkey", col("o_orderkey") + lit(i * off))
+      if (zipf)
+        // hot customers: 10/5/2.5% of ALL orders on custkeys 0/1/2
+        // (valid FKs — customer keys start at 0 and dims pass through)
+        o.withColumn("o_custkey", zipfHead(col("o_orderkey"), col("o_custkey")))
+      else o
     }.reduce(_ unionAll _)
       .write.mode("overwrite").parquet(s"$out/orders.parquet")
     val li = spark.read.parquet(s"$src/lineitem.parquet")
     (0 until copies).map { i =>
-      li.withColumn("l_orderkey", col("l_orderkey") + lit(i * off))
+      val l = li.withColumn("l_orderkey", col("l_orderkey") + lit(i * off))
+      if (zipf)
+        // hot suppliers: same tiers keyed off the line's own identity
+        l.withColumn("l_suppkey", zipfHead(
+          col("l_orderkey") * lit(8L) + col("l_linenumber"), col("l_suppkey")))
+      else l
     }.reduce(_ unionAll _)
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
 

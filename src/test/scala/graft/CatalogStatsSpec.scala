@@ -122,4 +122,56 @@ class CatalogStatsSpec extends SparkSpec {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
+
+  test("summary carries min/max ranges: numerics on the double scale, dates as epoch days, strings skipped") {
+    val cat = freshCat("range")
+    val withDate = fixture.withColumn("d",
+      date_add(lit("2024-01-01").cast("date"), (col("id") % 100).cast("int")))
+    cat.overwrite(withDate, "stat.t")
+    cat.analyzeNdv(spark, "stat.t", Seq("id", "key", "d"))
+    val raw = new String(Files.readAllBytes(
+      Paths.get(cat.currentPath("stat.t"), "_ndv_summary.json")), "UTF-8")
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmt: Formats = DefaultFormats
+    val j = JsonMethods.parse(raw)
+    assert((j \ "lo" \ "id").extract[Double] === 1.0)
+    assert((j \ "hi" \ "id").extract[Double] === 5000.0)
+    // dates on the epoch-day scale a Catalyst DateType literal carries:
+    // 2024-01-01 = day 19723 (id%100 ∈ [0,99] → lo 19723, hi 19822)
+    assert((j \ "lo" \ "d").extract[Double] === 19723.0)
+    assert((j \ "hi" \ "d").extract[Double] === 19822.0)
+    // string column: NDV yes, range no
+    assert((j \ "ndv" \ "key").extractOpt[Double].isDefined)
+    assert((j \ "lo" \ "key").extractOpt[Double].isEmpty)
+  }
+
+  test("NdvBroadcastRule: a RANGE conjunct over sidecar min/max flips the join to broadcast") {
+    import graft.plans.NdvBroadcastRule
+    val cat = freshCat("cbor")
+    cat.overwrite(fixture.repartition(3), "stat.dim")
+    cat.analyzeNdv(spark, "stat.dim", Seq("id"))
+    val fact = spark.range(200000)
+      .select((col("id") % 5000L + 1L).as("fid"), (col("id") * 7L).as("m"))
+    def plan(withRule: Boolean): String = {
+      val saved = spark.experimental.extraOptimizations
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.experimental.extraOptimizations =
+          if (withRule) saved :+ NdvBroadcastRule(spark) else saved
+        // id ∈ [1, 5000]; id <= 50 keeps ~1% — far under the threshold
+        val dim = cat.read(spark, "stat.dim").filter(col("id") <= 50L)
+        fact.join(dim, col("fid") === col("id"))
+          .groupBy("key").agg(count(lit(1)).as("n"))
+          .queryExecution.executedPlan.toString
+      } finally {
+        spark.experimental.extraOptimizations = saved
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }
+    assert(!plan(withRule = false).contains("BroadcastHashJoin"),
+      "control: with auto-broadcast off and no rule the join must shuffle")
+    assert(plan(withRule = true).contains("BroadcastHashJoin"),
+      "sidecar min/max must cost the range filter and flip to broadcast")
+  }
 }

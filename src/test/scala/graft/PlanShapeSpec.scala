@@ -381,4 +381,51 @@ class PlanShapeSpec extends SparkSpec {
     val f = q.count()
     assert(f > 0 && f < all)
   }
+
+  test("statistics-driven join reorder: the selective dim joins first; rule-off control keeps declared order") {
+    import graft.plans.NdvJoinOrderRule
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+    // Execution order of the two dim joins in x_stats_join_order's plan:
+    // the DEEPER Join node runs first. Identify each join by which dim
+    // key its condition references.
+    def firstJoined(withRule: Boolean): String = {
+      val saved = spark.experimental.extraOptimizations
+      try {
+        spark.experimental.extraOptimizations =
+          if (withRule) saved :+ NdvJoinOrderRule(spark) else saved
+        val df = graft.queries.Extensions.statsJoinOrder(spark, sf)
+        var best: (Int, String) = (-1, "none")
+        def walk(p: LogicalPlan, d: Int): Unit = {
+          p match {
+            case j: Join =>
+              val refs = j.condition.toSeq.flatMap(_.references.toSeq).map(_.name).toSet
+              val key = if (refs.contains("p_partkey")) "part"
+                else if (refs.contains("o_orderkey")) "orders" else "other"
+              if (d > best._1) best = (d, key)
+            case _ =>
+          }
+          p.children.foreach(walk(_, d + 1))
+        }
+        walk(df.queryExecution.optimizedPlan, 0)
+        best._2
+      } finally { spark.experimental.extraOptimizations = saved }
+    }
+    // declared order joins orders first (the deepest join); the rule
+    // must flip the filtered part dim (fan-out ~0.05 from sidecar row
+    // count x range selectivity / key NDV) ahead of it
+    assert(firstJoined(withRule = false) == "orders",
+      "control: declared order must put the orders join first")
+    assert(firstJoined(withRule = true) == "part",
+      "sidecar statistics must reorder the selective part join first")
+    // and the reordered plan computes identical rows (cheap at sf0.001)
+    val rows = graft.queries.Extensions.statsJoinOrder(spark, sf)
+      .orderBy("o_orderstatus").collect().map(_.toString).toSeq
+    val saved = spark.experimental.extraOptimizations
+    val expected = try {
+      spark.experimental.extraOptimizations = saved :+ NdvJoinOrderRule(spark)
+      graft.queries.Extensions.statsJoinOrder(spark, sf)
+        .orderBy("o_orderstatus").collect().map(_.toString).toSeq
+    } finally { spark.experimental.extraOptimizations = saved }
+    assert(rows == expected)
+  }
 }
