@@ -73,7 +73,9 @@ out = {"sf_dir": SF, "passes": PASSES, "bench_json": BENCH,
        "duckdb_total_sec": round(sum(r["duckdb_sec"] for r in rows), 3)}
 if all(r["engine_sec"] is not None for r in rows):
     out["engine_total_sec"] = round(sum(r["engine_sec"] for r in rows), 3)
-json.dump(out, open("tools/bench_duckdb_tpch.json", "w"), indent=1)
+# one record per SF so the crossover trend (sf0.1 / sf1 / sf3) coexists
+suffix = os.path.basename(SF.rstrip("/")) or "sf"
+json.dump(out, open(f"tools/bench_duckdb_tpch_{suffix}.json", "w"), indent=1)
 
 print("\n| query | engine (s) | duckdb (s) | ratio engine/duckdb |")
 print("|---|---|---|---|")
