@@ -379,16 +379,28 @@ object Dedup {
     *
     * Scale design: each iteration is one keyed shuffle (edges ⋈ labels →
     * per-node min) over the PAIR graph, which near-dup detection has
-    * already reduced to a tiny fraction of the corpus; iterations are
-    * bounded by component diameter (near-dup clusters are shallow —
-    * star-ish around popular templates), and each round truncates
-    * lineage with an eager localCheckpoint so plan size stays O(1) in
-    * the iteration count. Converged min-labels are deterministic
-    * regardless of execution order; the fixpoint is detected with a
-    * limit-1 existence probe, not a full count.
+    * already reduced to a tiny fraction of the corpus, PLUS a
+    * pointer-jumping term (label(label(v)) — one label self-join per
+    * round, engaged from round 4 so shallow graphs never pay it) that
+    * collapses label chains, so convergence is
+    * O(log diameter) rounds instead of O(diameter). The jump term is not
+    * an optimization nicety: the round-10 100×-rows probe grew a
+    * >30-diameter chain component in the loose-threshold (cos ≥ 0.4)
+    * embedding near-dup graph and plain neighbor-min propagation blew
+    * the iteration cap — star-ish template clusters are shallow, but
+    * chain-shaped components (A≈B≈C… without A≈C) grow with corpus
+    * size. Both terms only ever LOWER a label toward the component min,
+    * so the fixpoint (label = min id in component) and its determinism
+    * are unchanged; each round truncates lineage with an eager
+    * localCheckpoint so plan size stays O(1) in the iteration count.
+    * The fixpoint is detected with a limit-1 existence probe, not a
+    * full count. maxIters is a SAFETY VALVE, not a budget — the probe
+    * exits as soon as a round changes nothing (3-5 rounds at gate SF;
+    * the 100×-rows near-forest measured 34) — so it is set high enough
+    * that only a real non-termination bug can trip it.
     */
   def duplicateClusters(pairs: DataFrame, a: String = "a", b: String = "b",
-                        maxIters: Int = 30): DataFrame = {
+                        maxIters: Int = 100): DataFrame = {
     // Post-distinct, re-key the layout on src — the loop's probe key.
     // localCheckpoint preserves the partitioning, and every round's label
     // table is hash-partitioned on the node key by its own aggregation,
@@ -410,14 +422,37 @@ object Dedup {
     while (!converged && i < maxIters) {
       val nbrMin = edges.join(labels, col("src") === col("node"))
         .groupBy(col("dst")).agg(min(col("label")).as("nmin"))
+      // Pointer jumping: label(label(v)) — but only from round 4 on.
+      // Star-ish near-dup clusters converge in 3-5 plain rounds and
+      // never pay the extra per-round label self-join; chain-shaped
+      // components (the 100×-rows near-forest) get doubling as soon as
+      // plain propagation has shown it isn't enough. Every label IS a
+      // node id (seed labels are min over self∪neighbors; later labels
+      // come from this table), so the inner lookup always resolves —
+      // the left join + coalesce is belt-and-braces, not a semantic
+      // branch.
+      val withJump = i >= 3
+      val jumped =
+        if (!withJump) labels.join(nbrMin, col("node") === col("dst"), "left")
+          .select(col("node"), col("label"),
+            coalesce(col("nmin"), col("label")).as("cand"))
+        else {
+          val jump = labels.as("l1").join(labels.as("l2"),
+              col("l1.label") === col("l2.node"))
+            .select(col("l1.node").as("jnode"), col("l2.label").as("jmin"))
+          labels.join(nbrMin, col("node") === col("dst"), "left")
+            .join(jump, col("node") === col("jnode"), "left")
+            .select(col("node"), col("label"),
+              least(coalesce(col("nmin"), col("label")),
+                coalesce(col("jmin"), col("label"))).as("cand"))
+        }
       // The changed flag rides along in the propagation pass itself, so
       // convergence detection is a scan of the checkpointed result — no
       // extra join per round.
       val next = Graph.checkpointKeyed(
-        labels.join(nbrMin, col("node") === col("dst"), "left")
-          .select(col("node"),
-            least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
-            (coalesce(col("nmin"), col("label")) < col("label")).as("__changed")),
+        jumped.select(col("node"),
+          least(col("label"), col("cand")).as("label"),
+          (col("cand") < col("label")).as("__changed")),
         "node")
       converged = next.filter(col("__changed")).limit(1).isEmpty
       // next is eagerly materialized, so the previous round's checkpoint

@@ -324,7 +324,11 @@ object Graph {
     }
     require(ok, s"checkpointKeyed: expected a preserved hash layout on " +
       s"'$key', got $part — the consumer loop would re-shuffle O(E) per round")
-    out
+    // Cap the carried statistics: loop rounds otherwise compound the
+    // size estimate multiplicatively (Join stats = product of children)
+    // until driver-side BigInt arithmetic dominates the wall — see
+    // [[org.apache.spark.sql.graft.Bridge.capCheckpointStats]].
+    org.apache.spark.sql.graft.Bridge.capCheckpointStats(spark, out)
   }
 
   /** k-core peeling: `rounds` synchronous rounds of "delete every vertex

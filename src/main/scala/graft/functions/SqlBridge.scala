@@ -32,4 +32,41 @@ object Bridge {
       exp.extraStrategies = exp.extraStrategies :+ s
     }
   }
+
+  /** Re-issue a localCheckpoint'd frame with its carried statistics
+    * CAPPED at Long.MaxValue bytes/rows.
+    *
+    * Why this exists: `Dataset.localCheckpoint` carries the origin
+    * plan's statistics onto the resulting LogicalRDD
+    * (`rewriteStatsAndConstraints`), and the size-only visitor estimates
+    * a Join as the PRODUCT of its children's sizeInBytes. An iterative
+    * loop that checkpoints every round therefore compounds the estimate
+    * multiplicatively — a round body with k references to the previous
+    * label table makes the carried BigInt's BIT LENGTH grow k^round, and
+    * driver-side stats estimation (BigInteger.multiply, Toom-Cook) comes
+    * to dominate wall time long before anything overflows. The round-10
+    * 100×-rows probe measured 57 CPU-minutes of the driver inside
+    * BigInteger.multiply on a 10-round connected-components loop.
+    *
+    * Above ~9 EB (Long.MaxValue bytes) an estimate carries no planning
+    * information — every threshold comparison already saturates — so the
+    * cap is plan-neutral while bounding every later stats computation on
+    * the loop's plans to O(1) bits. Constraints are preserved. Frames
+    * whose stats are already under the cap pass through untouched. */
+  def capCheckpointStats(spark: SparkSession, df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.Statistics
+    import org.apache.spark.sql.execution.LogicalRDD
+    analyzed(df) match {
+      case lr: LogicalRDD =>
+        val s = lr.stats // cached — computed eagerly at checkpoint time
+        val lim = BigInt(Long.MaxValue)
+        if (s.sizeInBytes <= lim && s.rowCount.forall(_ <= lim)) df
+        else ofRows(spark, lr.copy()(
+          spark.asInstanceOf[classic.SparkSession],
+          Some(Statistics(sizeInBytes = s.sizeInBytes.min(lim),
+            rowCount = s.rowCount.map(_.min(lim)))),
+          Some(lr.constraints)))
+      case _ => df
+    }
+  }
 }

@@ -40,4 +40,15 @@ class DedupClusterPropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("a 200-node chain converges inside the 30-round cap (pointer jumping is O(log diameter))") {
+    // Diameter 199: plain neighbor-min propagation needs ~199 rounds and
+    // blew the cap — exactly what the round-10 100×-rows probe hit on the
+    // loose-threshold embedding near-dup graph. The label(label(v)) jump
+    // term makes this ~8 rounds.
+    val pairs = (0L until 199L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 200 && got.values.forall(_ == 0L), s"got=$got")
+  }
 }
