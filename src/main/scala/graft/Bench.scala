@@ -44,9 +44,22 @@ object Bench {
     // cumulative executor task time and JVM GC time bracketing each query
     // separate real distributed work from driver stalls and GC pauses.
     val taskMs = new java.util.concurrent.atomic.AtomicLong
+    // Cumulative shuffle bytes (read = local + remote, write) from task
+    // metrics — the scale campaigns' regression signal: a query whose
+    // shuffle bytes grow FASTER than rows between two SFs has a plan that
+    // stopped being map-side-bounded (lost partial agg, broadcast fell
+    // back to shuffle, candidate space went super-linear) even when the
+    // wall clock hides it behind parallelism.
+    val shufRead = new java.util.concurrent.atomic.AtomicLong
+    val shufWrite = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-        if (e.taskMetrics != null) taskMs.addAndGet(e.taskMetrics.executorRunTime)
+        if (e.taskMetrics != null) {
+          taskMs.addAndGet(e.taskMetrics.executorRunTime)
+          shufRead.addAndGet(e.taskMetrics.shuffleReadMetrics.localBytesRead +
+            e.taskMetrics.shuffleReadMetrics.remoteBytesRead)
+          shufWrite.addAndGet(e.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        }
     })
     def gcMs: Long = {
       import scala.jdk.CollectionConverters._
@@ -58,9 +71,10 @@ object Bench {
     // successful measurement). Fourth: summed executor task seconds for
     // this query (the stall-arbitration signal — wall ≫ task/parallelism
     // means the host stalled, not the query).
-    def pass(): Seq[(String, Double, Boolean, Double)] =
+    def pass(): Seq[(String, Double, Boolean, Double, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val (task0, gc0) = (taskMs.get, gcMs)
+        val (sr0, sw0) = (shufRead.get, shufWrite.get)
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
@@ -71,14 +85,18 @@ object Bench {
           }
         val t = (System.nanoTime() - t0) / 1e9
         val taskSec = (taskMs.get - task0) / 1e3
-        System.err.println(f"[bench] $name%-28s wall=$t%8.2fs task=$taskSec%8.1fs gc=${(gcMs - gc0) / 1e3}%6.1fs")
+        // Shuffle MB this query moved: write + read double-counts each
+        // exchange by design (both sides are real I/O), and the metric is
+        // compared ACROSS scales of the same query, so the factor cancels.
+        val shufMb = ((shufRead.get - sr0) + (shufWrite.get - sw0)) / 1048576.0
+        System.err.println(f"[bench] $name%-28s wall=$t%8.2fs task=$taskSec%8.1fs gc=${(gcMs - gc0) / 1e3}%6.1fs shuffle=$shufMb%9.1fMB")
         // Outside the timed region: drop any blocks a query left persisted
         // (e.g. a final localCheckpoint) so no query pays GC/memory rent
         // for its predecessors. Queries are self-contained — nothing
         // persists RDD state across entries (file-backed memos excepted).
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
-        (name, t, ok, taskSec)
+        (name, t, ok, taskSec, shufMb)
       }
     // Per-query min of up to two passes: single-run timings on a shared
     // host carry multi-second jitter — and occasionally multi-MINUTE
@@ -89,6 +107,7 @@ object Bench {
     // as regressions) within a bounded wall budget.
     val pass1 = pass()
     val taskSecOf = pass1.map(r => r._1 -> r._4).toMap
+    val shufMbOf = pass1.map(r => r._1 -> r._5).toMap
     // A rerun that throws contributes NO timing (its short failure wall
     // would win the min() and mask a genuine regression) and is recorded
     // in `failed` like a pass-1 failure. Ordered by descending pass-1
@@ -128,11 +147,11 @@ object Bench {
       // bounded-rerun arbitration below.
       if (sys.env.get("SPARK_GRAFT_TWO_PASS").contains("1") ||
           pass1.map(_._2).sum <= 300.0)
-        pass1.zip(pass()).map { case ((n, a, ao, _), (_, b, bo, _)) =>
+        pass1.zip(pass()).map { case ((n, a, ao, _, _), (_, b, bo, _, _)) =>
           best(n, Seq((a, ao), (b, bo))) }
       else {
         val second = rerun(pass1.sortBy(-_._2).map(_._1), budgetSec = 180.0)
-        pass1.map { case (n, t, ok, _) =>
+        pass1.map { case (n, t, ok, _, _) =>
           best(n, (t, ok) +: second.get(n).map(s => (s, true)).toSeq) }
       }
     // Stall arbitration: a host-level stall long enough to cover BOTH
@@ -143,7 +162,7 @@ object Bench {
     // floor, PLUS the slowest 8 overall (the entries perf review reads).
     // r5 showed top-8-only missed s10_clustering/s10_hilbert sitting just
     // outside the cut while re-timing at roughly half their reported wall.
-    val okNames = pass1.collect { case (n, _, true, _) => n }.toSet
+    val okNames = pass1.collect { case (n, _, true, _, _) => n }.toSet
     val parallelism = cpus.toDouble
     val suspect = twoPass.filter { case (n, t) =>
       okNames(n) && t > 0.75 &&
@@ -181,8 +200,13 @@ object Bench {
     // task dict would double its length and risk clipping.
     val taskDict = taskSecOf.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + ms3(v) }.mkString("{", ",", "}")
+    // Per-query shuffle MB (pass 1) for the scale campaigns' sub-linear
+    // growth gate — full record only, like task_sec.
+    val shufDict = shufMbOf.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + ms3(v) }.mkString("{", ",", "}")
     val fullLine0 = render(results.sortBy(_._1).map { case (k, v) => k -> ms3(v) })
-    val fullLine = fullLine0.dropRight(1) + s""","task_sec":$taskDict}"""
+    val fullLine = fullLine0.dropRight(1) +
+      s""","task_sec":$taskDict,"shuffle_mb":$shufDict}"""
     val line =
       if (fullLine.length <= 1800) fullLine
       else {

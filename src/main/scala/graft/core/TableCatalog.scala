@@ -24,8 +24,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * concurrent appends from independent jobs all publish — none is a
   * lost update — and maintenance ops abort-and-retry on conflict,
   * Delta-style optimistic concurrency on plain files.
+  *
+  * Retention horizon: automatic write-time pruning keeps the last 2
+  * versions PLUS any version superseded less than `retentionMinAgeMs`
+  * ago (default 10 min) — the `deletedFileRetentionDuration` posture.
+  * Without the grace, a [[snapshot]] reader racing a fast writer loses
+  * its pinned version's files after just two publishes mid-read
+  * (FAILED_READ_FILE.FILE_NOT_EXIST — caught live by
+  * CatalogConcurrencySpec under gate load in r11); with it, any reader
+  * that resolves a version has at least the grace window to finish.
+  * Explicit `GRAFT VACUUM` / [[vacuum]] remains an operator override
+  * with no grace, like Delta VACUUM with a reduced retention check.
   */
-final class TableCatalog(val root: String) extends Serializable {
+final class TableCatalog(val root: String,
+    val retentionMinAgeMs: Long = 600000L) extends Serializable {
 
   private def tableDir(name: String): Path =
     Paths.get(root, name.replace("`", "").split('.').mkString("/"))
@@ -1523,7 +1535,17 @@ final class TableCatalog(val root: String) extends Serializable {
           val lo = row.getAs[Any](s"lo_${f.name}")
           val hi = row.getAs[Any](s"hi_${f.name}")
           if (lo == null || hi == null) None
-          else Some((f.name, lo.asInstanceOf[Double], hi.asInstanceOf[Double]))
+          else {
+            val (l, h) = (lo.asInstanceOf[Double], hi.asInstanceOf[Double])
+            // Non-finite min/max (a NaN or ±Inf value in the column)
+            // would serialize as bare `NaN`/`Infinity` — invalid JSON
+            // that fails the sidecar parse and silently disables the
+            // WHOLE summary (n_rows/ndv included). Drop just this
+            // column's range instead.
+            if (java.lang.Double.isFinite(l) && java.lang.Double.isFinite(h))
+              Some((f.name, l, h))
+            else None
+          }
         }
       }
     val body = est.toSeq.sortBy(_._1)
@@ -2113,8 +2135,24 @@ final class TableCatalog(val root: String) extends Serializable {
       .getOrElse("")
     val versions = Option(dir.toFile.list()).getOrElse(Array.empty[String])
       .filter(isVersionTag).sorted
+    // Supersession-age grace: version v stopped being resolvable-as-
+    // current when its immediate successor committed; only reap once
+    // that moment is at least `retentionMinAgeMs` in the past, so any
+    // snapshot that pinned v has the full grace window to finish its
+    // read (the retention contract a 1000-reader lake needs — version
+    // dirs of a superseded batch are cheap to keep for minutes,
+    // mid-read file deletion is not). A successor without a commit
+    // stamp reads as 0 (ancient) — the ungated legacy behavior.
+    val now = System.currentTimeMillis()
+    def commitTs(v: String): Long =
+      scala.util.Try(Files.readString(dir.resolve(v).resolve("_commit_ts"))
+        .trim.toLong).getOrElse(0L)
     versions.dropRight(keep).filterNot(v => v == cur || pinned.contains(v))
-      .foreach { v => deleteRecursively(dir.resolve(v)) }
+      .foreach { v =>
+        val supersededAt = versions.find(_ > v).map(commitTs).getOrElse(now)
+        if (now - supersededAt >= retentionMinAgeMs)
+          deleteRecursively(dir.resolve(v))
+      }
   }
 
   private def deleteRecursively(p: Path): Unit = {

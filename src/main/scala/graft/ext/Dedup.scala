@@ -381,7 +381,8 @@ object Dedup {
     * per-node min) over the PAIR graph, which near-dup detection has
     * already reduced to a tiny fraction of the corpus, PLUS a
     * pointer-jumping term (label(label(v)) — one label self-join per
-    * round, engaged from round 4 so shallow graphs never pay it) that
+    * round, engaged from round 4 AND only while the changed-row count
+    * fails to halve round-over-round, so shallow graphs never pay it) that
     * collapses label chains, so convergence is
     * O(log diameter) rounds instead of O(diameter). The jump term is not
     * an optimization nicety: the round-10 100×-rows probe grew a
@@ -419,19 +420,28 @@ object Dedup {
     var labels = ckpt
     var converged = false
     var i = 0
+    // Per-round changed-row counts (the convergence scan below yields the
+    // count for free — it reads the already-checkpointed blocks, no extra
+    // shuffle). Two-round history drives the pointer-jump gate.
+    var changedPrev = Long.MaxValue
+    var changedPrev2 = Long.MaxValue
     while (!converged && i < maxIters) {
       val nbrMin = edges.join(labels, col("src") === col("node"))
         .groupBy(col("dst")).agg(min(col("label")).as("nmin"))
-      // Pointer jumping: label(label(v)) — but only from round 4 on.
-      // Star-ish near-dup clusters converge in 3-5 plain rounds and
-      // never pay the extra per-round label self-join; chain-shaped
-      // components (the 100×-rows near-forest) get doubling as soon as
-      // plain propagation has shown it isn't enough. Every label IS a
-      // node id (seed labels are min over self∪neighbors; later labels
-      // come from this table), so the inner lookup always resolves —
-      // the left join + coalesce is belt-and-braces, not a semantic
-      // branch.
-      val withJump = i >= 3
+      // Pointer jumping: label(label(v)) — engaged from round 4 on AND
+      // only while plain propagation is visibly stalling: the changed-row
+      // count failed to halve between the last two rounds. Star-ish
+      // near-dup clusters converge in 3-5 plain rounds with sharply
+      // falling changed counts and never pay the extra per-round label
+      // self-join (the r10 regression: an unconditional round-≥4 jump
+      // cost x_curation_cc ~1 s/run at gate scale for zero rounds saved);
+      // chain-shaped components (the 100×-rows near-forest) hold a
+      // near-constant changed count, trip the gate immediately at round 4
+      // and get O(log diameter) doubling. Every label IS a node id (seed
+      // labels are min over self∪neighbors; later labels come from this
+      // table), so the inner lookup always resolves — the left join +
+      // coalesce is belt-and-braces, not a semantic branch.
+      val withJump = i >= 3 && changedPrev * 2 > changedPrev2
       val jumped =
         if (!withJump) labels.join(nbrMin, col("node") === col("dst"), "left")
           .select(col("node"), col("label"),
@@ -454,7 +464,10 @@ object Dedup {
           least(col("label"), col("cand")).as("label"),
           (col("cand") < col("label")).as("__changed")),
         "node")
-      converged = next.filter(col("__changed")).limit(1).isEmpty
+      val changed = next.filter(col("__changed")).count()
+      converged = changed == 0L
+      changedPrev2 = changedPrev
+      changedPrev = changed
       // next is eagerly materialized, so the previous round's checkpoint
       // blocks are dead weight — free them now instead of pinning
       // O(iters × |labels|) block-manager memory for the session's life

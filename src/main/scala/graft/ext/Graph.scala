@@ -136,14 +136,13 @@ object Graph {
     // lazy plan doubles per round (2^rounds copies of the upstream edge
     // build — measured 123s vs 2s at sf0.1). localCheckpoint per round
     // truncates the lineage, same as the dup-clusters iteration.
-    val parents = parents0.localCheckpoint()
+    val parents = ckpt(parents0)
     var s = parents.select(col("u"), col("p").as("anc"),
       when(col("p") === col("u"), 0L).otherwise(1L).as("d"))
     for (_ <- 1 to rounds) {
       val j = s.select(col("u").as("ju"), col("anc").as("janc"), col("d").as("jd"))
-      s = s.join(j, s("anc") === j("ju"))
-        .select(s("u"), col("janc").as("anc"), (s("d") + col("jd")).as("d"))
-        .localCheckpoint()
+      s = ckpt(s.join(j, s("anc") === j("ju"))
+        .select(s("u"), col("janc").as("anc"), (s("d") + col("jd")).as("d")))
     }
     if (verifyConverged) {
       // A chain deeper than 2^rounds would SILENTLY stop at a non-root
@@ -188,7 +187,7 @@ object Graph {
                scale: Long = 1000000000000L): DataFrame = {
     // One evaluation of the (possibly expensive) edge derivation: deg and
     // undD below would otherwise each replay it.
-    val e = edges.select(col("a"), col("b")).localCheckpoint()
+    val e = ckpt(edges.select(col("a"), col("b")))
     val und = e.select(col("a").as("u"), col("b").as("v"))
       .unionAll(e.select(col("b").as("u"), col("a").as("v")))
     // deg is consumed twice (undD build + rank init) — checkpoint it too;
@@ -312,7 +311,7 @@ object Graph {
     val prev = spark.conf.get(k)
     spark.conf.set(k, "false")
     val out =
-      try df.localCheckpoint() finally spark.conf.set(k, prev)
+      try ckpt(df) finally spark.conf.set(k, prev)
     val part = out.queryExecution.executedPlan.outputPartitioning
     val ok = part match {
       case h: HashPartitioning => h.expressions.nonEmpty &&
@@ -370,14 +369,13 @@ object Graph {
     // sf0.1: 4.7 s (two semi joins + recount per round) → the BFS-query
     // cost envelope (the edge build dominates).
     var deg = checkpointKeyed(und.groupBy("u").agg(count(lit(1)).as("deg")), "u")
-    var peeled = deg.filter(lit(false))
-      .select(col("u"), lit(0L).as("peeled_round")).localCheckpoint()
+    var peeled = ckpt(deg.filter(lit(false))
+      .select(col("u"), lit(0L).as("peeled_round")))
     for (r <- 1 to rounds) {
       val nowPeeled = deg.filter(col("deg") < k).select("u")
       val nextDeg = checkpointKeyed(kcoreNextDeg(deg, und, k), "u")
-      val nextPeeled = peeled.unionAll(
-        nowPeeled.select(col("u"), lit(r.toLong).as("peeled_round")))
-        .localCheckpoint()
+      val nextPeeled = ckpt(peeled.unionAll(
+        nowPeeled.select(col("u"), lit(r.toLong).as("peeled_round"))))
       freeCheckpoint(peeled); freeCheckpoint(deg)
       peeled = nextPeeled
       deg = nextDeg
@@ -548,9 +546,42 @@ object Graph {
     cost.unionAll(prop).groupBy("v").agg(min(col("cost")).as("cost"))
   }
 
+  /** Eager lineage-truncating checkpoint for the iterative loops —
+    * LOCAL (block-manager) by default, RELIABLE (checkpoint-dir files)
+    * when `spark.graft.checkpoint.reliable=true`.
+    *
+    * The tradeoff, stated once: `localCheckpoint` stores the round's
+    * result as executor-local blocks and TRUNCATES LINEAGE — on a real
+    * cluster a single lost executor then kills the whole in-flight
+    * iterative job, because the truncated plan cannot recompute the lost
+    * blocks ("RDD was locally checkpointed … cannot be recomputed").
+    * That is fine on local[32] and fastest for benchmarks, fatal for a
+    * 1000-executor 100 TB run. Reliable mode routes each round through
+    * `Dataset.checkpoint()` to `spark.graft.checkpoint.dir` (set it to a
+    * durable FS — HDFS/S3 — on a cluster; defaults to a local scratch
+    * dir here), so a lost executor's partitions recompute by re-READING
+    * the checkpoint files. Cost: the eager reliable checkpoint runs the
+    * round's plan and writes it out once more (Spark re-runs the RDD to
+    * write checkpoint files), measured ~2× the per-round wall of local
+    * mode — the availability premium, paid only when asked for.
+    * Partitioning is preserved by both modes (LogicalRDD records the
+    * physical plan's layout); [[checkpointKeyed]] verifies it either way. */
+  private[graft] def ckpt(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    if (spark.conf.get("spark.graft.checkpoint.reliable", "false") == "true") {
+      val sc = spark.sparkContext
+      if (sc.getCheckpointDir.isEmpty)
+        sc.setCheckpointDir(spark.conf.get(
+          "spark.graft.checkpoint.dir", "target/reliable-ckpt"))
+      df.checkpoint()
+    } else df.localCheckpoint()
+  }
+
   /** Unpersist the block-manager storage behind a localCheckpoint'd frame
     * (Dataset.unpersist only covers cache-manager entries, not checkpoint
-    * RDDs). No-op for non-checkpoint plans. Public: callers that feed a
+    * RDDs). No-op for non-checkpoint plans and for reliable-checkpoint
+    * frames (their backing is files, not blocks; unpersist of a
+    * never-persisted RDD is a no-op). Public: callers that feed a
     * checkpointed input into an iterative routine (whose internals
     * eagerly re-checkpoint everything they keep) should free their input
     * once the routine returns — in a long-lived session the blocks

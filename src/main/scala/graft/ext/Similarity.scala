@@ -101,7 +101,10 @@ object Similarity {
     * thresholds recall degrades gracefully and `tables` is the dial.
     * When b = 0 (corpus fits the per-cell target) every table is the
     * single label cell and the output is IDENTICAL to [[nearDupPairs]].
-    * Output: distinct (a, b) candidate pairs with cos ≥ threshold. */
+    * Output: distinct (a, b, cos) pairs with cos ≥ threshold — cos is
+    * computed exactly once per distinct candidate (the same serial-fold
+    * value [[nearDupPairs]] emits, so downstream consumers and oracles
+    * are interchangeable between the two forms). */
   def semanticNearDupPairs(emb: DataFrame, threshold: Double,
       targetCell: Int = 50, tables: Int = 4): DataFrame = {
     val e = withNorm(emb)
@@ -139,9 +142,9 @@ object Similarity {
     val eb = e.select(col("vec_id").as("b"),
       col("embedding").as("e_b"), col("nrm").as("n_b"))
     cand.join(ea, Seq("a")).join(eb, Seq("b"))
-      .filter((dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")))
-        >= threshold)
-      .select(col("a"), col("b"))
+      .select(col("a"), col("b"),
+        (dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b"))).as("cos"))
+      .filter(col("cos") >= threshold)
   }
 
   /** Brute-force cosine top-k: every query vector against the full

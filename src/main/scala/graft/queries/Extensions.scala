@@ -664,9 +664,18 @@ object Extensions {
   def simhashPairs(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.simHashPairs(docs(spark, sfDir), 3, bits = 28)
 
-  /** Embedding-cosine near-dup pairs within label buckets. */
+  /** Embedding-cosine near-dup pairs, CANDIDATE-BOUNDED: label buckets
+    * subdivided by corpus-size-adaptive LSH cells
+    * ([[Similarity.semanticNearDupPairs]], 4 tables), exact cosine
+    * verify per distinct candidate. Re-anchored in r11 from the
+    * all-pairs-within-label form ([[Similarity.nearDupPairs]]): that
+    * contract shape was quadratic in corpus size BY CONSTRUCTION (27×
+    * wall at 30× rows, 900× candidates) — a standing scale-killer in
+    * every full campaign. At the driver SF the adaptive bit count is 0
+    * and the output (pairs AND cos values) is bit-identical to the
+    * all-pairs form; at scale the candidate space is O(N·cell·tables). */
   def embedNearDup(spark: SparkSession, sfDir: String): DataFrame =
-    Similarity.nearDupPairs(emb(spark, sfDir), 0.4)
+    Similarity.semanticNearDupPairs(emb(spark, sfDir), 0.4)
 
   // ---------------------------------------------------------- similarity
   /** Brute-force cosine top-5 for query vectors vec_id < 20. */
@@ -2932,11 +2941,33 @@ object Extensions {
   private def coPurchaseTable(spark: SparkSession, sfDir: String): DataFrame = {
     val tbl = s"graft_copurchase_${Integer.toHexString(sfDir.hashCode)}"
     Parity.setupOnce("copurchase", sfDir) {
-      val uk = Parity.events(spark, sfDir)
+      val uk0 = Parity.events(spark, sfDir)
         .filter(col("event_type") === "purchase")
         .select(col("user_id"),
           get_json_object(col("props"), "$.k").cast(LongType).as("k"))
         .distinct()
+      // Degree-capped derivation (r11, the linkPredict middle-cap pattern
+      // applied to the BIPARTITE wedge this edge build enumerates): a hot
+      // PURCHASER (user touching > 1024 keys) becomes a near-complete hub
+      // whose downstream triangle/common-neighbor work grows
+      // quadratically in hub degree, and a hot PRODUCT KEY (> 256 users)
+      // is the wedge middle itself — per-key pair fanout is users²
+      // (quadratic in the hot group). Both are stopword-like: their
+      // marginal pairs carry the least co-purchase evidence (shared keys
+      // covering everyone discriminate nothing — the Adamic-Adar 1/deg
+      // argument) at the highest cost, so each side truncates
+      // DETERMINISTICALLY to its smallest ids (evidence-weighted
+      // truncation, replayed exactly by the oracle's QUALIFY mirror).
+      // Neither cap binds on the uniform fixtures at any probed SF —
+      // they exist for skewed corpora (the purchase-zipf twin).
+      val uk = uk0
+        .withColumn("rnu", row_number().over(
+          Window.partitionBy("user_id").orderBy("k")))
+        .filter(col("rnu") <= 1024)
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("k").orderBy("user_id")))
+        .filter(col("rnk") <= 256)
+        .drop("rnu", "rnk")
       val edges = uk.as("x").join(uk.as("y"),
           col("x.k") === col("y.k") && col("x.user_id") < col("y.user_id"))
         .groupBy(col("x.user_id").as("a"), col("y.user_id").as("b"))
@@ -4151,6 +4182,42 @@ object Extensions {
          CAST(FLOOR(epoch(p.ts)) AS BIGINT)
            - CAST(FLOOR(epoch(c.ts)) AS BIGINT) AS gap_s
        FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts"""
+  /** CTE fragments mirroring [[graft.ext.Similarity.semanticNearDupPairs]]
+    * over the `ne` (normed embeddings) CTE: adaptive LSH bit count `b`
+    * from corpus size (integer doubling count, no libm), 4 hash tables at
+    * plane offset 37·t, candidate pairs within (table, label, cell),
+    * exact-cosine verified once per DISTINCT pair. Shared by the
+    * d_semantic_keep and d_embed_neardup oracles so both replay the SAME
+    * candidate-bounded routing the engine runs — never an all-pairs scan. */
+  private def semPairCtes(threshold: String): String = {
+    def comp(p: String, i: String) =
+      s"(CAST((($p*64 + $i) * 2654435761) % 1000000007 AS DOUBLE) / 1000000007.0 - 0.5)"
+    val planeDot =
+      s"""list_reduce(list_prepend(0.0::DOUBLE,
+            list_transform(generate_series(1, len(embedding)), i ->
+              CAST(embedding[i] AS DOUBLE) * ${comp("(j + tbl*37)", "i")})),
+          (acc, v) -> acc + v)"""
+    val bucket =
+      s"""list_reduce(list_prepend(0::BIGINT,
+            list_transform(generate_series(0, b - 1), j ->
+              CASE WHEN $planeDot >= 0 THEN CAST(POW(2.0, j) AS BIGINT) ELSE 0 END)),
+          (a, v) -> a + v)"""
+    s"""bb AS (SELECT len(list_filter(generate_series(0, 29), j ->
+             CAST(POW(2.0, j) AS BIGINT) < r)) AS b
+           FROM (SELECT (nn + ll*50 - 1) // (ll*50) AS r FROM
+             (SELECT count(*) AS nn, count(DISTINCT label) AS ll FROM ne))),
+        bk AS MATERIALIZED (
+          SELECT tbl, vec_id, label, embedding, nrm, $bucket AS bkt
+          FROM ne CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS tbl)
+                  CROSS JOIN bb),
+        p AS MATERIALIZED (
+          SELECT DISTINCT x.vec_id AS a, y.vec_id AS b,
+            ${dotD("x.embedding", "y.embedding")} / (x.nrm * y.nrm) AS cos
+          FROM bk x JOIN bk y ON x.tbl = y.tbl AND x.label = y.label
+            AND x.bkt = y.bkt AND x.vec_id < y.vec_id
+          WHERE ${dotD("x.embedding", "y.embedding")} / (x.nrm * y.nrm)
+            >= $threshold)"""
+  }
   private def listSum(l: String) =
     s"list_reduce(list_prepend(0::BIGINT, $l), (a, b) -> a + b)"
   private def dotD(a: String, b: String) =
@@ -4167,10 +4234,16 @@ object Extensions {
   // round (exponential; the r7 sf1 campaign timed five of these oracles
   // out at >240 s; materialized they run in seconds).
   private val coPurchaseCte =
-    """uk AS MATERIALIZED (
+    """uk0 AS (
          SELECT DISTINCT user_id,
            CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
          FROM events WHERE event_type = 'purchase'),
+       uk1 AS (
+         SELECT user_id, k FROM uk0
+         QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY k) <= 1024),
+       uk AS MATERIALIZED (
+         SELECT user_id, k FROM uk1
+         QUALIFY row_number() OVER (PARTITION BY k ORDER BY user_id) <= 256),
        edges AS MATERIALIZED (
          SELECT x.user_id AS a, y.user_id AS b, count(*) AS shared
          FROM uk x JOIN uk y ON x.k = y.k AND x.user_id < y.user_id
@@ -5762,12 +5835,15 @@ object Extensions {
             bit_count(xor(x.sh, y.sh)) AS hamming
           FROM sim x JOIN sim y ON x.doc_id < y.doc_id
           WHERE bit_count(xor(x.sh, y.sh)) <= 3""",
+    // r11 re-anchor: the oracle replays the engine's LSH-routed
+    // candidate generation (semPairCtes == semanticNearDupPairs), not an
+    // all-pairs scan — the contract row's cost is O(N·cell·tables) at
+    // every scale. At the driver SF the adaptive bit count is 0 and the
+    // result is identical to the former label-bucket all-pairs form.
     "d_embed_neardup" ->
-      s"""WITH $normCte
-          SELECT x.vec_id AS a, y.vec_id AS b,
-            ${dotD("x.embedding", "y.embedding")} / (x.nrm * y.nrm) AS cos
-          FROM ne x JOIN ne y ON x.label = y.label AND x.vec_id < y.vec_id
-          WHERE ${dotD("x.embedding", "y.embedding")} / (x.nrm * y.nrm) >= 0.4""",
+      s"""WITH $normCte,
+          ${semPairCtes("0.4")}
+          SELECT a, b, cos FROM p""",
     "x_ann_topk" ->
       s"""WITH $normCte,
           scored AS (
@@ -6358,35 +6434,10 @@ object Extensions {
          FROM grams g JOIN marks m USING (gram)
          GROUP BY g.doc_id""",
     "d_semantic_keep" -> {
-      // Mirror of Similarity.semanticNearDupPairs: adaptive LSH bit count
-      // b from corpus size (integer doubling count, no libm), 4 hash
-      // tables at plane offset 37·t, pairs within (table, label, cell).
-      def comp(p: String, i: String) =
-        s"(CAST((($p*64 + $i) * 2654435761) % 1000000007 AS DOUBLE) / 1000000007.0 - 0.5)"
-      val planeDot =
-        s"""list_reduce(list_prepend(0.0::DOUBLE,
-              list_transform(generate_series(1, len(embedding)), i ->
-                CAST(embedding[i] AS DOUBLE) * ${comp("(j + tbl*37)", "i")})),
-            (acc, v) -> acc + v)"""
-      val bucket =
-        s"""list_reduce(list_prepend(0::BIGINT,
-              list_transform(generate_series(0, b - 1), j ->
-                CASE WHEN $planeDot >= 0 THEN CAST(POW(2.0, j) AS BIGINT) ELSE 0 END)),
-            (a, v) -> a + v)"""
+      // Candidate generation shared with d_embed_neardup via semPairCtes
+      // (the exact mirror of Similarity.semanticNearDupPairs).
       s"""WITH RECURSIVE $normCte,
-          bb AS (SELECT len(list_filter(generate_series(0, 29), j ->
-                   CAST(POW(2.0, j) AS BIGINT) < r)) AS b
-                 FROM (SELECT (nn + ll*50 - 1) // (ll*50) AS r FROM
-                   (SELECT count(*) AS nn, count(DISTINCT label) AS ll FROM ne))),
-          bk AS MATERIALIZED (
-            SELECT tbl, vec_id, label, embedding, nrm, $bucket AS bkt
-            FROM ne CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS tbl)
-                    CROSS JOIN bb),
-          p AS MATERIALIZED (
-            SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
-            FROM bk x JOIN bk y ON x.tbl = y.tbl AND x.label = y.label
-              AND x.bkt = y.bkt AND x.vec_id < y.vec_id
-            WHERE ${dotD("x.embedding", "y.embedding")} / (x.nrm * y.nrm) >= 0.4),
+          ${semPairCtes("0.4")},
           edges AS MATERIALIZED (SELECT a AS src, b AS dst FROM p
                     UNION SELECT b, a FROM p),
           reach(node, r) AS (

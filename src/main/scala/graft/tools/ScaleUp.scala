@@ -25,7 +25,7 @@ import org.apache.spark.sql.functions._
   *    pass slightly MORE docs than the original — the probe errs on
   *    the heavy side.
   *
-  * Usage: `sbt "runMain graft.tools.ScaleUp [srcDir] [outDir] [copies] [zipf]"`.
+  * Usage: `sbt "runMain graft.tools.ScaleUp [srcDir] [outDir] [copies] [zipf|zipfp]"`.
   * Output defaults under target/ (gitignored scratch, never touches
   * the read-only driver testdata).
   *
@@ -37,18 +37,32 @@ import org.apache.spark.sql.functions._
   * hot FK changes where rows land in a key-hashed shuffle, not how
   * many rows pass each operator), so wall(skew)/wall(uniform) isolates
   * shuffle-skew handling (AQE skew-join, salted aggregation paths).
-  * Purchase-event user_id is deliberately NOT skewed: the co-purchase
-  * graph's shared≥5 edge threshold sits at ~3× the mean per-user key
-  * coverage, so any hot purchaser becomes a near-complete hub and
-  * triangle/common-neighbor work grows QUADRATICALLY in hub degree — a
-  * workload change that would contaminate a layout probe.
+  * Purchase-event user_id is deliberately NOT skewed in `zipf` mode: the
+  * co-purchase graph's shared≥5 edge threshold sits at ~3× the mean
+  * per-user key coverage, so any hot purchaser becomes a near-complete
+  * hub and triangle/common-neighbor work grows QUADRATICALLY in hub
+  * degree — a workload change that would contaminate a layout probe.
+  * `zipfp` mode (round-11) skews purchase user_id TOO — the workload-
+  * change twin that measures whether the degree-capped co-purchase
+  * derivation actually bounds the graph family under a hot purchaser.
   */
 object ScaleUp {
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = if (args.length > 1) args(1) else "/root/repo/target/sfscaled"
     val copies = if (args.length > 2) args(2).toInt else 10
-    val zipf = args.length > 3 && args(3) == "zipf"
+    // zipf  = hot-FK layout twin, purchase user_id left uniform (layout
+    //         probe — see scaladoc).
+    // zipfp = zipf PLUS purchase user_id skew: the hot-PURCHASER twin the
+    //         r10 skew campaign scoped out. 10% of purchase rows land on
+    //         user 0 → that user touches ~10% of all product keys and
+    //         would be a near-complete co-purchase hub; the degree-capped
+    //         edge derivation (keys/user ≤ 1024, users/key ≤ 256) is what
+    //         keeps the graph family's work bounded — this twin exists to
+    //         MEASURE that.
+    val mode = if (args.length > 3) args(3) else ""
+    val zipfP = mode == "zipfp"
+    val zipf = mode == "zipf" || zipfP
 
     // 10% / 5% / 2.5% of rows onto keys 0 / 1 / 2, decided by a hash of
     // the row's own id (deterministic, key-independent — hot rows are a
@@ -77,7 +91,8 @@ object ScaleUp {
       ev.select(
         (col("event_id") + lit(i * off)).as("event_id"),
         col("ts"),
-        (if (zipf)
+        (if (zipfP) zipfHead(col("event_id") + lit(i * off), uid)
+        else if (zipf)
           // hot session/window keys, purchase rows excluded (see scaladoc)
           when(col("event_type") =!= "purchase",
             zipfHead(col("event_id") + lit(i * off), uid)).otherwise(uid)

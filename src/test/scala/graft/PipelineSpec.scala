@@ -422,8 +422,12 @@ class PipelineSpec extends SparkSpec {
 
   test("catalog time travel reads retained versions, pruning bounds them") {
     import spark.implicits._
+    // retentionMinAgeMs = 0 pins the BOUNDED-retention half of the
+    // contract (prune fires as soon as a version falls off the keep
+    // window); the grace half is the next test.
     val cat = new TableCatalog(
-      java.nio.file.Files.createTempDirectory("graft-tt").toString)
+      java.nio.file.Files.createTempDirectory("graft-tt").toString,
+      retentionMinAgeMs = 0L)
     cat.overwrite(Seq((1, "x")).toDF("k", "v"), "c.s.t")
     cat.overwrite(Seq((1, "y"), (2, "z")).toDF("k", "v"), "c.s.t")
     assert(cat.versions("c.s.t") == Seq("v000001", "v000002"))
@@ -434,6 +438,29 @@ class PipelineSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       cat.readVersion(spark, "c.s.t", "v000001")
     }
+  }
+
+  test("retention grace: a snapshot reader's version survives fast subsequent publishes") {
+    import spark.implicits._
+    // Default grace (10 min): versions superseded seconds ago are NOT
+    // reaped by write-time pruning, so a reader that resolved a version
+    // keeps its files for the whole grace window however fast the
+    // writer publishes — the r11 fix for the mid-read
+    // FAILED_READ_FILE race CatalogConcurrencySpec caught under load.
+    val cat = new TableCatalog(
+      java.nio.file.Files.createTempDirectory("graft-grace").toString)
+    cat.publishAtomic(Seq("c.s.g" -> Seq((1, 1L)).toDF("k", "run")))
+    val snap = cat.snapshot()
+    val pinned = snap.version("c.s.g").get
+    (2 to 5).foreach(r =>
+      cat.publishAtomic(Seq("c.s.g" -> Seq((1, r.toLong)).toDF("k", "run"))))
+    // four publishes later, the pinned version is still on disk and
+    // readable through the old snapshot
+    assert(cat.versions("c.s.g").contains(pinned))
+    assert(snap.read(spark, "c.s.g").select("run").head().getLong(0) == 1L)
+    // explicit operator vacuum overrides the grace (keeps serving only)
+    cat.vacuum("c.s.g", keepLast = 1)
+    assert(cat.versions("c.s.g") == Seq(cat.versions("c.s.g").last))
   }
 
   test("shallow clone shares inodes; divergent writes leave the other side intact") {

@@ -79,6 +79,11 @@ class QueryPlanAuditSpec extends SparkSpec {
                         // class-totals singleton
     "x_dsir_select",    // 64 bucket rows × broadcast corpus-totals
                         // singleton (the smoothing denominators)
+    "d_embed_neardup",  // vectors × broadcast 1-row adaptive-LSH
+                        // bit-count singleton (semanticNearDupPairs
+                        // params; the r11 candidate-bounded re-anchor —
+                        // d_semantic_keep runs the same shape but its
+                        // eager CC loop hides it from the final plan)
     "x_doremi_mix",     // ≤ #sources rows × broadcast 1-row normalizer,
                         // once per multiplicative-weights round
     "st_drift_stream"   // reference bins × broadcast distinct-hours

@@ -41,13 +41,16 @@ class DedupClusterPropertySpec extends SparkSpec {
     }
   }
 
-  test("a 200-node chain converges inside the 30-round cap (pointer jumping is O(log diameter))") {
+  test("a 200-node chain converges inside an explicit 30-round cap (pointer jumping is O(log diameter))") {
     // Diameter 199: plain neighbor-min propagation needs ~199 rounds and
     // blew the cap — exactly what the round-10 100×-rows probe hit on the
     // loose-threshold embedding near-dup graph. The label(label(v)) jump
-    // term makes this ~8 rounds.
+    // term makes this ~12 rounds; the EXPLICIT maxIters pins the
+    // O(log diameter) bound independently of the default (100), and the
+    // chain's near-constant changed-count trips the r11 progress gate so
+    // doubling engages at round 4.
     val pairs = (0L until 199L).map(i => (i, i + 1)).toDF("a", "b")
-    val got = Dedup.duplicateClusters(pairs).collect()
+    val got = Dedup.duplicateClusters(pairs, maxIters = 30).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.size == 200 && got.values.forall(_ == 0L), s"got=$got")
   }

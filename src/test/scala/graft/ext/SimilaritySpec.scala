@@ -33,6 +33,18 @@ class SimilaritySpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => (a, b) == (0L, 2L) }) // cross-bucket never paired
   }
 
+  test("semanticNearDupPairs at small corpus equals nearDupPairs exactly (pairs AND cos)") {
+    // Below the per-cell target the adaptive bit count is 0 — every table
+    // is the bare label cell — so the candidate-bounded form must emit
+    // the SAME rows bit-for-bit as the all-pairs form. This is the
+    // equivalence the r11 d_embed_neardup re-anchor rests on.
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("a", "b", "cos").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows(Similarity.semanticNearDupPairs(embDF, 0.4)) ==
+      rows(Similarity.nearDupPairs(embDF, 0.4)))
+  }
+
   test("bruteForceTopK ranks by cosine desc with id tiebreak") {
     val top = Similarity.bruteForceTopK(embDF, embDF.filter(col("vec_id") === 0), 3)
       .sort("rank").select("n_id").collect().map(_.getLong(0)).toSeq

@@ -10,7 +10,13 @@
 # FAST legality (round-9 discipline, after r8 ended on a never-executed
 # test): FAST is only legal when NOTHING under src/ (main OR test — a new
 # test must EXECUTE), build.sbt, or project/ changed since the last FULL
-# green run on this machine. The FULL pass records a content digest of
+# green run on this machine.
+#
+# Round-11 discipline (after the r10 breach — a source commit landed
+# AFTER the green gate): a GREEN here covers THIS tree only. Before the
+# final snapshot commit, run tools/gate_fresh.sh; it goes RED the moment
+# any later edit touches src/build.sbt/project, so a post-gate source
+# commit can no longer ship silently. The FULL pass records a content digest of
 # those paths in target/.gate_last_full_green; FAST refuses without a
 # matching digest and falls back to demanding a full run.
 set -uo pipefail
