@@ -188,6 +188,11 @@ object Dedup {
     def verify(pairs: DataFrame): DataFrame = pairs
       // lev(x, y) >= |len(x) - len(y)|: free pruning before the DP
       .filter(abs(length(col("px")) - length(col("py"))) <= maxDist)
+      // Plain (un-thresholded) Levenshtein, deliberately: the Spark 3.5+
+      // banded form (levenshtein(l, r, maxDist)) measured SLOWER here —
+      // 249.6 s vs 184.7 s on the 100×-rows fixture — because at
+      // prefixLen ≤ 64 the full DP's branch-free inner loop beats the
+      // band's per-cell bounds checks. Revisit if prefixLen grows.
       .select(col("a"), col("b"), col("lang"),
         levenshtein(col("px"), col("py")).cast("long").as("dist"))
       .filter(col("dist") <= maxDist)
@@ -241,12 +246,29 @@ object Dedup {
         col("prefix").as("py")), Seq("b", "lang", "blk"))
 
     // Short prefixes (doc shorter than prefixLen) sit in the bottom
-    // length buckets; their blocks are bounded by the bucket width, so
-    // the plain quadratic form stays cheap there.
+    // length buckets; the plain block join stays — it is the lossless
+    // fallback — but with two 100×-rows lessons applied (the r11 full
+    // campaign caught ONE task running the DP for 21 minutes while 31
+    // cores idled):
+    //  1. The length-gate (lev ≥ |len(x) − len(y)|) rides IN the join as
+    //     a residual, so pruned pairs die inside the pair-enumeration
+    //     task instead of being materialized for the verify stage.
+    //  2. The survivors REPARTITION BY (a, b) before the Levenshtein DP.
+    //     Weak scaling multiplies the population of each (lang, blk)
+    //     block (copies preserve lengths), and the block key is also the
+    //     pairs' hash key — so the quadratic-in-block DP work of the
+    //     hottest block lands on ONE partition however many cores exist.
+    //     One bounded extra exchange of the (already length-gated) pair
+    //     table buys per-PAIR placement: the DP parallelizes to the
+    //     cluster no matter how the blocks skew. The candidate count
+    //     itself stays quadratic in block size — bounded by the short-doc
+    //     population (2.5% of the corpus at every probed SF; docs under
+    //     64 chars are exact-hash/MinHash territory in production).
+    val lenGate = abs(length(col("x.prefix")) - length(col("y.prefix"))) <= maxDist
     val dShort = d.filter(length(col("prefix")) < prefixLen)
     val shortPairs = dShort.as("x").join(dShort.as("y"),
         col("x.lang") === col("y.lang") && col("x.blk") === col("y.blk") &&
-          col("x.doc_id") < col("y.doc_id"))
+          col("x.doc_id") < col("y.doc_id") && lenGate)
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
         col("x.lang").as("lang"),
         col("x.prefix").as("px"), col("y.prefix").as("py"))
@@ -254,14 +276,18 @@ object Dedup {
     // shared block (lengths differ by < bucketWidth): keep the plain
     // join for the cross case — the short side bounds its size
     val crossPairs = dShort.as("x").join(dFull.as("y"),
-        col("x.lang") === col("y.lang") && col("x.blk") === col("y.blk"))
+        col("x.lang") === col("y.lang") && col("x.blk") === col("y.blk") &&
+          lenGate)
       .select(least(col("x.doc_id"), col("y.doc_id")).as("a"),
         greatest(col("x.doc_id"), col("y.doc_id")).as("b"),
         col("x.lang").as("lang"),
         col("x.prefix").as("px"), col("y.prefix").as("py"))
+    val p = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val blockPairs = shortPairs.unionByName(crossPairs)
+      .repartition(p, col("a"), col("b"))
 
     verify(fullPairs.select("a", "b", "lang", "px", "py")
-      .unionByName(shortPairs).unionByName(crossPairs))
+      .unionByName(blockPairs))
   }
 
   /** Shared candidate stage of the capped family: rare-postings self-join

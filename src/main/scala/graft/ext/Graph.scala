@@ -562,8 +562,11 @@ object Graph {
     * dir here), so a lost executor's partitions recompute by re-READING
     * the checkpoint files. Cost: the eager reliable checkpoint runs the
     * round's plan and writes it out once more (Spark re-runs the RDD to
-    * write checkpoint files), measured ~2× the per-round wall of local
-    * mode — the availability premium, paid only when asked for.
+    * write checkpoint files) — measured 1.25–1.30× the whole-query wall
+    * on the iterative tail at sf0.1 (x_curation_cc 3.35→4.18 s,
+    * d_dup_clusters 2.46→3.19 s, x_pagerank 2.21→2.80 s; TimeQ
+    * min-of-2, matched host). The availability premium, paid only when
+    * asked for.
     * Partitioning is preserved by both modes (LogicalRDD records the
     * physical plan's layout); [[checkpointKeyed]] verifies it either way. */
   private[graft] def ckpt(df: DataFrame): DataFrame = {
