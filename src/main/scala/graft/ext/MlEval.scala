@@ -423,19 +423,18 @@ object MlEval {
     * this pre-period covariate remove". Pure moment algebra, no per-unit
     * adjusted values: θ = cov/var(x) and the adjusted variance is
     * var(y)·(1 − ρ²) closed-form, so one scan of integer (centi) pairs →
-    * exact decimal moments → two mirrored IEEE chains. Moments are
-    * BIGINT-range-checked on output (the [[corrMatrix]] convention —
-    * raise like DuckDB's checked int128, never wrap). */
+    * exact decimal moments → two mirrored IEEE chains. The vx/vy/cov
+    * READOUT is a double (one correctly-rounded decimal→double cast,
+    * mirrored by the oracle's HUGEINT→DOUBLE): the centered moments grow
+    * ~N²·v², so the r11 100×-rows campaign blew the former checked-BIGINT
+    * readout at 3.7e19 — a loud raise, caught by the guard as designed,
+    * but a readout type that structurally cannot survive scale. The
+    * internal algebra (and θ/ρ² which divide the exact decimals) is
+    * unchanged — only the reporting columns round, identically in both
+    * engines. */
   def cuped(units: DataFrame): DataFrame = {
     val d = units.select(col("x").cast("decimal(38,0)").as("x"),
       col("y").cast("decimal(38,0)").as("y"))
-    def asLong(c: org.apache.spark.sql.Column, nm: String) = {
-      val lim = lit(Long.MaxValue).cast("decimal(38,0)")
-      when(c <= lim && c >= -lim, c.cast(LongType))
-        .otherwise(raise_error(concat(
-          lit(s"cuped: $nm overflows BIGINT: "), c.cast("string")))
-          .cast(LongType)).as(nm)
-    }
     d.agg(count(lit(1)).cast("decimal(38,0)").as("n_dec"),
         sum("x").as("sx_dec"), sum("y").as("sy_dec"),
         sum(col("x") * col("y")).as("sxy_dec"),
@@ -448,8 +447,9 @@ object MlEval {
       .withColumn("cov_dec",
         col("n_dec") * col("sxy_dec") - col("sx_dec") * col("sy_dec"))
       .select(col("n_dec").cast(LongType).as("n_units"),
-        asLong(col("vx_dec"), "vx"), asLong(col("vy_dec"), "vy"),
-        asLong(col("cov_dec"), "cov"),
+        col("vx_dec").cast(DoubleType).as("vx"),
+        col("vy_dec").cast(DoubleType).as("vy"),
+        col("cov_dec").cast(DoubleType).as("cov"),
         when(col("vx_dec") > 0,
           col("cov_dec").cast(DoubleType) / col("vx_dec").cast(DoubleType))
           .as("theta"),

@@ -4678,8 +4678,8 @@ object Extensions {
              n * sxy - sx * sy AS cov_h
            FROM m)
          SELECT CAST(n AS BIGINT) AS n_units,
-           CAST(vx_h AS BIGINT) AS vx, CAST(vy_h AS BIGINT) AS vy,
-           CAST(cov_h AS BIGINT) AS cov,
+           CAST(vx_h AS DOUBLE) AS vx, CAST(vy_h AS DOUBLE) AS vy,
+           CAST(cov_h AS DOUBLE) AS cov,
            CASE WHEN vx_h > 0 THEN
              CAST(cov_h AS DOUBLE) / CAST(vx_h AS DOUBLE) END AS theta,
            CASE WHEN vx_h > 0 AND vy_h > 0 THEN

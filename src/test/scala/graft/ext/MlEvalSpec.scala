@@ -191,7 +191,7 @@ class MlEvalSpec extends SparkSpec {
     // x: 0,0,10,10  y: 0,10,0,10 → cov = n·sxy − sx·sy = 4·100 − 20·20 = 0
     val units = Seq((0L, 0L), (0L, 10L), (10L, 0L), (10L, 10L)).toDF("x", "y")
     val r = MlEval.cuped(units).collect().head
-    assert(r.getAs[Long]("cov") == 0L)
+    assert(r.getAs[Double]("cov") == 0.0)
     assert(r.getAs[Double]("theta") == 0.0)
     assert(r.getAs[Double]("var_ratio") == 1.0)
     // constant x → vx = 0 → theta/rho2 null
@@ -199,6 +199,21 @@ class MlEvalSpec extends SparkSpec {
     val rc = MlEval.cuped(const).collect().head
     assert(rc.isNullAt(rc.fieldIndex("theta")) &&
       rc.isNullAt(rc.fieldIndex("var_ratio")))
+  }
+
+  test("cuped: moments beyond BIGINT survive as correctly-rounded doubles") {
+    // The r11 100x-rows campaign blew the former checked-BIGINT readout
+    // at vx = 3.7e19: centered moments grow ~N^2*v^2. The decimal
+    // algebra is exact; the readout rounds once to double.
+    val big = 3000000000L // 3e9 centi-units per x
+    val units = Seq((big, 1L), (2L * big, 2L), (3L * big, 3L), (4L * big, 4L))
+      .toDF("x", "y")
+    val r = MlEval.cuped(units).collect().head
+    // vx = n*sxx − sx² = 4·270e18 − (30e9)² = 1.8e20 exactly (decimal),
+    // read out as the correctly-rounded double 1.8E20 — 20× past the
+    // old BIGINT limit without a raise
+    assert(r.getAs[Double]("vx") == 1.8e20, s"vx=${r.getAs[Double]("vx")}")
+    assert(r.getAs[Double]("theta") > 0.0)
   }
 
   test("fleissKappa3: perfect agreement gives kappa 1; hand case matches") {
