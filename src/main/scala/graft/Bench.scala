@@ -84,6 +84,11 @@ object Bench {
             false
           }
         val t = (System.nanoTime() - t0) / 1e9
+        // Listener events are delivered async — drain before reading the
+        // per-query counter deltas, or query N's tail tasks bill query
+        // N+1 (noise that can push a top-20 mover across the sf10
+        // shuffle-volume linear-growth gate). Outside the timed region.
+        org.apache.spark.sql.graft.Bridge.drainListenerBus(spark)
         val taskSec = (taskMs.get - task0) / 1e3
         // Shuffle MB this query moved: write + read double-counts each
         // exchange by design (both sides are real I/O), and the metric is
@@ -105,6 +110,9 @@ object Bench {
     // full second pass would run too long, re-measure just the slowest
     // pass-1 entries (the ones a stall distorts most, and the ones read
     // as regressions) within a bounded wall budget.
+    // Drain warmup's in-flight listener events so they don't bill the
+    // first measured query's counters.
+    org.apache.spark.sql.graft.Bridge.drainListenerBus(spark)
     val pass1 = pass()
     val taskSecOf = pass1.map(r => r._1 -> r._4).toMap
     val shufMbOf = pass1.map(r => r._1 -> r._5).toMap

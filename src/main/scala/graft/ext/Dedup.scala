@@ -420,11 +420,15 @@ object Dedup {
     * so the fixpoint (label = min id in component) and its determinism
     * are unchanged; each round truncates lineage with an eager
     * localCheckpoint so plan size stays O(1) in the iteration count.
-    * The fixpoint is detected with a limit-1 existence probe, not a
-    * full count. maxIters is a SAFETY VALVE, not a budget — the probe
-    * exits as soon as a round changes nothing (3-5 rounds at gate SF;
-    * the 100×-rows near-forest measured 34) — so it is set high enough
-    * that only a real non-termination bug can trip it.
+    * The fixpoint is detected by counting the round's changed rows
+    * (`next.filter(__changed).count()` over the already-checkpointed
+    * result — no extra join); the same per-round count drives the
+    * pointer-jump gate, which engages only while the changed count
+    * fails to halve round-over-round. maxIters is a SAFETY VALVE, not a
+    * budget — the loop exits as soon as a round changes nothing (3-5
+    * rounds at gate SF; the 100×-rows near-forest measured 34) — so it
+    * is set high enough that only a real non-termination bug can trip
+    * it.
     */
   def duplicateClusters(pairs: DataFrame, a: String = "a", b: String = "b",
                         maxIters: Int = 100): DataFrame = {
@@ -509,14 +513,9 @@ object Dedup {
     labels
   }
 
-  /** Unpersist the block-manager storage behind a localCheckpoint'd frame
-    * (Dataset.unpersist only covers cache-manager entries, not checkpoint
-    * RDDs). No-op for non-checkpoint plans. */
-  private def freeCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
+  /** Free a round's checkpoint backing (blocks, and in reliable mode the
+    * round's checkpoint files) — see [[Graph.freeCheckpoint]]. */
+  private def freeCheckpoint(df: DataFrame): Unit = Graph.freeCheckpoint(df)
 
   /** MinHash signatures: doc_id, sig array<long> of k permuted minima.
     * Staged projections (shingles → hs → sig) keep each intermediate

@@ -582,16 +582,33 @@ object Graph {
 
   /** Unpersist the block-manager storage behind a localCheckpoint'd frame
     * (Dataset.unpersist only covers cache-manager entries, not checkpoint
-    * RDDs). No-op for non-checkpoint plans and for reliable-checkpoint
-    * frames (their backing is files, not blocks; unpersist of a
-    * never-persisted RDD is a no-op). Public: callers that feed a
+    * RDDs). For RELIABLE-checkpoint frames the backing is FILES in the
+    * checkpoint dir, so freeing additionally DELETES that round's
+    * checkpoint directory — without it a long iterative run (CC /
+    * PageRank / k-core, up to 100 rounds each, many queries per session)
+    * grows the durable FS unboundedly, because nothing else ever cleans
+    * reliable checkpoints (`spark.cleaner.referenceTracking
+    * .cleanCheckpoints` defaults to false, and even when on it only
+    * fires at driver GC). Freeing a frame DESTROYS its backing in both
+    * modes — call it only once a successor round (itself checkpointed to
+    * its own files/blocks) is materialized, exactly as the loops do.
+    * No-op for non-checkpoint plans. Public: callers that feed a
     * checkpointed input into an iterative routine (whose internals
     * eagerly re-checkpoint everything they keep) should free their input
-    * once the routine returns — in a long-lived session the blocks
-    * otherwise accumulate until the context dies. */
+    * once the routine returns — in a long-lived session the blocks (or
+    * checkpoint files) otherwise accumulate until the context dies. */
   def freeCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+        lr.rdd.getCheckpointFile.foreach { p =>
+          val path = new org.apache.hadoop.fs.Path(p)
+          val conf = df.sparkSession.sparkContext.hadoopConfiguration
+          // Best-effort: a failed delete only delays cleanup; it must
+          // never fail the query that finished the round.
+          try path.getFileSystem(conf).delete(path, true)
+          catch { case _: java.io.IOException => () }
+        }
       case _ => ()
     }
 }

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
@@ -446,10 +446,17 @@ object MlEval {
         col("n_dec") * col("syy_dec") - col("sy_dec") * col("sy_dec"))
       .withColumn("cov_dec",
         col("n_dec") * col("sxy_dec") - col("sx_dec") * col("sy_dec"))
+      // Overflow sentinel: under default non-ANSI mode a decimal(38,0)
+      // sum or product that exceeds 1e38 silently becomes NULL, while
+      // the oracle's HUGEINT RAISES — past the next scale horizon the
+      // engines would diverge silently. A null moment with n > 0 can
+      // only mean decimal overflow (or an all-null metric column, which
+      // the same raise surfaces rather than reporting null statistics),
+      // so turn it back into a loud failure, matching the oracle's.
       .select(col("n_dec").cast(LongType).as("n_units"),
-        col("vx_dec").cast(DoubleType).as("vx"),
-        col("vy_dec").cast(DoubleType).as("vy"),
-        col("cov_dec").cast(DoubleType).as("cov"),
+        checkedMoment(col("vx_dec"), "vx").cast(DoubleType).as("vx"),
+        checkedMoment(col("vy_dec"), "vy").cast(DoubleType).as("vy"),
+        checkedMoment(col("cov_dec"), "cov").cast(DoubleType).as("cov"),
         when(col("vx_dec") > 0,
           col("cov_dec").cast(DoubleType) / col("vx_dec").cast(DoubleType))
           .as("theta"),
@@ -459,6 +466,17 @@ object MlEval {
           .as("rho2"))
       .withColumn("var_ratio", lit(1.0) - col("rho2"))
   }
+
+  /** Loud readout for a decimal(38,0) centered moment: null with n > 0
+    * is the non-ANSI decimal-overflow sentinel — raise instead of
+    * emitting a silently-wrong null (the oracle's HUGEINT raises at the
+    * same magnitude). */
+  private def checkedMoment(m: Column, name: String): Column =
+    when(col("n_dec") > 0 && m.isNull,
+      raise_error(lit(s"cuped: decimal(38,0) moment '$name' overflowed " +
+        "(centered moments grow ~N^2*v^2); the DuckDB oracle's HUGEINT " +
+        "raises at the same point — scale the centi units down")))
+      .otherwise(m)
 
   /** Pair-counting evaluation of a predicted clustering against gold
     * labels — pairwise precision/recall/F1 plus the adjusted Rand index

@@ -33,6 +33,18 @@ object Bridge {
     }
   }
 
+  /** Drain the async listener bus: block (bounded) until every queued
+    * SparkListener event is delivered. Task-end events arrive
+    * asynchronously after an action returns, so metric counters read
+    * immediately afterwards can attribute a query's tail tasks to its
+    * successor; draining first makes per-query deltas attributable.
+    * Lives here because `SparkContext.listenerBus` is `private[spark]`.
+    * Best-effort: a timeout (stuck listener) must not fail the caller —
+    * the residual attribution error is the pre-drain status quo. */
+  def drainListenerBus(spark: SparkSession, timeoutMs: Long = 5000L): Unit =
+    try spark.sparkContext.listenerBus.waitUntilEmpty(timeoutMs)
+    catch { case _: java.util.concurrent.TimeoutException => () }
+
   /** Re-issue a localCheckpoint'd frame with its carried statistics
     * CAPPED at Long.MaxValue bytes/rows.
     *

@@ -216,6 +216,28 @@ class MlEvalSpec extends SparkSpec {
     assert(r.getAs[Double]("theta") > 0.0)
   }
 
+  test("cuped: decimal(38,0) moment overflow raises, never a silent null") {
+    // A decimal(38,0) moment past 1e38 must fail LOUDLY in every session
+    // mode, because the DuckDB oracle's HUGEINT raises at that point:
+    // under ANSI (the Spark 4 default, on here) the sum itself raises
+    // NUMERIC_VALUE_OUT_OF_RANGE; under legacy non-ANSI the sum becomes
+    // a silent NULL and the checkedMoment sentinel converts it back into
+    // a raise. x*x = 1e36 per row, 200 rows → sxx = 2e38 > 1e38.
+    val big = 1000000000000000000L // 1e18
+    val units = Seq.fill(200)((big, 1L)).toDF("x", "y")
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    val exAnsi = intercept[Exception] { MlEval.cuped(units).collect() }
+    assert(messages(exAnsi).exists(_.contains("NUMERIC_VALUE_OUT_OF_RANGE")),
+      s"expected the ANSI sum overflow raise, got: ${exAnsi.getMessage}")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val exLegacy = intercept[Exception] { MlEval.cuped(units).collect() }
+      assert(messages(exLegacy).exists(_.contains("moment")),
+        s"expected the checkedMoment raise, got: ${exLegacy.getMessage}")
+    } finally spark.conf.unset("spark.sql.ansi.enabled")
+  }
+
   test("fleissKappa3: perfect agreement gives kappa 1; hand case matches") {
     val perfect = Seq(("a", "a", "a"), ("b", "b", "b"))
       .toDF("r1", "r2", "r3")

@@ -59,6 +59,37 @@ class ReliableCheckpointSpec extends SparkSpec {
     }
   }
 
+  test("freeCheckpoint deletes a reliable round's checkpoint files") {
+    // Without deletion a long iterative run (up to 100 rounds per query,
+    // many queries per session) grows the durable checkpoint FS
+    // unboundedly — nothing else cleans reliable checkpoints.
+    val frame = withReliable { Graph.ckpt(Seq(1L, 2L, 3L).toDF("x")) }
+    val ckptFile = frame.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.getCheckpointFile
+      case other => fail(s"expected LogicalRDD, got ${other.getClass}")
+    }
+    assert(ckptFile.isDefined, "reliable frame should report a checkpoint file")
+    val path = new org.apache.hadoop.fs.Path(ckptFile.get)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(path), "checkpoint dir should exist while the frame is live")
+    Graph.freeCheckpoint(frame)
+    assert(!fs.exists(path),
+      "freeCheckpoint must delete the reliable round's checkpoint dir")
+    // duplicateClusters frees each superseded round internally: after a
+    // full reliable run, at most the FINAL frames' dirs remain — the
+    // per-iteration dirs are gone.
+    val before = fs.listStatus(path.getParent).length
+    val labels = withReliable {
+      Dedup.duplicateClusters(pairs.toDF("a", "b"))
+    }
+    labels.collect()
+    val after = fs.listStatus(path.getParent).length
+    // edges + per-round checkpoints all freed except the returned frame
+    // (plus its feeding round when the loop exits without freeing it).
+    assert(after - before <= 2,
+      s"reliable CC run left ${after - before} checkpoint dirs behind")
+  }
+
   test("reliable checkpoint survives block loss; local checkpoint does not") {
     def dropBlocks(df: DataFrame): Unit =
       df.queryExecution.analyzed match {

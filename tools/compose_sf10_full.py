@@ -35,6 +35,17 @@ ratios = {q: v["ratio"] for q, v in per_query.items()
 worst = sorted(ratios.items(), key=lambda kv: -kv[1])
 
 # ---- shuffle-volume gate (top-20 big-leg wall movers) ----
+# Guard: an input without shuffle_mb (older record, or a clipped capture
+# passed instead of bench_local.json) would default every volume to 0 and
+# the gate would silently report "nothing over linear" — 'no data' must
+# not read as 'pass'.
+missing_shuffle = [name for name, rec in (("small", small), ("big", big))
+                   if "shuffle_mb" not in rec]
+if missing_shuffle:
+    raise SystemExit(
+        f"compose_sf10_full: input record(s) {missing_shuffle} lack "
+        "'shuffle_mb' — the shuffle-volume gate cannot run; pass full "
+        "bench_local.json-style records (Bench emits shuffle_mb since r10)")
 sh_s = small.get("shuffle_mb", {})
 sh_b = big.get("shuffle_mb", {})
 movers = sorted(common, key=lambda q: -float(qs_b[q]))[:20]
