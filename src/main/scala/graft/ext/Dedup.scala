@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale training-data curation — the
@@ -182,11 +182,15 @@ object Dedup {
     * One shuffle keyed on the block; no driver-side work. */
   def editDistancePairs(docs: DataFrame, maxDist: Int = 12,
                         prefixLen: Int = 64, bucketWidth: Int = 40): DataFrame = {
+    val nSeg = maxDist + 1
     val d = docs.select(col("doc_id"), col("lang"),
       substring(col("text"), 1, prefixLen).as("prefix"),
       expr(s"n_chars div $bucketWidth").as("blk"))
+      .withColumn("plen", length(col("prefix")))
     def verify(pairs: DataFrame): DataFrame = pairs
       // lev(x, y) >= |len(x) - len(y)|: free pruning before the DP
+      // (redundant under the candidate join's length range, kept as a
+      // cheap belt for any future candidate-path change)
       .filter(abs(length(col("px")) - length(col("py"))) <= maxDist)
       // Plain (un-thresholded) Levenshtein, deliberately: the Spark 3.5+
       // banded form (levenshtein(l, r, maxDist)) measured SLOWER here —
@@ -197,20 +201,47 @@ object Dedup {
         levenshtein(col("px"), col("py")).cast("long").as("dist"))
       .filter(col("dist") <= maxDist)
 
-    // Full-length prefixes go through a PassJoin-style pigeonhole filter
-    // (Li, Deng, Feng, VLDB 2011): split ONE side's prefix into
-    // maxDist+1 contiguous segments — any pair within maxDist edits must
-    // contain at least one segment of the other EDIT-FREE, displaced by
-    // at most maxDist positions. Candidates are therefore an equi-join
-    // of (lang, blk, segment-slot, substring) postings, LOSSLESS by the
-    // pigeonhole (the plain block-quadratic join is the oracle and the
-    // DedupSpec twin), and the O(prefixLen²) Levenshtein DP runs only on
-    // survivors. The r7 sf1 probe measured the unfiltered form at 55×
-    // for 10× rows — all of it DP on block pairs; blocks grow linearly
-    // with the corpus, so the exact-verify stage MUST be candidate-
-    // bounded, same design law as the shingle/MinHash family.
-    val dFull = d.filter(length(col("prefix")) === prefixLen)
-    val nSeg = maxDist + 1
+    // EVERY length goes through a PassJoin-style pigeonhole filter
+    // (Li, Deng, Feng, VLDB 2011): split the INDEX side's prefix (its
+    // own length L) into maxDist+1 contiguous segments — any pair
+    // within maxDist edits must contain at least one segment of the
+    // other EDIT-FREE, at a bounded displacement. Candidates are an
+    // equi-join of (lang, blk, [L,] segment-slot, substring) postings,
+    // LOSSLESS by the pigeonhole (the plain block-quadratic join is
+    // the AnalyticsSpec twin; the driver oracle replays an equivalent
+    // lossless candidate scheme, so values coincide at every SF); the
+    // O(prefixLen²) Levenshtein DP runs only on survivors, ABOVE the
+    // candidate distinct — never as a join residual, where Catalyst's
+    // filter-through-aggregate pushdown would run the DP once per
+    // duplicated candidate row (measured 3× the query wall). History:
+    // the r7 sf1 probe measured the unfiltered form at 55× for 10×
+    // rows; until r12 only the full-length (plen == prefixLen)
+    // majority was segment-filtered, and the short-prefix tail kept a
+    // lossless block join whose candidates were block-QUADRATIC in the
+    // short-doc population (2.5% of the corpus, but quadratic beats
+    // any constant eventually). Now both paths are candidate-bounded,
+    // same design law as the shingle/MinHash family.
+    //
+    // Geometry (per index length L): the first L%nSeg segments are
+    // ⌈L/nSeg⌉ chars, the rest ⌊L/nSeg⌋.
+    // Probe-window law (tightened r12): an edit-free segment of the
+    // shorter string (length L) starting at s appears in the longer
+    // (length plen, Δ = plen − L ≥ 0) at displacement δ = p − s where
+    // edits before the segment cost ≥ |δ| and edits after ≥ |Δ − δ|, so
+    // |δ| + |Δ − δ| ≤ maxDist — i.e. δ ∈ [−⌊(maxDist−Δ)/2⌋,
+    // ⌊(maxDist+Δ)/2⌋], a (maxDist+1)-wide window instead of the naive
+    // ±maxDist (2·maxDist+1): HALF the probe volume, still lossless.
+    def segLen(L: Column, i: Int): Column =
+      floor(L / nSeg).cast("int") +
+        when(lit(i) < L % nSeg, lit(1)).otherwise(lit(0))
+    def segStart(L: Column, i: Int): Column =
+      lit(1) + lit(i) * floor(L / nSeg).cast("int") + least(lit(i), L % nSeg)
+
+    // ---- full-length path (the corpus majority: every doc with
+    // plen == prefixLen, so Δ = 0 and the geometry is a compile-time
+    // constant): one static Generate per side, substring offsets baked
+    // into the plan — the cheapest possible per-row work.
+    val dFull = d.filter(col("plen") === prefixLen)
     val base = prefixLen / nSeg
     val rem = prefixLen % nSeg
     // first `rem` segments are base+1 chars, the rest base; 1-based starts
@@ -222,72 +253,97 @@ object Dedup {
         (i, s, len)
       }
     }
-    val ySegs = dFull.select(col("doc_id").as("b"), col("lang"), col("blk"),
+    val ySegsF = dFull.select(col("doc_id").as("b"), col("lang"), col("blk"),
       explode(array(segs.map { case (i, s, l) =>
         struct(lit(i).as("seg"), substring(col("prefix"), s, l).as("sub"))
       }: _*)).as("kv"))
       .select(col("b"), col("lang"), col("blk"),
         col("kv.seg").as("seg"), col("kv.sub").as("sub"))
-    val xProbes = dFull.select(col("doc_id").as("a"), col("lang"), col("blk"),
+    val xProbesF = dFull.select(col("doc_id").as("a"), col("lang"), col("blk"),
       explode(array(segs.flatMap { case (i, s, l) =>
-        ((s - maxDist) max 1).to((s + maxDist) min (prefixLen - l + 1)).map { p =>
-          struct(lit(i).as("seg"), substring(col("prefix"), p, l).as("sub"))
-        }
+        ((s - maxDist / 2) max 1).to((s + maxDist / 2) min (prefixLen - l + 1))
+          .map { p =>
+            struct(lit(i).as("seg"), substring(col("prefix"), p, l).as("sub"))
+          }
       }: _*)).as("kv"))
       .select(col("a"), col("lang"), col("blk"),
         col("kv.seg").as("seg"), col("kv.sub").as("sub"))
-    val candFull = xProbes.join(ySegs, Seq("lang", "blk", "seg", "sub"))
+    val candFull = xProbesF.join(ySegsF, Seq("lang", "blk", "seg", "sub"))
       .filter(col("a") < col("b"))
       .select("a", "b", "lang", "blk").distinct()
-    val fullPairs = candFull
-      .join(dFull.select(col("doc_id").as("a"), col("lang"), col("blk"),
+
+    // ---- variable-length path (index side = SHORT docs only): until
+    // r12 this population kept a lossless block join whose candidates
+    // were block-QUADRATIC in the short-doc count (2.5% of the corpus,
+    // but quadratic beats any constant eventually — the r11 100× probe
+    // paid 21 task-minutes here before the per-pair repartition fix).
+    // Now the same pigeonhole applies at every length: the index doc
+    // posts segments under ITS OWN length L, and the longer side
+    // (shorts and fulls within Δ ≤ maxDist) probes that geometry. The
+    // geometry itself — segment slots, starts, lengths, and the probe
+    // position range — is precomputed on the tiny distinct-(lang, blk,
+    // L<prefixLen) table and BROADCAST, so the corpus-sized side pays
+    // one hash-probe + substr per emitted probe row, no per-row
+    // division math and no Generate. Empty segments (L < nSeg) are
+    // KEPT: for such tiny docs every segment can be touched by an
+    // edit, so dropping empties would lose pairs; they degrade to
+    // per-(lang, blk, L) pairing only within the sub-nSeg-char docs.
+    val lensS = d.filter(col("plen") < prefixLen)
+      .select(col("lang").as("l_lang"), col("blk").as("l_blk"),
+        col("plen").as("L")).distinct()
+    val segGeo = lensS.select(col("l_lang"), col("l_blk"), col("L"),
+        explode(array((0 until nSeg).map { i =>
+          struct(lit(i).as("seg"), segStart(col("L"), i).as("st"),
+            segLen(col("L"), i).as("sl"))
+        }: _*)).as("g"))
+      .select(col("l_lang"), col("l_blk"), col("L"),
+        col("g.seg").as("seg"), col("g.st").as("st"), col("g.sl").as("sl"))
+    // position superset over all Δ ∈ [0, maxDist]; the join residual
+    // applies the per-doc tight window and the probe's own bounds
+    val posGeo = segGeo.select(col("l_lang"), col("l_blk"), col("L"),
+      col("seg"), col("st"), col("sl"),
+      explode(sequence(col("st") - maxDist / 2, col("st") + maxDist)).as("p"))
+    val ySegsS = d.join(broadcast(segGeo), d("lang") === col("l_lang") &&
+        d("blk") === col("l_blk") && d("plen") === col("L"))
+      .select(d("doc_id").as("b"), d("lang"), d("blk"), col("L"), col("seg"),
+        d("prefix").substr(col("st"), col("sl")).as("sub"))
+    val dlt = d("plen") - col("L")
+    val xProbesS = d.join(broadcast(posGeo), d("lang") === col("l_lang") &&
+        d("blk") === col("l_blk") &&
+        col("L").between(d("plen") - maxDist, d("plen")) &&
+        col("p") >= greatest(
+          col("st") - floor((lit(maxDist) - dlt) / 2).cast("int"), lit(1)) &&
+        col("p") <= least(
+          col("st") + floor((lit(maxDist) + dlt) / 2).cast("int"),
+          d("plen") - col("sl") + 1))
+      .select(d("doc_id").as("a"), d("lang"), d("blk"), d("plen"), col("L"),
+        col("seg"), d("prefix").substr(col("p"), col("sl")).as("sub"))
+    // plen > L pairs exist in one direction only (longer probes
+    // shorter); equal SHORT lengths appear in both — canonicalize with
+    // a < b. Disjoint from candFull by construction (the index side
+    // here is always short).
+    val candVar = xProbesS.join(ySegsS, Seq("lang", "blk", "L", "seg", "sub"))
+      .filter(col("plen") > col("L") || col("a") < col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"), col("lang"), col("blk"))
+      .distinct()
+
+    val cand = candFull.unionByName(candVar)
+
+    // Survivors REPARTITION BY (a, b) before the Levenshtein DP (the
+    // r11 100×-campaign lesson: weak scaling multiplies each block's
+    // population and the join-back key would otherwise place the
+    // hottest doc's whole candidate list on one partition — one bounded
+    // exchange of the sparse candidate table buys per-PAIR DP placement
+    // however the blocks skew).
+    val withText = cand
+      .join(d.select(col("doc_id").as("a"), col("lang"), col("blk"),
         col("prefix").as("px")), Seq("a", "lang", "blk"))
-      .join(dFull.select(col("doc_id").as("b"), col("lang"), col("blk"),
+      .join(d.select(col("doc_id").as("b"), col("lang"), col("blk"),
         col("prefix").as("py")), Seq("b", "lang", "blk"))
-
-    // Short prefixes (doc shorter than prefixLen) sit in the bottom
-    // length buckets; the plain block join stays — it is the lossless
-    // fallback — but with two 100×-rows lessons applied (the r11 full
-    // campaign caught ONE task running the DP for 21 minutes while 31
-    // cores idled):
-    //  1. The length-gate (lev ≥ |len(x) − len(y)|) rides IN the join as
-    //     a residual, so pruned pairs die inside the pair-enumeration
-    //     task instead of being materialized for the verify stage.
-    //  2. The survivors REPARTITION BY (a, b) before the Levenshtein DP.
-    //     Weak scaling multiplies the population of each (lang, blk)
-    //     block (copies preserve lengths), and the block key is also the
-    //     pairs' hash key — so the quadratic-in-block DP work of the
-    //     hottest block lands on ONE partition however many cores exist.
-    //     One bounded extra exchange of the (already length-gated) pair
-    //     table buys per-PAIR placement: the DP parallelizes to the
-    //     cluster no matter how the blocks skew. The candidate count
-    //     itself stays quadratic in block size — bounded by the short-doc
-    //     population (2.5% of the corpus at every probed SF; docs under
-    //     64 chars are exact-hash/MinHash territory in production).
-    val lenGate = abs(length(col("x.prefix")) - length(col("y.prefix"))) <= maxDist
-    val dShort = d.filter(length(col("prefix")) < prefixLen)
-    val shortPairs = dShort.as("x").join(dShort.as("y"),
-        col("x.lang") === col("y.lang") && col("x.blk") === col("y.blk") &&
-          col("x.doc_id") < col("y.doc_id") && lenGate)
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-        col("x.lang").as("lang"),
-        col("x.prefix").as("px"), col("y.prefix").as("py"))
-    // a full-length prefix can still pair with a short one inside a
-    // shared block (lengths differ by < bucketWidth): keep the plain
-    // join for the cross case — the short side bounds its size
-    val crossPairs = dShort.as("x").join(dFull.as("y"),
-        col("x.lang") === col("y.lang") && col("x.blk") === col("y.blk") &&
-          lenGate)
-      .select(least(col("x.doc_id"), col("y.doc_id")).as("a"),
-        greatest(col("x.doc_id"), col("y.doc_id")).as("b"),
-        col("x.lang").as("lang"),
-        col("x.prefix").as("px"), col("y.prefix").as("py"))
     val p = docs.sparkSession.sessionState.conf.numShufflePartitions
-    val blockPairs = shortPairs.unionByName(crossPairs)
-      .repartition(p, col("a"), col("b"))
-
-    verify(fullPairs.select("a", "b", "lang", "px", "py")
-      .unionByName(blockPairs))
+    verify(withText.select("a", "b", "lang", "px", "py")
+      .repartition(p, col("a"), col("b")))
   }
 
   /** Shared candidate stage of the capped family: rare-postings self-join

@@ -6993,14 +6993,56 @@ object Extensions {
              / CAST(count(*) AS DOUBLE) AS conv
          FROM su LEFT JOIN cl USING (user_id) LEFT JOIN pu USING (user_id)
          WHERE su.signup_ts IS NOT NULL GROUP BY 1""",
+    // r12 re-anchor: the oracle replays the engine's variable-length
+    // PassJoin pigeonhole candidates (index side posts maxDist+1
+    // segments under its own prefix length; the longer side probes
+    // displaced windows), then runs Levenshtein only on survivors. The
+    // pigeonhole is LOSSLESS, so this is value-identical to the former
+    // plain block-quadratic join at every SF — but where that form's
+    // DP cost exceeded the 900 s oracle timeout at 100× rows, this one
+    // is candidate-bounded like the engine. The plain form remains the
+    // spec twin (AnalyticsSpec "segment filter is lossless").
     "d_edit_distance" ->
-      """WITH d AS (SELECT doc_id, lang, substr(text, 1, 64) AS prefix,
-             n_chars // 40 AS blk FROM documents)
-         SELECT a.doc_id AS a, b.doc_id AS b, a.lang AS lang,
-           CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS dist
-         FROM d a JOIN d b
-           ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
-         WHERE levenshtein(a.prefix, b.prefix) <= 12""",
+      """WITH d AS MATERIALIZED (
+           SELECT doc_id, lang, substr(text, 1, 64) AS prefix,
+             n_chars // 40 AS blk, len(substr(text, 1, 64)) AS plen
+           FROM documents),
+         lens AS (SELECT DISTINCT lang, blk, plen AS L FROM d),
+         segs AS (
+           SELECT d.doc_id AS b, d.lang, d.blk, d.plen AS L, g.i,
+             substr(d.prefix,
+                    1 + g.i * (d.plen // 13) + least(g.i, d.plen % 13),
+                    d.plen // 13
+                      + CASE WHEN g.i < d.plen % 13 THEN 1 ELSE 0 END) AS sub
+           FROM d CROSS JOIN (SELECT unnest(generate_series(0, 12)) AS i) g),
+         pr AS (
+           SELECT x.doc_id AS a, x.lang, x.blk, x.plen, l.L, g.i,
+             l.L // 13 + CASE WHEN g.i < l.L % 13 THEN 1 ELSE 0 END AS sl,
+             1 + g.i * (l.L // 13) + least(g.i, l.L % 13) AS st,
+             x.prefix
+           FROM d x
+           JOIN lens l ON x.lang = l.lang AND x.blk = l.blk
+             AND l.L BETWEEN x.plen - 12 AND x.plen
+           CROSS JOIN (SELECT unnest(generate_series(0, 12)) AS i) g),
+         probes AS (
+           SELECT a, lang, blk, plen, L, i, sl, prefix,
+             unnest(generate_series(greatest(st - 12, 1),
+                                    least(st + 12, plen - sl + 1))) AS p
+           FROM pr),
+         cand AS (
+           SELECT DISTINCT least(p.a, s.b) AS a, greatest(p.a, s.b) AS b,
+             p.lang, p.blk
+           FROM (SELECT a, lang, blk, plen, L, i,
+                   substr(prefix, p, sl) AS sub FROM probes) p
+           JOIN segs s ON p.lang = s.lang AND p.blk = s.blk
+             AND p.L = s.L AND p.i = s.i AND p.sub = s.sub
+           WHERE p.plen > s.L OR p.a < s.b)
+         SELECT c.a, c.b, c.lang,
+           CAST(levenshtein(da.prefix, db.prefix) AS BIGINT) AS dist
+         FROM cand c
+         JOIN d da ON da.doc_id = c.a
+         JOIN d db ON db.doc_id = c.b
+         WHERE levenshtein(da.prefix, db.prefix) <= 12""",
     "x_profile" -> {
       def num(c: String, e: String) =
         s"""SELECT '$c' AS "column", count(*) AS n_rows,
