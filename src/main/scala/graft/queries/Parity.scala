@@ -6,6 +6,7 @@ import graft.scd.{Scd1, Scd2, Scd3, Scd4, ScdColumns}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -704,23 +705,53 @@ object Parity {
     * exactly, so neither engine's precision-overflow rules kick in);
     * averages are one double division of two exact values. */
   def tpchQ1(spark: SparkSession, sfDir: String): DataFrame = {
-    def one = lit(1).cast("decimal(18,2)")
-    val discPrice = (dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
-      .cast("decimal(18,4)")
-    val charge = (discPrice * (one + dec(col("l_tax")))).cast("decimal(18,6)")
-    table(spark, sfDir, "lineitem")
+    // Exact fixed-point aggregation on the 128-bit fast path (r12, from
+    // the q1 sf10 profile): Spark's sum over a DecimalType buffer costs
+    // ~12 ns/row/aggregate in Decimal.+, which made this single-table
+    // scan-aggregate 14.4× DuckDB at 100× rows — the 7 decimal sums
+    // WERE the query (scan floor 0.6 s, decimal form 6.2 s). The
+    // semantics-DEFINING step stays: each value rounds once through
+    // cast(decimal(18,2)) exactly as before; but the per-row products
+    // and the sum buffers run on the unscaled LONGs
+    // ([[graft.functions.Sum128]] — two-limb codegen adds, ±2^127
+    // range, loud overflow), and the exact decimal materializes once
+    // per group, re-scaled through exact decimal division. Measured
+    // 2.4× faster at sf10 (6.2 → 2.57 s) with hash-identical output.
+    // The longs are PRE-PROJECTED (bare attribute per aggregate):
+    // DeclarativeAggregate update expressions re-evaluate a complex
+    // child once per buffer-slot occurrence, which costs more than the
+    // decimal sums they replace (measured 5.6 s inline vs 2.57 s
+    // projected).
+    def u(c: Column) = Bridge.column(
+      org.apache.spark.sql.catalyst.expressions.UnscaledValue(
+        Bridge.expression(dec(c))))
+    def rescale(sumU: Column, pow: Long, scale: Int) =
+      (sumU / lit(pow).cast("decimal(19,0)")).cast(s"decimal(38,$scale)")
+    val priceU = u(col("l_extendedprice"))
+    val discU = u(col("l_discount"))
+    val li = table(spark, sfDir, "lineitem")
       .filter(col("l_shipdate") <= lit("2000-12-01 00:00:00"))
-      .groupBy("l_returnflag", "l_linestatus")
+      .select(col("l_returnflag"), col("l_linestatus"),
+        u(col("l_quantity")).as("qty_u"), priceU.as("price_u"),
+        discU.as("disc_u"),
+        (priceU * (lit(100L) - discU)).as("dp_u"),
+        (priceU * (lit(100L) - discU) * (lit(100L) + u(col("l_tax"))))
+          .as("ch_u"))
+    import graft.functions.Sum128.sum128
+    li.groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
-        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
-        sum(discPrice).cast("double").as("sum_disc_price"),
-        sum(charge).cast("double").as("sum_charge"),
-        (sum(dec(col("l_quantity"))).cast("double") /
+        rescale(sum128(col("qty_u")), 100L, 2).cast("double").as("sum_qty"),
+        rescale(sum128(col("price_u")), 100L, 2).cast("double")
+          .as("sum_base_price"),
+        rescale(sum128(col("dp_u")), 10000L, 4).cast("double")
+          .as("sum_disc_price"),
+        rescale(sum128(col("ch_u")), 1000000L, 6).cast("double")
+          .as("sum_charge"),
+        (rescale(sum128(col("qty_u")), 100L, 2).cast("double") /
           count(lit(1)).cast("double")).as("avg_qty"),
-        (sum(dec(col("l_extendedprice"))).cast("double") /
+        (rescale(sum128(col("price_u")), 100L, 2).cast("double") /
           count(lit(1)).cast("double")).as("avg_price"),
-        (sum(dec(col("l_discount"))).cast("double") /
+        (rescale(sum128(col("disc_u")), 100L, 2).cast("double") /
           count(lit(1)).cast("double")).as("avg_disc"),
         count(lit(1)).as("count_order"))
   }

@@ -110,6 +110,68 @@ object Q1Probe {
           count(lit(1)).cast("double")).as("avg_disc"),
         count(lit(1)).as("count_order")))
 
+    // isolate: decimal CAST cost (long sums over unscaled-of-cast)
+    time("ulong")(li.groupBy("l_returnflag", "l_linestatus")
+      .agg(sum(qtyU).as("sq"), sum(priceU).as("sp"),
+        sum(discPriceU).as("sd"), sum(chargeU).as("sc"),
+        sum(discU).as("su"), count(lit(1)).as("n")))
+    // isolate: no decimals anywhere (round(x*100) longs; NOT the
+    // contract rounding — timing only)
+    def r100(c: Column) = round(c * 100).cast("long")
+    val qR = r100(col("l_quantity")); val pR = r100(col("l_extendedprice"))
+    val dR = r100(col("l_discount")); val tR = r100(col("l_tax"))
+    time("rlong")(li.groupBy("l_returnflag", "l_linestatus")
+      .agg(sum(qR).as("sq"), sum(pR).as("sp"),
+        sum(pR * (lit(100L) - dR)).as("sd"),
+        sum(pR * (lit(100L) - dR) * (lit(100L) + tR)).as("sc"),
+        sum(dR).as("su"), count(lit(1)).as("n")))
+    // isolate: ONE decimal cast + long sum
+    time("cast1")(li.groupBy("l_returnflag", "l_linestatus")
+      .agg(sum(priceU).as("sp"), count(lit(1)).as("n")))
+    // isolate: ONE decimal cast + decimal sum
+    time("dsum1")(li.groupBy("l_returnflag", "l_linestatus")
+      .agg(sum(dec(col("l_extendedprice"))).as("sp"), count(lit(1)).as("n")))
+
+    // candidate fix: graft_sum128 — 128-bit limb accumulation in
+    // codegen (long adds + carry), decimal materialized once per group
+    import graft.functions.Sum128.sum128
+    time("s128")(li.groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        rescale(sum128(qtyU), 2, 2).cast("double").as("sum_qty"),
+        rescale(sum128(priceU), 2, 2).cast("double").as("sum_base_price"),
+        rescale(sum128(discPriceU), 4, 4).cast("double").as("sum_disc_price"),
+        rescale(sum128(chargeU), 6, 6).cast("double").as("sum_charge"),
+        (rescale(sum128(qtyU), 2, 2).cast("double") /
+          count(lit(1)).cast("double")).as("avg_qty"),
+        (rescale(sum128(priceU), 2, 2).cast("double") /
+          count(lit(1)).cast("double")).as("avg_price"),
+        (rescale(sum128(discU), 2, 2).cast("double") /
+          count(lit(1)).cast("double")).as("avg_disc"),
+        count(lit(1)).as("count_order")))
+    // same, but the unscaled longs PRE-PROJECTED so the aggregate child
+    // is a bare attribute (one evaluation per row, not one per buffer
+    // expression occurrence)
+    val liU = li.select(col("l_returnflag"), col("l_linestatus"),
+      qtyU.as("qty_u"), priceU.as("price_u"), discU.as("disc_u"),
+      discPriceU.as("dp_u"), chargeU.as("ch_u"))
+    time("s128p")(liU.groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        rescale(sum128(col("qty_u")), 2, 2).cast("double").as("sum_qty"),
+        rescale(sum128(col("price_u")), 2, 2).cast("double").as("sum_base_price"),
+        rescale(sum128(col("dp_u")), 4, 4).cast("double").as("sum_disc_price"),
+        rescale(sum128(col("ch_u")), 6, 6).cast("double").as("sum_charge"),
+        (rescale(sum128(col("qty_u")), 2, 2).cast("double") /
+          count(lit(1)).cast("double")).as("avg_qty"),
+        (rescale(sum128(col("price_u")), 2, 2).cast("double") /
+          count(lit(1)).cast("double")).as("avg_price"),
+        (rescale(sum128(col("disc_u")), 2, 2).cast("double") /
+          count(lit(1)).cast("double")).as("avg_disc"),
+        count(lit(1)).as("count_order")))
+    val s128check = li.groupBy("l_returnflag", "l_linestatus")
+      .agg(rescale(sum128(discPriceU), 4, 4).cast("double").as("v"),
+        rescale(sum128(chargeU), 6, 6).cast("double").as("w"))
+      .orderBy("l_returnflag", "l_linestatus").collect().toSeq
+
     // value check: cents must reproduce dec exactly
     val a = li.groupBy("l_returnflag", "l_linestatus")
       .agg(sum(discPrice).cast("double").as("v"), sum(charge).cast("double").as("w"))
@@ -120,6 +182,8 @@ object Q1Probe {
       .orderBy("l_returnflag", "l_linestatus").collect().toSeq
     println(s"[q1probe] value match: ${a == b}")
     if (a != b) println(s"  dec:   $a\n  cents: $b")
+    println(s"[q1probe] s128 match: ${a == s128check}")
+    if (a != s128check) println(s"  dec:  $a\n  s128: $s128check")
     spark.stop()
   }
 }
