@@ -71,11 +71,22 @@ def norm(x):
 
 ok, bad = 0, 0
 verdicts = {}
+# OUT_JSONL: stream each verdict as it lands (append, one JSON object
+# per line). OUT_JSON only writes at the END of the run, so a killed or
+# crashed campaign loses every per-query verdict it already earned —
+# the r12 sf10 sweep lost ~85% of an 80-minute oracle replay that way.
+# The JSONL is the kill-safe record; compose tools can rebuild the
+# final JSON from it (last line per name wins).
+OUT_JSONL = os.environ.get("OUT_JSONL")
 def record(name, **kw):
     v = {"rows_match": False, "schema_match": False, "hash_match": False,
          "spark_rows": None, "oracle_rows": None, "err": None}
     v.update(kw)
     verdicts[name] = v
+    if OUT_JSONL:
+        with open(OUT_JSONL, "a") as f:
+            f.write(json.dumps({"name": name, **v}) + "\n")
+            f.flush()
 
 for name, sql in sorted(oracle.items()):
     if name in EXCLUDE:
