@@ -5826,7 +5826,57 @@ object Extensions {
           JOIN nr na ON pairs.a = na.doc_id
           JOIN nr nb ON pairs.b = nb.doc_id
           WHERE CAST(inter AS DOUBLE) / CAST(least(na.nsh, nb.nsh) AS DOUBLE) >= 0.9""",
-    "d_minhash_lsh" -> jaccardSql("0.8"),
+    // r12 re-anchor (found BY the sf10 sweep, the predicted defect
+    // class): at 100× rows the engine returned 25,599 pairs vs the
+    // exact oracle's 25,600 — ONE borderline j ≈ 0.8 pair with no band
+    // collision. LSH banding recall is < 1 BY DESIGN (1−(1−j⁴)¹⁶ ≈
+    // 0.9998 at j = 0.8), so asserting the exact pair set was a wrong
+    // CONTRACT, luck-green at small SF: the operator's semantics are
+    // "banding-candidate-bounded exact pairs". The oracle now replays
+    // the engine's deterministic pipeline — signature permutations
+    // (the d_minhash_fidelity CTEs), positional 16×4 banding with the
+    // base-31 bucket fold, ≥ 32-of-64 agreement pre-filter, exact
+    // Jaccard ≥ 0.8 on survivors — so engine and oracle agree at every
+    // SF. Recall vs the exact pair set stays MEASURED, not assumed, by
+    // d_minhash_fidelity (exact pairs + signature agreement per pair).
+    "d_minhash_lsh" ->
+      s"""WITH $shingleCte,
+          hx AS (SELECT doc_id, ${DuckSql.polyHash("shingle")} AS h FROM ex),
+          perm AS MATERIALIZED (
+            SELECT doc_id, kk,
+              MIN(((2 * kk + 1) * h + (kk + 1) * 2654435761) % ${DuckSql.P}) AS m
+            FROM hx CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS kk) t
+            GROUP BY 1, 2),
+          bkt AS MATERIALIZED (
+            SELECT doc_id, kk // 4 AS band,
+              list_reduce(list_prepend(0::BIGINT, list(m ORDER BY kk)),
+                (acc, v) -> acc * 31 + v) AS bucket
+            FROM perm GROUP BY 1, 2),
+          cand AS MATERIALIZED (
+            SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+            FROM bkt x JOIN bkt y ON x.band = y.band
+              AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+          ag AS (
+            SELECT c.a, c.b
+            FROM cand c
+            JOIN perm px ON px.doc_id = c.a
+            JOIN perm py ON py.doc_id = c.b AND px.kk = py.kk
+            GROUP BY 1, 2
+            HAVING SUM(CASE WHEN px.m = py.m THEN 1 ELSE 0 END) >= 32),
+          iv AS (
+            SELECT g.a, g.b, count(*) AS inter
+            FROM ag g
+            JOIN ex x ON x.doc_id = g.a
+            JOIN ex y ON y.doc_id = g.b AND y.shingle = x.shingle
+            GROUP BY 1, 2)
+          SELECT iv.a, iv.b, iv.inter, ca.nsh AS na, cb.nsh AS nb,
+            CAST(iv.inter AS DOUBLE)
+              / CAST(ca.nsh + cb.nsh - iv.inter AS DOUBLE) AS jaccard
+          FROM iv
+          JOIN shc ca ON iv.a = ca.doc_id
+          JOIN shc cb ON iv.b = cb.doc_id
+          WHERE CAST(iv.inter AS DOUBLE)
+              / CAST(ca.nsh + cb.nsh - iv.inter AS DOUBLE) >= 0.8""",
     "d_simhash_pairs" ->
       s"""WITH sim AS (
             SELECT doc_id, ${DuckSql.simHashFromWh(DuckSql.bigramHashes("w"), 28)} AS sh
