@@ -45,6 +45,11 @@ object Bridge {
     try spark.sparkContext.listenerBus.waitUntilEmpty(timeoutMs)
     catch { case _: java.util.concurrent.TimeoutException => () }
 
+  /** Whether the session's SparkContext has been stopped (the liveness
+    * probe the table-frame cache prunes on; `SparkContext.isStopped` is
+    * `private[spark]`, hence bridged here). */
+  def isStopped(spark: SparkSession): Boolean = spark.sparkContext.isStopped
+
   /** Re-issue a localCheckpoint'd frame with its carried statistics
     * CAPPED at Long.MaxValue bytes/rows.
     *

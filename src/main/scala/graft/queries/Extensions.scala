@@ -2478,9 +2478,9 @@ object Extensions {
     * shared per source table via one conditional aggregation where the
     * rules are row-local. */
   def integrityAudit(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
-    val o = spark.read.parquet(s"$sfDir/orders.parquet")
-    val c = spark.read.parquet(s"$sfDir/customer.parquet")
+    val li = Parity.table(spark, sfDir, "lineitem")
+    val o = Parity.table(spark, sfDir, "orders")
+    val c = Parity.table(spark, sfDir, "customer")
     val e = Parity.events(spark, sfDir)
     // row-local rules ride ONE aggregation per table
     val liLocal = li.agg(

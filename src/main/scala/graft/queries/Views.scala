@@ -34,7 +34,7 @@ object Views {
     * (thousands of rows) instead of the fact. */
   def mvRollup(spark: SparkSession, sfDir: String): DataFrame = {
     ensureMv(spark, sfDir)
-    spark.read.parquet(s"$sfDir/orders.parquet")
+    Parity.table(spark, sfDir, "orders")
       .groupBy("o_orderstatus")
       .agg(
         sum(dec(col("o_totalprice"))).cast("double").as("sum_price"),
