@@ -494,11 +494,12 @@ object Dedup {
     // so both per-round joins plan exchange-free; the per-node min merge
     // is each round's only shuffle. Explicit partition count keeps AQE
     // from coalescing the layout away from the state side's.
-    val p = pairs.sparkSession.sessionState.conf.numShufflePartitions
-    val edges = Graph.checkpointKeyed(
+    val p0 = pairs.sparkSession.sessionState.conf.numShufflePartitions
+    val (edges, p) = Graph.loopSized(Graph.checkpointKeyed(
       pairs.select(col(a).as("src"), col(b).as("dst"))
         .union(pairs.select(col(b).as("src"), col(a).as("dst")))
-        .distinct().repartition(p, col("src")), "src")
+        .distinct().repartition(p0, col("src")), "src"), "src")
+    Graph.withShufflePartitions(pairs.sparkSession, p) {
     // Seed with min(self, neighbors) — the first propagation round for
     // free out of the same edge aggregation that defines the node set.
     var ckpt = Graph.checkpointKeyed(edges.groupBy(col("dst").as("node"))
@@ -567,6 +568,7 @@ object Dedup {
     require(converged, s"duplicateClusters did not converge in $maxIters iterations")
     freeCheckpoint(edges)
     labels
+    }
   }
 
   /** Free a round's checkpoint backing (blocks, and in reliable mode the

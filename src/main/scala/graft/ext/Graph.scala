@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Distributed graph analytics over edge tables — the operator class the
@@ -137,12 +137,18 @@ object Graph {
     // build — measured 123s vs 2s at sf0.1). localCheckpoint per round
     // truncates the lineage, same as the dup-clusters iteration.
     val parents = ckpt(parents0)
+    // Adaptive round layout (guide §2.2): each round's self-join executes
+    // eagerly inside the scope, so its exchanges size to the measured
+    // pointer-table bytes instead of the session constant.
+    val pLoop = loopPartitions(parents0.sparkSession, materializedBytes(parents))
     var s = parents.select(col("u"), col("p").as("anc"),
       when(col("p") === col("u"), 0L).otherwise(1L).as("d"))
-    for (_ <- 1 to rounds) {
-      val j = s.select(col("u").as("ju"), col("anc").as("janc"), col("d").as("jd"))
-      s = ckpt(s.join(j, s("anc") === j("ju"))
-        .select(s("u"), col("janc").as("anc"), (s("d") + col("jd")).as("d")))
+    withShufflePartitions(parents0.sparkSession, pLoop) {
+      for (_ <- 1 to rounds) {
+        val j = s.select(col("u").as("ju"), col("anc").as("janc"), col("d").as("jd"))
+        s = ckpt(s.join(j, s("anc") === j("ju"))
+          .select(s("u"), col("janc").as("anc"), (s("d") + col("jd")).as("d")))
+      }
     }
     if (verifyConverged) {
       // A chain deeper than 2^rounds would SILENTLY stop at a non-root
@@ -198,6 +204,12 @@ object Graph {
     // the join plans BROADCAST and its output partitioning is the
     // (unpartitioned) streamed side — scale-dependent. The repartition
     // pins hash(u) at any size for one build-time O(E) exchange.
+    // Deliberately NOT [[loopSized]] (r12): the rank rounds stay LAZY in
+    // one returned plan, so their exchanges bind to the SESSION conf at
+    // execution time, outside any scoped override — an adaptive undD
+    // count would mismatch the round aggregations' count and re-shuffle
+    // one side per round. The eager loops (BFS/SSSP/k-core/LPA/CC) run
+    // their rounds inside the scope and do size adaptively.
     val p = edges.sparkSession.sessionState.conf.numShufflePartitions
     val undD = checkpointKeyed(
       und.join(deg, Seq("u")).repartition(p, col("u")), "u")
@@ -238,22 +250,23 @@ object Graph {
     * chained relaxations is bit-exact. */
   def bfsDistances(edges: DataFrame, seeds: DataFrame,
                    rounds: Int = 4): DataFrame = {
-    val und = undBySrc(edges)
-    val p = seeds.sparkSession.sessionState.conf.numShufflePartitions
-    // Repartition, not trust: seeds are caller-shaped; one tiny O(seeds)
-    // shuffle guarantees round 1 joins co-partitioned like every later
-    // round.
-    var ckpt = checkpointKeyed(
-      seeds.select(col("v"), lit(0L).as("dist")).repartition(p, col("v")), "v")
-    var dist = ckpt
-    for (_ <- 1 to rounds) {
-      val next = checkpointKeyed(bfsRound(dist, und), "v")
-      freeCheckpoint(ckpt)
-      ckpt = next
-      dist = next
+    val (und, p) = loopSized(undBySrc(edges), "u")
+    withShufflePartitions(seeds.sparkSession, p) {
+      // Repartition, not trust: seeds are caller-shaped; one tiny O(seeds)
+      // shuffle guarantees round 1 joins co-partitioned like every later
+      // round.
+      var ckpt = checkpointKeyed(
+        seeds.select(col("v"), lit(0L).as("dist")).repartition(p, col("v")), "v")
+      var dist = ckpt
+      for (_ <- 1 to rounds) {
+        val next = checkpointKeyed(bfsRound(dist, und), "v")
+        freeCheckpoint(ckpt)
+        ckpt = next
+        dist = next
+      }
+      freeCheckpoint(und)
+      dist
     }
-    freeCheckpoint(und)
-    dist
   }
 
   /** The [[bfsDistances]] loop body: one frontier relaxation. With `und`
@@ -280,6 +293,87 @@ object Graph {
     val rev = Seq(col("b").as("u"), col("a").as("v")) ++ extra.map(col)
     checkpointKeyed(edges.select(cols: _*).unionAll(edges.select(rev: _*))
       .repartition(p, col(key)), key)
+  }
+
+  /** MEASURED size of a checkpointed frame's backing blocks, from the
+    * block manager's storage info — the only honest size for a
+    * localCheckpoint'd frame (its `LogicalRDD.stats` carry the ORIGIN
+    * plan's estimate, which for join-heavy upstreams is the compounding
+    * product [[org.apache.spark.sql.graft.Bridge.capCheckpointStats]]
+    * exists to cap — useless for sizing). None when the frame is not a
+    * localCheckpoint (e.g. reliable-checkpoint file mode), in which case
+    * callers keep the session layout — the conservative default. */
+  private[graft] def materializedBytes(df: DataFrame): Option[Long] =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        df.sparkSession.sparkContext.getRDDStorageInfo
+          .find(_.id == lr.rdd.id).map(i => i.memSize + i.diskSize)
+      case _ => None
+    }
+
+  /** Scale-adaptive partition count for the iterative loops (guide §2.2:
+    * size reducers by BYTES, not a constant). The loops deliberately opt
+    * out of AQE inside [[checkpointKeyed]] so the recorded layout is
+    * honest — which also opts them out of AQE's runtime coalescing, so a
+    * 2 MB gate-scale graph used to run every round as
+    * `spark.sql.shuffle.partitions` near-empty tasks while a 100 TB
+    * graph correctly fills the same count. Derive the count from the
+    * measured state size instead: ceil(bytes / targetPartitionBytes),
+    * clamped to [1, session count] — at scale the clamp keeps today's
+    * layout (never MORE partitions than the session would plan), at gate
+    * scale the loop runs the handful of tasks its bytes justify.
+    * `bytes = None` (no measurement) keeps the session count. */
+  private[graft] def loopPartitions(spark: SparkSession,
+      bytes: Option[Long]): Int = {
+    val sessionP = spark.sessionState.conf.numShufflePartitions
+    bytes match {
+      case Some(b) =>
+        val target = spark.conf.get(
+          "spark.graft.loop.targetPartitionBytes", (32L << 20).toString).toLong
+        // Floor 2, not 1: repartition(1, key) plans SinglePartition, which
+        // loses the hash layout [[checkpointKeyed]] verifies.
+        math.max(2, math.min(sessionP.toLong, (b + target - 1) / target)).toInt
+      case None => sessionP
+    }
+  }
+
+  /** Scope `spark.sql.shuffle.partitions` to `p` for the duration of an
+    * iterative loop, so every round's aggregation plans the SAME count
+    * as the loop's keyed edge table and the round joins stay
+    * exchange-free at the adaptive size. Driver-side and scoped like
+    * [[checkpointKeyed]]'s AQE toggle; the engine's runners are
+    * single-threaded per session. */
+  private[graft] def withShufflePartitions[T](spark: SparkSession, p: Int)
+      (body: => T): T = {
+    val k = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(k)
+    spark.conf.set(k, p.toString)
+    try body finally spark.conf.set(k, prev)
+  }
+
+  /** Adopt the scale-adaptive layout for a materialized keyed loop input:
+    * measure its backing bytes, and when the session count over-splits it
+    * (and the table is small enough that one extra exchange is noise —
+    * `spark.graft.loop.rekeyMaxBytes`, default 1 GiB), re-key it to the
+    * derived count. Returns (frame, partition count). At 100 TB the
+    * measured bytes exceed the bound and the input passes through
+    * untouched — the re-key exchange is only ever paid by graphs small
+    * enough that it costs milliseconds. */
+  private[graft] def loopSized(df: DataFrame, key: String): (DataFrame, Int) = {
+    val spark = df.sparkSession
+    val sessionP = spark.sessionState.conf.numShufflePartitions
+    val bytes = materializedBytes(df)
+    val p = loopPartitions(spark, bytes)
+    val rekeyMax = spark.conf.get(
+      "spark.graft.loop.rekeyMaxBytes", (1L << 30).toString).toLong
+    if (p >= sessionP || bytes.forall(_ > rekeyMax)) (df, sessionP)
+    else {
+      val re = withShufflePartitions(spark, p) {
+        checkpointKeyed(df.repartition(p, col(key)), key)
+      }
+      freeCheckpoint(df)
+      (re, p)
+    }
   }
 
   /** localCheckpoint that KEEPS the plan's hash partitioning on `key` —
@@ -355,7 +449,8 @@ object Graph {
     // (nowPeeled arrives hash-partitioned on the same key via the deg
     // checkpoint's preserved layout), so the edge list never re-shuffles
     // inside the loop.
-    val und = undBySrc(edges, key = "v")
+    val (und, pLoop) = loopSized(undBySrc(edges, key = "v"), "v")
+    withShufflePartitions(edges.sparkSession, pLoop) {
     // DECREMENTAL degree maintenance instead of a per-round recount: the
     // `deg` table (remaining vertices only) is the state; peeling is a
     // pure FILTER on it, and each peeled vertex decrements its surviving
@@ -384,6 +479,7 @@ object Graph {
       .unionAll(peeled)
     freeCheckpoint(und)
     out.select(col("u").as("v"), col("peeled_round"))
+    }
   }
 
   /** The [[kCorePeel]] loop body's degree update: drop this round's peel
@@ -431,22 +527,24 @@ object Graph {
     * Nothing on the driver; per-round localCheckpoint. EAGER: runs jobs
     * at call time. Returns (v, community). */
   def labelPropagation(edges: DataFrame, rounds: Int = 3): DataFrame = {
-    val und = undBySrc(edges)
-    // Checkpoint the single-column node set (the aggregate pins the hash
-    // layout to `node`); the self-label projection stays LAZY — alias
-    // tracking then lets round 1's message count even skip its exchange
-    // (label ≡ node clusters (v, label) by itself).
-    var ckpt = checkpointKeyed(
-      und.select(col("u").as("node")).distinct(), "node")
-    var labels = ckpt.select(col("node"), col("node").as("label"))
-    for (_ <- 1 to rounds) {
-      val next = checkpointKeyed(lpRound(labels, und), "node")
-      freeCheckpoint(ckpt)
-      ckpt = next
-      labels = next
+    val (und, p) = loopSized(undBySrc(edges), "u")
+    withShufflePartitions(edges.sparkSession, p) {
+      // Checkpoint the single-column node set (the aggregate pins the hash
+      // layout to `node`); the self-label projection stays LAZY — alias
+      // tracking then lets round 1's message count even skip its exchange
+      // (label ≡ node clusters (v, label) by itself).
+      var ckpt = checkpointKeyed(
+        und.select(col("u").as("node")).distinct(), "node")
+      var labels = ckpt.select(col("node"), col("node").as("label"))
+      for (_ <- 1 to rounds) {
+        val next = checkpointKeyed(lpRound(labels, und), "node")
+        freeCheckpoint(ckpt)
+        ckpt = next
+        labels = next
+      }
+      freeCheckpoint(und)
+      labels.select(col("node").as("v"), col("label").as("community"))
     }
-    freeCheckpoint(und)
-    labels.select(col("node").as("v"), col("label").as("community"))
   }
 
   /** The [[labelPropagation]] loop body: message join (exchange-free per
@@ -522,19 +620,20 @@ object Graph {
     * per-round shuffle; per-round checkpoint, eager. */
   def ssspDistances(edges: DataFrame, seeds: DataFrame,
                     rounds: Int = 4): DataFrame = {
-    val und = undBySrc(edges, extra = Seq("w"))
-    val p = seeds.sparkSession.sessionState.conf.numShufflePartitions
-    var ckpt = checkpointKeyed(
-      seeds.select(col("v"), lit(0L).as("cost")).repartition(p, col("v")), "v")
-    var cost = ckpt
-    for (_ <- 1 to rounds) {
-      val next = checkpointKeyed(ssspRound(cost, und), "v")
-      freeCheckpoint(ckpt)
-      ckpt = next
-      cost = next
+    val (und, p) = loopSized(undBySrc(edges, extra = Seq("w")), "u")
+    withShufflePartitions(seeds.sparkSession, p) {
+      var ckpt = checkpointKeyed(
+        seeds.select(col("v"), lit(0L).as("cost")).repartition(p, col("v")), "v")
+      var cost = ckpt
+      for (_ <- 1 to rounds) {
+        val next = checkpointKeyed(ssspRound(cost, und), "v")
+        freeCheckpoint(ckpt)
+        ckpt = next
+        cost = next
+      }
+      freeCheckpoint(und)
+      cost
     }
-    freeCheckpoint(und)
-    cost
   }
 
   /** The [[ssspDistances]] loop body: one weighted relaxation — same

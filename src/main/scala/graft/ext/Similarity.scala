@@ -283,11 +283,16 @@ object Similarity {
         transform(col("embedding"), x => x.cast(DoubleType) / col("nrm")).as("u"))
       .localCheckpoint()
     for (_ <- 0 until iters) {
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("c_id"))
+      // Aggregate argmax, not a rank window (see [[trainedAssignments]]):
+      // u rides inside the min struct — (−cos, c_id) is unique per group,
+      // so the comparator never reaches it; the exchange carries one
+      // partially-minimized row per vector instead of nList sorted ones.
       val assigned = unit.crossJoin(broadcast(centroids))
         .withColumn("c_cos", dot(col("u"), col("c_emb")))
-        .withColumn("c_rank", row_number().over(w))
-        .filter(col("c_rank") === 1)
+        .groupBy(col("vec_id"))
+        .agg(min(struct((-col("c_cos")).as("nc"), col("c_id").as("cid"),
+          col("u").as("u"))).as("m"))
+        .select(col("vec_id"), col("m.cid").as("c_id"), col("m.u").as("u"))
       // elementwise mean per cell, then renormalize back to the sphere
       val perDim = assigned
         .select(col("c_id"), col("vec_id"), posexplode(col("u")).as(Seq("pos", "v")))
@@ -398,7 +403,6 @@ object Similarity {
     * same quantizer via its `quantizer` param). */
   def trainedAssignments(emb: DataFrame, nList: Int, iters: Int): DataFrame = {
     val centroids = broadcast(trainCentroids(emb, nList, iters, exact = true))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("c_id"))
     withNorm(emb).filter(col("nrm") > 0)
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast(DoubleType) / col("nrm")).as("u"))
@@ -407,9 +411,18 @@ object Similarity {
       // shuffled cartesian at 100× centroid counts
       .crossJoin(broadcast(centroids))
       .withColumn("c_cos", dot(col("u"), col("c_emb")))
-      .withColumn("c_rank", row_number().over(w))
-      .filter(col("c_rank") === 1)
-      .select(col("vec_id"), col("c_id").as("cell"), col("c_cos").as("cos"))
+      // Nearest-cell argmax as an AGGREGATE (min over (−cos, c_id)), not
+      // a rank window (r12, guide §2.3 "aggregate before you shuffle"):
+      // the window exchanged all nList×N full-width rows (u rides every
+      // candidate) to sort nList rows per key; the aggregate partial-mins
+      // map-side — the crossJoin emits a vector's nList candidates
+      // consecutively in one partition — so the exchange carries N narrow
+      // rows. Ties (equal cos): min c_id, exactly the window's
+      // (cos desc, c_id) rank-1; −(−cos) is IEEE-exact, so the readout is
+      // bit-identical and the oracle is untouched.
+      .groupBy(col("vec_id"))
+      .agg(min(struct((-col("c_cos")).as("nc"), col("c_id").as("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cell"), (-col("m.nc")).as("cos"))
   }
 
   /** IVF top-k: assign all vectors to their nearest of `nList` centroids
@@ -426,13 +439,27 @@ object Similarity {
         .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
           col("nrm").as("c_nrm"))))
     def nearestCells(vecs: DataFrame, keep: Int): DataFrame = {
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("c_id"))
-      withNorm(vecs).crossJoin(broadcast(centroids))
+      val scored = withNorm(vecs).crossJoin(broadcast(centroids))
         .withColumn("c_cos",
           dot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")))
-        .withColumn("c_rank", row_number().over(w))
-        .filter(col("c_rank") <= keep)
-        .drop("c_emb", "c_cos", "c_rank", "c_nrm")
+      if (keep == 1)
+        // Corpus-side assignment (the big side): aggregate argmax instead
+        // of a rank window — map-side partial min collapses each vector's
+        // nList candidate rows before the exchange (guide §2.3), where the
+        // window shuffled and sorted all of them, embeddings riding every
+        // row. Tie order (cos desc, c_id asc) and values are identical —
+        // see [[trainedAssignments]].
+        scored.groupBy(col("vec_id"))
+          .agg(min(struct((-col("c_cos")).as("nc"), col("c_id").as("cid"),
+            col("embedding").as("e"), col("nrm").as("n"))).as("m"))
+          .select(col("vec_id"), col("m.e").as("embedding"),
+            col("m.n").as("nrm"), col("m.cid").as("c_id"))
+      else {
+        val w = Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("c_id"))
+        scored.withColumn("c_rank", row_number().over(w))
+          .filter(col("c_rank") <= keep)
+          .drop("c_emb", "c_cos", "c_rank", "c_nrm")
+      }
     }
     val assigned = nearestCells(emb, 1)
       .select(col("c_id").as("cell"), col("vec_id").as("n_id"),

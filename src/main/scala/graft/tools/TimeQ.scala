@@ -13,9 +13,12 @@ object TimeQ {
     val names = if (args.length > 1) args.tail.toSeq else Seq("a1_aggregates")
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Probe knob: override shuffle partitions independently of the core
+    // count (loop-partition headroom experiments; Bench never reads it).
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
