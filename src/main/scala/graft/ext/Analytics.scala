@@ -586,32 +586,53 @@ object Analytics {
       value: String): DataFrame = {
     val hc = series.select(col(group).as("g"), col(order).as("o"),
       col(value).as("x")).localCheckpoint()
+    // Median = order STATISTIC of the pairwise-slope multiset: ranks
+    // (m+1) div 2 and (m+2) div 2 select slope VALUES only — the
+    // (oi, oj) provenance of a selected pair never reaches the output.
+    // So duplicate slope values collapse BEFORE any exchange: one
+    // map-side-partial aggregation to (g, slope, multiplicity) — on an
+    // hourly-count series most pairs repeat few distinct ratios
+    // (Δx/Δo over small integer deltas; r13 measured 7.9M pairs → 47k
+    // distinct (g, slope) runs at sf0.1) — then a weighted global
+    // prefix sum in (g, slope) order
+    // ([[graft.ops.GlobalOrder.prefixSummedKept]]) gives each run its
+    // last rank `cw` in the expanded multiset. The exchanges carry the
+    // distinct runs, not the O(T² per group) pair space (guide §2.3
+    // "aggregate before you shuffle"); rank-k selection is the row
+    // with cw − w < k ≤ cw. Value-identical to numbering every pair:
+    // tied slopes are interchangeable for value selection, and slope
+    // here is never NaN (oj > oi) nor −0.0 (integer numerator).
     val slopes = hc.as("a").join(hc.as("b"),
         col("a.g") === col("b.g") && col("a.o") < col("b.o"))
-      .select(col("a.g").as("g"), col("a.o").as("oi"), col("b.o").as("oj"),
+      .select(col("a.g").as("g"),
         ((col("b.x") - col("a.x")).cast(DoubleType) /
           (col("b.o") - col("a.o")).cast(DoubleType)).as("slope"))
-    // Per-group rank via GLOBAL contiguous numbering in (g, slope, oi,
-    // oj) order ([[graft.ops.GlobalOrder.rowNumbered]]) instead of a
-    // row_number window partitioned by g: the window's parallelism is
-    // the GROUP count, and groups here are low-cardinality (event
-    // types) while per-group pair volume grows as T² with the series
-    // span — at 100 TB that is a handful of single-task sorts over the
-    // whole pair space, exactly the shape GlobalOrder exists to remove
-    // (r12; measured 3.0 → sub-2 s at sf0.1 with identical output).
-    // Group-first keys make within-group rank = grk − (group's min grk
-    // − 1); selection of ranks (m+1) div 2 and (m+2) div 2 under the
-    // same total order is unchanged, so the result is bit-identical.
-    val p = series.sparkSession.sessionState.conf.numShufflePartitions
-    val numbered = graft.ops.GlobalOrder.rowNumbered(slopes, "grk", p,
-      col("g"), col("slope"), col("oi"), col("oj"))
-    val targets = numbered.groupBy("g")
-      .agg(count(lit(1)).as("m"), (min(col("grk")) - 1L).as("off"))
+      .groupBy("g", "slope").agg(count(lit(1)).as("w"))
+    val spark = series.sparkSession
+    val p = spark.sessionState.conf.numShufflePartitions
+    val (summed, handle) = graft.ops.GlobalOrder.prefixSummedKept(
+      slopes, "w", "cw", p, col("g"), col("slope"))
+    val targets = summed.groupBy("g")
+      .agg(sum(col("w")).as("m"), min(col("cw") - col("w")).as("off"))
       .select(col("g"), col("m"),
         (col("off") + expr("(m + 1) div 2")).as("t1"),
         (col("off") + expr("(m + 2) div 2")).as("t2"))
-    numbered.join(broadcast(targets), Seq("g"))
-      .filter(col("grk") === col("t1") || col("grk") === col("t2"))
+    val medians = summed.join(broadcast(targets), Seq("g"))
+      .filter((col("cw") - col("w") < col("t1") && col("t1") <= col("cw")) ||
+        (col("cw") - col("w") < col("t2") && col("t2") <= col("cw")))
+      .select(col("g"), col("m"), col("slope"))
+    // Eagerly pull the ≤2 median rows per group (bounded by GROUP count —
+    // the documented metadata-collect exception), then FREE the O(T²)
+    // pairwise-slope checkpoints: the numbered frame GlobalOrder holds
+    // and the input snapshot. They are the largest intermediates in the
+    // op, and left to the ContextCleaner they pin block-manager storage
+    // for the session's life (r12 advice). The returned frame is a local
+    // relation — nothing downstream can re-read the freed lineage.
+    val rows = medians.collect().toIndexedSeq
+    graft.ext.Graph.freeCheckpoint(handle)
+    graft.ext.Graph.freeCheckpoint(hc)
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, medians.schema)
       .groupBy("g")
       .agg(max(col("m")).as("n_pairs"),
         ((min(col("slope")) + max(col("slope"))) / lit(2.0)).as("slope_med"))

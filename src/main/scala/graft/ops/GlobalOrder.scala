@@ -36,7 +36,52 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
 object GlobalOrder {
 
   def rowNumbered(df: DataFrame, outCol: String, numPartitions: Int,
-                  keys: Column*): DataFrame = {
+                  keys: Column*): DataFrame =
+    rowNumberedKept(df, outCol, numPartitions, keys: _*)._1
+
+  /** Weighted twin of [[rowNumberedKept]]: rows carry a positive long
+    * weight (`weightCol`) standing for a RUN of identical keys, and
+    * `outCol` receives the INCLUSIVE cumulative weight in global key
+    * order — i.e. the run's last rank in the expanded multiset. A
+    * caller that pre-aggregates duplicate keys (weight = multiplicity)
+    * selects the k-th order STATISTIC of the expanded multiset from
+    * the row where `outCol - weight < k <= outCol`, while the exchange
+    * carries one row per distinct key instead of one per element
+    * (guide §2.3: aggregate before you shuffle). Same two-pass
+    * partition-offset scheme, same checkpoint-handle contract. */
+  def prefixSummedKept(df: DataFrame, weightCol: String, outCol: String,
+                       numPartitions: Int, keys: Column*): (DataFrame, DataFrame) = {
+    require(keys.nonEmpty, "prefixSummed needs at least one ordering key")
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(numPartitions, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .localCheckpoint()
+    val counts = sorted.groupBy(spark_partition_id().as("pid"))
+      .agg(sum(col(weightCol)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nParts = (counts.keys.maxOption.getOrElse(-1) + 1) max numPartitions
+    val offsets = new Array[Long](nParts)
+    var acc = 0L
+    for (p <- offsets.indices) { offsets(p) = acc; acc += counts.getOrElse(p, 0L) }
+    val bc = spark.sparkContext.broadcast(offsets)
+    val wIdx = sorted.schema.fieldIndex(weightCol)
+    val schema = StructType(sorted.schema.fields :+
+      StructField(outCol, LongType, nullable = false))
+    val rdd = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var c = bc.value(pid)
+      it.map { row => c += row.getLong(wIdx); Row.fromSeq(row.toSeq :+ c) }
+    }
+    (spark.createDataFrame(rdd, schema), sorted)
+  }
+
+  /** [[rowNumbered]] plus the checkpointed sorted frame backing it, so a
+    * caller that consumes the numbering EAGERLY can free the checkpoint
+    * (`graft.ext.Graph.freeCheckpoint(handle)`) instead of pinning the
+    * op's largest intermediate in block storage for the session's life.
+    * Free it only after every read of the numbered frame has executed —
+    * the numbering RDD reads the checkpoint and cannot be recomputed. */
+  def rowNumberedKept(df: DataFrame, outCol: String, numPartitions: Int,
+                      keys: Column*): (DataFrame, DataFrame) = {
     require(keys.nonEmpty, "rowNumbered needs at least one ordering key")
     val spark = df.sparkSession
     val sorted = df.repartitionByRange(numPartitions, keys: _*)
@@ -60,6 +105,6 @@ object GlobalOrder {
       var i = bc.value(pid)
       it.map { row => i += 1; Row.fromSeq(row.toSeq :+ i) }
     }
-    spark.createDataFrame(rdd, schema)
+    (spark.createDataFrame(rdd, schema), sorted)
   }
 }
