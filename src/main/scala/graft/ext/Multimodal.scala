@@ -309,12 +309,16 @@ object Multimodal {
       }
       y += 1
     }
-    val defl = new java.util.zip.Deflater()
+    // Thread-local reused Deflater (reset() restores the exact initial
+    // state, so output bytes are identical to a fresh instance): a new
+    // Deflater per synthesized image costs a native zlib stream
+    // alloc/free per row.
+    val defl = deflaterTL.get()
+    defl.reset()
     defl.setInput(raw); defl.finish()
     val out = new java.io.ByteArrayOutputStream()
     val buf = new Array[Byte](4096)
     while (!defl.finished()) out.write(buf, 0, defl.deflate(buf))
-    defl.end()
     def be32(v: Int) = Array[Byte](
       (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
     def chunk(tag: String, body: Array[Byte]): Array[Byte] = {
@@ -329,50 +333,240 @@ object Multimodal {
       chunk("IEND", Array.empty[Byte])
   }
 
-  /** Perceptual average-hash over a REAL pixel decode: ImageIO (the
-    * JDK's PNG decoder — zlib inflate + per-scanline filter
-    * reconstruction, no external library) yields the raster; each 8×8
-    * pixel block averages to one gray (exact integer `div`), the global
-    * mean is the block-average mean (`div 64`), and bit b of the hash is
-    * set when block b sits above it. Split (hi, lo) 32-bit halves keep
-    * every value positive in any engine. Returns (hi, lo, mean) or None
-    * for undecodable bytes — the near-dup image signature used exactly
-    * like SimHash on text (small Hamming distance ≡ visual similarity). */
+  // ImageIO's InputStream entry point defaults to a FILE-backed cache:
+  // every read() creates, fills and deletes a temp file — ~10 ms/image
+  // of filesystem churn for a 4 KB in-memory PNG (the r13 profile: the
+  // m_image_* family at 283 task-seconds for 15k decodes). Pure I/O
+  // plumbing, zero effect on decoded pixels.
+  javax.imageio.ImageIO.setUseCache(false)
+
+  // Decoder scratch reuse: java.util.zip.Inflater allocates/frees a
+  // native zlib stream per instance; one per decoded image is pure
+  // overhead. Executor task threads are pooled, so thread-local reset()
+  // reuse is bounded by the core count.
+  private val inflaterTL = new ThreadLocal[java.util.zip.Inflater] {
+    override def initialValue(): java.util.zip.Inflater =
+      new java.util.zip.Inflater()
+  }
+  private val deflaterTL = new ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue(): java.util.zip.Deflater =
+      new java.util.zip.Deflater()
+  }
+
+  /** Strict minimal decoder for the 8-bit GRAYSCALE non-interlaced PNG
+    * subset: chunk walk with CRC verification, concatenated-IDAT
+    * inflate, and per-scanline unfilter (all five PNG filter types,
+    * bpp = 1). Returns the raw gray raster (row-major, w*h bytes) —
+    * exactly the pixels any conformant PNG decoder reconstructs — or
+    * null on ANYTHING outside the subset or malformed (wrong color
+    * type / bit depth, interlaced, bad CRC, short or surplus IDAT),
+    * in which case the caller falls back to ImageIO so behavior on
+    * odd inputs is unchanged. The fast path exists because ImageIO
+    * spends ~100× the inflate cost on reader discovery, temp buffers
+    * and per-sample raster access for these small rasters
+    * (OpsSpec pins fast-path ≡ ImageIO pixel equality). */
+  private[graft] def decodeGray8Png(png: Array[Byte]): (Array[Byte], Int, Int) = {
+    if (png == null || png.length < 8) return null
+    val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    var i = 0
+    while (i < 8) { if (png(i) != sig(i)) return null; i += 1 }
+    def be32(o: Int): Int =
+      ((png(o) & 0xff) << 24) | ((png(o + 1) & 0xff) << 16) |
+        ((png(o + 2) & 0xff) << 8) | (png(o + 3) & 0xff)
+    var off = 8
+    var w = 0; var h = 0
+    var seenIhdr = false; var seenIend = false
+    var idat = new Array[Byte](0); var idatLen = 0
+    val crc = new java.util.zip.CRC32()
+    while (!seenIend) {
+      if (off + 8 > png.length) return null
+      val len = be32(off)
+      if (len < 0 || off + 12 + len.toLong > png.length) return null
+      val tag = new String(png, off + 4, 4, "US-ASCII")
+      crc.reset(); crc.update(png, off + 4, 4 + len)
+      if (crc.getValue.toInt != be32(off + 8 + len)) return null
+      tag match {
+        case "IHDR" =>
+          if (seenIhdr || len != 13) return null
+          seenIhdr = true
+          w = be32(off + 8); h = be32(off + 12)
+          // bound the raster (64 MP) so a crafted header cannot OOM
+          if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26)) return null
+          val (bitDepth, colorType) = (png(off + 16), png(off + 17))
+          val (comp, filt, interlace) = (png(off + 18), png(off + 19), png(off + 20))
+          if (bitDepth != 8 || colorType != 0 || comp != 0 || filt != 0 ||
+              interlace != 0) return null
+        case "IDAT" =>
+          if (!seenIhdr) return null
+          if (idatLen + len > idat.length) {
+            val grown = new Array[Byte](math.max(idat.length * 2, idatLen + len))
+            System.arraycopy(idat, 0, grown, 0, idatLen)
+            idat = grown
+          }
+          System.arraycopy(png, off + 8, idat, idatLen, len)
+          idatLen += len
+        case "IEND" =>
+          if (!seenIhdr || len != 0) return null
+          seenIend = true
+        case _ => () // ancillary chunk: CRC checked above, body skipped
+      }
+      off += 12 + len
+    }
+    val stride = w + 1
+    val raw = new Array[Byte](h * stride)
+    val inf = inflaterTL.get()
+    inf.reset()
+    inf.setInput(idat, 0, idatLen)
+    var got = 0
+    try {
+      while (got < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, got, raw.length - got)
+        if (n == 0 && inf.needsInput()) return null // truncated stream
+        got += n
+      }
+      if (got != raw.length || !inf.finished()) return null
+    } catch { case _: java.util.zip.DataFormatException => return null }
+    // Unfilter in place into a packed gray raster (bpp = 1).
+    val gray = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      val ft = raw(y * stride)
+      val ro = y * stride + 1
+      val go = y * w
+      val po = go - w // previous reconstructed row
+      ft match {
+        case 0 => System.arraycopy(raw, ro, gray, go, w)
+        case 1 =>
+          var x = 0; var left = 0
+          while (x < w) {
+            left = (raw(ro + x) + left) & 0xff; gray(go + x) = left.toByte
+            x += 1
+          }
+        case 2 =>
+          var x = 0
+          while (x < w) {
+            val up = if (y == 0) 0 else gray(po + x) & 0xff
+            gray(go + x) = ((raw(ro + x) & 0xff) + up).toByte
+            x += 1
+          }
+        case 3 =>
+          var x = 0; var left = 0
+          while (x < w) {
+            val up = if (y == 0) 0 else gray(po + x) & 0xff
+            left = ((raw(ro + x) & 0xff) + ((left + up) >> 1)) & 0xff
+            gray(go + x) = left.toByte
+            x += 1
+          }
+        case 4 =>
+          var x = 0; var left = 0; var upLeft = 0
+          while (x < w) {
+            val up = if (y == 0) 0 else gray(po + x) & 0xff
+            val p = left + up - upLeft
+            val (pa, pb, pc) =
+              (math.abs(p - left), math.abs(p - up), math.abs(p - upLeft))
+            val pred = if (pa <= pb && pa <= pc) left
+              else if (pb <= pc) up else upLeft
+            left = ((raw(ro + x) & 0xff) + pred) & 0xff
+            gray(go + x) = left.toByte
+            upLeft = up
+            x += 1
+          }
+        case _ => return null
+      }
+      y += 1
+    }
+    (gray, w, h)
+  }
+
+  /** Block-average hash over a packed gray raster — the shared back
+    * half of [[aHash64]] (same integer div algebra for both decode
+    * paths). */
+  private def aHashFromGray(gray: Array[Byte], w: Int, h: Int): Option[(Long, Long, Long)] = {
+    if (w % 8 != 0 || h % 8 != 0 || w == 0 || h == 0) return None
+    val (bw, bh) = (w / 8, h / 8)
+    val bavg = new Array[Long](64)
+    var by = 0
+    while (by < 8) {
+      var bx = 0
+      while (bx < 8) {
+        var s = 0L
+        var y = by * bh
+        while (y < (by + 1) * bh) {
+          var x = bx * bw
+          val ro = y * w
+          while (x < (bx + 1) * bw) { s += gray(ro + x) & 0xff; x += 1 }
+          y += 1
+        }
+        bavg(by * 8 + bx) = s / (bw.toLong * bh)
+        bx += 1
+      }
+      by += 1
+    }
+    val mean = bavg.sum / 64
+    var hi = 0L; var lo = 0L
+    var b = 0
+    while (b < 64) {
+      if (bavg(b) > mean) {
+        if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
+      }
+      b += 1
+    }
+    Some((hi, lo, mean))
+  }
+
+  /** Perceptual average-hash over a REAL pixel decode: the strict
+    * gray8 fast path ([[decodeGray8Png]]) when the bytes are in its
+    * subset, otherwise ImageIO (the JDK's PNG decoder — zlib inflate +
+    * per-scanline filter reconstruction, no external library) yields
+    * the raster; each 8×8 pixel block averages to one gray (exact
+    * integer `div`), the global mean is the block-average mean
+    * (`div 64`), and bit b of the hash is set when block b sits above
+    * it. Split (hi, lo) 32-bit halves keep every value positive in any
+    * engine. Returns (hi, lo, mean) or None for undecodable bytes —
+    * the near-dup image signature used exactly like SimHash on text
+    * (small Hamming distance ≡ visual similarity). */
   def aHash64(png: Array[Byte]): Option[(Long, Long, Long)] =
     try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
-      if (img == null || img.getWidth % 8 != 0 || img.getHeight % 8 != 0 ||
-          img.getWidth == 0 || img.getHeight == 0) None
-      else {
-        val (bw, bh) = (img.getWidth / 8, img.getHeight / 8)
-        val raster = img.getRaster
-        val bavg = new Array[Long](64)
-        var by = 0
-        while (by < 8) {
-          var bx = 0
-          while (bx < 8) {
-            var s = 0L
-            var y = by * bh
-            while (y < (by + 1) * bh) {
-              var x = bx * bw
-              while (x < (bx + 1) * bw) { s += raster.getSample(x, y, 0); x += 1 }
-              y += 1
+      decodeGray8Png(png) match {
+        case (gray, w, h) => aHashFromGray(gray, w, h)
+        case null =>
+          // Fallback keeps the original raster-sample arithmetic
+          // verbatim (samples may exceed 8 bits here — e.g. 16-bit
+          // gray — so it must NOT pack through a byte raster).
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+          if (img == null || img.getWidth % 8 != 0 || img.getHeight % 8 != 0 ||
+              img.getWidth == 0 || img.getHeight == 0) None
+          else {
+            val (bw, bh) = (img.getWidth / 8, img.getHeight / 8)
+            val raster = img.getRaster
+            val bavg = new Array[Long](64)
+            var by = 0
+            while (by < 8) {
+              var bx = 0
+              while (bx < 8) {
+                var s = 0L
+                var y = by * bh
+                while (y < (by + 1) * bh) {
+                  var x = bx * bw
+                  while (x < (bx + 1) * bw) { s += raster.getSample(x, y, 0); x += 1 }
+                  y += 1
+                }
+                bavg(by * 8 + bx) = s / (bw.toLong * bh)
+                bx += 1
+              }
+              by += 1
             }
-            bavg(by * 8 + bx) = s / (bw.toLong * bh)
-            bx += 1
+            val mean = bavg.sum / 64
+            var hi = 0L; var lo = 0L
+            var b = 0
+            while (b < 64) {
+              if (bavg(b) > mean) {
+                if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
+              }
+              b += 1
+            }
+            Some((hi, lo, mean))
           }
-          by += 1
-        }
-        val mean = bavg.sum / 64
-        var hi = 0L; var lo = 0L
-        var b = 0
-        while (b < 64) {
-          if (bavg(b) > mean) {
-            if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
-          }
-          b += 1
-        }
-        Some((hi, lo, mean))
       }
     } catch { case _: Throwable => None }
 

@@ -155,6 +155,86 @@ class OpsSpec extends SparkSpec {
     assert(aHash64(Array.empty[Byte]).isEmpty)
   }
 
+  test("gray8 PNG fast path: pixel-identical to ImageIO across all five filters") {
+    import graft.ext.Multimodal.{aHash64, decodeGray8Png}
+    // Hand-assemble a gray8 PNG with a CHOSEN per-scanline filter type —
+    // synthesizePngFull only emits filter 0, but real encoders use 1-4,
+    // and the fast path must reconstruct them exactly as ImageIO does.
+    def png(w: Int, h: Int, filterOf: Int => Int, pix: (Int, Int) => Int): Array[Byte] = {
+      val gray = Array.tabulate(h, w)((y, x) => pix(x, y) & 0xff)
+      val raw = new Array[Byte](h * (w + 1))
+      for (y <- 0 until h) {
+        val ft = filterOf(y)
+        raw(y * (w + 1)) = ft.toByte
+        def at(x: Int, yy: Int) = if (x < 0 || yy < 0) 0 else gray(yy)(x)
+        for (x <- 0 until w) {
+          val (a, b, c) = (at(x - 1, y), at(x, y - 1), at(x - 1, y - 1))
+          val pred = ft match {
+            case 0 => 0
+            case 1 => a
+            case 2 => b
+            case 3 => (a + b) >> 1
+            case 4 =>
+              val p = a + b - c
+              val (pa, pb, pc) = (math.abs(p - a), math.abs(p - b), math.abs(p - c))
+              if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+          }
+          raw(y * (w + 1) + 1 + x) = ((gray(y)(x) - pred) & 0xff).toByte
+        }
+      }
+      val defl = new java.util.zip.Deflater()
+      defl.setInput(raw); defl.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      while (!defl.finished()) out.write(buf, 0, defl.deflate(buf))
+      defl.end()
+      def be32(v: Int) = Array[Byte](
+        (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+      def chunk(tag: String, body: Array[Byte]): Array[Byte] = {
+        val crc = new java.util.zip.CRC32()
+        crc.update(tag.getBytes("US-ASCII")); crc.update(body)
+        be32(body.length) ++ tag.getBytes("US-ASCII") ++ body ++
+          be32(crc.getValue.toInt)
+      }
+      Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+        chunk("IHDR", be32(w) ++ be32(h) ++ Array[Byte](8, 0, 0, 0, 0)) ++
+        chunk("IDAT", out.toByteArray) ++
+        chunk("IEND", Array.empty[Byte])
+    }
+    def pix(x: Int, y: Int) = (x * 31 + y * 17 + (x * y) % 13) % 256
+    for (ft <- 0 to 4; (w, h) <- Seq((64, 64), (16, 32))) {
+      val bytes = png(w, h, _ => ft, pix)
+      val (gray, gw, gh) = decodeGray8Png(bytes)
+      assert(gw == w && gh == h, s"filter $ft dims")
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      for (y <- 0 until h; x <- 0 until w)
+        assert((gray(y * w + x) & 0xff) == img.getRaster.getSample(x, y, 0),
+          s"filter $ft pixel ($x,$y)")
+    }
+    // mixed filters per scanline (what a real encoder emits)
+    val mixed = png(64, 64, y => y % 5, pix)
+    val (g2, _, _) = decodeGray8Png(mixed)
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(mixed))
+    for (y <- 0 until 64; x <- 0 until 64)
+      assert((g2(y * 64 + x) & 0xff) == ref.getRaster.getSample(x, y, 0))
+    // and the public hash agrees between a fast-path image and the same
+    // pixels re-encoded OUTSIDE the subset (RGB via ImageIO → fallback)
+    val rgb = new java.awt.image.BufferedImage(64, 64,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 64; x <- 0 until 64)
+      rgb.setRGB(x, y, pix(x, y) << 16) // red channel = gray value (band 0)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(rgb, "png", bos)
+    assert(decodeGray8Png(bos.toByteArray) == null) // outside subset
+    assert(aHash64(bos.toByteArray) == aHash64(png(64, 64, _ => 0, pix)))
+    // corrupted CRC refuses the fast path (falls back, which also refuses)
+    val bad = png(64, 64, _ => 0, pix)
+    bad(bad.length - 5) = (bad(bad.length - 5) ^ 0x7f).toByte
+    assert(decodeGray8Png(bad) == null)
+    // truncated IDAT refuses rather than returning short pixels
+    assert(decodeGray8Png(bad.take(bad.length / 2)) == null)
+  }
+
   test("incremental image near-dup: batch vs persisted index matches brute force") {
     import graft.ext.{MediaRow, Multimodal}
     import Multimodal.{aHash64, imageNearDupsIncremental, imageSignatureIndex, synthesizePngFull}
