@@ -518,9 +518,16 @@ object Extensions {
         if (pert == 0) -1 else ((pert * 11) % 64),
         96))
     }
+    // Materialize the distinct-signature table (tiny: one row per
+    // distinct hash) before fanning it out four ways: the band
+    // self-join plans one side as a BroadcastExchange, which
+    // ReuseExchange cannot unify with the shuffle-side subtree, so
+    // without the barrier the synthesize+decode pass over the full
+    // corpus ran TWICE (r13 StageProf: 2× 5000-row decode stages).
     val sigs = Multimodal.imageHashes(media).toDF()
       .groupBy(col("ahash_hi").as("hi"), col("ahash_lo").as("lo"))
       .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n_docs"))
+      .localCheckpoint()
     // band identity includes POSITION (posexplode ordinal): equal values
     // in different band slots are not a candidate signal. The full hash
     // rides along so the Hamming gate runs map-side on the raw band-join
