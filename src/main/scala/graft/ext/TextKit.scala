@@ -52,8 +52,18 @@ object TextKit {
     aggregate(charCodes(s), lit(0L), (a, c) => (a * 31 + c) % P)
 
   /** Distinct word n-gram shingles ("w1 w2 w3"); empty array below n
-    * words. coalesce → non-nullable (see [[simHashFromHashes]] note). */
+    * words. coalesce → non-nullable (see [[simHashFromHashes]] note).
+    * Native single-pass codegen Expression
+    * ([[graft.functions.WordShingles]]); value-identical to the HOF
+    * twin below (TextKitSpec pins it) at ~20× less per-doc work — this
+    * is the shared front end of the whole shingle-dedup family. */
   def wordShingles(text: Column, n: Int = 3): Column =
+    coalesce(graft.functions.WordShingles(text, n),
+      array().cast("array<string>"))
+
+  /** Interpreted higher-order twin of [[wordShingles]] — kept as the
+    * cross-check reference for the native Expression. */
+  def wordShinglesHof(text: Column, n: Int = 3): Column =
     coalesce(
       let(words(text)) { w =>
         when(size(w) >= n,

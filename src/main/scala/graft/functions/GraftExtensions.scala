@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(MinHashSig.registration)
     ext.injectFunction(SimHashSig.registration)
     ext.injectFunction(GramHashes.registration)
+    ext.injectFunction(WordShingles.registration)
     ext.injectFunction(SlidingMin.registration)
     ext.injectFunction(KmvSketch.registration)
     ext.injectFunction(CmsSketch.registration)
@@ -43,7 +44,8 @@ object GraftExtensions {
     Seq(PolyHash.registration, DotProduct.registration,
         InterleaveBits.registration, HilbertIndex.registration,
         MinHashSig.registration, SimHashSig.registration,
-        GramHashes.registration, SlidingMin.registration,
+        GramHashes.registration, WordShingles.registration,
+        SlidingMin.registration,
         KmvSketch.registration, CmsSketch.registration,
         HllSketch.registration, JaroWinkler.registration).foreach { r =>
       reg.registerFunction(r._1, r._2, r._3)
