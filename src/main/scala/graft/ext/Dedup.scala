@@ -488,6 +488,16 @@ object Dedup {
     */
   def duplicateClusters(pairs: DataFrame, a: String = "a", b: String = "b",
                         maxIters: Int = 100): DataFrame = {
+    // Materialize the pair list ONCE before mirroring it: the union's
+    // two branches are otherwise two full evaluations of the pair
+    // GENERATION subtree — for the jaccard/containment callers that is
+    // the postings self-join + verify aggregation, the most expensive
+    // part of the whole query, and exchange reuse does not unify the
+    // two branches (r13 StageProf: both d_dup_clusters and
+    // x_curation_cc ran the 5000-doc pair pipeline twice). The pair
+    // list itself is tiny (near-dup survivors), so the checkpoint is
+    // cheap; freed after the mirrored edge table is materialized.
+    val pr = pairs.select(col(a).as("src"), col(b).as("dst")).localCheckpoint()
     // Post-distinct, re-key the layout on src — the loop's probe key.
     // localCheckpoint preserves the partitioning, and every round's label
     // table is hash-partitioned on the node key by its own aggregation,
@@ -496,9 +506,9 @@ object Dedup {
     // from coalescing the layout away from the state side's.
     val p0 = pairs.sparkSession.sessionState.conf.numShufflePartitions
     val (edges, p) = Graph.loopSized(Graph.checkpointKeyed(
-      pairs.select(col(a).as("src"), col(b).as("dst"))
-        .union(pairs.select(col(b).as("src"), col(a).as("dst")))
+      pr.union(pr.select(col("dst").as("src"), col("src").as("dst")))
         .distinct().repartition(p0, col("src")), "src"), "src")
+    Graph.freeCheckpoint(pr)
     Graph.withShufflePartitions(pairs.sparkSession, p) {
     // Seed with min(self, neighbors) — the first propagation round for
     // free out of the same edge aggregation that defines the node set.
