@@ -67,9 +67,18 @@ object Similarity {
     * the number of sign bits is a COLUMN (computed from corpus size at
     * plan time) and the hyperplane index is offset per hash table.
     * `nPlanes <= 0` yields bucket 0 (one cell — the small-corpus
-    * degenerate case where no subdivision is needed). Guarded because
-    * Spark's `sequence(0, -1)` counts DOWN instead of returning empty. */
+    * degenerate case where no subdivision is needed). Native one-pass
+    * codegen Expression ([[graft.functions.LshBucket]]); the HOF twin
+    * below is the cross-check reference (LshBucketSpec pins
+    * value-identity, including the exact IEEE accumulation order). */
   def lshBucketDyn(emb: Column, nPlanes: Column, planeOffset: Column): Column =
+    graft.functions.LshBucket(emb, nPlanes, planeOffset)
+
+  /** Interpreted higher-order twin of [[lshBucketDyn]] — kept as the
+    * cross-check reference for the native Expression. Guarded with
+    * `when` because Spark's `sequence(0, -1)` counts DOWN instead of
+    * returning empty. */
+  def lshBucketDynHof(emb: Column, nPlanes: Column, planeOffset: Column): Column =
     when(nPlanes > 0,
       aggregate(
         transform(sequence(lit(0), nPlanes - 1), j => {
@@ -217,8 +226,15 @@ object Similarity {
 
   /** Random-hyperplane LSH bucket: `nPlanes` sign bits of hyperplane dot
     * products → an integer bucket. Cosine-similar vectors agree on most
-    * signs, so they collide with high probability. */
+    * signs, so they collide with high probability. Native one-pass
+    * codegen Expression ([[graft.functions.LshBucket]], offset 0); the
+    * HOF twin is the cross-check reference. */
   def lshBucket(emb: Column, nPlanes: Int = 8): Column =
+    graft.functions.LshBucket(emb, lit(nPlanes), lit(0))
+
+  /** Interpreted higher-order twin of [[lshBucket]] — kept as the
+    * cross-check reference for the native Expression. */
+  def lshBucketHof(emb: Column, nPlanes: Int = 8): Column =
     aggregate(
       transform(sequence(lit(0), lit(nPlanes - 1)), j => {
         val d = aggregate(
@@ -562,11 +578,14 @@ object Similarity {
     // re-evaluates the RIGHT side per left partition — re-running the
     // whole corpus ENCODE ~#partitions times (measured 70 s vs 1 s at
     // the 10× probe; the r7 sf1 bench caught it as a 64× ratio).
+    // ADC fold as the native expression (graft.functions.AdcScore):
+    // same serial IEEE adds as the sequence-fold HOF twin
+    // (AdcScoreSpec pins equality) without m interpreted element_at
+    // chains per (query, vector) pair — the compressed-domain scan is
+    // the op PQ exists to make cheap, so it must not be the slow node.
     val scored = broadcast(qlut).join(coded, col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
-        aggregate(sequence(lit(1), lit(m)), lit(0.0), (acc, s) =>
-          acc + element_at(element_at(col("lut"), s),
-            element_at(col("codes"), s) + 1)).as("adc"))
+        graft.functions.AdcScore(col("lut"), col("codes")).as("adc"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("n_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select("q_id", "n_id", "rank", "adc")

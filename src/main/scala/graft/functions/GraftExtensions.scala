@@ -18,6 +18,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(SimHashSig.registration)
     ext.injectFunction(GramHashes.registration)
     ext.injectFunction(WordShingles.registration)
+    ext.injectFunction(LshBucket.registration)
+    ext.injectFunction(AdcScore.registration)
     ext.injectFunction(SlidingMin.registration)
     ext.injectFunction(KmvSketch.registration)
     ext.injectFunction(CmsSketch.registration)
@@ -45,6 +47,7 @@ object GraftExtensions {
         InterleaveBits.registration, HilbertIndex.registration,
         MinHashSig.registration, SimHashSig.registration,
         GramHashes.registration, WordShingles.registration,
+        LshBucket.registration, AdcScore.registration,
         SlidingMin.registration,
         KmvSketch.registration, CmsSketch.registration,
         HllSketch.registration, JaroWinkler.registration).foreach { r =>
