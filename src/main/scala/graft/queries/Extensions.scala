@@ -897,7 +897,11 @@ object Extensions {
   def annRecallQ(spark: SparkSession, sfDir: String): DataFrame = {
     val e = emb(spark, sfDir)
     val q = e.filter(col("vec_id") < 20)
-    val exact = Similarity.bruteForceTopK(e, q, 5)
+    // Materialize the ground truth once: each recallAtK branch reads
+    // `exact` twice (semi-join probe + the per-query denominator), so
+    // without the barrier the full brute-force scan-score-rank subtree
+    // ran SIX times (r13 StageProf). 100 rows — the checkpoint is free.
+    val exact = Similarity.bruteForceTopK(e, q, 5).localCheckpoint()
     Similarity.recallAtK(exact,
         Similarity.ivfTopK(e, q, nList = 10, nProbe = 2, k = 5), "ivf", 5)
       .unionByName(Similarity.recallAtK(exact,
