@@ -2058,12 +2058,20 @@ object Extensions {
   def blockingAudit(spark: SparkSession, sfDir: String): DataFrame = {
     val u = docsWithDups(spark, sfDir)
     val hashed = u.select(sha2(col("text"), 256).as("h"), col("doc_id"))
+    // Both pair lists are consumed TWICE (their own count + the capture
+    // semi-join), and each evaluation re-ran its generation subtree —
+    // the sha256 self-join and the SNM bucket join respectively (r13
+    // StageProf: four full passes over the dup universe). Materialize
+    // the narrow id-pair lists once; at 100 TB they are O(dup pairs)
+    // and O(N·w) two-long rows — the scale-safe thing to pin.
     val truePairs = hashed.as("x").join(hashed.as("y"),
         col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .localCheckpoint()
     val cands = snmCandidates(
       u.select(col("doc_id"), substring(col("text"), 1, 12).as("k")))
       .select("a", "b")
+      .localCheckpoint()
     val nDocs = u.agg(count(lit(1)).as("n_docs"))
     val nTrue = truePairs.agg(count(lit(1)).as("n_true"))
     val nCand = cands.agg(count(lit(1)).as("n_cand"))
@@ -2099,8 +2107,13 @@ object Extensions {
     val u = docsWithDups(spark, sfDir)
     val cands = snmCandidates(
       u.select(col("doc_id"), substring(col("text"), 1, 12).as("k")))
-    def side(p: String) = u.select(col("doc_id").as(p),
-      sha2(col("text"), 256).as(s"h$p"), col("lang").as(s"l$p"),
+    // One hashed fingerprint table read by both pair sides instead of
+    // two full sha256 passes over the dup universe (the persisted-
+    // fingerprint-table shape a deployment uses; O(N) narrow rows).
+    val hu = u.select(col("doc_id"), sha2(col("text"), 256).as("h"),
+      col("lang"), col("source"), col("n_chars")).localCheckpoint()
+    def side(p: String) = hu.select(col("doc_id").as(p),
+      col("h").as(s"h$p"), col("lang").as(s"l$p"),
       col("source").as(s"s$p"), col("n_chars").as(s"c$p"))
     val pairs = cands.join(side("a"), Seq("a")).join(side("b"), Seq("b"))
       .select((col("ha") === col("hb")).as("is_match"),
