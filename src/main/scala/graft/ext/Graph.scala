@@ -328,8 +328,11 @@ object Graph {
     val sessionP = spark.sessionState.conf.numShufflePartitions
     bytes match {
       case Some(b) =>
-        val target = spark.conf.get(
-          "spark.graft.loop.targetPartitionBytes", (32L << 20).toString).toLong
+        // Clamp the user-settable conf to >= 1: zero would divide by
+        // zero below and a negative value yields a nonsense partition
+        // count mid-query (r12 advice).
+        val target = math.max(1L, spark.conf.get(
+          "spark.graft.loop.targetPartitionBytes", (32L << 20).toString).toLong)
         // Floor 2, not 1: repartition(1, key) plans SinglePartition, which
         // loses the hash layout [[checkpointKeyed]] verifies.
         math.max(2, math.min(sessionP.toLong, (b + target - 1) / target)).toInt
@@ -364,8 +367,10 @@ object Graph {
     val sessionP = spark.sessionState.conf.numShufflePartitions
     val bytes = materializedBytes(df)
     val p = loopPartitions(spark, bytes)
-    val rekeyMax = spark.conf.get(
-      "spark.graft.loop.rekeyMaxBytes", (1L << 30).toString).toLong
+    // Clamp like targetPartitionBytes: a negative conf value silently
+    // meant "never re-key"; pin that reading explicitly (r12 advice).
+    val rekeyMax = math.max(0L, spark.conf.get(
+      "spark.graft.loop.rekeyMaxBytes", (1L << 30).toString).toLong)
     if (p >= sessionP || bytes.forall(_ > rekeyMax)) (df, sessionP)
     else {
       val re = withShufflePartitions(spark, p) {

@@ -435,7 +435,15 @@ object Similarity {
       // consecutively in one partition — so the exchange carries N narrow
       // rows. Ties (equal cos): min c_id, exactly the window's
       // (cos desc, c_id) rank-1; −(−cos) is IEEE-exact, so the readout is
-      // bit-identical and the oracle is untouched.
+      // bit-identical and the oracle is untouched. Caveat (r12 advice):
+      // bit-identity assumes c_cos is never NaN for a strict SUBSET of a
+      // vector's centroids — a window's DESC sort ranks NaN first while
+      // struct-min ranks NaN last. Cannot arise here: centroids are
+      // means of unit vectors and u is finite, so every c_cos is finite;
+      // a zero-norm centroid would NaN every candidate of every vector
+      // equally (both forms then pick the same row). Guard with
+      // nanvl(c_cos, -Infinity) before using this form on inputs where
+      // PARTIAL NaN per group is possible.
       .groupBy(col("vec_id"))
       .agg(min(struct((-col("c_cos")).as("nc"), col("c_id").as("cid"))).as("m"))
       .select(col("vec_id"), col("m.cid").as("cell"), (-col("m.nc")).as("cos"))
@@ -464,9 +472,19 @@ object Similarity {
         // nList candidate rows before the exchange (guide §2.3), where the
         // window shuffled and sorted all of them, embeddings riding every
         // row. Tie order (cos desc, c_id asc) and values are identical —
-        // see [[trainedAssignments]].
+        // see [[trainedAssignments]]. NaN pin (r12 advice): the default
+        // quantizer seeds cells from raw vectors, so a zero-norm seed
+        // would NaN exactly ONE centroid's c_cos per vector — a window's
+        // DESC sort ranks NaN first while a bare struct-min ranks it
+        // last. Map NaN → −∞ in the min key so the aggregate reproduces
+        // the window's NaN-first choice (and its c_id tiebreak)
+        // unconditionally; for finite cos — all contract data — the key
+        // is untouched.
         scored.groupBy(col("vec_id"))
-          .agg(min(struct((-col("c_cos")).as("nc"), col("c_id").as("cid"),
+          .agg(min(struct(
+            when(isnan(col("c_cos")), lit(Double.NegativeInfinity))
+              .otherwise(-col("c_cos")).as("nc"),
+            col("c_id").as("cid"),
             col("embedding").as("e"), col("nrm").as("n"))).as("m"))
           .select(col("vec_id"), col("m.e").as("embedding"),
             col("m.n").as("nrm"), col("m.cid").as("c_id"))

@@ -59,10 +59,15 @@ object Parity {
     if (spark.conf.get("spark.graft.tableCache", "true") != "true") read(path)
     else {
       val key = (spark, path)
+      // Prune dead-session entries on EVERY lookup, not only on a miss:
+      // a pure-hit workload over session A must not pin session B's
+      // stopped SessionState for the JVM lifetime (r12 advice). The map
+      // holds O(sessions × tables) entries — tens — so the sweep is
+      // cheaper than the hash probe's cache misses.
+      tableFrames.keySet.removeIf(k => Bridge.isStopped(k._1))
       val hit = tableFrames.get(key)
       if (hit != null) hit
       else {
-        tableFrames.keySet.removeIf(k => Bridge.isStopped(k._1))
         val df = read(path)
         tableFrames.put(key, df)
         df
